@@ -1,0 +1,174 @@
+"""Mongo-style filter documents → Catalyst ``Column`` expressions.
+
+Parity target: the reference's row-at-a-time matcher
+(/root/reference/src/query/index.ts:255-494) and its filter validator
+(/root/reference/src/delta/table.ts:1847-1893). Where the reference
+interprets one row at a time in JS, we emit a single Column expression so
+Catalyst gets predicate pushdown / partition pruning / codegen for free.
+
+Semantics deliberately preserved from the reference:
+
+- ``$ne`` matches rows where the field is null/missing
+  (src/query/index.ts:387-389) → null-safe ``~(col <=> lit)``.
+- ``$nin`` also passes nulls (src/query/index.ts:411-413)
+  → ``~isin | isNull``.
+- Range operators never match null (src/query/index.ts:443-455) — Spark's
+  default comparison semantics already do this.
+- ``$exists`` maps absent-or-undefined to Spark null
+  (src/query/index.ts:415-417).
+- ``$type`` is accepted but is a documented no-op in the reference (declared
+  in the validator whitelist, no matcher case) → translated to ``lit(True)``.
+- Unknown ``$`` operators are rejected with the supported-operator list,
+  mirroring src/delta/table.ts:1847-1893.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from deltalake_spark.errors import InvalidFilterError
+
+LOGICAL_OPS = frozenset({"$and", "$or", "$not", "$nor"})
+COMPARISON_OPS = frozenset(
+    {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
+     "$exists", "$regex", "$type", "$options"}
+)
+VALID_OPS = LOGICAL_OPS | COMPARISON_OPS
+
+
+def _field(path: str) -> Column:
+    # Dot paths address struct fields natively (src/query/index.ts:312-328's
+    # nested lookup); Spark's column resolution does the same walk.
+    return F.col(path)
+
+
+def _lit(value: Any) -> Column:
+    if isinstance(value, _dt.datetime):
+        return F.lit(value)
+    return F.lit(value)
+
+
+def _comparison(path: str, ops: Mapping[str, Any]) -> Column:
+    conds: list[Column] = []
+    col = _field(path)
+    for op, operand in ops.items():
+        if op == "$eq":
+            conds.append(col == _lit(operand))
+        elif op == "$ne":
+            # null-safe: missing/null fields MATCH $ne in the reference
+            conds.append(~col.eqNullSafe(_lit(operand)))
+        elif op == "$gt":
+            conds.append(col > _lit(operand))
+        elif op == "$gte":
+            conds.append(col >= _lit(operand))
+        elif op == "$lt":
+            conds.append(col < _lit(operand))
+        elif op == "$lte":
+            conds.append(col <= _lit(operand))
+        elif op == "$in":
+            if not isinstance(operand, (list, tuple)):
+                raise InvalidFilterError(f"$in requires an array, got {operand!r}")
+            conds.append(col.isin(list(operand)))
+        elif op == "$nin":
+            if not isinstance(operand, (list, tuple)):
+                raise InvalidFilterError(f"$nin requires an array, got {operand!r}")
+            # nulls pass $nin in the reference
+            conds.append(~col.isin(list(operand)) | col.isNull())
+        elif op == "$exists":
+            conds.append(col.isNotNull() if operand else col.isNull())
+        elif op == "$regex":
+            pattern = operand.pattern if hasattr(operand, "pattern") else str(operand)
+            if "i" in str(ops.get("$options", "")):
+                pattern = f"(?i){pattern}"
+            conds.append(col.rlike(pattern))
+        elif op == "$options":
+            continue  # consumed by $regex above
+        elif op == "$type":
+            # documented no-op in the reference — always passes
+            conds.append(F.lit(True))
+        elif op == "$not":
+            conds.append(~_comparison(path, operand))
+        else:
+            raise InvalidFilterError(
+                f"Unknown operator {op!r}. Supported: {sorted(VALID_OPS)}"
+            )
+    if not conds:
+        return F.lit(True)
+    result = conds[0]
+    for c in conds[1:]:
+        result = result & c
+    return result
+
+
+def _is_operator_object(value: Any) -> bool:
+    return (
+        isinstance(value, Mapping)
+        and len(value) > 0
+        and all(isinstance(k, str) and k.startswith("$") for k in value)
+    )
+
+
+def translate_filter(filter_doc: Mapping[str, Any] | None) -> Column:
+    """Translate a Mongo-style filter document to a Column predicate.
+
+    Empty / None filters match everything (reference: query() with no
+    filter returns all rows, src/delta/table.ts:1482-1605).
+    """
+    if not filter_doc:
+        return F.lit(True)
+    if not isinstance(filter_doc, Mapping):
+        raise InvalidFilterError(f"Filter must be a mapping, got {type(filter_doc)}")
+
+    conds: list[Column] = []
+    for key, value in filter_doc.items():
+        if key.startswith("$"):
+            if key == "$and":
+                _require_list(key, value)
+                sub = [translate_filter(v) for v in value]
+                conds.append(_fold(sub, "and"))
+            elif key == "$or":
+                _require_list(key, value)
+                sub = [translate_filter(v) for v in value]
+                conds.append(_fold(sub, "or"))
+            elif key == "$nor":
+                _require_list(key, value)
+                sub = [translate_filter(v) for v in value]
+                conds.append(~_fold(sub, "or"))
+            elif key == "$not":
+                conds.append(~translate_filter(value))
+            else:
+                raise InvalidFilterError(
+                    f"Unknown logical operator {key!r}. "
+                    f"Supported: {sorted(LOGICAL_OPS)}"
+                )
+        elif _is_operator_object(value):
+            bad = [op for op in value if op not in COMPARISON_OPS and op != "$not"]
+            if bad:
+                raise InvalidFilterError(
+                    f"Unknown operator(s) {bad} for field {key!r}. "
+                    f"Supported: {sorted(COMPARISON_OPS)}"
+                )
+            conds.append(_comparison(key, value))
+        else:
+            # bare equality — strict === in the reference
+            # (src/query/index.ts:290-293,383-385)
+            conds.append(_field(key) == _lit(value))
+    return _fold(conds, "and")
+
+
+def _require_list(op: str, value: Any) -> None:
+    if not isinstance(value, (list, tuple)) or not value:
+        raise InvalidFilterError(f"{op} requires a non-empty array of filters")
+
+
+def _fold(conds: list[Column], how: str) -> Column:
+    if not conds:
+        return F.lit(True)
+    result = conds[0]
+    for c in conds[1:]:
+        result = (result & c) if how == "and" else (result | c)
+    return result

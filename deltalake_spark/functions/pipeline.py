@@ -1,0 +1,238 @@
+"""Mongo-style aggregation pipelines → DataFrame transform chains.
+
+Parity target: ``aggregate(docs, pipeline)`` in the reference
+(/root/reference/src/query/index.ts:1722-1770). The reference executes each
+stage eagerly against a JS array ($match → Array.filter, $group → Map-based
+hash agg at src/query/index.ts:1429-1494, $sort → Array.sort, $unwind → row
+explosion at 1549-1583). We instead *declare* the whole chain —
+``filter → groupBy().agg() → select → orderBy → limit/offset → explode`` —
+and let Catalyst re-optimize it globally (pushdown through the chain), then
+execute it as distributed hash aggregation with map-side partial aggregation,
+something the single-process reference cannot do.
+
+Accumulators (src/query/index.ts:1206-1418):
+  $sum $avg $min $max $first $last $push $addToSet $count $stdDevPop
+  $stdDevSamp.
+Semantics kept:
+  - ``$sum: <constant>`` counts rows × constant (src/query/index.ts:1226-1232);
+  - ``$stdDevSamp`` of a single value is null (src/query/index.ts:1394-1418)
+    — Spark would return NaN, so we guard with a count>=2 CASE;
+  - ``_id: None`` groups all rows (src/query/index.ts:1476-1480);
+  - compound ``_id: {k:'$f', ...}`` produces a struct key (1481-1494).
+Order-sensitive accumulators ($first/$last/$push) follow Spark's partition
+order unless the caller sorts first — same caveat the reference documents.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_spark.errors import InvalidPipelineError
+from deltalake_spark.functions.filters import translate_filter
+from deltalake_spark.functions.projection import apply_projection
+
+ARITHMETIC_OPS = {
+    "$add": lambda a, b: a + b,
+    "$subtract": lambda a, b: a - b,
+    "$multiply": lambda a, b: a * b,
+    "$divide": lambda a, b: a / b,
+}
+
+
+def value_expr(operand: Any) -> Column:
+    """An accumulator/projection operand → Column.
+
+    ``'$field'`` references (incl. dot paths), literals, and nested
+    arithmetic expressions (the reference supports nested accumulator
+    expressions inside $sum, src/query/index.ts:1240-1249 — we generalize
+    to all accumulators).
+    """
+    if isinstance(operand, str) and operand.startswith("$"):
+        return F.col(operand[1:])
+    if isinstance(operand, Mapping):
+        if len(operand) != 1:
+            raise InvalidPipelineError(f"Bad expression operand: {operand!r}")
+        op, args = next(iter(operand.items()))
+        if op not in ARITHMETIC_OPS:
+            raise InvalidPipelineError(
+                f"Unknown expression operator {op!r}. "
+                f"Supported: {sorted(ARITHMETIC_OPS)}"
+            )
+        if not isinstance(args, Sequence) or len(args) < 2:
+            raise InvalidPipelineError(f"{op} requires >=2 operands")
+        result = value_expr(args[0])
+        for a in args[1:]:
+            result = ARITHMETIC_OPS[op](result, value_expr(a))
+        return result
+    return F.lit(operand)
+
+
+def _is_constant(operand: Any) -> bool:
+    return not (
+        (isinstance(operand, str) and operand.startswith("$"))
+        or isinstance(operand, Mapping)
+    )
+
+
+def accumulator_expr(name: str, spec: Any) -> Column:
+    """One output accumulator ``{<op>: <operand>}`` → aliased agg Column."""
+    if not isinstance(spec, Mapping) or len(spec) != 1:
+        raise InvalidPipelineError(
+            f"Accumulator for {name!r} must be a single-op mapping, got {spec!r}"
+        )
+    op, operand = next(iter(spec.items()))
+    if op == "$sum":
+        if _is_constant(operand):
+            # $sum: k  ≡  count(*) * k  (src/query/index.ts:1226-1232)
+            expr = (F.count(F.lit(1)) * F.lit(operand)).cast("long") \
+                if isinstance(operand, int) else F.count(F.lit(1)) * F.lit(operand)
+        else:
+            expr = F.sum(value_expr(operand))
+    elif op == "$avg":
+        expr = F.avg(value_expr(operand))
+    elif op == "$min":
+        expr = F.min(value_expr(operand))
+    elif op == "$max":
+        expr = F.max(value_expr(operand))
+    elif op == "$first":
+        expr = F.first(value_expr(operand))
+    elif op == "$last":
+        expr = F.last(value_expr(operand))
+    elif op == "$push":
+        expr = F.collect_list(value_expr(operand))
+    elif op == "$addToSet":
+        expr = F.collect_set(value_expr(operand))
+    elif op == "$count":
+        expr = F.count(F.lit(1))
+    elif op == "$stdDevPop":
+        expr = F.stddev_pop(value_expr(operand))
+    elif op == "$stdDevSamp":
+        v = value_expr(operand)
+        # sample stddev of <2 values → null, not NaN
+        expr = F.when(F.count(v) >= 2, F.stddev_samp(v))
+    else:
+        raise InvalidPipelineError(
+            f"Unknown accumulator {op!r} for {name!r}. Supported: $sum $avg "
+            "$min $max $first $last $push $addToSet $count $stdDevPop $stdDevSamp"
+        )
+    return expr.alias(name)
+
+
+def apply_group(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
+    """``$group`` stage → ``groupBy().agg()``.
+
+    Output columns: ``_id`` (null / scalar / struct) + one per accumulator,
+    matching the reference's result-document shape.
+    """
+    if "_id" not in spec:
+        raise InvalidPipelineError("$group requires an _id key")
+    key = spec["_id"]
+    accs = [accumulator_expr(k, v) for k, v in spec.items() if k != "_id"]
+
+    if key is None:
+        if not accs:
+            return df.select(F.lit(None).alias("_id")).distinct()
+        grouped = df.groupBy().agg(*accs)
+        return grouped.select(
+            F.lit(None).alias("_id"), *[F.col(n) for n in _acc_names(spec)]
+        )
+    if isinstance(key, str) and key.startswith("$"):
+        gcol = F.col(key[1:]).alias("_id")
+        if accs:
+            return df.groupBy(gcol).agg(*accs)
+        return df.select(gcol).distinct()
+    if isinstance(key, Mapping):
+        tmp = [value_expr(v).alias(f"__gk_{k}") for k, v in key.items()]
+        out = df.groupBy(*tmp).agg(*accs) if accs else df.select(*tmp).distinct()
+        id_struct = F.struct(
+            *[F.col(f"__gk_{k}").alias(k) for k in key]
+        ).alias("_id")
+        keep = [id_struct] + [F.col(n) for n in _acc_names(spec)]
+        return out.select(*keep)
+    # constant _id → group all under that constant
+    grouped = df.groupBy().agg(*accs)
+    return grouped.select(F.lit(key).alias("_id"),
+                          *[F.col(n) for n in _acc_names(spec)])
+
+
+def _acc_names(spec: Mapping[str, Any]) -> list[str]:
+    return [k for k in spec if k != "_id"]
+
+
+def apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
+    """``$unwind`` → ``explode`` / ``explode_outer``
+    (reference row-explosion: src/query/index.ts:1549-1583)."""
+    if isinstance(spec, str):
+        path, preserve = spec, False
+    elif isinstance(spec, Mapping):
+        path = spec.get("path")
+        preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+    else:
+        raise InvalidPipelineError(f"Bad $unwind spec: {spec!r}")
+    if not isinstance(path, str) or not path.startswith("$"):
+        raise InvalidPipelineError("$unwind path must be a '$field' string")
+    name = path[1:]
+    fn = F.explode_outer if preserve else F.explode
+    if "." in name:
+        # nested path: surface the exploded leaf under the dotted alias
+        return df.withColumn(name.replace(".", "__"), fn(F.col(name)))
+    return df.withColumn(name, fn(F.col(name)))
+
+
+def apply_sort(df: DataFrame, spec: Mapping[str, int]) -> DataFrame:
+    """``$sort`` — Spark's default null ordering (nulls first asc, last
+    desc) matches the reference (src/query/index.ts:1501-1542)."""
+    if not isinstance(spec, Mapping) or not spec:
+        raise InvalidPipelineError("$sort requires a non-empty mapping")
+    cols = []
+    for field, direction in spec.items():
+        if direction not in (1, -1):
+            raise InvalidPipelineError(f"$sort direction must be 1 or -1: {field}")
+        cols.append(F.col(field).asc() if direction == 1 else F.col(field).desc())
+    return df.orderBy(*cols)
+
+
+STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
+          "$unwind", "$count")
+
+
+def apply_pipeline(df: DataFrame, pipeline: Sequence[Mapping[str, Any]]) -> DataFrame:
+    """Execute an aggregation pipeline declaratively.
+
+    The loop over stages mirrors the reference's executor
+    (src/query/index.ts:1733-1752), but each stage only *extends the
+    logical plan* — Catalyst then optimizes the composed query globally.
+    """
+    if not isinstance(pipeline, Sequence):
+        raise InvalidPipelineError("Pipeline must be a list of stages")
+    out = df
+    for i, stage in enumerate(pipeline):
+        if not isinstance(stage, Mapping) or len(stage) != 1:
+            raise InvalidPipelineError(
+                f"Stage {i} must be a single-key mapping, got {stage!r}"
+            )
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            out = out.filter(translate_filter(spec))
+        elif op == "$group":
+            out = apply_group(out, spec)
+        elif op == "$project":
+            out = apply_projection(out, spec)
+        elif op == "$sort":
+            out = apply_sort(out, spec)
+        elif op == "$limit":
+            out = out.limit(int(spec))
+        elif op == "$skip":
+            out = out.offset(int(spec))
+        elif op == "$unwind":
+            out = apply_unwind(out, spec)
+        elif op == "$count":
+            out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        else:
+            raise InvalidPipelineError(
+                f"Unknown pipeline stage {op!r}. Supported: {STAGES}"
+            )
+    return out

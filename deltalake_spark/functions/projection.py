@@ -1,0 +1,83 @@
+"""Mongo-style projections → DataFrame ``select`` / ``drop``.
+
+Parity target: ``applyProjection`` in the reference
+(/root/reference/src/query/index.ts:768-930): list form ``['a','b']``,
+inclusion ``{a:1}``, exclusion ``{pwd:0}``, nested dot paths. The
+reference clones documents and deletes keys row-by-row; we emit a single
+``select``/``drop`` so Catalyst prunes columns all the way into the
+Parquet scan (``ReadSchema``) — the reference tracked projection columns
+for pruning but never wired them in (src/query/index.ts:939-960).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deltalake_spark.errors import InvalidProjectionError
+
+
+def _normalize(projection: Any) -> tuple[list[str], list[str]]:
+    """Return (include_paths, exclude_paths). Exactly one list is non-empty.
+
+    Mirrors normalizeProjection (src/query/index.ts:728-750): a list means
+    inclusion; a mapping must be all-truthy (inclusion) or all-falsy
+    (exclusion) — mixing raises.
+    """
+    if isinstance(projection, (list, tuple)):
+        return [str(p) for p in projection], []
+    if isinstance(projection, Mapping):
+        includes = [k for k, v in projection.items() if v]
+        excludes = [k for k, v in projection.items() if not v]
+        if includes and excludes:
+            raise InvalidProjectionError(
+                "Cannot mix inclusion and exclusion in one projection"
+            )
+        return includes, excludes
+    raise InvalidProjectionError(
+        f"Projection must be a list or mapping, got {type(projection)}"
+    )
+
+
+def apply_projection(df: DataFrame, projection: Any | None) -> DataFrame:
+    """Apply an inclusion/exclusion projection to a DataFrame."""
+    if projection is None:
+        return df
+    includes, excludes = _normalize(projection)
+
+    if includes:
+        cols: list[Column] = []
+        for path in includes:
+            if "." in path:
+                # nested inclusion: keep the leaf under its dotted alias,
+                # matching the reference's nested-path reconstruction
+                cols.append(F.col(path).alias(path))
+            else:
+                cols.append(F.col(path))
+        return df.select(*cols)
+
+    if excludes:
+        top = [p for p in excludes if "." not in p]
+        nested = [p for p in excludes if "." in p]
+        out = df.drop(*top) if top else df
+        for path in nested:
+            root, rest = path.split(".", 1)
+            if root in out.columns:
+                out = out.withColumn(root, F.col(root).dropFields(rest))
+        return out
+
+    return df
+
+
+def projection_columns(projection: Any | None) -> list[str] | None:
+    """Top-level column names an inclusion projection touches (for tests;
+    Catalyst performs the actual pruning). Mirrors getProjectionColumns
+    (src/query/index.ts:939-960)."""
+    if projection is None:
+        return None
+    includes, _ = _normalize(projection)
+    if not includes:
+        return None
+    return sorted({p.split(".", 1)[0] for p in includes})

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tests run on local[N] but every knob here is chosen for the 100 TB /
+1000-executor design point:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting);
+- shuffle partitions sized for the local fixture scale, overridable — on a
+  real cluster this would be ~2-3x total cores or left to AQE;
+- Arrow transfers on (pandas UDF hot paths are Arrow-batched);
+- broadcast threshold left at default 10 MB so small dims (region/nation/
+  supplier) broadcast automatically; big joins shuffle on their keys.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "deltalake-spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Load fixture tables as temp views + return dict of DataFrames."""
+    tables = {}
+    all_names = names or (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split()
+    for name in all_names:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables

@@ -1,0 +1,165 @@
+"""Aggregation pipeline translator — mirrors the reference's accumulator and
+stage tests (/root/reference/tests/unit/query/aggregation.test.ts:64-581,
+fixtures `Sale`/`Order` at 23-60)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from deltalake_spark.errors import InvalidPipelineError
+from deltalake_spark.functions.pipeline import apply_pipeline
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    # mirrors the Sale fixture shape (aggregation.test.ts:23-41)
+    rows = [
+        ("widget", "widgets", 10, 2.5, "US", ["a", "b"]),
+        ("widget", "widgets", 5, 2.5, "EU", ["b"]),
+        ("gadget", "gadgets", 20, 10.0, "US", None),
+        ("gadget", "gadgets", 2, 10.0, "APAC", ["c"]),
+        ("gizmo", "gadgets", 8, 5.0, "EU", ["a", "c"]),
+    ]
+    return spark.createDataFrame(
+        rows, "product string, category string, quantity int, price double, "
+        "region string, tags array<string>"
+    )
+
+
+def by_id(rows):
+    return {r["_id"]: r.asDict() for r in rows}
+
+
+def test_group_sum_avg_count(sales):
+    out = apply_pipeline(
+        sales,
+        [
+            {"$group": {
+                "_id": "$category",
+                "totalQty": {"$sum": "$quantity"},
+                "avgPrice": {"$avg": "$price"},
+                "n": {"$sum": 1},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    got = by_id(out)
+    assert got["gadgets"]["totalQty"] == 30
+    assert got["gadgets"]["n"] == 3
+    assert got["widgets"]["avgPrice"] == 2.5
+    assert [r["_id"] for r in out] == ["gadgets", "widgets"]
+
+
+def test_group_all_null_id(sales):
+    out = apply_pipeline(
+        sales, [{"$group": {"_id": None, "total": {"$sum": "$quantity"}}}]
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["_id"] is None
+    assert out[0]["total"] == 45
+
+
+def test_group_compound_key(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$group": {"_id": {"cat": "$category", "region": "$region"},
+                     "n": {"$count": {}}}}],
+    ).collect()
+    keys = {(r["_id"]["cat"], r["_id"]["region"]) for r in out}
+    assert ("widgets", "US") in keys and ("gadgets", "APAC") in keys
+    assert len(out) == 5
+
+
+def test_min_max_stddev(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$group": {
+            "_id": "$category",
+            "lo": {"$min": "$quantity"},
+            "hi": {"$max": "$quantity"},
+            "sp": {"$stdDevPop": "$quantity"},
+            "ss": {"$stdDevSamp": "$quantity"},
+        }}],
+    ).collect()
+    got = by_id(out)
+    assert got["gadgets"]["lo"] == 2 and got["gadgets"]["hi"] == 20
+    assert math.isclose(got["widgets"]["sp"], 2.5)
+
+
+def test_stddev_samp_single_value_is_null(spark):
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    out = apply_pipeline(
+        df, [{"$group": {"_id": "$k", "s": {"$stdDevSamp": "$v"}}}]
+    ).collect()
+    assert out[0]["s"] is None
+
+
+def test_push_addtoset(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$group": {"_id": "$category",
+                     "products": {"$push": "$product"},
+                     "uniq": {"$addToSet": "$price"}}}],
+    ).collect()
+    got = by_id(out)
+    assert sorted(got["gadgets"]["products"]) == ["gadget", "gadget", "gizmo"]
+    assert sorted(got["gadgets"]["uniq"]) == [5.0, 10.0]
+
+
+def test_sum_expression(sales):
+    # nested accumulator expression (src/query/index.ts:1240-1249)
+    out = apply_pipeline(
+        sales,
+        [{"$group": {"_id": None,
+                     "revenue": {"$sum": {"$multiply": ["$quantity", "$price"]}}}}],
+    ).collect()
+    assert math.isclose(out[0]["revenue"], 10 * 2.5 + 5 * 2.5 + 200 + 20 + 40)
+
+
+def test_match_group_sort_limit_skip(sales):
+    out = apply_pipeline(
+        sales,
+        [
+            {"$match": {"quantity": {"$gte": 5}}},
+            {"$group": {"_id": "$product", "q": {"$sum": "$quantity"}}},
+            {"$sort": {"q": -1}},
+            {"$skip": 1},
+            {"$limit": 1},
+        ],
+    ).collect()
+    # quantities: widget 15, gadget 20, gizmo 8 → sorted desc: gadget, widget, gizmo
+    assert out[0]["_id"] == "widget" and out[0]["q"] == 15
+
+
+def test_unwind(sales):
+    out = apply_pipeline(sales, [{"$unwind": "$tags"}]).collect()
+    assert len(out) == 6  # nulls dropped
+    outer = apply_pipeline(
+        sales, [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}]
+    ).collect()
+    assert len(outer) == 7
+
+
+def test_project_stage(sales):
+    out = apply_pipeline(
+        sales, [{"$project": {"product": 1, "quantity": 1}}]
+    )
+    assert out.columns == ["product", "quantity"]
+    out2 = apply_pipeline(sales, [{"$project": {"tags": 0}}])
+    assert "tags" not in out2.columns
+
+
+def test_count_stage(sales):
+    out = apply_pipeline(
+        sales, [{"$match": {"category": "gadgets"}}, {"$count": "n"}]
+    ).collect()
+    assert out[0]["n"] == 3
+
+
+def test_unknown_stage_rejected(sales):
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(sales, [{"$lookup": {}}])
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(sales, [{"$group": {"x": {"$sum": 1}}}])  # no _id
