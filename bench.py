@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Timing counts full query execution (collect to driver of the small result)
+after a session warm-up so JVM startup isn't attributed to query 1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from deltalake_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_unshipped_value",
+    "q5_nation_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "pipeline_compound_group",
+    "window_topk_per_group",
+    "text_token_stats",
+    "dedup_exact",
+    "similarity_topk",
+    "minhash_neardup_groups",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("deltalake-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / file listing so q1 isn't charged for session init
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name == "minhash_neardup_groups" else len(df.collect())
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Maintenance and LLM-data-pipeline operators.
+
+- ``dedup``      — exact + near-duplicate detection (MinHash/LSH, SimHash,
+  n-gram Jaccard, embedding cosine) designed for 100 TB corpora.
+- ``similarity`` — similarity search over embedding columns (brute-force
+  cosine top-k baseline; LSH-bucketed scale path).
+- ``text``       — text analysis: language ID, quality scoring, token
+  counting, document fingerprinting.
+- ``multimodal`` — binary-column plumbing for image/audio/video payloads.
+"""

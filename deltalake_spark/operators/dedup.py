@@ -1,0 +1,290 @@
+"""Deduplication operators — exact and near-duplicate — for 100 TB corpora.
+
+The reference implements only exact/PK dedup over in-memory row arrays
+(``deduplicate``, /root/reference/src/compaction/index.ts:930-1086, key
+grouping 970-1021). We keep that surface (see
+``deltalake_spark.delta.maintenance``) and add the near-duplicate family a
+training-data pipeline needs. Every operator here is a pure DataFrame
+transform built from JVM-side expressions — no Python row loops — so the
+shuffles are the only cross-node cost:
+
+- exact:       one hash-aggregate shuffle on the content hash;
+- MinHash/LSH: per-row signature (narrow), explode to bands (narrow),
+               one shuffle on (band, band_hash) — the classic
+               shingle→minhash→band→bucket-join layout;
+- SimHash:     per-row 64-bit fingerprint (narrow), one shuffle on the
+               fingerprint prefix for candidate blocking;
+- n-gram Jaccard: exact verification join for candidate pairs.
+
+At 1000-executor scale the LSH band shuffle is the bottleneck; band count
+(b) and rows-per-band (r) trade recall vs shuffle width (s ≈ (1/b)^(1/r)
+similarity threshold). Hot buckets (boilerplate docs) are bounded by
+``max_bucket`` to keep the pair-join skew-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# 32-bit Mersenne prime — universal-hash family (a*x + b) mod p
+_PRIME = 2_147_483_647
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _PRIME), rng.randrange(0, _PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def exact_dedup(df: DataFrame, *, subset: list[str] | None = None,
+                keep_col: str | None = None) -> DataFrame:
+    """Exact dedup: one row per duplicate group (hash-groupBy shuffle).
+
+    With ``keep_col`` keeps the row with the minimum value of that column
+    (deterministic "first"); otherwise Spark's dropDuplicates.
+    Reference parity: keepStrategy 'first' (compaction/index.ts:1010-1016).
+    """
+    keys = subset or df.columns
+    if keep_col is None:
+        return df.dropDuplicates(keys)
+    ranked = df.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*[F.col(c) for c in keys])
+            .orderBy(F.col(keep_col).asc())
+        ),
+    )
+    return ranked.filter(F.col("__rn") == 1).drop("__rn")
+
+
+def char_shingles(text_col: Column, k: int = 5) -> Column:
+    """Array of k-char shingles, computed JVM-side via transform over a
+    position sequence (no Python UDF)."""
+    n = F.length(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(positions, lambda i: text_col.substr(i, F.lit(k)))
+
+
+def minhash_signature(text_col: Column, *, num_hashes: int = 64,
+                      shingle_size: int = 5, seed: int = 42) -> Column:
+    """MinHash signature as array<long> of length ``num_hashes``.
+
+    shingle → murmur3 (F.hash) → per-permutation (a*h+b) mod p → array_min.
+    All array expressions run inside codegen; cost is O(shingles×hashes)
+    per row with zero shuffle.
+    """
+    params = _hash_params(num_hashes, seed)
+    shingles = F.array_distinct(char_shingles(text_col, shingle_size))
+
+    # Single-pass fold: one traversal of the shingle array computes all
+    # permutation minima. N.B. per-permutation array_min(transform(base))
+    # would make Catalyst's project-collapse duplicate the shingle+hash
+    # expression num_hashes times (measured 25x slower at sf0.1).
+    def step(acc: Column, s: Column) -> Column:
+        h = F.abs(F.hash(s)).cast("long")
+        cands = F.array(*[(h * a + b) % _PRIME for a, b in params])
+        return F.zip_with(acc, cands, lambda x, y: F.least(x, y))
+
+    init = F.array_repeat(F.lit(_PRIME).cast("long"), num_hashes)
+    return F.aggregate(shingles, init, step)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate groups via MinHash + LSH banding.
+
+    Returns (band, band_hash, member_ids array<long> sorted, group_size)
+    for buckets with >1 member. ``max_bucket`` caps pathological buckets
+    (boilerplate) so downstream pair-verification doesn't explode — capped
+    buckets are still reported, truncation is visible in group_size.
+    """
+    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(
+        F.col(text_col), num_hashes=num_hashes,
+        shingle_size=shingle_size, seed=seed,
+    )
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(F.slice(F.col("__sig"), b * rows_per_band + 1,
+                           rows_per_band)).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    exploded = with_sig.select(
+        "__id", F.explode(band_structs).alias("bb")
+    ).select("__id", "bb.band", "bb.band_hash")
+    return (
+        exploded.groupBy("band", "band_hash")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("__id")), 1, max_bucket)
+            .alias("member_ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("band", "band_hash")
+    )
+
+
+def simhash64(text_col: Column, *, shingle_size: int = 4) -> Column:
+    """64-bit SimHash fingerprint, pure column expressions.
+
+    Each shingle contributes ±1 per bit position of its 64-bit hash; the
+    fingerprint sets bits with positive sums. xxhash64 gives the 64-bit
+    base hash JVM-side.
+    """
+    shingles = char_shingles(text_col, shingle_size)
+
+    # Single-pass fold over shingles: acc is the 64-vector of bit sums.
+    # (Per-bit aggregate() calls would recompute shingling 64 times.)
+    # signed-long bit masks: bit 63 is Long.MIN_VALUE, not +2^63
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+    def step(acc: Column, s: Column) -> Column:
+        h = F.xxhash64(s)
+        contrib = F.array(*[
+            F.when(h.bitwiseAND(F.lit(m).cast("long")) != 0, 1).otherwise(-1)
+            for m in masks
+        ])
+        return F.zip_with(acc, contrib, lambda x, y: x + y)
+
+    init = F.array_repeat(F.lit(0), 64)
+    sums = F.aggregate(shingles, init, step)
+
+    # fingerprint: add 2^i for every positive bit sum (bit 63 is the sign
+    # bit: adding Long.MIN_VALUE sets it without overflow)
+    powers = F.array(*[
+        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        for i in range(64)
+    ])
+    contribs = F.zip_with(
+        sums, powers,
+        lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(contribs, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x)
+
+
+def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
+                       prefix_bits: int = 16,
+                       shingle_size: int = 4) -> DataFrame:
+    """Block near-dup candidates by SimHash prefix (single shuffle).
+
+    At scale: multiple rotations would be used to guarantee Hamming-distance
+    recall; one prefix block demonstrates the layout and keeps the shuffle
+    narrow.
+    """
+    fp = simhash64(F.col(text_col), shingle_size=shingle_size)
+    shift = 64 - prefix_bits
+    with_fp = df.select(
+        F.col(id_col).alias("__id"),
+        fp.alias("simhash"),
+    ).withColumn("block", F.shiftright("simhash", shift))
+    return (
+        with_fp.groupBy("block")
+        .agg(
+            F.array_sort(F.collect_list("__id")).alias("member_ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate verification.
+
+    Without ``candidates``, verifies all pairs sharing an LSH bucket from
+    :func:`minhash_lsh_candidates` (never a full cross join — at 100 TB a
+    blind pairwise comparison is not a plan).
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_candidates(
+            df, id_col=id_col, text_col=text_col
+        )
+    pairs = (
+        candidates.select(F.explode("member_ids").alias("id_a"), "member_ids")
+        .select("id_a", F.explode("member_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(char_shingles(F.col(text_col), n)).alias("__grams"),
+    )
+    a = grams.select(F.col("__id").alias("id_a"), F.col("__grams").alias("ga"))
+    b = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("gb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    return (
+        joined.select(
+            "id_a", "id_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH blocking.
+
+    Rows whose sign-pattern over ``num_planes`` random hyperplanes matches
+    are candidates; exact cosine verifies within blocks. One shuffle on the
+    16-bit sketch; the verification join is per-bucket.
+    """
+    from deltalake_spark.operators.similarity import cosine_expr, rh_sketch
+
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    sk = rh_sketch(F.col(vec_col), dim=dim, num_planes=num_planes, seed=seed)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+                     sk.alias("__sk"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"),
+                    F.col("__sk").alias("sk"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"),
+                    F.col("__sk").alias("sk"))
+    return (
+        a.join(b, "sk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators for LLM data pipelines.
+
+All pure column expressions (whole-stage codegen; no Python in the hot
+path). Designed to run as a single narrow projection pass over a 100 TB
+``documents`` table — none of these shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword signals for the n-gram/stopword-ratio
+# heuristic. Real pipelines would load fastText-style models via a pandas
+# UDF; the heuristic keeps language ID JVM-side and dependency-free.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+# BPE-ish token estimate: words, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def token_count_bpe(text_col: Column) -> Column:
+    """BPE-ish token estimate via regexp extraction (regexp_count avoids
+    materializing the token array)."""
+    return F.regexp_count(text_col, F.lit(TOKEN_REGEX))
+
+
+def stopword_ratio(text_col: Column, lang: str) -> Column:
+    toks = F.split(F.lower(text_col), r"\s+")
+    markers = _LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def language_scores(text_col: Column) -> Column:
+    """Struct of per-language stopword-ratio scores."""
+    return F.struct(
+        *[stopword_ratio(text_col, lang).alias(lang) for lang in _LANG_MARKERS]
+    )
+
+
+def language_id(text_col: Column) -> Column:
+    """Argmax language over the marker scores ('und' when all zero)."""
+    scores = [
+        (lang, stopword_ratio(text_col, lang)) for lang in _LANG_MARKERS
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # reversed: earlier languages win ties (deterministic)
+    for lang, s in reversed(scores):
+        result = F.when((s == best_score) & (best_score > 0), F.lit(lang)) \
+            .otherwise(result)
+    return result
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append standard quality-scoring features as columns.
+
+    - n_chars / n_tokens / mean word length
+    - punctuation ratio, digit ratio, uppercase ratio
+    - repetition: distinct-token fraction
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tok = F.size(toks)
+    return (
+        df.withColumn("q_n_chars", F.length(t))
+        .withColumn("q_n_tokens", n_tok)
+        .withColumn(
+            "q_mean_word_len",
+            F.round((F.length(t) - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)), 4),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+                / F.greatest(F.length(t), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "q_digit_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[^0-9]", ""))
+                / F.greatest(F.length(t), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "q_upper_ratio",
+            F.round(
+                F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+                / F.greatest(F.length(t), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "q_distinct_token_frac",
+            F.round(
+                F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)), 4
+            ),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single [0,1] quality score from the feature columns (simple linear
+    blend; pipelines would tune weights)."""
+    feats = quality_features(df, text_col)
+    length_ok = F.when(
+        (F.col("q_n_tokens") >= 10) & (F.col("q_n_tokens") <= 100000), 1.0
+    ).otherwise(0.3)
+    score = (
+        0.4 * length_ok
+        + 0.3 * F.least(F.col("q_distinct_token_frac") * 2, F.lit(1.0))
+        + 0.3 * (1 - F.least(F.col("q_punct_ratio") * 5, F.lit(1.0)))
+    )
+    return feats.withColumn("quality_score", F.round(score, 4))
+
+
+def doc_fingerprint(text_col: Column) -> Column:
+    """64-bit content fingerprint (xxhash64 of normalized text) — the
+    cheap exact-dedup key. Normalization: lowercase, collapse whitespace."""
+    normalized = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def rolling_hashes(text_col: Column, *, window: int = 16) -> Column:
+    """Array of rolling window hashes (winnowing-style fingerprints) for
+    substring-level duplicate detection, computed JVM-side."""
+    n = F.length(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)),
+                           F.lit(window // 2))
+    return F.transform(
+        positions, lambda i: F.xxhash64(text_col.substr(i, F.lit(window)))
+    )

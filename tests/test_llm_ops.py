@@ -1,0 +1,159 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from deltalake_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    pairwise_topk_join,
+)
+from deltalake_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    token_count_bpe,
+)
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight")
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup of 1
+        (3, base.replace("tonight", "today")),       # near dup of 1
+        (4, "completely different content about spark sql engines and "
+            "distributed query processing at scale"),
+        (5, "yet another unrelated document mentioning neither foxes nor "
+            "dogs but plenty of parquet files"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(near_dup_docs):
+    out = exact_dedup(near_dup_docs, subset=["text"], keep_col="doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 dropped, kept min doc_id
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    cands = minhash_lsh_candidates(
+        near_dup_docs, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8,
+    )
+    groups = [set(r.member_ids) for r in cands.collect()]
+    assert any({1, 2} <= g for g in groups), "exact dups must share a bucket"
+    assert any(3 in g and 1 in g for g in groups), "near dups should collide"
+    assert not any({1, 4} <= g for g in groups), "unrelated docs must not"
+
+
+def test_minhash_deterministic(near_dup_docs):
+    a = minhash_lsh_candidates(near_dup_docs, id_col="doc_id",
+                               text_col="text").collect()
+    b = minhash_lsh_candidates(near_dup_docs, id_col="doc_id",
+                               text_col="text").collect()
+    assert a == b
+
+
+def test_ngram_jaccard_verification(near_dup_docs):
+    pairs = ngram_jaccard_pairs(
+        near_dup_docs, id_col="doc_id", text_col="text",
+        n=3, threshold=0.5,
+    ).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got.get((1, 2)) == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.5
+    assert (1, 4) not in got
+
+
+def test_simhash_blocks_exact_dups(near_dup_docs):
+    out = simhash_candidates(near_dup_docs, id_col="doc_id",
+                             text_col="text").collect()
+    assert any({1, 2} <= set(r.member_ids) for r in out)
+
+
+def test_similarity_brute_force(spark, tables):
+    emb = tables["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = brute_force_topk(emb, list(qvec), k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_similarity_lsh_recall(spark, tables):
+    emb = tables["embeddings"]
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {r["vec_id"] for r in brute_force_topk(emb, qvec, k=5).collect()}
+    approx = {r["vec_id"] for r in lsh_topk(emb, qvec, k=5,
+                                            num_planes=8).collect()}
+    # query vector itself must be found (sketch identical)
+    assert 0 in approx
+    assert len(approx & exact) >= 1
+
+
+def test_pairwise_topk_join(spark, tables):
+    emb = tables["embeddings"].limit(50)
+    out = pairwise_topk_join(
+        emb, emb, left_id="vec_id", right_id="vec_id", k=3, num_planes=6
+    )
+    rows = out.collect()
+    assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world, 42 foos!",)], "text string"
+    )
+    row = df.select(
+        token_count(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 4
+    # hello / world / , / 42 / foos / ! → 6
+    assert row["bpe"] == 6
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et le chien est un animal"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "i long, text string",
+    )
+    got = {r.i: r.lang for r in
+           df.select("i", language_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_quality_score(spark, tables):
+    out = quality_score(tables["documents"].limit(20))
+    rows = out.collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["q_n_tokens"] > 0 for r in rows)
+
+
+def test_doc_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "i long, text string",
+    )
+    fps = {r.i: r.fp for r in
+           df.select("i", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
