@@ -1,0 +1,166 @@
+"""Transaction log: NDJSON commit files + optimistic concurrency.
+
+Log layout mirrors the reference (/root/reference/src/delta/index.ts:1-729,
+version formatting src/utils/index.ts:140-184):
+
+    <table>/_delta_log/00000000000000000000.json     # NDJSON actions
+    <table>/_delta_log/00000000000000000010.checkpoint.parquet
+    <table>/_delta_log/_last_checkpoint               # {"version": N}
+
+Actions (src/delta/types.ts:61-126): ``add``, ``remove``, ``metaData``,
+``protocol``, ``commitInfo`` — one JSON object per line.
+
+Commits are atomic via create-if-not-exists (``O_CREAT|O_EXCL``), the POSIX
+equivalent of the reference's conditional PUT
+(src/storage/types.ts:208, src/delta/table.ts:795-816). A lost race raises
+:class:`ConcurrencyError` exactly like the reference's version-conflict path
+(src/delta/table.ts:807-814).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from typing import Any, Iterator
+
+from deltalake_spark.errors import ConcurrencyError, TableNotFoundError
+
+LOG_DIR = "_delta_log"
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+
+def log_dir(table_path: str) -> str:
+    return os.path.join(table_path, LOG_DIR)
+
+
+def commit_file(table_path: str, version: int) -> str:
+    return os.path.join(log_dir(table_path), f"{version:020d}.json")
+
+
+def checkpoint_file(table_path: str, version: int) -> str:
+    return os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.parquet")
+
+
+def last_checkpoint_file(table_path: str) -> str:
+    return os.path.join(log_dir(table_path), "_last_checkpoint")
+
+
+def table_exists(table_path: str) -> bool:
+    d = log_dir(table_path)
+    return os.path.isdir(d) and any(
+        _COMMIT_RE.match(f) or _CHECKPOINT_RE.match(f) for f in os.listdir(d)
+    )
+
+
+def list_commit_versions(table_path: str) -> list[int]:
+    d = log_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(d)
+        if (m := _COMMIT_RE.match(f))
+    )
+
+
+def list_checkpoint_versions(table_path: str) -> list[int]:
+    d = log_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(m.group(1))
+        for f in os.listdir(d)
+        if (m := _CHECKPOINT_RE.match(f))
+    )
+
+
+def latest_version(table_path: str) -> int:
+    versions = list_commit_versions(table_path)
+    cps = list_checkpoint_versions(table_path)
+    candidates = versions + cps
+    if not candidates:
+        return -1
+    return max(candidates)
+
+
+def read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
+    path = commit_file(table_path, version)
+    actions = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                actions.append(json.loads(line))
+    return actions
+
+
+def write_commit(
+    table_path: str, version: int, actions: list[dict[str, Any]]
+) -> None:
+    """Atomically create commit file ``version``; raise ConcurrencyError if
+    another writer got there first."""
+    os.makedirs(log_dir(table_path), exist_ok=True)
+    path = commit_file(table_path, version)
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrencyError(table_path, version) from None
+    try:
+        os.write(fd, payload.encode("utf-8"))
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def iter_commits(
+    table_path: str, start: int, end: int
+) -> Iterator[tuple[int, list[dict[str, Any]]]]:
+    """Yield (version, actions) for versions in [start, end] that exist."""
+    for v in list_commit_versions(table_path):
+        if start <= v <= end:
+            yield v, read_commit(table_path, v)
+
+
+def commit_info_action(operation: str, parameters: dict[str, Any] | None = None,
+                       **metrics: Any) -> dict[str, Any]:
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "operationParameters": parameters or {},
+            "operationMetrics": {k: v for k, v in metrics.items()
+                                 if v is not None},
+            "engineInfo": "deltalake-spark/0.1.0",
+        }
+    }
+
+
+def protocol_action() -> dict[str, Any]:
+    return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def metadata_action(
+    table_id: str,
+    schema_string: str,
+    partition_columns: list[str],
+    configuration: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    return {
+        "metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": list(partition_columns),
+            "configuration": dict(configuration or {}),
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def require_table(table_path: str) -> None:
+    if not table_exists(table_path):
+        raise TableNotFoundError(f"No Delta table at {table_path}")

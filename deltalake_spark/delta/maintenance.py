@@ -1,0 +1,268 @@
+"""Table maintenance: compaction, deduplication, Z-order clustering, vacuum.
+
+Reference: /root/reference/src/compaction/index.ts (compact 568-878,
+deduplicate 930-1086, zOrderCluster 1149-1279) and src/delta/vacuum.ts
+(127-355). The reference materializes every row in one JS process; here
+selection is metadata-only (log stats), and rewrites are Spark jobs —
+at 100 TB each rewrite touches only the selected files' partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deltalake_spark.delta import log as dlog
+from deltalake_spark.delta import snapshot as dsnap
+from deltalake_spark.errors import NoMatchError
+
+if TYPE_CHECKING:
+    from deltalake_spark.delta.table import DeltaTable
+
+
+def compact(
+    table: "DeltaTable",
+    *,
+    target_file_size: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+    dry_run: bool = False,
+) -> dict[str, Any]:
+    """Merge small files per partition (reference compact(),
+    compaction/index.ts:568-878; selection 1492-1538).
+
+    Selection is driver-side over log metadata (size per add action); the
+    rewrite is one Spark job per partition group, coalesced toward
+    ``target_file_size``. Commits remove+add atomically with
+    ``dataChange: false`` semantics (no logical rows change).
+    """
+    snap = table.snapshot()
+    by_partition: dict[tuple, list[dict]] = {}
+    for f in snap.files:
+        key = tuple(sorted((f.get("partitionValues") or {}).items()))
+        by_partition.setdefault(key, []).append(f)
+
+    selected: list[dict] = []
+    groups = 0
+    for _key, files in by_partition.items():
+        small = [f for f in files if f["size"] < target_file_size]
+        if len(small) >= min_files:
+            selected.extend(small)
+            groups += 1
+
+    metrics = {
+        "filesCompacted": len(selected),
+        "partitionGroups": groups,
+        "bytesCompacted": sum(f["size"] for f in selected),
+        "dryRun": dry_run,
+    }
+    if dry_run or not selected:
+        metrics["version"] = snap.version
+        return metrics
+
+    rel_paths = [f["path"] for f in selected]
+    df = table._read_files(rel_paths)
+    total_bytes = metrics["bytesCompacted"]
+    n_out = max(1, total_bytes // target_file_size + (
+        1 if total_bytes % target_file_size else 0
+    ))
+    df = df.coalesce(int(n_out))
+    version = table._rewrite_commit(
+        "OPTIMIZE", rel_paths, df,
+        numRemovedFiles=len(rel_paths), numAddedFiles=int(n_out),
+    )
+    metrics["version"] = version
+    return metrics
+
+
+def deduplicate(
+    table: "DeltaTable",
+    *,
+    primary_keys: list[str] | None = None,
+    keep: str = "first",
+    order_by: str | None = None,
+) -> dict[str, Any]:
+    """Remove duplicate rows, rewriting the table in one commit
+    (reference deduplicate(), compaction/index.ts:930-1086).
+
+    - ``primary_keys=None``: exact full-row duplicates (dropDuplicates).
+    - keep='first'/'last': by scan order over a monotonic id — the
+      distributed analog of the reference's insertion-order strategies
+      (1010-1016).
+    - keep='latest': max ``order_by`` per key group (997-1009).
+    """
+    df = table.to_df()
+    n_before = df.count()
+    if primary_keys is None:
+        result = df.dropDuplicates()
+    else:
+        if keep == "latest":
+            if not order_by:
+                raise ValueError("keep='latest' requires order_by")
+            order = F.col(order_by).desc()
+        elif keep == "last":
+            order = F.monotonically_increasing_id().desc()
+        elif keep == "first":
+            order = F.monotonically_increasing_id().asc()
+        else:
+            raise ValueError(f"Unknown keep strategy {keep!r}")
+        w = Window.partitionBy(*primary_keys).orderBy(order)
+        result = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    n_after = result.count()
+    snap = table.snapshot()
+    version = table._rewrite_commit(
+        "DEDUPLICATE", [f["path"] for f in snap.files], result,
+        numDuplicatesRemoved=n_before - n_after,
+    )
+    return {
+        "version": version,
+        "rowsBefore": n_before,
+        "rowsAfter": n_after,
+        "duplicatesRemoved": n_before - n_after,
+    }
+
+
+def z_order_cluster(
+    table: "DeltaTable",
+    columns: list[str],
+    *,
+    target_file_count: int | None = None,
+    bits_per_dim: int = 21,
+) -> dict[str, Any]:
+    """Z-order clustering: rewrite the table sorted by Morton code.
+
+    Reference algorithm (compaction/index.ts:360-415, 1149-1279):
+    normalize each cluster column to [0,1] (strings via hash), scale to
+    2^21, interleave bits. We compute the same interleaved code with JVM
+    expressions (min/max from one aggregate; bit interleave via shifts)
+    then ``repartitionByRange`` on the code — a range shuffle that gives
+    globally sorted, evenly sized files, which is what makes file-stat
+    data skipping effective on the clustered columns.
+    """
+    df = table.to_df()
+    stats = df.agg(*(
+        [F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in columns
+         if _is_numeric(df, c)]
+        + [F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in columns
+           if _is_numeric(df, c)]
+    )).first() if any(_is_numeric(df, c) for c in columns) else None
+
+    scale = (1 << bits_per_dim) - 1
+    dim_cols = []
+    for c in columns:
+        if _is_numeric(df, c):
+            lo = float(stats[f"min_{c}"])
+            hi = float(stats[f"max_{c}"])
+            rng = (hi - lo) or 1.0
+            norm = (F.col(c).cast("double") - F.lit(lo)) / F.lit(rng)
+        else:
+            # strings: hash to [0,1] (reference DJB2 hash, index.ts:396-415)
+            norm = (F.abs(F.hash(F.col(c))) % 1000000) / 1000000.0
+        dim_cols.append(
+            F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0)) * scale
+        )
+
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_dim - 1, -1, -1):
+        for d, dim in enumerate(dim_cols):
+            z = F.shiftleft(z, 1) + F.shiftright(
+                dim.cast("long"), bit
+            ).bitwiseAND(F.lit(1))
+
+    snap = table.snapshot()
+    n_files = target_file_count or max(1, len(snap.files))
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    version = table._rewrite_commit(
+        "ZORDER", [f["path"] for f in snap.files], clustered,
+        zOrderBy=json.dumps(columns),
+    )
+    return {
+        "version": version,
+        "clusteredColumns": columns,
+        "outputFiles": n_files,
+    }
+
+
+def _is_numeric(df, col: str) -> bool:
+    t = dict((f.name, f.dataType.typeName()) for f in df.schema.fields).get(col)
+    return t in ("integer", "long", "float", "double", "short", "byte",
+                 "decimal", "date", "timestamp", "timestamp_ntz")
+
+
+def vacuum(
+    table: "DeltaTable",
+    *,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+    min_retention_hours: float = 1.0,
+) -> dict[str, Any]:
+    """Delete unreferenced data files older than the retention window
+    (reference vacuum(), src/delta/vacuum.ts:127-248; protected-file scan
+    297-355; identical defaults: 168 h retention, 1 h minimum, dry run).
+    """
+    if retention_hours < min_retention_hours:
+        raise ValueError(
+            f"retention_hours must be >= {min_retention_hours}"
+        )
+    dlog.require_table(table.path)
+    snap = table.snapshot()
+    live = {f["path"] for f in snap.files}
+
+    # recently-removed files are protected (remove actions inside retention)
+    cutoff_ms = (time.time() - retention_hours * 3600) * 1000
+    protected: set[str] = set()
+    for _v, actions in dlog.iter_commits(table.path, 0, snap.version):
+        for a in actions:
+            if "remove" in a:
+                r = a["remove"]
+                if r.get("deletionTimestamp", 0) >= cutoff_ms:
+                    protected.add(r["path"])
+
+    candidates: list[str] = []
+    for root, dirs, files in os.walk(table.path):
+        rel_root = os.path.relpath(root, table.path)
+        top = rel_root.split(os.sep)[0]
+        if top in ("_delta_log", "_change_data", "_staging"):
+            dirs[:] = []
+            continue
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            rel = os.path.normpath(os.path.join(rel_root, fn)) \
+                .replace(os.sep, "/")
+            rel = rel[2:] if rel.startswith("./") else rel
+            if rel in live or rel in protected:
+                continue
+            full = os.path.join(root, fn)
+            if os.path.getmtime(full) * 1000 >= cutoff_ms:
+                continue
+            candidates.append(rel)
+
+    bytes_reclaimed = sum(
+        os.path.getsize(os.path.join(table.path, p)) for p in candidates
+    )
+    if not dry_run:
+        for p in candidates:
+            try:
+                os.remove(os.path.join(table.path, p))
+            except OSError:
+                pass
+    return {
+        "filesDeleted": len(candidates),
+        "bytesReclaimed": bytes_reclaimed,
+        "dryRun": dry_run,
+        "paths": sorted(candidates),
+    }

@@ -1,0 +1,133 @@
+"""Snapshot: table state at a version, derived by log replay.
+
+Mirrors the reference's snapshot construction
+(/root/reference/src/delta/table.ts:557-642): load the newest checkpoint at
+or below the requested version, then replay later NDJSON commits with
+in-commit reconciliation (last add per path wins; remove-then-add = add).
+
+Checkpoints are Parquet files with a single ``action`` string column (one
+JSON action per row) written every ``CHECKPOINT_INTERVAL`` commits
+(reference cadence: 10, src/delta/checkpoint.ts:586-589). Driver-side
+pyarrow I/O — the log is metadata-scale even for 100 TB tables (file
+*entries*, not data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deltalake_spark.delta import log as dlog
+from deltalake_spark.errors import VersionNotFoundError
+
+CHECKPOINT_INTERVAL = 10
+
+
+@dataclass
+class Snapshot:
+    version: int
+    files: list[dict[str, Any]] = field(default_factory=list)  # add actions
+    metadata: dict[str, Any] | None = None
+    protocol: dict[str, Any] | None = None
+
+    @property
+    def schema_string(self) -> str | None:
+        return self.metadata.get("schemaString") if self.metadata else None
+
+    @property
+    def partition_columns(self) -> list[str]:
+        return (self.metadata or {}).get("partitionColumns", [])
+
+    @property
+    def configuration(self) -> dict[str, str]:
+        return (self.metadata or {}).get("configuration", {})
+
+    def file_paths(self, table_path: str) -> list[str]:
+        return [os.path.join(table_path, f["path"]) for f in self.files]
+
+
+def _apply_actions(state: dict[str, Any], actions: list[dict[str, Any]]) -> None:
+    """Replay one commit's actions into state (last-add-wins per path,
+    reference reconciliation src/delta/table.ts:598-639)."""
+    for action in actions:
+        if "add" in action:
+            add = action["add"]
+            state["files"][add["path"]] = add
+        elif "remove" in action:
+            path = action["remove"]["path"]
+            state["files"].pop(path, None)
+            state["tombstones"][path] = action["remove"]
+        elif "metaData" in action:
+            state["metadata"] = action["metaData"]
+        elif "protocol" in action:
+            state["protocol"] = action["protocol"]
+        # commitInfo is informational
+
+
+def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
+    """Table state at ``version`` (default: latest)."""
+    dlog.require_table(table_path)
+    latest = dlog.latest_version(table_path)
+    target = latest if version is None else version
+    if target > latest or target < 0:
+        raise VersionNotFoundError(
+            f"Version {target} does not exist (latest is {latest})"
+        )
+
+    state: dict[str, Any] = {"files": {}, "tombstones": {},
+                             "metadata": None, "protocol": None}
+
+    start = 0
+    checkpoints = [
+        v for v in dlog.list_checkpoint_versions(table_path) if v <= target
+    ]
+    if checkpoints:
+        cp_version = max(checkpoints)
+        table = pq.read_table(dlog.checkpoint_file(table_path, cp_version))
+        actions = [json.loads(s) for s in table.column("action").to_pylist()]
+        _apply_actions(state, actions)
+        start = cp_version + 1
+
+    for v in dlog.list_commit_versions(table_path):
+        if start <= v <= target:
+            _apply_actions(state, dlog.read_commit(table_path, v))
+
+    return Snapshot(
+        version=target,
+        files=list(state["files"].values()),
+        metadata=state["metadata"],
+        protocol=state["protocol"],
+    )
+
+
+def write_checkpoint(table_path: str, snapshot: Snapshot) -> str:
+    """Materialize a snapshot as a checkpoint Parquet + _last_checkpoint
+    pointer (reference: src/delta/checkpoint.ts:56-340)."""
+    actions: list[dict[str, Any]] = []
+    if snapshot.protocol:
+        actions.append({"protocol": snapshot.protocol})
+    if snapshot.metadata:
+        actions.append({"metaData": snapshot.metadata})
+    actions.extend({"add": f} for f in snapshot.files)
+
+    path = dlog.checkpoint_file(table_path, snapshot.version)
+    table = pa.table(
+        {"action": [json.dumps(a, separators=(",", ":")) for a in actions]}
+    )
+    pq.write_table(table, path, compression="snappy")
+    with open(dlog.last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
+        json.dump({"version": snapshot.version, "size": len(actions)}, f)
+    return path
+
+
+def maybe_checkpoint(table_path: str, version: int) -> str | None:
+    """Checkpoint every CHECKPOINT_INTERVAL commits (cadence mirrors
+    reference src/delta/checkpoint.ts:586-589)."""
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        return write_checkpoint(table_path, load_snapshot(table_path, version))
+    return None

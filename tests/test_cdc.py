@@ -1,0 +1,108 @@
+"""CDC (change data feed) — mirrors the reference's CDC tests
+(/root/reference/tests/unit/cdc/*.test.ts, e2e time-travel.test.ts:454-801,
+cdc_users fixture)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.delta.table import DeltaTable
+
+
+@pytest.fixture
+def cdc_table(spark, tmp_path):
+    t = DeltaTable(spark, str(tmp_path / "cdc_tbl"))
+    df = spark.createDataFrame(
+        [(1, "ann", 10, "a@x.io"), (2, "bob", 20, None)],
+        "id long, name string, score long, email string",
+    )
+    t.write(df)
+    t.enable_cdc()
+    return t
+
+
+def test_insert_changes(spark, cdc_table):
+    cdc_table.write(spark.createDataFrame(
+        [(3, "cat", 30, None)],
+        "id long, name string, score long, email string",
+    ))
+    changes = cdc_table.read_changes(0)
+    rows = changes.collect()
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert all(c in changes.columns for c in
+               ("_change_type", "_commit_version", "_commit_timestamp"))
+    # the insert happened at version 2 (v0 write pre-CDC, v1 enable)
+    assert {r["_commit_version"] for r in rows} == {2}
+
+
+def test_update_changes_pre_and_post(spark, cdc_table):
+    cdc_table.update({"id": 1}, {"score": "score + 5"})
+    changes = cdc_table.read_changes(0).collect()
+    by_type = {}
+    for r in changes:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert len(by_type["update_preimage"]) == 1
+    assert len(by_type["update_postimage"]) == 1
+    assert by_type["update_preimage"][0]["score"] == 10
+    assert by_type["update_postimage"][0]["score"] == 15
+
+
+def test_delete_changes(spark, cdc_table):
+    cdc_table.delete({"id": 2})
+    changes = cdc_table.read_changes(0).collect()
+    dels = [r for r in changes if r["_change_type"] == "delete"]
+    assert len(dels) == 1 and dels[0]["id"] == 2
+
+
+def test_merge_changes(spark, cdc_table):
+    src = spark.createDataFrame(
+        [(1, "ann2", 11, None), (9, "zed", 90, None)],
+        "id long, name string, score long, email string",
+    )
+    cdc_table.merge(src, "t.id = s.id", when_matched_update="*")
+    changes = cdc_table.read_changes(0).collect()
+    types = sorted({r["_change_type"] for r in changes})
+    assert types == ["insert", "update_postimage", "update_preimage"]
+    ins = [r for r in changes if r["_change_type"] == "insert"]
+    assert [r["id"] for r in ins] == [9]
+
+
+def test_read_changes_version_range(spark, cdc_table):
+    cdc_table.write(spark.createDataFrame(
+        [(3, "cat", 30, None)],
+        "id long, name string, score long, email string",
+    ))  # v2
+    cdc_table.delete({"id": 3})  # v3
+    only_v3 = cdc_table.read_changes(3, 3).collect()
+    assert {r["_change_type"] for r in only_v3} == {"delete"}
+    all_changes = cdc_table.read_changes(0).collect()
+    assert len(all_changes) == 2
+
+
+def test_read_changes_by_timestamp(spark, cdc_table):
+    cdc_table.write(spark.createDataFrame(
+        [(3, "cat", 30, None)],
+        "id long, name string, score long, email string",
+    ))
+    df = cdc_table.read_changes_by_timestamp(starting_ts="2000-01-01")
+    assert df.count() == 1
+    df2 = cdc_table.read_changes_by_timestamp(ending_ts="2000-01-01")
+    assert df2.count() == 0
+
+
+def test_subscribe_stream(spark, cdc_table, tmp_path):
+    from deltalake_spark.delta.cdc import subscribe_stream
+
+    cdc_table.write(spark.createDataFrame(
+        [(3, "cat", 30, None), (4, "dan", 40, None)],
+        "id long, name string, score long, email string",
+    ))
+    seen: list[int] = []
+
+    def handler(batch_df, batch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = subscribe_stream(cdc_table, str(tmp_path / "ckpt"), handler)
+    q.awaitTermination(60)
+    assert sorted(seen) == [3, 4]
