@@ -483,6 +483,160 @@ def minhash_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash prefix blocking (rows-only check)."""
+    from deltalake_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs, id_col="doc_id", text_col="text",
+                              prefix_bits=12)
+
+
+def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked batch kNN self-join over embeddings (rows-only)."""
+    from deltalake_spark.operators.similarity import pairwise_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pairwise_topk_join(
+        emb, emb, left_id="vec_id", right_id="vec_id", k=3, num_planes=8
+    )
+
+
+def quality_score_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution by language (operators.text pipeline)."""
+    from deltalake_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("quality_score"), 4).alias("avg_q"),
+            F.round(F.min("quality_score"), 4).alias("min_q"),
+            F.round(F.max("quality_score"), 4).alias("max_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream table
+    (ts is raw nanos; bucket arithmetic stays JVM-side)."""
+    ev = _t(spark, sf_dir, "events")
+    hour_ns = 3_600_000_000_000
+    return (
+        ev.withColumn("bucket", F.floor(F.col("ts") / F.lit(hour_ns)))
+        .groupBy("bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+def filter_ne_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(translate_filter({"lang": {"$ne": "en"}}))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta-table-layer queries: lifecycle operations checked against oracles
+# that express the *final state* in SQL over the original fixtures
+# ---------------------------------------------------------------------------
+
+def _fresh_table(spark: SparkSession, name: str):
+    import tempfile
+
+    from deltalake_spark.delta.table import DeltaTable
+
+    path = tempfile.mkdtemp(prefix=f"dlq_{name}_")
+    return DeltaTable(spark, os.path.join(path, name))
+
+
+def delta_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """write → delete (Mongo filter) → update (expression) → scan."""
+    cust = _t(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "cust")
+    t.write(cust)
+    t.delete({"c_acctbal": {"$lt": 0.0}})
+    t.update({"c_mktsegment": "BUILDING"},
+             {"c_acctbal": "c_acctbal + 1000"})
+    return (
+        t.to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def delta_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE: update matched (custkey % 10 == 0), insert new keys."""
+    cust = _t(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "merge")
+    t.write(cust)
+    upd_src = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 500
+    )
+    ins_src = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 500)
+    )
+    t.merge(
+        upd_src.unionByName(ins_src), "t.c_custkey = s.c_custkey",
+        when_matched_update="*", when_not_matched_insert=True,
+    )
+    return (
+        t.to_df()
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def delta_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC: delete + update emit typed change records."""
+    part = _t(spark, sf_dir, "part")
+    t = _fresh_table(spark, "cdc")
+    t.write(part)
+    t.enable_cdc()
+    t.delete({"p_size": {"$lt": 10}})
+    t.update({"p_brand": "Brand#1"},
+             {"p_retailprice": "p_retailprice * 2"})
+    return (
+        t.read_changes(0)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
+
+
+def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: v0 row count vs post-delete count in one result."""
+    part = _t(spark, sf_dir, "part")
+    t = _fresh_table(spark, "tt")
+    t.write(part)
+    t.delete({"p_size": {"$lt": 10}})
+    v0 = t.to_df(version=0).count()
+    cur = t.to_df().count()
+    return spark.createDataFrame(
+        [(v0, cur)], "v0_rows long, current_rows long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -518,6 +672,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": similarity_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "minhash_neardup_groups": minhash_neardup_groups,
+    "simhash_blocks": simhash_blocks,
+    "embedding_knn_join": embedding_knn_join,
+    "quality_score_dist": quality_score_dist,
+    "events_windowed": events_windowed,
+    "filter_ne_bylang": filter_ne_bylang,
+    "delta_table_lifecycle": delta_table_lifecycle,
+    "delta_merge_upsert": delta_merge_upsert,
+    "delta_cdc_feed": delta_cdc_feed,
+    "delta_time_travel": delta_time_travel,
 }
 
 
@@ -749,6 +912,87 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(l2), 4) AS max_l2
             FROM t GROUP BY label ORDER BY label
         """,
-        # minhash_neardup_groups: intentionally no oracle (LSH bucketing is
-        # not SQL-expressible with portable hashing) → rows-only check.
+        "quality_score_dist": """
+            -- replicates operators.text.quality_score; fixture text is
+            -- lowercase letters+spaces so punct/digit/upper ratios are 0
+            WITH t AS (
+                SELECT lang,
+                       len(string_split(trim(text), ' ')) AS n_tok,
+                       len(list_distinct(string_split(trim(text), ' ')))
+                           AS n_uniq
+                FROM documents
+            ), s AS (
+                SELECT lang,
+                       ROUND(
+                         0.4 * (CASE WHEN n_tok BETWEEN 10 AND 100000
+                                     THEN 1.0 ELSE 0.3 END)
+                         + 0.3 * LEAST(n_uniq * 2.0 / n_tok, 1.0)
+                         + 0.3 * 1.0, 4) AS q
+                FROM t
+            )
+            SELECT lang, COUNT(*) AS n,
+                   ROUND(AVG(q), 4) AS avg_q,
+                   ROUND(MIN(q), 4) AS min_q,
+                   ROUND(MAX(q), 4) AS max_q
+            FROM s GROUP BY lang ORDER BY lang
+        """,
+        "events_windowed": """
+            SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000.0) AS BIGINT)
+                       AS bucket,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY bucket, event_type
+        """,
+        "filter_ne_bylang": """
+            SELECT source, COUNT(*) AS n
+            FROM documents
+            WHERE lang IS DISTINCT FROM 'en'
+            GROUP BY source ORDER BY source
+        """,
+        "delta_table_lifecycle": """
+            WITH base AS (
+                SELECT c_mktsegment,
+                       CASE WHEN c_mktsegment = 'BUILDING'
+                            THEN c_acctbal + 1000 ELSE c_acctbal END AS bal
+                FROM customer WHERE c_acctbal >= 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   ROUND(SUM(bal), 2) AS total_bal
+            FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "delta_merge_upsert": """
+            WITH updated AS (
+                SELECT c_mktsegment,
+                       CASE WHEN c_custkey % 10 = 0
+                            THEN c_acctbal + 500 ELSE c_acctbal END AS bal
+                FROM customer
+            ), inserted AS (
+                SELECT c_mktsegment, c_acctbal + 500 AS bal
+                FROM customer WHERE c_custkey % 7 = 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   ROUND(SUM(bal), 2) AS total_bal
+            FROM (SELECT * FROM updated UNION ALL SELECT * FROM inserted)
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "delta_cdc_feed": """
+            SELECT 'delete' AS change_type,
+                   COUNT(*) AS n FROM part WHERE p_size < 10
+            UNION ALL
+            SELECT 'update_postimage', COUNT(*)
+            FROM part WHERE p_brand = 'Brand#1' AND p_size >= 10
+            UNION ALL
+            SELECT 'update_preimage', COUNT(*)
+            FROM part WHERE p_brand = 'Brand#1' AND p_size >= 10
+            ORDER BY change_type
+        """,
+        "delta_time_travel": """
+            SELECT (SELECT COUNT(*) FROM part) AS v0_rows,
+                   (SELECT COUNT(*) FROM part WHERE p_size >= 10)
+                       AS current_rows
+        """,
+        # no oracle (rows-only checks) — LSH bucketing / sketches are not
+        # SQL-expressible with portable hashing:
+        #   minhash_neardup_groups, simhash_blocks, embedding_knn_join
     }

@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_exact",
     "similarity_topk",
     "minhash_neardup_groups",
+    "delta_table_lifecycle",
 ]
 
 
