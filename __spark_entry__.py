@@ -536,6 +536,26 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType path: JSON → variant → shredded typed column → agg
+    (reference variant codec + shredding, src/parquet/variant.ts:80-684,
+    src/parquet/index.ts:290-326 — engine-native in Spark 4)."""
+    from deltalake_spark.functions.variant import shred, to_variant
+
+    ev = _t(spark, sf_dir, "events")
+    shredded = shred(
+        ev.withColumn("v", to_variant("props")), "v", {"k": ("$.k", "int")}
+    )
+    return (
+        shredded.groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("k_mod")
+    )
+
+
 def filter_ne_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -676,6 +696,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
     "events_windowed": events_windowed,
+    "variant_shred_stats": variant_shred_stats,
     "filter_ne_bylang": filter_ne_bylang,
     "delta_table_lifecycle": delta_table_lifecycle,
     "delta_merge_upsert": delta_merge_upsert,
@@ -943,6 +964,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2 ORDER BY bucket, event_type
+        """,
+        "variant_shred_stats": """
+            SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY 1 ORDER BY k_mod
         """,
         "filter_ne_bylang": """
             SELECT source, COUNT(*) AS n

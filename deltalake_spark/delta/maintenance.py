@@ -202,6 +202,42 @@ def _is_numeric(df, col: str) -> bool:
                  "decimal", "date", "timestamp", "timestamp_ntz")
 
 
+def cleanup_log(
+    table: "DeltaTable",
+    *,
+    retain_checkpoints: int = 2,
+) -> dict[str, Any]:
+    """Delete commit files and checkpoints superseded by retained
+    checkpoints (reference checkpoint/log cleanup,
+    src/delta/checkpoint.ts:476-581): keep the newest
+    ``retain_checkpoints`` checkpoints and every commit at or after the
+    oldest retained one."""
+    if retain_checkpoints < 1:
+        raise ValueError("retain_checkpoints must be >= 1")
+    dlog.require_table(table.path)
+    cps = dlog.list_checkpoint_versions(table.path)
+    if len(cps) == 0:
+        return {"commitsDeleted": 0, "checkpointsDeleted": 0}
+    retained = cps[-retain_checkpoints:]
+    horizon = retained[0]
+
+    commits_deleted = 0
+    for v in dlog.list_commit_versions(table.path):
+        if v < horizon:
+            os.remove(dlog.commit_file(table.path, v))
+            commits_deleted += 1
+    checkpoints_deleted = 0
+    for v in cps:
+        if v not in retained:
+            os.remove(dlog.checkpoint_file(table.path, v))
+            checkpoints_deleted += 1
+    return {
+        "commitsDeleted": commits_deleted,
+        "checkpointsDeleted": checkpoints_deleted,
+        "horizonVersion": horizon,
+    }
+
+
 def vacuum(
     table: "DeltaTable",
     *,
