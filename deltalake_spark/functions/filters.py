@@ -52,6 +52,20 @@ def _lit(value: Any) -> Column:
     return F.lit(value)
 
 
+def _two_valued(cond: Column) -> Column:
+    """Collapse Spark's three-valued logic to the reference's two-valued
+    JS semantics (matchesFilter returns booleans, src/query/index.ts:
+    255-297; null never satisfies a range, 443-455).
+
+    Applied ONLY under negations ($not/$nor, and field-level $not): for
+    plain AND/OR trees, a null predicate already behaves like false at the
+    filter (row dropped), and leaving leaves unwrapped keeps them eligible
+    for Parquet pushdown — coalesce-wrapped predicates produce
+    ``PushedFilters: []``, a full scan at 100 TB.
+    """
+    return F.coalesce(cond, F.lit(False))
+
+
 def _comparison(path: str, ops: Mapping[str, Any]) -> Column:
     conds: list[Column] = []
     col = _field(path)
@@ -91,7 +105,7 @@ def _comparison(path: str, ops: Mapping[str, Any]) -> Column:
             # documented no-op in the reference — always passes
             conds.append(F.lit(True))
         elif op == "$not":
-            conds.append(~_comparison(path, operand))
+            conds.append(~_two_valued(_comparison(path, operand)))
         else:
             raise InvalidFilterError(
                 f"Unknown operator {op!r}. Supported: {sorted(VALID_OPS)}"
@@ -137,9 +151,9 @@ def translate_filter(filter_doc: Mapping[str, Any] | None) -> Column:
             elif key == "$nor":
                 _require_list(key, value)
                 sub = [translate_filter(v) for v in value]
-                conds.append(~_fold(sub, "or"))
+                conds.append(~_two_valued(_fold(sub, "or")))
             elif key == "$not":
-                conds.append(~translate_filter(value))
+                conds.append(~_two_valued(translate_filter(value)))
             else:
                 raise InvalidFilterError(
                     f"Unknown logical operator {key!r}. "
