@@ -658,6 +658,268 @@ def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temporal operators (engine-native: the reference has no temporal joins;
+# its only join-shaped op is merge, src/cdc/index.ts:1937-2005)
+# ---------------------------------------------------------------------------
+
+_HOUR_NS = 3_600_000_000_000
+
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase matched to the user's latest
+    preceding click (union + running-last — one shuffle, no range join)."""
+    from deltalake_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["click_value"],
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("ts_asof").alias("n_matched"),
+            F.round(
+                F.avg((F.col("ts") - F.col("ts_asof")) / F.lit(1e9)), 2
+            ).alias("avg_gap_s"),
+            F.round(F.sum("click_value_asof"), 2).alias("click_value_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) → per-user session
+    stats. lag → flag → running-sum window; one shuffle on user_id."""
+    from deltalake_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(
+        ev, key="user_id", time_col="ts", gap=_HOUR_NS // 2,
+        tiebreak=["event_id"],
+    )
+    per_session = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts") - F.min("ts")) / F.lit(1e9)).alias("span_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("span_s"), 2).alias("avg_session_span_s"),
+            F.round(F.max("span_s"), 2).alias("max_session_span_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def range_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: views within the hour before each purchase
+    (equi-key on user keeps it a hash join, range as residual filter)."""
+    from deltalake_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = interval_join(
+        views, purchases,
+        on=(F.col("v_user"), F.col("user_id")),
+        point_time=F.col("v_ts"),
+        lo=F.col("ts") - F.lit(_HOUR_NS),
+        hi=F.col("ts"),
+        how="right",
+    )
+    per_purchase = joined.groupBy("user_id", "event_id").agg(
+        F.count("v_id").alias("n_views")
+    )
+    return (
+        per_purchase.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("n_views").alias("views_before"),
+            F.round(F.avg("n_views"), 2).alias("avg_views_before"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-shape coverage: semi / anti / scalar-subquery / OR-of-ANDs
+# (engine-native; reference reaches joins only through merge, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: orders having ≥1 lineitem shipped >60 days after
+    the order date, counted by priority (TPC-H Q4 shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join + broadcast scalar: customers above the mean
+    positive balance with no URGENT orders, by nation (TPC-H Q22 shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional CASE aggregation (TPC-H Q12 shape)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + conditional ratio aggregate (TPC-H Q14 shape)."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.round(
+            100
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg-HAVING as join filter + top-k (TPC-H Q18 shape). The HAVING
+    side is tiny after aggregation → broadcast back onto orders."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs join predicate (TPC-H Q19 shape) — Catalyst extracts
+    the common p_partkey equi-key so this stays a hash join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — subtotals + grand total in one pass
+    (engine-native; the reference's $group has no grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -702,6 +964,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_merge_upsert": delta_merge_upsert,
     "delta_cdc_feed": delta_cdc_feed,
     "delta_time_travel": delta_time_travel,
+    "asof_purchase_attribution": asof_purchase_attribution,
+    "sessionize_events": sessionize_events,
+    "range_view_attribution": range_view_attribution,
+    "q4_late_orders": q4_late_orders,
+    "q22_idle_customers": q22_idle_customers,
+    "q12_priority_by_flag": q12_priority_by_flag,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "agg_rollup": agg_rollup,
 }
 
 
@@ -1018,6 +1290,141 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM part) AS v0_rows,
                    (SELECT COUNT(*) FROM part WHERE p_size >= 10)
                        AS current_rows
+        """,
+        "asof_purchase_attribution": """
+            WITH p AS (SELECT user_id, epoch_ns(ts) AS t FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, epoch_ns(ts) AS t,
+                              MAX(value) AS click_value FROM events
+                       WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.user_id, COUNT(*) AS n_purchases,
+                   COUNT(c.t) AS n_matched,
+                   ROUND(AVG((p.t - c.t) / 1e9), 2) AS avg_gap_s,
+                   ROUND(SUM(c.click_value), 2) AS click_value_sum
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.t >= c.t
+            GROUP BY 1 ORDER BY 1
+        """,
+        "sessionize_events": """
+            WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS t
+                       FROM events),
+                 g AS (SELECT user_id, event_id, t,
+                              CASE WHEN LAG(t) OVER w IS NULL
+                                     OR t - LAG(t) OVER w > 1800000000000
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM o
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY t, event_id)),
+                 s AS (SELECT user_id, t,
+                              SUM(ns) OVER (PARTITION BY user_id
+                                            ORDER BY t, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                                  AS sid
+                       FROM g),
+                 sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                                 (MAX(t) - MIN(t)) / 1e9 AS span_s
+                          FROM s GROUP BY 1, 2)
+            SELECT user_id, MAX(sid) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   ROUND(AVG(span_s), 2) AS avg_session_span_s,
+                   ROUND(MAX(span_s), 2) AS max_session_span_s
+            FROM sess GROUP BY 1 ORDER BY 1
+        """,
+        "range_view_attribution": """
+            WITH v AS (SELECT user_id, epoch_ns(ts) AS t, event_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, epoch_ns(ts) AS t, event_id
+                       FROM events WHERE event_type = 'purchase'),
+                 per AS (SELECT p.user_id, p.event_id,
+                                COUNT(v.event_id) AS n_views
+                         FROM p LEFT JOIN v
+                           ON v.user_id = p.user_id
+                          AND v.t >= p.t - 3600000000000
+                          AND v.t < p.t
+                         GROUP BY 1, 2)
+            SELECT user_id, COUNT(*) AS n_purchases,
+                   CAST(SUM(n_views) AS BIGINT) AS views_before,
+                   ROUND(AVG(n_views), 2) AS avg_views_before
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "q4_late_orders": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q22_idle_customers": """
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q12_priority_by_flag": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_orderkey,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(big.sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY 1
+                  HAVING SUM(l_quantity) > 250) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q19_bracket_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "agg_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -1,0 +1,154 @@
+"""Unit tests for temporal operators (as-of join, interval join,
+sessionization) — engine-native additions; the reference has no temporal
+operators (its only join-shaped op is merge, src/cdc/index.ts:1937-2005).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 10, "t1"),
+            ("a", 20, "t2"),
+            ("a", 35, "t3"),
+            ("b", 15, "t4"),
+            ("c", 5, "t5"),  # key with no quotes at all
+        ],
+        "sym string, t long, trade_id string",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("a", 8, 100.0),
+            ("a", 20, 101.0),   # tie with t2 → must match (>= semantics)
+            ("a", 30, 102.0),
+            ("b", 40, 200.0),   # after b's only trade → no match
+        ],
+        "sym string, t long, px double",
+    )
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+class TestAsofJoin:
+    def test_backward_match_and_ties(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="t",
+            right_cols=["px"],
+        )
+        got = {r["trade_id"]: (r["t_asof"], r["px_asof"])
+               for r in out.collect()}
+        assert got == {
+            "t1": (8, 100.0),
+            "t2": (20, 101.0),   # equal timestamps match
+            "t3": (30, 102.0),
+            "t4": (None, None),  # quote is in the future
+            "t5": (None, None),  # key absent on right side
+        }
+
+    def test_left_rows_preserved(self, trades, quotes):
+        out = asof_join(trades, quotes, on="sym", left_time="t",
+                        right_time="t")
+        assert out.count() == trades.count()
+        assert set(trades.columns).issubset(set(out.columns))
+
+    def test_tolerance(self, trades, quotes):
+        out = asof_join(
+            trades, quotes, on="sym", left_time="t", right_time="t",
+            right_cols=["px"], tolerance=3,
+        )
+        got = {r["trade_id"]: r["px_asof"] for r in out.collect()}
+        # t1: gap 2 <= 3 keeps; t2: gap 0; t3: gap 5 > 3 dropped
+        assert got == {"t1": 100.0, "t2": 101.0, "t3": None,
+                       "t4": None, "t5": None}
+
+    def test_payload_struct_is_atomic(self, spark):
+        # right payload column that is null in the matching row must NOT
+        # fall back to an older row's value (struct travels as one unit)
+        left = spark.createDataFrame([("k", 10)], "k string, t long")
+        right = spark.createDataFrame(
+            [("k", 1, 7.0), ("k", 9, None)], "k string, t long, v double"
+        )
+        out = asof_join(left, right, on="k", left_time="t",
+                        right_time="t", right_cols=["v"])
+        row = out.collect()[0]
+        assert row["t_asof"] == 9 and row["v_asof"] is None
+
+    def test_single_shuffle_plan(self, trades, quotes):
+        out = asof_join(trades, quotes, on="sym", left_time="t",
+                        right_time="t")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # window-based impl: no join node, one exchange for the window
+        assert "Join" not in plan
+        assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestIntervalJoin:
+    def test_equi_plus_range(self, spark):
+        points = spark.createDataFrame(
+            [("u1", 5), ("u1", 15), ("u2", 5)], "pu string, pt long"
+        )
+        ivals = spark.createDataFrame(
+            [("u1", 0, 10, "w1"), ("u2", 10, 20, "w2")],
+            "iu string, lo long, hi long, wid string",
+        )
+        out = interval_join(
+            points, ivals, on=(F.col("pu"), F.col("iu")),
+            point_time=F.col("pt"), lo=F.col("lo"), hi=F.col("hi"),
+        )
+        assert _rows(out.select("pt", "wid")) == {(5, "w1")}
+
+    def test_rejects_pure_range(self, spark):
+        df = spark.range(1)
+        with pytest.raises(ValueError, match="nested-loop"):
+            interval_join(df, df, on=None, point_time=F.col("id"),
+                          lo=F.lit(0), hi=F.lit(1))
+
+    def test_plans_hash_join_not_nested_loop(self, spark):
+        points = spark.createDataFrame([("u1", 5)], "pu string, pt long")
+        ivals = spark.createDataFrame(
+            [("u1", 0, 10)], "iu string, lo long, hi long"
+        )
+        out = interval_join(
+            points, ivals, on=(F.col("pu"), F.col("iu")),
+            point_time=F.col("pt"), lo=F.col("lo"), hi=F.col("hi"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan
+
+
+class TestSessionize:
+    def test_gap_boundaries(self, spark):
+        df = spark.createDataFrame(
+            [("u", 0), ("u", 10), ("u", 11), ("u", 40), ("v", 100)],
+            "uid string, t long",
+        )
+        out = sessionize(df, key="uid", time_col="t", gap=10)
+        got = {(r["uid"], r["t"]): r["session_seq"] for r in out.collect()}
+        # gap == 10 does NOT start a new session (strict >)
+        assert got == {("u", 0): 1, ("u", 10): 1, ("u", 11): 1,
+                       ("u", 40): 2, ("v", 100): 1}
+
+    def test_tiebreak_determinism(self, spark):
+        df = spark.createDataFrame(
+            [("u", 5, 2), ("u", 5, 1), ("u", 50, 3)],
+            "uid string, t long, eid long",
+        )
+        out = sessionize(df, key="uid", time_col="t", gap=10,
+                         tiebreak=["eid"])
+        got = {r["eid"]: r["session_seq"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 2}
