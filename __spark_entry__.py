@@ -920,6 +920,76 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured Streaming (engine-native: the reference's only stream is the
+# CDC feed, src/cdc/index.ts:38-128 — no watermarks/windows/state)
+# ---------------------------------------------------------------------------
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-hour windows with a 2-hour watermark, run
+    over the events table as a file stream and drained to a batch result.
+    The watermark bounds state — this exact query runs unbounded."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        windowed_agg,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).withColumn(
+        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    win = windowed_agg(
+        stream,
+        time_col="event_ts",
+        window="1 hour",
+        watermark="2 hours",
+        group_cols=["event_type"],
+        aggs={"n": "count(*)", "total_value": "round(sum(value), 2)"},
+    )
+    # complete mode: append would hold back windows newer than the final
+    # watermark (they only finalize when later data arrives)
+    out = run_available_now(
+        win.select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n", "total_value",
+        ),
+        output_mode="complete",
+    )
+    return out.orderBy("window_start", "event_type")
+
+
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization: per-user state crosses
+    micro-batch boundaries; each closed session emitted exactly once.
+    Emits all sessions except each user's final (still-open) one."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_sessions,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("user_id", "ts", "event_id")
+    sessions = stateful_sessions(stream, key="user_id",
+                                 gap_ns=_HOUR_NS // 2)
+    out = run_available_now(sessions)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_closed_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("span_s"), 2).alias("avg_span_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -974,6 +1044,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_orders": q18_large_orders,
     "q19_bracket_revenue": q19_bracket_revenue,
     "agg_rollup": agg_rollup,
+    "stream_windowed_counts": stream_windowed_counts,
+    "stream_sessionize_stateful": stream_sessionize_stateful,
 }
 
 
@@ -1425,6 +1497,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus
+        """,
+        "stream_windowed_counts": """
+            SELECT STRFTIME(time_bucket(INTERVAL '1 hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_sessionize_stateful": """
+            WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS t
+                       FROM events),
+                 g AS (SELECT user_id, event_id, t,
+                              CASE WHEN LAG(t) OVER w IS NULL
+                                     OR t - LAG(t) OVER w > 1800000000000
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM o
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY t, event_id)),
+                 s AS (SELECT user_id, t,
+                              SUM(ns) OVER (PARTITION BY user_id
+                                            ORDER BY t, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                                  AS sid
+                       FROM g),
+                 sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
+                                 (MAX(t) - MIN(t)) / 1e9 AS span_s
+                          FROM s GROUP BY 1, 2),
+                 closed AS (SELECT * FROM sess
+                            WHERE sid < (SELECT MAX(sid) FROM sess s2
+                                         WHERE s2.user_id = sess.user_id))
+            SELECT user_id, COUNT(*) AS n_closed_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   ROUND(AVG(span_s), 2) AS avg_span_s
+            FROM closed GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

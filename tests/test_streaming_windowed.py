@@ -1,0 +1,114 @@
+"""Structured Streaming operators: watermark windows + stateful sessions.
+
+The key property under test: ``stateful_sessions`` emits the same closed
+sessions no matter how the input is split into micro-batches — per-key
+state (open session) crosses batch boundaries via applyInPandasWithState.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.temporal import sessionize
+from deltalake_spark.streaming.windowed import (
+    read_parquet_stream,
+    run_available_now,
+    stateful_sessions,
+    windowed_agg,
+)
+
+GAP = 1_800_000_000_000  # 30 min in ns
+HOUR = 3_600_000_000_000
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    """Events written as several files so maxFilesPerTrigger can force
+    multi-batch execution with sessions straddling batch boundaries."""
+    base = int(1.7e18)
+    rows = []
+    eid = 0
+    for user in range(4):
+        t = base + user * 7_000_000_000
+        for s in range(5):  # 5 sessions per user
+            for k in range(6):  # 6 events per session, 5 min apart
+                rows.append((eid, t, user))
+                eid += 1
+                t += 300_000_000_000
+            t += GAP + 60_000_000_000  # gap closes the session
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long")
+    # time-ordered split: sessions span file boundaries
+    pdf = df.orderBy("ts", "event_id").toPandas()
+    out = os.path.join(d, "files")
+    os.makedirs(out)
+    for i in range(4):
+        chunk = pdf.iloc[i * len(pdf) // 4:(i + 1) * len(pdf) // 4]
+        chunk.to_parquet(os.path.join(out, f"part-{i}.parquet"),
+                         index=False)
+    yield out
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _closed_sessions_batch(spark, event_dir):
+    """Ground truth via the batch sessionize operator: all sessions
+    except each user's last (still-open) one."""
+    df = spark.read.parquet(event_dir)
+    s = sessionize(df, key="user_id", time_col="ts", gap=GAP,
+                   tiebreak=["event_id"])
+    per = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("ts") - F.min("ts")) / F.lit(1e9)).alias("span_s"),
+    )
+    w_max = per.groupBy("user_id").agg(
+        F.max("session_seq").alias("max_seq")
+    )
+    return (
+        per.join(w_max, "user_id")
+        .filter(F.col("session_seq") < F.col("max_seq"))
+        .select("user_id", "session_seq", "n_events", "span_s")
+    )
+
+
+def test_stateful_sessions_match_batch_single_batch(spark, event_dir):
+    stream = read_parquet_stream(spark, event_dir)
+    out = run_available_now(stateful_sessions(stream, gap_ns=GAP))
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in _closed_sessions_batch(spark, event_dir).collect()}
+    assert got == want and len(want) == 4 * 4  # 4 users × 4 closed
+
+
+def test_stateful_sessions_cross_batch_state(spark, event_dir):
+    # one file per micro-batch → sessions straddle batch boundaries;
+    # results must be identical to the single-batch run
+    stream = read_parquet_stream(spark, event_dir, max_files_per_trigger=1)
+    out = run_available_now(stateful_sessions(stream, gap_ns=GAP))
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in _closed_sessions_batch(spark, event_dir).collect()}
+    assert got == want
+
+
+def test_windowed_agg_watermark_bounds_state(spark, event_dir):
+    stream = read_parquet_stream(spark, event_dir).withColumn(
+        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    win = windowed_agg(
+        stream, time_col="event_ts", window="1 hour", watermark="2 hours",
+        aggs={"n": "count(*)"},
+    )
+    out = run_available_now(
+        win.select(F.col("window.start").alias("ws"), "n"),
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(event_dir)
+        .withColumn("event_ts",
+                    F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .groupBy(F.window("event_ts", "1 hour").start.alias("ws"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert ({tuple(r) for r in out.collect()}
+            == {tuple(r) for r in batch.collect()})
