@@ -24,7 +24,7 @@ from typing import Any, Callable, Iterator, Mapping
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 from deltalake_spark.delta import log as dlog
@@ -98,6 +98,81 @@ class DeltaTable:
             return {}
         return self.snapshot().configuration
 
+    # -- column mapping (rename without rewrite) ---------------------------
+
+    def _column_mapping(self, snap: "dsnap.Snapshot") -> dict[str, str]:
+        """logical → physical column names (reference column mapping,
+        src/delta/snapshot.ts:29-83: physicalName metadata applied on
+        read). Empty when no column was ever renamed."""
+        raw = (snap.configuration or {}).get("delta.columnMapping.map")
+        return json.loads(raw) if raw else {}
+
+    @staticmethod
+    def _physical_schema(schema: StructType,
+                         mapping: dict[str, str]) -> StructType:
+        if not mapping:
+            return schema
+        return StructType([
+            StructField(mapping.get(f.name, f.name), f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ])
+
+    @staticmethod
+    def _to_logical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        if not mapping:
+            return df
+        inv = {phys: log for log, phys in mapping.items()}
+        return df.select(
+            *[F.col(c).alias(inv.get(c, c)) for c in df.columns]
+        )
+
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        if not mapping:
+            return df
+        return df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column WITHOUT rewriting data files: only the
+        logical→physical map and the logical schema change; existing
+        parquet keeps its physical names forever (reference
+        delta.columnMapping.physicalName semantics,
+        src/delta/snapshot.ts:29-83)."""
+        snap = self.snapshot()
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old in snap.partition_columns:
+            raise ValueError(
+                "cannot rename a partition column (directory layout is "
+                "keyed by its physical name)"
+            )
+        mapping = self._column_mapping(snap)
+        mapping[new] = mapping.pop(old, old)
+        meta = dict(snap.metadata or {})
+        conf = dict(meta.get("configuration", {}))
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.map"] = json.dumps(mapping)
+        meta["configuration"] = conf
+        meta["schemaString"] = StructType([
+            StructField(new if f.name == old else f.name, f.dataType,
+                        f.nullable, f.metadata)
+            for f in schema.fields
+        ]).json()
+        version = snap.version + 1
+        dlog.write_commit(self.path, version, [
+            dlog.commit_info_action("RENAME COLUMN",
+                                    {"from": old, "to": new}),
+            {"metaData": meta},
+        ])
+        return version
+
     def update_metadata(self, configuration: Mapping[str, str]) -> int:
         """Merge table configuration (reference updateMetadata,
         src/delta/table.ts:2435-2458)."""
@@ -117,7 +192,8 @@ class DeltaTable:
     # -- write path --------------------------------------------------------
 
     def _stage_and_move(
-        self, df: DataFrame, partition_by: list[str]
+        self, df: DataFrame, partition_by: list[str],
+        mapping: dict[str, str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write df via a staging dir, move parquet files into the table
         tree with unique names, return add actions with footer stats.
@@ -127,6 +203,10 @@ class DeltaTable:
         mirroring the reference's buffer-then-commit write,
         src/delta/table.ts:764-816.)
         """
+        if mapping is None and self.exists():
+            mapping = self._column_mapping(self.snapshot())
+        # data files always carry PHYSICAL column names
+        df = self._to_physical(df, mapping or {})
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -235,11 +315,11 @@ class DeltaTable:
 
         actions: list[dict[str, Any]] = []
         schema = df.schema
+        write_mapping: dict[str, str] | None = None
         if prev and prev.schema_string:
             existing = StructType.fromJson(json.loads(prev.schema_string))
             target = self._merge_schemas(existing, df.schema, merge_schema)
             # align df to target schema (missing columns → null)
-            names = [f.name for f in target.fields]
             cols = [
                 F.col(f.name).cast(f.dataType) if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
@@ -250,6 +330,23 @@ class DeltaTable:
             if target.json() != prev.schema_string:
                 meta = dict(prev.metadata)
                 meta["schemaString"] = target.json()
+                # a NEW logical column may collide with the retired
+                # physical name of a renamed column — give it a fresh
+                # physical name in the mapping
+                mapping = self._column_mapping(prev)
+                if mapping:
+                    old_names = {f.name for f in existing.fields}
+                    taken = set(mapping.values()) | old_names
+                    changed = False
+                    for f in target.fields:
+                        if f.name not in old_names and f.name in taken:
+                            mapping[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
+                            changed = True
+                    if changed:
+                        conf = dict(meta.get("configuration", {}))
+                        conf["delta.columnMapping.map"] = json.dumps(mapping)
+                        meta["configuration"] = conf
+                        write_mapping = mapping
                 actions.append({"metaData": meta})
         elif not exists or not (prev and prev.metadata):
             actions.append(dlog.protocol_action())
@@ -260,7 +357,7 @@ class DeltaTable:
                 configuration=configuration,
             ))
 
-        adds = self._stage_and_move(df, partition_cols)
+        adds = self._stage_and_move(df, partition_cols, mapping=write_mapping)
         num_rows = sum(
             json.loads(a["stats"])["numRecords"] for a in adds
         )
@@ -308,13 +405,14 @@ class DeltaTable:
         partition reconstitution and stats-based skipping natively)."""
         snap = self.snapshot(version)
         schema = self.schema(version)
+        mapping = self._column_mapping(snap)
         paths = snap.file_paths(self.path)
         if not paths:
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(schema)
+        reader = self.spark.read.schema(self._physical_schema(schema, mapping))
         if snap.partition_columns:
             reader = reader.option("basePath", self.path)
-        return reader.parquet(*paths)
+        return self._to_logical(reader.parquet(*paths), mapping)
 
     def query(
         self,
@@ -376,11 +474,15 @@ class DeltaTable:
     def _read_files(self, rel_paths: list[str]) -> DataFrame:
         snap = self.snapshot()
         schema = self.schema()
-        reader = self.spark.read.schema(schema)
+        mapping = self._column_mapping(snap)
+        reader = self.spark.read.schema(self._physical_schema(schema, mapping))
         if snap.partition_columns:
             reader = reader.option("basePath", self.path)
-        return reader.parquet(
-            *[os.path.join(self.path, p) for p in rel_paths]
+        return self._to_logical(
+            reader.parquet(
+                *[os.path.join(self.path, p) for p in rel_paths]
+            ),
+            mapping,
         )
 
     def _rewrite_commit(
