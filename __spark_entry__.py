@@ -919,6 +919,28 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN join over the embeddings table: k-means coarse
+    quantizer (driver-trained on a sample), bucket equi-join probe with
+    nprobe=4 of 8 buckets. Approximate → rows-only check; recall vs brute
+    force is asserted in tests/test_ivf.py."""
+    from deltalake_spark.operators.similarity import (
+        ivf_topk_join,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, k=8, iters=6)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), "embedding"
+    )
+    return ivf_topk_join(
+        queries, corpus, centroids,
+        query_id="vec_id", corpus_id="corpus_id", k=10, nprobe=4,
+    ).orderBy("vec_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (engine-native: the reference's only stream is the
 # CDC feed, src/cdc/index.ts:38-128 — no watermarks/windows/state)
@@ -1046,6 +1068,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": agg_rollup,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sessionize_stateful": stream_sessionize_stateful,
+    "ivf_ann_topk": ivf_ann_topk,
 }
 
 

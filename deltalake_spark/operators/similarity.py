@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -139,6 +141,123 @@ def lsh_topk(
         .orderBy(F.desc("score"))
         .limit(k)
         .drop("__sk")
+    )
+
+
+def train_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids: Lloyd's k-means on a driver-
+    side sample. Centroids are k×dim floats — KB-scale metadata even for a
+    100 TB corpus, so training on a bounded sample on the driver is the
+    right cost model (the full corpus is only ever touched by the
+    distributed assignment pass)."""
+    rows = df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(sample)
+    X = np.array([list(r[0]) for r in rows.collect()], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(f"need >= {k} vectors to train, got {len(X)}")
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # argmin over squared L2 via the -2x·c + |c|² expansion (|x|² is
+        # constant per row): O(n·k) memory, not O(n·k·dim)
+        assign = ((X @ C.T) * -2.0 + (C * C).sum(axis=1)).argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
+def _probe_udf(centroids: list[list[float]], nprobe: int):
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probe(vs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = (X @ C.T) * -2.0 + c_sq
+        if nprobe == 1:
+            idx = d.argmin(axis=1)[:, None]
+        else:
+            part = np.argpartition(d, nprobe - 1, axis=1)[:, :nprobe]
+            order = np.take_along_axis(d, part, axis=1).argsort(axis=1)
+            idx = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return probe
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest coarse centroids
+    (Arrow-batched pandas UDF — vectorized numpy matmul per batch; the
+    centroid matrix ships with the task closure). ``nprobe=1`` yields the
+    storage bucket; queries probe several."""
+    probes = _probe_udf(centroids, nprobe)(F.col(vec_col))
+    if nprobe == 1:
+        return df.withColumn(bucket_col, probes[0])
+    return df.withColumn(bucket_col, probes)
+
+
+def ivf_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate kNN join: corpus rows live in their nearest-centroid
+    bucket; each query scans only its ``nprobe`` nearest buckets.
+
+    Scale shape: the join is equi on the bucket id (hash shuffle /
+    broadcast — never a cross join); candidate count per query is
+    ~``nprobe/k_buckets`` of the corpus. At rest the corpus would be
+    written partitioned by bucket so the probe prunes files.
+    """
+    from pyspark.sql.window import Window
+
+    c = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("__rid"),
+                      F.col(vec_col).alias("__rv")),
+        centroids, vec_col="__rv", nprobe=1, bucket_col="__b",
+    )
+    q = ivf_assign(
+        queries.select(F.col(query_id).alias("__lid"),
+                       F.col(vec_col).alias("__lv")),
+        centroids, vec_col="__lv", nprobe=nprobe, bucket_col="__probes",
+    ).withColumn("__b", F.explode("__probes")).drop("__probes")
+    joined = q.join(c, "__b").withColumn(
+        "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
+    )
+    w = Window.partitionBy("__lid").orderBy(F.desc("score"), F.asc("__rid"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__lid").alias(query_id),
+            F.col("__rid").alias(corpus_id),
+            "score",
+            F.col("__rn").alias("rank"),
+        )
     )
 
 

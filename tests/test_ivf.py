@@ -1,0 +1,69 @@
+"""IVF approximate-nearest-neighbor: recall vs brute force, determinism,
+and plan shape (equi join on bucket, never a cross join)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk_join,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return train_centroids(emb, k=8, iters=6)
+
+
+def test_centroids_deterministic(emb, centroids):
+    again = train_centroids(emb, k=8, iters=6)
+    assert centroids == again
+    assert len(centroids) == 8
+
+
+def test_assignment_covers_all_buckets_reasonably(emb, centroids):
+    counts = (
+        ivf_assign(emb, centroids)
+        .groupBy("bucket").count().collect()
+    )
+    total = sum(r["count"] for r in counts)
+    assert total == emb.count()
+    assert len(counts) >= 4  # k-means on real data fills most buckets
+
+
+def test_recall_vs_brute_force(emb, centroids):
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = ivf_topk_join(
+        queries, emb, centroids,
+        query_id="vec_id", corpus_id="vec_id", k=10, nprobe=4,
+    )
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["vec_id"], set()).add(r[1])
+    hits = total = 0
+    for q in queries.collect():
+        exact = brute_force_topk(emb, list(q["embedding"]), k=10)
+        exact_ids = {r["vec_id"] for r in exact.collect()}
+        got = approx_sets.get(q["vec_id"], set())
+        hits += len(exact_ids & got)
+        total += len(exact_ids)
+    recall = hits / total
+    assert recall >= 0.5, f"recall {recall:.2f} too low"
+
+
+def test_plan_is_equi_join(emb, centroids):
+    queries = emb.limit(5)
+    out = ivf_topk_join(queries, emb, centroids,
+                        query_id="vec_id", corpus_id="vec_id", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
