@@ -30,6 +30,12 @@ HEADLINE = [
     "similarity_topk",
     "minhash_neardup_groups",
     "delta_table_lifecycle",
+    "asof_purchase_attribution",
+    "sessionize_events",
+    "q4_late_orders",
+    "q18_large_orders",
+    "ivf_ann_topk",
+    "stream_windowed_counts",
 ]
 
 
