@@ -644,6 +644,26 @@ def delta_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors: soft delete (no file rewrite) then scan — the
+    DV anti-join must produce exactly the copy-on-write final state."""
+    part = _t(spark, sf_dir, "part")
+    t = _fresh_table(spark, "dv")
+    t.write(part)
+    t.enable_deletion_vectors()
+    t.delete({"p_size": {"$lt": 10}})
+    t.delete({"p_type": "PROMO"})  # stacked DV
+    return (
+        t.to_df()
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
 def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: v0 row count vs post-delete count in one result."""
     part = _t(spark, sf_dir, "part")
@@ -1055,6 +1075,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_table_lifecycle": delta_table_lifecycle,
     "delta_merge_upsert": delta_merge_upsert,
     "delta_cdc_feed": delta_cdc_feed,
+    "delta_dv_delete": delta_dv_delete,
     "delta_time_travel": delta_time_travel,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
@@ -1380,6 +1401,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update_preimage', COUNT(*)
             FROM part WHERE p_brand = 'Brand#1' AND p_size >= 10
             ORDER BY change_type
+        """,
+        "delta_dv_delete": """
+            SELECT p_type, COUNT(*) AS n,
+                   ROUND(SUM(p_retailprice), 2) AS total_price
+            FROM part
+            WHERE p_size >= 10 AND p_type <> 'PROMO'
+            GROUP BY p_type ORDER BY p_type
         """,
         "delta_time_travel": """
             SELECT (SELECT COUNT(*) FROM part) AS v0_rows,

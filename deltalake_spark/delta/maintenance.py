@@ -271,7 +271,8 @@ def vacuum(
     for root, dirs, files in os.walk(table.path):
         rel_root = os.path.relpath(root, table.path)
         top = rel_root.split(os.sep)[0]
-        if top in ("_delta_log", "_change_data", "_staging"):
+        if top in ("_delta_log", "_change_data", "_staging",
+                   "_deletion_vectors"):
             dirs[:] = []
             continue
         for fn in files:

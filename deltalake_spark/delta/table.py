@@ -399,10 +399,60 @@ class DeltaTable:
 
     # -- read path ---------------------------------------------------------
 
+    # -- deletion vectors --------------------------------------------------
+
+    DV_DIR = "_deletion_vectors"
+
+    def dv_enabled(self) -> bool:
+        return self.configuration.get(
+            "delta.enableDeletionVectors", ""
+        ).lower() == "true"
+
+    def enable_deletion_vectors(self) -> int:
+        return self.update_metadata({"delta.enableDeletionVectors": "true"})
+
+    def _rel_file_expr(self) -> Column:
+        """Table-relative data file path from the _metadata column
+        (robust to the URI form — file:/, file:///, or bare path)."""
+        anchor = self.path + "/"
+        return F.expr(
+            "substring(_metadata.file_path, "
+            f"locate('{anchor}', _metadata.file_path) + {len(anchor)})"
+        )
+
+    def _dv_df(self, snap: "dsnap.Snapshot") -> DataFrame | None:
+        """Union of the snapshot's deletion-vector sidecars:
+        (file_path, row_index) of soft-deleted rows. KB-to-MB scale —
+        always broadcast-able (reference DV read path,
+        src/delta/deletion-vectors.ts:154-439, applied during scans
+        src/delta/table.ts:1717-1726)."""
+        paths = {
+            f["deletionVector"]["path"]
+            for f in snap.files if f.get("deletionVector")
+        }
+        if not paths:
+            return None
+        return self.spark.read.schema("file_path string, row_index long") \
+            .parquet(*[os.path.join(self.path, p) for p in paths])
+
+    def _apply_dv(self, df: DataFrame,
+                  snap: "dsnap.Snapshot") -> DataFrame:
+        dv = self._dv_df(snap)
+        if dv is None:
+            return df
+        keyed = df.withColumn("__fp", self._rel_file_expr()) \
+                  .withColumn("__ri", F.col("_metadata.row_index"))
+        return keyed.join(
+            F.broadcast(dv),
+            (keyed["__fp"] == dv["file_path"])
+            & (keyed["__ri"] == dv["row_index"]),
+            "left_anti",
+        ).drop("__fp", "__ri")
+
     def to_df(self, version: int | None = None) -> DataFrame:
         """Snapshot scan → DataFrame (reference query() steps 2-5,
-        src/delta/table.ts:1482-1605; Spark does DV/column-mapping,
-        partition reconstitution and stats-based skipping natively)."""
+        src/delta/table.ts:1482-1605; deletion vectors applied as a
+        broadcast anti-join on (file, row_index))."""
         snap = self.snapshot(version)
         schema = self.schema(version)
         mapping = self._column_mapping(snap)
@@ -412,7 +462,12 @@ class DeltaTable:
         reader = self.spark.read.schema(self._physical_schema(schema, mapping))
         if snap.partition_columns:
             reader = reader.option("basePath", self.path)
-        return self._to_logical(reader.parquet(*paths), mapping)
+        df = self._apply_dv(reader.parquet(*paths), snap)
+        return self._to_logical(
+            df.select(*[f.name for f in
+                        self._physical_schema(schema, mapping).fields]),
+            mapping,
+        )
 
     def query(
         self,
@@ -460,8 +515,22 @@ class DeltaTable:
 
     def _affected_files(self, cond: Column) -> tuple[list[str], int]:
         """(relative paths of files containing matches, matched row count)
-        — one aggregate job, no data rewrite yet."""
-        df = self.to_df().withColumn("__file", F.input_file_name())
+        — one aggregate job, no data rewrite yet. The file column comes
+        from _metadata (attached before any DV anti-join — Spark rejects
+        input_file_name() once the plan has two sources)."""
+        snap = self.snapshot()
+        mapping = self._column_mapping(snap)
+        phys = self._physical_schema(self.schema(), mapping)
+        reader = self.spark.read.schema(phys)
+        if snap.partition_columns:
+            reader = reader.option("basePath", self.path)
+        raw = reader.parquet(*snap.file_paths(self.path)) \
+            .withColumn("__file", F.col("_metadata.file_path"))
+        df = self._to_logical(
+            self._apply_dv(raw, snap)
+            .select(*[f.name for f in phys.fields], "__file"),
+            mapping,
+        )
         rows = (
             df.filter(cond)
             .groupBy("__file")
@@ -475,14 +544,18 @@ class DeltaTable:
         snap = self.snapshot()
         schema = self.schema()
         mapping = self._column_mapping(snap)
-        reader = self.spark.read.schema(self._physical_schema(schema, mapping))
+        phys = self._physical_schema(schema, mapping)
+        reader = self.spark.read.schema(phys)
         if snap.partition_columns:
             reader = reader.option("basePath", self.path)
-        return self._to_logical(
+        df = self._apply_dv(
             reader.parquet(
                 *[os.path.join(self.path, p) for p in rel_paths]
             ),
-            mapping,
+            snap,
+        )
+        return self._to_logical(
+            df.select(*[f.name for f in phys.fields]), mapping
         )
 
     def _rewrite_commit(
@@ -516,10 +589,99 @@ class DeltaTable:
         dsnap.maybe_checkpoint(self.path, version)
         return version
 
+    def _delete_with_dv(self, cond: Column) -> dict[str, Any]:
+        """Soft delete: record (file, row_index) pairs in a deletion-
+        vector sidecar instead of rewriting data files. The whole DV set
+        is rewritten each delete (it is metadata-scale); affected files
+        get remove+add with a deletionVector descriptor — zero data I/O.
+        """
+        snap = self.snapshot()
+        schema = self.schema()
+        mapping = self._column_mapping(snap)
+        reader = self.spark.read.schema(
+            self._physical_schema(schema, mapping))
+        if snap.partition_columns:
+            reader = reader.option("basePath", self.path)
+        raw = reader.parquet(*snap.file_paths(self.path))
+        keyed = raw.withColumn("__fp", self._rel_file_expr()) \
+                   .withColumn("__ri", F.col("_metadata.row_index"))
+        old_dv = self._dv_df(snap)
+        live = keyed
+        if old_dv is not None:
+            live = keyed.join(
+                F.broadcast(old_dv),
+                (keyed["__fp"] == old_dv["file_path"])
+                & (keyed["__ri"] == old_dv["row_index"]),
+                "left_anti",
+            )
+        logical = self._to_logical(
+            live, mapping
+        )  # __fp/__ri unmapped → pass through
+        matched = logical.filter(cond)
+        new_pairs = matched.select(
+            F.col("__fp").alias("file_path"),
+            F.col("__ri").alias("row_index"),
+        )
+        n_matched = new_pairs.count()
+        if n_matched == 0:
+            raise NoMatchError("delete matched no rows")
+        cdc_df = None
+        if self.cdc_enabled():
+            cdc_df = matched.drop("__fp", "__ri").withColumn(
+                "_change_type", F.lit("delete")
+            )
+
+        all_pairs = new_pairs if old_dv is None else \
+            new_pairs.unionByName(old_dv).distinct()
+        dv_dir = os.path.join(self.path, self.DV_DIR)
+        os.makedirs(dv_dir, exist_ok=True)
+        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        all_pairs.coalesce(1).write.mode("overwrite").parquet(staging)
+        dv_name = f"{self.DV_DIR}/dv-{uuid.uuid4().hex}.parquet"
+        src = next(
+            os.path.join(staging, f) for f in os.listdir(staging)
+            if f.endswith(".parquet")
+        )
+        os.rename(src, os.path.join(self.path, dv_name))
+        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+
+        counts = {
+            r["file_path"]: r["n"]
+            for r in all_pairs.groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        now = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [dlog.commit_info_action(
+            "DELETE", {"mode": "deletion-vectors"},
+            numDeletedRows=n_matched,
+        )]
+        for f in snap.files:
+            if f["path"] in counts:
+                actions.append({"remove": {
+                    "path": f["path"], "deletionTimestamp": now,
+                    "dataChange": False}})
+                new_add = dict(f)
+                new_add["deletionVector"] = {
+                    "path": dv_name,
+                    "cardinality": counts[f["path"]],
+                }
+                new_add["dataChange"] = False
+                actions.append({"add": new_add})
+        version = snap.version + 1
+        dlog.write_commit(self.path, version, actions)
+        dsnap.maybe_checkpoint(self.path, version)
+        if cdc_df is not None:
+            self._write_cdc(cdc_df, version)
+        return {"version": version, "numDeletedRows": n_matched}
+
     def delete(self, filter: Any = None) -> dict[str, Any]:
         """Delete matching rows; errors when nothing matches (reference
-        semantics, src/delta/table.ts:2214-2297)."""
+        semantics, src/delta/table.ts:2214-2297). With
+        ``delta.enableDeletionVectors=true`` the delete is a soft DV
+        write (no data-file rewrite); otherwise copy-on-write."""
         cond = _to_condition(filter)
+        if self.dv_enabled():
+            return self._delete_with_dv(cond)
         files, n_matched = self._affected_files(cond)
         if not files:
             raise NoMatchError("delete matched no rows")
@@ -811,11 +973,11 @@ class DeltaTable:
         return vacuum(self, retention_hours=retention_hours, dry_run=dry_run)
 
     def compact(self, target_file_size: int = 128 * 1024 * 1024,
-                dry_run: bool = False) -> dict[str, Any]:
+                min_files: int = 2, dry_run: bool = False) -> dict[str, Any]:
         from deltalake_spark.delta.maintenance import compact
 
         return compact(self, target_file_size=target_file_size,
-                       dry_run=dry_run)
+                       min_files=min_files, dry_run=dry_run)
 
     def deduplicate(self, primary_keys: list[str] | None = None,
                     keep: str = "first",
