@@ -136,8 +136,10 @@ def z_order_cluster(
     *,
     target_file_count: int | None = None,
     bits_per_dim: int = 21,
+    curve: str = "morton",
 ) -> dict[str, Any]:
-    """Z-order clustering: rewrite the table sorted by Morton code.
+    """Space-filling-curve clustering: rewrite the table sorted by Morton
+    code (default) or a REAL Hilbert index (``curve="hilbert"``).
 
     Reference algorithm (compaction/index.ts:360-415, 1149-1279):
     normalize each cluster column to [0,1] (strings via hash), scale to
@@ -146,7 +148,14 @@ def z_order_cluster(
     then ``repartitionByRange`` on the code — a range shuffle that gives
     globally sorted, evenly sized files, which is what makes file-stat
     data skipping effective on the clustered columns.
+
+    The reference ACCEPTS ``strategy: 'hilbert'`` but silently runs Morton
+    (no distinct implementation exists, SURVEY §2.8); our ``hilbert`` is
+    genuine (delta/curves.py, Skilling's algorithm) — better locality,
+    tighter per-file min/max, better skipping.
     """
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"Unknown curve {curve!r}: morton | hilbert")
     df = table.to_df()
     stats = df.agg(*(
         [F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in columns
@@ -155,6 +164,10 @@ def z_order_cluster(
            if _is_numeric(df, c)]
     )).first() if any(_is_numeric(df, c) for c in columns) else None
 
+    if curve == "hilbert":
+        from deltalake_spark.delta.curves import max_bits_per_dim
+
+        bits_per_dim = min(bits_per_dim, max_bits_per_dim(len(columns)))
     scale = (1 << bits_per_dim) - 1
     dim_cols = []
     for c in columns:
@@ -170,12 +183,17 @@ def z_order_cluster(
             F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0)) * scale
         )
 
-    z = F.lit(0).cast("long")
-    for bit in range(bits_per_dim - 1, -1, -1):
-        for d, dim in enumerate(dim_cols):
-            z = F.shiftleft(z, 1) + F.shiftright(
-                dim.cast("long"), bit
-            ).bitwiseAND(F.lit(1))
+    if curve == "hilbert":
+        from deltalake_spark.delta.curves import hilbert_expr
+
+        z = hilbert_expr(dim_cols, bits_per_dim)
+    else:
+        z = F.lit(0).cast("long")
+        for bit in range(bits_per_dim - 1, -1, -1):
+            for d, dim in enumerate(dim_cols):
+                z = F.shiftleft(z, 1) + F.shiftright(
+                    dim.cast("long"), bit
+                ).bitwiseAND(F.lit(1))
 
     snap = table.snapshot()
     n_files = target_file_count or max(1, len(snap.files))

@@ -987,6 +987,14 @@ class DeltaTable:
         return deduplicate(self, primary_keys=primary_keys, keep=keep,
                            order_by=order_by)
 
+    def z_order_hilbert(self, columns: list[str],
+                        target_file_count: int | None = None
+                        ) -> dict[str, Any]:
+        from deltalake_spark.delta.maintenance import z_order_cluster
+
+        return z_order_cluster(self, columns, curve="hilbert",
+                               target_file_count=target_file_count)
+
     def z_order(self, columns: list[str],
                 target_file_count: int | None = None) -> dict[str, Any]:
         from deltalake_spark.delta.maintenance import z_order_cluster
