@@ -293,6 +293,7 @@ class DeltaTable:
         configuration: Mapping[str, str] | None = None,
         _extra_actions: list[dict[str, Any]] | None = None,
         _operation: str = "WRITE",
+        _emit_cdc: bool = True,
     ) -> int:
         """Append/overwrite rows; returns the committed version.
 
@@ -394,7 +395,8 @@ class DeltaTable:
                     pass
             raise
         dsnap.maybe_checkpoint(self.path, version)
-        self._maybe_write_cdc_for_write(df, mode, prev, version)
+        if _emit_cdc:
+            self._maybe_write_cdc_for_write(df, mode, prev, version)
         return version
 
     # -- read path ---------------------------------------------------------
@@ -589,7 +591,8 @@ class DeltaTable:
         dsnap.maybe_checkpoint(self.path, version)
         return version
 
-    def _delete_with_dv(self, cond: Column) -> dict[str, Any]:
+    def _delete_with_dv(self, cond: Column,
+                        _emit_cdc: bool = True) -> dict[str, Any]:
         """Soft delete: record (file, row_index) pairs in a deletion-
         vector sidecar instead of rewriting data files. The whole DV set
         is rewritten each delete (it is metadata-scale); affected files
@@ -626,7 +629,7 @@ class DeltaTable:
         if n_matched == 0:
             raise NoMatchError("delete matched no rows")
         cdc_df = None
-        if self.cdc_enabled():
+        if _emit_cdc and self.cdc_enabled():
             cdc_df = matched.drop("__fp", "__ri").withColumn(
                 "_change_type", F.lit("delete")
             )
@@ -700,11 +703,53 @@ class DeltaTable:
             self._write_cdc(cdc_df, version)
         return {"version": version, "numDeletedRows": n_matched}
 
+    @staticmethod
+    def _update_val(v: Any) -> Column:
+        if isinstance(v, Column):
+            return v
+        if isinstance(v, str) and not v.startswith("$"):
+            return F.expr(v)
+        if isinstance(v, str):
+            return F.col(v[1:])
+        return F.lit(v)
+
+    def _update_with_dv(self, cond: Column,
+                        updates: Mapping[str, Any]) -> dict[str, Any]:
+        """DV-style update: soft-delete the matched row versions (zero
+        data rewrite) and append the updated rows as a new file — the
+        same delete+insert decomposition Delta uses for DV updates."""
+        schema = self.schema()
+        matched = self.to_df().filter(F.coalesce(cond, F.lit(False)))
+        new_rows = matched
+        for name, v in updates.items():
+            if name not in new_rows.columns:
+                raise ValueError(
+                    f"update target column {name!r} not in table")
+            target_type = schema[name].dataType
+            new_rows = new_rows.withColumn(
+                name, self._update_val(v).cast(target_type))
+        cdc_pre = cdc_post = None
+        if self.cdc_enabled():
+            cdc_pre = matched.withColumn(
+                "_change_type", F.lit("update_preimage"))
+            cdc_post = new_rows.withColumn(
+                "_change_type", F.lit("update_postimage"))
+        res = self._delete_with_dv(cond, _emit_cdc=False)
+        n = res["numDeletedRows"]
+        version = self.write(new_rows, _operation="UPDATE",
+                             _emit_cdc=False)
+        if cdc_pre is not None:
+            self._write_cdc(cdc_pre.unionByName(cdc_post), version)
+        return {"version": version, "numUpdatedRows": n}
+
     def update(self, filter: Any, updates: Mapping[str, Any]) -> dict[str, Any]:
         """Update matching rows with {col: literal | Column | SQL-string}
         (reference update(), src/delta/table.ts:2321-2414: merged
-        {...row, ...updates})."""
+        {...row, ...updates}). With deletion vectors enabled the update
+        is soft-delete + append instead of a file rewrite."""
         cond = _to_condition(filter)
+        if self.dv_enabled():
+            return self._update_with_dv(cond, updates)
         files, n_matched = self._affected_files(cond)
         if not files:
             raise NoMatchError("update matched no rows")

@@ -109,6 +109,26 @@ def test_copy_on_write_after_dv_no_resurrection(table):
     assert got == {i for i in range(20) if i % 2 == 0}
 
 
+def test_dv_update_no_rewrite(table):
+    files_before = set(_data_files(table))
+    res = table.update({"id": {"$lt": 3}}, {"val": "val + 100"})
+    assert res["numUpdatedRows"] == 3
+    # old files untouched; ONE new file appended with the updated rows
+    assert files_before.issubset(set(_data_files(table)))
+    got = {r["id"]: r["val"] for r in table.to_df().collect()}
+    assert got[0] == 100.0 and got[1] == 101.0 and got[2] == 102.0
+    assert got[10] == 10.0 and len(got) == 20
+
+
+def test_dv_update_cdc_pre_post_only(table):
+    table.enable_cdc()
+    table.update({"id": 5}, {"val": 55.0})
+    ch = table.read_changes(0)
+    types = sorted(r["_change_type"] for r in ch.collect())
+    # no bare 'delete' records — update emits pre/postimage pairs only
+    assert types == ["update_postimage", "update_preimage"]
+
+
 def test_vacuum_keeps_dv_files(table):
     table.delete({"parity": "odd"})
     table.vacuum(retention_hours=1.0, dry_run=False)
