@@ -664,6 +664,29 @@ def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_maintenance_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact → Hilbert clustering → vacuum: layout changes only —
+    the logical table state must be byte-identical to the original
+    (oracle = the same aggregate over the untouched fixture)."""
+    supp = _t(spark, sf_dir, "supplier")
+    t = _fresh_table(spark, "maint")
+    # fragmented initial layout: many small files
+    t.write(supp.repartition(8))
+    t.write(supp.repartition(8), mode="append")
+    t.compact(min_files=2)
+    t.z_order_hilbert(["s_nationkey", "s_acctbal"], target_file_count=2)
+    t.vacuum(retention_hours=1.0)
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: v0 row count vs post-delete count in one result."""
     part = _t(spark, sf_dir, "part")
@@ -920,6 +943,28 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2): parts priced at their
+    brand's minimum — decorrelated as a tiny broadcast agg joined back."""
+    part = _t(spark, sf_dir, "part")
+    min_by_brand = part.groupBy(F.col("p_brand").alias("mb_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(min_by_brand),
+            (part.p_brand == F.col("mb_brand"))
+            & (part.p_retailprice == F.col("min_price")),
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — subtotals + grand total in one pass
     (engine-native; the reference's $group has no grouping sets)."""
@@ -1076,7 +1121,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_merge_upsert": delta_merge_upsert,
     "delta_cdc_feed": delta_cdc_feed,
     "delta_dv_delete": delta_dv_delete,
+    "delta_maintenance_ops": delta_maintenance_ops,
     "delta_time_travel": delta_time_travel,
+    "q2_min_price_parts": q2_min_price_parts,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
     "range_view_attribution": range_view_attribution,
@@ -1408,6 +1455,21 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_size >= 10 AND p_type <> 'PROMO'
             GROUP BY p_type ORDER BY p_type
+        """,
+        "delta_maintenance_ops": """
+            SELECT s_nationkey, COUNT(*) AS n,
+                   ROUND(SUM(s_acctbal), 2) AS total_bal
+            FROM (SELECT * FROM supplier
+                  UNION ALL SELECT * FROM supplier)
+            GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "q2_min_price_parts": """
+            SELECT p_brand, p_partkey,
+                   ROUND(p_retailprice, 2) AS price
+            FROM part p
+            WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
+                                   WHERE p2.p_brand = p.p_brand)
+            ORDER BY p_brand, p_partkey
         """,
         "delta_time_travel": """
             SELECT (SELECT COUNT(*) FROM part) AS v0_rows,
