@@ -965,6 +965,25 @@ def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted top-k per hot key (l_returnflag has only 3
+    values → maximal skew for a window): must equal the plain window."""
+    from deltalake_spark.operators.skew import salted_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_topk(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber",
+                  "l_extendedprice"),
+        key="l_returnflag",
+        order_by=[F.desc("l_extendedprice"), F.asc("l_orderkey"),
+                  F.asc("l_linenumber")],
+        k=5,
+    ).select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"), "rank",
+    ).orderBy("l_returnflag", "rank")
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — subtotals + grand total in one pass
     (engine-native; the reference's $group has no grouping sets)."""
@@ -1124,6 +1143,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_maintenance_ops": delta_maintenance_ops,
     "delta_time_travel": delta_time_travel,
     "q2_min_price_parts": q2_min_price_parts,
+    "skew_salted_topk": skew_salted_topk,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
     "range_view_attribution": range_view_attribution,
@@ -1470,6 +1490,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
                                    WHERE p2.p_brand = p.p_brand)
             ORDER BY p_brand, p_partkey
+        """,
+        "skew_salted_topk": """
+            SELECT l_returnflag, l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice, 2) AS price, rank
+            FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                         l_extendedprice,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice DESC,
+                                      l_orderkey, l_linenumber) AS rank
+                  FROM lineitem)
+            WHERE rank <= 5
+            ORDER BY l_returnflag, rank
         """,
         "delta_time_travel": """
             SELECT (SELECT COUNT(*) FROM part) AS v0_rows,
