@@ -29,7 +29,12 @@ from deltalake_spark.errors import ConcurrencyError, TableNotFoundError
 
 LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
-_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+# single-part:  <v>.checkpoint.parquet
+# multi-part:   <v>.checkpoint.<part>.<total>.parquet  (reference
+# multi-part checkpoints, src/delta/checkpoint.ts:250-340)
+_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
 
 
 def log_dir(table_path: str) -> str:
@@ -42,6 +47,26 @@ def commit_file(table_path: str, version: int) -> str:
 
 def checkpoint_file(table_path: str, version: int) -> str:
     return os.path.join(log_dir(table_path), f"{version:020d}.checkpoint.parquet")
+
+
+def checkpoint_part_file(table_path: str, version: int,
+                         part: int, total: int) -> str:
+    return os.path.join(
+        log_dir(table_path),
+        f"{version:020d}.checkpoint.{part:010d}.{total:010d}.parquet",
+    )
+
+
+def checkpoint_files(table_path: str, version: int) -> list[str]:
+    """All parquet files of the checkpoint at ``version`` (one for
+    single-part, ``total`` for multi-part), sorted by part."""
+    d = log_dir(table_path)
+    out = []
+    for f in os.listdir(d):
+        m = _CHECKPOINT_RE.match(f)
+        if m and int(m.group(1)) == version:
+            out.append((int(m.group(2) or 0), os.path.join(d, f)))
+    return [p for _i, p in sorted(out)]
 
 
 def last_checkpoint_file(table_path: str) -> str:
@@ -70,11 +95,11 @@ def list_checkpoint_versions(table_path: str) -> list[int]:
     d = log_dir(table_path)
     if not os.path.isdir(d):
         return []
-    return sorted(
+    return sorted({
         int(m.group(1))
         for f in os.listdir(d)
         if (m := _CHECKPOINT_RE.match(f))
-    )
+    })
 
 
 def latest_version(table_path: str) -> int:

@@ -25,21 +25,63 @@ if TYPE_CHECKING:
     from deltalake_spark.delta.table import DeltaTable
 
 
+def _select_greedy(small: list[dict], target: int) -> list[dict]:
+    return small
+
+
+def _select_sort_by_size(small: list[dict], target: int) -> list[dict]:
+    """Smallest-first — compacting the tiniest files yields the highest
+    file-count reduction per byte rewritten (reference 'sort-by-size')."""
+    return sorted(small, key=lambda f: f["size"])
+
+
+def _select_bin_packing(small: list[dict], target: int) -> list[dict]:
+    """First-fit-decreasing into target-size bins; bins with a single
+    file are left alone (rewriting them wouldn't reduce file count) —
+    reference bin-packing, compaction/index.ts:1504-1531."""
+    bins: list[tuple[int, list[dict]]] = []
+    for f in sorted(small, key=lambda x: -x["size"]):
+        for i, (used, members) in enumerate(bins):
+            if used + f["size"] <= target:
+                bins[i] = (used + f["size"], members + [f])
+                break
+        else:
+            bins.append((f["size"], [f]))
+    out: list[dict] = []
+    for _used, members in bins:
+        if len(members) > 1:
+            out.extend(members)
+    return out
+
+
+_STRATEGIES = {
+    "greedy": _select_greedy,
+    "sort-by-size": _select_sort_by_size,
+    "bin-packing": _select_bin_packing,
+}
+
+
 def compact(
     table: "DeltaTable",
     *,
     target_file_size: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    strategy: str = "greedy",
     dry_run: bool = False,
 ) -> dict[str, Any]:
     """Merge small files per partition (reference compact(),
-    compaction/index.ts:568-878; selection 1492-1538).
+    compaction/index.ts:568-878; selection 1492-1538; strategies
+    greedy / sort-by-size / bin-packing with first-fit-decreasing
+    1504-1531).
 
     Selection is driver-side over log metadata (size per add action); the
     rewrite is one Spark job per partition group, coalesced toward
     ``target_file_size``. Commits remove+add atomically with
     ``dataChange: false`` semantics (no logical rows change).
     """
+    if strategy not in _STRATEGIES:
+        raise ValueError(
+            f"Unknown strategy {strategy!r}: {sorted(_STRATEGIES)}")
     snap = table.snapshot()
     by_partition: dict[tuple, list[dict]] = {}
     for f in snap.files:
@@ -50,6 +92,7 @@ def compact(
     groups = 0
     for _key, files in by_partition.items():
         small = [f for f in files if f["size"] < target_file_size]
+        small = _STRATEGIES[strategy](small, target_file_size)
         if len(small) >= min_files:
             selected.extend(small)
             groups += 1
@@ -247,7 +290,8 @@ def cleanup_log(
     checkpoints_deleted = 0
     for v in cps:
         if v not in retained:
-            os.remove(dlog.checkpoint_file(table.path, v))
+            for part in dlog.checkpoint_files(table.path, v):
+                os.remove(part)
             checkpoints_deleted += 1
     return {
         "commitsDeleted": commits_deleted,

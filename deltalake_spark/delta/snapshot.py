@@ -88,8 +88,12 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     ]
     if checkpoints:
         cp_version = max(checkpoints)
-        table = pq.read_table(dlog.checkpoint_file(table_path, cp_version))
-        actions = [json.loads(s) for s in table.column("action").to_pylist()]
+        actions = []
+        for part_path in dlog.checkpoint_files(table_path, cp_version):
+            table = pq.read_table(part_path)
+            actions.extend(
+                json.loads(s) for s in table.column("action").to_pylist()
+            )
         _apply_actions(state, actions)
         start = cp_version + 1
 
@@ -105,23 +109,45 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
     )
 
 
-def write_checkpoint(table_path: str, snapshot: Snapshot) -> str:
+def write_checkpoint(table_path: str, snapshot: Snapshot,
+                     max_actions_per_part: int | None = None) -> str:
     """Materialize a snapshot as a checkpoint Parquet + _last_checkpoint
-    pointer (reference: src/delta/checkpoint.ts:56-340)."""
+    pointer (reference: src/delta/checkpoint.ts:56-340). When the action
+    count exceeds ``max_actions_per_part`` the checkpoint is split into
+    ``<v>.checkpoint.<part>.<total>.parquet`` parts (reference multi-part
+    checkpoints, checkpoint.ts:250-340) — at 100 TB a table can have
+    millions of add actions; parts keep each file bounded and let readers
+    fetch them in parallel."""
     actions: list[dict[str, Any]] = []
     if snapshot.protocol:
         actions.append({"protocol": snapshot.protocol})
     if snapshot.metadata:
         actions.append({"metaData": snapshot.metadata})
     actions.extend({"add": f} for f in snapshot.files)
+    encoded = [json.dumps(a, separators=(",", ":")) for a in actions]
 
-    path = dlog.checkpoint_file(table_path, snapshot.version)
-    table = pa.table(
-        {"action": [json.dumps(a, separators=(",", ":")) for a in actions]}
-    )
-    pq.write_table(table, path, compression="snappy")
+    pointer: dict[str, Any] = {"version": snapshot.version,
+                               "size": len(actions)}
+    if max_actions_per_part and len(encoded) > max_actions_per_part:
+        total = -(-len(encoded) // max_actions_per_part)
+        for i in range(total):
+            chunk = encoded[i * max_actions_per_part:
+                            (i + 1) * max_actions_per_part]
+            pq.write_table(
+                pa.table({"action": chunk}),
+                dlog.checkpoint_part_file(
+                    table_path, snapshot.version, i + 1, total),
+                compression="snappy",
+            )
+        pointer["parts"] = total
+        path = dlog.checkpoint_part_file(
+            table_path, snapshot.version, 1, total)
+    else:
+        path = dlog.checkpoint_file(table_path, snapshot.version)
+        pq.write_table(pa.table({"action": encoded}), path,
+                       compression="snappy")
     with open(dlog.last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
-        json.dump({"version": snapshot.version, "size": len(actions)}, f)
+        json.dump(pointer, f)
     return path
 
 

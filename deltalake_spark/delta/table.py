@@ -1018,11 +1018,13 @@ class DeltaTable:
         return vacuum(self, retention_hours=retention_hours, dry_run=dry_run)
 
     def compact(self, target_file_size: int = 128 * 1024 * 1024,
-                min_files: int = 2, dry_run: bool = False) -> dict[str, Any]:
+                min_files: int = 2, strategy: str = "greedy",
+                dry_run: bool = False) -> dict[str, Any]:
         from deltalake_spark.delta.maintenance import compact
 
         return compact(self, target_file_size=target_file_size,
-                       min_files=min_files, dry_run=dry_run)
+                       min_files=min_files, strategy=strategy,
+                       dry_run=dry_run)
 
     def deduplicate(self, primary_keys: list[str] | None = None,
                     keep: str = "first",
