@@ -242,7 +242,9 @@ class DeltaTable:
                     "dataChange": True,
                     "stats": stats_json(dest),
                 })
-        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+        # remove only THIS write's staging dir — the shared _staging parent
+        # may hold other writers' in-flight files (concurrency)
+        shutil.rmtree(staging, ignore_errors=True)
         return adds
 
     def _merge_schemas(
@@ -646,7 +648,9 @@ class DeltaTable:
             if f.endswith(".parquet")
         )
         os.rename(src, os.path.join(self.path, dv_name))
-        shutil.rmtree(os.path.dirname(staging), ignore_errors=True)
+        # remove only THIS write's staging dir — the shared _staging parent
+        # may hold other writers' in-flight files (concurrency)
+        shutil.rmtree(staging, ignore_errors=True)
 
         counts = {
             r["file_path"]: r["n"]
