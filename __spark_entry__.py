@@ -965,6 +965,65 @@ def q2_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aliased broadcast joins of the same dim (TPC-H Q7 shape):
+    shipping volume between two nations by year."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + date extraction + two-key agg (TPC-H Q9 shape,
+    adapted to the trimmed schema: no partsupp cost, 'bolt' parts)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                  - F.col("l_quantity") * F.col("l_tax")), 2
+        ).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
 def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted top-k per hot key (l_returnflag has only 3
     values → maximal skew for a window): must equal the plain window."""
@@ -1014,7 +1073,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = train_centroids(emb, k=8, iters=6)
+    centroids = train_centroids(emb, k=8, iters=4, sample=2048)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), "embedding"
@@ -1144,6 +1203,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_time_travel": delta_time_travel,
     "q2_min_price_parts": q2_min_price_parts,
     "skew_salted_topk": skew_salted_topk,
+    "q7_nation_volume": q7_nation_volume,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
     "range_view_attribution": range_view_attribution,
@@ -1490,6 +1551,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE p_retailprice = (SELECT MIN(p_retailprice) FROM part p2
                                    WHERE p2.p_brand = p.p_brand)
             ORDER BY p_brand, p_partkey
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name AS nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - l_quantity * l_tax), 2) AS profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
         """,
         "skew_salted_topk": """
             SELECT l_returnflag, l_orderkey, l_linenumber,
