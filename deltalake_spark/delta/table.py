@@ -453,25 +453,29 @@ class DeltaTable:
             "left_anti",
         ).drop("__fp", "__ri")
 
+    def _scan(self, snap: "dsnap.Snapshot",
+              adds: list[dict[str, Any]]) -> DataFrame:
+        schema = StructType.fromJson(json.loads(snap.schema_string)) \
+            if snap.schema_string else StructType([])
+        mapping = self._column_mapping(snap)
+        paths = [os.path.join(self.path, f["path"]) for f in adds]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        phys = self._physical_schema(schema, mapping)
+        reader = self.spark.read.schema(phys)
+        if snap.partition_columns:
+            reader = reader.option("basePath", self.path)
+        df = self._apply_dv(reader.parquet(*paths), snap)
+        return self._to_logical(
+            df.select(*[f.name for f in phys.fields]), mapping
+        )
+
     def to_df(self, version: int | None = None) -> DataFrame:
         """Snapshot scan → DataFrame (reference query() steps 2-5,
         src/delta/table.ts:1482-1605; deletion vectors applied as a
         broadcast anti-join on (file, row_index))."""
         snap = self.snapshot(version)
-        schema = self.schema(version)
-        mapping = self._column_mapping(snap)
-        paths = snap.file_paths(self.path)
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.schema(self._physical_schema(schema, mapping))
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.path)
-        df = self._apply_dv(reader.parquet(*paths), snap)
-        return self._to_logical(
-            df.select(*[f.name for f in
-                        self._physical_schema(schema, mapping).fields]),
-            mapping,
-        )
+        return self._scan(snap, snap.files)
 
     def query(
         self,
@@ -479,11 +483,23 @@ class DeltaTable:
         projection: Any = None,
         version: int | None = None,
     ) -> DataFrame:
-        """Mongo-style query → DataFrame. Partition pruning / stats
-        skipping / column pruning are Catalyst's job — the reference
-        hand-rolled pruning (table.ts:1624-1687) and only scaffolded the
-        rest (SURVEY §4)."""
-        df = self.to_df(version)
+        """Mongo-style query → DataFrame, with FILE-LEVEL data skipping:
+        files whose partition values or min/max stats provably cannot
+        match the filter are pruned before the scan is built (reference
+        prunes partitions only, table.ts:1624-1687, and never wired its
+        zone-map scaffolding into query() — SURVEY §4; we do both, and
+        Catalyst still does row-group skipping inside surviving files).
+        ``last_query_skipped_files`` mirrors the reference's counter
+        (table.ts:1613-1617)."""
+        from deltalake_spark.delta.pruning import prune_files
+
+        snap = self.snapshot(version)
+        kept, skipped = prune_files(
+            snap.files, filter if isinstance(filter, Mapping) else None,
+            list(snap.partition_columns),
+        )
+        self.last_query_skipped_files = skipped
+        df = self._scan(snap, kept)
         if filter:
             df = df.filter(translate_filter(filter))
         return apply_projection(df, projection)
