@@ -1043,6 +1043,76 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "rank")
 
 
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (engine-native; reference has no bucketing):
+    one scan, one group — the classic distributed histogram shape."""
+    orders = _t(spark, sf_dir, "orders")
+    lo, hi, nb = 0.0, 600000.0, 12
+    width = (hi - lo) / nb
+    bucket = F.least(
+        F.greatest(F.floor((F.col("o_totalprice") - lo) / width), F.lit(0)),
+        F.lit(nb - 1),
+    ).cast("int")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the documents table: tokenize → doc frequency →
+    idf-weighted term scores, top 20 terms. All JVM-side (split/explode/
+    agg); the doc-frequency side is a tiny broadcast."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"),
+                     lambda t: F.length(t) >= 3)
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1))
+    return (
+        df_.withColumn("score", F.round(F.col("total_tf") * idf, 4))
+        .select("term", "df",
+                F.col("total_tf").alias("tf"), "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def delta_partitioned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Delta table + partition-pruned Mongo query: the gate
+    result must equal plain SQL while the scan skips partitions."""
+    orders = _t(spark, sf_dir, "orders")
+    t = _fresh_table(spark, "partq")
+    t.write(orders.withColumn("status", F.col("o_orderstatus")),
+            partition_by=["status"])
+    out = t.query(
+        {"status": "F", "o_totalprice": {"$gt": 100000.0}},
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    assert t.last_query_skipped_files > 0  # pruning must engage
+    return (
+        out.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets — subtotals + grand total in one pass
     (engine-native; the reference's $group has no grouping sets)."""
@@ -1205,6 +1275,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_topk": skew_salted_topk,
     "q7_nation_volume": q7_nation_volume,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "histogram_totalprice": histogram_totalprice,
+    "tfidf_top_terms": tfidf_top_terms,
+    "delta_partitioned_query": delta_partitioned_query,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
     "range_view_attribution": range_view_attribution,
@@ -1578,6 +1651,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%bolt%'
             GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "histogram_totalprice": """
+            SELECT CAST(LEAST(GREATEST(
+                       FLOOR(o_totalprice / 50000.0), 0), 11) AS INT)
+                       AS bucket,
+                   COUNT(*) AS n,
+                   ROUND(AVG(o_totalprice), 2) AS avg_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "tfidf_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     UNNEST(string_split_regex(LOWER(text), '[^a-z0-9]+'))
+                         AS t(term)
+                WHERE LENGTH(t.term) >= 3),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            d AS (SELECT term, COUNT(*) AS df,
+                         CAST(SUM(tf) AS BIGINT) AS tf
+                  FROM tf GROUP BY 1)
+            SELECT term, df, tf,
+                   ROUND(tf * LN(((SELECT COUNT(*) FROM documents) + 1.0)
+                                 / (df + 1.0)), 4) AS score
+            FROM d
+            ORDER BY score DESC, term ASC
+            LIMIT 20
+        """,
+        "delta_partitioned_query": """
+            SELECT COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders
+            WHERE o_orderstatus = 'F' AND o_totalprice > 100000
         """,
         "skew_salted_topk": """
             SELECT l_returnflag, l_orderkey, l_linenumber,
