@@ -1,0 +1,65 @@
+"""Plan budgets: every headline query's physical plan must keep its
+scale-critical shape (pushdown reaching scans, no nested-loop/cartesian
+joins, bounded shuffle count). A regression here is invisible in row
+counts but catastrophic at 100 TB."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from deltalake_spark.plans import assert_plan, plan_summary
+
+SF = "/root/testdata/sf0.01"
+
+# name → (max_shuffles, require_pushdown)
+BUDGETS = {
+    "q1_pricing_summary": (2, True),     # agg + sort
+    "q3_unshipped_value": (4, True),
+    "q5_nation_volume": (4, True),
+    "q6_forecast_revenue": (1, True),
+    "q10_returned_items": (4, True),
+    "q4_late_orders": (2, True),
+    "q12_priority_by_flag": (3, True),
+    "q14_promo_revenue": (1, True),
+    "q18_large_orders": (3, False),
+    "q19_bracket_revenue": (1, True),
+    "q7_nation_volume": (4, True),
+    "q9_profit_by_nation_year": (3, True),
+    "filter_range": (2, True),
+    "asof_purchase_attribution": (3, True),
+    "range_view_attribution": (4, True),
+    "sessionize_events": (3, False),
+    "window_topk_per_group": (2, False),
+    "skew_salted_topk": (4, False),
+    "histogram_totalprice": (2, False),
+    "tfidf_top_terms": (4, False),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(spark, name):
+    max_shuffles, need_pushdown = BUDGETS[name]
+    df = entry_mod.queries()[name](spark, SF)
+    assert_plan(
+        df,
+        max_shuffles=max_shuffles,
+        require_pushdown=need_pushdown,
+        forbid_nested_loop=True,
+        forbid_cartesian=True,
+    )
+
+
+def test_scalar_subquery_broadcast_allowed(spark):
+    """q22's 1-row scalar broadcast is the one sanctioned nested-loop."""
+    df = entry_mod.queries()["q22_idle_customers"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # the scalar avg attach only
+
+
+def test_summary_counts(spark):
+    df = entry_mod.queries()["q5_nation_volume"](spark, SF)
+    s = plan_summary(df)
+    assert s.scans == 6 and s.joins >= 5
+    assert s.broadcast_joins >= 3  # region/nation/supplier dims
+    # codegen spans only appear in the post-execution adaptive plan, so
+    # they are not asserted here (field is best-effort pre-execution)
