@@ -687,6 +687,30 @@ def delta_maintenance_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema append: new column joins as nullable on old rows
+    (reference validateAndMergeSchemas, src/delta/table.ts:1239-1280)."""
+    nation = _t(spark, sf_dir, "nation")
+    t = _fresh_table(spark, "evo")
+    t.write(nation.select("n_nationkey", "n_name"))
+    t.write(
+        nation.select(
+            "n_nationkey", "n_name",
+            (F.col("n_regionkey") * 10).alias("score"),
+        ),
+        merge_schema=True,
+    )
+    return (
+        t.to_df()
+        .groupBy(F.col("score").isNotNull().alias("has_score"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("score", F.lit(0))).alias("score_sum"),
+        )
+        .orderBy("has_score")
+    )
+
+
 def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: v0 row count vs post-delete count in one result."""
     part = _t(spark, sf_dir, "part")
@@ -1270,6 +1294,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_cdc_feed": delta_cdc_feed,
     "delta_dv_delete": delta_dv_delete,
     "delta_maintenance_ops": delta_maintenance_ops,
+    "delta_schema_evolution": delta_schema_evolution,
     "delta_time_travel": delta_time_travel,
     "q2_min_price_parts": q2_min_price_parts,
     "skew_salted_topk": skew_salted_topk,
@@ -1609,6 +1634,15 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_size >= 10 AND p_type <> 'PROMO'
             GROUP BY p_type ORDER BY p_type
+        """,
+        "delta_schema_evolution": """
+            SELECT has_score, COUNT(*) AS n,
+                   CAST(SUM(score) AS BIGINT) AS score_sum
+            FROM (
+                SELECT FALSE AS has_score, 0 AS score FROM nation
+                UNION ALL
+                SELECT TRUE, n_regionkey * 10 FROM nation)
+            GROUP BY 1 ORDER BY 1
         """,
         "delta_maintenance_ops": """
             SELECT s_nationkey, COUNT(*) AS n,

@@ -194,6 +194,7 @@ class DeltaTable:
     def _stage_and_move(
         self, df: DataFrame, partition_by: list[str],
         mapping: dict[str, str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write df via a staging dir, move parquet files into the table
         tree with unique names, return add actions with footer stats.
@@ -209,6 +210,11 @@ class DeltaTable:
         df = self._to_physical(df, mapping or {})
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            # file-size governor (reference streaming-writer row-group /
+            # target-size knobs, src/parquet/streaming-writer.ts:31-47)
+            writer = writer.option("maxRecordsPerFile",
+                                   int(max_records_per_file))
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
@@ -292,6 +298,7 @@ class DeltaTable:
         mode: str = "append",
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        max_records_per_file: int | None = None,
         configuration: Mapping[str, str] | None = None,
         _extra_actions: list[dict[str, Any]] | None = None,
         _operation: str = "WRITE",
@@ -360,7 +367,9 @@ class DeltaTable:
                 configuration=configuration,
             ))
 
-        adds = self._stage_and_move(df, partition_cols, mapping=write_mapping)
+        adds = self._stage_and_move(
+            df, partition_cols, mapping=write_mapping,
+            max_records_per_file=max_records_per_file)
         num_rows = sum(
             json.loads(a["stats"])["numRecords"] for a in adds
         )

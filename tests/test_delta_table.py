@@ -7,6 +7,19 @@ from __future__ import annotations
 import os
 
 import pytest
+
+
+def test_max_records_per_file(spark, tmp_path):
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "sized"))
+    df = spark.createDataFrame(
+        [(i,) for i in range(1000)], "id long"
+    ).coalesce(1)
+    t.write(df, max_records_per_file=250)
+    files = t.snapshot().files
+    assert len(files) == 4  # 1000 rows / 250 per file
+    assert t.to_df().count() == 1000
 from pyspark.sql import functions as F
 
 from deltalake_spark.delta import log as dlog
