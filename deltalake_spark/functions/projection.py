@@ -61,6 +61,14 @@ def apply_projection(df: DataFrame, projection: Any | None) -> DataFrame:
     if excludes:
         top = [p for p in excludes if "." not in p]
         nested = [p for p in excludes if "." in p]
+        # a path under an excluded ancestor is already gone — deleting it
+        # again would reference a missing field (reference deleteNested is
+        # a no-op for absent parents, src/query/index.ts:856-884)
+        ancestors = set(excludes)
+        nested = [
+            p for p in nested
+            if not any(p != q and p.startswith(q + ".") for q in ancestors)
+        ]
         out = df.drop(*top) if top else df
         for path in nested:
             root, rest = path.split(".", 1)
