@@ -1067,6 +1067,27 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "rank")
 
 
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (engine-native; the
+    reference has no percentile accumulator). Spark's `percentile` is the
+    exact (sort-based) form, matching SQL quantile_cont semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2)
+            .alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2)
+            .alias("p90_price"),
+            F.round(F.expr("percentile(l_quantity, array(0.25, 0.75))[0]"), 2)
+            .alias("q1_qty"),
+            F.round(F.expr("percentile(l_quantity, array(0.25, 0.75))[1]"), 2)
+            .alias("q3_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (engine-native; reference has no bucketing):
     one scan, one group — the classic distributed histogram shape."""
@@ -1301,6 +1322,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q7_nation_volume": q7_nation_volume,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
     "histogram_totalprice": histogram_totalprice,
+    "percentile_prices": percentile_prices,
     "tfidf_top_terms": tfidf_top_terms,
     "delta_partitioned_query": delta_partitioned_query,
     "asof_purchase_attribution": asof_purchase_attribution,
@@ -1685,6 +1707,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%bolt%'
             GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "percentile_prices": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 2)
+                       AS median_price,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 2)
+                       AS p90_price,
+                   ROUND(quantile_cont(l_quantity, 0.25), 2) AS q1_qty,
+                   ROUND(quantile_cont(l_quantity, 0.75), 2) AS q3_qty
+            FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "histogram_totalprice": """
             SELECT CAST(LEAST(GREATEST(

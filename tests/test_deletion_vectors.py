@@ -129,6 +129,25 @@ def test_dv_update_cdc_pre_post_only(table):
     assert types == ["update_postimage", "update_preimage"]
 
 
+def test_dv_on_partitioned_table(spark, tmp_path):
+    t = DeltaTable(spark, str(tmp_path / "pdv"))
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(30)],
+        "id long, cat string, val double",
+    )
+    t.write(df, partition_by=["cat"])
+    t.enable_deletion_vectors()
+    res = t.delete({"val": {"$lt": 10.0}})
+    assert res["numDeletedRows"] == 10
+    out = t.to_df()
+    assert out.count() == 20
+    # partition column still reconstituted after the DV anti-join
+    assert {r["cat"] for r in out.collect()} == {"c0", "c1", "c2"}
+    assert {r["id"] for r in out.collect()} == set(range(10, 30))
+    # and partition-filtered queries still correct
+    assert t.query({"cat": "c1"}).count() == 7  # 10 minus ids 1,4,7
+
+
 def test_vacuum_keeps_dv_files(table):
     table.delete({"parity": "odd"})
     table.vacuum(retention_hours=1.0, dry_run=False)
