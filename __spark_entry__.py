@@ -1075,14 +1075,17 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2)
-            .alias("median_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2)
-            .alias("p90_price"),
-            F.round(F.expr("percentile(l_quantity, array(0.25, 0.75))[0]"), 2)
-            .alias("q1_qty"),
-            F.round(F.expr("percentile(l_quantity, array(0.25, 0.75))[1]"), 2)
-            .alias("q3_qty"),
+            # one sort-based percentile buffer per column, not per output
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
+            .alias("pe"),
+            F.expr("percentile(l_quantity, array(0.25, 0.75))").alias("pq"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("pe")[0], 2).alias("median_price"),
+            F.round(F.col("pe")[1], 2).alias("p90_price"),
+            F.round(F.col("pq")[0], 2).alias("q1_qty"),
+            F.round(F.col("pq")[1], 2).alias("q3_qty"),
         )
         .orderBy("l_returnflag")
     )

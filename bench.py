@@ -36,6 +36,9 @@ HEADLINE = [
     "q18_large_orders",
     "ivf_ann_topk",
     "stream_windowed_counts",
+    "q7_nation_volume",
+    "tfidf_top_terms",
+    "percentile_prices",
 ]
 
 
