@@ -1180,6 +1180,44 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: deterministic synthetic payloads (PNG
+    headers built from the documents table) → mapInPandas header decode →
+    per-format stats. The pixel decode itself is stubbed by design (no
+    codec libs here); the Spark-side schema/batching is real. Rows-only
+    check (binary synthesis is not expressible in the SQL oracle)."""
+    import struct as _struct
+
+    from deltalake_spark.operators.multimodal import decode_image_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _payload(doc_id: int, n_chars: int) -> bytes:
+        if doc_id % 3 == 2:
+            return b"\xff\xd8\xff" + b"\x00" * 16  # jpeg magic
+        w, h = 16 + (doc_id % 64), 16 + (n_chars % 64)
+        return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+                + _struct.pack(">II", w, h) + b"\x00" * 8)
+
+    rows = [
+        (int(r["doc_id"]), "image", _payload(r["doc_id"], r["n_chars"]))
+        for r in docs.collect()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    decoded = decode_image_meta(media)
+    return (
+        decoded.groupBy("sniffed_format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("width"), 2).alias("avg_width"),
+            F.round(F.avg("height"), 2).alias("avg_height"),
+        )
+        .orderBy("sniffed_format")
+    )
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN join over the embeddings table: k-means coarse
     quantizer (driver-trained on a sample), bucket equi-join probe with
@@ -1341,6 +1379,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
+    "multimodal_meta_extract": multimodal_meta_extract,
 }
 
 

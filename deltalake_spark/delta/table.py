@@ -246,8 +246,17 @@ class DeltaTable:
                     "size": os.path.getsize(dest),
                     "modificationTime": int(time.time() * 1000),
                     "dataChange": True,
-                    "stats": stats_json(dest),
                 })
+        # footer-stat reads are small independent I/Os — parallelize so a
+        # many-file commit doesn't serialize on the driver
+        from concurrent.futures import ThreadPoolExecutor
+
+        dests = [os.path.join(self.path, a["path"]) for a in adds]
+        if dests:
+            workers = min(16, len(dests))
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                for a, s in zip(adds, ex.map(stats_json, dests)):
+                    a["stats"] = s
         # remove only THIS write's staging dir — the shared _staging parent
         # may hold other writers' in-flight files (concurrency)
         shutil.rmtree(staging, ignore_errors=True)

@@ -7,4 +7,7 @@
 - ``text``       — text analysis: language ID, quality scoring, token
   counting, document fingerprinting.
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads.
+- ``temporal``   — as-of join, interval join, gap sessionization.
+- ``skew``       — salting patterns for heavy-hitter keys (top-k, exact
+  distinct counts, replicate joins) beyond what AQE covers.
 """
