@@ -1180,6 +1180,27 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data pipelines):
+    keep-fraction per stratum keyed on the id — reproducible across
+    runs/engines, unlike RNG sampling, and skew-free at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 5, "de": 3, "fr": 3}  # keep doc_id%10 < rate
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(1),
+    )
+    sampled = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) < rate)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: deterministic synthetic payloads (PNG
     headers built from the documents table) → mapInPandas header decode →
@@ -1380,6 +1401,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
     "multimodal_meta_extract": multimodal_meta_extract,
+    "stratified_sample_docs": stratified_sample_docs,
 }
 
 
@@ -1749,6 +1771,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%bolt%'
             GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, COUNT(*) AS n,
+                   ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM documents
+            WHERE doc_id % 10 < CASE lang WHEN 'en' THEN 5
+                                          WHEN 'de' THEN 3
+                                          WHEN 'fr' THEN 3
+                                          ELSE 1 END
+            GROUP BY 1 ORDER BY 1
         """,
         "percentile_prices": """
             SELECT l_returnflag,
