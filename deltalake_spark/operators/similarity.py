@@ -196,6 +196,24 @@ def _probe_udf(centroids: list[list[float]], nprobe: int):
     return probe
 
 
+_JVM_MAX_K = 64
+
+
+def _probe_expr(centroids: list[list[float]], vec: Column,
+                nprobe: int) -> Column:
+    """JVM-side nearest-centroid probe: per-centroid scores
+    ``x·c - |c|²/2`` (argmax ≡ argmin squared L2) as literal-folded
+    zip_with/aggregate folds, ranked with sort_array — whole-stage
+    codegen, no Python workers, no Arrow transfer of the vectors."""
+    scored = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        score = dot_expr(vec, lit_c) - sum(x * x for x in c) / 2.0
+        scored.append(F.struct(score.alias("s"), F.lit(i).alias("i")))
+    ranked = F.reverse(F.array_sort(F.array(*scored)))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda e: e["i"])
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -204,11 +222,16 @@ def ivf_assign(
     nprobe: int = 1,
     bucket_col: str = "bucket",
 ) -> DataFrame:
-    """Assign each vector its ``nprobe`` nearest coarse centroids
-    (Arrow-batched pandas UDF — vectorized numpy matmul per batch; the
-    centroid matrix ships with the task closure). ``nprobe=1`` yields the
-    storage bucket; queries probe several."""
-    probes = _probe_udf(centroids, nprobe)(F.col(vec_col))
+    """Assign each vector its ``nprobe`` nearest coarse centroids.
+
+    Small codebooks (k ≤ 64, the common IVF coarse level) run fully
+    JVM-side (:func:`_probe_expr`); larger codebooks switch to an
+    Arrow-batched pandas UDF (vectorized numpy matmul per batch — the
+    expression tree would explode at k in the thousands)."""
+    if len(centroids) <= _JVM_MAX_K:
+        probes = _probe_expr(centroids, F.col(vec_col), nprobe)
+    else:
+        probes = _probe_udf(centroids, nprobe)(F.col(vec_col))
     if nprobe == 1:
         return df.withColumn(bucket_col, probes[0])
     return df.withColumn(bucket_col, probes)
