@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 if TYPE_CHECKING:
     from deltalake_spark.delta.table import DeltaTable
 
-_CDC_RE = re.compile(r"cdc-(\d{20})-[0-9a-f]+\.parquet$")
+_CDC_RE = re.compile(r"cdc-(\d{20})-[0-9a-f]+\.(parquet|json)$")
 
 
 def _cdc_dir(table: "DeltaTable") -> str:
@@ -61,8 +61,11 @@ def write_cdc_file(table: "DeltaTable", df: DataFrame, version: int) -> None:
 
 
 def _cdc_files(table: "DeltaTable") -> list[tuple[int, str]]:
+    """CDC files per version. Our engine writes Parquet; JSON CDC files
+    from foreign writers are also recognized (reference dual-format
+    parse, src/cdc/index.ts:1462-1558)."""
     out = []
-    for p in glob.glob(os.path.join(_cdc_dir(table), "cdc-*.parquet")):
+    for p in glob.glob(os.path.join(_cdc_dir(table), "cdc-*")):
         m = _CDC_RE.search(os.path.basename(p))
         if m:
             out.append((int(m.group(1)), p))
@@ -90,7 +93,21 @@ def read_changes(
             .add("_commit_version", "long") \
             .add("_commit_timestamp", "timestamp")
         return table.spark.createDataFrame([], schema)
-    return table.spark.read.parquet(*files)
+    pq_files = [f for f in files if f.endswith(".parquet")]
+    js_files = [f for f in files if f.endswith(".json")]
+    parts = []
+    if pq_files:
+        parts.append(table.spark.read.parquet(*pq_files))
+    if js_files:
+        # foreign-writer JSON CDC: coerce to the parquet-side schema
+        ref = parts[0].schema if parts else None
+        jdf = (table.spark.read.schema(ref).json(*js_files)
+               if ref is not None else table.spark.read.json(*js_files))
+        parts.append(jdf)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def read_changes_by_timestamp(

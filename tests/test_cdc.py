@@ -106,3 +106,33 @@ def test_subscribe_stream(spark, cdc_table, tmp_path):
     q = subscribe_stream(cdc_table, str(tmp_path / "ckpt"), handler)
     q.awaitTermination(60)
     assert sorted(seen) == [3, 4]
+
+
+def test_json_cdc_files_from_foreign_writer(spark, tmp_path):
+    """JSON CDC files dropped by another writer are read alongside our
+    parquet CDC (reference dual-format parse, src/cdc/index.ts:1462-1558)."""
+    import json
+    import os
+
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "jcdc"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    t.enable_cdc()
+    t.delete({"id": 1})  # our parquet CDC at some version
+
+    # foreign writer drops a JSON CDC file for a later version
+    cdc_dir = os.path.join(t.path, "_change_data")
+    v = t.version() + 1
+    with open(os.path.join(cdc_dir, f"cdc-{v:020d}-{'ab' * 8}.json"),
+              "w") as f:
+        f.write(json.dumps({"id": 9, "s": "z", "_change_type": "insert",
+                            "_commit_version": v,
+                            "_commit_timestamp": None}) + "\n")
+    from deltalake_spark.delta import log as dlog
+
+    dlog.write_commit(t.path, v, [dlog.commit_info_action("WRITE", {})])
+
+    ch = t.read_changes(0)
+    got = {(r["id"], r["_change_type"]) for r in ch.collect()}
+    assert (1, "delete") in got and (9, "insert") in got
