@@ -1180,6 +1180,37 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: candidate pairs → connected
+    components (iterative min-label propagation) → cluster-size
+    distribution. The clustering step every real near-dup pipeline needs
+    after MinHash/SimHash candidate generation; oracled with a DuckDB
+    recursive CTE."""
+    from deltalake_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    d1 = docs.select(F.col("doc_id").alias("a"),
+                     F.col("source").alias("s1"),
+                     F.col("n_chars").alias("c1"))
+    d2 = docs.select(F.col("doc_id").alias("b"),
+                     F.col("source").alias("s2"),
+                     F.col("n_chars").alias("c2"))
+    edges = d1.join(
+        d2,
+        (F.col("s1") == F.col("s2"))
+        & (F.abs(F.col("c1") - F.col("c2")) <= 2)
+        & (F.col("a") < F.col("b")),
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("size")
+    )
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data pipelines):
     keep-fraction per stratum keyed on the id — reproducible across
@@ -1402,6 +1433,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": ivf_ann_topk,
     "multimodal_meta_extract": multimodal_meta_extract,
     "stratified_sample_docs": stratified_sample_docs,
+    "cc_neardup_components": cc_neardup_components,
 }
 
 
@@ -1771,6 +1803,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON s_nationkey = n_nationkey
             WHERE p_name LIKE '%bolt%'
             GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "cc_neardup_components": """
+            WITH RECURSIVE
+             e AS (SELECT d1.doc_id AS a, d2.doc_id AS b
+                   FROM documents d1 JOIN documents d2
+                     ON d1.source = d2.source
+                    AND ABS(d1.n_chars - d2.n_chars) <= 2
+                    AND d1.doc_id < d2.doc_id),
+             sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+             nodes AS (SELECT DISTINCT a AS node FROM sym),
+             reach AS (
+               SELECT node, node AS label FROM nodes
+               UNION
+               SELECT s.a AS node, r.label
+               FROM sym s JOIN reach r ON r.node = s.b),
+             comp AS (SELECT node, MIN(label) AS component
+                      FROM reach GROUP BY 1),
+             sizes AS (SELECT component, COUNT(*) AS size
+                       FROM comp GROUP BY 1)
+            SELECT size, COUNT(*) AS n_components
+            FROM sizes GROUP BY 1 ORDER BY 1
         """,
         "stratified_sample_docs": """
             SELECT lang, COUNT(*) AS n,

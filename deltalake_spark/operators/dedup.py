@@ -299,6 +299,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list → (node,
+    component) with component = min node id in the component.
+
+    This is the clustering step real near-dup dedup needs after candidate
+    generation (MinHash/SimHash give PAIRS; groups require transitive
+    closure). Algorithm: iterative min-label propagation — each round
+    every node takes the min label among itself and its neighbours; at
+    most ``diameter`` rounds, each one shuffle on node id. Convergence is
+    checked cheaply (sum of labels is monotonically decreasing). The
+    classic large-graph alternative (large-star/small-star) shortens the
+    round count; min-label keeps the per-round plan to one join + one
+    aggregate, which is the right trade for the short-diameter duplicate
+    clusters this feeds on.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct()
+    labels = sym.select(F.col("a").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+    prev_sum = None
+    for _ in range(max_iter):
+        # 1-hop: min over neighbours' labels
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                ).alias("label"),
+            )
+        )
+        # pointer-jumping: label := label(label) — halves path lengths so
+        # convergence is O(log diameter) rounds, not O(diameter)
+        l2 = labels.select(F.col("node").alias("n2"),
+                           F.col("label").alias("parent"))
+        labels = (
+            labels.join(l2, labels["label"] == l2["n2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("parent", F.col("label")),
+                ).alias("label"),
+            )
+        )
+        labels = labels.localCheckpoint(eager=True)  # cut lineage growth
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def embedding_neardup(
     df: DataFrame,
     *,

@@ -157,3 +157,28 @@ def test_doc_fingerprint_normalizes(spark):
     fps = {r.i: r.fp for r in
            df.select("i", doc_fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+class TestConnectedComponents:
+    def test_chains_triangles_pairs(self, spark):
+        from deltalake_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6), (7, 8), (8, 9), (7, 9)],
+            "src long, dst long",
+        )
+        out = {r["node"]: r["component"]
+               for r in connected_components(edges).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5,
+                       7: 7, 8: 7, 9: 7}
+
+    def test_long_chain_converges(self, spark):
+        from deltalake_spark.operators.dedup import connected_components
+
+        n = 12  # diameter > a couple of iterations
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        out = connected_components(edges, max_iter=n + 2)
+        assert {r["component"] for r in out.collect()} == {0}
+        assert out.count() == n + 1
