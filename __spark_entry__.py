@@ -711,6 +711,26 @@ def delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """delete → update → RESTORE v0: final state must equal the untouched
+    fixture (restore is a metadata-only commit, no data I/O)."""
+    supp = _t(spark, sf_dir, "supplier")
+    t = _fresh_table(spark, "restore")
+    t.write(supp)
+    t.delete({"s_acctbal": {"$lt": 0.0}})
+    t.update({"s_nationkey": 3}, {"s_acctbal": "s_acctbal + 77"})
+    t.restore(0)
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: v0 row count vs post-delete count in one result."""
     part = _t(spark, sf_dir, "part")
@@ -1409,6 +1429,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_dv_delete": delta_dv_delete,
     "delta_maintenance_ops": delta_maintenance_ops,
     "delta_schema_evolution": delta_schema_evolution,
+    "delta_restore": delta_restore,
     "delta_time_travel": delta_time_travel,
     "q2_min_price_parts": q2_min_price_parts,
     "skew_salted_topk": skew_salted_topk,
@@ -1752,6 +1773,11 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_size >= 10 AND p_type <> 'PROMO'
             GROUP BY p_type ORDER BY p_type
+        """,
+        "delta_restore": """
+            SELECT s_nationkey, COUNT(*) AS n,
+                   ROUND(SUM(s_acctbal), 2) AS total_bal
+            FROM supplier GROUP BY 1 ORDER BY 1
         """,
         "delta_schema_evolution": """
             SELECT has_score, COUNT(*) AS n,

@@ -173,6 +173,36 @@ class DeltaTable:
         ])
         return version
 
+    def restore(self, version: int) -> dict[str, Any]:
+        """Restore the table to a previous version (engine-native; the
+        reference exposes snapshots read-only — restore makes time travel
+        actionable). Metadata-only commit: current files are removed,
+        the target snapshot's files re-added; no data I/O."""
+        target = self.snapshot(version)
+        cur = self.snapshot()
+        cur_paths = {f["path"] for f in cur.files}
+        tgt_paths = {f["path"] for f in target.files}
+        now = int(time.time() * 1000)
+        actions: list[dict[str, Any]] = [dlog.commit_info_action(
+            "RESTORE", {"version": version},
+            numRemovedFiles=len(cur_paths - tgt_paths),
+            numRestoredFiles=len(tgt_paths - cur_paths),
+        )]
+        if target.metadata and target.metadata != cur.metadata:
+            actions.append({"metaData": target.metadata})
+        for p in sorted(cur_paths - tgt_paths):
+            actions.append({"remove": {"path": p, "deletionTimestamp": now,
+                                       "dataChange": True}})
+        for f in target.files:
+            if f["path"] not in cur_paths or f != next(
+                (c for c in cur.files if c["path"] == f["path"]), None
+            ):
+                actions.append({"add": f})
+        new_version = cur.version + 1
+        dlog.write_commit(self.path, new_version, actions)
+        dsnap.maybe_checkpoint(self.path, new_version)
+        return {"version": new_version, "restoredVersion": version}
+
     def update_metadata(self, configuration: Mapping[str, str]) -> int:
         """Merge table configuration (reference updateMetadata,
         src/delta/table.ts:2435-2458)."""

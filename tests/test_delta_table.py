@@ -9,17 +9,6 @@ import os
 import pytest
 
 
-def test_max_records_per_file(spark, tmp_path):
-    from deltalake_spark.delta.table import DeltaTable
-
-    t = DeltaTable(spark, str(tmp_path / "sized"))
-    df = spark.createDataFrame(
-        [(i,) for i in range(1000)], "id long"
-    ).coalesce(1)
-    t.write(df, max_records_per_file=250)
-    files = t.snapshot().files
-    assert len(files) == 4  # 1000 rows / 250 per file
-    assert t.to_df().count() == 1000
 from pyspark.sql import functions as F
 
 from deltalake_spark.delta import log as dlog
@@ -35,6 +24,19 @@ from deltalake_spark.errors import (
 @pytest.fixture
 def tmp_table(spark, tmp_path):
     return DeltaTable(spark, str(tmp_path / "tbl"))
+
+
+def test_max_records_per_file(spark, tmp_path):
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "sized"))
+    df = spark.createDataFrame(
+        [(i,) for i in range(1000)], "id long"
+    ).coalesce(1)
+    t.write(df, max_records_per_file=250)
+    files = t.snapshot().files
+    assert len(files) == 4  # 1000 rows / 250 per file
+    assert t.to_df().count() == 1000
 
 
 def users_df(spark, rows):
@@ -231,3 +233,22 @@ def test_update_metadata(spark, tmp_table):
     assert tmp_table.configuration["custom.owner"] == "pipeline"
     # schema survives a metadata update
     assert tmp_table.to_df().count() == 4
+
+
+def test_restore(spark, tmp_path):
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "restore"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    t.write(df)
+    t.delete({"id": {"$lt": 5}})
+    t.update({"id": 7}, {"v": 999.0})
+    assert t.to_df().count() == 5
+    res = t.restore(0)
+    assert res["restoredVersion"] == 0
+    got = {(r["id"], r["v"]) for r in t.to_df().collect()}
+    assert got == {(i, float(i)) for i in range(10)}
+    # restore is itself a version — time travel to the mutated state works
+    assert t.to_df(version=res["version"] - 1).count() == 5
