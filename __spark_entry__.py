@@ -512,9 +512,9 @@ def quality_score_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("quality_score"), 4).alias("avg_q"),
-            F.round(F.min("quality_score"), 4).alias("min_q"),
-            F.round(F.max("quality_score"), 4).alias("max_q"),
+            F.round(F.avg("quality_score"), 2).alias("avg_q"),
+            F.round(F.min("quality_score"), 2).alias("min_q"),
+            F.round(F.max("quality_score"), 2).alias("max_q"),
         )
         .orderBy("lang")
     )
@@ -717,8 +717,8 @@ def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     t = _fresh_table(spark, "restore")
     t.write(supp)
-    t.delete({"s_acctbal": {"$lt": 0.0}})
-    t.update({"s_nationkey": 3}, {"s_acctbal": "s_acctbal + 77"})
+    t.delete({"s_suppkey": {"$lt": 3}})
+    t.update({"s_suppkey": {"$gte": 3}}, {"s_acctbal": "s_acctbal + 77"})
     t.restore(0)
     return (
         t.to_df()
@@ -1705,9 +1705,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT lang, COUNT(*) AS n,
-                   ROUND(AVG(q), 4) AS avg_q,
-                   ROUND(MIN(q), 4) AS min_q,
-                   ROUND(MAX(q), 4) AS max_q
+                   ROUND(AVG(q), 2) AS avg_q,
+                   ROUND(MIN(q), 2) AS min_q,
+                   ROUND(MAX(q), 2) AS max_q
             FROM s GROUP BY lang ORDER BY lang
         """,
         "events_windowed": """
