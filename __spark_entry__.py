@@ -731,6 +731,34 @@ def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a COUNT/SUM aggregate maintained
+    purely from CDC deltas across insert/update/delete rounds must equal
+    the final-state recompute (work ∝ delta, not table size)."""
+    from deltalake_spark.streaming.incremental import IncrementalAggView
+
+    part = _t(spark, sf_dir, "part")
+    t = _fresh_table(spark, "incr")
+    t.write(part.limit(0))
+    t.enable_cdc()
+    view = IncrementalAggView(t, keys=["p_type"],
+                              sum_cols=["p_retailprice"])
+    t.write(part)
+    view.refresh()
+    t.update({"p_type": "PROMO"}, {"p_retailprice": "p_retailprice * 1.1"})
+    view.refresh()
+    t.delete({"p_size": {"$lt": 5}})
+    view.refresh()
+    return (
+        view.to_df()
+        .select(
+            "p_type", "n",
+            F.round("p_retailprice_sum", 1).alias("price_sum"),
+        )
+        .orderBy("p_type")
+    )
+
+
 def delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel: v0 row count vs post-delete count in one result."""
     part = _t(spark, sf_dir, "part")
@@ -1430,6 +1458,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_maintenance_ops": delta_maintenance_ops,
     "delta_schema_evolution": delta_schema_evolution,
     "delta_restore": delta_restore,
+    "incremental_agg_view": incremental_agg_view,
     "delta_time_travel": delta_time_travel,
     "q2_min_price_parts": q2_min_price_parts,
     "skew_salted_topk": skew_salted_topk,
@@ -1773,6 +1802,15 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_size >= 10 AND p_type <> 'PROMO'
             GROUP BY p_type ORDER BY p_type
+        """,
+        "incremental_agg_view": """
+            SELECT p_type, COUNT(*) AS n,
+                   ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN p_retailprice * 1.1
+                             ELSE p_retailprice END), 1) AS price_sum
+            FROM part
+            WHERE p_size >= 5
+            GROUP BY 1 ORDER BY 1
         """,
         "delta_restore": """
             SELECT s_nationkey, COUNT(*) AS n,

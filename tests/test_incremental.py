@@ -1,0 +1,87 @@
+"""Incremental view maintenance: the CDC-delta-maintained aggregate must
+equal a full recompute after every DML round, and refresh work must be
+proportional to the delta (only new change versions read)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.delta.table import DeltaTable
+from deltalake_spark.streaming.incremental import IncrementalAggView
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    t = DeltaTable(spark, str(tmp_path / "src"))
+    t.write(spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(30)],
+        "id long, cat string, val double",
+    ))
+    t.enable_cdc()
+    return t
+
+
+def _full_recompute(t):
+    return {
+        (r["cat"],): (r["n"], round(r["s"], 6))
+        for r in t.to_df().groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+
+
+def _view_state(view):
+    return {
+        (r["cat"],): (r["n"], round(r["val_sum"], 6))
+        for r in view.to_df().collect()
+    }
+
+
+def test_incremental_equals_recompute_across_dml(spark, source):
+    view = IncrementalAggView(source, keys=["cat"], sum_cols=["val"])
+
+    # inserts after CDC enable
+    source.write(spark.createDataFrame(
+        [(100, "c0", 5.5), (101, "c3", 7.0)],
+        "id long, cat string, val double",
+    ))
+    assert view.refresh() > 0
+    # note: rows written BEFORE enable_cdc aren't in the feed — seed
+    # comparison from the same point by restricting to the delta keys
+    assert _view_state(view)[("c3",)] == (1, 7.0)
+
+    # update: pre/post images cancel for count, shift the sum
+    source.update({"cat": "c0"}, {"val": "val + 10"})
+    view.refresh()
+    # delete: negative deltas
+    source.delete({"cat": "c1"})
+    view.refresh()
+    # refresh with no new commits is a no-op
+    assert view.refresh() == 0
+
+    # maintained deltas == recompute deltas relative to the CDC horizon
+    # (verify via c3 fully, and via change totals for c0/c1)
+    st = _view_state(view)
+    assert st[("c3",)] == (1, 7.0)
+    # c0: 1 insert (5.5) + 11 updates of +10 each → n=1, sum=5.5+110
+    assert st[("c0",)] == (1, round(5.5 + 110.0, 6))
+    # c1: 10 deletes of rows 1,4,...28 → n=-10, sum=-(sum of those vals)
+    deleted = sum(float(i) for i in range(30) if i % 3 == 1)
+    assert st[("c1",)] == (-10, round(-deleted, 6))
+
+
+def test_incremental_from_clean_start(spark, tmp_path):
+    """CDC from the very first write → view equals full recompute."""
+    t = DeltaTable(spark, str(tmp_path / "clean"))
+    t.write(spark.createDataFrame([], "id long, cat string, val double"))
+    t.enable_cdc()
+    view = IncrementalAggView(t, keys=["cat"], sum_cols=["val"])
+    t.write(spark.createDataFrame(
+        [(i, f"c{i % 2}", float(i)) for i in range(10)],
+        "id long, cat string, val double",
+    ))
+    view.refresh()
+    t.update({"id": {"$lt": 3}}, {"val": "val * 2"})
+    view.refresh()
+    t.delete({"id": 9})
+    view.refresh()
+    assert _view_state(view) == _full_recompute(t)
