@@ -48,8 +48,11 @@ def main() -> None:
     spark = get_spark("deltalake-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM / file listing so q1 isn't charged for session init
+    # warm up the JVM so q1 isn't charged for session init: codegen paths
+    # via range, parquet-reader class loading via the smallest table
+    # (region, 5 rows — none of the benchmarked tables are touched)
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     qs = entry_mod.queries()
     times: dict[str, float] = {}
