@@ -254,7 +254,42 @@ def z_order_cluster(
         "version": version,
         "clusteredColumns": columns,
         "outputFiles": n_files,
+        **clustering_metrics(table, columns),
     }
+
+
+def clustering_metrics(table: "DeltaTable",
+                       columns: list[str]) -> dict[str, Any]:
+    """Zone-width / estimated-skip-rate metrics from per-file min/max
+    stats (reference ClusteringMetrics, compaction/index.ts:1149-1279
+    reports zone-width and skip-rate estimates).
+
+    ``avg_zone_width``: mean of (file max − min)/(global max − min) per
+    clustered numeric column — smaller is tighter clustering.
+    ``est_skip_rate``: 1 − avg zone width ≈ fraction of files a random
+    point-equality predicate on that column can skip via stats.
+    """
+    snap = table.snapshot()
+    zones: dict[str, Any] = {}
+    per_file: dict[str, list[tuple[float, float]]] = {c: [] for c in columns}
+    for f in snap.files:
+        st = f.get("stats")
+        st = json.loads(st) if isinstance(st, str) else (st or {})
+        for c in columns:
+            mn = st.get("minValues", {}).get(c)
+            mx = st.get("maxValues", {}).get(c)
+            if isinstance(mn, (int, float)) and isinstance(mx, (int, float)):
+                per_file[c].append((float(mn), float(mx)))
+    for c, spans in per_file.items():
+        if not spans:
+            continue
+        glo = min(mn for mn, _ in spans)
+        ghi = max(mx for _, mx in spans)
+        rng = (ghi - glo) or 1.0
+        width = sum((mx - mn) / rng for mn, mx in spans) / len(spans)
+        zones[c] = {"avg_zone_width": round(width, 4),
+                    "est_skip_rate": round(1.0 - width, 4)}
+    return {"zoneMetrics": zones}
 
 
 def _is_numeric(df, col: str) -> bool:

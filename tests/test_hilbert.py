@@ -82,3 +82,18 @@ def test_cluster_table_hilbert(spark, tmp_path):
     )
     assert len(spans) >= 2
     assert min(r["span"] for r in spans) < 36  # global span is 36
+
+
+def test_clustering_metrics_report_tight_zones(spark, tmp_path):
+    from deltalake_spark.delta.maintenance import clustering_metrics
+
+    t = DeltaTable(spark, str(tmp_path / "zm"))
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 997) for i in range(4000)], "id long, a long"
+    )
+    t.write(df.repartition(8))  # random layout → wide zones
+    before = clustering_metrics(t, ["a"])["zoneMetrics"]["a"]
+    res = t.z_order(["a"], target_file_count=8)
+    after = res["zoneMetrics"]["a"]
+    assert after["avg_zone_width"] < before["avg_zone_width"]
+    assert after["est_skip_rate"] > 0.5  # clustered files skip most scans
