@@ -581,11 +581,10 @@ class DeltaTable:
         p = urllib.parse.unquote(urllib.parse.urlparse(spark_file_uri).path)
         return os.path.relpath(p, self.path).replace(os.sep, "/")
 
-    def _affected_files(self, cond: Column) -> tuple[list[str], int]:
-        """(relative paths of files containing matches, matched row count)
-        — one aggregate job, no data rewrite yet. The file column comes
-        from _metadata (attached before any DV anti-join — Spark rejects
-        input_file_name() once the plan has two sources)."""
+    def _to_df_with_file(self) -> DataFrame:
+        """Current snapshot scan with a ``__file`` column. The file path
+        comes from _metadata attached before any DV anti-join — Spark
+        rejects input_file_name() once the plan has two sources."""
         snap = self.snapshot()
         mapping = self._column_mapping(snap)
         phys = self._physical_schema(self.schema(), mapping)
@@ -594,11 +593,16 @@ class DeltaTable:
             reader = reader.option("basePath", self.path)
         raw = reader.parquet(*snap.file_paths(self.path)) \
             .withColumn("__file", F.col("_metadata.file_path"))
-        df = self._to_logical(
+        return self._to_logical(
             self._apply_dv(raw, snap)
             .select(*[f.name for f in phys.fields], "__file"),
             mapping,
         )
+
+    def _affected_files(self, cond: Column) -> tuple[list[str], int]:
+        """(relative paths of files containing matches, matched row count)
+        — one aggregate job, no data rewrite yet."""
+        df = self._to_df_with_file()
         rows = (
             df.filter(cond)
             .groupBy("__file")
@@ -866,6 +870,7 @@ class DeltaTable:
         when_matched_update: Mapping[str, Any] | str | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool | Mapping[str, Any] = True,
+        when_matched_condition: Any = None,
     ) -> dict[str, Any]:
         """MERGE (upsert): join-based, rewriting only files containing
         matches and appending inserts.
@@ -876,6 +881,11 @@ class DeltaTable:
         ``t`` (target) and ``s`` (source). ``when_matched_update`` is a
         {target_col: SQL-expr} mapping or "*" (take source columns by
         name). Spark broadcasts a small source automatically.
+
+        ``when_matched_condition`` (SQL over ``t``/``s`` aliases or a
+        Column) further gates the matched clause, Delta-style
+        ``whenMatchedUpdate(condition=...)``: matched rows failing it are
+        left untouched (and excluded from counts and CDC).
         """
         cond = (
             F.expr(condition) if isinstance(condition, str) else condition
@@ -900,7 +910,7 @@ class DeltaTable:
             return {"version": self.version(), "numInserted": 0,
                     "numUpdated": 0, "numDeleted": 0}
 
-        tgt_files = self.to_df().withColumn("__file", F.input_file_name())
+        tgt_files = self._to_df_with_file()
         src = source.alias("s").withColumn("__s_exists", F.lit(True))
 
         matched = tgt_files.alias("t").join(src, cond, "inner")
@@ -949,9 +959,18 @@ class DeltaTable:
                 F.col("__rn") == 1
             )
             is_matched = F.col("__s_exists").isNotNull()
-            n_matched_rows = sum(r["n"] for r in file_rows)
+            if when_matched_condition is not None:
+                mc = (F.expr(when_matched_condition)
+                      if isinstance(when_matched_condition, str)
+                      else when_matched_condition)
+                # null-safe: unmatched rows have null source columns
+                is_matched = F.coalesce(is_matched & mc, F.lit(False))
+                n_matched_rows = joined.filter(is_matched).count()
+            else:
+                n_matched_rows = sum(r["n"] for r in file_rows)
 
             tcols_expr = [F.col(f"t.{c}").alias(c) for c in tcols]
+            pre_image = joined.filter(is_matched).select(*tcols_expr)
             if when_matched_delete:
                 rewritten = joined.filter(~is_matched).select(*tcols_expr)
                 n_del = n_matched_rows
@@ -980,9 +999,7 @@ class DeltaTable:
         cdc_parts = []
         if self.cdc_enabled():
             if files:
-                pre = self._read_files(files).alias("t").join(
-                    source.alias("s"), cond, "left_semi"
-                )
+                pre = pre_image  # first-match + clause-condition applied
                 if when_matched_delete:
                     cdc_parts.append(
                         pre.withColumn("_change_type", F.lit("delete"))

@@ -110,3 +110,58 @@ def test_compact_after_rename_keeps_logical_names(spark, table):
     assert "balance" in df.columns
     assert df.count() == 11
     assert df.filter(F.col("balance") == 1.0).count() == 1
+
+
+def test_merge_on_dv_table(spark, table):
+    """MERGE against a table with active deletion vectors (the scan has
+    two sources — input_file_name() would fail here)."""
+    table.enable_deletion_vectors()
+    table.delete({"id": {"$lt": 2}})  # ids 0,1 soft-deleted
+    src = spark.createDataFrame(
+        [(1, "ghost", 1.0), (5, "upd", 500.0)],
+        "id long, name string, amount double",
+    )
+    res = table.merge(src, "t.id = s.id", when_matched_update="*",
+                      when_not_matched_insert=True)
+    # id=1 is deleted → counts as NOT matched → re-inserted
+    assert res["numUpdated"] == 1 and res["numInserted"] == 1
+    got = {r["id"]: r["amount"] for r in table.to_df().collect()}
+    assert got[5] == 500.0 and got[1] == 1.0 and 0 not in got
+
+
+def test_merge_clause_condition(spark, table):
+    src = spark.createDataFrame(
+        [(2, "x", 1000.0), (3, "y", 5.0), (77, "new", 7.0)],
+        "id long, name string, amount double",
+    )
+    res = table.merge(
+        src, "t.id = s.id",
+        when_matched_update="*",
+        when_matched_condition="s.amount > t.amount",
+        when_not_matched_insert=True,
+    )
+    # id=2: 1000 > 20 → updated; id=3: 5 < 30 → untouched
+    assert res["numUpdated"] == 1 and res["numInserted"] == 1
+    got = {r["id"]: (r["name"], r["amount"])
+           for r in table.to_df().collect()}
+    assert got[2] == ("x", 1000.0)
+    assert got[3] == ("n3", 30.0)  # untouched
+    assert got[77] == ("new", 7.0)
+
+
+def test_merge_conditional_delete_with_cdc(spark, table):
+    table.enable_cdc()
+    src = spark.createDataFrame([(4,), (5,)], "id long")
+    res = table.merge(
+        src, "t.id = s.id",
+        when_matched_delete=True,
+        when_matched_condition="t.amount >= 50.0",
+        when_not_matched_insert=False,
+    )
+    assert res["numDeleted"] == 1  # only id=5 (amount 50); id=4 is 40
+    ids = {r["id"] for r in table.to_df().collect()}
+    assert 5 not in ids and 4 in ids
+    ch = table.read_changes(0)
+    deletes = {r["id"] for r in ch.collect()
+               if r["_change_type"] == "delete"}
+    assert deletes == {5}
