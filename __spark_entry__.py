@@ -477,9 +477,17 @@ def minhash_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(
+    groups = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
         num_hashes=32, bands=8, shingle_size=5,
+    )
+    # stringify the array so the driver's pandas canonicalizer can hash it
+    return groups.select(
+        "band", "band_hash",
+        F.array_join(
+            F.transform(F.col("member_ids"), lambda x: x.cast("string")), ","
+        ).alias("member_ids"),
+        "group_size",
     )
 
 
@@ -488,17 +496,31 @@ def simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deltalake_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs, id_col="doc_id", text_col="text",
-                              prefix_bits=12)
+    blocks = simhash_candidates(docs, id_col="doc_id", text_col="text",
+                                prefix_bits=12)
+    return blocks.select(
+        "block",
+        F.array_join(
+            F.transform(F.col("member_ids"), lambda x: x.cast("string")), ","
+        ).alias("member_ids"),
+        "group_size",
+    )
 
 
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked batch kNN self-join over embeddings (rows-only)."""
+    """LSH-blocked batch kNN self-join over embeddings (rows-only).
+
+    Query and neighbor ids carry distinct output names so downstream
+    consumers (and the driver's canonicalizer) never see duplicate labels.
+    """
     from deltalake_spark.operators.similarity import pairwise_topk_join
 
     emb = _t(spark, sf_dir, "embeddings")
+    left = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    right = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return pairwise_topk_join(
-        emb, emb, left_id="vec_id", right_id="vec_id", k=3, num_planes=8
+        left, right, left_id="query_id", right_id="neighbor_id",
+        k=3, num_planes=8,
     )
 
 
@@ -822,17 +844,24 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key="user_id", time_col="ts", gap=_HOUR_NS // 2,
         tiebreak=["event_id"],
     )
+    # spans stay in the integer domain (ns → ms → centiseconds, truncating
+    # div) until a single final /100.0, so Spark and DuckDB doubles are
+    # bit-identical. ROUND() is unusable here: Spark rounds the decimal
+    # string (BigDecimal.valueOf → HALF_UP) while DuckDB rounds the binary
+    # double, and they disagree on ties like 1149.965 (r1 hash flake).
     per_session = s.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        ((F.max("ts") - F.min("ts")) / F.lit(1e9)).alias("span_s"),
+        F.expr("(max(ts) - min(ts)) div 1000000").alias("span_ms"),
     )
     return (
         per_session.groupBy("user_id")
         .agg(
             F.max("session_seq").alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
-            F.round(F.avg("span_s"), 2).alias("avg_session_span_s"),
-            F.round(F.max("span_s"), 2).alias("max_session_span_s"),
+            F.expr("(sum(span_ms) div (10 * count(1))) / 100.0D")
+            .alias("avg_session_span_s"),
+            F.expr("(max(span_ms) div 10) / 100.0D")
+            .alias("max_session_span_s"),
         )
         .orderBy("user_id")
     )
@@ -1285,26 +1314,30 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     headers built from the documents table) → mapInPandas header decode →
     per-format stats. The pixel decode itself is stubbed by design (no
     codec libs here); the Spark-side schema/batching is real. Rows-only
-    check (binary synthesis is not expressible in the SQL oracle)."""
-    import struct as _struct
+    check (binary synthesis is not expressible in the SQL oracle).
 
+    Payloads are synthesized DISTRIBUTIVELY with binary concat expressions
+    (hex→unhex big-endian ints) — no driver collect, so the query scales
+    with the documents table."""
     from deltalake_spark.operators.multimodal import decode_image_meta
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
-    def _payload(doc_id: int, n_chars: int) -> bytes:
-        if doc_id % 3 == 2:
-            return b"\xff\xd8\xff" + b"\x00" * 16  # jpeg magic
-        w, h = 16 + (doc_id % 64), 16 + (n_chars % 64)
-        return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
-                + _struct.pack(">II", w, h) + b"\x00" * 8)
+    def _be32(c):  # int column → 4 big-endian bytes
+        return F.unhex(F.lpad(F.hex(c.cast("int")), 8, "0"))
 
-    rows = [
-        (int(r["doc_id"]), "image", _payload(r["doc_id"], r["n_chars"]))
-        for r in docs.collect()
-    ]
-    media = spark.createDataFrame(
-        rows, "media_id long, kind string, payload binary"
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"),
+        _be32(F.col("doc_id") % 64 + 16),
+        _be32(F.col("n_chars") % 64 + 16),
+        F.lit(b"\x00" * 8),
+    )
+    jpeg = F.lit(b"\xff\xd8\xff" + b"\x00" * 16)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 3 == 2, jpeg).otherwise(png)
+        .alias("payload"),
     )
     decoded = decode_image_meta(media)
     return (
@@ -1991,12 +2024,13 @@ def oracle_sql() -> dict[str, str]:
                                   AS sid
                        FROM g),
                  sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
-                                 (MAX(t) - MIN(t)) / 1e9 AS span_s
+                                 (MAX(t) - MIN(t)) // 1000000 AS span_ms
                           FROM s GROUP BY 1, 2)
             SELECT user_id, MAX(sid) AS n_sessions,
                    CAST(SUM(n_events) AS BIGINT) AS n_events,
-                   ROUND(AVG(span_s), 2) AS avg_session_span_s,
-                   ROUND(MAX(span_s), 2) AS max_session_span_s
+                   (CAST(SUM(span_ms) AS BIGINT) // (10 * COUNT(*))) / 100.0
+                       AS avg_session_span_s,
+                   (MAX(span_ms) // 10) / 100.0 AS max_session_span_s
             FROM sess GROUP BY 1 ORDER BY 1
         """,
         "range_view_attribution": """

@@ -15,6 +15,7 @@ from typing import Any, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from deltalake_spark.errors import InvalidProjectionError
 
@@ -70,13 +71,70 @@ def apply_projection(df: DataFrame, projection: Any | None) -> DataFrame:
             if not any(p != q and p.startswith(q + ".") for q in ancestors)
         ]
         out = df.drop(*top) if top else df
+        by_root: dict[str, list[str]] = {}
         for path in nested:
             root, rest = path.split(".", 1)
-            if root in out.columns:
-                out = out.withColumn(root, F.col(root).dropFields(rest))
+            by_root.setdefault(root, []).append(rest)
+        schema = {f.name: f.dataType for f in out.schema.fields}
+        for root, rests in by_root.items():
+            dtype = schema.get(root)
+            if not isinstance(dtype, StructType):
+                # missing column or path into a scalar: reference
+                # deleteNested no-ops (src/query/index.ts:856-884)
+                continue
+            out = out.withColumn(
+                root, _rebuild_excluding(F.col(root), dtype, _path_tree(rests))
+            )
         return out
 
     return df
+
+
+def _path_tree(paths: Sequence[str]) -> dict[str, Any]:
+    """Dotted paths → nested dict; a ``None`` leaf means "remove field"."""
+    tree: dict[str, Any] = {}
+    for p in paths:
+        segs = p.split(".")
+        cur = tree
+        dead = False
+        for s in segs[:-1]:
+            if s in cur and cur[s] is None:  # ancestor already fully excluded
+                dead = True
+                break
+            cur = cur.setdefault(s, {})
+        if not dead:
+            cur[segs[-1]] = None
+    return tree
+
+
+def _rebuild_excluding(col: Column, dtype: StructType,
+                       tree: Mapping[str, Any]) -> Column:
+    """Rebuild a struct column minus the excluded paths.
+
+    Unlike chained ``dropFields`` this survives exclusions that cover every
+    field of a struct: the reference's row-wise delete leaves an empty
+    object (src/query/index.ts:856-884), so we emit a zero-field struct
+    rather than tripping Spark's CANNOT_DROP_ALL_FIELDS. Null structs stay
+    null (the reference's deleteNested no-ops on absent parents).
+    """
+    fields: list[Column] = []
+    for f in dtype.fields:
+        if f.name in tree:
+            sub = tree[f.name]
+            if sub is None:
+                continue  # fully excluded
+            if isinstance(f.dataType, StructType):
+                fields.append(
+                    _rebuild_excluding(col.getField(f.name), f.dataType, sub)
+                    .alias(f.name)
+                )
+            else:
+                # exclusion descends into a scalar: no-op, keep the field
+                fields.append(col.getField(f.name).alias(f.name))
+        else:
+            fields.append(col.getField(f.name).alias(f.name))
+    rebuilt = F.struct(*fields) if fields else F.struct()
+    return F.when(col.isNotNull(), rebuilt)
 
 
 def projection_columns(projection: Any | None) -> list[str] | None:

@@ -300,6 +300,11 @@ def pairwise_topk_join(
     a cross join)."""
     from pyspark.sql.window import Window
 
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ (both {left_id!r}); "
+            "alias one side before joining so output columns are unique"
+        )
     dim = left.select(F.size(F.col(vec_col))).first()[0]
     lsk = left.select(
         F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv")
@@ -312,7 +317,8 @@ def pairwise_topk_join(
     joined = lsk.join(rsk, "__sk").withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
     )
-    w = Window.partitionBy("__lid").orderBy(F.desc("score"))
+    # __rid tiebreak: equal-score neighbors rank deterministically
+    w = Window.partitionBy("__lid").orderBy(F.desc("score"), F.asc("__rid"))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

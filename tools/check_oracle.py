@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,12 +26,17 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def norm_value(v):
+    # exact-repr compare: the driver hashes exact values, so a %.6g-style
+    # normalization here would hide 1-ulp drift the driver still catches
+    # (r1 post-mortem: sessionize_events)
     if v is None:
         return "NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
