@@ -46,22 +46,42 @@ def agg_delta(
     return changes.groupBy(*keys).agg(*aggs)
 
 
-class IncrementalAggView:
-    """An exactly-maintained COUNT/SUM aggregate of a CDC-enabled table.
+_WM_KEY = "deltalake_spark.mv.watermark"
 
-    State lives in a dict keyed by the grouping columns (the aggregate is
-    ALWAYS small relative to the source — that is why it is a view); the
-    heavy work (reading + aggregating change files) is Spark-side.
-    ``refresh()`` is idempotent per commit version via the high-water mark.
+
+class IncrementalAggView:
+    """An exactly-maintained COUNT/SUM aggregate of a CDC-enabled table,
+    persisted as a Delta-backed materialized-view table.
+
+    Deltas are applied with a distributed MERGE into the state table —
+    nothing about the view ever touches the driver, so key cardinality is
+    bounded by cluster storage, not driver memory (r1 kept a Python dict;
+    that design ceiling is gone). ``refresh()`` work is proportional to
+    the CDC delta: it reads only change files of new commit versions and
+    MERGE rewrites only state files containing touched keys.
+
+    The applied-version watermark is persisted in the state table's
+    configuration, so a view handle can be reopened after a restart
+    without replaying the full feed (refresh is idempotent per version).
     """
 
     def __init__(self, source: "DeltaTable", *, keys: list[str],
-                 sum_cols: list[str]):
+                 sum_cols: list[str], state_path: str | None = None):
+        from deltalake_spark.delta.table import DeltaTable
+
         self.source = source
         self.keys = keys
         self.sum_cols = sum_cols
-        self.state: dict[tuple, list[float]] = {}
-        self._watermark = -1  # last applied commit version
+        self.state = DeltaTable(
+            source.spark, state_path or source.path + "__mv"
+        )
+        self._watermark = self._load_watermark()
+
+    def _load_watermark(self) -> int:
+        if not self.state.exists():
+            return -1
+        conf = (self.state.snapshot().metadata or {}).get("configuration", {})
+        return int(conf.get(_WM_KEY, -1))
 
     def refresh(self) -> int:
         """Apply change versions (watermark, head]; returns #versions."""
@@ -69,31 +89,43 @@ class IncrementalAggView:
         if head <= self._watermark:
             return 0
         changes = self.source.read_changes(self._watermark + 1, head)
-        deltas = agg_delta(changes, keys=self.keys,
-                           sum_cols=self.sum_cols).collect()
-        for r in deltas:
-            k = tuple(r[c] for c in self.keys)
-            slot = self.state.setdefault(
-                k, [0.0] * (1 + len(self.sum_cols)))
-            slot[0] += r["n_delta"]
-            for i, c in enumerate(self.sum_cols):
-                slot[i + 1] += r[f"{c}_delta"]
-            if slot[0] == 0:
-                del self.state[k]
+        deltas = agg_delta(
+            changes, keys=self.keys, sum_cols=self.sum_cols
+        ).select(
+            *self.keys,
+            F.col("n_delta").cast("long").alias("n"),
+            *[F.col(f"{c}_delta").cast("double").alias(f"{c}_sum")
+              for c in self.sum_cols],
+        )
+        if not self.state.exists():
+            self.state.write(deltas)
+        else:
+            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in self.keys)
+            update = {"n": "t.n + s.n", **{
+                f"{c}_sum": f"t.{c}_sum + s.{c}_sum" for c in self.sum_cols
+            }}
+            self.state.merge(deltas, cond, when_matched_update=update)
+        # groups whose count netted to zero leave the view (dict-state
+        # parity: a slot was dropped when it hit 0)
+        if self.state.to_df().filter("n = 0").limit(1).count():
+            self.state.delete("n = 0")
         applied = head - self._watermark
         self._watermark = head
+        self.state.update_metadata({_WM_KEY: str(head)})
         return applied
 
     def to_df(self) -> DataFrame:
-        rows = [
-            tuple(k) + (int(v[0]),) + tuple(round(x, 6) for x in v[1:])
-            for k, v in self.state.items()
-        ]
-        src_types = {f.name: f.dataType.simpleString()
-                     for f in self.source.schema().fields}
-        schema = ", ".join(
-            [f"{c} {src_types.get(c, 'string')}" for c in self.keys]
-            + ["n long"]
-            + [f"{c}_sum double" for c in self.sum_cols]
+        if not self.state.exists():
+            src_types = {f.name: f.dataType.simpleString()
+                         for f in self.source.schema().fields}
+            schema = ", ".join(
+                [f"{c} {src_types.get(c, 'string')}" for c in self.keys]
+                + ["n long"]
+                + [f"{c}_sum double" for c in self.sum_cols]
+            )
+            return self.source.spark.createDataFrame([], schema)
+        return self.state.to_df().select(
+            *self.keys, "n",
+            *[F.round(f"{c}_sum", 6).alias(f"{c}_sum")
+              for c in self.sum_cols],
         )
-        return self.source.spark.createDataFrame(rows, schema)

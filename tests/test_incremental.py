@@ -85,3 +85,34 @@ def test_incremental_from_clean_start(spark, tmp_path):
     t.delete({"id": 9})
     view.refresh()
     assert _view_state(view) == _full_recompute(t)
+
+
+def test_incremental_high_cardinality_state(spark, tmp_path):
+    """State lives in a Delta table, not driver memory: maintain a view
+    with ~200k distinct groups and verify sampled keys + totals without
+    ever materializing the full state on the driver."""
+    t = DeltaTable(spark, str(tmp_path / "wide"))
+    t.write(spark.createDataFrame([], "id long, cat long, val double"))
+    t.enable_cdc()
+    view = IncrementalAggView(t, keys=["cat"], sum_cols=["val"])
+
+    n = 200_000
+    base = spark.range(n).select(
+        F.col("id"), F.col("id").alias("cat"),
+        (F.col("id") % 97).cast("double").alias("val"),
+    )
+    t.write(base)
+    view.refresh()
+    t.delete({"cat": {"$lt": 1000}})
+    view.refresh()
+
+    mv = view.to_df()
+    assert mv.count() == n - 1000
+    sampled = {r["cat"]: (r["n"], r["val_sum"])
+               for r in mv.filter(F.col("cat").isin(1000, 123_456)).collect()}
+    assert sampled[1000] == (1, float(1000 % 97))
+    assert sampled[123456] == (1, float(123456 % 97))
+    # watermark survives a fresh handle (persisted in state metadata)
+    reopened = IncrementalAggView(t, keys=["cat"], sum_cols=["val"])
+    assert reopened.refresh() == 0
+    assert reopened.to_df().count() == n - 1000
