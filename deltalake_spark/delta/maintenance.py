@@ -354,9 +354,14 @@ def vacuum(
     snap = table.snapshot()
     live = {f["path"] for f in snap.files}
 
-    # recently-removed files are protected (remove actions inside retention)
+    # recently-removed files are protected (remove actions inside retention);
+    # snapshot tombstones include checkpoint-persisted removes, so the
+    # window survives cleanup_log pruning the underlying commit JSONs
     cutoff_ms = (time.time() - retention_hours * 3600) * 1000
     protected: set[str] = set()
+    for r in snap.tombstones:
+        if r.get("deletionTimestamp", 0) >= cutoff_ms:
+            protected.add(r["path"])
     for _v, actions in dlog.iter_commits(table.path, 0, snap.version):
         for a in actions:
             if "remove" in a:

@@ -112,9 +112,19 @@ def prune_files(
     files: list[dict[str, Any]],
     filter_doc: Mapping[str, Any] | None,
     partition_cols: list[str],
+    column_mapping: Mapping[str, str] | None = None,
 ) -> tuple[list[dict[str, Any]], int]:
-    """(surviving add actions, number skipped)."""
+    """(surviving add actions, number skipped).
+
+    ``column_mapping`` translates logical predicate columns to physical
+    parquet names — add-action stats are keyed by physical names, and
+    after a rename + schema-evolution write that reuses the retired
+    logical name, the logical and physical namespaces genuinely diverge
+    (pruning against the wrong column's stats would silently drop files).
+    """
     preds = extract_predicates(filter_doc)
+    if column_mapping:
+        preds = [(column_mapping.get(c, c), op, v) for c, op, v in preds]
     if not preds:
         return list(files), 0
     kept = [f for f in files if _file_can_match(f, preds, partition_cols)]

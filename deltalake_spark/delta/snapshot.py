@@ -5,11 +5,15 @@ Mirrors the reference's snapshot construction
 or below the requested version, then replay later NDJSON commits with
 in-commit reconciliation (last add per path wins; remove-then-add = add).
 
-Checkpoints are Parquet files with a single ``action`` string column (one
-JSON action per row) written every ``CHECKPOINT_INTERVAL`` commits
-(reference cadence: 10, src/delta/checkpoint.ts:586-589). Driver-side
-pyarrow I/O — the log is metadata-scale even for 100 TB tables (file
-*entries*, not data).
+Checkpoints are Parquet files in the reference's column-per-action-type
+layout (``add`` / ``remove`` / ``metaData`` / ``protocol`` JSON columns,
+one action per row, src/delta/checkpoint.ts:346-383) including remove
+tombstones — so vacuum's protected-file window survives log cleanup and
+reference-format readers can consume them. The legacy single-``action``
+-column layout from earlier versions of this engine is still readable.
+Written every ``CHECKPOINT_INTERVAL`` commits (reference cadence: 10,
+src/delta/checkpoint.ts:586-589). Driver-side pyarrow I/O — the log is
+metadata-scale even for 100 TB tables (file *entries*, not data).
 """
 
 from __future__ import annotations
@@ -26,6 +30,11 @@ from deltalake_spark.delta import log as dlog
 from deltalake_spark.errors import VersionNotFoundError
 
 CHECKPOINT_INTERVAL = 10
+# tombstones older than this are dropped when writing a checkpoint
+# (mirrors Delta's tombstone retention; matches vacuum's 168 h default)
+TOMBSTONE_RETENTION_HOURS = 168.0
+
+_ACTION_COLUMNS = ("add", "remove", "metaData", "protocol")
 
 
 @dataclass
@@ -34,6 +43,7 @@ class Snapshot:
     files: list[dict[str, Any]] = field(default_factory=list)  # add actions
     metadata: dict[str, Any] | None = None
     protocol: dict[str, Any] | None = None
+    tombstones: list[dict[str, Any]] = field(default_factory=list)  # removes
 
     @property
     def schema_string(self) -> str | None:
@@ -90,23 +100,54 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
         cp_version = max(checkpoints)
         actions = []
         for part_path in dlog.checkpoint_files(table_path, cp_version):
-            table = pq.read_table(part_path)
-            actions.extend(
-                json.loads(s) for s in table.column("action").to_pylist()
-            )
+            actions.extend(_read_checkpoint_actions(part_path))
         _apply_actions(state, actions)
         start = cp_version + 1
 
+    replayed: set[int] = set()
     for v in dlog.list_commit_versions(table_path):
         if start <= v <= target:
             _apply_actions(state, dlog.read_commit(table_path, v))
+            replayed.add(v)
+
+    # contiguity: after cleanup_log prunes commits below the checkpoint
+    # horizon, a pre-horizon version must fail loudly — a silently partial
+    # snapshot here would let restore() drop every current file (data loss)
+    missing = set(range(start, target + 1)) - replayed
+    if missing:
+        raise VersionNotFoundError(
+            f"Cannot reconstruct version {target}: commit files for "
+            f"versions {sorted(missing)} are missing (pruned by log "
+            "cleanup?) and no checkpoint at or below them survives"
+        )
 
     return Snapshot(
         version=target,
         files=list(state["files"].values()),
         metadata=state["metadata"],
         protocol=state["protocol"],
+        tombstones=list(state["tombstones"].values()),
     )
+
+
+def _read_checkpoint_actions(part_path: str) -> list[dict[str, Any]]:
+    """Read one checkpoint part — reference four-column layout
+    (add/remove/metaData/protocol, checkpoint.ts:346-383) or this
+    engine's legacy single-``action``-column layout."""
+    table = pq.read_table(part_path)
+    if "action" in table.column_names:
+        return [json.loads(s) for s in table.column("action").to_pylist()]
+    actions: list[dict[str, Any]] = []
+    cols = {
+        name: table.column(name).to_pylist()
+        for name in _ACTION_COLUMNS if name in table.column_names
+    }
+    for i in range(table.num_rows):
+        for name, values in cols.items():
+            if values[i] is not None:
+                actions.append({name: json.loads(values[i])})
+                break
+    return actions
 
 
 def write_checkpoint(table_path: str, snapshot: Snapshot,
@@ -118,23 +159,47 @@ def write_checkpoint(table_path: str, snapshot: Snapshot,
     checkpoints, checkpoint.ts:250-340) — at 100 TB a table can have
     millions of add actions; parts keep each file bounded and let readers
     fetch them in parallel."""
+    import time
+
     actions: list[dict[str, Any]] = []
     if snapshot.protocol:
         actions.append({"protocol": snapshot.protocol})
     if snapshot.metadata:
         actions.append({"metaData": snapshot.metadata})
     actions.extend({"add": f} for f in snapshot.files)
-    encoded = [json.dumps(a, separators=(",", ":")) for a in actions]
+    # persist remove tombstones (inside retention) so vacuum's protected-
+    # file window survives commit-file cleanup (reference includes removes
+    # in checkpoints, checkpoint.ts:346-383)
+    tomb_cutoff_ms = (time.time() - TOMBSTONE_RETENTION_HOURS * 3600) * 1000
+    actions.extend(
+        {"remove": t} for t in snapshot.tombstones
+        if t.get("deletionTimestamp", 0) >= tomb_cutoff_ms
+    )
+
+    def _part_table(chunk: list[dict[str, Any]]) -> pa.Table:
+        cols: dict[str, list[str | None]] = {
+            name: [] for name in _ACTION_COLUMNS
+        }
+        for a in chunk:
+            for name in _ACTION_COLUMNS:
+                cols[name].append(
+                    json.dumps(a[name], separators=(",", ":"))
+                    if name in a else None
+                )
+        return pa.table(
+            {name: pa.array(vals, type=pa.string())
+             for name, vals in cols.items()}
+        )
 
     pointer: dict[str, Any] = {"version": snapshot.version,
                                "size": len(actions)}
-    if max_actions_per_part and len(encoded) > max_actions_per_part:
-        total = -(-len(encoded) // max_actions_per_part)
+    if max_actions_per_part and len(actions) > max_actions_per_part:
+        total = -(-len(actions) // max_actions_per_part)
         for i in range(total):
-            chunk = encoded[i * max_actions_per_part:
+            chunk = actions[i * max_actions_per_part:
                             (i + 1) * max_actions_per_part]
             pq.write_table(
-                pa.table({"action": chunk}),
+                _part_table(chunk),
                 dlog.checkpoint_part_file(
                     table_path, snapshot.version, i + 1, total),
                 compression="snappy",
@@ -144,8 +209,7 @@ def write_checkpoint(table_path: str, snapshot: Snapshot,
             table_path, snapshot.version, 1, total)
     else:
         path = dlog.checkpoint_file(table_path, snapshot.version)
-        pq.write_table(pa.table({"action": encoded}), path,
-                       compression="snappy")
+        pq.write_table(_part_table(actions), path, compression="snappy")
     with open(dlog.last_checkpoint_file(table_path), "w", encoding="utf-8") as f:
         json.dump(pointer, f)
     return path

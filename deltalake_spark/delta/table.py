@@ -545,6 +545,10 @@ class DeltaTable:
         kept, skipped = prune_files(
             snap.files, filter if isinstance(filter, Mapping) else None,
             list(snap.partition_columns),
+            # stats are keyed by PHYSICAL parquet names; predicates arrive
+            # with logical names (partition columns can't be renamed, so
+            # they are unaffected)
+            column_mapping=self._column_mapping(snap),
         )
         self.last_query_skipped_files = skipped
         df = self._scan(snap, kept)
@@ -661,13 +665,15 @@ class DeltaTable:
         dsnap.maybe_checkpoint(self.path, version)
         return version
 
-    def _delete_with_dv(self, cond: Column,
-                        _emit_cdc: bool = True) -> dict[str, Any]:
-        """Soft delete: record (file, row_index) pairs in a deletion-
-        vector sidecar instead of rewriting data files. The whole DV set
-        is rewritten each delete (it is metadata-scale); affected files
-        get remove+add with a deletionVector descriptor — zero data I/O.
-        """
+    def _dv_soft_delete_actions(
+        self, cond: Column, no_match_msg: str,
+    ) -> tuple[list[dict[str, Any]], int, DataFrame, "dsnap.Snapshot"]:
+        """Build the remove+add actions (with deletionVector descriptors)
+        for a soft delete of rows matching ``cond`` — WITHOUT committing.
+        Callers compose them into a single atomic commit: plain delete,
+        or delete+append for the DV update path (readers must never see
+        the intermediate rows-missing state). Returns
+        (actions, n_matched, matched logical rows, snapshot)."""
         snap = self.snapshot()
         schema = self.schema()
         mapping = self._column_mapping(snap)
@@ -697,12 +703,7 @@ class DeltaTable:
         )
         n_matched = new_pairs.count()
         if n_matched == 0:
-            raise NoMatchError("delete matched no rows")
-        cdc_df = None
-        if _emit_cdc and self.cdc_enabled():
-            cdc_df = matched.drop("__fp", "__ri").withColumn(
-                "_change_type", F.lit("delete")
-            )
+            raise NoMatchError(no_match_msg)
 
         all_pairs = new_pairs if old_dv is None else \
             new_pairs.unionByName(old_dv).distinct()
@@ -720,16 +721,17 @@ class DeltaTable:
         # may hold other writers' in-flight files (concurrency)
         shutil.rmtree(staging, ignore_errors=True)
 
+        # __fp is a substring of the _metadata.file_path URI and stays
+        # percent-ENCODED (space/#/% in partition values), while add-action
+        # paths are decoded — unquote before matching or encoded files
+        # would silently never receive their deletionVector descriptor
         counts = {
-            r["file_path"]: r["n"]
+            urllib.parse.unquote(r["file_path"]): r["n"]
             for r in all_pairs.groupBy("file_path")
             .agg(F.count(F.lit(1)).alias("n")).collect()
         }
         now = int(time.time() * 1000)
-        actions: list[dict[str, Any]] = [dlog.commit_info_action(
-            "DELETE", {"mode": "deletion-vectors"},
-            numDeletedRows=n_matched,
-        )]
+        actions: list[dict[str, Any]] = []
         for f in snap.files:
             if f["path"] in counts:
                 actions.append({"remove": {
@@ -742,6 +744,26 @@ class DeltaTable:
                 }
                 new_add["dataChange"] = False
                 actions.append({"add": new_add})
+        return actions, n_matched, matched, snap
+
+    def _delete_with_dv(self, cond: Column,
+                        _emit_cdc: bool = True) -> dict[str, Any]:
+        """Soft delete: record (file, row_index) pairs in a deletion-
+        vector sidecar instead of rewriting data files. The whole DV set
+        is rewritten each delete (it is metadata-scale); affected files
+        get remove+add with a deletionVector descriptor — zero data I/O.
+        """
+        dv_actions, n_matched, matched, snap = self._dv_soft_delete_actions(
+            cond, "delete matched no rows")
+        cdc_df = None
+        if _emit_cdc and self.cdc_enabled():
+            cdc_df = matched.drop("__fp", "__ri").withColumn(
+                "_change_type", F.lit("delete")
+            )
+        actions = [dlog.commit_info_action(
+            "DELETE", {"mode": "deletion-vectors"},
+            numDeletedRows=n_matched,
+        )] + dv_actions
         version = snap.version + 1
         dlog.write_commit(self.path, version, actions)
         dsnap.maybe_checkpoint(self.path, version)
@@ -788,8 +810,11 @@ class DeltaTable:
     def _update_with_dv(self, cond: Column,
                         updates: Mapping[str, Any]) -> dict[str, Any]:
         """DV-style update: soft-delete the matched row versions (zero
-        data rewrite) and append the updated rows as a new file — the
-        same delete+insert decomposition Delta uses for DV updates."""
+        data rewrite) and append the updated rows — in ONE commit, the
+        delete+insert decomposition Delta uses for DV updates. A single
+        commit means concurrent readers never observe the intermediate
+        rows-missing state and a crash between the two halves cannot
+        lose the updated rows."""
         schema = self.schema()
         matched = self.to_df().filter(F.coalesce(cond, F.lit(False)))
         new_rows = matched
@@ -806,10 +831,15 @@ class DeltaTable:
                 "_change_type", F.lit("update_preimage"))
             cdc_post = new_rows.withColumn(
                 "_change_type", F.lit("update_postimage"))
-        res = self._delete_with_dv(cond, _emit_cdc=False)
-        n = res["numDeletedRows"]
-        version = self.write(new_rows, _operation="UPDATE",
-                             _emit_cdc=False)
+        dv_actions, n, _m, snap = self._dv_soft_delete_actions(
+            cond, "update matched no rows")
+        adds = self._stage_and_move(new_rows, list(snap.partition_columns))
+        actions = [dlog.commit_info_action(
+            "UPDATE", {"mode": "deletion-vectors"}, numUpdatedRows=n,
+        )] + dv_actions + [{"add": a} for a in adds]
+        version = snap.version + 1
+        dlog.write_commit(self.path, version, actions)
+        dsnap.maybe_checkpoint(self.path, version)
         if cdc_pre is not None:
             self._write_cdc(cdc_pre.unionByName(cdc_post), version)
         return {"version": version, "numUpdatedRows": n}
