@@ -55,14 +55,25 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     qs = entry_mod.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def run_once(name: str) -> tuple[float, int]:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count() if name == "minhash_neardup_groups" else len(df.collect())
-        times[name] = round(time.perf_counter() - t0, 3)
+        dt = round(time.perf_counter() - t0, 3)
+        return dt, n
+
+    # cold pass (first execution: includes codegen/plan compile), then a
+    # warm pass so round-over-round deltas aren't drowned by codegen noise
+    times: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name], n = run_once(name)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    for name in HEADLINE:
+        warm[name], _ = run_once(name)
+        print(f"# warm {name}: {warm[name]}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -70,6 +81,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "warm_queries": warm,
+        "warm_total": round(sum(warm.values()), 3),
         "sf": sf,
     }))
 

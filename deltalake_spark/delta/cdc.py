@@ -7,9 +7,15 @@ Record format mirrors Delta CDF / the reference's DeltaCDCRecord
 
 Storage layout (reference writeCDCFile, src/cdc/index.ts:2319-2359 — we
 keep the version-addressed path, dropping the redundant date-partitioned
-duplicate; Parquet only, no JSON variant):
+duplicate):
 
     <table>/_change_data/cdc-<20-digit-version>-<uuid>.parquet
+
+Dual-format parity with the reference's parseCDCFile
+(src/cdc/index.ts:1462-1558): Parquet is the default WRITE format;
+setting table configuration ``delta.cdc.writeFormat=json`` writes
+NDJSON change files instead (the reference's internal format), and the
+read path accepts any mix of the two regardless of who wrote them.
 """
 
 from __future__ import annotations
@@ -36,7 +42,11 @@ def _cdc_dir(table: "DeltaTable") -> str:
 
 def write_cdc_file(table: "DeltaTable", df: DataFrame, version: int) -> None:
     """Persist CDC records for one commit. ``df`` must carry data columns
-    + ``_change_type``; version/timestamp columns are stamped here."""
+    + ``_change_type``; version/timestamp columns are stamped here.
+    Format follows ``delta.cdc.writeFormat`` (parquet | json)."""
+    fmt = table.configuration.get("delta.cdc.writeFormat", "parquet")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported delta.cdc.writeFormat {fmt!r}")
     out_dir = _cdc_dir(table)
     os.makedirs(out_dir, exist_ok=True)
     stamped = (
@@ -45,14 +55,20 @@ def write_cdc_file(table: "DeltaTable", df: DataFrame, version: int) -> None:
     )
     staging = os.path.join(table.path, "_staging",
                            f"cdc-{uuid.uuid4().hex}")
-    stamped.coalesce(1).write.mode("overwrite").parquet(staging)
+    writer = stamped.coalesce(1).write.mode("overwrite")
+    if fmt == "json":
+        writer.json(staging)
+        suffix = ".json"
+    else:
+        writer.parquet(staging)
+        suffix = ".parquet"
     for fn in os.listdir(staging):
-        if fn.endswith(".parquet"):
+        if fn.endswith(suffix):
             os.rename(
                 os.path.join(staging, fn),
                 os.path.join(
                     out_dir,
-                    f"cdc-{version:020d}-{uuid.uuid4().hex}.parquet",
+                    f"cdc-{version:020d}-{uuid.uuid4().hex}{suffix}",
                 ),
             )
     import shutil
@@ -99,11 +115,16 @@ def read_changes(
     if pq_files:
         parts.append(table.spark.read.parquet(*pq_files))
     if js_files:
-        # foreign-writer JSON CDC: coerce to the parquet-side schema
-        ref = parts[0].schema if parts else None
-        jdf = (table.spark.read.schema(ref).json(*js_files)
-               if ref is not None else table.spark.read.json(*js_files))
-        parts.append(jdf)
+        # JSON CDC (own json writeFormat or foreign writers): coerce to
+        # the parquet-side schema when present, else the table schema +
+        # CDF meta columns (inference would read timestamps as strings)
+        ref = parts[0].schema if parts else (
+            table.schema().add("_change_type", "string")
+            .add("_commit_version", "long")
+            .add("_commit_timestamp", "timestamp")
+        )
+        # NB: json() takes schema as 2nd positional — pass paths as a list
+        parts.append(table.spark.read.schema(ref).json(js_files))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)

@@ -32,6 +32,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 __all__ = [
     "read_parquet_stream",
     "windowed_agg",
+    "session_windows",
     "stateful_sessions",
     "run_available_now",
 ]
@@ -81,6 +82,46 @@ def windowed_agg(
         stream.withWatermark(time_col, watermark)
         .groupBy(F.window(time_col, window), *group_cols)
         .agg(*exprs)
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    *,
+    time_col: str,
+    gap: str,
+    watermark: str,
+    group_cols: Iterable[str] = (),
+    aggs: dict[str, str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window``
+    (merging-window state store — no Python workers, unlike
+    :func:`stateful_sessions`).
+
+    In append mode a session is emitted exactly once, when the watermark
+    passes its end (``last event + gap``); under an availableNow drain
+    the final no-data micro-batch flushes every session whose end ≤
+    ``max(event time) − watermark``, so the result is deterministic for
+    a fixed input. Note Spark floors the tracked max event time to whole
+    milliseconds when computing the watermark — an oracle must replicate
+    ``(floor(max_us/1000) − delay_ms) * 1000`` to match the emission
+    cutoff exactly.
+
+    The output keeps ``session_window.start`` / ``.end`` as columns named
+    ``session_start`` / ``session_end``.
+    """
+    aggs = aggs or {"n": "count(*)"}
+    exprs = [F.expr(sql).alias(name) for name, sql in aggs.items()]
+    win = (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(*group_cols, F.session_window(time_col, gap))
+        .agg(*exprs)
+    )
+    return win.select(
+        *group_cols,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *aggs.keys(),
     )
 
 

@@ -107,10 +107,18 @@ def test_similarity_lsh_recall(spark, tables):
 def test_pairwise_topk_join(spark, tables):
     emb = tables["embeddings"].limit(50)
     out = pairwise_topk_join(
-        emb, emb, left_id="vec_id", right_id="vec_id", k=3, num_planes=6
+        emb, emb.withColumnRenamed("vec_id", "neighbor_id"),
+        left_id="vec_id", right_id="neighbor_id", k=3, num_planes=6,
     )
     rows = out.collect()
     assert all(r["rank"] <= 3 for r in rows)
+    # self-join: every vector's nearest neighbor is itself at rank 1
+    r1 = {r["vec_id"]: r["neighbor_id"] for r in rows if r["rank"] == 1}
+    assert all(v == n for v, n in r1.items())
+    # colliding id names refuse loudly instead of duplicating columns
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must differ"):
+        pairwise_topk_join(emb, emb, left_id="vec_id", right_id="vec_id")
 
 
 def test_token_counts(spark):
