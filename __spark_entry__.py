@@ -1415,6 +1415,53 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` sessionization (merging-window state
+    store, no Python workers) with a 30-min gap and 2-h watermark, run as
+    a stream and drained with availableNow. Append mode emits exactly the
+    sessions whose end passed the final watermark; all output stays in
+    integer microsecond/millisecond domain so the driver's exact value
+    hash is reproducible against the DuckDB oracle."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        session_windows,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ets"),
+    )
+    sess = session_windows(
+        stream,
+        time_col="ets",
+        gap="30 minutes",
+        watermark="2 hours",
+        group_cols=["user_id"],
+        aggs={"n_events": "count(*)"},
+    )
+    out = run_available_now(sess, output_mode="append")
+    # span excludes the trailing gap padding: end - gap - start, in ms
+    gap_us = 30 * 60 * 1_000_000
+    return (
+        out.withColumn(
+            "span_ms",
+            F.expr(f"(unix_micros(session_end) - {gap_us}"
+                   " - unix_micros(session_start)) div 1000"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("span_ms").alias("total_span_ms"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionization: per-user state crosses
     micro-batch boundaries; each closed session emitted exactly once.
@@ -1512,6 +1559,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "agg_rollup": agg_rollup,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_session_window": stream_session_window,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
     "multimodal_meta_extract": multimodal_meta_extract,
@@ -2136,6 +2184,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_session_window": """
+            -- replicates Spark session_window semantics exactly:
+            -- micros domain, new session at gap >= 30 min, session end =
+            -- last event + gap, emitted iff end <= watermark where the
+            -- watermark is max event time FLOORED TO MILLISECONDS - 2h
+            WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS t
+                       FROM events),
+                 wm AS (SELECT ((MAX(t) // 1000) - 7200000) * 1000 AS w
+                        FROM e),
+                 g AS (SELECT user_id, t,
+                              CASE WHEN LAG(t) OVER win IS NULL
+                                     OR t - LAG(t) OVER win >= 1800000000
+                                   THEN 1 ELSE 0 END AS ns
+                       FROM e
+                       WINDOW win AS (PARTITION BY user_id ORDER BY t)),
+                 s AS (SELECT user_id, t,
+                              SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                                            ROWS UNBOUNDED PRECEDING)
+                                  AS sid
+                       FROM g),
+                 sess AS (SELECT user_id, sid, COUNT(*) AS n,
+                                 MIN(t) AS st, MAX(t) AS en
+                          FROM s GROUP BY 1, 2),
+                 closed AS (SELECT * FROM sess, wm
+                            WHERE en + 1800000000 <= wm.w)
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(SUM((en - st) // 1000) AS BIGINT) AS total_span_ms
+            FROM closed GROUP BY 1 ORDER BY 1
         """,
         "stream_sessionize_stateful": """
             WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS t

@@ -112,3 +112,45 @@ def test_windowed_agg_watermark_bounds_state(spark, event_dir):
     )
     assert ({tuple(r) for r in out.collect()}
             == {tuple(r) for r in batch.collect()})
+
+
+def test_session_window_builtin_multi_batch(spark, event_dir):
+    """Built-in session_window agrees with the batch sessionize ground
+    truth on (user, n_events) multisets for emitted sessions, and is
+    invariant to how the input is split into micro-batches."""
+    from deltalake_spark.streaming.windowed import session_windows
+
+    def run(max_files=None):
+        stream = read_parquet_stream(
+            spark, event_dir, max_files_per_trigger=max_files
+        ).withColumn("ets", F.timestamp_micros(F.expr("ts div 1000")))
+        sess = session_windows(
+            stream, time_col="ets", gap="30 minutes", watermark="2 hours",
+            group_cols=["user_id"], aggs={"n_events": "count(*)"},
+        )
+        return run_available_now(sess, output_mode="append")
+
+    single = run()
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in single.collect()
+    )
+    # watermark = max ts - 2h. Each user's session cycle is ~56 min
+    # (25 min of events + 31 min gap) and the window end pads +30 min,
+    # so exactly the first 2 of 5 sessions per user have
+    # end <= max_ts - 2h; later ones are held in state (they'd emit
+    # when more data arrives on a live stream)
+    assert set(got) <= {(u, 6) for u in range(4)}
+    assert got == sorted([(u, 6) for u in range(4)] * 2)
+
+    # multi-batch run must produce the identical result
+    multi = run(max_files=1)
+    got_multi = sorted(
+        (r["user_id"], r["n_events"]) for r in multi.collect()
+    )
+    assert got_multi == got
+    # span sanity: every emitted session covers 5 gaps of 5 min
+    spans = {
+        int((r["session_end"] - r["session_start"]).total_seconds())
+        for r in single.collect()
+    }
+    assert spans == {5 * 300 + 1800}
