@@ -85,3 +85,156 @@ def test_retry_metrics(spark, tmp_path):
                      config=RetryConfig(max_attempts=5,
                                         initial_delay=0.001))
     assert out == "ok" and calls["n"] == 3
+
+
+def test_retry_metrics_and_callbacks():
+    """Reference retry.ts:55-72 metrics + 83-99 callbacks surface."""
+    from deltalake_spark.delta.retry import RetryMetrics
+
+    calls = {"n": 0}
+    seen = {"retries": [], "success": None, "failure": None}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConcurrencyError("/tmp/simulated", calls["n"])
+        return "ok"
+
+    out, m = with_retry(
+        flaky,
+        config=RetryConfig(max_attempts=5, initial_delay=0.001),
+        on_retry=lambda a, e: seen["retries"].append(a),
+        on_success=lambda r, a: seen.update(success=(r, a)),
+        return_metrics=True,
+    )
+    assert out == "ok"
+    assert isinstance(m, RetryMetrics)
+    assert m.attempts == 3 and m.retries == 2 and m.succeeded
+    assert len(m.delays) == 2 and len(m.errors) == 2
+    assert m.total_delay_s == sum(m.delays) and m.elapsed_s > 0
+    assert seen["retries"] == [1, 2] and seen["success"] == ("ok", 3)
+
+    def always():
+        raise ConcurrencyError("/tmp/x", 0)
+
+    with pytest.raises(ConcurrencyError):
+        with_retry(always,
+                   config=RetryConfig(max_attempts=2, initial_delay=0.001),
+                   on_failure=lambda e, a: seen.update(failure=a))
+    assert seen["failure"] == 2
+
+
+def test_retry_on_retry_false_aborts():
+    """on_retry returning False stops retrying (reference retry.ts:91)."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        raise ConcurrencyError("/tmp/x", calls["n"])
+
+    with pytest.raises(ConcurrencyError):
+        with_retry(flaky,
+                   config=RetryConfig(max_attempts=10, initial_delay=0.001),
+                   on_retry=lambda a, e: False)
+    assert calls["n"] == 1
+
+
+def test_retry_abort_signal():
+    """A set abort signal raises AbortError before the next attempt
+    (reference AbortSignal handling, retry.ts:330-360)."""
+    import threading
+
+    from deltalake_spark.errors import AbortError
+
+    sig = threading.Event()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        sig.set()  # abort mid-flight after the first failure
+        raise ConcurrencyError("/tmp/x", 1)
+
+    with pytest.raises(AbortError):
+        with_retry(flaky,
+                   config=RetryConfig(max_attempts=10, initial_delay=0.001),
+                   abort_signal=sig)
+    assert calls["n"] == 1
+
+    sig2 = threading.Event()
+    sig2.set()  # already aborted: fn never runs
+    with pytest.raises(AbortError):
+        with_retry(lambda: "x", abort_signal=sig2)
+
+
+def test_retryable_attribute_and_predicate():
+    """Errors flagged retryable=True retry without being allowlisted;
+    a custom predicate extends retryability (errors.ts:393-413)."""
+    from deltalake_spark.errors import (
+        VersionMismatchError,
+        has_retryable_property,
+        is_retryable,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise VersionMismatchError("/tmp/f.json", "1", "2")
+        return "ok"
+
+    assert with_retry(flaky, config=RetryConfig(initial_delay=0.001)) == "ok"
+    assert calls["n"] == 2
+    assert is_retryable(VersionMismatchError("/p", "1", "2"))
+    assert has_retryable_property(VersionMismatchError("/p", "1", "2"))
+    assert not is_retryable(ValueError("nope"))
+
+    # non-retryable errors surface immediately, no retry
+    calls["n"] = 0
+
+    def bad():
+        calls["n"] += 1
+        raise ValueError("permanent")
+
+    with pytest.raises(ValueError):
+        with_retry(bad, config=RetryConfig(max_attempts=5,
+                                           initial_delay=0.001))
+    assert calls["n"] == 1
+
+    # custom predicate opts an arbitrary error class in
+    calls["n"] = 0
+
+    def flaky_io():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise OSError("transient")
+        return "ok"
+
+    assert with_retry(
+        flaky_io, config=RetryConfig(initial_delay=0.001),
+        is_retryable_fn=lambda e: isinstance(e, OSError),
+    ) == "ok"
+    assert calls["n"] == 2
+
+
+def test_error_taxonomy_codes():
+    """Stable error codes + guards (reference errors.ts:46-432)."""
+    from deltalake_spark import errors as E
+
+    assert ConcurrencyError("/p", 1).code == "CONCURRENT_UPDATE"
+    assert E.DeltaFileNotFoundError("/p/x").code == "FILE_NOT_FOUND"
+    assert E.DeltaFileNotFoundError("/p/x").path == "/p/x"
+    assert E.StorageError("boom", "/p", "write").operation == "write"
+    assert E.ValidationError("bad", field="k", value=3).field == "k"
+    assert E.InvalidFilterError("bad").code == "INVALID_FILTER"
+    assert E.CDCError("cdc").code == "CDC_ERROR"
+    assert E.AbortError().code == "ABORTED"
+    assert E.is_delta_error(E.CDCError("x"))
+    assert E.is_storage_error(E.DeltaFileNotFoundError("/p"))
+    assert E.is_validation_error(E.InvalidFilterError("x"))
+    assert E.is_concurrency_error(ConcurrencyError("/p", 1))
+    # filter/pipeline/projection errors remain catchable as before
+    assert isinstance(E.InvalidFilterError("x"), E.DeltaError)
+    cause = ValueError("root")
+    wrapped = E.StorageError("io", "/p", "read", cause=cause)
+    assert wrapped.cause is cause
