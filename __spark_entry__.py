@@ -1193,7 +1193,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf-weighted term scores, top 20 terms. All JVM-side (split/explode/
     agg); the doc-frequency side is a tiny broadcast."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
+    # doc count as a broadcast scalar, not a separate driver action: the
+    # count-only branch prunes every column (parquet footer row counts),
+    # so this is one job and no second full scan of `text` at scale
+    n_docs = docs.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"))
     tokens = docs.select(
         "doc_id",
         F.explode(
@@ -1206,14 +1210,52 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-    )
-    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1))
+    ).crossJoin(F.broadcast(n_docs))
+    idf = F.log((F.col("__n_docs") + 1) / (F.col("df") + 1))
     return (
         df_.withColumn("score", F.round(F.col("total_tf") * idf, 4))
         .select("term", "df",
                 F.col("total_tf").alias("tf"), "score")
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(20)
+    )
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact join via matching bucketBy layouts: customer and
+    orders are both written bucketed (and sorted) on custkey, so the
+    SortMergeJoin runs with ZERO Exchange nodes — verified in-plan, not
+    assumed. At 100 TB this is the difference between paying two
+    full-table shuffles per join and paying none (layout cost amortized
+    across every downstream join on the key)."""
+    from deltalake_spark.operators.bucketing import (
+        read_bucketed,
+        verify_colocated,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    cust_t, ord_t = f"bkt_customer_{tag}", f"bkt_orders_{tag}"
+    write_bucketed(_t(spark, sf_dir, "customer")
+                   .select("c_custkey", "c_mktsegment"),
+                   cust_t, bucket_cols=["c_custkey"], num_buckets=8,
+                   sort_cols=["c_custkey"])
+    write_bucketed(_t(spark, sf_dir, "orders")
+                   .select("o_custkey", "o_totalprice"),
+                   ord_t, bucket_cols=["o_custkey"], num_buckets=8,
+                   sort_cols=["o_custkey"])
+    cust = read_bucketed(spark, cust_t)
+    orders = read_bucketed(spark, ord_t)
+    joined = cust.hint("merge").join(
+        orders, cust.c_custkey == orders.o_custkey)
+    verify_colocated(joined)  # 0 shuffles or AssertionError with the plan
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 
@@ -1548,6 +1590,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_prices": percentile_prices,
     "tfidf_top_terms": tfidf_top_terms,
     "delta_partitioned_query": delta_partitioned_query,
+    "bucketed_colocated_join": bucketed_colocated_join,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
     "range_view_attribution": range_view_attribution,
@@ -2184,6 +2227,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "bucketed_colocated_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "stream_session_window": """
             -- replicates Spark session_window semantics exactly:
