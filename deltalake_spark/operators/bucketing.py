@@ -18,6 +18,8 @@ slower at scale).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from deltalake_spark.plans.explain import plan_summary
@@ -39,6 +41,19 @@ def write_bucketed(
     joined (Spark only elides the shuffle for equal bucket counts).
     Sorting within buckets additionally elides the Sort before a
     SortMergeJoin."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        # with the in-memory catalog a managed table's LOCATION outlives
+        # the session while the catalog entry does not; a fresh session's
+        # overwrite then fails with LOCATION_ALREADY_EXISTS. Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if wh:
+            shutil.rmtree(os.path.join(wh, name.lower()),
+                          ignore_errors=True)
     writer = (
         df.write.mode(mode)
         .bucketBy(num_buckets, *bucket_cols)

@@ -258,6 +258,11 @@ def ivf_topk_join(
     """
     from pyspark.sql.window import Window
 
+    if query_id == corpus_id:
+        raise ValueError(
+            f"query_id and corpus_id must differ (both {query_id!r}); "
+            "alias one side before joining so output columns are unique"
+        )
     c = ivf_assign(
         corpus.select(F.col(corpus_id).alias("__rid"),
                       F.col(vec_col).alias("__rv")),

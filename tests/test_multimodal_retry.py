@@ -96,3 +96,61 @@ def test_with_retry_non_retryable():
 
     with pytest.raises(ValueError):
         with_retry(boom, RetryConfig(initial_delay=0.001))
+
+
+def test_wav_meta_parse_and_audio_decode(spark):
+    from deltalake_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_media_df,
+        make_wav,
+        wav_meta,
+    )
+
+    w = make_wav(sample_rate=16000, channels=2, bits=16, n_frames=16000)
+    m = wav_meta(w)
+    assert m == {"channels": 2, "sample_rate": 16000, "bits": 16,
+                 "n_frames": 16000, "duration_ms": 1000}
+    assert wav_meta(b"not a wav") is None
+    assert wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt chunk
+
+    df = make_media_df(spark, [
+        {"media_id": 1, "kind": "audio", "format": "wav",
+         "payload": make_wav(n_frames=4000)},
+        {"media_id": 2, "kind": "audio", "format": "wav",
+         "payload": make_wav(sample_rate=44100, n_frames=44100)},
+        {"media_id": 3, "kind": "audio", "format": "mp3",
+         "payload": b"\xff\xfb\x90\x00junk"},   # non-WAV → nulls
+        {"media_id": 4, "kind": "audio", "format": None, "payload": None},
+    ])
+    out = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    assert out[1]["sample_rate"] == 8000
+    assert out[1]["duration_ms_parsed"] == 500
+    assert out[2]["sample_rate"] == 44100
+    assert out[2]["duration_ms_parsed"] == 1000
+    assert out[3]["sample_rate"] is None and out[4]["sample_rate"] is None
+
+
+def test_audio_feature_stub_shape(spark):
+    from deltalake_spark.operators.multimodal import (
+        audio_feature_stub,
+        make_media_df,
+        make_wav,
+    )
+
+    df = make_media_df(spark, [
+        {"media_id": 1, "kind": "audio", "format": "wav",
+         "payload": make_wav(n_frames=8000)},            # 1000 ms → 4 win
+        {"media_id": 2, "kind": "audio", "format": "wav",
+         "payload": make_wav(n_frames=80000)},           # 10 s → capped 16
+        {"media_id": 3, "kind": "audio", "format": "wav", "payload": None},
+    ])
+    out = {r["media_id"]: r["features"]
+           for r in audio_feature_stub(df, window_ms=250).collect()}
+    assert len(out[1]) == 4
+    assert len(out[2]) == 16
+    assert out[3] is None
+    # deterministic: identical payload → identical features
+    again = {r["media_id"]: r["features"]
+             for r in audio_feature_stub(df, window_ms=250).collect()}
+    assert out == again
+    assert all(isinstance(v, float) for v in out[1])
