@@ -578,6 +578,37 @@ def variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own Parquet Variant BINARY codec as a load-bearing path (reference
+    encode/decode, src/parquet/variant.ts:80-684): events.props JSON is
+    encoded to the binary layout (metadata dictionary + value bytes) and
+    decoded back by Arrow-batched UDFs, while the shredding writer's
+    typed subcolumn carries the same field JVM-side. Both paths must
+    agree with DuckDB reading the original JSON — a corrupted byte
+    anywhere in the codec breaks the hash."""
+    from deltalake_spark.functions.variant_binary import (
+        decode_variant_udf,
+        shred_to_binary,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "props")
+    shredded = shred_to_binary(ev, "props", "v", {"k": "bigint"})
+    back = shredded.withColumn("back", decode_variant_udf("v"))
+    return (
+        back.select(
+            F.get_json_object("back", "$.k").cast("long").alias("k_rt"),
+            F.col("v.typed_value.k.typed_value").alias("k_typed"),
+        )
+        .groupBy((F.col("k_rt") % 8).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_rt").alias("sum_roundtrip"),
+            F.sum("k_typed").alias("sum_typed"),
+        )
+        .orderBy("k_mod")
+    )
+
+
 def filter_ne_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1572,6 +1603,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score_dist": quality_score_dist,
     "events_windowed": events_windowed,
     "variant_shred_stats": variant_shred_stats,
+    "variant_binary_roundtrip": variant_binary_roundtrip,
     "filter_ne_bylang": filter_ne_bylang,
     "delta_table_lifecycle": delta_table_lifecycle,
     "delta_merge_upsert": delta_merge_upsert,
@@ -1875,6 +1907,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(props->>'$.k' AS INT) % 10 AS k_mod,
                    COUNT(*) AS n,
                    CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY 1 ORDER BY k_mod
+        """,
+        "variant_binary_roundtrip": """
+            SELECT CAST(props->>'$.k' AS BIGINT) % 8 AS k_mod,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_roundtrip,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+                       AS sum_typed
             FROM events GROUP BY 1 ORDER BY k_mod
         """,
         "filter_ne_bylang": """
