@@ -68,11 +68,15 @@ def compact(
     min_files: int = 2,
     strategy: str = "greedy",
     dry_run: bool = False,
+    on_progress: "Any | None" = None,
 ) -> dict[str, Any]:
     """Merge small files per partition (reference compact(),
     compaction/index.ts:568-878; selection 1492-1538; strategies
     greedy / sort-by-size / bin-packing with first-fit-decreasing
-    1504-1531).
+    1504-1531; onProgress callback compaction/index.ts:120).
+
+    ``on_progress`` (optional callable) receives ``{"phase": "select" |
+    "rewrite" | "commit", ...}`` dicts as the operation advances.
 
     Selection is driver-side over log metadata (size per add action); the
     rewrite is one Spark job per partition group, coalesced toward
@@ -103,6 +107,8 @@ def compact(
         "bytesCompacted": sum(f["size"] for f in selected),
         "dryRun": dry_run,
     }
+    if on_progress:
+        on_progress({"phase": "select", **metrics})
     if dry_run or not selected:
         metrics["version"] = snap.version
         return metrics
@@ -114,11 +120,16 @@ def compact(
         1 if total_bytes % target_file_size else 0
     ))
     df = df.coalesce(int(n_out))
+    if on_progress:
+        on_progress({"phase": "rewrite", "inputFiles": len(rel_paths),
+                     "outputFiles": int(n_out)})
     version = table._rewrite_commit(
         "OPTIMIZE", rel_paths, df,
         numRemovedFiles=len(rel_paths), numAddedFiles=int(n_out),
     )
     metrics["version"] = version
+    if on_progress:
+        on_progress({"phase": "commit", "version": version})
     return metrics
 
 
@@ -341,10 +352,14 @@ def vacuum(
     retention_hours: float = 168.0,
     dry_run: bool = False,
     min_retention_hours: float = 1.0,
+    on_progress: "Any | None" = None,
 ) -> dict[str, Any]:
     """Delete unreferenced data files older than the retention window
     (reference vacuum(), src/delta/vacuum.ts:127-248; protected-file scan
-    297-355; identical defaults: 168 h retention, 1 h minimum, dry run).
+    297-355; identical defaults: 168 h retention, 1 h minimum, dry run;
+    onProgress callback vacuum.ts:57).
+
+    ``on_progress`` receives ``{"phase": "scan" | "delete", ...}`` dicts.
     """
     if retention_hours < min_retention_hours:
         raise ValueError(
@@ -393,12 +408,17 @@ def vacuum(
     bytes_reclaimed = sum(
         os.path.getsize(os.path.join(table.path, p)) for p in candidates
     )
+    if on_progress:
+        on_progress({"phase": "scan", "candidates": len(candidates),
+                     "bytes": bytes_reclaimed})
     if not dry_run:
         for p in candidates:
             try:
                 os.remove(os.path.join(table.path, p))
             except OSError:
                 pass
+        if on_progress:
+            on_progress({"phase": "delete", "deleted": len(candidates)})
     return {
         "filesDeleted": len(candidates),
         "bytesReclaimed": bytes_reclaimed,

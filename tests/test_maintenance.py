@@ -134,3 +134,32 @@ def test_vacuum(spark, tmp_path, fragmented):
 def test_vacuum_retention_guard(fragmented):
     with pytest.raises(ValueError):
         fragmented.vacuum(retention_hours=0.1)
+
+
+def test_on_progress_callbacks(spark, tmp_path):
+    """compact/vacuum progress callbacks (reference onProgress,
+    compaction/index.ts:120, vacuum.ts:57)."""
+    from deltalake_spark.delta.maintenance import compact, vacuum
+
+    t = DeltaTable(spark, str(tmp_path / "prog"))
+    for i in range(3):
+        t.write(spark.createDataFrame([(i,)], "id long"))
+
+    events = []
+    m = compact(t, target_file_size=1 << 20, on_progress=events.append)
+    phases = [e["phase"] for e in events]
+    assert phases == ["select", "rewrite", "commit"]
+    assert events[0]["filesCompacted"] == m["filesCompacted"] >= 3
+    assert events[2]["version"] == m["version"]
+
+    events.clear()
+    v = vacuum(t, retention_hours=1.0, min_retention_hours=0.0,
+               dry_run=True, on_progress=events.append)
+    assert [e["phase"] for e in events] == ["scan"]
+    assert events[0]["candidates"] == v["filesDeleted"]
+
+    # dry_run=False emits scan + delete
+    events.clear()
+    vacuum(t, retention_hours=1.0, min_retention_hours=0.0,
+           on_progress=events.append)
+    assert [e["phase"] for e in events] == ["scan", "delete"]
