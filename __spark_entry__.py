@@ -1178,22 +1178,30 @@ def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (engine-native; the
     reference has no percentile accumulator). Spark's `percentile` is the
-    exact (sort-based) form, matching SQL quantile_cont semantics."""
+    exact (sort-based) form, matching SQL quantile_cont semantics.
+
+    Hash-stability: percentiles run over ×4-scaled integer cents at
+    DYADIC p (0.25/0.5/0.75), so the interpolation `lo + (hi-lo)*frac`
+    has frac ∈ {0,.25,.5,.75} and yields an exactly-integral double —
+    bit-identical in Spark and DuckDB. (p90 over raw dollar doubles
+    landed on a half-cent boundary at sf0.001 and rounded differently
+    per engine.)"""
     li = _t(spark, sf_dir, "lineitem")
+    cents4 = "cast(round(l_extendedprice * 100) as bigint) * 4"
+    qty4 = "cast(l_quantity as bigint) * 4"
     return (
         li.groupBy("l_returnflag")
         .agg(
             # one sort-based percentile buffer per column, not per output
-            F.expr("percentile(l_extendedprice, array(0.5, 0.9))")
-            .alias("pe"),
-            F.expr("percentile(l_quantity, array(0.25, 0.75))").alias("pq"),
+            F.expr(f"percentile({cents4}, array(0.5, 0.75))").alias("pe"),
+            F.expr(f"percentile({qty4}, array(0.25, 0.75))").alias("pq"),
         )
         .select(
             "l_returnflag",
-            F.round(F.col("pe")[0], 2).alias("median_price"),
-            F.round(F.col("pe")[1], 2).alias("p90_price"),
-            F.round(F.col("pq")[0], 2).alias("q1_qty"),
-            F.round(F.col("pq")[1], 2).alias("q3_qty"),
+            (F.col("pe")[0] / 400.0).alias("median_price"),
+            (F.col("pe")[1] / 400.0).alias("p75_price"),
+            (F.col("pq")[0] / 4.0).alias("q1_qty"),
+            (F.col("pq")[1] / 4.0).alias("q3_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -2066,12 +2074,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "percentile_prices": """
             SELECT l_returnflag,
-                   ROUND(quantile_cont(l_extendedprice, 0.5), 2)
-                       AS median_price,
-                   ROUND(quantile_cont(l_extendedprice, 0.9), 2)
-                       AS p90_price,
-                   ROUND(quantile_cont(l_quantity, 0.25), 2) AS q1_qty,
-                   ROUND(quantile_cont(l_quantity, 0.75), 2) AS q3_qty
+                   quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                 * 4, 0.5) / 400.0 AS median_price,
+                   quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                 * 4, 0.75) / 400.0 AS p75_price,
+                   quantile_cont(CAST(l_quantity AS BIGINT) * 4, 0.25) / 4.0
+                       AS q1_qty,
+                   quantile_cont(CAST(l_quantity AS BIGINT) * 4, 0.75) / 4.0
+                       AS q3_qty
             FROM lineitem GROUP BY 1 ORDER BY 1
         """,
         "histogram_totalprice": """

@@ -254,6 +254,71 @@ def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    shingle_size: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with a recall GUARANTEE: the 64-bit
+    fingerprint splits into ``bands`` equal bit-bands; by pigeonhole any
+    two fingerprints within Hamming distance < ``bands`` agree exactly on
+    at least one band, so banding finds every such pair while the shuffle
+    stays narrow (the scale fix promised in :func:`simhash_candidates`'s
+    docstring — single-prefix blocking trades recall, banding does not).
+
+    Plan shape at 100 TB: one fingerprint pass, a ``bands``-way explode
+    (rows × B, B small), one hash-shuffle on (band, band_bits), pair
+    generation inside buckets only, then an exact JVM-side
+    ``bit_count(a ^ b)`` verify — never a cross join, no Python workers.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    ``max_hamming`` (default ``bands - 1``, the guaranteed radius).
+    """
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming is None:
+        max_hamming = bands - 1
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    fp = df.select(
+        F.col(id_col).alias("__id"),
+        simhash64(F.col(text_col), shingle_size=shingle_size)
+        .alias("__fp"),
+    )
+    banded = fp.select(
+        "__id", "__fp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                # logical >>> then mask: band bits as a non-negative long
+                F.shiftrightunsigned("__fp", i * width)
+                .bitwiseAND(F.lit(mask).cast("long")).alias("bits"),
+            )
+            for i in range(bands)
+        ])).alias("__b"),
+    ).select("__id", "__fp", "__b.band", "__b.bits")
+    left = banded.select(F.col("__id").alias("id_a"),
+                         F.col("__fp").alias("fa"), "band", "bits")
+    right = banded.select(F.col("__id").alias("id_b"),
+                          F.col("__fp").alias("fb"), "band", "bits")
+    pairs = (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     *,

@@ -190,3 +190,46 @@ class TestConnectedComponents:
         out = connected_components(edges, max_iter=n + 2)
         assert {r["component"] for r in out.collect()} == {0}
         assert out.count() == n + 1
+
+
+def test_simhash_near_pairs_recall_guarantee(spark):
+    """Banded SimHash must find EVERY pair within Hamming distance
+    < bands (pigeonhole over 4 bands of 16 bits), verified against a
+    brute-force fingerprint comparison on a small corpus."""
+    from deltalake_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    # long repetitive docs: a single-char edit flips only a handful of
+    # shingles → hamming 0-3 vs the base; unrelated docs land ~32
+    base = " ".join(f"word{i} common text segment alpha beta gamma"
+                    for i in range(30))
+    rows = [(0, base)]
+    for i, edit in enumerate([
+        base.replace("word7", "word7x", 1),
+        base.replace("word21", "word21y", 1),
+        base.replace("beta", "betaz", 1),
+    ]):
+        rows.append((i + 1, edit))
+    rows += [(10 + i, " ".join(
+        f"totally different corpus {i}-{j} zebra quantum" for j in range(30)))
+        for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(
+               df, id_col="doc_id", text_col="text", bands=4).collect()}
+
+    # brute force ground truth
+    fps = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", simhash64(F.col("text")).alias("fp")).collect()}
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+            if h <= 3:  # bands - 1
+                want[(a, b)] = h
+    assert got == want
+    assert len(want) >= 1  # the edit pairs really are near-dups
+    # distances reported are exact
+    for pair, h in got.items():
+        assert h == want[pair]
