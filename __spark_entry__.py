@@ -1231,12 +1231,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF over the documents table: tokenize → doc frequency →
     idf-weighted term scores, top 20 terms. All JVM-side (split/explode/
     agg); the doc-frequency side is a tiny broadcast."""
+    import uuid as _uuid
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # doc count as a broadcast scalar, not a separate driver action: the
-    # count-only branch prunes every column (parquet footer row counts),
-    # so this is one job and no second full scan of `text` at scale
-    n_docs = docs.groupBy().agg(
-        F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    # doc count as a SCALAR SUBQUERY, not a separate driver action and
+    # not a join: it plans as one extra count-only stage whose scan
+    # prunes every column (parquet footer row counts), and the plan has
+    # no join node at all (a literal-key broadcast would fold back into
+    # a nested-loop join, which the plan budgets forbid)
+    view = f"__tfidf_docs_{_uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    n_docs = F.expr(f"(select cast(count(*) as double) from {view})")
     tokens = docs.select(
         "doc_id",
         F.explode(
@@ -1249,8 +1254,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"),
-    ).crossJoin(F.broadcast(n_docs))
-    idf = F.log((F.col("__n_docs") + 1) / (F.col("df") + 1))
+    )
+    idf = F.log((n_docs + 1) / (F.col("df") + 1))
     return (
         df_.withColumn("score", F.round(F.col("total_tf") * idf, 4))
         .select("term", "df",
