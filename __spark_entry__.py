@@ -785,9 +785,13 @@ def delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental view maintenance: a COUNT/SUM aggregate maintained
-    purely from CDC deltas across insert/update/delete rounds must equal
-    the final-state recompute (work ∝ delta, not table size)."""
+    """Incremental view maintenance: a COUNT/SUM/MIN/MAX aggregate
+    maintained purely from CDC deltas across insert/update/delete rounds
+    must equal the final-state recompute (work ∝ delta, not table size).
+    The delete round removes p_size<5 rows including per-group extrema,
+    driving the dirty-group MIN/MAX recompute path at the gate. The
+    update multiplies by 2 (exact in binary) so per-row min/max values
+    carry no cross-engine rounding noise."""
     from deltalake_spark.streaming.incremental import IncrementalAggView
 
     part = _t(spark, sf_dir, "part")
@@ -795,10 +799,11 @@ def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.write(part.limit(0))
     t.enable_cdc()
     view = IncrementalAggView(t, keys=["p_type"],
-                              sum_cols=["p_retailprice"])
+                              sum_cols=["p_retailprice"],
+                              minmax_cols=["p_retailprice"])
     t.write(part)
     view.refresh()
-    t.update({"p_type": "PROMO"}, {"p_retailprice": "p_retailprice * 1.1"})
+    t.update({"p_type": "PROMO"}, {"p_retailprice": "p_retailprice * 2"})
     view.refresh()
     t.delete({"p_size": {"$lt": 5}})
     view.refresh()
@@ -807,6 +812,8 @@ def incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_type", "n",
             F.round("p_retailprice_sum", 1).alias("price_sum"),
+            F.round("p_retailprice_min", 2).alias("price_min"),
+            F.round("p_retailprice_max", 2).alias("price_max"),
         )
         .orderBy("p_type")
     )
@@ -1982,13 +1989,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_type ORDER BY p_type
         """,
         "incremental_agg_view": """
+            WITH final AS (
+                SELECT p_type,
+                       CASE WHEN p_type = 'PROMO'
+                            THEN p_retailprice * 2
+                            ELSE p_retailprice END AS price
+                FROM part WHERE p_size >= 5)
             SELECT p_type, COUNT(*) AS n,
-                   ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                             THEN p_retailprice * 1.1
-                             ELSE p_retailprice END), 1) AS price_sum
-            FROM part
-            WHERE p_size >= 5
-            GROUP BY 1 ORDER BY 1
+                   ROUND(SUM(price), 1) AS price_sum,
+                   ROUND(MIN(price), 2) AS price_min,
+                   ROUND(MAX(price), 2) AS price_max
+            FROM final GROUP BY 1 ORDER BY 1
         """,
         "delta_restore": """
             SELECT s_nationkey, COUNT(*) AS n,

@@ -879,10 +879,19 @@ class DeltaTable:
             )
         cdc_pre = cdc_post = None
         if self.cdc_enabled():
-            cdc_pre = affected.filter(matched_cond).withColumn(
+            matched_rows = affected.filter(matched_cond)
+            cdc_pre = matched_rows.withColumn(
                 "_change_type", F.lit("update_preimage")
             )
-            cdc_post = new_df.filter(matched_cond).withColumn(
+            # postimage = matched rows WITH assignments applied — never
+            # re-filter new_df: when the predicate tests a column being
+            # updated, the mutated value no longer matches and the
+            # postimage would silently vanish from the feed
+            cdc_post = matched_rows
+            for name, v in updates.items():
+                cdc_post = cdc_post.withColumn(
+                    name, _val(v).cast(affected.schema[name].dataType))
+            cdc_post = cdc_post.withColumn(
                 "_change_type", F.lit("update_postimage")
             )
         version = self._rewrite_commit(

@@ -6,6 +6,13 @@ maintained exactly from CDC deltas:
 
     delta(key) =  Σ inserts  −  Σ deletes  +  Σ (postimage − preimage)
 
+MIN/MAX are not additive — a delete of the current extremum invalidates
+it — so they are maintained with the standard two-tier strategy: narrow
+incrementally on inserts (``least``/``greatest``), and recompute ONLY
+the "dirty" groups (those whose batch deleted a value at or beyond the
+stored extremum) with a key-pruned scan of the source. Work stays
+proportional to the delta plus the dirty-group slice, never the table.
+
 The reference's CDC layer moves records but has no derived-state story
 (SURVEY §2.10); this composes its change feed with Spark aggregation into
 exact incremental maintenance. Each refresh reads ONLY the change files
@@ -30,19 +37,26 @@ def agg_delta(
     *,
     keys: list[str],
     sum_cols: list[str],
+    minmax_cols: list[str] = (),
 ) -> DataFrame:
-    """Per-key (n_delta, <col>_delta...) from a CDC batch. Signs:
-    insert/update_postimage +1, delete/update_preimage −1 — pre/post
-    pairs cancel for unchanged columns automatically."""
-    sign = (
-        F.when(F.col("_change_type").isin("insert", "update_postimage"), 1)
-        .when(F.col("_change_type").isin("delete", "update_preimage"), -1)
-        .otherwise(0)
-    )
+    """Per-key (n_delta, <col>_delta..., per-minmax-col insert/delete
+    extremum candidates) from a CDC batch. Signs: insert/update_postimage
+    +1, delete/update_preimage −1 — pre/post pairs cancel for unchanged
+    columns automatically."""
+    ins = F.col("_change_type").isin("insert", "update_postimage")
+    dele = F.col("_change_type").isin("delete", "update_preimage")
+    sign = F.when(ins, 1).when(dele, -1).otherwise(0)
     aggs = [F.sum(sign).alias("n_delta")] + [
         F.sum(sign * F.coalesce(F.col(c), F.lit(0.0))).alias(f"{c}_delta")
         for c in sum_cols
     ]
+    for c in minmax_cols:
+        aggs += [
+            F.min(F.when(ins, F.col(c))).alias(f"{c}_ins_min"),
+            F.max(F.when(ins, F.col(c))).alias(f"{c}_ins_max"),
+            F.min(F.when(dele, F.col(c))).alias(f"{c}_del_min"),
+            F.max(F.when(dele, F.col(c))).alias(f"{c}_del_max"),
+        ]
     return changes.groupBy(*keys).agg(*aggs)
 
 
@@ -50,15 +64,18 @@ _WM_KEY = "deltalake_spark.mv.watermark"
 
 
 class IncrementalAggView:
-    """An exactly-maintained COUNT/SUM aggregate of a CDC-enabled table,
-    persisted as a Delta-backed materialized-view table.
+    """An exactly-maintained COUNT/SUM(/MIN/MAX) aggregate of a
+    CDC-enabled table, persisted as a Delta-backed materialized-view
+    table.
 
     Deltas are applied with a distributed MERGE into the state table —
     nothing about the view ever touches the driver, so key cardinality is
     bounded by cluster storage, not driver memory (r1 kept a Python dict;
     that design ceiling is gone). ``refresh()`` work is proportional to
     the CDC delta: it reads only change files of new commit versions and
-    MERGE rewrites only state files containing touched keys.
+    MERGE rewrites only state files containing touched keys. MIN/MAX
+    additionally recompute dirty groups via a left-semi key-pruned source
+    scan (see module docstring) — still never a full recompute.
 
     The applied-version watermark is persisted in the state table's
     configuration, so a view handle can be reopened after a restart
@@ -66,12 +83,14 @@ class IncrementalAggView:
     """
 
     def __init__(self, source: "DeltaTable", *, keys: list[str],
-                 sum_cols: list[str], state_path: str | None = None):
+                 sum_cols: list[str], minmax_cols: list[str] = (),
+                 state_path: str | None = None):
         from deltalake_spark.delta.table import DeltaTable
 
         self.source = source
         self.keys = keys
         self.sum_cols = sum_cols
+        self.minmax_cols = list(minmax_cols)
         self.state = DeltaTable(
             source.spark, state_path or source.path + "__mv"
         )
@@ -83,6 +102,16 @@ class IncrementalAggView:
         conf = (self.state.snapshot().metadata or {}).get("configuration", {})
         return int(conf.get(_WM_KEY, -1))
 
+    def _state_select(self, deltas: DataFrame) -> DataFrame:
+        cols = [*self.keys,
+                F.col("n_delta").cast("long").alias("n"),
+                *[F.col(f"{c}_delta").cast("double").alias(f"{c}_sum")
+                  for c in self.sum_cols]]
+        for c in self.minmax_cols:
+            cols += [F.col(f"{c}_ins_min").alias(f"{c}_min"),
+                     F.col(f"{c}_ins_max").alias(f"{c}_max")]
+        return deltas.select(*cols)
+
     def refresh(self) -> int:
         """Apply change versions (watermark, head]; returns #versions."""
         head = self.source.version()
@@ -90,21 +119,81 @@ class IncrementalAggView:
             return 0
         changes = self.source.read_changes(self._watermark + 1, head)
         deltas = agg_delta(
-            changes, keys=self.keys, sum_cols=self.sum_cols
-        ).select(
-            *self.keys,
-            F.col("n_delta").cast("long").alias("n"),
-            *[F.col(f"{c}_delta").cast("double").alias(f"{c}_sum")
-              for c in self.sum_cols],
+            changes, keys=self.keys, sum_cols=self.sum_cols,
+            minmax_cols=self.minmax_cols,
         )
         if not self.state.exists():
-            self.state.write(deltas)
+            init = self._state_select(deltas)
+            if self.minmax_cols:
+                # the first batch may already net inserts against deletes
+                # (CDC history replayed in one go); ins-side candidates
+                # would resurrect deleted extrema, so initialize min/max
+                # from an exact one-time source aggregation instead
+                mm = self.source.to_df().groupBy(*self.keys).agg(
+                    *[g for c in self.minmax_cols for g in (
+                        F.min(c).alias(f"{c}_min"),
+                        F.max(c).alias(f"{c}_max"))]
+                )
+                init = init.drop(*[f"{c}_{m}" for c in self.minmax_cols
+                                   for m in ("min", "max")]) \
+                    .join(mm, self.keys, "left")
+            self.state.write(init)
         else:
-            cond = " AND ".join(f"t.{k} <=> s.{k}" for k in self.keys)
+            # dirty groups (vs PRE-merge state): the batch deleted a value
+            # at-or-beyond the stored extremum, so narrowing is unsound
+            dirty = None
+            if self.minmax_cols:
+                st = self.state.to_df().select(
+                    *self.keys,
+                    *[F.col(f"{c}_{m}").alias(f"__st_{c}_{m}")
+                      for c in self.minmax_cols for m in ("min", "max")],
+                )
+                cond = None
+                for c in self.minmax_cols:
+                    dmin = F.col(f"{c}_del_min")
+                    dmax = F.col(f"{c}_del_max")
+                    smin = F.col(f"__st_{c}_min")
+                    smax = F.col(f"__st_{c}_max")
+                    c_dirty = (
+                        (dmin.isNotNull()
+                         & (smin.isNull() | (dmin <= smin)))
+                        | (dmax.isNotNull()
+                           & (smax.isNull() | (dmax >= smax)))
+                    )
+                    cond = c_dirty if cond is None else (cond | c_dirty)
+                dirty = (
+                    deltas.join(st, self.keys)  # new keys can't be dirty
+                    .filter(cond)
+                    .select(*self.keys)
+                )
+            mcond = " AND ".join(f"t.{k} <=> s.{k}" for k in self.keys)
             update = {"n": "t.n + s.n", **{
                 f"{c}_sum": f"t.{c}_sum + s.{c}_sum" for c in self.sum_cols
             }}
-            self.state.merge(deltas, cond, when_matched_update=update)
+            for c in self.minmax_cols:
+                # least/greatest skip nulls, so pure-insert batches narrow
+                # in place; dirty groups get overwritten in the recompute
+                update[f"{c}_min"] = f"least(t.{c}_min, s.{c}_min)"
+                update[f"{c}_max"] = f"greatest(t.{c}_max, s.{c}_max)"
+            self.state.merge(self._state_select(deltas), mcond,
+                             when_matched_update=update)
+            if dirty is not None and dirty.limit(1).count():
+                fixed = (
+                    self.source.to_df()
+                    .join(dirty, self.keys, "left_semi")
+                    .groupBy(*self.keys)
+                    .agg(*[g for c in self.minmax_cols for g in (
+                        F.min(c).alias(f"{c}_min"),
+                        F.max(c).alias(f"{c}_max"))])
+                )
+                self.state.merge(
+                    fixed, mcond,
+                    when_matched_update={
+                        f"{c}_{m}": f"s.{c}_{m}"
+                        for c in self.minmax_cols for m in ("min", "max")
+                    },
+                    when_not_matched_insert=False,
+                )
         # groups whose count netted to zero leave the view (dict-state
         # parity: a slot was dropped when it hit 0)
         if self.state.to_df().filter("n = 0").limit(1).count():
@@ -122,10 +211,14 @@ class IncrementalAggView:
                 [f"{c} {src_types.get(c, 'string')}" for c in self.keys]
                 + ["n long"]
                 + [f"{c}_sum double" for c in self.sum_cols]
+                + [f"{c}_{m} {src_types.get(c, 'double')}"
+                   for c in self.minmax_cols for m in ("min", "max")]
             )
             return self.source.spark.createDataFrame([], schema)
         return self.state.to_df().select(
             *self.keys, "n",
             *[F.round(f"{c}_sum", 6).alias(f"{c}_sum")
               for c in self.sum_cols],
+            *[F.col(f"{c}_{m}")
+              for c in self.minmax_cols for m in ("min", "max")],
         )

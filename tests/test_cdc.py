@@ -136,3 +136,21 @@ def test_json_cdc_files_from_foreign_writer(spark, tmp_path):
     ch = t.read_changes(0)
     got = {(r["id"], r["_change_type"]) for r in ch.collect()}
     assert (1, "delete") in got and (9, "insert") in got
+
+
+def test_update_cdc_postimage_when_filter_on_updated_column(spark, tmp_path):
+    """Regression: updating the very column the filter tests must still
+    emit the postimage (it no longer matches the predicate AFTER the
+    assignment — the feed used to lose it silently)."""
+    t = DeltaTable(spark, str(tmp_path / "postimg"))
+    t.write(spark.createDataFrame([], "k string, v double"))
+    t.enable_cdc()
+    t.write(spark.createDataFrame(
+        [("a", 5.0), ("b", 7.0)], "k string, v double"))
+    t.update({"v": 5.0}, {"v": "2.5"})
+    feed = t.read_changes().filter(
+        F.col("_change_type").startswith("update")).collect()
+    images = {r["_change_type"]: (r["k"], r["v"]) for r in feed}
+    assert images["update_preimage"] == ("a", 5.0)
+    assert images["update_postimage"] == ("a", 2.5)
+    assert len(feed) == 2

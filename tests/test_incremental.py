@@ -116,3 +116,74 @@ def test_incremental_high_cardinality_state(spark, tmp_path):
     reopened = IncrementalAggView(t, keys=["cat"], sum_cols=["val"])
     assert reopened.refresh() == 0
     assert reopened.to_df().count() == n - 1000
+
+
+def test_incremental_minmax_with_dirty_recompute(spark, tmp_path):
+    """MIN/MAX maintenance: inserts narrow in place; deleting a group's
+    extremum triggers a key-pruned recompute of only that group; the view
+    must equal a full recompute after every round."""
+    from deltalake_spark.delta.table import DeltaTable
+    from deltalake_spark.streaming.incremental import IncrementalAggView
+
+    t = DeltaTable(spark, str(tmp_path / "mmsrc"))
+    t.write(spark.createDataFrame([], "k string, v double"))
+    t.enable_cdc()
+    view = IncrementalAggView(t, keys=["k"], sum_cols=["v"],
+                              minmax_cols=["v"],
+                              state_path=str(tmp_path / "mmview"))
+
+    def check():
+        got = {r["k"]: (r["n"], r["v_sum"], r["v_min"], r["v_max"])
+               for r in view.to_df().collect()}
+        want = {r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+                for r in t.to_df().groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.round(F.sum("v"), 6).alias("s"),
+                    F.min("v").alias("mn"), F.max("v").alias("mx"),
+                ).collect()}
+        assert got == want, (got, want)
+
+    t.write(spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("a", 3.0), ("b", 10.0), ("b", 20.0)],
+        "k string, v double"))
+    view.refresh(); check()
+
+    # insert-only narrowing: new max for a, new min for b
+    t.write(spark.createDataFrame([("a", 9.0), ("b", -1.0)],
+                                  "k string, v double"))
+    view.refresh(); check()
+
+    # delete a's max (dirty → recompute a only) and b's interior (clean)
+    t.delete({"v": 9.0})
+    t.delete({"v": 10.0})
+    view.refresh(); check()
+
+    # update that moves a preimage extremum (pre=5→dirty) downward
+    t.update({"v": 5.0}, {"v": "2.5"})
+    view.refresh(); check()
+
+    # wipe out group b entirely → leaves the view
+    t.delete({"k": "b"})
+    view.refresh(); check()
+    assert {r["k"] for r in view.to_df().collect()} == {"a"}
+
+
+def test_incremental_minmax_initial_build_after_deletes(spark, tmp_path):
+    """First refresh replays a CDC history that already contains deletes
+    of extrema — the initial min/max must come from the source state, not
+    from insert-side candidates."""
+    from deltalake_spark.delta.table import DeltaTable
+    from deltalake_spark.streaming.incremental import IncrementalAggView
+
+    t = DeltaTable(spark, str(tmp_path / "mmlate"))
+    t.write(spark.createDataFrame([], "k string, v double"))
+    t.enable_cdc()
+    t.write(spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("a", 50.0)], "k string, v double"))
+    t.delete({"v": 100.0})  # extremum gone BEFORE the view exists
+    view = IncrementalAggView(t, keys=["k"], sum_cols=["v"],
+                              minmax_cols=["v"],
+                              state_path=str(tmp_path / "mmlateview"))
+    view.refresh()
+    row = view.to_df().first()
+    assert (row["n"], row["v_min"], row["v_max"]) == (2, 1.0, 50.0)
