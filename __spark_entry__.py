@@ -1555,6 +1555,36 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into a Delta table with exactly-once batch
+    dedup (SetTransaction watermark): events stream in as micro-batches
+    via foreachBatch, a second replayed run must be a no-op, and the
+    landed table aggregates to exactly the source."""
+    from deltalake_spark.streaming.sink import delta_stream_sink
+    from deltalake_spark.streaming.windowed import read_parquet_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t = _fresh_table(spark, "sink")
+    stream = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    delta_stream_sink(stream, t, app_id="gate-ingest")
+    # replay with restarted batch ids: txn watermark must dedupe it
+    replay = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).select("event_id", "event_type", "value")
+    delta_stream_sink(replay, t, app_id="gate-ingest")
+    return (
+        t.to_df()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionization: per-user state crosses
     micro-batch boundaries; each closed session emitted exactly once.
@@ -1655,6 +1685,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": agg_rollup,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_session_window": stream_session_window,
+    "stream_delta_sink": stream_delta_sink,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
     "multimodal_meta_extract": multimodal_meta_extract,
@@ -2330,6 +2361,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n_events,
                    CAST(SUM((en - st) // 1000) AS BIGINT) AS total_span_ms
             FROM closed GROUP BY 1 ORDER BY 1
+        """,
+        "stream_delta_sink": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "stream_sessionize_stateful": """
             WITH o AS (SELECT user_id, event_id, epoch_ns(ts) AS t

@@ -34,7 +34,7 @@ CHECKPOINT_INTERVAL = 10
 # (mirrors Delta's tombstone retention; matches vacuum's 168 h default)
 TOMBSTONE_RETENTION_HOURS = 168.0
 
-_ACTION_COLUMNS = ("add", "remove", "metaData", "protocol")
+_ACTION_COLUMNS = ("add", "remove", "metaData", "protocol", "txn")
 
 
 @dataclass
@@ -44,6 +44,9 @@ class Snapshot:
     metadata: dict[str, Any] | None = None
     protocol: dict[str, Any] | None = None
     tombstones: list[dict[str, Any]] = field(default_factory=list)  # removes
+    # streaming idempotence: appId -> highest committed txn version
+    # (Delta protocol SetTransaction action)
+    transactions: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema_string(self) -> str | None:
@@ -76,6 +79,14 @@ def _apply_actions(state: dict[str, Any], actions: list[dict[str, Any]]) -> None
             state["metadata"] = action["metaData"]
         elif "protocol" in action:
             state["protocol"] = action["protocol"]
+        elif "txn" in action:
+            # SetTransaction (Delta protocol): latest version per appId —
+            # streaming sinks use this for exactly-once batch dedup
+            t = action["txn"]
+            app = t.get("appId")
+            if app is not None:
+                prev = state["txns"].get(app, -1)
+                state["txns"][app] = max(prev, int(t.get("version", -1)))
         # commitInfo is informational
 
 
@@ -90,7 +101,8 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
         )
 
     state: dict[str, Any] = {"files": {}, "tombstones": {},
-                             "metadata": None, "protocol": None}
+                             "metadata": None, "protocol": None,
+                             "txns": {}}
 
     start = 0
     checkpoints = [
@@ -127,6 +139,7 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
         metadata=state["metadata"],
         protocol=state["protocol"],
         tombstones=list(state["tombstones"].values()),
+        transactions=dict(state["txns"]),
     )
 
 
@@ -174,6 +187,12 @@ def write_checkpoint(table_path: str, snapshot: Snapshot,
     actions.extend(
         {"remove": t} for t in snapshot.tombstones
         if t.get("deletionTimestamp", 0) >= tomb_cutoff_ms
+    )
+    # SetTransaction watermarks survive log cleanup via checkpoints, so
+    # streaming-sink dedup keeps working after old commits are pruned
+    actions.extend(
+        {"txn": {"appId": app, "version": v}}
+        for app, v in sorted(snapshot.transactions.items())
     )
 
     def _part_table(chunk: list[dict[str, Any]]) -> pa.Table:

@@ -76,6 +76,15 @@ class DeltaTable:
     def snapshot(self, version: int | None = None) -> dsnap.Snapshot:
         return dsnap.load_snapshot(self.path, version)
 
+    def last_txn_version(self, app_id: str) -> int:
+        """Highest committed SetTransaction version for ``app_id`` (−1 if
+        none) — Delta-protocol streaming idempotence: a sink stamps each
+        micro-batch commit with ``txn`` and skips batch ids at or below
+        this watermark on replay."""
+        if not self.exists():
+            return -1
+        return self.snapshot().transactions.get(app_id, -1)
+
     def schema(self, version: int | None = None) -> StructType:
         snap = self.snapshot(version)
         if not snap.schema_string:
