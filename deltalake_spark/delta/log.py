@@ -25,7 +25,11 @@ import re
 import time
 from typing import Any, Iterator
 
-from deltalake_spark.errors import ConcurrencyError, TableNotFoundError
+from deltalake_spark.errors import (
+    ConcurrencyError,
+    TableNotFoundError,
+    ValidationError,
+)
 
 LOG_DIR = "_delta_log"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -122,11 +126,85 @@ def read_commit(table_path: str, version: int) -> list[dict[str, Any]]:
     return actions
 
 
+def validate_action(action: dict[str, Any]) -> list[str]:
+    """Structural validation of a single log action (reference
+    validateAction, src/delta/index.ts:353-452): returns a list of
+    problems, empty when valid. Protects the log from malformed
+    raw/foreign commits — our own writers always produce valid shapes."""
+    errors: list[str] = []
+    if not isinstance(action, dict) or len(action) != 1:
+        return ["action must be a single-key object"]
+    kind, body = next(iter(action.items()))
+    if not isinstance(body, dict):
+        return [f"{kind} body must be an object"]
+    if kind == "add":
+        if not body.get("path"):
+            errors.append("add.path must not be empty")
+        if body.get("size", 0) < 0:
+            errors.append("add.size must be non-negative")
+        if body.get("modificationTime", 0) < 0:
+            errors.append("add.modificationTime must be non-negative")
+        if "stats" in body and body["stats"] is not None:
+            try:
+                parsed = json.loads(body["stats"])
+                if not isinstance(parsed, dict):
+                    errors.append("add.stats must be a JSON object")
+            except (TypeError, ValueError):
+                errors.append("add.stats must be valid JSON")
+    elif kind == "remove":
+        if not body.get("path"):
+            errors.append("remove.path must not be empty")
+        if body.get("deletionTimestamp", 0) < 0:
+            errors.append("remove.deletionTimestamp must be non-negative")
+    elif kind == "metaData":
+        if not body.get("id"):
+            errors.append("metaData.id must not be empty")
+        fmt = body.get("format") or {}
+        if not fmt.get("provider"):
+            errors.append("metaData.format.provider must not be empty")
+        if "schemaString" in body and body["schemaString"]:
+            try:
+                json.loads(body["schemaString"])
+            except (TypeError, ValueError):
+                errors.append("metaData.schemaString must be valid JSON")
+    elif kind == "protocol":
+        for k in ("minReaderVersion", "minWriterVersion"):
+            v = body.get(k)
+            if not isinstance(v, int) or isinstance(v, bool):
+                errors.append(f"protocol.{k} must be an integer")
+            elif v < 1:
+                errors.append(f"protocol.{k} must be at least 1")
+    elif kind == "commitInfo":
+        if body.get("timestamp", 0) < 0:
+            errors.append("commitInfo.timestamp must be non-negative")
+        if not body.get("operation"):
+            errors.append("commitInfo.operation must not be empty")
+    elif kind == "txn":
+        if not body.get("appId"):
+            errors.append("txn.appId must not be empty")
+        if not isinstance(body.get("version"), int):
+            errors.append("txn.version must be an integer")
+    else:
+        errors.append(f"unknown action type {kind!r}")
+    return errors
+
+
 def write_commit(
-    table_path: str, version: int, actions: list[dict[str, Any]]
+    table_path: str, version: int, actions: list[dict[str, Any]],
+    *, validate: bool = True,
 ) -> None:
     """Atomically create commit file ``version``; raise ConcurrencyError if
-    another writer got there first."""
+    another writer got there first. Actions are structurally validated
+    first (``validate=False`` to skip, e.g. replaying a trusted log)."""
+    if validate:
+        problems = [
+            p for a in actions for p in validate_action(a)
+        ]
+        if problems:
+            raise ValidationError(
+                "invalid commit actions: " + "; ".join(problems[:8]),
+                field="actions",
+            )
     os.makedirs(log_dir(table_path), exist_ok=True)
     path = commit_file(table_path, version)
     payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)

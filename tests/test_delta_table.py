@@ -252,3 +252,39 @@ def test_restore(spark, tmp_path):
     assert got == {(i, float(i)) for i in range(10)}
     # restore is itself a version — time travel to the mutated state works
     assert t.to_df(version=res["version"] - 1).count() == 5
+
+
+def test_commit_action_validation(spark, tmp_path):
+    """Malformed raw commits are rejected before touching the log
+    (reference validateAction, src/delta/index.ts:353-452)."""
+    import deltalake_spark.delta.log as dlog
+    from deltalake_spark.errors import ValidationError
+
+    t = DeltaTable(spark, str(tmp_path / "val"))
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    v = t.version()
+
+    ok = dlog.validate_action
+    assert ok({"add": {"path": "p.parquet", "size": 10,
+                       "modificationTime": 1}}) == []
+    assert "add.path must not be empty" in ok({"add": {"path": ""}})
+    assert "add.size must be non-negative" in ok(
+        {"add": {"path": "x", "size": -1}})
+    assert "add.stats must be valid JSON" in ok(
+        {"add": {"path": "x", "stats": "{nope"}})
+    assert "remove.path must not be empty" in ok({"remove": {}})
+    assert "protocol.minReaderVersion must be at least 1" in ok(
+        {"protocol": {"minReaderVersion": 0, "minWriterVersion": 2}})
+    assert "protocol.minWriterVersion must be an integer" in ok(
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": "2"}})
+    assert "commitInfo.operation must not be empty" in ok(
+        {"commitInfo": {"timestamp": 5}})
+    assert "txn.appId must not be empty" in ok({"txn": {"version": 3}})
+    assert ok({"wat": {}}) == ["unknown action type 'wat'"]
+
+    with pytest.raises(ValidationError, match="add.path"):
+        dlog.write_commit(t.path, v + 1, [{"add": {"path": ""}}])
+    # nothing was written — next version is still free
+    dlog.write_commit(t.path, v + 1,
+                      [dlog.commit_info_action("WRITE", {})])
+    assert t.version() == v + 1

@@ -32,7 +32,21 @@ BUDGETS = {
     "skew_salted_topk": (4, False),
     "histogram_totalprice": (2, False),
     "tfidf_top_terms": (4, False),
+    "variant_binary_roundtrip": (2, False),
+    "percentile_prices": (2, False),
 }
+
+
+def test_bucketed_join_zero_shuffles(spark):
+    """The co-located join gate query must keep its 0-Exchange join: the
+    in-query verifier raises, but pin it here too so a plan regression
+    fails fast in CI, not only at the gate."""
+    df = entry_mod.queries()["bucketed_colocated_join"](spark, SF)
+    # final agg adds its own exchange; the join itself contributed none —
+    # verified inside the query (verify_colocated) before aggregation
+    s = plan_summary(df)
+    assert s.sort_merge_joins == 1
+    assert s.cartesian_products == 0 and s.nested_loop_joins == 0
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
