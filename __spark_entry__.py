@@ -1163,6 +1163,238 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REV_DEC = "cast(l_extendedprice * (1 - l_discount) as decimal(18,4))"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape, trimmed schema): of all
+    'widget' revenue sold to customers in region ASIA during
+    1995-1996, the share supplied by NATION_5, per year. Revenue sums run
+    in decimal(18,4) so the share threshold math is bit-stable across
+    engines."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31"))
+    cust = _t(spark, sf_dir, "customer")
+    nat_c = _t(spark, sf_dir, "nation").alias("nc")
+    region = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    supp = _t(spark, sf_dir, "supplier")
+    nat_s = _t(spark, sf_dir, "nation").alias("ns")
+    vol = F.expr(_REV_DEC)
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == F.col("nc.n_nationkey"))
+        .join(F.broadcast(region), F.col("nc.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), supp.s_nationkey == F.col("ns.n_nationkey"))
+        .select(F.year("o_orderdate").alias("o_year"),
+                vol.alias("volume"),
+                F.col("ns.n_name").alias("supp_nation"))
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                          F.col("volume")).otherwise(F.lit(0).cast(
+                              "decimal(18,4)")))
+             / F.sum("volume")).cast("double").alias("share_raw"),
+        )
+        .select("o_year", F.round("share_raw", 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important part values (TPC-H Q11 shape; no partsupp in the trimmed
+    schema, so 'stock value' is lineitem revenue from NATION_3 suppliers).
+    Parts whose value exceeds twice the average part value — a
+    scale-invariant threshold (Q11's fixed 0.1%-of-total goes empty as
+    part count grows). Sums stay exact decimal; the threshold compare
+    casts the SAME exact sums to double on both engines, so the IEEE
+    divide/multiply is bit-identical."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3")
+    li = _t(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(
+            supp.join(F.broadcast(nation),
+                      supp.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_REV_DEC)).alias("value"))
+    )
+    vals.createOrReplaceTempView("__q11_vals")
+    return (
+        vals.filter(
+            F.col("value").cast("double") >
+            F.expr("(select 2 * cast(sum(value) as double) / count(*)"
+                   " from __q11_vals)"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                # round the EXACT decimal, then cast: double-first rounding
+                # diverges between engines on .xx5 boundaries
+                F.round(F.col("value"), 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape: left join so
+    zero-order customers count, excluding URGENT orders in place of the
+    comment filter the trimmed schema lacks)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue (TPC-H Q15 shape). The
+    max-revenue comparison equates exact decimal sums — with doubles,
+    addition order could flip the winner between engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(_REV_DEC)).alias("total_rev"))
+    rev.createOrReplaceTempView("__q15_rev")
+    return (
+        rev.filter(
+            F.col("total_rev")
+            == F.expr("(select max(total_rev) from __q15_rev)"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.round(F.col("total_rev").cast("double"), 2)
+                .alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part spec (TPC-H Q16 shape; supplier-part
+    pairs come from lineitem instead of partsupp, negative account
+    balance stands in for the complaints filter)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5, 6, 7, 8))
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey,
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (TPC-H Q17 shape): weekly-equivalent
+    revenue lost if Brand#1 orders below 20% of that part's average
+    quantity were not filled."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_qty = li_b.groupBy("p_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh"))
+    return (
+        li_b.join(F.broadcast(avg_qty), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+             .alias("avg_yearly"))
+    )
+
+
+def q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers with excess supply of 'bolt' parts (TPC-H Q20 shape;
+    supplied quantity from lineitem instead of partsupp availability),
+    restricted to NATION_7."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem")
+    qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 50)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7")
+    return (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(qty, supp.s_suppkey == qty.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, lateness =
+    shipped >60 days after order date as in q4): in multi-supplier 'F'
+    orders, count per NATION_1 supplier the orders where they were the
+    ONLY late supplier. Exercises semi + anti + self-join composition."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .alias("is_late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey")))
+        .alias("n_late_supp"),
+    )
+    late_only = (
+        lo.filter(F.col("is_late"))
+        .join(per_order.filter(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey")
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_1")
+    return (
+        late_only.join(F.broadcast(
+            supp.join(F.broadcast(nation),
+                      supp.s_nationkey == nation.n_nationkey)
+            .select("s_suppkey", "s_name")),
+            late_only.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
 def skew_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted top-k per hot key (l_returnflag has only 3
     values → maximal skew for a window): must equal the plain window."""
@@ -1680,6 +1912,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_idle_customers": q22_idle_customers,
     "q12_priority_by_flag": q12_priority_by_flag,
     "q14_promo_revenue": q14_promo_revenue,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q13_order_distribution": q13_order_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_variety": q16_supplier_part_variety,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q20_part_suppliers": q20_part_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q18_large_orders": q18_large_orders,
     "q19_bracket_revenue": q19_bracket_revenue,
     "agg_rollup": agg_rollup,
@@ -2283,6 +2523,138 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
               AND l_shipdate < TIMESTAMP '1997-10-01'
+        """,
+        "q8_market_share": """
+            WITH base AS (
+                SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                       CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4)) AS volume,
+                       ns.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region ON nc.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE p_name LIKE '%widget%'
+                  AND r_name = 'ASIA'
+                  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+                                      AND TIMESTAMP '1996-12-31')
+            SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END)
+                         / SUM(volume) AS DOUBLE), 4) AS mkt_share
+            FROM base GROUP BY 1 ORDER BY 1
+        """,
+        "q11_important_parts": """
+            WITH vals AS (
+                SELECT l_partkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS value
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY 1)
+            SELECT l_partkey AS p_partkey,
+                   CAST(ROUND(value, 2) AS DOUBLE) AS value
+            FROM vals
+            WHERE CAST(value AS DOUBLE) >
+                  (SELECT 2 * CAST(SUM(value) AS DOUBLE) / COUNT(*)
+                   FROM vals)
+            ORDER BY value DESC, p_partkey ASC
+            LIMIT 50
+        """,
+        "q13_order_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY 1)
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(18,4))) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   ROUND(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+              AND p_size IN (1,2,3,4,5,6,7,8)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q17_small_qty_revenue": """
+            WITH b AS (SELECT l_partkey AS p_partkey, l_quantity,
+                              l_extendedprice
+                       FROM lineitem JOIN part ON l_partkey = p_partkey
+                       WHERE p_brand = 'Brand#1'),
+                 t AS (SELECT p_partkey, AVG(l_quantity) * 0.2
+                              AS qty_thresh
+                       FROM b GROUP BY 1)
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM b JOIN t USING (p_partkey)
+            WHERE l_quantity < qty_thresh
+        """,
+        "q20_part_suppliers": """
+            WITH qty AS (
+                SELECT l_suppkey, SUM(l_quantity) AS total_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%bolt%'
+                GROUP BY 1 HAVING SUM(l_quantity) > 50)
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (SELECT l_suppkey FROM qty)
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH lo AS (
+                SELECT l_orderkey, l_suppkey,
+                       l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'),
+                 per_order AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END)
+                           AS n_late_supp
+                FROM lo GROUP BY 1),
+                 late_only AS (
+                SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+                FROM lo JOIN per_order USING (l_orderkey)
+                WHERE lo.is_late AND n_supp >= 2 AND n_late_supp = 1)
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM late_only
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_1'
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 20
         """,
         "q18_large_orders": """
             SELECT c_name, o_orderkey,
