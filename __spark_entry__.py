@@ -1638,8 +1638,9 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: deterministic synthetic payloads (PNG
     headers built from the documents table) → mapInPandas header decode →
     per-format stats. The pixel decode itself is stubbed by design (no
-    codec libs here); the Spark-side schema/batching is real. Rows-only
-    check (binary synthesis is not expressible in the SQL oracle).
+    codec libs here); the Spark-side schema/batching is real. The oracle
+    recomputes the synthesis formulas closed-form, so the encode→decode
+    round trip is value-checked.
 
     Payloads are synthesized DISTRIBUTIVELY with binary concat expressions
     (hex→unhex big-endian ints) — no driver collect, so the query scales
@@ -1696,6 +1697,128 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, centroids,
         query_id="vec_id", corpus_id="corpus_id", k=10, nprobe=4,
     ).orderBy("vec_id", "rank")
+
+
+def ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF kNN join probing EVERY bucket (nprobe == n_centroids): the
+    bucket layout only changes the execution shape, so results equal
+    brute-force top-k exactly — giving the IVF machinery (centroid
+    assignment, bucket equi-join, ranked window) a value-level DuckDB
+    oracle. The approximate nprobe<k path stays rows-only in
+    ``ivf_ann_topk``; recall is asserted in tests/test_ivf.py."""
+    from deltalake_spark.operators.similarity import (
+        ivf_topk_join,
+        train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(emb, k=8, iters=4, sample=2048)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_topk_join(
+        queries, corpus, centroids,
+        query_id="vec_id", corpus_id="corpus_id", k=5, nprobe=8,
+    ).orderBy("vec_id", "rank")
+
+
+def language_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (per-language stopword-marker ratios, argmax
+    with earlier-language tiebreak) — pure column expressions, one narrow
+    pass + one agg shuffle. Oracle replicates the scoring in SQL."""
+    from deltalake_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("lang") == F.col("lang_pred"), 1).otherwise(0)
+            ).alias("n_label_match"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def fingerprint_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-doc xxhash64 fingerprints
+    (normalized text) + winnowing-style rolling window hashes (16-char
+    windows, stride 8). Hashes aren't SQL-reproducible, but their DISTINCT
+    counts equal the distinct counts of the underlying strings — which the
+    oracle computes directly. One explode + one agg shuffle."""
+    from deltalake_spark.operators.text import doc_fingerprint, rolling_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            doc_fingerprint(F.col("text")).alias("fp"),
+            F.explode(rolling_hashes(F.col("text"), window=16)).alias("wh"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("fp").alias("n_uniq_fp"),
+            F.countDistinct("wh").alias("n_uniq_windows"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .orderBy("lang")
+    )
+
+
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard near-dup pairs over language-blocked
+    candidates (deterministic blocking so the DuckDB oracle can reproduce
+    the candidate set; production blocking is MinHash LSH, gated
+    rows-only in ``minhash_neardup_groups``). Never a cross join — the
+    pair space is bounded by the largest block."""
+    from deltalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = docs.groupBy("lang").agg(
+        F.collect_list("doc_id").alias("member_ids")
+    )
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text",
+        n=3, threshold=0.7, candidates=cands,
+    )
+
+
+def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing with a value-level oracle: RIFF/WAVE headers
+    synthesized DISTRIBUTIVELY from documents columns (little-endian
+    fields as byte-swapped hex → unhex binary concat), parsed back by
+    ``decode_audio_meta`` (Arrow-batched mapInPandas), and verified
+    against the closed-form field formulas in SQL. The PCM decode itself
+    is stubbed by design (no codec libs); the header math is real."""
+    from deltalake_spark.operators.multimodal import decode_audio_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _le(c, nbytes: int):
+        h = F.lpad(F.hex(c.cast("long")), nbytes * 2, "0")
+        return F.unhex(
+            F.concat(*[F.substring(h, i * 2 + 1, 2)
+                       for i in reversed(range(nbytes))])
+        )
+
+    ch = F.lit(1) + (F.col("doc_id") % 2).cast("int")
+    sr = F.lit(8000) * ch
+    block = ch * 2  # 16-bit mono/stereo frame size
+    frames = (F.lit(500) + F.col("n_chars")) * 4
+    data_size = frames * block
+    header = F.concat(
+        F.lit(b"RIFF"), _le(F.lit(36) + data_size, 4), F.lit(b"WAVEfmt "),
+        _le(F.lit(16), 4), _le(F.lit(1), 2), _le(ch, 2), _le(sr, 4),
+        _le(sr * block, 4), _le(block, 2), _le(F.lit(16), 2),
+        F.lit(b"data"), _le(data_size, 4),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), header.alias("payload")
+    )
+    return decode_audio_meta(media).select(
+        "media_id", "sample_rate", "channels", "bits", "duration_ms_parsed"
+    ).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1928,6 +2051,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_delta_sink": stream_delta_sink,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
+    "ivf_exhaustive_topk": ivf_exhaustive_topk,
+    "language_id_dist": language_id_dist,
+    "fingerprint_dedup_stats": fingerprint_dedup_stats,
+    "jaccard_neardup_pairs": jaccard_neardup_pairs,
+    "audio_meta_extract": audio_meta_extract,
     "multimodal_meta_extract": multimodal_meta_extract,
     "stratified_sample_docs": stratified_sample_docs,
     "cc_neardup_components": cc_neardup_components,
@@ -2766,7 +2894,124 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(span_s), 2) AS avg_span_s
             FROM closed GROUP BY 1 ORDER BY 1
         """,
+        "ivf_exhaustive_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                       FROM embeddings WHERE vec_id % 100 = 0),
+                 s AS (
+                   SELECT qid, e.vec_id AS corpus_id,
+                          ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(qv AS DOUBLE[]))
+                            / (sqrt(list_sum(list_transform(
+                                   CAST(e.embedding AS DOUBLE[]), x -> x * x)))
+                               * sqrt(list_sum(list_transform(
+                                   CAST(qv AS DOUBLE[]), x -> x * x)))), 6)
+                              AS score
+                   FROM embeddings e, q),
+                 r AS (SELECT qid AS vec_id, corpus_id, score,
+                              ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, corpus_id ASC) AS rank
+                       FROM s)
+            SELECT vec_id, corpus_id, score, rank
+            FROM r WHERE rank <= 5 ORDER BY vec_id, rank
+        """,
+        "language_id_dist": """
+            WITH s AS (
+              SELECT lang,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('the','and','of','to','in','is','that','it')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('der','die','das','und','ist','nicht','ein','zu')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('le','la','les','et','est','un','une','que')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_fr,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('el','la','los','de','que','es','un','una')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('的','是','了','在','我','有','和','不')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_zh
+              FROM documents),
+            p AS (SELECT lang,
+                    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN
+                      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                           WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                           WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                           ELSE 'zh' END
+                    ELSE 'und' END AS lang_pred
+                  FROM s)
+            SELECT lang_pred, COUNT(*) AS n,
+                   CAST(SUM(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_label_match
+            FROM p GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "fingerprint_dedup_stats": """
+            WITH w AS (
+              SELECT lang,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                         AS norm,
+                     UNNEST(list_transform(
+                         range(1, greatest(len(text) - 15, 1) + 1, 8),
+                         i -> substr(text, CAST(i AS INT), 16))) AS win
+              FROM documents)
+            SELECT lang,
+                   COUNT(DISTINCT norm) AS n_uniq_fp,
+                   COUNT(DISTINCT win) AS n_uniq_windows,
+                   COUNT(*) AS n_windows
+            FROM w GROUP BY lang ORDER BY lang
+        """,
+        "jaccard_neardup_pairs": """
+            WITH g AS (
+              SELECT doc_id, lang,
+                     UNNEST(list_distinct(list_transform(
+                         range(1, greatest(len(text) - 2, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 3)))) AS gram
+              FROM documents),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
+            ORDER BY id_a, id_b
+        """,
+        "audio_meta_extract": """
+            SELECT doc_id AS media_id,
+                   CAST(8000 * (1 + doc_id % 2) AS INT) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INT) AS channels,
+                   CAST(16 AS INT) AS bits,
+                   CAST(((500 + n_chars) * 4 * 1000)
+                        // (8000 * (1 + doc_id % 2)) AS INT)
+                       AS duration_ms_parsed
+            FROM documents ORDER BY media_id
+        """,
+        "multimodal_meta_extract": """
+            -- recomputes the deterministic payload-synthesis formulas the
+            -- Spark side encodes into real PNG/JPEG headers and then
+            -- parses back via mapInPandas
+            WITH m AS (
+              SELECT CASE WHEN doc_id % 3 = 2 THEN 'jpeg' ELSE 'png' END
+                         AS sniffed_format,
+                     CASE WHEN doc_id % 3 = 2 THEN NULL
+                          ELSE doc_id % 64 + 16 END AS width,
+                     CASE WHEN doc_id % 3 = 2 THEN NULL
+                          ELSE n_chars % 64 + 16 END AS height
+              FROM documents)
+            SELECT sniffed_format, COUNT(*) AS n,
+                   ROUND(AVG(width), 2) AS avg_width,
+                   ROUND(AVG(height), 2) AS avg_height
+            FROM m GROUP BY sniffed_format ORDER BY sniffed_format
+        """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:
-        #   minhash_neardup_groups, simhash_blocks, embedding_knn_join
+        #   minhash_neardup_groups, simhash_blocks, embedding_knn_join,
+        #   ivf_ann_topk (approximate; exact twin: ivf_exhaustive_topk)
     }

@@ -34,6 +34,11 @@ BUDGETS = {
     "tfidf_top_terms": (4, False),
     "variant_binary_roundtrip": (2, False),
     "percentile_prices": (2, False),
+    "ivf_exhaustive_topk": (2, False),    # bucket equi-join + ranked window
+    "language_id_dist": (2, False),       # one narrow pass + agg + sort
+    "fingerprint_dedup_stats": (3, False),
+    "jaccard_neardup_pairs": (3, False),  # lang-blocked pairs, never cross
+    "audio_meta_extract": (1, False),     # synth + mapInPandas + sort
 }
 
 
