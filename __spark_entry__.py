@@ -25,11 +25,14 @@ from deltalake_spark.functions.pipeline import apply_pipeline
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) — Spark rejects it unless nanos are
-        # read as long; queries convert explicitly where they need time.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        # events.ts is TIMESTAMP(NANOS); normalize to long nanos whatever
+        # type this Spark version surfaces it as (see ts_to_long_nanos)
+        from deltalake_spark.session import ts_to_long_nanos
+
+        df = ts_to_long_nanos(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -54,6 +54,29 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ts_to_long_nanos(df, col: str = "ts"):
+    """Normalize a timestamp column to epoch nanoseconds (long).
+
+    The fixture ``events.ts`` is parquet TIMESTAMP(NANOS). Depending on
+    the Spark version it surfaces either as a long (when the legacy
+    ``nanosAsLong`` conf is honored) or as ``timestamp``/``timestamp_ntz``
+    truncated to microseconds (Spark ≥4.1 ignores the legacy conf). All
+    engine code works in the integer-nanosecond domain, so convert the
+    timestamp forms to ``unix_micros * 1000`` — the same µs truncation
+    DuckDB applies when it reads the file, keeping oracle values aligned.
+    """
+    from pyspark.sql import functions as F
+
+    if col not in df.columns:
+        return df
+    dtype = dict(df.dtypes)[col]
+    if not dtype.startswith("timestamp"):
+        return df  # already long nanos
+    return df.withColumn(
+        col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Load fixture tables as temp views + return dict of DataFrames."""
     tables = {}
@@ -63,6 +86,8 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     ).split()
     for name in all_names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = ts_to_long_nanos(df)
         df.createOrReplaceTempView(name)
         tables[name] = df
     return tables

@@ -39,12 +39,21 @@ __all__ = [
 
 
 def read_parquet_stream(
-    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None,
+    nanos_cols: Iterable[str] = ("ts",),
 ) -> DataFrame:
     """Open a parquet file/directory as a stream (schema from a batch
-    peek — Structured Streaming requires an explicit schema)."""
+    peek — Structured Streaming requires an explicit schema).
+
+    Columns named in ``nanos_cols`` that surface as timestamps are
+    normalized to long epoch-nanoseconds so downstream operators can rely
+    on the integer-ns domain regardless of how this Spark version reads
+    parquet TIMESTAMP(NANOS) (see session.ts_to_long_nanos).
+    """
     import os
     import tempfile
+
+    from deltalake_spark.session import ts_to_long_nanos
 
     schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
@@ -57,7 +66,10 @@ def read_parquet_stream(
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    stream = reader.parquet(path)
+    for c in nanos_cols:
+        stream = ts_to_long_nanos(stream, c)
+    return stream
 
 
 def windowed_agg(
