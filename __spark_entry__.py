@@ -1971,6 +1971,87 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality: exact COUNT(DISTINCT) vs HLL++ vs
+    per-day DataSketches-HLL sketches merged up to event_type. The merge
+    path is the 100 TB pattern: persist KB-size sketches per ingest
+    partition, answer distinct-over-any-subset by merging them — no
+    rescan. Estimates are deterministic per engine, so the gate checks
+    the exact counts plus error-bound booleans (tolerance 10% ≫ the
+    ~1-2% expected error at rsd=0.02 / lg_k=12)."""
+    from deltalake_spark.operators.sketches import (
+        hll_merge,
+        hll_partition_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    base = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("hllpp"),
+    )
+    daily = ev.withColumn("day", F.expr("ts div 86400000000000"))
+    sketches = hll_partition_sketches(
+        daily, partition_cols=["event_type", "day"], col="user_id", lg_k=12
+    )
+    merged = hll_merge(
+        sketches, group_cols=["event_type"], out_col="merged_est"
+    )
+    tol = 0.10
+    return (
+        base.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("hllpp") - F.col("exact_users"))
+             <= tol * F.col("exact_users")).alias("hllpp_within_10pct"),
+            (F.abs(F.col("merged_est") - F.col("exact_users"))
+             <= tol * F.col("exact_users")).alias("merged_within_10pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch percentiles self-verified against their rank guarantee:
+    percentile_approx(accuracy=1000) must return a value whose empirical
+    CDF position is within ±2% of the target (guarantee is ±0.1% plus
+    1/group-size discreteness). One agg pass to build the sketch, one to
+    rank-check the returned values via broadcast — no global sort at any
+    scale."""
+    from deltalake_spark.operators.sketches import approx_quantiles
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    aq = approx_quantiles(
+        orders, group_cols=["o_orderpriority"], col="o_totalprice",
+        percentiles=[0.5, 0.9], accuracy=1000,
+    ).select(
+        "o_orderpriority",
+        F.col("approx_quantiles")[0].alias("q50"),
+        F.col("approx_quantiles")[1].alias("q90"),
+    )
+    ranked = (
+        orders.join(F.broadcast(aq), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum((F.col("o_totalprice") <= F.col("q50")).cast("long"))
+             / F.count(F.lit(1))).alias("r50"),
+            (F.sum((F.col("o_totalprice") <= F.col("q90")).cast("long"))
+             / F.count(F.lit(1))).alias("r90"),
+        )
+    )
+    return ranked.select(
+        "o_orderpriority",
+        "n",
+        ((F.col("r50") >= 0.48) & (F.col("r50") <= 0.52))
+        .alias("p50_rank_ok"),
+        ((F.col("r90") >= 0.88) & (F.col("r90") <= 0.92))
+        .alias("p90_rank_ok"),
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2062,6 +2143,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta_extract": multimodal_meta_extract,
     "stratified_sample_docs": stratified_sample_docs,
     "cc_neardup_components": cc_neardup_components,
+    "sketch_distinct_users": sketch_distinct_users,
+    "sketch_quantile_check": sketch_quantile_check,
 }
 
 
@@ -2489,6 +2572,18 @@ def oracle_sql() -> dict[str, str]:
                                           WHEN 'fr' THEN 3
                                           ELSE 1 END
             GROUP BY 1 ORDER BY 1
+        """,
+        "sketch_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+                   TRUE AS hllpp_within_10pct,
+                   TRUE AS merged_within_10pct
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "sketch_quantile_check": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+                   TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "percentile_prices": """
             SELECT l_returnflag,

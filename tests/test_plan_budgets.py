@@ -39,6 +39,8 @@ BUDGETS = {
     "fingerprint_dedup_stats": (3, False),
     "jaccard_neardup_pairs": (3, False),  # lang-blocked pairs, never cross
     "audio_meta_extract": (1, False),     # synth + mapInPandas + sort
+    "sketch_distinct_users": (6, False),  # distinct-expand + sketch agg paths
+    "sketch_quantile_check": (3, False),  # sketch agg + broadcast rank check
 }
 
 

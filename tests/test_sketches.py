@@ -1,0 +1,101 @@
+"""Sketch operators: error bounds, mergeability, and rank guarantees.
+
+The key property at 100 TB is MERGEABILITY: per-partition sketches
+unioned later must estimate exactly what one global sketch would have —
+that's what makes precomputed sketch tables answer arbitrary-subset
+questions without rescans."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from deltalake_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    hll_merge,
+    hll_partition_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 20k rows, 5k distinct ids, 4 partitions ("day"), 2 groups
+    return spark.range(20_000).select(
+        (F.col("id") % 5000).alias("uid"),
+        ((F.col("id") / 2).cast("long") % 4).alias("day"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("grp"),
+    )
+
+
+def test_approx_distinct_error_bound(spark, ids):
+    rows = approx_distinct(
+        ids, group_cols=["grp"], col="uid", rsd=0.02
+    ).collect()
+    # each group sees 2500 distinct uids; 5x rsd is a generous bound
+    for r in rows:
+        assert abs(r.approx_distinct - 2500) <= 2500 * 0.10
+
+
+def test_hll_merge_preserves_bounds(spark, ids):
+    """Merging per-day sketches estimates within the same error bound a
+    single global sketch would (union re-encodes registers, so it need
+    not be bit-identical — but it must stay near both the truth and the
+    direct estimate)."""
+    per_day = hll_partition_sketches(
+        ids, partition_cols=["grp", "day"], col="uid", lg_k=12
+    )
+    merged = {
+        r.grp: r.est
+        for r in hll_merge(
+            per_day, group_cols=["grp"], out_col="est"
+        ).collect()
+    }
+    direct = {
+        r.grp: r.est
+        for r in ids.groupBy("grp")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("uid"), F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    for g in ("a", "b"):
+        assert abs(merged[g] - 2500) <= 2500 * 0.10
+        assert abs(direct[g] - 2500) <= 2500 * 0.10
+        assert abs(merged[g] - direct[g]) <= 2500 * 0.05
+
+
+def test_hll_sketch_rows_are_small(spark, ids):
+    """The persisted sketch table is KB-scale per partition — that's the
+    entire point of precomputing it."""
+    rows = hll_partition_sketches(
+        ids, partition_cols=["grp", "day"], col="uid", lg_k=12
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r.hll_sketch) <= 1 << 14  # ≤16 KiB at lg_k=12
+
+
+def test_approx_quantiles_rank_guarantee(spark):
+    n = 10_000
+    df = spark.range(n).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    row = approx_quantiles(
+        df, group_cols=["g"], col="v", percentiles=[0.1, 0.5, 0.99],
+        accuracy=1000,
+    ).collect()[0]
+    for p, got in zip([0.1, 0.5, 0.99], row.approx_quantiles):
+        # value IS a data point whose rank is within eps (=n/1000) + 1
+        assert abs(got - p * (n - 1)) <= n / 1000 + 1
+
+
+def test_gate_queries_sane(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    d = entry_mod.queries()["sketch_distinct_users"](spark, sf).collect()
+    assert d and all(r.hllpp_within_10pct and r.merged_within_10pct
+                     for r in d)
+    q = entry_mod.queries()["sketch_quantile_check"](spark, sf).collect()
+    assert q and all(r.p50_rank_ok and r.p90_rank_ok for r in q)
