@@ -1971,6 +1971,55 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (streaming twin of
+    range_view_attribution): views joined to purchases of the same user
+    within the hour before each purchase, both sides unbounded streams
+    with 2-hour watermarks bounding the join state. The drained pairs
+    aggregate batch-side to per-user totals; inner semantics (purchases
+    with zero prior views don't appear), so the oracle is a plain
+    inner range join."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    views = (
+        read_parquet_stream(spark, path)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+    )
+    purchases = (
+        read_parquet_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    joined = stream_stream_interval_join(
+        views, purchases,
+        on=("v_user", "user_id"),
+        left_time="v_ts", right_time="ts",
+        lower_ns=-_HOUR_NS, upper_ns=0,
+        watermark="2 hours",
+    )
+    pairs = run_available_now(
+        joined.select("user_id", "event_id", "v_id")
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_purchases_with_views"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch cardinality: exact COUNT(DISTINCT) vs HLL++ vs
     per-day DataSketches-HLL sketches merged up to event_type. The merge
@@ -2145,6 +2194,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_neardup_components": cc_neardup_components,
     "sketch_distinct_users": sketch_distinct_users,
     "sketch_quantile_check": sketch_quantile_check,
+    "stream_view_purchase_join": stream_view_purchase_join,
 }
 
 
@@ -2584,6 +2634,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "stream_view_purchase_join": """
+            WITH v AS (SELECT user_id, epoch_ns(ts) AS t, event_id
+                       FROM events WHERE event_type = 'view'),
+                 p AS (SELECT user_id, epoch_ns(ts) AS t, event_id
+                       FROM events WHERE event_type = 'purchase')
+            SELECT p.user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT p.event_id) AS BIGINT)
+                       AS n_purchases_with_views
+            FROM p JOIN v
+              ON v.user_id = p.user_id
+             AND v.t >= p.t - 3600000000000
+             AND v.t < p.t
+            GROUP BY 1 ORDER BY 1
         """,
         "percentile_prices": """
             SELECT l_returnflag,

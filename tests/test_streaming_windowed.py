@@ -154,3 +154,53 @@ def test_session_window_builtin_multi_batch(spark, event_dir):
         for r in single.collect()
     }
     assert spans == {5 * 300 + 1800}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, event_dir):
+    """Stream-stream interval join (watermark-bounded state) returns
+    exactly the batch interval-join pairs, single- or multi-batch.
+
+    Pairing rule: right events at t join left events in [t-2gap, t)
+    of the same user — each event acts as both sides, so every
+    consecutive in-session pair qualifies."""
+    from deltalake_spark.streaming.windowed import (
+        stream_stream_interval_join,
+    )
+
+    def run(max_files=None):
+        left = read_parquet_stream(
+            spark, event_dir, max_files_per_trigger=max_files
+        ).select(
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_id"),
+        )
+        right = read_parquet_stream(
+            spark, event_dir, max_files_per_trigger=max_files
+        )
+        j = stream_stream_interval_join(
+            left, right,
+            on=("l_user", "user_id"),
+            left_time="l_ts", right_time="ts",
+            lower_ns=-2 * GAP, upper_ns=0,
+            watermark="4 hours",
+        )
+        return run_available_now(j.select("user_id", "event_id", "l_id"))
+
+    batch = spark.read.parquet(event_dir)
+    l = batch.select(F.col("user_id").alias("l_user"),
+                     F.col("ts").alias("l_ts"),
+                     F.col("event_id").alias("l_id"))
+    want = {
+        tuple(r)
+        for r in l.join(
+            batch,
+            (F.col("l_user") == F.col("user_id"))
+            & (F.col("l_ts") >= F.col("ts") - 2 * GAP)
+            & (F.col("l_ts") < F.col("ts")),
+        ).select("user_id", "event_id", "l_id").collect()
+    }
+    got_single = {tuple(r) for r in run().collect()}
+    assert got_single == want and len(want) > 0
+    got_multi = {tuple(r) for r in run(max_files=1).collect()}
+    assert got_multi == want
