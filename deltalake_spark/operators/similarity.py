@@ -199,19 +199,28 @@ def _probe_udf(centroids: list[list[float]], nprobe: int):
 _JVM_MAX_K = 64
 
 
-def _probe_expr(centroids: list[list[float]], vec: Column,
+def _probe_expr(centroids: list[list[float]], vec_sql: str,
                 nprobe: int) -> Column:
     """JVM-side nearest-centroid probe: per-centroid scores
     ``x·c - |c|²/2`` (argmax ≡ argmin squared L2) as literal-folded
     zip_with/aggregate folds, ranked with sort_array — whole-stage
-    codegen, no Python workers, no Arrow transfer of the vectors."""
-    scored = []
+    codegen, no Python workers, no Arrow transfer of the vectors.
+
+    Built as ONE SQL string parsed JVM-side: constructing the same tree
+    through per-literal Column calls costs ~2 s of py4j round trips at
+    k=8, dim=64 (measured) and would dominate the whole query."""
+    v = f"cast({vec_sql} as array<double>)"
+    structs = []
     for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        score = dot_expr(vec, lit_c) - sum(x * x for x in c) / 2.0
-        scored.append(F.struct(score.alias("s"), F.lit(i).alias("i")))
-    ranked = F.reverse(F.array_sort(F.array(*scored)))
-    return F.transform(F.slice(ranked, 1, nprobe), lambda e: e["i"])
+        lits = ",".join(f"{float(x)!r}D" for x in c)
+        dot = (f"aggregate(zip_with({v}, array({lits}),"
+               " (x, y) -> x * y), 0.0D, (a, x) -> a + x)")
+        half_sq = repr(sum(float(x) * float(x) for x in c) / 2.0)
+        structs.append(
+            f"named_struct('s', {dot} - {half_sq}D, 'i', {i})"
+        )
+    ranked = f"reverse(array_sort(array({','.join(structs)})))"
+    return F.expr(f"transform(slice({ranked}, 1, {nprobe}), e -> e.i)")
 
 
 def ivf_assign(
@@ -229,7 +238,7 @@ def ivf_assign(
     Arrow-batched pandas UDF (vectorized numpy matmul per batch — the
     expression tree would explode at k in the thousands)."""
     if len(centroids) <= _JVM_MAX_K:
-        probes = _probe_expr(centroids, F.col(vec_col), nprobe)
+        probes = _probe_expr(centroids, f"`{vec_col}`", nprobe)
     else:
         probes = _probe_udf(centroids, nprobe)(F.col(vec_col))
     if nprobe == 1:
