@@ -1971,6 +1971,48 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension pipeline stages end-to-end: $lookup (pre-aggregated
+    left join, Mongo array shape) → $unwind → $addFields (dotted struct
+    path) → $sortByCount. Every order has exactly one customer, so the
+    result is the plain join histogram the oracle computes."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return apply_pipeline(
+        orders,
+        [
+            {"$lookup": {"from": cust, "localField": "o_custkey",
+                         "foreignField": "c_custkey", "as": "cust"}},
+            {"$unwind": "$cust"},
+            {"$addFields": {"segment": "$cust.c_mktsegment"}},
+            {"$sortByCount": "$segment"},
+        ],
+    )
+
+
+def pipeline_bucket_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucket extension stage: explicit-boundary histogram over
+    lineitem quantities — single hash-agg shuffle, codegen'd CASE
+    bucketing. Sums of integral doubles are order-independent (exact in
+    IEEE754 below 2^53), so values hash-match the oracle."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    return apply_pipeline(
+        li,
+        [{"$bucket": {
+            "groupBy": "$l_quantity",
+            "boundaries": [1, 11, 21, 31, 41, 51],
+            "output": {"count": {"$sum": 1},
+                       "total_qty": {"$sum": "$l_quantity"}},
+        }}],
+    )
+
+
 def stream_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (streaming twin of
     range_view_attribution): views joined to purchases of the same user
@@ -2195,6 +2237,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_distinct_users": sketch_distinct_users,
     "sketch_quantile_check": sketch_quantile_check,
     "stream_view_purchase_join": stream_view_purchase_join,
+    "pipeline_lookup_segments": pipeline_lookup_segments,
+    "pipeline_bucket_quantities": pipeline_bucket_quantities,
 }
 
 
@@ -2634,6 +2678,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "pipeline_lookup_segments": """
+            SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY count DESC, _id
+        """,
+        "pipeline_bucket_quantities": """
+            SELECT CAST(FLOOR((l_quantity - 1) / 10) * 10 + 1 AS INTEGER)
+                       AS _id,
+                   CAST(COUNT(*) AS BIGINT) AS count,
+                   SUM(l_quantity) AS total_qty
+            FROM lineitem
+            WHERE l_quantity >= 1 AND l_quantity < 51
+            GROUP BY 1 ORDER BY 1
         """,
         "stream_view_purchase_join": """
             WITH v AS (SELECT user_id, epoch_ns(ts) AS t, event_id

@@ -195,16 +195,150 @@ def apply_sort(df: DataFrame, spec: Mapping[str, int]) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def apply_add_fields(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
+    """``$addFields`` / ``$set``: computed top-level columns (extension —
+    the reference pipeline has no field-computation stage; expressions
+    reuse the $group operand grammar)."""
+    if not isinstance(spec, Mapping) or not spec:
+        raise InvalidPipelineError("$addFields requires a non-empty mapping")
+    out = df
+    for name, expr in spec.items():
+        if "." in name:
+            raise InvalidPipelineError(
+                f"$addFields supports top-level names only, got {name!r}"
+            )
+        out = out.withColumn(name, value_expr(expr))
+    return out
+
+
+def apply_lookup(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    tables: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """``$lookup``: left outer join collecting matches into an array
+    field (Mongo shape). Extension stage — the reference has no joins.
+
+    Scale shape: the foreign side is PRE-AGGREGATED to one row per key
+    (``collect_list(struct(*))``) before the join, so the join is 1:1 on
+    the key — one shuffle each side (or broadcast for small dims), never
+    a row-multiplying join followed by re-grouping of the full left
+    table. Unmatched rows get ``[]``, matching Mongo.
+    """
+    required = {"from", "localField", "foreignField", "as"}
+    if not isinstance(spec, Mapping) or not required <= set(spec):
+        raise InvalidPipelineError(
+            f"$lookup requires keys {sorted(required)}, got {spec!r}"
+        )
+    src = spec["from"]
+    if isinstance(src, DataFrame):
+        foreign = src
+    elif tables is not None and src in tables:
+        foreign = tables[src]
+    else:
+        foreign = df.sparkSession.table(src)
+    local, fk, out_name = spec["localField"], spec["foreignField"], spec["as"]
+    matches = (
+        foreign.groupBy(F.col(fk).alias("__lk"))
+        .agg(F.collect_list(F.struct(*foreign.columns)).alias(out_name))
+    )
+    joined = df.join(matches, df[local] == matches["__lk"], "left")
+    return joined.drop("__lk").withColumn(
+        out_name,
+        F.coalesce(F.col(out_name), F.array().cast(
+            dict(joined.dtypes)[out_name])),
+    )
+
+
+def apply_bucket(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
+    """``$bucket``: histogram by explicit boundaries (extension).
+
+    ``groupBy`` value falls in ``[b[i], b[i+1])``; out-of-range rows go
+    to ``default`` (error without one, as in Mongo). One hash-agg
+    shuffle on the bucket id; the CASE chain is codegen'd per row."""
+    if not isinstance(spec, Mapping) or "groupBy" not in spec \
+            or "boundaries" not in spec:
+        raise InvalidPipelineError(
+            "$bucket requires 'groupBy' and 'boundaries'"
+        )
+    bounds = list(spec["boundaries"])
+    if len(bounds) < 2 or bounds != sorted(bounds):
+        raise InvalidPipelineError(
+            "$bucket boundaries must be a sorted list of >=2 values"
+        )
+    v = value_expr(spec["groupBy"])
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None \
+            else bucket.when(cond, F.lit(lo))
+    if "default" in spec:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+    out_spec = spec.get("output", {"count": {"$sum": 1}})
+    aggs = [accumulator_expr(n, s) for n, s in out_spec.items()]
+    if "default" not in spec:
+        # no default → out-of-range rows drop; express that as a plain
+        # range predicate so it reaches the parquet scan (PushedFilters /
+        # row-group skipping), instead of an un-pushable CASE null-check
+        src = df.filter((v >= F.lit(bounds[0])) & (v < F.lit(bounds[-1])))
+    else:
+        src = df
+    grouped = (
+        src.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket").isNotNull())
+        .groupBy(F.col("__bucket").alias("_id"))
+        .agg(*aggs)
+    )
+    return grouped.orderBy("_id")
+
+
+def apply_sort_by_count(df: DataFrame, spec: Any) -> DataFrame:
+    """``$sortByCount``: group by an expression, count, sort desc
+    (extension). Ties broken by ``_id`` for determinism."""
+    return (
+        df.groupBy(value_expr(spec).alias("_id"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("_id"))
+    )
+
+
+def apply_replace_root(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
+    """``$replaceRoot``: promote a struct field to the document root
+    (extension)."""
+    if not isinstance(spec, Mapping) or "newRoot" not in spec:
+        raise InvalidPipelineError("$replaceRoot requires 'newRoot'")
+    root = spec["newRoot"]
+    if not isinstance(root, str) or not root.startswith("$"):
+        raise InvalidPipelineError("$replaceRoot newRoot must be '$field'")
+    name = root[1:]
+    try:
+        dtype = df.schema[name].dataType
+    except KeyError:
+        raise InvalidPipelineError(f"$replaceRoot field {name!r} not found")
+    if dtype.typeName() != "struct":
+        raise InvalidPipelineError(f"$replaceRoot field {name!r} not a struct")
+    return df.select(f"{name}.*")
+
+
 STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
-          "$unwind", "$count")
+          "$unwind", "$count", "$addFields", "$set", "$lookup", "$bucket",
+          "$sortByCount", "$replaceRoot")
 
 
-def apply_pipeline(df: DataFrame, pipeline: Sequence[Mapping[str, Any]]) -> DataFrame:
+def apply_pipeline(
+    df: DataFrame,
+    pipeline: Sequence[Mapping[str, Any]],
+    tables: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
     """Execute an aggregation pipeline declaratively.
 
     The loop over stages mirrors the reference's executor
     (src/query/index.ts:1733-1752), but each stage only *extends the
     logical plan* — Catalyst then optimizes the composed query globally.
+    Stages past the reference's seven ($addFields/$set, $lookup, $bucket,
+    $sortByCount, $replaceRoot) are engine-native extensions, like the
+    join/set-op surface; ``tables`` resolves $lookup's ``from`` (falling
+    back to the session catalog's temp views).
     """
     if not isinstance(pipeline, Sequence):
         raise InvalidPipelineError("Pipeline must be a list of stages")
@@ -231,6 +365,16 @@ def apply_pipeline(df: DataFrame, pipeline: Sequence[Mapping[str, Any]]) -> Data
             out = apply_unwind(out, spec)
         elif op == "$count":
             out = out.agg(F.count(F.lit(1)).alias(str(spec)))
+        elif op in ("$addFields", "$set"):
+            out = apply_add_fields(out, spec)
+        elif op == "$lookup":
+            out = apply_lookup(out, spec, tables)
+        elif op == "$bucket":
+            out = apply_bucket(out, spec)
+        elif op == "$sortByCount":
+            out = apply_sort_by_count(out, spec)
+        elif op == "$replaceRoot":
+            out = apply_replace_root(out, spec)
         else:
             raise InvalidPipelineError(
                 f"Unknown pipeline stage {op!r}. Supported: {STAGES}"

@@ -163,3 +163,80 @@ def test_unknown_stage_rejected(sales):
         apply_pipeline(sales, [{"$lookup": {}}])
     with pytest.raises(InvalidPipelineError):
         apply_pipeline(sales, [{"$group": {"x": {"$sum": 1}}}])  # no _id
+
+
+# --- extension stages ($addFields/$lookup/$bucket/$sortByCount/$replaceRoot)
+
+
+def test_add_fields(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$addFields": {"revenue": {"$multiply": ["$quantity", "$price"]},
+                         "flag": 1}},
+         {"$sort": {"product": 1, "region": 1}}],
+    ).collect()
+    assert out[0]["revenue"] == 2 * 10.0 and out[0]["flag"] == 1
+    assert {r["product"] for r in out} == {"widget", "gadget", "gizmo"}
+
+
+def test_lookup_collects_matches_and_empty_arrays(spark, sales):
+    regions = spark.createDataFrame(
+        [("US", "Americas"), ("EU", "Europe")],
+        "code string, continent string",
+    )
+    out = apply_pipeline(
+        sales,
+        [{"$lookup": {"from": regions, "localField": "region",
+                      "foreignField": "code", "as": "geo"}},
+         {"$sort": {"product": 1, "region": 1}}],
+    ).collect()
+    by_region = {(r["product"], r["region"]): r["geo"] for r in out}
+    assert by_region[("widget", "US")][0]["continent"] == "Americas"
+    assert by_region[("gadget", "APAC")] == []  # unmatched → [], not null
+
+
+def test_lookup_via_registered_view(spark, sales):
+    spark.createDataFrame(
+        [("widgets", "hardware")], "cat string, dept string"
+    ).createOrReplaceTempView("depts_vw")
+    out = apply_pipeline(
+        sales,
+        [{"$lookup": {"from": "depts_vw", "localField": "category",
+                      "foreignField": "cat", "as": "dept"}}],
+    ).collect()
+    n_matched = sum(1 for r in out if r["dept"])
+    assert n_matched == 2  # the two widgets rows
+
+
+def test_bucket(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$bucket": {"groupBy": "$quantity", "boundaries": [0, 5, 10, 50],
+                      "default": "other",
+                      "output": {"count": {"$sum": 1},
+                                 "total": {"$sum": "$quantity"}}}}],
+    ).collect()
+    got = {int(r["_id"]): (r["count"], r["total"]) for r in out}
+    assert got[0] == (1, 2) and got[5] == (2, 13) and got[10] == (2, 30)
+
+
+def test_bucket_rejects_unsorted(sales):
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(sales, [{"$bucket": {"groupBy": "$quantity",
+                                            "boundaries": [10, 0]}}])
+
+
+def test_sort_by_count(sales):
+    out = apply_pipeline(sales, [{"$sortByCount": "$category"}]).collect()
+    assert [(r["_id"], r["count"]) for r in out] == [
+        ("gadgets", 3), ("widgets", 2)]
+
+
+def test_replace_root(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 10, "b": "x"})], "id int, doc struct<a:int,b:string>"
+    )
+    out = apply_pipeline(df, [{"$replaceRoot": {"newRoot": "$doc"}}]).collect()
+    assert out[0].asDict() == {"a": 10, "b": "x"}
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(df, [{"$replaceRoot": {"newRoot": "$id"}}])

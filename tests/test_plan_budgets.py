@@ -41,6 +41,8 @@ BUDGETS = {
     "audio_meta_extract": (1, False),     # synth + mapInPandas + sort
     "sketch_distinct_users": (6, False),  # distinct-expand + sketch agg paths
     "sketch_quantile_check": (3, False),  # sketch agg + broadcast rank check
+    "pipeline_lookup_segments": (4, True),   # pre-agg lookup + count + sort
+    "pipeline_bucket_quantities": (2, True),  # CASE bucket + one hash agg
 }
 
 
