@@ -32,8 +32,10 @@ from deltalake_spark.delta import snapshot as dsnap
 from deltalake_spark.delta.stats import stats_json
 from deltalake_spark.errors import (
     ConcurrencyError,
+    ConstraintViolationError,
     NoMatchError,
     SchemaMismatchError,
+    ValidationError,
 )
 from deltalake_spark.functions.filters import translate_filter
 from deltalake_spark.functions.projection import apply_projection
@@ -228,6 +230,92 @@ class DeltaTable:
         ])
         return version
 
+    # -- constraints -------------------------------------------------------
+
+    _CONSTRAINT_PREFIX = "delta.constraints."
+
+    def check_constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: name → SQL expression (stored as
+        ``delta.constraints.<name>`` table properties, the Delta-protocol
+        layout; engine-native — the reference has no constraints)."""
+        if not self.exists():
+            return {}
+        p = self._CONSTRAINT_PREFIX
+        return {k[len(p):]: v for k, v in self.configuration.items()
+                if k.startswith(p)}
+
+    def _constraint_violations(
+        self, df: DataFrame, constraints: Mapping[str, str]
+    ) -> dict[str, int]:
+        """Per-constraint violation counts in ONE aggregation pass.
+        A row violates a constraint when the expression is FALSE; NULL
+        passes (SQL CHECK semantics)."""
+        aggs = [
+            F.sum((~F.coalesce(F.expr(expr), F.lit(True))).cast("long"))
+            .alias(name)
+            for name, expr in constraints.items()
+        ]
+        row = df.agg(*aggs).first()
+        return {n: int(row[n] or 0) for n in constraints}
+
+    def add_check_constraint(self, name: str, expr: str,
+                             validate: bool = True) -> int:
+        """Add a CHECK constraint; existing rows are validated first
+        (one scan) unless ``validate=False``. Subsequent writes/updates/
+        merges reject batches containing violating rows."""
+        key = self._CONSTRAINT_PREFIX + name
+        if key in self.configuration:
+            raise ValidationError(f"constraint {name!r} already exists")
+        # fail fast on unparseable/unresolvable expressions before
+        # persisting (analysis against the table schema, no job)
+        try:
+            self.to_df().select(F.expr(expr)).schema
+        except Exception as exc:
+            raise ValidationError(
+                f"invalid constraint expression {expr!r}: {exc}"
+            ) from exc
+        if validate:
+            bad = self._constraint_violations(self.to_df(), {name: expr})
+            if bad.get(name):
+                raise ConstraintViolationError(
+                    f"{bad[name]} existing row(s) violate CHECK "
+                    f"constraint {name!r} ({expr})", bad
+                )
+        return self.update_metadata({key: expr})
+
+    def drop_check_constraint(self, name: str) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        key = self._CONSTRAINT_PREFIX + name
+        snap = self.snapshot()
+        meta = dict(snap.metadata or {})
+        conf = dict(meta.get("configuration", {}))
+        if key not in conf:
+            raise ValidationError(f"no such constraint {name!r}")
+        del conf[key]
+        meta["configuration"] = conf
+        version = snap.version + 1
+        dlog.write_commit(self.path, version, [
+            dlog.commit_info_action("DROP CONSTRAINT", {"name": name}),
+            {"metaData": meta},
+        ])
+        return version
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        constraints = self.check_constraints()
+        if not constraints:
+            return
+        bad = self._constraint_violations(df, constraints)
+        failing = {n: c for n, c in bad.items() if c}
+        if failing:
+            detail = ", ".join(
+                f"{n} ({constraints[n]}): {c} row(s)"
+                for n, c in failing.items()
+            )
+            raise ConstraintViolationError(
+                f"write rejected — CHECK constraint violation: {detail}",
+                failing,
+            )
+
     # -- write path --------------------------------------------------------
 
     def _stage_and_move(
@@ -242,7 +330,13 @@ class DeltaTable:
         the same filesystem — the commit itself is only the log append,
         mirroring the reference's buffer-then-commit write,
         src/delta/table.ts:764-816.)
+
+        Every code path that creates data files funnels through here
+        (write / update / merge / CoW rewrites), so this is also where
+        CHECK constraints are enforced — one extra aggregation pass over
+        the incoming batch, only when constraints exist.
         """
+        self._enforce_constraints(df)
         if mapping is None and self.exists():
             mapping = self._column_mapping(self.snapshot())
         # data files always carry PHYSICAL column names

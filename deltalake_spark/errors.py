@@ -161,6 +161,19 @@ class SchemaMismatchError(DeltaError):
     code = "SCHEMA_MISMATCH"
 
 
+class ConstraintViolationError(ValidationError):
+    """Incoming or existing rows violate a CHECK constraint
+    (``delta.constraints.<name>`` table property). Carries the violation
+    counts per constraint name."""
+
+    code = "CONSTRAINT_VIOLATION"
+
+    def __init__(self, message: str,
+                 violations: dict[str, int] | None = None):
+        super().__init__(message)
+        self.violations = dict(violations or {})
+
+
 # ---------------------------------------------------------------------------
 # type guards (reference errors.ts:393-432)
 # ---------------------------------------------------------------------------
