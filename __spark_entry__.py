@@ -1971,6 +1971,31 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.4): the value-level
+    verification twin of the LSH-blocked ``embedding_neardup`` scale
+    path, like ivf_exhaustive_topk is for IVF. All math in sequential
+    double-precision folds so values hash-match DuckDB's
+    list_dot_product. Broadcast self-join with an id inequality — fine
+    at fixture scale; the blocked variant is the 100 TB path."""
+    from deltalake_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("ia"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"),
+                   F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    return (
+        pairs.withColumn(
+            "cos", F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cos") >= 0.4)
+        .select("ia", "ib", "cos")
+        .orderBy("ia", "ib")
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -2239,6 +2264,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_view_purchase_join": stream_view_purchase_join,
     "pipeline_lookup_segments": pipeline_lookup_segments,
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
+    "embedding_cosine_pairs": embedding_cosine_pairs,
 }
 
 
@@ -2678,6 +2704,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   ROUND(
+                     list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))),
+                     6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ROUND(
+                     list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                            a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]))),
+                     6) >= 0.4
+            ORDER BY 1, 2
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count
