@@ -72,9 +72,17 @@ def ts_to_long_nanos(df, col: str = "ts"):
     dtype = dict(df.dtypes)[col]
     if not dtype.startswith("timestamp"):
         return df  # already long nanos
-    return df.withColumn(
-        col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000)
-    )
+    if dtype == "timestamp_ntz":
+        # pure NTZ arithmetic: naive wall clock treated as UTC (exactly
+        # what DuckDB's epoch_ns does) with NO session-timezone
+        # dependence — a cast to TIMESTAMP would shift by the session tz
+        expr = F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`) * 1000"
+        )
+    else:
+        expr = F.unix_micros(F.col(col)) * F.lit(1000)
+    return df.withColumn(col, expr)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
