@@ -61,7 +61,12 @@ def asof_join(
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
-        right_cols = [c for c in right.columns if c not in keys]
+        # right_time is always attached as f"{right_time}{suffix}" from
+        # the payload's __rt — including it again here would emit a
+        # duplicate output column
+        right_cols = [
+            c for c in right.columns if c not in keys and c != right_time
+        ]
     # time columns keep their native numeric type: casting epoch-nanos
     # longs (~1.7e18) to double would quantize to ~256 ns steps
     payload = F.struct(

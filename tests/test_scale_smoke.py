@@ -1,0 +1,100 @@
+"""Volume smoke tests: 2M synthetic rows with deliberate key skew.
+
+The fixture tables are small; these tests generate data 3 orders of
+magnitude larger than sf0.001 directly in Spark (no driver
+materialization) and check the operators' *invariants* — row
+conservation, exactness under salting, join multiplicity — where a
+logic error that only bites at volume (lost partition, dropped salt
+bucket, skew overflow) would surface."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from deltalake_spark.operators.skew import salted_distinct_count, salted_topk
+from deltalake_spark.operators.temporal import asof_join, sessionize
+
+N = 2_000_000
+USERS = 1_000
+
+
+@pytest.fixture(scope="module")
+def big_events(spark):
+    # hot key: user 0 owns ~30% of all rows; others uniform
+    return spark.range(N).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 7_000_000_000).alias("ts"),  # 7s apart, long ns
+        F.when(F.col("id") % 10 < 3, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(USERS)))
+        .alias("user_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    ).persist()
+
+
+def test_sessionize_conserves_rows_at_volume(spark, big_events):
+    s = sessionize(big_events, key="user_id", time_col="ts",
+                   gap=3_600_000_000_000, tiebreak=["event_id"])
+    per_user = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("session_seq").alias("sessions"),
+    )
+    total, users = per_user.agg(
+        F.sum("n"), F.count(F.lit(1))
+    ).first()
+    assert total == N          # no row lost or duplicated
+    assert users == USERS
+    # hot key really is hot and still sessionized correctly
+    hot = per_user.filter(F.col("user_id") == 0).first()
+    assert hot.n > N // 5 and hot.sessions >= 1
+
+
+def test_salted_topk_is_exact_under_skew(spark, big_events):
+    from pyspark.sql.window import Window
+
+    got = salted_topk(
+        big_events, key="user_id",
+        order_by=[F.desc("value"), F.asc("event_id")], k=3, num_salts=32,
+    ).select("user_id", "event_id", "rank")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id"))
+    want = (
+        big_events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_salted_distinct_count_is_exact(spark, big_events):
+    got = {
+        r.user_id: r.n_distinct
+        for r in salted_distinct_count(
+            big_events.filter(F.col("user_id") < 5),
+            key="user_id", value="value", num_salts=16,
+        ).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in big_events.filter(F.col("user_id") < 5)
+        .groupBy("user_id")
+        .agg(F.countDistinct("value").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_asof_join_multiplicity_at_volume(spark, big_events):
+    # right side: one quote every 1000 events
+    quotes = big_events.filter(F.col("event_id") % 1000 == 0).select(
+        "user_id",
+        F.col("ts").alias("q_ts"),
+        F.col("value").alias("q_value"),
+    )
+    joined = asof_join(
+        big_events, quotes,
+        on="user_id", left_time="ts", right_time="q_ts",
+    )
+    # as-of join never changes left cardinality
+    assert joined.count() == N
+    # and every matched quote time is <= the event time
+    bad = joined.filter(F.col("q_ts_asof") > F.col("ts")).count()
+    assert bad == 0
