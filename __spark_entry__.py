@@ -1971,6 +1971,34 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk documents into 500-char windows, pack chunks into
+    2048-char bins per language (deterministic contiguous fill ordered
+    by (doc_id, chunk_id)), and report per-language layout stats. Both
+    the chunk arithmetic and the running-sum bin assignment are exactly
+    reproducible in SQL, so this is a full value-level gate for the
+    chunk+pack pipeline step."""
+    from deltalake_spark.operators.chunking import chunk_text, pack_greedy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = chunk_text(docs, text_col="text", chunk_chars=500)
+    sized = chunks.withColumn("chunk_len", F.length("chunk"))
+    packed = pack_greedy(
+        sized, size_col="chunk_len", capacity=2048,
+        partition_cols=["lang"], order_cols=["doc_id", "chunk_id"],
+    )
+    return (
+        packed.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_chars"),
+            (F.max("bin_id") + 1).alias("n_bins"),
+        )
+        .orderBy("lang")
+    )
+
+
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ 0.4): the value-level
     verification twin of the LSH-blocked ``embedding_neardup`` scale
@@ -2265,6 +2293,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_lookup_segments": pipeline_lookup_segments,
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "doc_chunk_pack": doc_chunk_pack,
 }
 
 
@@ -2704,6 +2733,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "doc_chunk_pack": """
+            WITH c AS (
+              SELECT doc_id, lang,
+                     i AS chunk_id,
+                     LEAST(500, LENGTH(text) - i * 500) AS chunk_len
+              FROM documents,
+                   UNNEST(range(CAST(CEIL(LENGTH(text) / 500.0) AS BIGINT)))
+                       AS t(i)
+              WHERE LENGTH(text) > 0),
+             p AS (
+              SELECT lang, doc_id, chunk_id, chunk_len,
+                     (SUM(chunk_len) OVER w - chunk_len) // 2048 AS bin_id
+              FROM c
+              WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
+                           ROWS UNBOUNDED PRECEDING))
+            SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(chunk_len) AS BIGINT) AS total_chars,
+                   CAST(MAX(bin_id) + 1 AS BIGINT) AS n_bins
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS ia, b.vec_id AS ib,

@@ -1,0 +1,75 @@
+"""chunk_text / pack_greedy: boundary coverage, overlap semantics, and
+packing invariants (determinism, bounded overflow, partition isolation)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from deltalake_spark.operators.chunking import chunk_text, pack_greedy
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a" * 1000),   # exact multiple of 500 → 2 chunks
+        (2, "b" * 1001),   # one char over → 3 chunks, last len 1
+        (3, "c" * 499),    # single short chunk
+        (4, ""),           # empty → no rows
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_boundaries(spark, docs):
+    out = chunk_text(docs, chunk_chars=500).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, len(r.chunk)))
+    assert sorted(by_doc[1]) == [(0, 500), (1, 500)]
+    assert sorted(by_doc[2]) == [(0, 500), (1, 500), (2, 1)]
+    assert sorted(by_doc[3]) == [(0, 499)]
+    assert 4 not in by_doc
+    # chunks reassemble to the original text
+    two = sorted((r.chunk_id, r.chunk) for r in out if r.doc_id == 2)
+    assert "".join(c for _, c in two) == "b" * 1001
+
+
+def test_chunk_overlap(spark):
+    df = spark.createDataFrame([(1, "0123456789")], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_id, r.chunk)
+        for r in chunk_text(df, chunk_chars=4, overlap=2).collect()
+    )
+    # step=2: windows [0:4],[2:6],[4:8],[6:10]
+    assert out == [(0, "0123"), (1, "2345"), (2, "4567"), (3, "6789")]
+    with pytest.raises(ValueError):
+        chunk_text(df, chunk_chars=4, overlap=4)
+
+
+def test_pack_invariants(spark):
+    df = spark.range(100).select(
+        F.col("id").alias("item"),
+        (F.pmod(F.col("id") * 37, F.lit(90)) + 10).alias("sz"),
+        (F.col("id") % 2).alias("part"),
+    )
+    packed = pack_greedy(
+        df, size_col="sz", capacity=200,
+        partition_cols=["part"], order_cols=["item"],
+    )
+    rows = packed.collect()
+    # deterministic: same assignment on a rerun
+    again = {(r.part, r.item): r.bin_id for r in packed.collect()}
+    assert all(again[(r.part, r.item)] == r.bin_id for r in rows)
+    # contiguous fill: pre-sums imply every bin except the last holds
+    # >= capacity - max_item... check the direct invariant instead:
+    # bin_id == floor(preceding_total/capacity) per partition
+    for part in (0, 1):
+        items = sorted((r.item, r.sz, r.bin_id) for r in rows
+                       if r.part == part)
+        run = 0
+        for item, sz, b in items:
+            assert b == run // 200
+            run += sz
+    # bins overflow by at most one item
+    fills = packed.groupBy("part", "bin_id").agg(
+        F.sum("sz").alias("fill"), F.max("sz").alias("mx")
+    ).collect()
+    assert all(f.fill <= 200 + f.mx for f in fills)
