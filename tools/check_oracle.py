@@ -2,9 +2,12 @@
 
 Runs every ``queries()`` entry and its ``oracle_sql()`` twin at the given
 scale factor, compares row counts, column names, and order-insensitive
-values (normalized to strings with stable float formatting).
+exact values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Env:   ORACLE_JOBS=N  — run N queries concurrently (default 4; Spark
+       schedules concurrent jobs from threads fine, DuckDB gets a cursor
+       per worker). Streaming queries are serialized within a worker.
 """
 
 from __future__ import annotations
@@ -12,6 +15,8 @@ from __future__ import annotations
 import math
 import os
 import sys
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,13 +55,44 @@ def norm_rows(cols, rows):
     return sorted(out)
 
 
+def check_one(spark, con, sf_dir, name, fn, oracles):
+    """Returns (status, message) where status ∈ {PASS, FAIL, WEAK}."""
+    try:
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as e:
+        return "FAIL", f"{name}: spark error {type(e).__name__}: {e}"
+    if name not in oracles:
+        return "WEAK", f"{name}: rows-only ({len(srows)} rows)"
+    try:
+        res = con.sql(oracles[name])
+        ocols = list(res.columns)
+        orows = res.fetchall()
+    except Exception as e:
+        return "FAIL", f"{name}: duckdb error: {e}"
+    if sorted(scols) != sorted(ocols):
+        return "FAIL", (f"{name}: columns spark={sorted(scols)} "
+                        f"oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        return "FAIL", (f"{name}: rowcount spark={len(srows)} "
+                        f"oracle={len(orows)}")
+    sn = norm_rows(scols, srows)
+    on = norm_rows(ocols, orows)
+    if sn != on:
+        diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+        return "FAIL", f"{name}: value mismatch, first diffs: {diffs}"
+    return "PASS", f"{name} ({len(srows)} rows)"
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    jobs = int(os.environ.get("ORACLE_JOBS", "4"))
 
-    con = duckdb.connect()
+    base = duckdb.connect()
     for t in TABLES:
-        con.sql(
+        base.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
@@ -65,54 +101,38 @@ def main() -> None:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    n_pass = n_fail = n_weak = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"WEAK {name}: rows-only ({len(srows)} rows)")
-            n_weak += 1
-            continue
-        try:
-            res = con.sql(oracles[name])
-            ocols = [c for c in res.columns]
-            orows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        ok = True
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL {name}: columns spark={sorted(scols)} "
-                  f"oracle={sorted(ocols)}")
-            ok = False
-        elif len(srows) != len(orows):
-            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
-            ok = False
-        else:
-            sn = norm_rows(scols, srows)
-            on = norm_rows(ocols, orows)
-            if sn != on:
-                diffs = [
-                    (a, b) for a, b in zip(sn, on) if a != b
-                ][:3]
-                print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
-                ok = False
-        if ok:
-            print(f"PASS {name} ({len(srows)} rows)")
-            n_pass += 1
-        else:
-            n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
-    sys.exit(1 if n_fail else 0)
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+
+    # streaming / stateful queries mutate session-level state (memory
+    # sinks, temp tables); run them serially after the parallel batch
+    serial = [(n, f) for n, f in todo
+              if n.startswith("stream_") or n.startswith("delta_")
+              or n.startswith("incremental")]
+    parallel = [(n, f) for n, f in todo if (n, f) not in serial]
+
+    lock = threading.Lock()
+    counts = {"PASS": 0, "FAIL": 0, "WEAK": 0}
+
+    def run(item):
+        name, fn = item
+        con = base.cursor()
+        status, msg = check_one(spark, con, sf_dir, name, fn, oracles)
+        with lock:
+            counts[status] += 1
+            print(f"{status} {msg}", flush=True)
+
+    if jobs > 1 and len(parallel) > 1:
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            list(ex.map(run, parallel))
+    else:
+        for item in parallel:
+            run(item)
+    for item in serial:
+        run(item)
+
+    print(f"\n{counts['PASS']} pass, {counts['FAIL']} fail, "
+          f"{counts['WEAK']} weak (rows-only)")
+    sys.exit(1 if counts["FAIL"] else 0)
 
 
 if __name__ == "__main__":
