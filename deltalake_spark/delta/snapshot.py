@@ -27,7 +27,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from deltalake_spark.delta import log as dlog
-from deltalake_spark.errors import VersionNotFoundError
+from deltalake_spark.errors import (
+    UnsupportedProtocolError,
+    VersionNotFoundError,
+)
+
+# Protocol gate: versions this engine implements correctly. Reader 2
+# covers column mapping; tables demanding higher reader features (which
+# change read RESULTS, e.g. v3 table features we don't know) must be
+# refused rather than silently misread. Writers check their own version
+# before committing.
+SUPPORTED_READER = 2
+SUPPORTED_WRITER = 4
 
 CHECKPOINT_INTERVAL = 10
 # tombstones older than this are dropped when writing a checkpoint
@@ -133,11 +144,20 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
             "cleanup?) and no checkpoint at or below them survives"
         )
 
+    proto = state["protocol"]
+    if proto and int(proto.get("minReaderVersion", 1)) > SUPPORTED_READER:
+        raise UnsupportedProtocolError(
+            f"Table requires reader version "
+            f"{proto.get('minReaderVersion')} (this engine supports "
+            f"<= {SUPPORTED_READER}); refusing a potentially incorrect "
+            "read"
+        )
+
     return Snapshot(
         version=target,
         files=list(state["files"].values()),
         metadata=state["metadata"],
-        protocol=state["protocol"],
+        protocol=proto,
         tombstones=list(state["tombstones"].values()),
         transactions=dict(state["txns"]),
     )

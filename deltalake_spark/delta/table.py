@@ -300,6 +300,22 @@ class DeltaTable:
         ])
         return version
 
+    def _assert_writer_protocol(self) -> None:
+        """Refuse mutations on tables demanding a writer version beyond
+        this engine (a foreign writer may rely on invariants we don't
+        maintain — committing anyway could corrupt the table)."""
+        if not self.exists():
+            return
+        proto = self.snapshot().protocol or {}
+        if int(proto.get("minWriterVersion", 1)) > dsnap.SUPPORTED_WRITER:
+            from deltalake_spark.errors import UnsupportedProtocolError
+
+            raise UnsupportedProtocolError(
+                f"Table requires writer version "
+                f"{proto.get('minWriterVersion')} (this engine supports "
+                f"<= {dsnap.SUPPORTED_WRITER})"
+            )
+
     def _enforce_constraints(self, df: DataFrame) -> None:
         constraints = self.check_constraints()
         if not constraints:
@@ -336,6 +352,7 @@ class DeltaTable:
         CHECK constraints are enforced — one extra aggregation pass over
         the incoming batch, only when constraints exist.
         """
+        self._assert_writer_protocol()
         self._enforce_constraints(df)
         if mapping is None and self.exists():
             mapping = self._column_mapping(self.snapshot())
@@ -879,6 +896,7 @@ class DeltaTable:
         semantics, src/delta/table.ts:2214-2297). With
         ``delta.enableDeletionVectors=true`` the delete is a soft DV
         write (no data-file rewrite); otherwise copy-on-write."""
+        self._assert_writer_protocol()
         cond = _to_condition(filter)
         if self.dv_enabled():
             return self._delete_with_dv(cond)

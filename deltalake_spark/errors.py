@@ -161,6 +161,14 @@ class SchemaMismatchError(DeltaError):
     code = "SCHEMA_MISMATCH"
 
 
+class UnsupportedProtocolError(DeltaError):
+    """Table's `protocol` action demands reader/writer versions beyond
+    what this engine implements — refusing beats a silently incorrect
+    read or a table-corrupting write."""
+
+    code = "PROTOCOL_UNSUPPORTED"
+
+
 class ConstraintViolationError(ValidationError):
     """Incoming or existing rows violate a CHECK constraint
     (``delta.constraints.<name>`` table property). Carries the violation
