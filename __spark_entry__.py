@@ -1824,6 +1824,44 @@ def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def video_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing with a value-level oracle: ISO-BMFF (MP4)
+    payloads — ftyp + moov[mvhd + empty traks] — synthesized
+    DISTRIBUTIVELY from documents columns with big-endian binary concat,
+    parsed back by ``decode_video_meta`` (box walker in Arrow-batched
+    mapInPandas), verified against the closed-form field formulas in
+    SQL. Codec decode is out of scope by design; the container math is
+    real."""
+    from deltalake_spark.operators.multimodal import decode_video_meta
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def _be(c, nbytes: int):
+        return F.unhex(F.lpad(F.hex(c.cast("long")), nbytes * 2, "0"))
+
+    duration = F.col("n_chars") * 30      # units of timescale=600
+    two_traks = F.col("doc_id") % 2 == 1  # 1 or 2 tracks
+    trak = b"\x00\x00\x00\x08trak"
+    mvhd = F.concat(
+        _be(F.lit(108), 4), F.lit(b"mvhd"),
+        F.lit(b"\x00" * 12),              # version/flags + ctime + mtime
+        _be(F.lit(600), 4), _be(duration, 4),
+        F.lit(b"\x00" * 80),
+    )
+    traks = F.when(two_traks, F.lit(trak * 2)).otherwise(F.lit(trak))
+    moov_size = F.lit(8 + 108) + F.when(two_traks, 16).otherwise(8)
+    payload = F.concat(
+        _be(F.lit(16), 4), F.lit(b"ftypisom"), _be(F.lit(0), 4),
+        _be(moov_size, 4), F.lit(b"moov"), mvhd, traks,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    return decode_video_meta(media).select(
+        "media_id", "timescale", "duration_ms_parsed", "n_tracks"
+    ).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming (engine-native: the reference's only stream is the
 # CDC feed, src/cdc/index.ts:38-128 — no watermarks/windows/state)
@@ -2294,6 +2332,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_chunk_pack": doc_chunk_pack,
+    "video_meta_extract": video_meta_extract,
 }
 
 
@@ -2733,6 +2772,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "video_meta_extract": """
+            SELECT doc_id AS media_id,
+                   CAST(600 AS INTEGER) AS timescale,
+                   CAST((n_chars * 30 * 1000) // 600 AS INTEGER)
+                       AS duration_ms_parsed,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks
+            FROM documents ORDER BY 1
         """,
         "doc_chunk_pack": """
             WITH c AS (

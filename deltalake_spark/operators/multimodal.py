@@ -274,3 +274,98 @@ def frame_sample_plan(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
             ),
         )
     )
+
+
+def mp4_meta(payload: bytes) -> dict[str, int] | None:
+    """ISO-BMFF (MP4) box-structure parse — real container metadata
+    without codec libraries: walks top-level boxes to ``moov``, reads
+    ``mvhd`` (timescale, duration) and counts ``trak`` children.
+    Version-1 mvhd (64-bit times) is handled; codec payloads are never
+    touched."""
+    if not payload or len(payload) < 8:
+        return None
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos:pos + 4])
+            ctype = buf[pos + 4:pos + 8]
+            if size < 8 or pos + size > end:
+                return
+            yield ctype, pos + 8, pos + size
+            pos += size
+
+    if payload[4:8] != b"ftyp":
+        return None
+    timescale = duration = None
+    n_tracks = 0
+    for ctype, body_start, body_end in walk(payload, 0, len(payload)):
+        if ctype != b"moov":
+            continue
+        for sub, s, e in walk(payload, body_start, body_end):
+            if sub == b"mvhd" and e - s >= 4:
+                version = payload[s]
+                if version == 1 and e - s >= 4 + 8 + 8 + 4 + 8:
+                    timescale, = struct.unpack(">I", payload[s + 20:s + 24])
+                    duration, = struct.unpack(">Q", payload[s + 24:s + 32])
+                elif e - s >= 4 + 4 + 4 + 4 + 4:
+                    timescale, = struct.unpack(">I", payload[s + 12:s + 16])
+                    duration, = struct.unpack(">I", payload[s + 16:s + 20])
+            elif sub == b"trak":
+                n_tracks += 1
+    if timescale is None:
+        return None
+    return {
+        "timescale": timescale,
+        "duration": duration or 0,
+        "n_tracks": n_tracks,
+        "duration_ms": int((duration or 0) * 1000 // timescale)
+        if timescale else 0,
+    }
+
+
+def decode_video_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """MP4 container metadata via mapInPandas — the video member of the
+    decode_image_meta / decode_audio_meta family. Frame pixel decode is
+    out of scope here by design (no codecs in this container); pair with
+    :func:`frame_sample_plan` for the sampling plan."""
+    schema = StructType(
+        df.schema.fields
+        + [StructField("timescale", IntegerType()),
+           StructField("duration_ms_parsed", IntegerType()),
+           StructField("n_tracks", IntegerType())]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ts, durs, trks = [], [], []
+            for payload in pdf[payload_col]:
+                m = mp4_meta(bytes(payload)) if payload is not None else None
+                ts.append(m["timescale"] if m else None)
+                durs.append(m["duration_ms"] if m else None)
+                trks.append(m["n_tracks"] if m else None)
+            yield pdf.assign(
+                timescale=pd.array(ts, dtype="Int32"),
+                duration_ms_parsed=pd.array(durs, dtype="Int32"),
+                n_tracks=pd.array(trks, dtype="Int32"),
+            )
+
+    return df.mapInPandas(process, schema)
+
+
+def make_mp4(timescale: int = 600, duration: int = 1200,
+             n_tracks: int = 1) -> bytes:
+    """Minimal valid ISO-BMFF payload (ftyp + moov[mvhd + empty traks])
+    for tests/fixtures — deterministic, codec-free."""
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd_body = (
+        bytes(4)                      # version 0 + flags
+        + struct.pack(">II", 0, 0)    # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + bytes(108 - 8 - 4 - 8 - 8)  # rate/volume/matrix/next_track pad
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    traks = (struct.pack(">I", 8) + b"trak") * n_tracks
+    moov = struct.pack(">I", 8 + len(mvhd) + len(traks)) + b"moov" \
+        + mvhd + traks
+    return ftyp + moov

@@ -154,3 +154,32 @@ def test_audio_feature_stub_shape(spark):
              for r in audio_feature_stub(df, window_ms=250).collect()}
     assert out == again
     assert all(isinstance(v, float) for v in out[1])
+
+
+def test_mp4_meta_round_trip():
+    from deltalake_spark.operators.multimodal import make_mp4, mp4_meta
+
+    m = mp4_meta(make_mp4(timescale=1000, duration=2500, n_tracks=3))
+    assert m == {"timescale": 1000, "duration": 2500, "n_tracks": 3,
+                 "duration_ms": 2500}
+    # garbage and truncation are refused, not crashed on
+    assert mp4_meta(b"") is None
+    assert mp4_meta(b"\x00\x00\x00\x10ftypisom") is None  # no moov
+    assert mp4_meta(b"RIFFxxxxWAVE") is None
+
+
+def test_decode_video_meta(spark):
+    from deltalake_spark.operators.multimodal import (
+        decode_video_meta,
+        make_mp4,
+    )
+
+    rows = [(1, make_mp4(duration=600)), (2, make_mp4(duration=1200, n_tracks=2)),
+            (3, b"not a video"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.timescale, r.duration_ms_parsed, r.n_tracks)
+           for r in decode_video_meta(df).collect()}
+    assert got[1] == (600, 1000, 1)
+    assert got[2] == (600, 2000, 2)
+    assert got[3] == (None, None, None)
+    assert got[4] == (None, None, None)
