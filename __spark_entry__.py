@@ -1824,6 +1824,45 @@ def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: raw events → hourly buckets →
+    DAILY aggregates computed FROM THE HOURLY ROLLUP (sum of sums,
+    count of counts, max of maxes — all reaggregable), never re-reading
+    raw data. At 100 TB this is the continuous-aggregate pattern: the
+    hourly table is the only thing that scans raw events (incrementally,
+    see IncrementalAggView); every coarser granularity derives from the
+    next finer one at a fraction of the cost. Value sums stay in integer
+    cents so the two-level reaggregation is exactly associative."""
+    ev = _t(spark, sf_dir, "events").select("ts", "event_type", "value")
+    hourly = (
+        ev.withColumn("hour", F.expr("ts div 3600000000000"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)"))
+            .alias("cents"),
+            F.max(F.expr("cast(round(value * 100) as bigint)"))
+            .alias("max_cents"),
+        )
+    )
+    daily = (
+        hourly.withColumn("day", F.expr("hour div 24"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.count(F.lit(1)).alias("active_hours"),
+        )
+    )
+    return daily.select(
+        "day", "event_type", "n",
+        (F.col("cents") / 100.0).alias("total_value"),
+        (F.col("max_cents") / 100.0).alias("max_value"),
+        "active_hours",
+    ).orderBy("day", "event_type")
+
+
 def video_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-column plumbing with a value-level oracle: ISO-BMFF (MP4)
     payloads — ftyp + moov[mvhd + empty traks] — synthesized
@@ -2333,6 +2372,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_chunk_pack": doc_chunk_pack,
     "video_meta_extract": video_meta_extract,
+    "events_rollup_cascade": events_rollup_cascade,
 }
 
 
@@ -2772,6 +2812,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
                    TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "events_rollup_cascade": """
+            WITH h AS (
+              SELECT epoch_ns(ts) // 3600000000000 AS hour, event_type,
+                     COUNT(*) AS n,
+                     SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents,
+                     MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+              FROM events GROUP BY 1, 2)
+            SELECT hour // 24 AS day, event_type,
+                   CAST(SUM(n) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) / 100.0 AS total_value,
+                   CAST(MAX(max_cents) AS BIGINT) / 100.0 AS max_value,
+                   CAST(COUNT(*) AS BIGINT) AS active_hours
+            FROM h GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "video_meta_extract": """
             SELECT doc_id AS media_id,

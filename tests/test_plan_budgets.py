@@ -43,6 +43,8 @@ BUDGETS = {
     "sketch_quantile_check": (3, False),  # sketch agg + broadcast rank check
     "pipeline_lookup_segments": (4, True),   # pre-agg lookup + count + sort
     "pipeline_bucket_quantities": (2, True),  # CASE bucket + one hash agg
+    "doc_chunk_pack": (3, False),    # explode + pack window + final agg
+    "events_rollup_cascade": (3, False),  # hourly agg + daily reagg + sort
 }
 
 
