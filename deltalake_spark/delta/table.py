@@ -184,6 +184,53 @@ class DeltaTable:
         ])
         return version
 
+    def drop_column(self, name: str) -> int:
+        """Drop a column WITHOUT rewriting data files (metadata-only,
+        like :meth:`rename_column`): the logical schema loses the field
+        and the mapping entry is retired. Existing parquet keeps the
+        physical column forever; reads simply never select it. A later
+        re-add of the same logical name gets a fresh physical name via
+        write()'s collision handling, so old data never resurfaces."""
+        snap = self.snapshot()
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column {name!r}")
+        if name in snap.partition_columns:
+            raise ValueError(
+                "cannot drop a partition column (directory layout is "
+                "keyed by it)"
+            )
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        for cname, expr in self.check_constraints().items():
+            if name in expr:
+                raise ValidationError(
+                    f"column {name!r} is referenced by CHECK constraint "
+                    f"{cname!r} ({expr}); drop the constraint first"
+                )
+        mapping = self._column_mapping(snap)
+        physical = mapping.pop(name, name)
+        # remember the retired physical name so a future re-add of this
+        # logical name cannot silently resurrect old data
+        meta = dict(snap.metadata or {})
+        conf = dict(meta.get("configuration", {}))
+        retired = json.loads(conf.get("delta.columnMapping.retired", "[]"))
+        retired.append(physical)
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.map"] = json.dumps(mapping)
+        conf["delta.columnMapping.retired"] = json.dumps(retired)
+        meta["configuration"] = conf
+        meta["schemaString"] = StructType(
+            [f for f in schema.fields if f.name != name]
+        ).json()
+        version = snap.version + 1
+        dlog.write_commit(self.path, version, [
+            dlog.commit_info_action("DROP COLUMN", {"column": name}),
+            {"metaData": meta},
+        ])
+        return version
+
     def restore(self, version: int) -> dict[str, Any]:
         """Restore the table to a previous version (engine-native; the
         reference exposes snapshots read-only — restore makes time travel
@@ -503,9 +550,13 @@ class DeltaTable:
                 # physical name of a renamed column — give it a fresh
                 # physical name in the mapping
                 mapping = self._column_mapping(prev)
-                if mapping:
+                retired = set(json.loads(
+                    (prev.configuration or {})
+                    .get("delta.columnMapping.retired", "[]")
+                ))
+                if mapping or retired:
                     old_names = {f.name for f in existing.fields}
-                    taken = set(mapping.values()) | old_names
+                    taken = set(mapping.values()) | old_names | retired
                     changed = False
                     for f in target.fields:
                         if f.name not in old_names and f.name in taken:

@@ -105,3 +105,56 @@ def test_rename_validation(table):
         table.rename_column("nope", "x")
     with pytest.raises(ValueError, match="already exists"):
         table.rename_column("val", "name")
+
+
+# --- drop_column (metadata-only, retired-physical-name bookkeeping) ---
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "drop1"))
+    t.write(spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "id int, v string, score double"))
+    files_before = {f["path"] for f in t.snapshot().files}
+    t.drop_column("v")
+    assert {f["path"] for f in t.snapshot().files} == files_before  # no rewrite
+    df = t.to_df()
+    assert sorted(df.columns) == ["id", "score"]
+    assert df.count() == 2
+
+
+def test_drop_then_readd_does_not_resurrect(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "drop2"))
+    t.write(spark.createDataFrame([(1, "old1"), (2, "old2")],
+                                  "id int, v string"))
+    t.drop_column("v")
+    # re-add the same logical name; rows written before the re-add must
+    # read NULL for it, never the retired physical data
+    t.write(spark.createDataFrame([(3, "new3")], "id int, v string"),
+            merge_schema=True)
+    rows = {r.id: r.v for r in t.to_df().collect()}
+    assert rows == {1: None, 2: None, 3: "new3"}
+
+
+def test_drop_column_guards(spark, tmp_path):
+    import pytest
+
+    from deltalake_spark.delta.table import DeltaTable
+    from deltalake_spark.errors import ValidationError
+
+    t = DeltaTable(spark, str(tmp_path / "drop3"))
+    t.write(spark.createDataFrame([(1, "a", "p")],
+                                  "id int, v string, part string"),
+            partition_by=["part"])
+    with pytest.raises(ValueError):
+        t.drop_column("nope")
+    with pytest.raises(ValueError):
+        t.drop_column("part")
+    t.add_check_constraint("v_nonempty", "length(v) > 0")
+    with pytest.raises(ValidationError):
+        t.drop_column("v")
