@@ -35,7 +35,10 @@ from deltalake_spark.errors import InvalidFilterError
 LOGICAL_OPS = frozenset({"$and", "$or", "$not", "$nor"})
 COMPARISON_OPS = frozenset(
     {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin",
-     "$exists", "$regex", "$type", "$options"}
+     "$exists", "$regex", "$type", "$options",
+     # array operators — engine-native extensions (the reference has no
+     # array predicates beyond $in's membership test)
+     "$size", "$all", "$elemMatch"}
 )
 VALID_OPS = LOGICAL_OPS | COMPARISON_OPS
 
@@ -104,6 +107,60 @@ def _comparison(path: str, ops: Mapping[str, Any]) -> Column:
         elif op == "$type":
             # documented no-op in the reference — always passes
             conds.append(F.lit(True))
+        elif op == "$size":
+            if not isinstance(operand, int) or isinstance(operand, bool):
+                raise InvalidFilterError(
+                    f"$size requires an integer, got {operand!r}"
+                )
+            conds.append(F.size(col) == F.lit(operand))
+        elif op == "$all":
+            if not isinstance(operand, (list, tuple)):
+                raise InvalidFilterError(
+                    f"$all requires an array, got {operand!r}"
+                )
+            for v in operand:
+                conds.append(F.array_contains(col, _lit(v)))
+        elif op == "$elemMatch":
+            if not isinstance(operand, Mapping) or not operand:
+                raise InvalidFilterError(
+                    f"$elemMatch requires a non-empty mapping, got "
+                    f"{operand!r}"
+                )
+            # condition over each element: {op: val} comparisons applied
+            # to the element itself via exists() (stays JVM-side)
+            def _elem_cond(e: Column) -> Column:
+                sub: Column | None = None
+                for eop, ev in operand.items():
+                    if eop not in COMPARISON_OPS or eop in (
+                            "$elemMatch", "$size", "$all"):
+                        raise InvalidFilterError(
+                            f"$elemMatch supports scalar comparison "
+                            f"operators only, got {eop!r}"
+                        )
+                    if eop == "$eq":
+                        c = e == _lit(ev)
+                    elif eop == "$ne":
+                        c = ~e.eqNullSafe(_lit(ev))
+                    elif eop == "$gt":
+                        c = e > _lit(ev)
+                    elif eop == "$gte":
+                        c = e >= _lit(ev)
+                    elif eop == "$lt":
+                        c = e < _lit(ev)
+                    elif eop == "$lte":
+                        c = e <= _lit(ev)
+                    elif eop == "$in":
+                        c = e.isin(list(ev))
+                    elif eop == "$regex":
+                        c = e.rlike(str(ev))
+                    else:
+                        raise InvalidFilterError(
+                            f"$elemMatch does not support {eop!r}"
+                        )
+                    sub = c if sub is None else sub & c
+                return sub if sub is not None else F.lit(True)
+
+            conds.append(F.exists(col, _elem_cond))
         elif op == "$not":
             conds.append(~_two_valued(_comparison(path, operand)))
         else:

@@ -100,3 +100,49 @@ def test_unknown_operator_rejected(docs):
         translate_filter({"$xor": [{"cat": "a"}]})
     with pytest.raises(InvalidFilterError):
         translate_filter({"cat": {"$in": "not-a-list"}})
+
+
+# --- array operators ($size/$all/$elemMatch) — engine-native extensions
+
+
+def test_array_size(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a"]), (3, []), (4, None)],
+        "id int, tags array<string>",
+    )
+    got = sorted(r.id for r in
+                 df.filter(translate_filter({"tags": {"$size": 2}})).collect())
+    assert got == [1]
+    got0 = sorted(r.id for r in
+                  df.filter(translate_filter({"tags": {"$size": 0}})).collect())
+    assert got0 == [3]
+    with pytest.raises(InvalidFilterError):
+        translate_filter({"tags": {"$size": "2"}})
+
+
+def test_array_all(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "c"]), (3, ["b"])],
+        "id int, tags array<string>",
+    )
+    got = sorted(r.id for r in df.filter(
+        translate_filter({"tags": {"$all": ["a", "c"]}})).collect())
+    assert got == [1, 2]
+
+
+def test_elem_match(spark):
+    df = spark.createDataFrame(
+        # id=2: 5 passes $lt and 50 passes $gte, but NO single element
+        # passes both — $elemMatch must not match (vs naive AND of
+        # per-array conditions, which would)
+        [(1, [5, 15]), (2, [5, 50]), (3, [30]), (4, None)],
+        "id int, vals array<int>",
+    )
+    got = sorted(r.id for r in df.filter(
+        translate_filter({"vals": {"$elemMatch": {"$gte": 10, "$lt": 40}}})
+    ).collect())
+    assert got == [1, 3]
+    with pytest.raises(InvalidFilterError):
+        translate_filter({"vals": {"$elemMatch": {}}})
+    with pytest.raises(InvalidFilterError):
+        translate_filter({"vals": {"$elemMatch": {"$exists": True}}})
