@@ -113,10 +113,30 @@ def accumulator_expr(name: str, spec: Any) -> Column:
         v = value_expr(operand)
         # sample stddev of <2 values → null, not NaN
         expr = F.when(F.count(v) >= 2, F.stddev_samp(v))
+    elif op == "$median":
+        # engine-native extension (Mongo 7 accumulator): exact
+        # interpolated median via the sort-based percentile aggregate
+        expr = F.percentile(value_expr(operand), F.lit(0.5))
+    elif op == "$percentile":
+        if not isinstance(operand, Mapping) or "input" not in operand \
+                or "p" not in operand:
+            raise InvalidPipelineError(
+                "$percentile requires {'input': expr, 'p': [fractions]}"
+            )
+        ps = list(operand["p"])
+        if not ps or not all(0 <= p <= 1 for p in ps):
+            raise InvalidPipelineError(
+                "$percentile fractions must be in [0, 1]"
+            )
+        expr = F.percentile(
+            value_expr(operand["input"]),
+            F.array(*[F.lit(float(p)) for p in ps]),
+        )
     else:
         raise InvalidPipelineError(
             f"Unknown accumulator {op!r} for {name!r}. Supported: $sum $avg "
-            "$min $max $first $last $push $addToSet $count $stdDevPop $stdDevSamp"
+            "$min $max $first $last $push $addToSet $count $stdDevPop "
+            "$stdDevSamp $median $percentile"
         )
     return expr.alias(name)
 

@@ -240,3 +240,22 @@ def test_replace_root(spark):
     assert out[0].asDict() == {"a": 10, "b": "x"}
     with pytest.raises(InvalidPipelineError):
         apply_pipeline(df, [{"$replaceRoot": {"newRoot": "$id"}}])
+
+
+def test_median_and_percentile_accumulators(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$group": {
+            "_id": None,
+            "med_qty": {"$median": "$quantity"},
+            "qs": {"$percentile": {"input": "$quantity",
+                                   "p": [0.0, 0.5, 1.0]}},
+        }}],
+    ).collect()[0]
+    # quantities: 2, 5, 8, 10, 20 → median 8
+    assert out["med_qty"] == 8.0
+    assert out["qs"] == [2.0, 8.0, 20.0]
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(sales, [{"$group": {
+            "_id": None, "bad": {"$percentile": {"input": "$quantity",
+                                                 "p": [1.5]}}}}])
