@@ -73,3 +73,28 @@ def test_pack_invariants(spark):
         F.sum("sz").alias("fill"), F.max("sz").alias("mx")
     ).collect()
     assert all(f.fill <= 200 + f.mx for f in fills)
+
+
+def test_chunk_reassembly_property(spark):
+    """Reassembling chunks in order reproduces the original text for
+    adversarial shapes: unicode multibyte, exact multiples, singletons,
+    whitespace-only — in one Spark job."""
+    texts = [
+        "日本語のテキスト" * 123,          # multibyte, non-multiple
+        "x" * 1500,                       # exact multiple of 500
+        "a",                              # single char
+        " \t\n" * 200,                    # whitespace only
+        "".join(chr(0x1F600 + i % 32) for i in range(777)),  # emoji
+        "mixed ascii + ñandú + 中文 " * 37,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = chunk_text(df, chunk_chars=500).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    for i, t in enumerate(texts):
+        pieces = [c for _, c in sorted(by_doc[i])]
+        assert "".join(pieces) == t, f"doc {i} reassembly mismatch"
+        assert all(len(p) <= 500 for p in pieces)
