@@ -45,6 +45,7 @@ BUDGETS = {
     "pipeline_bucket_quantities": (2, True),  # CASE bucket + one hash agg
     "doc_chunk_pack": (3, False),    # explode + pack window + final agg
     "events_rollup_cascade": (3, False),  # hourly agg + daily reagg + sort
+    "video_meta_extract": (1, False),     # synth + mapInPandas + sort
 }
 
 
