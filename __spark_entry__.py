@@ -24,6 +24,14 @@ from deltalake_spark.functions.filters import translate_filter
 from deltalake_spark.functions.pipeline import apply_pipeline
 
 
+def _be_bytes(c, nbytes: int = 4):
+    """Int column -> big-endian bytes (binary synth for the multimodal
+    gate queries). Values must fit in nbytes: lpad keeps the LOW-order
+    hex digits only because hex() of an in-range long never exceeds the
+    padded width; callers bound their operands accordingly."""
+    return F.unhex(F.lpad(F.hex(c.cast("long")), nbytes * 2, "0"))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -1652,13 +1660,10 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
-    def _be32(c):  # int column → 4 big-endian bytes
-        return F.unhex(F.lpad(F.hex(c.cast("int")), 8, "0"))
-
     png = F.concat(
         F.lit(b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"),
-        _be32(F.col("doc_id") % 64 + 16),
-        _be32(F.col("n_chars") % 64 + 16),
+        _be_bytes(F.col("doc_id") % 64 + 16),
+        _be_bytes(F.col("n_chars") % 64 + 16),
         F.lit(b"\x00" * 8),
     )
     jpeg = F.lit(b"\xff\xd8\xff" + b"\x00" * 16)
@@ -1875,8 +1880,7 @@ def video_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
 
-    def _be(c, nbytes: int):
-        return F.unhex(F.lpad(F.hex(c.cast("long")), nbytes * 2, "0"))
+    _be = _be_bytes
 
     duration = F.col("n_chars") * 30      # units of timescale=600
     two_traks = F.col("doc_id") % 2 == 1  # 1 or 2 tracks

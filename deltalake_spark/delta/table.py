@@ -152,6 +152,7 @@ class DeltaTable:
         parquet keeps its physical names forever (reference
         delta.columnMapping.physicalName semantics,
         src/delta/snapshot.ts:29-83)."""
+        self._assert_writer_protocol()
         snap = self.snapshot()
         schema = self.schema()
         names = [f.name for f in schema.fields]
@@ -191,6 +192,7 @@ class DeltaTable:
         physical column forever; reads simply never select it. A later
         re-add of the same logical name gets a fresh physical name via
         write()'s collision handling, so old data never resurfaces."""
+        self._assert_writer_protocol()
         snap = self.snapshot()
         schema = self.schema()
         names = [f.name for f in schema.fields]
@@ -203,8 +205,13 @@ class DeltaTable:
             )
         if len(names) == 1:
             raise ValueError("cannot drop the last column")
+        import re as _re
+
+        ident = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(name)}"
+                            rf"(?![A-Za-z0-9_])")
         for cname, expr in self.check_constraints().items():
-            if name in expr:
+            # identifier-boundary match: 'id' must not hit 'valid'
+            if ident.search(expr):
                 raise ValidationError(
                     f"column {name!r} is referenced by CHECK constraint "
                     f"{cname!r} ({expr}); drop the constraint first"
@@ -236,6 +243,7 @@ class DeltaTable:
         reference exposes snapshots read-only — restore makes time travel
         actionable). Metadata-only commit: current files are removed,
         the target snapshot's files re-added; no data I/O."""
+        self._assert_writer_protocol()
         target = self.snapshot(version)
         cur = self.snapshot()
         cur_paths = {f["path"] for f in cur.files}
@@ -264,6 +272,7 @@ class DeltaTable:
     def update_metadata(self, configuration: Mapping[str, str]) -> int:
         """Merge table configuration (reference updateMetadata,
         src/delta/table.ts:2435-2458)."""
+        self._assert_writer_protocol()
         snap = self.snapshot()
         meta = dict(snap.metadata or {})
         conf = dict(meta.get("configuration", {}))
@@ -281,14 +290,18 @@ class DeltaTable:
 
     _CONSTRAINT_PREFIX = "delta.constraints."
 
-    def check_constraints(self) -> dict[str, str]:
+    def check_constraints(
+        self, snap: "dsnap.Snapshot | None" = None
+    ) -> dict[str, str]:
         """Active CHECK constraints: name → SQL expression (stored as
         ``delta.constraints.<name>`` table properties, the Delta-protocol
         layout; engine-native — the reference has no constraints)."""
         if not self.exists():
             return {}
+        conf = (snap.configuration if snap is not None
+                else self.configuration)
         p = self._CONSTRAINT_PREFIX
-        return {k[len(p):]: v for k, v in self.configuration.items()
+        return {k[len(p):]: v for k, v in conf.items()
                 if k.startswith(p)}
 
     def _constraint_violations(
@@ -332,6 +345,7 @@ class DeltaTable:
 
     def drop_check_constraint(self, name: str) -> int:
         """Remove a CHECK constraint (metadata-only commit)."""
+        self._assert_writer_protocol()
         key = self._CONSTRAINT_PREFIX + name
         snap = self.snapshot()
         meta = dict(snap.metadata or {})
@@ -347,13 +361,15 @@ class DeltaTable:
         ])
         return version
 
-    def _assert_writer_protocol(self) -> None:
+    def _assert_writer_protocol(
+        self, snap: "dsnap.Snapshot | None" = None
+    ) -> None:
         """Refuse mutations on tables demanding a writer version beyond
         this engine (a foreign writer may rely on invariants we don't
         maintain — committing anyway could corrupt the table)."""
         if not self.exists():
             return
-        proto = self.snapshot().protocol or {}
+        proto = (snap or self.snapshot()).protocol or {}
         if int(proto.get("minWriterVersion", 1)) > dsnap.SUPPORTED_WRITER:
             from deltalake_spark.errors import UnsupportedProtocolError
 
@@ -363,8 +379,10 @@ class DeltaTable:
                 f"<= {dsnap.SUPPORTED_WRITER})"
             )
 
-    def _enforce_constraints(self, df: DataFrame) -> None:
-        constraints = self.check_constraints()
+    def _enforce_constraints(
+        self, df: DataFrame, snap: "dsnap.Snapshot | None" = None
+    ) -> None:
+        constraints = self.check_constraints(snap)
         if not constraints:
             return
         bad = self._constraint_violations(df, constraints)
@@ -399,10 +417,13 @@ class DeltaTable:
         CHECK constraints are enforced — one extra aggregation pass over
         the incoming batch, only when constraints exist.
         """
-        self._assert_writer_protocol()
-        self._enforce_constraints(df)
-        if mapping is None and self.exists():
-            mapping = self._column_mapping(self.snapshot())
+        # one snapshot load feeds the protocol gate, constraint lookup,
+        # and column mapping — snapshot() replays the log each call
+        snap = self.snapshot() if self.exists() else None
+        self._assert_writer_protocol(snap)
+        self._enforce_constraints(df, snap)
+        if mapping is None and snap is not None:
+            mapping = self._column_mapping(snap)
         # data files always carry PHYSICAL column names
         df = self._to_physical(df, mapping or {})
         staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)

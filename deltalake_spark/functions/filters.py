@@ -118,6 +118,10 @@ def _comparison(path: str, ops: Mapping[str, Any]) -> Column:
                 raise InvalidFilterError(
                     f"$all requires an array, got {operand!r}"
                 )
+            if not operand:
+                # Mongo: {$all: []} matches NOTHING — falling through
+                # would leave no condition and match everything
+                conds.append(F.lit(False))
             for v in operand:
                 conds.append(F.array_contains(col, _lit(v)))
         elif op == "$elemMatch":

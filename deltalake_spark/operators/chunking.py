@@ -50,7 +50,12 @@ def chunk_text(
     step = chunk_chars - overlap
     t = F.col(text_col)
     n = F.length(t)
-    n_chunks = F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    # floor at one chunk: for 0 < len <= overlap the raw formula goes to
+    # 0 or negative, and Spark's sequence(0, -1) counts DOWN, emitting
+    # phantom negative chunk ids (whole short doc = one chunk)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
     pieces = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.struct(
@@ -87,11 +92,16 @@ def pack_greedy(
     large items first packs tighter and keeps layout stable run-to-run.
     """
     parts = partition_cols or []
-    order = (
-        [F.col(c) for c in order_cols]
-        if order_cols
-        else [F.desc(size_col)]
-    )
+    if order_cols:
+        order = [F.col(c) for c in order_cols]
+    else:
+        # desc(size) alone is not a total order — tied sizes would get
+        # shuffle-order-dependent bins. Tiebreak on every remaining
+        # column so the layout is reproducible whenever rows are unique.
+        order = [F.desc(size_col)] + [
+            F.asc(c) for c in df.columns
+            if c != size_col and c not in parts
+        ]
     w = (
         Window.partitionBy(*parts)
         .orderBy(*order)

@@ -237,7 +237,12 @@ def ivf_assign(
     JVM-side (:func:`_probe_expr`); larger codebooks switch to an
     Arrow-batched pandas UDF (vectorized numpy matmul per batch — the
     expression tree would explode at k in the thousands)."""
-    if len(centroids) <= _JVM_MAX_K:
+    finite = all(
+        np.isfinite(x) for c in centroids for x in c
+    )
+    if len(centroids) <= _JVM_MAX_K and finite:
+        # non-finite components would render as 'nanD'/'infD' SQL
+        # literals (parse error) — degenerate codebooks take the UDF path
         probes = _probe_expr(centroids, f"`{vec_col}`", nprobe)
     else:
         probes = _probe_udf(centroids, nprobe)(F.col(vec_col))

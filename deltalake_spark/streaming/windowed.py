@@ -226,23 +226,33 @@ def stream_stream_interval_join(
 
     Event-time columns must be long nanos (fixture domain); they are
     projected to real timestamps internally because Spark's state
-    eviction reasons over TimestampType watermarks only. The engine-side
-    range predicate stays on the integer nanos columns — one equi-key
-    (conditioned) stream join, no cartesian.
+    eviction reasons over TimestampType watermarks only. The timestamp
+    range condition is WIDENED to a superset (floor-division µs bounds,
+    +2 µs on the upper edge) purely for state eviction; the exact
+    nanosecond range is enforced by a residual predicate on the raw long
+    columns, so same-microsecond pairs keep exact semantics. One
+    equi-key (conditioned) stream join, no cartesian.
     """
     lkey, rkey = on
     lt = F.timestamp_micros(F.expr(f"{left_time} div 1000"))
     rt = F.timestamp_micros(F.expr(f"{right_time} div 1000"))
     lw = left.withColumn("__lt", lt).withWatermark("__lt", watermark)
     rw = right.withColumn("__rt", rt).withWatermark("__rt", watermark)
+    # floor(a+b) >= floor(a)+floor(b) makes the lower µs bound already a
+    # superset; the upper needs +2 µs (floor(a+b) <= floor(a)+floor(b)+1)
+    lo_us = lower_ns // 1000
+    hi_us = upper_ns // 1000 + 2
     cond = (
         (F.col(lkey) == F.col(rkey))
-        # range on the event-time *timestamps* so the state-eviction
-        # analyzer recognizes the bound (it ignores raw-long predicates)
+        # event-time *timestamp* range: what the state-eviction analyzer
+        # reasons over (it ignores raw-long predicates)
         & (F.col("__lt") >= F.col("__rt")
-           + F.expr(f"INTERVAL {lower_ns // 1000} MICROSECOND"))
+           + F.expr(f"INTERVAL {lo_us} MICROSECOND"))
         & (F.col("__lt") < F.col("__rt")
-           + F.expr(f"INTERVAL {upper_ns // 1000} MICROSECOND"))
+           + F.expr(f"INTERVAL {hi_us} MICROSECOND"))
+        # exact ns-domain semantics
+        & (F.col(left_time) >= F.col(right_time) + F.lit(lower_ns))
+        & (F.col(left_time) < F.col(right_time) + F.lit(upper_ns))
     )
     return lw.join(rw, cond, "inner").drop("__lt", "__rt")
 

@@ -98,3 +98,21 @@ def test_chunk_reassembly_property(spark):
         pieces = [c for _, c in sorted(by_doc[i])]
         assert "".join(pieces) == t, f"doc {i} reassembly mismatch"
         assert all(len(p) <= 500 for p in pieces)
+
+
+def test_chunk_short_doc_vs_overlap(spark):
+    """Docs with 0 < len <= overlap must yield exactly ONE chunk (the
+    whole text) — the raw formula's sequence(0, -1) would count DOWN and
+    emit phantom negative chunk ids."""
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "abc"), (3, "abcdef")], "doc_id long, text string"
+    )
+    out = chunk_text(df, chunk_chars=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    assert by_doc[1] == [(0, "ab")]
+    assert by_doc[2] == [(0, "abc")]
+    assert sorted(by_doc[3]) == [(0, "abcd"), (1, "cdef")]
+    assert all(cid >= 0 for chunks in by_doc.values()
+               for cid, _ in chunks)

@@ -158,3 +158,14 @@ def test_drop_column_guards(spark, tmp_path):
     t.add_check_constraint("v_nonempty", "length(v) > 0")
     with pytest.raises(ValidationError):
         t.drop_column("v")
+
+
+def test_drop_column_guard_is_identifier_aware(spark, tmp_path):
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "drop4"))
+    t.write(spark.createDataFrame([(1, 5)], "id int, valid int"))
+    t.add_check_constraint("v_pos", "valid > 0")
+    # 'id' is a substring of 'valid' but NOT referenced — must drop fine
+    t.drop_column("id")
+    assert [f.name for f in t.schema().fields] == ["valid"]

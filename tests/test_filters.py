@@ -146,3 +146,11 @@ def test_elem_match(spark):
         translate_filter({"vals": {"$elemMatch": {}}})
     with pytest.raises(InvalidFilterError):
         translate_filter({"vals": {"$elemMatch": {"$exists": True}}})
+
+
+def test_array_all_empty_matches_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, [])], "id int, tags array<string>"
+    )
+    got = df.filter(translate_filter({"tags": {"$all": []}})).collect()
+    assert got == []

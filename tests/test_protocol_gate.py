@@ -50,3 +50,16 @@ def test_high_writer_version_blocks_mutations_not_reads(spark, table):
         table.write(spark.createDataFrame([(2, "b")], "id int, v string"))
     with pytest.raises(UnsupportedProtocolError):
         table.delete({"id": {"$eq": 1}})
+
+
+def test_high_writer_version_blocks_metadata_mutations(spark, table):
+    _bump_protocol(table, writer=9)
+    for call in (
+        lambda: table.rename_column("v", "w"),
+        lambda: table.drop_column("v"),
+        lambda: table.restore(0),
+        lambda: table.update_metadata({"foo": "bar"}),
+        lambda: table.add_check_constraint("c", "id > 0"),
+    ):
+        with pytest.raises(UnsupportedProtocolError):
+            call()
