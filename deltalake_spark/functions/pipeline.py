@@ -132,11 +132,46 @@ def accumulator_expr(name: str, spec: Any) -> Column:
             value_expr(operand["input"]),
             F.array(*[F.lit(float(p)) for p in ps]),
         )
+    elif op in ("$firstN", "$lastN"):
+        if not isinstance(operand, Mapping) or "input" not in operand \
+                or "n" not in operand:
+            raise InvalidPipelineError(
+                f"{op} requires {{'input': expr, 'n': int}}"
+            )
+        n = int(operand["n"])
+        if n < 1:
+            raise InvalidPipelineError(f"{op} n must be >= 1")
+        lst = F.collect_list(value_expr(operand["input"]))
+        expr = F.slice(lst, 1, n) if op == "$firstN" else F.slice(
+            F.reverse(lst), 1, n
+        )
+    elif op in ("$topN", "$bottomN"):
+        # Mongo 5.2 accumulators: n extreme values by a sort key.
+        # array_sort of (key, value) structs keeps everything JVM-side;
+        # per-group cost is O(g log g) — for huge groups prefer the
+        # two-phase operators/skew.salted_topk.
+        if not isinstance(operand, Mapping) or "output" not in operand \
+                or "sortBy" not in operand or "n" not in operand:
+            raise InvalidPipelineError(
+                f"{op} requires {{'output': expr, 'sortBy': expr,"
+                " 'n': int}}"
+            )
+        n = int(operand["n"])
+        if n < 1:
+            raise InvalidPipelineError(f"{op} n must be >= 1")
+        pairs = F.collect_list(F.struct(
+            value_expr(operand["sortBy"]).alias("k"),
+            value_expr(operand["output"]).alias("v"),
+        ))
+        ordered = F.array_sort(pairs)
+        if op == "$topN":
+            ordered = F.reverse(ordered)
+        expr = F.transform(F.slice(ordered, 1, n), lambda e: e["v"])
     else:
         raise InvalidPipelineError(
             f"Unknown accumulator {op!r} for {name!r}. Supported: $sum $avg "
             "$min $max $first $last $push $addToSet $count $stdDevPop "
-            "$stdDevSamp $median $percentile"
+            "$stdDevSamp $median $percentile $firstN $lastN $topN $bottomN"
         )
     return expr.alias(name)
 

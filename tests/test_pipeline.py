@@ -259,3 +259,39 @@ def test_median_and_percentile_accumulators(sales):
         apply_pipeline(sales, [{"$group": {
             "_id": None, "bad": {"$percentile": {"input": "$quantity",
                                                  "p": [1.5]}}}}])
+
+
+def test_topn_bottomn_accumulators(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$group": {
+            "_id": None,
+            "top2": {"$topN": {"output": "$product",
+                               "sortBy": "$quantity", "n": 2}},
+            "bot2": {"$bottomN": {"output": "$product",
+                                  "sortBy": "$quantity", "n": 2}},
+        }}],
+    ).collect()[0]
+    # quantities: gadget 20, widget 10, gizmo 8, widget 5, gadget 2
+    assert out["top2"] == ["gadget", "widget"]
+    assert out["bot2"] == ["gadget", "widget"]
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(sales, [{"$group": {
+            "_id": None,
+            "bad": {"$topN": {"output": "$product", "sortBy": "$quantity",
+                              "n": 0}}}}])
+
+
+def test_firstn_lastn_accumulators(spark):
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1, 6)], "k string, v int"
+    ).coalesce(1).orderBy("v")
+    out = apply_pipeline(
+        df,
+        [{"$sort": {"v": 1}},
+         {"$group": {"_id": "$k",
+                     "f2": {"$firstN": {"input": "$v", "n": 2}},
+                     "l2": {"$lastN": {"input": "$v", "n": 2}}}}],
+    ).collect()[0]
+    assert out["f2"] == [1, 2]
+    assert out["l2"] == [5, 4]
