@@ -2080,6 +2080,27 @@ def doc_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_chunk_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk windows (256-char chunks, 64-char overlap):
+    per-language chunk counts and char totals, value-checked against the
+    closed-form window arithmetic in SQL (chunk i covers
+    [i*192, i*192+256); count = max(ceil((len-64)/192), 1))."""
+    from deltalake_spark.operators.chunking import chunk_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    chunks = chunk_text(docs, text_col="text", chunk_chars=256, overlap=64)
+    return (
+        chunks.withColumn("chunk_len", F.length("chunk"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_len").alias("total_chunk_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ 0.4): the value-level
     verification twin of the LSH-blocked ``embedding_neardup`` scale
@@ -2375,6 +2396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "doc_chunk_pack": doc_chunk_pack,
+    "doc_chunk_overlap_stats": doc_chunk_overlap_stats,
     "video_meta_extract": video_meta_extract,
     "events_rollup_cascade": events_rollup_cascade,
 }
@@ -2830,6 +2852,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(max_cents) AS BIGINT) / 100.0 AS max_value,
                    CAST(COUNT(*) AS BIGINT) AS active_hours
             FROM h GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "doc_chunk_overlap_stats": """
+            WITH c AS (
+              SELECT doc_id, lang,
+                     LEAST(256, LENGTH(text) - i * 192) AS chunk_len
+              FROM documents,
+                   UNNEST(range(GREATEST(
+                       CAST(CEIL((LENGTH(text) - 64) / 192.0) AS BIGINT),
+                       1))) AS t(i)
+              WHERE LENGTH(text) > 0)
+            SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(chunk_len) AS BIGINT) AS total_chunk_chars
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "video_meta_extract": """
             SELECT doc_id AS media_id,

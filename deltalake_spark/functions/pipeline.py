@@ -218,23 +218,33 @@ def _acc_names(spec: Mapping[str, Any]) -> list[str]:
 
 
 def apply_unwind(df: DataFrame, spec: Any) -> DataFrame:
-    """``$unwind`` → ``explode`` / ``explode_outer``
-    (reference row-explosion: src/query/index.ts:1549-1583)."""
+    """``$unwind`` → ``explode`` / ``explode_outer`` / ``posexplode``
+    (reference row-explosion: src/query/index.ts:1549-1583;
+    ``includeArrayIndex`` is a Mongo option the reference lacks)."""
     if isinstance(spec, str):
-        path, preserve = spec, False
+        path, preserve, idx_col = spec, False, None
     elif isinstance(spec, Mapping):
         path = spec.get("path")
         preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+        idx_col = spec.get("includeArrayIndex")
     else:
         raise InvalidPipelineError(f"Bad $unwind spec: {spec!r}")
     if not isinstance(path, str) or not path.startswith("$"):
         raise InvalidPipelineError("$unwind path must be a '$field' string")
     name = path[1:]
+    out_name = name.replace(".", "__") if "." in name else name
+    if idx_col is not None:
+        if not isinstance(idx_col, str) or idx_col.startswith("$"):
+            raise InvalidPipelineError(
+                "includeArrayIndex must be a plain output column name"
+            )
+        fn = F.posexplode_outer if preserve else F.posexplode
+        others = [c for c in df.columns if c != out_name]
+        return df.select(
+            *others, fn(F.col(name)).alias(idx_col, out_name)
+        )
     fn = F.explode_outer if preserve else F.explode
-    if "." in name:
-        # nested path: surface the exploded leaf under the dotted alias
-        return df.withColumn(name.replace(".", "__"), fn(F.col(name)))
-    return df.withColumn(name, fn(F.col(name)))
+    return df.withColumn(out_name, fn(F.col(name)))
 
 
 def apply_sort(df: DataFrame, spec: Mapping[str, int]) -> DataFrame:

@@ -295,3 +295,16 @@ def test_firstn_lastn_accumulators(spark):
     ).collect()[0]
     assert out["f2"] == [1, 2]
     assert out["l2"] == [5, 4]
+
+
+def test_unwind_include_array_index(sales):
+    out = apply_pipeline(
+        sales,
+        [{"$match": {"product": "widget", "region": "US"}},
+         {"$unwind": {"path": "$tags", "includeArrayIndex": "tag_idx"}}],
+    ).collect()
+    assert sorted((r["tag_idx"], r["tags"]) for r in out) == [
+        (0, "a"), (1, "b")]
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(sales, [{"$unwind": {"path": "$tags",
+                                            "includeArrayIndex": "$x"}}])
