@@ -242,8 +242,10 @@ def commit_info_action(operation: str, parameters: dict[str, Any] | None = None,
     }
 
 
-def protocol_action() -> dict[str, Any]:
-    return {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+def protocol_action(min_reader: int = 1,
+                    min_writer: int = 2) -> dict[str, Any]:
+    return {"protocol": {"minReaderVersion": min_reader,
+                         "minWriterVersion": min_writer}}
 
 
 def metadata_action(

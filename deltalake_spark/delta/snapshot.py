@@ -35,10 +35,13 @@ from deltalake_spark.errors import (
 # Protocol gate: versions this engine implements correctly. Reader 2
 # covers column mapping; tables demanding higher reader features (which
 # change read RESULTS, e.g. v3 table features we don't know) must be
-# refused rather than silently misread. Writers check their own version
-# before committing.
+# refused rather than silently misread. Writer 5 = invariants (2),
+# CHECK constraints (3), CDF (4), name column mapping (5) — all
+# enforced here; the one writer-4 feature NOT implemented (generated
+# columns) is guarded separately: _assert_writer_protocol refuses
+# writes to tables whose schema carries delta.generationExpression.
 SUPPORTED_READER = 2
-SUPPORTED_WRITER = 4
+SUPPORTED_WRITER = 5
 
 CHECKPOINT_INTERVAL = 10
 # tombstones older than this are dropped when writing a checkpoint

@@ -114,9 +114,51 @@ class DeltaTable:
     def _column_mapping(self, snap: "dsnap.Snapshot") -> dict[str, str]:
         """logical → physical column names (reference column mapping,
         src/delta/snapshot.ts:29-83: physicalName metadata applied on
-        read). Empty when no column was ever renamed."""
-        raw = (snap.configuration or {}).get("delta.columnMapping.map")
-        return json.loads(raw) if raw else {}
+        read). Empty when no column was ever renamed.
+
+        Two layouts are understood: this engine's compact
+        ``delta.columnMapping.map`` table property, and the standard
+        Delta layout where each schemaString field carries
+        ``delta.columnMapping.physicalName`` in its metadata (what
+        spec-compliant foreign writers produce). A table that declares
+        ``delta.columnMapping.mode`` but yields no mapping from either
+        layout is refused — reading it with logical names would silently
+        return null for every renamed column."""
+        conf = snap.configuration or {}
+        raw = conf.get("delta.columnMapping.map")
+        if raw:
+            return json.loads(raw)
+        mode = conf.get("delta.columnMapping.mode")
+        if not mode or mode == "none":
+            return {}
+        if mode != "name":
+            # 'id' mode resolves columns by parquet field id, which this
+            # name-based reader cannot honor — refuse rather than misread
+            from deltalake_spark.errors import UnsupportedProtocolError
+
+            raise UnsupportedProtocolError(
+                f"delta.columnMapping.mode={mode!r} is not supported "
+                "(only 'name' mapping); refusing a potentially "
+                "incorrect read"
+            )
+        mapping: dict[str, str] = {}
+        schema_str = (snap.metadata or {}).get("schemaString")
+        if schema_str:
+            for f in json.loads(schema_str).get("fields", []):
+                phys = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.physicalName")
+                if phys:
+                    mapping[f["name"]] = phys
+        if not mapping:
+            from deltalake_spark.errors import UnsupportedProtocolError
+
+            raise UnsupportedProtocolError(
+                f"Table declares delta.columnMapping.mode={mode!r} but "
+                "neither delta.columnMapping.map nor per-field "
+                "delta.columnMapping.physicalName metadata is present; "
+                "refusing a read that would silently miss renamed columns"
+            )
+        return mapping
 
     @staticmethod
     def _physical_schema(schema: StructType,
@@ -178,11 +220,16 @@ class DeltaTable:
             for f in schema.fields
         ]).json()
         version = snap.version + 1
-        dlog.write_commit(self.path, version, [
+        actions = [
             dlog.commit_info_action("RENAME COLUMN",
                                     {"from": old, "to": new}),
             {"metaData": meta},
-        ])
+        ]
+        # name column mapping requires protocol (2, 5) per the Delta spec
+        upgrade = self._protocol_upgrade_action(snap, 2, 5)
+        if upgrade:
+            actions.append(upgrade)
+        dlog.write_commit(self.path, version, actions)
         return version
 
     def drop_column(self, name: str) -> int:
@@ -207,10 +254,14 @@ class DeltaTable:
             raise ValueError("cannot drop the last column")
         import re as _re
 
-        ident = _re.compile(rf"(?<![A-Za-z0-9_`]){_re.escape(name)}"
-                            rf"(?![A-Za-z0-9_])")
+        esc = _re.escape(name)
+        # bare identifier ('id' must not hit 'valid') OR the backquoted
+        # form `id` — a constraint written with quoted identifiers must
+        # still block the drop, else the orphaned constraint breaks
+        # every subsequent write with an opaque analysis error
+        ident = _re.compile(rf"(?<![A-Za-z0-9_`]){esc}(?![A-Za-z0-9_])"
+                            rf"|`{esc}`")
         for cname, expr in self.check_constraints().items():
-            # identifier-boundary match: 'id' must not hit 'valid'
             if ident.search(expr):
                 raise ValidationError(
                     f"column {name!r} is referenced by CHECK constraint "
@@ -232,10 +283,14 @@ class DeltaTable:
             [f for f in schema.fields if f.name != name]
         ).json()
         version = snap.version + 1
-        dlog.write_commit(self.path, version, [
+        actions = [
             dlog.commit_info_action("DROP COLUMN", {"column": name}),
             {"metaData": meta},
-        ])
+        ]
+        upgrade = self._protocol_upgrade_action(snap, 2, 5)
+        if upgrade:
+            actions.append(upgrade)
+        dlog.write_commit(self.path, version, actions)
         return version
 
     def restore(self, version: int) -> dict[str, Any]:
@@ -269,9 +324,15 @@ class DeltaTable:
         dsnap.maybe_checkpoint(self.path, new_version)
         return {"version": new_version, "restoredVersion": version}
 
-    def update_metadata(self, configuration: Mapping[str, str]) -> int:
+    def update_metadata(
+        self, configuration: Mapping[str, str],
+        min_protocol: "tuple[int, int] | None" = None,
+    ) -> int:
         """Merge table configuration (reference updateMetadata,
-        src/delta/table.ts:2435-2458)."""
+        src/delta/table.ts:2435-2458). ``min_protocol`` atomically raises
+        the table protocol in the same commit — used by feature-enabling
+        properties (constraints, CDF) whose spec semantics require a
+        writer-version floor."""
         self._assert_writer_protocol()
         snap = self.snapshot()
         meta = dict(snap.metadata or {})
@@ -279,11 +340,16 @@ class DeltaTable:
         conf.update(configuration)
         meta["configuration"] = conf
         version = snap.version + 1
-        dlog.write_commit(self.path, version, [
+        actions = [
             dlog.commit_info_action("SET TBLPROPERTIES",
                                     {"properties": dict(configuration)}),
             {"metaData": meta},
-        ])
+        ]
+        if min_protocol is not None:
+            upgrade = self._protocol_upgrade_action(snap, *min_protocol)
+            if upgrade:
+                actions.append(upgrade)
+        dlog.write_commit(self.path, version, actions)
         return version
 
     # -- constraints -------------------------------------------------------
@@ -341,7 +407,8 @@ class DeltaTable:
                     f"{bad[name]} existing row(s) violate CHECK "
                     f"constraint {name!r} ({expr})", bad
                 )
-        return self.update_metadata({key: expr})
+        # delta.constraints.* requires minWriterVersion >= 3 (Delta spec)
+        return self.update_metadata({key: expr}, min_protocol=(1, 3))
 
     def drop_check_constraint(self, name: str) -> int:
         """Remove a CHECK constraint (metadata-only commit)."""
@@ -369,7 +436,8 @@ class DeltaTable:
         maintain — committing anyway could corrupt the table)."""
         if not self.exists():
             return
-        proto = (snap or self.snapshot()).protocol or {}
+        s = snap or self.snapshot()
+        proto = s.protocol or {}
         if int(proto.get("minWriterVersion", 1)) > dsnap.SUPPORTED_WRITER:
             from deltalake_spark.errors import UnsupportedProtocolError
 
@@ -378,6 +446,38 @@ class DeltaTable:
                 f"{proto.get('minWriterVersion')} (this engine supports "
                 f"<= {dsnap.SUPPORTED_WRITER})"
             )
+        # generated columns (writer 4) are the one feature <= SUPPORTED_
+        # WRITER this engine does not populate; appending without
+        # computing them would break the table's invariant
+        schema_str = (s.metadata or {}).get("schemaString")
+        if schema_str and "delta.generationExpression" in schema_str:
+            from deltalake_spark.errors import UnsupportedProtocolError
+
+            raise UnsupportedProtocolError(
+                "Table has generated columns "
+                "(delta.generationExpression); this engine does not "
+                "compute generation expressions — refusing a write that "
+                "would leave them stale"
+            )
+
+    @staticmethod
+    def _protocol_upgrade_action(
+        snap: "dsnap.Snapshot", min_reader: int, min_writer: int
+    ) -> "dict[str, Any] | None":
+        """Protocol action raising the table to at least
+        (min_reader, min_writer), or None if already sufficient. The
+        Delta spec ties features to writer versions — CHECK constraints
+        need minWriterVersion >= 3, CDF >= 4, name column mapping
+        (2, 5); committing the feature without the upgrade lets a
+        spec-compliant foreign writer at (1, 2) legitimately append rows
+        that ignore the invariant."""
+        proto = snap.protocol or {}
+        cur_r = int(proto.get("minReaderVersion", 1))
+        cur_w = int(proto.get("minWriterVersion", 2))
+        new_r, new_w = max(cur_r, min_reader), max(cur_w, min_writer)
+        if (new_r, new_w) == (cur_r, cur_w):
+            return None
+        return dlog.protocol_action(new_r, new_w)
 
     def _enforce_constraints(
         self, df: DataFrame, snap: "dsnap.Snapshot | None" = None
@@ -1289,7 +1389,9 @@ class DeltaTable:
     def enable_cdc(self) -> int:
         """Persist delta.enableChangeDataFeed=true (reference setCDCEnabled,
         src/cdc/index.ts:1726-1752)."""
-        return self.update_metadata({"delta.enableChangeDataFeed": "true"})
+        # delta.enableChangeDataFeed requires minWriterVersion >= 4
+        return self.update_metadata({"delta.enableChangeDataFeed": "true"},
+                                    min_protocol=(1, 4))
 
     def _change_data_dir(self) -> str:
         return os.path.join(self.path, "_change_data")

@@ -142,8 +142,10 @@ def accumulator_expr(name: str, spec: Any) -> Column:
         if n < 1:
             raise InvalidPipelineError(f"{op} n must be >= 1")
         lst = F.collect_list(value_expr(operand["input"]))
-        expr = F.slice(lst, 1, n) if op == "$firstN" else F.slice(
-            F.reverse(lst), 1, n
+        # $lastN keeps ORIGINAL order (Mongo): take the tail via
+        # reverse/slice, then reverse back — [1..5], n=2 → [4, 5]
+        expr = F.slice(lst, 1, n) if op == "$firstN" else F.reverse(
+            F.slice(F.reverse(lst), 1, n)
         )
     elif op in ("$topN", "$bottomN"):
         # Mongo 5.2 accumulators: n extreme values by a sort key.
@@ -303,11 +305,18 @@ def apply_lookup(
     else:
         foreign = df.sparkSession.table(src)
     local, fk, out_name = spec["localField"], spec["foreignField"], spec["as"]
+    # Mongo overwrites a pre-existing field named spec['as']; without the
+    # drop the left join would yield a duplicate column and the
+    # withColumn below would fail with an ambiguity error
+    if out_name in df.columns:
+        df = df.drop(out_name)
     matches = (
         foreign.groupBy(F.col(fk).alias("__lk"))
         .agg(F.collect_list(F.struct(*foreign.columns)).alias(out_name))
     )
-    joined = df.join(matches, df[local] == matches["__lk"], "left")
+    # eqNullSafe: Mongo's $lookup matches null localField rows to docs
+    # whose foreignField is null (SQL `=` would give them [] instead)
+    joined = df.join(matches, df[local].eqNullSafe(matches["__lk"]), "left")
     return joined.drop("__lk").withColumn(
         out_name,
         F.coalesce(F.col(out_name), F.array().cast(

@@ -294,7 +294,8 @@ def test_firstn_lastn_accumulators(spark):
                      "l2": {"$lastN": {"input": "$v", "n": 2}}}}],
     ).collect()[0]
     assert out["f2"] == [1, 2]
-    assert out["l2"] == [5, 4]
+    # Mongo's $lastN preserves ORIGINAL order (the last n, not reversed)
+    assert out["l2"] == [4, 5]
 
 
 def test_unwind_include_array_index(sales):
