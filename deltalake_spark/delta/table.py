@@ -745,6 +745,8 @@ class DeltaTable:
 
     # -- deletion vectors --------------------------------------------------
 
+    # legacy sidecar dir (pre-spec parquet DVs) — still read, and still
+    # excluded from vacuum; new DVs are spec .bin files at the table root
     DV_DIR = "_deletion_vectors"
 
     def dv_enabled(self) -> bool:
@@ -764,30 +766,117 @@ class DeltaTable:
             f"locate('{anchor}', _metadata.file_path) + {len(anchor)})"
         )
 
+    # above this many deleted rows the DV anti-join falls back from a
+    # broadcast to a shuffle join (cardinality is known exactly from the
+    # descriptors — no sampling needed)
+    DV_BROADCAST_MAX_ROWS = 2_000_000
+
     def _dv_df(self, snap: "dsnap.Snapshot") -> DataFrame | None:
-        """Union of the snapshot's deletion-vector sidecars:
-        (file_path, row_index) of soft-deleted rows. KB-to-MB scale —
-        always broadcast-able (reference DV read path,
-        src/delta/deletion-vectors.ts:154-439, applied during scans
-        src/delta/table.ts:1717-1726)."""
-        paths = {
-            f["deletionVector"]["path"]
-            for f in snap.files if f.get("deletionVector")
-        }
-        if not paths:
+        """(file_path, row_index) of all soft-deleted rows in the
+        snapshot. Two descriptor formats are read: the Delta-spec
+        RoaringBitmap .bin format (storageType u/p/i — what this engine
+        now writes, and what foreign spec writers produce; reference
+        read path src/delta/deletion-vectors.ts:154-439) and this
+        engine's pre-spec parquet sidecar ({"path": ...}, kept readable
+        for tables written by earlier versions)."""
+        legacy_paths: set[str] = set()
+        spec_rows: list[tuple[str, str, str, int, int]] = []
+        for f in snap.files:
+            d = f.get("deletionVector")
+            if not d:
+                continue
+            if d.get("storageType"):
+                spec_rows.append((
+                    f["path"], d["storageType"],
+                    d.get("pathOrInlineDv", ""),
+                    int(d.get("offset") or 0),
+                    int(d.get("sizeInBytes") or 0),
+                ))
+            else:
+                legacy_paths.add(d["path"])
+        parts: list[DataFrame] = []
+        if legacy_paths:
+            parts.append(
+                self.spark.read
+                .schema("file_path string, row_index long")
+                .parquet(*[os.path.join(self.path, p)
+                           for p in legacy_paths])
+            )
+        if spec_rows:
+            parts.append(self._spec_dv_expand(spec_rows))
+        if not parts:
             return None
-        return self.spark.read.schema("file_path string, row_index long") \
-            .parquet(*[os.path.join(self.path, p) for p in paths])
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def _spec_dv_expand(
+        self, rows: list[tuple[str, str, str, int, int]]
+    ) -> DataFrame:
+        """Descriptor rows -> (file_path, row_index), with the bitmap
+        parse running IN EXECUTORS via Arrow-batched mapInPandas: one
+        task per DV keeps driver memory independent of delete
+        cardinality (the reference parses on its single node,
+        deletion-vectors.ts:409-439; this is the distributed shape).
+        The descriptor list itself is file-count metadata — KB-scale."""
+        from deltalake_spark.delta import deletion_vectors as dvmod
+
+        table_path = self.path
+        desc_df = self.spark.createDataFrame(
+            rows,
+            "file_path string, storage_type string, "
+            "path_or_inline string, offset long, size_bytes long",
+        )
+        if len(rows) > 1:
+            desc_df = desc_df.repartition(min(len(rows), 32))
+
+        def expand(batches):
+            import urllib.parse
+
+            import pandas as pd
+
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    idx = dvmod.load_dv_indices(table_path, {
+                        "storageType": r.storage_type,
+                        "pathOrInlineDv": r.path_or_inline,
+                        "offset": int(r.offset),
+                        "sizeInBytes": int(r.size_bytes),
+                    })
+                    # the anti-join key __fp is the percent-ENCODED
+                    # _metadata.file_path URI substring; descriptors key
+                    # files by the DECODED add-action path — re-encode
+                    # with Hadoop Path.toUri's safe set (sub-delims,
+                    # ':@/' stay literal; space/#/%/? escape)
+                    enc = urllib.parse.quote(
+                        r.file_path, safe="/:@!$&'()*+,;=")
+                    yield pd.DataFrame({
+                        "file_path": [enc] * len(idx),
+                        "row_index": pd.array(idx, dtype="int64"),
+                    })
+
+        return desc_df.mapInPandas(
+            expand, "file_path string, row_index long"
+        )
 
     def _apply_dv(self, df: DataFrame,
                   snap: "dsnap.Snapshot") -> DataFrame:
         dv = self._dv_df(snap)
         if dv is None:
             return df
+        # descriptors carry exact cardinality — broadcast the delete set
+        # only when it provably fits; large DV sets shuffle instead
+        total = sum(
+            int(f["deletionVector"].get("cardinality") or 0)
+            for f in snap.files if f.get("deletionVector")
+        )
+        if total <= self.DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
         keyed = df.withColumn("__fp", self._rel_file_expr()) \
                   .withColumn("__ri", F.col("_metadata.row_index"))
         return keyed.join(
-            F.broadcast(dv),
+            dv,
             (keyed["__fp"] == dv["file_path"])
             & (keyed["__ri"] == dv["row_index"]),
             "left_anti",
@@ -999,41 +1088,51 @@ class DeltaTable:
 
         all_pairs = new_pairs if old_dv is None else \
             new_pairs.unionByName(old_dv).distinct()
-        dv_dir = os.path.join(self.path, self.DV_DIR)
-        os.makedirs(dv_dir, exist_ok=True)
-        staging = os.path.join(self.path, "_staging", uuid.uuid4().hex)
-        all_pairs.coalesce(1).write.mode("overwrite").parquet(staging)
-        dv_name = f"{self.DV_DIR}/dv-{uuid.uuid4().hex}.parquet"
-        src = next(
-            os.path.join(staging, f) for f in os.listdir(staging)
-            if f.endswith(".parquet")
-        )
-        os.rename(src, os.path.join(self.path, dv_name))
-        # remove only THIS write's staging dir — the shared _staging parent
-        # may hold other writers' in-flight files (concurrency)
-        shutil.rmtree(staging, ignore_errors=True)
+        # serialize each affected file's RoaringTreemap WHERE ITS ROWS
+        # LIVE: one applyInPandas group per data file (bounded by
+        # rows-per-parquet-file), so the driver only ever receives the
+        # compressed bitmaps — KB–MB metadata, never raw row indices
+        from deltalake_spark.delta import deletion_vectors as dvmod
 
+        def _serialize(pdf):
+            import pandas as pd
+
+            return pd.DataFrame({
+                "file_path": [pdf["file_path"].iloc[0]],
+                "dv_bytes": [dvmod.serialize_treemap(
+                    pdf["row_index"].tolist())],
+                "cardinality": [len(pdf)],
+            })
+
+        blob_rows = (
+            all_pairs.groupBy("file_path")
+            .applyInPandas(
+                _serialize,
+                "file_path string, dv_bytes binary, cardinality long")
+            .collect()
+        )
         # __fp is a substring of the _metadata.file_path URI and stays
         # percent-ENCODED (space/#/% in partition values), while add-action
         # paths are decoded — unquote before matching or encoded files
         # would silently never receive their deletionVector descriptor
-        counts = {
-            urllib.parse.unquote(r["file_path"]): r["n"]
-            for r in all_pairs.groupBy("file_path")
-            .agg(F.count(F.lit(1)).alias("n")).collect()
-        }
+        blobs = sorted(
+            (urllib.parse.unquote(r["file_path"]), bytes(r["dv_bytes"]),
+             int(r["cardinality"]))
+            for r in blob_rows
+        )
+        # one spec .bin per commit packs every affected file's bitmap at
+        # its own offset (Delta-protocol layout; reference reader
+        # deletion-vectors.ts:409-439 resolves it via the Z85 uuid path)
+        _dv_rel, descriptors = dvmod.write_dv_file(self.path, blobs)
         now = int(time.time() * 1000)
         actions: list[dict[str, Any]] = []
         for f in snap.files:
-            if f["path"] in counts:
+            if f["path"] in descriptors:
                 actions.append({"remove": {
                     "path": f["path"], "deletionTimestamp": now,
                     "dataChange": False}})
                 new_add = dict(f)
-                new_add["deletionVector"] = {
-                    "path": dv_name,
-                    "cardinality": counts[f["path"]],
-                }
+                new_add["deletionVector"] = descriptors[f["path"]]
                 new_add["dataChange"] = False
                 actions.append({"add": new_add})
         return actions, n_matched, matched, snap
