@@ -728,6 +728,47 @@ def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def write_rows_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless dict ingestion (reference write(rows) with the type-
+    inference lattice, src/delta/table.ts:1289-1432): heterogeneous
+    dicts built from the nation fixture exercise int32, int64, double,
+    boolean, string, variant (nested dict -> JSON) and a sparse field;
+    the oracle recomputes the same aggregate straight from the fixture.
+    The dict batch is driver-resident by design — this is the
+    reference's small-document API; bulk data uses write(df)."""
+    nations = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    rows = []
+    for r in nations:
+        k = int(r["n_nationkey"])
+        row = {
+            "key": k,                                   # int32
+            "name": r["n_name"],                        # string
+            "big": (k + 1) * 10_000_000_000,            # int64
+            "flag": k % 2 == 0,                         # boolean
+            "meta": {"region": int(r["n_regionkey"]),   # variant
+                     "tags": ["t0", f"t{k % 3}"]},
+        }
+        if k % 3 != 0:
+            row["score"] = k / 4.0                      # sparse double
+        rows.append(row)
+    t = _fresh_table(spark, "ingest")
+    t.write_rows(rows)
+    return (
+        t.to_df()
+        .withColumn(
+            "region", F.get_json_object("meta", "$.region").cast("long"))
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("key").alias("sum_key"),
+            F.sum("big").alias("sum_big"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum("region").alias("sum_region"),
+        )
+        .orderBy("flag")
+    )
+
+
 def delta_maintenance_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """compact → Hilbert clustering → vacuum: layout changes only —
     the logical table state must be byte-identical to the original
@@ -2344,6 +2385,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_merge_upsert": delta_merge_upsert,
     "delta_cdc_feed": delta_cdc_feed,
     "delta_dv_delete": delta_dv_delete,
+    "write_rows_ingest": write_rows_ingest,
     "delta_maintenance_ops": delta_maintenance_ops,
     "delta_schema_evolution": delta_schema_evolution,
     "delta_restore": delta_restore,
@@ -2726,6 +2768,18 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_size >= 10 AND p_type <> 'PROMO'
             GROUP BY p_type ORDER BY p_type
+        """,
+        "write_rows_ingest": """
+            SELECT (n_nationkey % 2 = 0) AS flag,
+                   COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+                   CAST(SUM((n_nationkey + 1) * 10000000000)
+                        AS BIGINT) AS sum_big,
+                   ROUND(AVG(CASE WHEN n_nationkey % 3 <> 0
+                             THEN n_nationkey / 4.0 END), 6)
+                       AS avg_score,
+                   CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+            FROM nation GROUP BY 1 ORDER BY flag
         """,
         "incremental_agg_view": """
             WITH final AS (

@@ -741,6 +741,36 @@ class DeltaTable:
             self._maybe_write_cdc_for_write(df, mode, prev, version)
         return version
 
+    def write_rows(
+        self,
+        rows: "list[Mapping[str, Any]]",
+        mode: str = "append",
+        partition_by: "list[str] | None" = None,
+        configuration: "Mapping[str, str] | None" = None,
+    ) -> int:
+        """Schemaless document ingestion: write raw Python dicts,
+        inferring a typed schema via the reference's type lattice
+        (int32-range check, int64, double, timestamp, binary, variant
+        fallback — src/delta/table.ts:1289-1432) and merging it with
+        the table's existing schema (validateAndMergeSchemas,
+        table.ts:1239-1280: new fields join as nullable, numerics
+        widen, incompatible types raise). Nested values land as
+        canonical JSON text revived by ``functions/variant.py``.
+
+        This is the reference's small-document API shape — a Python
+        list is driver-resident by construction; bulk data goes through
+        :meth:`write` with a DataFrame."""
+        from deltalake_spark.delta.ingest import rows_to_dataframe
+
+        if not rows:
+            raise ValidationError("write_rows requires at least one row",
+                                  field="rows")
+        df = rows_to_dataframe(self.spark, list(rows))
+        return self.write(
+            df, mode=mode, partition_by=partition_by,
+            merge_schema=True, configuration=configuration,
+        )
+
     # -- read path ---------------------------------------------------------
 
     # -- deletion vectors --------------------------------------------------
