@@ -208,15 +208,19 @@ def write_commit(
     os.makedirs(log_dir(table_path), exist_ok=True)
     path = commit_file(table_path, version)
     payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions)
+    # the OCC race is decided by ONE conditional write, routed through
+    # the pluggable CommitStore seam (reference writeConditional,
+    # src/storage/types.ts:208) so object stores without atomic
+    # create-if-absent can supply their own precondition mapping
+    from deltalake_spark.delta.commitstore import (
+        CommitConflictError,
+        get_commit_store,
+    )
+
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
+        get_commit_store().write_if_absent(path, payload.encode("utf-8"))
+    except CommitConflictError:
         raise ConcurrencyError(table_path, version) from None
-    try:
-        os.write(fd, payload.encode("utf-8"))
-        os.fsync(fd)
-    finally:
-        os.close(fd)
 
 
 def iter_commits(

@@ -238,3 +238,112 @@ def test_error_taxonomy_codes():
     cause = ValueError("root")
     wrapped = E.StorageError("io", "/p", "read", cause=cause)
     assert wrapped.cause is cause
+
+
+# -- CommitStore seam (object-store conditional-write OCC) ---------------
+
+def test_commit_store_seam_full_lifecycle(spark, tmp_path):
+    """The whole engine runs against a ConditionalPutCommitStore whose
+    put models an object store's If-None-Match PUT — proving no code
+    path depends on POSIX O_EXCL beyond the seam."""
+    import os
+
+    from deltalake_spark.delta.commitstore import (
+        ConditionalPutCommitStore,
+        set_commit_store,
+    )
+    from deltalake_spark.delta.table import DeltaTable
+
+    puts = {"n": 0}
+
+    def put(path, payload):
+        puts["n"] += 1
+        if os.path.exists(path):  # precondition failed -> HTTP 412
+            return False
+        with open(path, "wb") as f:
+            f.write(payload)
+        return True
+
+    prev = set_commit_store(ConditionalPutCommitStore(put))
+    try:
+        t = DeltaTable(spark, str(tmp_path / "t"))
+        t.write(spark.createDataFrame([(1,), (2,)], "id long"))
+        t.delete({"id": 1})
+        assert [r["id"] for r in t.query({}).collect()] == [2]
+        assert puts["n"] >= 2  # every commit went through the seam
+    finally:
+        set_commit_store(prev)
+
+
+def test_commit_store_conflict_maps_to_concurrency_error(spark, tmp_path):
+    """A 412-style precondition failure surfaces as ConcurrencyError
+    and rolls back staged data files (no orphan adds)."""
+    from deltalake_spark.delta.commitstore import (
+        ConditionalPutCommitStore,
+        set_commit_store,
+    )
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1,)], "id long"))
+
+    lose = {"next": False}
+    real = set_commit_store(None)  # grab a local store for the fake
+
+    def put(path, payload):
+        if lose["next"]:
+            lose["next"] = False
+            return False  # another writer got the version first
+        try:
+            real.write_if_absent(path, payload)
+            return True
+        except Exception:
+            return False
+
+    set_commit_store(ConditionalPutCommitStore(put))
+    try:
+        lose["next"] = True
+        with pytest.raises(ConcurrencyError):
+            t.write(spark.createDataFrame([(2,)], "id long"))
+        # staged parquet was rolled back; retry commits cleanly
+        t.write(spark.createDataFrame([(2,)], "id long"))
+        assert sorted(r["id"] for r in t.query({}).collect()) == [1, 2]
+    finally:
+        set_commit_store(real)
+
+
+def test_commit_store_retry_loop_resolves_race(spark, tmp_path):
+    """with_retry + the seam: a conflict on the first attempt resolves
+    on the second (the reference's documented OCC retry contract)."""
+    from deltalake_spark.delta.commitstore import (
+        ConditionalPutCommitStore,
+        LocalCommitStore,
+        set_commit_store,
+    )
+    from deltalake_spark.delta.retry import RetryConfig, with_retry
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    local = LocalCommitStore()
+    fail_once = {"armed": True}
+
+    def put(path, payload):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            return False
+        try:
+            local.write_if_absent(path, payload)
+            return True
+        except Exception:
+            return False
+
+    prev = set_commit_store(ConditionalPutCommitStore(put))
+    try:
+        with_retry(
+            lambda: t.write(spark.createDataFrame([(2,)], "id long")),
+            config=RetryConfig(initial_delay=0.001),
+        )
+        assert sorted(r["id"] for r in t.query({}).collect()) == [1, 2]
+    finally:
+        set_commit_store(prev)
