@@ -64,25 +64,30 @@ def main() -> None:
         dt = round(time.perf_counter() - t0, 3)
         return dt, n
 
-    # cold pass (first execution: includes codegen/plan compile), then a
-    # warm pass so round-over-round deltas aren't drowned by codegen noise
-    times: dict[str, float] = {}
+    # cold pass first (codegen/plan compile noise lands here, in the
+    # PINNED list order above so attribution is stable round-to-round),
+    # then a warm pass. The headline metric is the WARM total: r2 showed
+    # cold deltas are JVM noise in both directions, so round-over-round
+    # comparisons should lead with warm-to-warm ("queries" below = warm;
+    # cold is emitted separately).
+    cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
-        times[name], n = run_once(name)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        cold[name], n = run_once(name)
+        print(f"# cold {name}: {cold[name]}s ({n} rows)", file=sys.stderr)
     for name in HEADLINE:
         warm[name], _ = run_once(name)
         print(f"# warm {name}: {warm[name]}s", file=sys.stderr)
 
-    total = round(sum(times.values()), 3)
     print(json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
+        "metric": "headline_queries_warm_total_wall",
+        "value": round(sum(warm.values()), 3),
         "unit": "sec",
-        "queries": times,
-        "warm_queries": warm,
+        "queries": warm,
+        "warm_queries": warm,  # r2-comparable key (same numbers)
         "warm_total": round(sum(warm.values()), 3),
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
     }))
 

@@ -98,3 +98,110 @@ def test_asof_join_multiplicity_at_volume(spark, big_events):
     # and every matched quote time is <= the event time
     bad = joined.filter(F.col("q_ts_asof") > F.col("ts")).count()
     assert bad == 0
+
+
+# -- streaming at volume: watermark must BOUND state ----------------------
+
+@pytest.fixture(scope="module")
+def staged_stream_dir(spark, tmp_path_factory):
+    """2M events staged as 10 sequential parquet files (event-time
+    ordered across files, so the watermark advances batch over batch
+    the way a live source's would)."""
+    d = str(tmp_path_factory.mktemp("stream2m"))
+    per = N // 10
+    for i in range(10):
+        (
+            spark.range(i * per, (i + 1) * per)
+            .select(
+                F.col("id").alias("event_id"),
+                # 1 s apart, with a 10000 s gap every 5000 events so
+                # sessions actually close mid-stream
+                F.timestamp_seconds(
+                    F.col("id") + (F.col("id") / 5000).cast("long")
+                    * 10000
+                ).alias("ts"),
+                (F.col("id") % 10).alias("user_id"),
+            )
+            .coalesce(1)
+            .write.mode("append").parquet(d)
+        )
+    return d
+
+
+def _max_state_rows(query):
+    rows = 0
+    for p in query.recentProgress:
+        for op in p["stateOperators"] or []:
+            rows = max(rows, op["numRowsTotal"])
+    return rows
+
+
+def test_windowed_agg_state_bounded_at_volume(spark, staged_stream_dir):
+    """1-hour windows over ~28 days of events: thousands of windows
+    flow through, but the 2-hour watermark must keep the LIVE state to
+    the unfinalized tail only — the difference between a stream that
+    runs forever and one that OOMs (state grows with stream length)."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        windowed_agg,
+    )
+
+    stream = read_parquet_stream(
+        spark, staged_stream_dir, max_files_per_trigger=1,
+        nanos_cols=(),
+    )
+    out = windowed_agg(
+        stream, time_col="ts", window="1 hour", watermark="2 hours",
+        group_cols=["user_id"],
+        aggs={"n": "count(*)", "vmax": "max(event_id)"},
+    )
+    query = (
+        out.writeStream.format("memory").queryName("smoke_win")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(600)
+    emitted = spark.table("smoke_win")
+    total_emitted, windows_emitted = emitted.agg(
+        F.sum("n"), F.count(F.lit(1))).first()
+    # nearly all of the 2M rows land in finalized windows (only the
+    # sub-watermark tail is still open at drain time)
+    assert total_emitted >= int(N * 0.95)
+    assert windows_emitted >= 5000
+    # the watermark bound: live state stays near (watermark+window)/
+    # window * keys per batch — orders of magnitude below the total
+    # window count; 2000 is ~6x headroom over the theoretical ~330
+    peak = _max_state_rows(query)
+    assert 0 < peak < 2000, f"state not bounded by watermark: {peak}"
+
+
+def test_session_windows_state_bounded_at_volume(spark, staged_stream_dir):
+    """Gap sessionization at volume: 4000 sessions close mid-stream
+    (10000 s jumps >> 30 min gap); merging-session state holds only
+    open sessions + the watermark tail."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        session_windows,
+    )
+
+    stream = read_parquet_stream(
+        spark, staged_stream_dir, max_files_per_trigger=1,
+        nanos_cols=(),
+    )
+    out = session_windows(
+        stream, time_col="ts", gap="30 minutes", watermark="1 hour",
+        group_cols=["user_id"],
+        aggs={"n": "count(*)", "first_id": "min(event_id)"},
+    )
+    query = (
+        out.writeStream.format("memory").queryName("smoke_sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    query.awaitTermination(600)
+    emitted = spark.table("smoke_sess").collect()
+    # 2M events / 5000 per segment x 10 keys = 4000 true sessions; the
+    # final segment per key may still be open at drain time
+    assert len(emitted) >= 3900
+    sizes = {r["n"] for r in emitted}
+    assert sizes == {500}, f"session sizes wrong: {sorted(sizes)[:5]}"
+    peak = _max_state_rows(query)
+    assert 0 < peak < 1000, f"session state not bounded: {peak}"

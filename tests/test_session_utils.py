@@ -51,3 +51,17 @@ def test_events_fixture_round_trip(spark):
     lo, hi = df.agg(F.min("ts"), F.max("ts")).first()
     # fixture events live in 2024 (sanity: epoch-ns magnitude + ordering)
     assert 1_700_000_000_000_000_000 < lo <= hi < 1_800_000_000_000_000_000
+
+
+def test_repeated_gate_queries_do_not_leak_temp_views(spark, sf_dir):
+    """Gate queries that register temp views must use deterministic
+    names (replace, not accumulate): repeated invocation leaves the
+    catalog size unchanged (r2 advisor nit on tfidf_top_terms)."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()["tfidf_top_terms"]
+    q(spark, sf_dir).collect()
+    before = len(spark.catalog.listTables())
+    for _ in range(3):
+        q(spark, sf_dir).collect()
+    assert len(spark.catalog.listTables()) == before
