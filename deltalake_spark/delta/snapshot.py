@@ -169,21 +169,33 @@ def load_snapshot(table_path: str, version: int | None = None) -> Snapshot:
 def _read_checkpoint_actions(part_path: str) -> list[dict[str, Any]]:
     """Read one checkpoint part — reference four-column layout
     (add/remove/metaData/protocol, checkpoint.ts:346-383) or this
-    engine's legacy single-``action``-column layout."""
+    engine's legacy single-``action``-column layout.
+
+    Checkpoint actions are a SET, not an ordered log: a deletion-vector
+    commit leaves both a live add AND a remove tombstone for the SAME
+    path (old file version removed, re-added with the descriptor), so
+    removes are ordered before adds here — replaying a same-path
+    tombstone after the live add would silently drop the file."""
     table = pq.read_table(part_path)
     if "action" in table.column_names:
-        return [json.loads(s) for s in table.column("action").to_pylist()]
-    actions: list[dict[str, Any]] = []
-    cols = {
-        name: table.column(name).to_pylist()
-        for name in _ACTION_COLUMNS if name in table.column_names
-    }
-    for i in range(table.num_rows):
-        for name, values in cols.items():
-            if values[i] is not None:
-                actions.append({name: json.loads(values[i])})
-                break
-    return actions
+        actions = [json.loads(s)
+                   for s in table.column("action").to_pylist()]
+    else:
+        actions = []
+        cols = {
+            name: table.column(name).to_pylist()
+            for name in _ACTION_COLUMNS if name in table.column_names
+        }
+        for i in range(table.num_rows):
+            for name, values in cols.items():
+                if values[i] is not None:
+                    actions.append({name: json.loads(values[i])})
+                    break
+    rank = {"protocol": 0, "metaData": 1, "txn": 2, "remove": 3,
+            "add": 4}
+    return sorted(
+        actions, key=lambda a: rank.get(next(iter(a.keys()), ""), 5)
+    )
 
 
 def write_checkpoint(table_path: str, snapshot: Snapshot,

@@ -41,7 +41,10 @@ BUDGETS = {
     "audio_meta_extract": (1, False),     # synth + mapInPandas + sort
     "sketch_distinct_users": (6, False),  # distinct-expand + sketch agg paths
     "sketch_quantile_check": (3, False),  # sketch agg + broadcast rank check
-    "pipeline_lookup_segments": (4, True),   # pre-agg lookup + count + sort
+    # no pushdown REQUIRED: the $lookup join is null-safe (Mongo: null
+    # localField matches null foreignField), so the isnotnull join-key
+    # inference that used to reach the scans is semantically forbidden
+    "pipeline_lookup_segments": (4, False),  # pre-agg lookup + count + sort
     "pipeline_bucket_quantities": (2, True),  # CASE bucket + one hash agg
     "doc_chunk_pack": (3, False),    # explode + pack window + final agg
     "events_rollup_cascade": (3, False),  # hourly agg + daily reagg + sort
