@@ -327,6 +327,20 @@ def write_dv_file(
     return rel, descriptors
 
 
+def inline_descriptor(blob: bytes, cardinality: int) -> "dict[str, Any]":
+    """'i'-type descriptor: bitmap data Z85-encoded directly in the log
+    (reference reads these, deletion-vectors.ts:414-417). Z85 needs a
+    multiple of 4 bytes — zero-pad; parse_treemap ignores trailing
+    bytes because it parses exactly the declared bucket count."""
+    pad = (-len(blob)) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(blob + b"\x00" * pad),
+        "sizeInBytes": len(blob),
+        "cardinality": int(cardinality),
+    }
+
+
 def load_dv_indices(table_path: str, descriptor: dict) -> list[int]:
     """Descriptor -> sorted deleted row indices (reference
     loadDeletionVector, deletion-vectors.ts:409-439)."""

@@ -346,6 +346,41 @@ def cleanup_log(
     }
 
 
+def _referenced_dv_files(table: "DeltaTable",
+                         snap: "Any") -> set[str]:
+    """Relative paths of every spec DV .bin referenced by ANY surviving
+    log entry: live snapshot adds, checkpoint-persisted adds, and add
+    actions in every remaining commit (so snapshots at older versions
+    inside the log horizon still resolve their DVs)."""
+    from deltalake_spark.delta import deletion_vectors as dvmod
+    from deltalake_spark.delta import snapshot as dsnap
+
+    refs: set[str] = set()
+
+    def note(add: dict) -> None:
+        d = add.get("deletionVector")
+        if d and d.get("storageType") in ("u", "p"):
+            try:
+                for cand in dvmod.dv_file_candidates(table.path, d):
+                    refs.add(os.path.relpath(cand, table.path)
+                             .replace(os.sep, "/"))
+            except Exception:
+                pass  # malformed descriptor: never a reason to delete
+
+    for f in snap.files:
+        note(f)
+    for _v, actions in dlog.iter_commits(table.path, 0, snap.version):
+        for a in actions:
+            if "add" in a:
+                note(a["add"])
+    for cp_v in dlog.list_checkpoint_versions(table.path):
+        for part in dlog.checkpoint_files(table.path, cp_v):
+            for a in dsnap._read_checkpoint_actions(part):
+                if "add" in a:
+                    note(a["add"])
+    return refs
+
+
 def vacuum(
     table: "DeltaTable",
     *,
@@ -384,6 +419,13 @@ def vacuum(
                 if r.get("deletionTimestamp", 0) >= cutoff_ms:
                     protected.add(r["path"])
 
+    # spec deletion-vector .bin files are garbage once NO surviving log
+    # entry (commit or checkpoint) references them — old DVs are
+    # superseded whole on every soft delete. Collect every referenced
+    # bin from the surviving log so time travel within the log horizon
+    # keeps working; everything else ages out like data files.
+    referenced_dvs = _referenced_dv_files(table, snap)
+
     candidates: list[str] = []
     for root, dirs, files in os.walk(table.path):
         rel_root = os.path.relpath(root, table.path)
@@ -393,12 +435,16 @@ def vacuum(
             dirs[:] = []
             continue
         for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
             rel = os.path.normpath(os.path.join(rel_root, fn)) \
                 .replace(os.sep, "/")
             rel = rel[2:] if rel.startswith("./") else rel
-            if rel in live or rel in protected:
+            if fn.startswith("deletion_vector_") and fn.endswith(".bin"):
+                if rel in referenced_dvs:
+                    continue
+            elif fn.endswith(".parquet"):
+                if rel in live or rel in protected:
+                    continue
+            else:
                 continue
             full = os.path.join(root, fn)
             if os.path.getmtime(full) * 1000 >= cutoff_ms:

@@ -1150,10 +1150,22 @@ class DeltaTable:
              int(r["cardinality"]))
             for r in blob_rows
         )
-        # one spec .bin per commit packs every affected file's bitmap at
-        # its own offset (Delta-protocol layout; reference reader
-        # deletion-vectors.ts:409-439 resolves it via the Z85 uuid path)
-        _dv_rel, descriptors = dvmod.write_dv_file(self.path, blobs)
+        # tiny bitmaps can ride inline in the log ('i' descriptors,
+        # opt-in via deltalake_spark.deletionVectors.inlineMaxBytes —
+        # saves a file GET per scan at the cost of log-JSON bytes);
+        # everything else goes into one spec .bin per commit packing
+        # every affected file's bitmap at its own offset (Delta-protocol
+        # layout; reference reader deletion-vectors.ts:409-439 resolves
+        # it via the Z85 uuid path)
+        inline_max = int((snap.configuration or {}).get(
+            "deltalake_spark.deletionVectors.inlineMaxBytes", "0"))
+        inline = [b for b in blobs if len(b[1]) <= inline_max]
+        filed = [b for b in blobs if len(b[1]) > inline_max]
+        descriptors: dict[str, dict[str, Any]] = {}
+        if filed:
+            _dv_rel, descriptors = dvmod.write_dv_file(self.path, filed)
+        for fp, blob, card in inline:
+            descriptors[fp] = dvmod.inline_descriptor(blob, card)
         now = int(time.time() * 1000)
         actions: list[dict[str, Any]] = []
         for f in snap.files:

@@ -301,3 +301,73 @@ def test_legacy_parquet_sidecar_still_reads(spark, tmp_path):
     descs = [x["deletionVector"] for x in t.snapshot().files
              if x.get("deletionVector")]
     assert all(d.get("storageType") == "u" for d in descs)
+
+
+def test_vacuum_collects_orphaned_dv_bins(spark, tmp_path):
+    """Superseded DV .bin files age out of vacuum once nothing in the
+    surviving log references them; referenced bins are never touched."""
+    import time as _time
+
+    from deltalake_spark.delta.maintenance import cleanup_log, vacuum
+
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i,) for i in range(20)], "id long")
+            .coalesce(1).orderBy("id"))
+    t.enable_deletion_vectors()
+    t.delete("id >= 18")   # bin 1
+    t.delete("id >= 16")   # bin 2 (supersedes bin 1's descriptors)
+    bins = sorted(f for f in os.listdir(t.path)
+                  if f.startswith("deletion_vector_"))
+    assert len(bins) == 2
+
+    _time.sleep(1.1)  # ensure mtimes fall below the cutoff
+    # both bins are still referenced by surviving commits (time travel
+    # to the first delete must keep working) -> vacuum keeps both
+    res = vacuum(t, retention_hours=0, min_retention_hours=0)
+    assert not [p for p in res["paths"] if p.endswith(".bin")]
+
+    # checkpoint + prune the old commits: only bin 2 stays referenced
+    for _ in range(10):
+        t.write(spark.createDataFrame([(999,)], "id long"))
+    cleanup_log(t, retain_checkpoints=1)
+    _time.sleep(1.1)
+    res = vacuum(t, retention_hours=0, min_retention_hours=0)
+    gone = [p for p in res["paths"] if p.endswith(".bin")]
+    assert len(gone) == 1
+    left = sorted(f for f in os.listdir(t.path)
+                  if f.startswith("deletion_vector_"))
+    assert len(left) == 1
+    # and the survivor still resolves: deleted rows stay masked
+    got = sorted(r["id"] for r in t.query({"id": {"$lt": 999}}).collect())
+    assert got == list(range(16))
+
+
+def test_inline_dv_write_opt_in(spark, tmp_path):
+    """With deltalake_spark.deletionVectors.inlineMaxBytes set, tiny
+    per-file bitmaps become 'i' descriptors (no .bin file); larger ones
+    still go to the packed .bin. Both read back together."""
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i,) for i in range(5000)], "id long")
+            .coalesce(1).orderBy("id"))
+    t.enable_deletion_vectors()
+    t.update_metadata(
+        {"deltalake_spark.deletionVectors.inlineMaxBytes": "256"})
+
+    t.delete("id >= 4995")  # 5 rows -> tiny blob -> inline
+    descs = [f["deletionVector"] for f in t.snapshot().files
+             if f.get("deletionVector")]
+    assert descs and all(d["storageType"] == "i" for d in descs)
+    assert not [f for f in os.listdir(t.path)
+                if f.startswith("deletion_vector_")]
+    assert t.to_df().count() == 4995
+
+    # a big delete (thousands of rows, bitset-size bitmap) exceeds the
+    # inline cap -> .bin file; merged result stays correct
+    t.delete("id < 4000")
+    descs = [f["deletionVector"] for f in t.snapshot().files
+             if f.get("deletionVector")]
+    assert all(d["storageType"] == "u" for d in descs)
+    assert [f for f in os.listdir(t.path)
+            if f.startswith("deletion_vector_")]
+    assert sorted(r["id"] for r in t.to_df().collect()) == \
+        list(range(4000, 4995))
