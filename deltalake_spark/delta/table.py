@@ -161,6 +161,47 @@ class DeltaTable:
         return mapping
 
     @staticmethod
+    def _mapping_schema_string(
+        fields: "list[StructField]",
+        mapping: dict[str, str],
+        conf: dict[str, str],
+        prev_schema_string: "str | None",
+    ) -> str:
+        """schemaString carrying STANDARD column-mapping metadata
+        (delta.columnMapping.physicalName + .id per field, maxColumnId
+        in ``conf``) alongside this engine's compact map config — so a
+        spec-compliant foreign reader resolves renamed columns from the
+        field metadata exactly as the reference does
+        (src/delta/snapshot.ts:29-83). Existing field ids are
+        preserved; new fields draw from delta.columnMapping.maxColumnId
+        (which this updates in place)."""
+        prev_ids: dict[str, int] = {}
+        if prev_schema_string:
+            for f in json.loads(prev_schema_string).get("fields", []):
+                fid = (f.get("metadata") or {}).get(
+                    "delta.columnMapping.id")
+                if fid is not None:
+                    # key by PHYSICAL name: stable across renames
+                    phys = (f.get("metadata") or {}).get(
+                        "delta.columnMapping.physicalName", f["name"])
+                    prev_ids[phys] = int(fid)
+        max_id = int(conf.get("delta.columnMapping.maxColumnId", "0"))
+        out = []
+        for f in fields:
+            phys = mapping.get(f.name, f.name)
+            fid = prev_ids.get(phys)
+            if fid is None:
+                max_id += 1
+                fid = max_id
+            md = dict(f.metadata or {})
+            md["delta.columnMapping.physicalName"] = phys
+            md["delta.columnMapping.id"] = fid
+            out.append(StructField(f.name, f.dataType, f.nullable, md))
+            max_id = max(max_id, fid)
+        conf["delta.columnMapping.maxColumnId"] = str(max_id)
+        return StructType(out).json()
+
+    @staticmethod
     def _physical_schema(schema: StructType,
                          mapping: dict[str, str]) -> StructType:
         if not mapping:
@@ -213,12 +254,13 @@ class DeltaTable:
         conf = dict(meta.get("configuration", {}))
         conf["delta.columnMapping.mode"] = "name"
         conf["delta.columnMapping.map"] = json.dumps(mapping)
+        meta["schemaString"] = self._mapping_schema_string(
+            [StructField(new if f.name == old else f.name, f.dataType,
+                         f.nullable, f.metadata)
+             for f in schema.fields],
+            mapping, conf, snap.schema_string,
+        )
         meta["configuration"] = conf
-        meta["schemaString"] = StructType([
-            StructField(new if f.name == old else f.name, f.dataType,
-                        f.nullable, f.metadata)
-            for f in schema.fields
-        ]).json()
         version = snap.version + 1
         actions = [
             dlog.commit_info_action("RENAME COLUMN",
@@ -278,10 +320,11 @@ class DeltaTable:
         conf["delta.columnMapping.mode"] = "name"
         conf["delta.columnMapping.map"] = json.dumps(mapping)
         conf["delta.columnMapping.retired"] = json.dumps(retired)
+        meta["schemaString"] = self._mapping_schema_string(
+            [f for f in schema.fields if f.name != name],
+            mapping, conf, snap.schema_string,
+        )
         meta["configuration"] = conf
-        meta["schemaString"] = StructType(
-            [f for f in schema.fields if f.name != name]
-        ).json()
         version = snap.version + 1
         actions = [
             dlog.commit_info_action("DROP COLUMN", {"column": name}),
@@ -688,6 +731,18 @@ class DeltaTable:
                         conf["delta.columnMapping.map"] = json.dumps(mapping)
                         meta["configuration"] = conf
                         write_mapping = mapping
+                if mapping or (prev.configuration or {}).get(
+                        "delta.columnMapping.mode") == "name":
+                    # keep the STANDARD per-field physicalName/id
+                    # metadata in sync for foreign readers (mode=name
+                    # requires it on EVERY field, including ones whose
+                    # physical name equals the logical)
+                    conf = dict(meta.get("configuration", {}))
+                    meta["schemaString"] = self._mapping_schema_string(
+                        list(target.fields), mapping, conf,
+                        prev.schema_string,
+                    )
+                    meta["configuration"] = conf
                 actions.append({"metaData": meta})
         elif not exists or not (prev and prev.metadata):
             actions.append(dlog.protocol_action())

@@ -226,3 +226,58 @@ def test_lookup_overwrites_existing_output_column(spark):
     ).collect()
     assert len(out) == 1
     assert [m["name"] for m in out[0]["matches"]] == ["alice"]
+
+
+def test_rename_writes_standard_physicalname_metadata(spark, tmp_path):
+    """Our column-mapped tables must be readable by SPEC readers: after
+    a rename, schemaString fields carry delta.columnMapping.physicalName
+    and .id, and the table still reads correctly with the engine-local
+    map config REMOVED (the standard-metadata fallback path)."""
+    import json as _json
+
+    from deltalake_spark.delta import log as dlog
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")],
+                                  "id long, v string"))
+    t.rename_column("v", "w")
+    snap = t.snapshot()
+    fields = {f["name"]: f for f in
+              _json.loads(snap.schema_string)["fields"]}
+    md = fields["w"]["metadata"]
+    assert md["delta.columnMapping.physicalName"] == "v"
+    assert isinstance(md["delta.columnMapping.id"], int)
+    assert int(snap.configuration["delta.columnMapping.maxColumnId"]) >= 2
+
+    # strip the engine map config; the standard metadata must carry it
+    meta = dict(snap.metadata)
+    conf = dict(meta["configuration"])
+    del conf["delta.columnMapping.map"]
+    meta["configuration"] = conf
+    dlog.write_commit(t.path, snap.version + 1, [
+        dlog.commit_info_action("TEST STRIP MAP", {}),
+        {"metaData": meta},
+    ])
+    rows = {r["id"]: r["w"] for r in t.query({}).collect()}
+    assert rows == {1: "a", 2: "b"}
+    assert t.query({"w": "b"}).count() == 1
+
+    # ids survive further evolution: drop + re-add gets a FRESH id
+    t2 = DeltaTable(spark, str(tmp_path / "t2"))
+    t2.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t2.rename_column("v", "w")
+    id_w = {
+        f["name"]: f["metadata"]["delta.columnMapping.id"]
+        for f in _json.loads(t2.snapshot().schema_string)["fields"]
+    }["w"]
+    t2.drop_column("w")
+    t2.write(spark.createDataFrame([(2, "x")], "id long, w string"),
+             merge_schema=True)
+    snap2 = t2.snapshot()
+    f_w = {f["name"]: f for f in
+           _json.loads(snap2.schema_string)["fields"]}["w"]
+    assert f_w["metadata"]["delta.columnMapping.id"] != id_w
+    # and the re-added column never resurrects old data
+    rows = {r["id"]: r["w"] for r in t2.query({}).collect()}
+    assert rows == {1: None, 2: "x"}
