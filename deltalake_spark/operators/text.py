@@ -51,7 +51,15 @@ def language_scores(text_col: Column) -> Column:
 
 
 def language_id(text_col: Column) -> Column:
-    """Argmax language over the marker scores ('und' when all zero)."""
+    """Argmax language over the marker scores ('und' when all zero).
+
+    This is an honest stopword heuristic (JVM-side, zero-shuffle) —
+    adequate for coarse routing of the fixture corpus. Production
+    upgrade path, same call site: a fastText-style character-n-gram
+    classifier as an Arrow-batched ``pandas_udf`` (model broadcast once
+    per executor, ~KB-scale; the column contract — text in, label out —
+    is unchanged, so swapping implementations touches nothing
+    downstream)."""
     scores = [
         (lang, stopword_ratio(text_col, lang)) for lang in _LANG_MARKERS
     ]

@@ -128,3 +128,51 @@ def test_write_rows_variant_revives_via_query(spark, tmp_path):
     )
     assert [(r["region"], r["count"]) for r in out] == [
         (0, 2), (1, 2), (2, 2)]
+
+
+# -- property: arbitrary dicts round-trip through the lattice -------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _scalar = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=20),
+    )
+
+    @given(st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]), _scalar, max_size=4),
+        min_size=1, max_size=8))
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_rows_roundtrip_property(spark, rows):
+        """Any homogeneous-per-field batch either raises a clear
+        ValidationError (incompatible mix) or round-trips: every
+        non-null input value equals the read-back value after the
+        lattice's documented numeric widening."""
+        try:
+            df = rows_to_dataframe(spark, rows)
+        except ValidationError:
+            return  # incompatible mix across rows — documented contract
+        got = [r.asDict() for r in df.collect()]
+        assert len(got) == len(rows)
+        types = dict(df.dtypes)
+        # per-field multiset of non-null values must survive, modulo
+        # numeric widening to the unified column type
+        for name in types:
+            def norm(v):
+                if v is None:
+                    return None
+                return float(v) if types[name] in ("double",) else v
+            want = sorted((norm(r.get(name)) for r in rows),
+                          key=lambda x: (x is None, str(type(x)), str(x)))
+            have = sorted((r.get(name) for r in got),
+                          key=lambda x: (x is None, str(type(x)), str(x)))
+            assert want == have, f"field {name}: {want} != {have}"
+except ImportError:  # pragma: no cover
+    pass
