@@ -371,3 +371,97 @@ def test_inline_dv_write_opt_in(spark, tmp_path):
             if f.startswith("deletion_vector_")]
     assert sorted(r["id"] for r in t.to_df().collect()) == \
         list(range(4000, 4995))
+
+
+def test_foreign_dv_with_prefix_both_layouts(spark, tmp_path):
+    """A 'u' descriptor whose pathOrInlineDv carries a random prefix:
+    the reference joins the prefix into the FILENAME
+    (deletion_vector_<prefix><uuid>.bin) while standard writers use it
+    as a SUBDIRECTORY — both must resolve."""
+    for layout in ("filename", "subdir"):
+        root = str(tmp_path / layout)
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+        dest = os.path.join(root, "f1.parquet")
+        pq.write_table(
+            pa.table({"id": pa.array(range(6), pa.int64())}), dest)
+        blob = dv.serialize_treemap([1, 4])
+        u = uuid.uuid4()
+        prefix = "ab"
+        if layout == "filename":
+            dv_path = os.path.join(
+                root, f"deletion_vector_{prefix}{u}.bin")
+        else:
+            os.makedirs(os.path.join(root, prefix), exist_ok=True)
+            dv_path = os.path.join(
+                root, prefix, f"deletion_vector_{u}.bin")
+        with open(dv_path, "wb") as f:
+            f.write(bytes([1]))
+            f.write(struct.pack(">I", len(blob)))
+            f.write(blob)
+            f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+        actions = _base_actions(os.path.getsize(dest))
+        actions[3]["add"]["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": prefix + dv.encode_uuid_z85(u),
+            "offset": 1, "sizeInBytes": len(blob), "cardinality": 2}
+        _commit(log, 0, actions)
+        t = DeltaTable(spark, root)
+        assert sorted(r["id"] for r in t.query({}).collect()) == \
+            [0, 2, 3, 5], layout
+
+
+def test_foreign_mapped_table_with_dv(spark, tmp_path):
+    """Feature interaction at the interop boundary: a foreign table
+    using BOTH standard column mapping (physicalName metadata, no
+    engine map config) AND a spec DV — renamed columns resolve and
+    deleted rows stay masked in one scan."""
+    root = str(tmp_path / "t")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    dest = os.path.join(root, "f1.parquet")
+    pq.write_table(
+        pa.table({"col-k": pa.array(range(8), pa.int64()),
+                  "col-n": pa.array([f"n{i}" for i in range(8)],
+                                    pa.string())}), dest)
+    blob = dv.serialize_treemap([0, 7])
+    u = uuid.uuid4()
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"),
+              "wb") as f:
+        f.write(bytes([1]))
+        f.write(struct.pack(">I", len(blob)))
+        f.write(blob)
+        f.write(struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "key", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-k",
+                      "delta.columnMapping.id": 1}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-n",
+                      "delta.columnMapping.id": 2}},
+    ]})
+    _commit(log, 0, [
+        {"commitInfo": {"operation": "WRITE",
+                        "timestamp": 1700000000000}},
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "map-dv-1", "format": {"provider": "parquet"},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1700000000000}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": os.path.getsize(dest),
+                 "modificationTime": 1700000000000, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "u",
+                     "pathOrInlineDv": dv.encode_uuid_z85(u),
+                     "offset": 1, "sizeInBytes": len(blob),
+                     "cardinality": 2}}},
+    ])
+    t = DeltaTable(spark, root)
+    rows = {r["key"]: r["name"] for r in t.query({}).collect()}
+    assert rows == {i: f"n{i}" for i in range(1, 7)}
+    # logical-name filter over the mapped column, DV still applied
+    assert t.query({"name": "n3"}).count() == 1
+    assert t.query({"key": {"$lte": 1}}).count() == 1  # 0 deleted
