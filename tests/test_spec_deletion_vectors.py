@@ -465,3 +465,30 @@ def test_foreign_mapped_table_with_dv(spark, tmp_path):
     # logical-name filter over the mapped column, DV still applied
     assert t.query({"name": "n3"}).count() == 1
     assert t.query({"key": {"$lte": 1}}).count() == 1  # 0 deleted
+
+
+def test_dv_antijoin_broadcast_vs_shuffle_by_cardinality(spark, tmp_path):
+    """Scale shape: the DV anti-join must BROADCAST the delete set when
+    descriptor cardinality says it fits, and fall back to a shuffle
+    join when it does not (monkeypatched threshold) — checked in the
+    physical plan, not assumed."""
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(i,) for i in range(100)], "id long")
+            .coalesce(1))
+    t.enable_deletion_vectors()
+    t.delete("id < 10")
+
+    plan = t.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan, plan[:800]
+
+    orig = DeltaTable.DV_BROADCAST_MAX_ROWS
+    try:
+        DeltaTable.DV_BROADCAST_MAX_ROWS = 0  # force the big-DV path
+        plan = t.to_df()._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "BroadcastHashJoin" not in plan, plan[:800]
+    finally:
+        DeltaTable.DV_BROADCAST_MAX_ROWS = orig
+    # both shapes produce identical results
+    assert t.to_df().count() == 90
