@@ -1,0 +1,111 @@
+"""Training-data curation operators: benchmark decontamination and PII
+redaction — the two cleanup passes every LLM data pipeline runs between
+dedup and tokenization. Engine-native extensions (the reference has no
+text curation); both are pure JVM column expressions, exactly
+reproducible in SQL, so the gate checks them value-level.
+
+Scale shapes:
+* Decontamination joins the corpus against the DISTINCT n-gram set of
+  the evaluation suite. Eval suites are KB-MB (benchmarks, not
+  corpora), so the gram set broadcasts; the corpus side is one narrow
+  projection + explode — no shuffle of document text, never all-pairs.
+  At 100 TB the corpus grams stream through the broadcast semi-join
+  map-side.
+* PII redaction is regexp_replace chains inside whole-stage codegen —
+  zero shuffle, zero Python. Patterns are deliberately RE2-compatible
+  (no backrefs/lookaround) so object-store engines and the DuckDB
+  oracle agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe patterns (work identically in Java regex and DuckDB/RE2)
+PII_PATTERNS: "dict[str, tuple[str, str]]" = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    "phone": (r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    "ssn": (r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    "ipv4": (r"(\d{1,3}\.){3}\d{1,3}", "[IP]"),
+}
+# email first (may contain digits/dots), then phone before ssn (a phone
+# is 3-3-4; the 3-2-4 ssn pattern must not see phone fragments), ip last
+PII_ORDER = ("email", "phone", "ssn", "ipv4")
+
+
+def token_ngrams(text_col: Column, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings, all JVM-side:
+    split -> drop empties -> slice windows. Empty array when the text
+    has fewer than n tokens."""
+    toks = F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    count = F.size(toks) - (n - 1)
+    # sequence(1, 0) is a DESCENDING [1, 0] in Spark, not empty — short
+    # texts must short-circuit to an empty array
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Drop (or mark) corpus documents sharing ANY token ``n``-gram
+    with the evaluation suite — the standard exact-overlap
+    decontamination used before training. Returns the corpus with a
+    boolean ``contaminated`` column (``mark_only=True``) or with
+    contaminated rows removed."""
+    eval_grams = (
+        eval_df.select(
+            F.explode(token_ngrams(F.col(text_col), n)).alias("__g"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(token_ngrams(F.col(text_col), n)).alias("__g"),
+    )
+    hit_ids = (
+        corpus_grams.join(F.broadcast(eval_grams), "__g")
+        .select("__cid").distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    out = corpus.join(
+        hit_ids, corpus[id_col] == hit_ids["__cid"], "left"
+    ).drop("__cid")
+    out = out.withColumn(
+        "contaminated", F.coalesce(F.col("__hit"), F.lit(False))
+    ).drop("__hit")
+    if mark_only:
+        return out
+    return out.filter(~F.col("contaminated")).drop("contaminated")
+
+
+def redact_pii(
+    df: DataFrame, *, text_col: str = "text",
+    kinds: "tuple[str, ...]" = PII_ORDER,
+) -> DataFrame:
+    """Replace PII matches with typed placeholders and append per-kind
+    match counts (``n_<kind>`` columns, counted BEFORE redaction so
+    chained patterns don't shadow each other's counts)."""
+    out = df
+    for kind in kinds:
+        pat, _ = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    red = F.col(text_col)
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(text_col, red)

@@ -1,0 +1,102 @@
+"""Training-data curation: decontamination + PII redaction
+(operators/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.curation import (
+    decontaminate,
+    redact_pii,
+    token_ngrams,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark partitions"),
+            (3, "prefix words then the quick brown fox jumps over "
+                "the lazy dog today suffix"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_ngrams_windows(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(
+        token_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert rows[0]["g"] == ["a b c", "b c d"]
+    assert rows[1]["g"] == []  # fewer tokens than n
+
+
+def test_decontaminate_drops_overlapping_docs(spark, corpus):
+    eval_df = spark.createDataFrame(
+        [(100, "x quick brown fox jumps over the lazy y")],
+        "doc_id long, text string",
+    )
+    # 5-gram "quick brown fox jumps over" appears in docs 1 and 3
+    kept = decontaminate(corpus, eval_df, n=5)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    marked = decontaminate(corpus, eval_df, n=5, mark_only=True)
+    flags = {r["doc_id"]: r["contaminated"] for r in marked.collect()}
+    assert flags == {1: True, 2: False, 3: True}
+    # a longer n than any shared window finds nothing
+    clean = decontaminate(corpus, eval_df, n=12)
+    assert clean.count() == 3
+
+
+def test_decontaminate_case_and_punctuation_insensitive(spark):
+    corpus = spark.createDataFrame(
+        [(1, "The QUICK, brown fox; jumps over the lazy dog!")],
+        "doc_id long, text string")
+    eval_df = spark.createDataFrame(
+        [(9, "quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    assert decontaminate(corpus, eval_df, n=8).count() == 0
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+x@ex-1.org call 555-123-4567 ssn 123-45-6789 "
+             "ip 10.0.0.1 end")],
+        "id long, text string")
+    out = redact_pii(df).collect()[0]
+    assert out["text"] == ("mail [EMAIL] call [PHONE] ssn [SSN] "
+                           "ip [IP] end")
+    assert (out["n_email"], out["n_phone"], out["n_ssn"],
+            out["n_ipv4"]) == (1, 1, 1, 1)
+
+
+def test_redact_pii_counts_do_not_shadow(spark):
+    """Counts are taken on the ORIGINAL text per kind: a phone must not
+    count as an ssn, and an email's digits must not leak phone counts
+    after replacement ordering."""
+    df = spark.createDataFrame(
+        [(1, "two mails a@b.co c@d.io and 555-000-1111")],
+        "id long, text string")
+    out = redact_pii(df).collect()[0]
+    assert out["n_email"] == 2
+    assert out["n_phone"] == 1
+    assert out["n_ssn"] == 0
+    assert out["text"] == "two mails [EMAIL] [EMAIL] and [PHONE]"
+
+
+def test_redact_pii_no_matches_identity(spark):
+    df = spark.createDataFrame([(1, "plain words only")],
+                               "id long, text string")
+    out = redact_pii(df).collect()[0]
+    assert out["text"] == "plain words only"
+    assert out["n_email"] == out["n_phone"] == 0
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark, corpus):
+    """Scale shape: the eval gram set must join as a BROADCAST (eval
+    suites are KB-MB; the corpus side must never shuffle its text)."""
+    eval_df = spark.createDataFrame(
+        [(9, "quick brown fox jumps over")], "doc_id long, text string")
+    out = decontaminate(corpus, eval_df, n=5, mark_only=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
