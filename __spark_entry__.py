@@ -785,6 +785,27 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition scoring: per-doc duplicate 3-gram
+    fraction, aggregated by language with a >0.2 flag count. Gram
+    arrays never leave their row — shuffle-free until the final agg."""
+    from deltalake_spark.operators.curation import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    rep = repetition_stats(docs, n=3).filter(F.col("ngram_total") > 0)
+    return (
+        rep.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_ngram_frac"), 6).alias("avg_dup_frac"),
+            F.round(F.max("dup_ngram_frac"), 6).alias("max_dup_frac"),
+            F.sum((F.col("dup_ngram_frac") > 0.2).cast("long"))
+            .alias("flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
 def write_rows_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless dict ingestion (reference write(rows) with the type-
     inference lattice, src/delta/table.ts:1289-1432): heterogeneous
@@ -2418,6 +2439,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
+    "repetition_filter_stats": repetition_filter_stats,
     "write_rows_ingest": write_rows_ingest,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
@@ -2900,6 +2922,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_ip) AS BIGINT) AS ips,
                    CAST(SUM(len(rt)) AS BIGINT) AS total_len
             FROM red GROUP BY lang ORDER BY lang
+        """,
+        "repetition_filter_stats": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks),
+            grams AS (
+              SELECT doc_id, lang, array_to_string(t[i:i+2], ' ') AS g
+              FROM idx),
+            per_doc AS (
+              SELECT doc_id, lang,
+                     ROUND(1 - COUNT(DISTINCT g)
+                           / CAST(COUNT(*) AS DOUBLE), 6) AS frac
+              FROM grams GROUP BY doc_id, lang)
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(frac), 6) AS avg_dup_frac,
+                   ROUND(MAX(frac), 6) AS max_dup_frac,
+                   CAST(SUM(CASE WHEN frac > 0.2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS flagged
+            FROM per_doc GROUP BY lang ORDER BY lang
         """,
         "write_rows_ingest": """
             SELECT (n_nationkey % 2 = 0) AS flag,

@@ -92,6 +92,24 @@ def decontaminate(
     return out.filter(~F.col("contaminated")).drop("contaminated")
 
 
+def repetition_stats(
+    df: DataFrame, *, text_col: str = "text", n: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition: the fraction of
+    duplicate token ``n``-grams (1 − distinct/total). High values mark
+    boilerplate/spam for filtering before training. One narrow
+    projection per row — the gram arrays never leave their row, so
+    this is shuffle-free regardless of corpus size."""
+    grams = token_ngrams(F.col(text_col), n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.withColumn("ngram_total", total).withColumn(
+        "dup_ngram_frac",
+        F.when(total > 0,
+               F.round(1 - distinct / total, 6)).otherwise(F.lit(0.0)),
+    )
+
+
 def redact_pii(
     df: DataFrame, *, text_col: str = "text",
     kinds: "tuple[str, ...]" = PII_ORDER,

@@ -100,3 +100,21 @@ def test_decontaminate_plan_broadcasts_eval_grams(spark, corpus):
     out = decontaminate(corpus, eval_df, n=5, mark_only=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_repetition_stats_exact(spark):
+    from deltalake_spark.operators.curation import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 3-grams: aba,bab,aba,bab -> 2/4 dup
+            (2, "w x y z q r"),      # all distinct -> 0
+            (3, "a b"),              # < 3 tokens -> no grams
+        ],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert out[1]["ngram_total"] == 4
+    assert out[1]["dup_ngram_frac"] == 0.5
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[3]["ngram_total"] == 0
+    assert out[3]["dup_ngram_frac"] == 0.0
