@@ -806,6 +806,70 @@ def repetition_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global span dedup (C4 sentence-dedup / Lee et al. exact-
+    substring at span granularity): every distinct 10-token span
+    survives only in its first (doc_id, pos) occurrence; docs are
+    reassembled from surviving spans. One content-keyed shuffle — the
+    irreducible exact-dedup cost — plus one doc_id shuffle to rebuild;
+    never all-pairs."""
+    from deltalake_spark.operators.curation import span_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dd = span_dedup(docs, span_tokens=10)
+    return (
+        dd.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_spans_total").alias("spans_total"),
+            F.sum("n_spans_kept").alias("spans_kept"),
+            F.sum(F.length("text")).alias("total_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: temperature (alpha=0.5) token budgets per
+    source — integer-exact via floor(sqrt(tokens)) scaling — then a
+    deterministic priority-ordered prefix sample per source up to its
+    budget. The running token sum is a DISTRIBUTED prefix sum (256
+    priority buckets, tiny offset frame broadcast back), so no source
+    ever serializes onto one task."""
+    from deltalake_spark.operators.mixing import (
+        sample_by_token_budget, temperature_budgets)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    budgets = temperature_budgets(docs, budget_num=2, budget_den=5)
+    sel = sample_by_token_budget(docs, budgets, seed=7)
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tokens_sel"),
+            F.max("cum_tokens").alias("max_cum"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .join(F.broadcast(budgets.select("source", "tokens", "budget")),
+              "source")
+        .select("source", "n_docs", "tokens_sel", "max_cum",
+                "budget", F.col("tokens").alias("tokens_total"),
+                "id_checksum")
+        .orderBy("source")
+    )
+
+
+def deterministic_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-order shuffle: global sort by the portable
+    Knuth-multiplicative priority (range-partitioned distributed sort —
+    no driver hot spot), checked here by its first 15 docs."""
+    from deltalake_spark.operators.mixing import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(docs, seed=3).limit(15)
+
+
 def write_rows_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless dict ingestion (reference write(rows) with the type-
     inference lattice, src/delta/table.ts:1289-1432): heterogeneous
@@ -2440,6 +2504,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "repetition_filter_stats": repetition_filter_stats,
+    "span_dedup_stats": span_dedup_stats,
+    "mixture_temperature_sample": mixture_temperature_sample,
+    "deterministic_shuffle_head": deterministic_shuffle_head,
     "write_rows_ingest": write_rows_ingest,
     "asof_purchase_attribution": asof_purchase_attribution,
     "sessionize_events": sessionize_events,
@@ -2948,6 +3015,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN frac > 0.2 THEN 1 ELSE 0 END)
                         AS BIGINT) AS flagged
             FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "span_dedup_stats": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 x -> x <> '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, lang, t,
+                     unnest(generate_series(
+                       1, CAST(ceil(len(t) / 10.0) AS INT))) AS i
+              FROM toks),
+            units AS (
+              SELECT doc_id, lang, i,
+                     array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ')
+                       AS span
+              FROM idx),
+            marked AS (
+              SELECT doc_id, lang, i, span,
+                     row_number() OVER (PARTITION BY span
+                                        ORDER BY doc_id, i) = 1 AS kept
+              FROM units),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(span, ' ' ORDER BY i) AS new_text,
+                     COUNT(*) AS kept_n
+              FROM marked WHERE kept GROUP BY doc_id),
+            per_doc AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(ceil(len(list_filter(
+                       string_split(d.text, ' '), x -> x <> ''))
+                       / 10.0) AS BIGINT) AS total_n,
+                     COALESCE(r.kept_n, 0) AS kept_n,
+                     COALESCE(r.new_text, '') AS nt
+              FROM documents d LEFT JOIN rebuilt r USING (doc_id))
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(total_n) AS BIGINT) AS spans_total,
+                   CAST(SUM(kept_n) AS BIGINT) AS spans_kept,
+                   CAST(SUM(len(nt)) AS BIGINT) AS total_len
+            FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "mixture_temperature_sample": """
+            WITH t AS (
+              SELECT source, doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x <> '')) AS tok,
+                     ((doc_id + 7) * 2654435761) % 4294967296 AS pri
+              FROM documents),
+            per AS (
+              SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens
+              FROM t GROUP BY source),
+            scaled AS (
+              SELECT source, tokens,
+                     CAST(floor(sqrt(tokens)) AS BIGINT) AS s,
+                     (SUM(tokens) OVER ()) * 2 // 5 AS total
+              FROM per),
+            bud AS (
+              SELECT source, tokens,
+                     CAST((total * s) // (SUM(s) OVER ()) AS BIGINT)
+                       AS budget
+              FROM scaled),
+            cum AS (
+              SELECT t.*,
+                     SUM(tok) OVER (PARTITION BY source
+                                    ORDER BY pri, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+            sel AS (
+              SELECT cum.*, b.budget, b.tokens AS tokens_total
+              FROM cum JOIN bud b USING (source)
+              WHERE cum <= budget)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(tok) AS BIGINT) AS tokens_sel,
+                   CAST(MAX(cum) AS BIGINT) AS max_cum,
+                   MAX(budget) AS budget,
+                   MAX(tokens_total) AS tokens_total,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+            FROM sel GROUP BY source ORDER BY source
+        """,
+        "deterministic_shuffle_head": """
+            SELECT doc_id, lang,
+                   ((doc_id + 3) * 2654435761) % 4294967296
+                     AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key, doc_id LIMIT 15
         """,
         "write_rows_ingest": """
             SELECT (n_nationkey % 2 = 0) AS flag,

@@ -8,6 +8,10 @@
   counting, document fingerprinting.
 - ``multimodal`` — binary-column plumbing for image/audio/video payloads.
 - ``temporal``   — as-of join, interval join, gap sessionization.
+- ``curation``   — decontamination, PII redaction, repetition stats,
+  corpus-global span dedup (C4-style).
+- ``mixing``     — temperature mixture weights, token-budget sampling
+  (distributed prefix sum), deterministic global shuffle.
 - ``skew``       — salting patterns for heavy-hitter keys (top-k, exact
   distinct counts, replicate joins) beyond what AQE covers.
 """

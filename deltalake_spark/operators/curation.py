@@ -110,6 +110,109 @@ def repetition_stats(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+    delimiter: "str | None" = None,
+    mark_only: bool = False,
+) -> DataFrame:
+    """Corpus-global exact span deduplication (C4's sentence dedup /
+    Lee et al. exact-substring dedup at span granularity): split every
+    document into units — non-overlapping ``span_tokens``-token windows,
+    or ``delimiter``-separated lines when the corpus has real line
+    structure — and keep each distinct unit only in its FIRST occurrence
+    (min ``(id, position)`` across the whole corpus). Surviving units
+    are reassembled in original order; per-doc counters
+    ``n_spans_total`` / ``n_spans_kept`` are appended. With
+    ``mark_only=True`` the exploded unit table is returned instead
+    (id, pos, span, kept) for inspection pipelines.
+
+    Scale shape: one content-keyed shuffle of (span, id, pos) — the
+    irreducible cost of EXACT cross-corpus dedup (map-side partial
+    state is impossible for a global argmin over content, but the
+    shuffle carries each distinct span once per occurrence, never
+    all-pairs). Reassembly is a second shuffle on the id. For 100 TB
+    corpora where span text dominates shuffle volume, key by
+    ``xxhash64(span)`` instead — same plan, 8-byte keys, at the cost of
+    a ~2^-64 per-pair collision false-merge; kept exact here so the
+    DuckDB oracle can verify values.
+    """
+    if delimiter is not None:
+        units = F.filter(
+            F.split(F.col(text_col), delimiter),
+            lambda u: F.trim(u) != F.lit(""),
+        )
+        joiner = delimiter
+    else:
+        toks = F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        )
+        n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+        # empty docs must short-circuit (same trap as token_ngrams)
+        units = F.when(
+            n_spans <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_spans),
+                lambda i: F.array_join(
+                    F.slice(toks, (i - 1) * span_tokens + 1,
+                            span_tokens),
+                    " "),
+            )
+        )
+        joiner = " "
+
+    from pyspark.sql import Window
+
+    base = df.withColumn("__units", units)
+    exploded = base.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode("__units").alias("__pos", "__span"),
+    )
+    w = Window.partitionBy("__span").orderBy("__id", "__pos")
+    marked = exploded.withColumn(
+        "kept", F.row_number().over(w) == 1)
+    if mark_only:
+        return marked.select(
+            F.col("__id").alias(id_col),
+            F.col("__pos").alias("pos"),
+            F.col("__span").alias("span"),
+            "kept",
+        )
+    rebuilt = (
+        marked.filter("kept")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__span"))),
+                    lambda s: s["__span"],
+                ),
+                joiner,
+            ).alias("__new_text"),
+            F.count(F.lit(1)).alias("n_spans_kept"),
+        )
+    )
+    out = (
+        base.withColumn("n_spans_total", F.size("__units"))
+        .drop("__units")
+        .join(rebuilt, F.col(id_col) == F.col("__id"), "left")
+        .drop("__id")
+        .withColumn(
+            text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__new_text")
+        .withColumn(
+            "n_spans_kept",
+            F.coalesce(F.col("n_spans_kept"), F.lit(0)).cast("long"))
+    )
+    return out
+
+
 def redact_pii(
     df: DataFrame, *, text_col: str = "text",
     kinds: "tuple[str, ...]" = PII_ORDER,

@@ -1,0 +1,205 @@
+"""Corpus mixing operators: temperature-weighted source mixing,
+token-budget sampling, and deterministic global shuffle — the final
+"assemble the training mix" stage of an LLM data pipeline (after
+dedup/curation, before tokenization). Engine-native extensions (the
+reference has no corpus ops).
+
+Determinism contract: every operator orders rows by a PORTABLE integer
+priority hash (Knuth multiplicative, ``((id + seed) * 2654435761) mod
+2^32``) instead of ``rand()``/``xxhash64`` so the DuckDB oracle can
+reproduce selections bit-for-bit. Production corpora with ids beyond
+~2^31 should switch the priority to ``xxhash64(id, seed)`` (same plan
+shape; forfeits only oracle portability — the multiplicative form
+overflows int64 before the mod at extreme ids).
+
+Scale shapes:
+* Mixture weights aggregate to one row PER SOURCE — KB-scale metadata
+  regardless of corpus size; the normalizing window runs over that tiny
+  frame only.
+* Budget sampling needs a per-source running token sum in priority
+  order. A naive global window serializes each source onto one task, so
+  the implementation does a DISTRIBUTED PREFIX SUM: hash-bucket the
+  priority space (high byte -> 256 buckets), aggregate per-bucket token
+  totals (tiny), window the cumulative offsets over that tiny frame,
+  broadcast them back, and run the running sum WITHIN each (source,
+  bucket) partition. Identical output to the sequential window; 256-way
+  parallel per source at any corpus size.
+* Deterministic shuffle is a plain ``repartitionByRange``/sort on the
+  priority — Spark's range-partitioned sort, no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative
+
+
+def doc_priority(id_col: Column, seed: int = 0) -> Column:
+    """Portable deterministic pseudo-random priority in [0, 2^32)."""
+    return F.pmod((id_col + F.lit(seed)) * F.lit(KNUTH),
+                  F.lit(2**32)).cast("long")
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count (the corpus-budget unit)."""
+    return F.size(
+        F.filter(F.split(text_col, " "), lambda t: t != F.lit("")))
+
+
+def mixture_weights(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per source: ``w_s ∝
+    tokens_s^alpha`` normalized to 1 (alpha<1 upsamples small sources —
+    the multilingual-LM sampling rule). Returns one row per source with
+    ``n_docs``, ``tokens``, ``weight``. The normalizing sum runs over
+    the per-source frame (one row per source), never the corpus."""
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("tokens"),
+    )
+    wnorm = Window.partitionBy()
+    raw = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    return per.withColumn(
+        "weight", raw / F.sum(raw).over(wnorm)
+    ).orderBy(group_col)
+
+
+def proportional_budgets(
+    df: DataFrame,
+    total_budget: int,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Integer-exact proportional token budgets: ``budget_s =
+    (total_budget * tokens_s) DIV total_tokens``. Pure int64 arithmetic
+    so any engine reproduces it exactly (at >~10^13 total tokens the
+    product needs decimal(38) — swap the casts, same plan). One row per
+    source."""
+    per = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("tokens"))
+    wnorm = Window.partitionBy()
+    return per.withColumn(
+        "budget",
+        F.expr(f"{int(total_budget)} * tokens DIV "
+               "(sum(tokens) OVER ())").cast("long"),
+    )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Integer-exact temperature (alpha=0.5) token budgets: scale each
+    source by ``floor(sqrt(tokens_s))`` — for n < 2^52, IEEE
+    correctly-rounded sqrt makes ``floor(sqrt(n))`` bit-exact in every
+    engine, so unlike ``pow(n, alpha)`` the allocation is portable —
+    and split ``budget_num/budget_den`` of the corpus's total tokens
+    proportionally to those scales with pure int64 arithmetic:
+
+        total    = sum(tokens) * budget_num DIV budget_den
+        budget_s = total * sqrt_s DIV sum(sqrt_s)
+
+    sqrt-scaling upsamples small sources relative to proportional
+    allocation (the standard multilingual temperature-sampling rule).
+    One row per source; every window runs over that tiny frame."""
+    per = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col))).alias("tokens"))
+    return per.select(
+        group_col,
+        "tokens",
+        F.expr("cast(floor(sqrt(tokens)) as bigint)").alias("scale"),
+        F.expr(
+            f"(sum(tokens) OVER ()) * {int(budget_num)} "
+            f"DIV {int(budget_den)}"
+        ).alias("total_budget"),
+    ).select(
+        group_col,
+        "tokens",
+        "scale",
+        F.expr("total_budget * scale DIV (sum(scale) OVER ())")
+        .cast("long").alias("budget"),
+    )
+
+
+def sample_by_token_budget(
+    df: DataFrame,
+    budgets: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic per-source sampling up to a token budget: order
+    each source's docs by priority hash and keep the maximal prefix
+    whose cumulative token count stays within ``budgets.budget``.
+
+    Distributed prefix sum (see module docstring): per-(source, bucket)
+    token totals are windowed into cumulative offsets on a tiny frame
+    (sources x ``n_buckets`` rows), broadcast back, and the running sum
+    completes inside each bucket partition — no single-task source
+    scans. Appends ``tok`` (doc tokens) and ``cum_tokens`` (exact
+    running total including this doc)."""
+    shift = 2**32 // n_buckets
+    base = df.withColumn("__tok", token_count(F.col(text_col))) \
+        .withColumn("__pri", doc_priority(F.col(id_col), seed)) \
+        .withColumn("__bkt", (F.col("__pri") / F.lit(shift))
+                    .cast("long"))
+    per_bucket = base.groupBy(group_col, "__bkt").agg(
+        F.sum("__tok").alias("__bkt_tok"))
+    w_off = (
+        Window.partitionBy(group_col).orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bkt_tok").over(w_off), F.lit(0))
+    ).drop("__bkt_tok")
+    w_in = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy("__pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), [group_col, "__bkt"])
+        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_in))
+    )
+    out = (
+        cum.join(F.broadcast(budgets.select(group_col, "budget")),
+                 group_col)
+        .filter(F.col("__cum") <= F.col("budget"))
+        .withColumnRenamed("__tok", "tok")
+        .withColumnRenamed("__cum", "cum_tokens")
+        .drop("__pri", "__bkt", "__off", "budget")
+    )
+    return out
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Reproducible global shuffle for training-order assignment: sort
+    by the portable priority hash (ties broken by id). Spark plans this
+    as a range-partitioned distributed sort — at 100 TB it is exactly
+    the machinery of a sort-merge shuffle, with no driver hot spot.
+    Appends the priority as ``shuffle_key``."""
+    return (
+        df.withColumn(
+            "shuffle_key", doc_priority(F.col(id_col), seed))
+        .orderBy("shuffle_key", id_col)
+    )
