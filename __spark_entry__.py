@@ -849,13 +849,12 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok").alias("tokens_sel"),
             F.max("cum_tokens").alias("max_cum"),
+            F.max("budget").alias("budget"),
+            F.max("tokens").alias("tokens_total"),
             F.sum("doc_id").alias("id_checksum"),
         )
-        .join(F.broadcast(budgets.select("source", "tokens", "budget")),
-              "source")
         .select("source", "n_docs", "tokens_sel", "max_cum",
-                "budget", F.col("tokens").alias("tokens_total"),
-                "id_checksum")
+                "budget", "tokens_total", "id_checksum")
         .orderBy("source")
     )
 

@@ -152,7 +152,9 @@ def sample_by_token_budget(
     (sources x ``n_buckets`` rows), broadcast back, and the running sum
     completes inside each bucket partition — no single-task source
     scans. Appends ``tok`` (doc tokens) and ``cum_tokens`` (exact
-    running total including this doc)."""
+    running total including this doc), plus every non-key column of
+    ``budgets`` (e.g. ``budget``/``tokens``) — carried through so
+    callers don't re-join (and thereby re-compute) the budget frame."""
     shift = 2**32 // n_buckets
     base = df.withColumn("__tok", token_count(F.col(text_col))) \
         .withColumn("__pri", doc_priority(F.col(id_col), seed)) \
@@ -177,12 +179,11 @@ def sample_by_token_budget(
         .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_in))
     )
     out = (
-        cum.join(F.broadcast(budgets.select(group_col, "budget")),
-                 group_col)
+        cum.join(F.broadcast(budgets), group_col)
         .filter(F.col("__cum") <= F.col("budget"))
         .withColumnRenamed("__tok", "tok")
         .withColumnRenamed("__cum", "cum_tokens")
-        .drop("__pri", "__bkt", "__off", "budget")
+        .drop("__pri", "__bkt", "__off")
     )
     return out
 

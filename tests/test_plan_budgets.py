@@ -49,6 +49,13 @@ BUDGETS = {
     "doc_chunk_pack": (3, False),    # explode + pack window + final agg
     "events_rollup_cascade": (3, False),  # hourly agg + daily reagg + sort
     "video_meta_extract": (1, False),     # synth + mapInPandas + sort
+    # span explode + WindowGroupLimit'd first-occurrence + rebuild + agg
+    "span_dedup_stats": (4, False),
+    # tiny budget frame (agg + SinglePartition window) + bucket prefix
+    # sums + in-bucket window + final agg/sort — all joins broadcast
+    "mixture_temperature_sample": (6, False),
+    # TakeOrderedAndProject — a global sort head must not shuffle
+    "deterministic_shuffle_head": (0, False),
 }
 
 
