@@ -2134,6 +2134,47 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming dedup under at-least-once delivery: the
+    events stream unioned with a full replay of itself (every row
+    delivered twice), deduped on event_id with
+    dropDuplicatesWithinWatermark — watermark-bounded key state, runs
+    unbounded. The drained output must equal the single-copy table
+    exactly, so the batch aggregate oracle is value-level."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def src() -> DataFrame:
+        return read_parquet_stream(
+            spark, os.path.join(sf_dir, "events.parquet")
+        ).withColumn(
+            "event_ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")),
+        )
+
+    replayed = src().unionAll(src())
+    deduped = stream_dedup(
+        replayed, key_cols=["event_id"], time_col="event_ts",
+        watermark="24 hours",
+    )
+    out = run_available_now(
+        deduped.select("event_id", "event_type", "value"))
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in ``session_window`` sessionization (merging-window state
     store, no Python workers) with a 30-min gap and 2-h watermark, run as
@@ -2526,6 +2567,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "agg_rollup": agg_rollup,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_dedup_replay": stream_dedup_replay,
     "stream_session_window": stream_session_window,
     "stream_delta_sink": stream_delta_sink,
     "stream_sessionize_stateful": stream_sessionize_stateful,
@@ -3671,6 +3713,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS total_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "stream_dedup_replay": """
+            -- double delivery deduped back to exactly the base table
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS total_value,
+                   CAST(SUM(event_id) AS BIGINT) AS id_checksum
+            FROM events
+            GROUP BY event_type ORDER BY event_type
         """,
         "bucketed_colocated_join": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,

@@ -257,6 +257,26 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, "inner").drop("__lt", "__rt")
 
 
+def stream_dedup(
+    stream: DataFrame,
+    *,
+    key_cols: Iterable[str],
+    time_col: str,
+    watermark: str,
+) -> DataFrame:
+    """Exactly-once streaming deduplication: emit each key's FIRST
+    arrival, drop replays, via ``dropDuplicatesWithinWatermark``. The
+    watermark bounds state to keys seen within the horizon — unlike
+    plain ``dropDuplicates`` on a stream, whose key state grows with
+    the full stream history, this runs forever on an unbounded source
+    (at-least-once upstream delivery -> exactly-once downstream, the
+    standard Kafka-replay / file-redelivery cleanup). Rows are emitted
+    immediately (append mode, no window holdback)."""
+    return stream.withWatermark(
+        time_col, watermark
+    ).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def run_available_now(sdf: DataFrame, *, output_mode: str = "append") -> DataFrame:
     """Run a streaming DataFrame to completion over available input via
     the memory sink; return the materialized batch result."""

@@ -204,3 +204,45 @@ def test_stream_stream_interval_join_matches_batch(spark, event_dir):
     assert got_single == want and len(want) > 0
     got_multi = {tuple(r) for r in run(max_files=1).collect()}
     assert got_multi == want
+
+
+def test_stream_dedup_replay_exactly_once(spark, event_dir):
+    """Every row delivered twice (two file sources over the same dir);
+    dropDuplicatesWithinWatermark must emit exactly the single-copy
+    set."""
+    from deltalake_spark.streaming.windowed import stream_dedup
+
+    def src():
+        return read_parquet_stream(spark, event_dir).withColumn(
+            "event_ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+    doubled = src().unionAll(src())
+    out = run_available_now(stream_dedup(
+        doubled, key_cols=["event_id"], time_col="event_ts",
+        watermark="1000 hours"))
+    base = spark.read.parquet(event_dir)
+    assert out.count() == base.count()
+    got = {r["event_id"] for r in out.select("event_id").collect()}
+    want = {r["event_id"] for r in base.select("event_id").collect()}
+    assert got == want
+
+
+def test_stream_dedup_across_micro_batches(spark, event_dir):
+    """Duplicates split across micro-batches (maxFilesPerTrigger=1 on
+    each source) still dedup — key state crosses batch boundaries."""
+    from deltalake_spark.streaming.windowed import stream_dedup
+
+    def src():
+        return read_parquet_stream(
+            spark, event_dir, max_files_per_trigger=1
+        ).withColumn(
+            "event_ts",
+            F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+    doubled = src().unionAll(src())
+    out = run_available_now(stream_dedup(
+        doubled, key_cols=["event_id"], time_col="event_ts",
+        watermark="1000 hours"))
+    base_n = spark.read.parquet(event_dir).count()
+    assert out.count() == base_n
