@@ -197,6 +197,7 @@ def _probe_udf(centroids: list[list[float]], nprobe: int):
 
 
 _JVM_MAX_K = 64
+_PROBE_CACHE: "dict[tuple, Column]" = {}
 
 
 def _probe_expr(centroids: list[list[float]], vec_sql: str,
@@ -208,7 +209,15 @@ def _probe_expr(centroids: list[list[float]], vec_sql: str,
 
     Built as ONE SQL string parsed JVM-side: constructing the same tree
     through per-literal Column calls costs ~2 s of py4j round trips at
-    k=8, dim=64 (measured) and would dominate the whole query."""
+    k=8, dim=64 (measured) and would dominate the whole query. The
+    parsed Column is memoized per (centroids, vec_sql, nprobe):
+    Catalyst's parse of the ~10 KB literal tree costs ~0.2 s, paid once
+    per codebook instead of per query (Columns are plain expression
+    trees, reusable across DataFrames within a session)."""
+    key = (tuple(tuple(c) for c in centroids), vec_sql, nprobe)
+    cached = _PROBE_CACHE.get(key)
+    if cached is not None:
+        return cached
     v = f"cast({vec_sql} as array<double>)"
     structs = []
     for i, c in enumerate(centroids):
@@ -220,7 +229,11 @@ def _probe_expr(centroids: list[list[float]], vec_sql: str,
             f"named_struct('s', {dot} - {half_sq}D, 'i', {i})"
         )
     ranked = f"reverse(array_sort(array({','.join(structs)})))"
-    return F.expr(f"transform(slice({ranked}, 1, {nprobe}), e -> e.i)")
+    col = F.expr(f"transform(slice({ranked}, 1, {nprobe}), e -> e.i)")
+    if len(_PROBE_CACHE) > 64:  # bounded: codebooks are few per session
+        _PROBE_CACHE.clear()
+    _PROBE_CACHE[key] = col
+    return col
 
 
 def ivf_assign(
