@@ -347,3 +347,89 @@ def test_commit_store_retry_loop_resolves_race(spark, tmp_path):
         assert sorted(r["id"] for r in t.query({}).collect()) == [1, 2]
     finally:
         set_commit_store(prev)
+
+
+def test_hard_storage_failure_leaves_table_consistent(spark, tmp_path):
+    """A storage exception (not a 412) thrown mid-commit must leave the
+    table at its previous version with no partial/corrupt state, and a
+    later write must succeed (reference error-recovery-consistency:
+    'Commit File Write Failure' / 'No Data Corruption During Error
+    Scenarios')."""
+    from deltalake_spark.delta.commitstore import (
+        ConditionalPutCommitStore,
+        set_commit_store,
+    )
+    from deltalake_spark.delta.table import DeltaTable
+
+    t = DeltaTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1,), (2,)], "id long"))
+    v0 = t.version()
+
+    real = set_commit_store(None)
+    mode = {"fail": False}
+
+    def put(path, payload):
+        if mode["fail"]:
+            raise IOError("storage quota exceeded")
+        try:
+            real.write_if_absent(path, payload)
+            return True
+        except Exception:
+            return False
+
+    set_commit_store(ConditionalPutCommitStore(put))
+    try:
+        mode["fail"] = True
+        with pytest.raises(Exception):
+            t.write(spark.createDataFrame([(3,)], "id long"))
+        mode["fail"] = True
+        with pytest.raises(Exception):
+            t.delete({"id": 1})
+        # table state: still the pre-failure snapshot, fully readable
+        assert t.version() == v0
+        assert sorted(r["id"] for r in t.query({}).collect()) == [1, 2]
+        # recovery: the same operations succeed once storage heals
+        mode["fail"] = False
+        t.write(spark.createDataFrame([(3,)], "id long"))
+        t.delete({"id": 1})
+        assert sorted(r["id"] for r in t.query({}).collect()) == [2, 3]
+    finally:
+        set_commit_store(real)
+
+
+def test_intermittent_failures_with_retry_converge(spark, tmp_path):
+    """Transient storage failures on the first two attempts succeed on
+    the third under with_retry — and every row of every attempt's batch
+    lands exactly once (reference 'Intermittent Storage Failures')."""
+    from deltalake_spark.delta.commitstore import (
+        ConditionalPutCommitStore,
+        set_commit_store,
+    )
+    from deltalake_spark.delta.retry import RetryConfig, with_retry
+    from deltalake_spark.delta.table import DeltaTable
+
+    real = set_commit_store(None)
+    flaky = {"left": 2}
+
+    def put(path, payload):
+        if flaky["left"] > 0:
+            flaky["left"] -= 1
+            raise IOError("transient network error")
+        try:
+            real.write_if_absent(path, payload)
+            return True
+        except Exception:
+            return False
+
+    set_commit_store(ConditionalPutCommitStore(put))
+    try:
+        t = DeltaTable(spark, str(tmp_path / "t"))
+        with_retry(
+            lambda: t.write(spark.createDataFrame([(1,), (2,)], "id long")),
+            RetryConfig(max_attempts=5, initial_delay=0.01),
+            is_retryable_fn=lambda e: isinstance(e, IOError),
+        )
+        assert sorted(r["id"] for r in t.query({}).collect()) == [1, 2]
+        assert flaky["left"] == 0
+    finally:
+        set_commit_store(real)

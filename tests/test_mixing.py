@@ -205,3 +205,31 @@ def test_deterministic_shuffle_stable(spark, mix_corpus):
     c = [r["doc_id"] for r in
          deterministic_shuffle(mix_corpus, seed=4).collect()]
     assert a != c
+
+
+# ---------------------------------------------------------- property tests
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# tiny alphabet + short docs force heavy span collisions
+_doc = st.lists(st.sampled_from("aa bb cc".split()), min_size=0,
+                max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc, min_size=1, max_size=8), k=st.integers(1, 4))
+def test_span_dedup_matches_reference(spark, texts, k):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # Python reference: first-occurrence-wins over (doc_id, pos)
+    seen, want = set(), {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        spans = [" ".join(toks[i:i + k]) for i in range(0, len(toks), k)]
+        kept = [s for s in spans if s not in seen and not seen.add(s)]
+        want[doc_id] = (" ".join(kept), len(spans), len(kept))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_spans_total"], r["n_spans_kept"])
+           for r in span_dedup(df, span_tokens=k).collect()}
+    assert got == want
