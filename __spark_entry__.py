@@ -869,6 +869,32 @@ def deterministic_shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, seed=3).limit(15)
 
 
+def lm_perplexity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM quality filtering (CCNet stage): add-one
+    smoothed bigram LM built from the corpus itself (capped broadcast
+    model via TakeOrderedAndProject), every doc scored by mean bigram
+    log-probability, low-scoring docs flagged. Model joins are all
+    broadcast; the only data shuffles are the model counts and the
+    per-doc aggregation."""
+    from deltalake_spark.operators.lm import bigram_model, lm_doc_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    big, uni = bigram_model(docs)
+    scored = lm_doc_scores(docs, big, uni)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("bigrams_scored"),
+            F.round(F.avg("avg_logprob"), 6).alias("mean_lp"),
+            F.round(F.min("avg_logprob"), 6).alias("min_lp"),
+            F.sum((F.col("avg_logprob") < -3.5).cast("long"))
+            .alias("flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
 def write_rows_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless dict ingestion (reference write(rows) with the type-
     inference lattice, src/delta/table.ts:1289-1432): heterogeneous
@@ -2545,6 +2571,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction_stats": pii_redaction_stats,
     "repetition_filter_stats": repetition_filter_stats,
     "span_dedup_stats": span_dedup_stats,
+    "lm_perplexity_stats": lm_perplexity_stats,
     "mixture_temperature_sample": mixture_temperature_sample,
     "deterministic_shuffle_head": deterministic_shuffle_head,
     "write_rows_ingest": write_rows_ingest,
@@ -3134,6 +3161,47 @@ def oracle_sql() -> dict[str, str]:
                    MAX(tokens_total) AS tokens_total,
                    CAST(SUM(doc_id) AS BIGINT) AS id_checksum
             FROM sel GROUP BY source ORDER BY source
+        """,
+        "lm_perplexity_stats": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents),
+            idx AS (
+              SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2),
+            bg AS (
+              SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2 FROM idx),
+            c12 AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM bg
+              GROUP BY w1, w2
+              ORDER BY c12 DESC, w1, w2 LIMIT 50000),
+            c1 AS (
+              SELECT w1, COUNT(*) AS c1
+              FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+            v AS (SELECT COUNT(*) AS v FROM c1),
+            lp AS (
+              SELECT bg.doc_id, bg.lang,
+                     ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE)
+                        / (COALESCE(c1.c1, 0) + v.v)) AS lp
+              FROM bg
+              LEFT JOIN c12 USING (w1, w2)
+              LEFT JOIN c1 USING (w1)
+              CROSS JOIN v),
+            per_doc AS (
+              SELECT doc_id, lang, COUNT(*) AS nb,
+                     ROUND(AVG(lp), 6) AS alp
+              FROM lp GROUP BY doc_id, lang)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(nb) AS BIGINT) AS bigrams_scored,
+                   ROUND(AVG(alp), 6) AS mean_lp,
+                   ROUND(MIN(alp), 6) AS min_lp,
+                   CAST(SUM(CASE WHEN alp < -3.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS flagged
+            FROM per_doc GROUP BY lang ORDER BY lang
         """,
         "deterministic_shuffle_head": """
             SELECT doc_id, lang,

@@ -12,6 +12,8 @@
   corpus-global span dedup (C4-style).
 - ``mixing``     — temperature mixture weights, token-budget sampling
   (distributed prefix sum), deterministic global shuffle.
+- ``lm``         — bigram-LM perplexity scoring for quality filtering
+  (capped broadcast model, CCNet-style).
 - ``skew``       — salting patterns for heavy-hitter keys (top-k, exact
   distinct counts, replicate joins) beyond what AQE covers.
 """

@@ -92,6 +92,18 @@ def test_scalar_subquery_broadcast_allowed(spark):
     assert s.nested_loop_joins <= 1  # the scalar avg attach only
 
 
+def test_lm_perplexity_plan(spark):
+    """LM scoring: the vocabulary-size attach is a sanctioned 1-row
+    broadcast nested-loop (same class as q22's scalar); everything else
+    must stay broadcast-joined with bounded shuffles."""
+    df = entry_mod.queries()["lm_perplexity_stats"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # the 1-row V attach only
+    assert s.shuffles <= 6
+    assert s.broadcast_joins >= 2  # model joins never shuffle the corpus
+
+
 def test_summary_counts(spark):
     df = entry_mod.queries()["q5_nation_volume"](spark, SF)
     s = plan_summary(df)
