@@ -1837,6 +1837,68 @@ def cc_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embeddings table (ANN index
+    memory prep): per-vector symmetric scale, integer checksum of all
+    quantized components (exact cross-engine), reconstruction-error
+    stats. Map-only — zero shuffle before the final agg."""
+    from deltalake_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.aggregate(
+                F.col("qvec"), F.lit(0),
+                lambda acc, x: acc + x)).alias("q_checksum"),
+            F.round(F.avg("max_abs_err"), 6).alias("avg_err"),
+            F.round(F.max("scale"), 6).alias("max_scale"),
+        )
+        .orderBy("label")
+    )
+
+
+def dedup_canonical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pruning: exact Jaccard-verified pairs
+    (lang-blocked, deterministic) → connected components → keep one
+    CANONICAL doc per cluster (the component's min id) and drop the
+    rest — the full candidate→verify→cluster→select flow a production
+    dedup pipeline runs, with corpus-reduction stats per language.
+    Value-level oracle via a recursive CTE over the same pairs."""
+    from deltalake_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = docs.groupBy("lang").agg(
+        F.collect_list("doc_id").alias("member_ids"))
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text",
+        n=3, threshold=0.7, candidates=cands,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"),
+                     F.col("id_b").alias("dst")))
+    joined = docs.join(comp, docs["doc_id"] == comp["node"], "left")
+    kept = F.col("component").isNull() | (
+        F.col("component") == F.col("doc_id"))
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("long")).alias("kept"),
+            F.sum((~kept).cast("long")).alias("dropped"),
+            F.coalesce(
+                F.sum(F.when(~kept, F.col("doc_id"))), F.lit(0)
+            ).alias("dropped_id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (training-data pipelines):
     keep-fraction per stratum keyed on the id — reproducible across
@@ -2572,6 +2634,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_filter_stats": repetition_filter_stats,
     "span_dedup_stats": span_dedup_stats,
     "lm_perplexity_stats": lm_perplexity_stats,
+    "dedup_canonical_stats": dedup_canonical_stats,
+    "embedding_quantization_stats": embedding_quantization_stats,
     "mixture_temperature_sample": mixture_temperature_sample,
     "deterministic_shuffle_head": deterministic_shuffle_head,
     "write_rows_ingest": write_rows_ingest,
@@ -3202,6 +3266,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN alp < -3.5 THEN 1 ELSE 0 END)
                         AS BIGINT) AS flagged
             FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "embedding_quantization_stats": """
+            WITH v AS (
+              SELECT label,
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (
+              SELECT label, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127
+                       AS scale
+              FROM v),
+            q AS (
+              SELECT label, v, scale,
+                     CASE WHEN scale = 0
+                          THEN list_transform(v, x -> 0)
+                          ELSE list_transform(
+                            v, x -> CAST(round(x / scale) AS INT))
+                     END AS qv
+              FROM s),
+            e AS (
+              SELECT label, scale, qv,
+                     CASE WHEN scale = 0 THEN 0.0
+                          ELSE list_max(list_transform(
+                            range(1, len(v) + 1),
+                            i -> abs(v[i] - qv[i] * scale)))
+                     END AS err
+              FROM q)
+            SELECT label, COUNT(*) AS n_vecs,
+                   CAST(SUM(list_sum(qv)) AS BIGINT) AS q_checksum,
+                   ROUND(AVG(err), 6) AS avg_err,
+                   ROUND(MAX(scale), 6) AS max_scale
+            FROM e GROUP BY label ORDER BY label
+        """,
+        "dedup_canonical_stats": """
+            WITH RECURSIVE
+            g AS (
+              SELECT doc_id, lang,
+                     UNNEST(list_distinct(list_transform(
+                         range(1, greatest(len(text) - 2, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 3)))) AS gram
+              FROM documents),
+            sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+              FROM g a JOIN g b ON a.gram = b.gram AND a.lang = b.lang
+                               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            e AS (
+              SELECT id_a AS a, id_b AS b
+              FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            nodes AS (SELECT DISTINCT a AS node FROM sym),
+            reach AS (
+              SELECT node, node AS label FROM nodes
+              UNION
+              SELECT s.a AS node, r.label
+              FROM sym s JOIN reach r ON r.node = s.b),
+            comp AS (SELECT node, MIN(label) AS component
+                     FROM reach GROUP BY 1),
+            marked AS (
+              SELECT d.lang, d.doc_id,
+                     (c.component IS NULL
+                      OR c.component = d.doc_id) AS kept
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END)
+                        AS BIGINT) AS kept,
+                   CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END)
+                        AS BIGINT) AS dropped,
+                   CAST(COALESCE(SUM(CASE WHEN NOT kept
+                        THEN doc_id END), 0) AS BIGINT)
+                     AS dropped_id_checksum
+            FROM marked GROUP BY lang ORDER BY lang
         """,
         "deterministic_shuffle_head": """
             SELECT doc_id, lang,

@@ -233,3 +233,44 @@ def test_simhash_near_pairs_recall_guarantee(spark):
     # distances reported are exact
     for pair, h in got.items():
         assert h == want[pair]
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark, tables):
+    """Int8 scalar quantization: components within ±levels, per-vector
+    reconstruction error bounded by scale/2, and the dequantized vector
+    still cosine-matches the original closely."""
+    import math
+
+    from deltalake_spark.operators.similarity import (
+        cosine_expr,
+        quantize_embeddings,
+    )
+
+    emb = tables["embeddings"]
+    q = quantize_embeddings(emb, levels=127)
+    rows = q.select("qvec", "scale", "max_abs_err").limit(200).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+    deq = q.withColumn(
+        "deq",
+        F.transform(F.col("qvec"), lambda x: x * F.col("scale")),
+    ).withColumn(
+        "cos", cosine_expr(F.col("embedding"), F.col("deq"))
+    )
+    min_cos = deq.agg(F.min("cos")).first()[0]
+    assert min_cos > 0.995  # int8 keeps angular structure
+
+
+def test_quantize_zero_vector(spark):
+    from deltalake_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["qvec"] == [0, 0, 0]
+    assert out[1]["scale"] == 0.0 and out[1]["max_abs_err"] == 0.0
+    assert out[2]["qvec"][1] == -127  # max-magnitude component saturates
