@@ -205,3 +205,96 @@ def test_session_windows_state_bounded_at_volume(spark, staged_stream_dir):
     assert sizes == {500}, f"session sizes wrong: {sorted(sizes)[:5]}"
     peak = _max_state_rows(query)
     assert 0 < peak < 1000, f"session state not bounded: {peak}"
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """500k synthetic docs (~5M tokens) with planted duplicate spans:
+    every 10th doc repeats doc (id-10)'s text exactly, and a hot
+    boilerplate sentence appears in ~10% of docs."""
+    base = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 10 == 3, F.lit("common boilerplate "
+                                                "header text here "))
+            .otherwise(F.lit("")),
+            F.lit("w"), ((F.col("id") - (F.col("id") % 10)
+                          * (F.col("id") % 10 == 9).cast("int"))
+                         % 50_000).cast("string"),
+            F.lit(" alpha beta "),
+            F.lit("u"), (F.col("id") % 7_919).cast("string"),
+            F.lit(" gamma delta epsilon"),
+        ).alias("text"),
+        (F.pmod(F.col("id"), F.lit(20))).cast("string").alias("source"),
+    )
+    return base.persist()
+
+
+def test_span_dedup_conserves_spans_at_volume(spark, big_docs):
+    """Invariants at 500k docs: kept <= total per doc, global kept-span
+    count == number of DISTINCT spans in the corpus (each survives
+    exactly once), and no doc gains spans."""
+    from deltalake_spark.operators.curation import span_dedup
+
+    out = span_dedup(big_docs, span_tokens=4)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_spans_total").alias("total"),
+        F.sum("n_spans_kept").alias("kept"),
+        F.sum((F.col("n_spans_kept") > F.col("n_spans_total"))
+              .cast("long")).alias("bad"),
+    ).first()
+    assert agg.docs == 500_000 and agg.bad == 0
+    # distinct spans in the corpus — computed independently
+    from deltalake_spark.operators.curation import span_dedup as _sd
+    distinct_spans = (
+        _sd(big_docs, span_tokens=4, mark_only=True)
+        .select("span").distinct().count()
+    )
+    assert agg.kept == distinct_spans
+    assert agg.kept < agg.total  # planted duplicates actually deduped
+
+
+def test_token_budget_sampler_exact_at_volume(spark, big_docs):
+    """The distributed prefix sum must agree with per-source sequential
+    selection at 500k docs / 20 sources: per-source selected token sums
+    stay within budget and hit the largest prefix (adding the next doc
+    in priority order would overflow)."""
+    from deltalake_spark.operators.mixing import (
+        sample_by_token_budget,
+        temperature_budgets,
+    )
+
+    budgets = temperature_budgets(big_docs, budget_num=1, budget_den=3)
+    sel = sample_by_token_budget(big_docs, budgets, seed=11)
+    per = sel.groupBy("source").agg(
+        F.sum("tok").alias("tok_sel"),
+        F.max("cum_tokens").alias("max_cum"),
+        F.max("budget").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = per.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["tok_sel"] == r["max_cum"] <= r["budget"]
+        assert r["n"] > 0
+    # maximality: the smallest unselected candidate per source would
+    # overflow the budget (prefix property of the running sum)
+    from deltalake_spark.operators.mixing import doc_priority, token_count
+    all_cum = big_docs.withColumn(
+        "tok", token_count(F.col("text"))
+    ).withColumn("pri", doc_priority(F.col("doc_id"), 11))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("source").orderBy("pri", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    seq = all_cum.withColumn("cum", F.sum("tok").over(w))
+    first_over = (
+        seq.join(F.broadcast(budgets.select("source", "budget")),
+                 "source")
+        .filter(F.col("cum") > F.col("budget"))
+        .groupBy("source").agg(F.min("cum").alias("first_over"))
+    )
+    chk = per.join(first_over, "source", "left").collect()
+    for r in chk:
+        if r["first_over"] is not None:
+            assert r["max_cum"] < r["first_over"]
