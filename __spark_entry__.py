@@ -728,6 +728,40 @@ def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_clone_diverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone lifecycle: source table (part fixture) takes a DV
+    delete; the clone pins that snapshot zero-copy (absolute-path
+    adds), then diverges — its own delete + update — while the source
+    takes a further delete the clone must NOT see. Output is the union
+    of both tables' final aggregates; the oracle recomputes each branch
+    from the fixture."""
+    part = _t(spark, sf_dir, "part")
+    src = _fresh_table(spark, "clone_src")
+    src.write(part)
+    src.enable_deletion_vectors()
+    src.delete({"p_size": {"$lt": 10}})
+    clone = src.clone(os.path.join(
+        os.path.dirname(src.path), "the_clone"))
+    clone.delete({"p_type": "PROMO"})
+    clone.update({"p_brand": "Brand#1"},
+                 {"p_retailprice": "p_retailprice * 2"})
+    src.delete({"p_size": {"$gt": 40}})  # post-clone: clone unaffected
+
+    def agg(t, which):
+        return (
+            t.to_df()
+            .groupBy(F.lit(which).alias("side"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+                F.sum("p_size").alias("size_sum"),
+            )
+        )
+
+    return agg(src, "source").unionByName(
+        agg(clone, "clone")).orderBy("side")
+
+
 def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any token 10-gram
     with the eval slice (doc_id % 50 == 0) are flagged. Eval grams
@@ -2636,6 +2670,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity_stats": lm_perplexity_stats,
     "dedup_canonical_stats": dedup_canonical_stats,
     "embedding_quantization_stats": embedding_quantization_stats,
+    "delta_clone_diverge": delta_clone_diverge,
     "mixture_temperature_sample": mixture_temperature_sample,
     "deterministic_shuffle_head": deterministic_shuffle_head,
     "write_rows_ingest": write_rows_ingest,
@@ -3266,6 +3301,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN alp < -3.5 THEN 1 ELSE 0 END)
                         AS BIGINT) AS flagged
             FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        "delta_clone_diverge": """
+            WITH src AS (
+              SELECT * FROM part
+              WHERE p_size >= 10 AND NOT p_size > 40),
+            cl AS (
+              SELECT p_partkey, p_brand, p_size,
+                     CASE WHEN p_brand = 'Brand#1'
+                          THEN p_retailprice * 2
+                          ELSE p_retailprice END AS p_retailprice
+              FROM part
+              WHERE p_size >= 10 AND p_type <> 'PROMO')
+            SELECT 'clone' AS side, COUNT(*) AS n,
+                   ROUND(SUM(p_retailprice), 2) AS total_price,
+                   CAST(SUM(p_size) AS BIGINT) AS size_sum
+            FROM cl
+            UNION ALL
+            SELECT 'source' AS side, COUNT(*) AS n,
+                   ROUND(SUM(p_retailprice), 2) AS total_price,
+                   CAST(SUM(p_size) AS BIGINT) AS size_sum
+            FROM src
+            ORDER BY side
         """,
         "embedding_quantization_stats": """
             WITH v AS (

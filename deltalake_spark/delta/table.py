@@ -367,6 +367,78 @@ class DeltaTable:
         dsnap.maybe_checkpoint(self.path, new_version)
         return {"version": new_version, "restoredVersion": version}
 
+    def clone(self, target_path: str,
+              version: int | None = None) -> "DeltaTable":
+        """Shallow clone (Delta ``CLONE ... SHALLOW``): create a new
+        table at ``target_path`` whose add actions reference THIS
+        table's data files by absolute path — a zero-copy snapshot.
+        The clone has its own log (new table id, fresh version 0);
+        subsequent writes/deletes/optimizes on the clone never touch
+        the source, and vacuum on the clone only ever deletes files
+        under the clone's root (absolute external paths are not listing
+        candidates). Deletion-vector descriptors are rewritten to
+        absolute ``p``-storage so they keep resolving from the clone;
+        inline DVs are carried as-is.
+
+        Engine-native extension of the reference's read-only snapshots
+        (the reference has no CLONE; semantics follow the Delta
+        protocol's shallow-clone layout of absolute-path add actions).
+        """
+        from deltalake_spark.delta.deletion_vectors import (
+            dv_file_candidates,
+        )
+
+        snap = self.snapshot(version)
+        if snap.metadata is None:
+            raise ValidationError("cannot clone: source has no metadata")
+        if snap.partition_columns:
+            # partition values are inferred from the directory layout
+            # under basePath; external absolute-path adds would need
+            # partitionValues-based reading — out of scope for now
+            raise ValidationError(
+                "shallow clone of partitioned tables is not supported")
+        if os.path.exists(dlog.log_dir(target_path)) and \
+                dlog.latest_version(target_path) >= 0:
+            raise ValidationError(
+                f"clone target already a Delta table: {target_path}")
+        os.makedirs(target_path, exist_ok=True)
+        os.makedirs(dlog.log_dir(target_path), exist_ok=True)
+
+        src_root = os.path.abspath(self.path)
+        meta = dict(snap.metadata)
+        meta["id"] = uuid.uuid4().hex
+        meta["createdTime"] = int(time.time() * 1000)
+        adds: list[dict[str, Any]] = []
+        for f in snap.files:
+            a = dict(f)
+            a["path"] = os.path.join(src_root, f["path"])
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                for cand in dv_file_candidates(src_root, dv):
+                    if os.path.exists(cand):
+                        a["deletionVector"] = {
+                            **dv,
+                            "storageType": "p",
+                            "pathOrInlineDv": os.path.abspath(cand),
+                        }
+                        break
+                else:
+                    raise ValidationError(
+                        f"clone: DV file missing for {f['path']}")
+            adds.append(a)
+        proto = snap.protocol or dlog.protocol_action()["protocol"]
+        actions = (
+            [dlog.commit_info_action(
+                "CLONE",
+                {"source": src_root, "sourceVersion": snap.version},
+                numFiles=len(adds),
+            )]
+            + [{"protocol": dict(proto)}, {"metaData": meta}]
+            + [{"add": a} for a in adds]
+        )
+        dlog.write_commit(target_path, 0, actions)
+        return DeltaTable(self.spark, target_path)
+
     def update_metadata(
         self, configuration: Mapping[str, str],
         min_protocol: "tuple[int, int] | None" = None,
@@ -842,14 +914,20 @@ class DeltaTable:
     def enable_deletion_vectors(self) -> int:
         return self.update_metadata({"delta.enableDeletionVectors": "true"})
 
-    def _rel_file_expr(self) -> Column:
-        """Table-relative data file path from the _metadata column
-        (robust to the URI form — file:/, file:///, or bare path)."""
-        anchor = self.path + "/"
-        return F.expr(
-            "substring(_metadata.file_path, "
-            f"locate('{anchor}', _metadata.file_path) + {len(anchor)})"
-        )
+    def _file_key_expr(self) -> Column:
+        """Full (scheme-stripped, still percent-encoded) data file path
+        from the _metadata column — robust to the URI form (file:/,
+        file:///, or bare path) AND to external absolute-path adds
+        (shallow clones), which a table-root-relative key cannot be."""
+        return F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:(//)?", "")
+
+    def _abs_file_key(self, add_path: str) -> str:
+        """The percent-encoded absolute path a file's _metadata key
+        resolves to — the DV anti-join key for that file."""
+        return urllib.parse.quote(
+            os.path.abspath(os.path.join(self.path, add_path)),
+            safe="/:@!$&'()*+,;=")
 
     # above this many deleted rows the DV anti-join falls back from a
     # broadcast to a shuffle join (cardinality is known exactly from the
@@ -872,7 +950,7 @@ class DeltaTable:
                 continue
             if d.get("storageType"):
                 spec_rows.append((
-                    f["path"], d["storageType"],
+                    self._abs_file_key(f["path"]), d["storageType"],
                     d.get("pathOrInlineDv", ""),
                     int(d.get("offset") or 0),
                     int(d.get("sizeInBytes") or 0),
@@ -881,11 +959,19 @@ class DeltaTable:
                 legacy_paths.add(d["path"])
         parts: list[DataFrame] = []
         if legacy_paths:
+            # legacy sidecars store table-relative paths — resolve to
+            # the absolute join key the scan side now produces
+            root = urllib.parse.quote(
+                os.path.abspath(self.path) + "/",
+                safe="/:@!$&'()*+,;=")
             parts.append(
                 self.spark.read
                 .schema("file_path string, row_index long")
                 .parquet(*[os.path.join(self.path, p)
                            for p in legacy_paths])
+                .withColumn(
+                    "file_path",
+                    F.concat(F.lit(root), F.col("file_path")))
             )
         if spec_rows:
             parts.append(self._spec_dv_expand(spec_rows))
@@ -929,15 +1015,11 @@ class DeltaTable:
                         "offset": int(r.offset),
                         "sizeInBytes": int(r.size_bytes),
                     })
-                    # the anti-join key __fp is the percent-ENCODED
-                    # _metadata.file_path URI substring; descriptors key
-                    # files by the DECODED add-action path — re-encode
-                    # with Hadoop Path.toUri's safe set (sub-delims,
-                    # ':@/' stay literal; space/#/%/? escape)
-                    enc = urllib.parse.quote(
-                        r.file_path, safe="/:@!$&'()*+,;=")
+                    # r.file_path arrives as the percent-encoded
+                    # ABSOLUTE key (built by _abs_file_key with Hadoop
+                    # Path.toUri's safe set) matching _file_key_expr
                     yield pd.DataFrame({
-                        "file_path": [enc] * len(idx),
+                        "file_path": [r.file_path] * len(idx),
                         "row_index": pd.array(idx, dtype="int64"),
                     })
 
@@ -958,7 +1040,7 @@ class DeltaTable:
         )
         if total <= self.DV_BROADCAST_MAX_ROWS:
             dv = F.broadcast(dv)
-        keyed = df.withColumn("__fp", self._rel_file_expr()) \
+        keyed = df.withColumn("__fp", self._file_key_expr()) \
                   .withColumn("__ri", F.col("_metadata.row_index"))
         return keyed.join(
             dv,
@@ -1048,8 +1130,16 @@ class DeltaTable:
     # -- DML ---------------------------------------------------------------
 
     def _rel_path(self, spark_file_uri: str) -> str:
+        """Log key for a scanned file: table-relative for files under
+        this table's root, ABSOLUTE for external files (shallow-clone
+        adds reference the source table by absolute path, and the log
+        key must equal the add action's path string exactly or removes
+        / DV descriptors would silently never match)."""
         p = urllib.parse.unquote(urllib.parse.urlparse(spark_file_uri).path)
-        return os.path.relpath(p, self.path).replace(os.sep, "/")
+        rel = os.path.relpath(p, self.path)
+        if rel.startswith(".."):
+            return p
+        return rel.replace(os.sep, "/")
 
     def _to_df_with_file(self) -> DataFrame:
         """Current snapshot scan with a ``__file`` column. The file path
@@ -1148,7 +1238,7 @@ class DeltaTable:
         if snap.partition_columns:
             reader = reader.option("basePath", self.path)
         raw = reader.parquet(*snap.file_paths(self.path))
-        keyed = raw.withColumn("__fp", self._rel_file_expr()) \
+        keyed = raw.withColumn("__fp", self._file_key_expr()) \
                    .withColumn("__ri", F.col("_metadata.row_index"))
         old_dv = self._dv_df(snap)
         live = keyed
@@ -1196,13 +1286,18 @@ class DeltaTable:
                 "file_path string, dv_bytes binary, cardinality long")
             .collect()
         )
-        # __fp is a substring of the _metadata.file_path URI and stays
-        # percent-ENCODED (space/#/% in partition values), while add-action
-        # paths are decoded — unquote before matching or encoded files
-        # would silently never receive their deletionVector descriptor
+        # __fp is the percent-ENCODED absolute path (space/#/% in
+        # partition values), while add-action paths are decoded and may
+        # be table-relative — unquote AND map back through the add key,
+        # or files would silently never receive their deletionVector
+        # descriptor (relative adds) / removes would miss (clone adds)
+        abs_to_add = {
+            os.path.abspath(os.path.join(self.path, f["path"])): f["path"]
+            for f in snap.files
+        }
         blobs = sorted(
-            (urllib.parse.unquote(r["file_path"]), bytes(r["dv_bytes"]),
-             int(r["cardinality"]))
+            (abs_to_add[urllib.parse.unquote(r["file_path"])],
+             bytes(r["dv_bytes"]), int(r["cardinality"]))
             for r in blob_rows
         )
         # tiny bitmaps can ride inline in the log ('i' descriptors,
