@@ -391,12 +391,6 @@ class DeltaTable:
         snap = self.snapshot(version)
         if snap.metadata is None:
             raise ValidationError("cannot clone: source has no metadata")
-        if snap.partition_columns:
-            # partition values are inferred from the directory layout
-            # under basePath; external absolute-path adds would need
-            # partitionValues-based reading — out of scope for now
-            raise ValidationError(
-                "shallow clone of partitioned tables is not supported")
         if os.path.exists(dlog.log_dir(target_path)) and \
                 dlog.latest_version(target_path) >= 0:
             raise ValidationError(
@@ -1027,6 +1021,67 @@ class DeltaTable:
             expand, "file_path string, row_index long"
         )
 
+    def _with_partition_values(
+        self, df: DataFrame, snap: "dsnap.Snapshot",
+        adds: list[dict[str, Any]],
+    ) -> DataFrame:
+        """Attach partition columns from the log's ``add.partitionValues``
+        — the Delta-spec read path (PROTOCOL.md: readers MUST source
+        partition values from the log; data files may omit the columns
+        and need not follow Hive directory layout). A tiny (file →
+        values) frame broadcasts against the scan keyed on the absolute
+        file path; values cast from their canonical string form to the
+        schema type. This makes non-Hive foreign layouts and
+        absolute-path (clone) adds read correctly — directory inference
+        via ``basePath`` handles neither."""
+        pcols = list(snap.partition_columns)
+        if not pcols or not adds:
+            return df
+        schema = StructType.fromJson(json.loads(snap.schema_string)) \
+            if snap.schema_string else StructType([])
+        mapping = self._column_mapping(snap)
+        rows = [
+            (self._abs_file_key(f["path"]),
+             dict(f.get("partitionValues") or {}))
+            for f in adds
+        ]
+        pv = self.spark.createDataFrame(
+            rows, "__fp string, __pv map<string,string>")
+        out = df.join(F.broadcast(pv), "__fp", "left")
+        for name in pcols:
+            phys = mapping.get(name, name)
+            dtype = next(
+                (f.dataType for f in schema.fields if f.name == name),
+                None)
+            val = F.coalesce(
+                F.col("__pv")[phys], F.col("__pv")[name])
+            out = out.withColumn(
+                phys, val.cast(dtype) if dtype is not None else val)
+        return out.drop("__pv")
+
+    def _keyed_scan(
+        self, snap: "dsnap.Snapshot", adds: list[dict[str, Any]],
+    ) -> DataFrame:
+        """Raw physical-schema scan of ``adds`` with every
+        _metadata-derived column materialized up front (``__file`` raw
+        URI, ``__fp`` absolute join key, ``__ri`` row index) and
+        partition values attached from the log — the _metadata struct
+        stops resolving after any join, so everything derived from it
+        must be columnar before ``_with_partition_values``."""
+        phys = self._physical_schema(
+            StructType.fromJson(json.loads(snap.schema_string))
+            if snap.schema_string else StructType([]),
+            self._column_mapping(snap))
+        reader = self.spark.read.schema(phys)
+        raw = (
+            reader.parquet(
+                *[os.path.join(self.path, f["path"]) for f in adds])
+            .withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__fp", self._file_key_expr())
+            .withColumn("__ri", F.col("_metadata.row_index"))
+        )
+        return self._with_partition_values(raw, snap, adds)
+
     def _apply_dv(self, df: DataFrame,
                   snap: "dsnap.Snapshot") -> DataFrame:
         dv = self._dv_df(snap)
@@ -1040,8 +1095,10 @@ class DeltaTable:
         )
         if total <= self.DV_BROADCAST_MAX_ROWS:
             dv = F.broadcast(dv)
-        keyed = df.withColumn("__fp", self._file_key_expr()) \
-                  .withColumn("__ri", F.col("_metadata.row_index"))
+        keyed = df
+        if "__fp" not in keyed.columns:
+            keyed = keyed.withColumn("__fp", self._file_key_expr()) \
+                         .withColumn("__ri", F.col("_metadata.row_index"))
         return keyed.join(
             dv,
             (keyed["__fp"] == dv["file_path"])
@@ -1058,10 +1115,7 @@ class DeltaTable:
         if not paths:
             return self.spark.createDataFrame([], schema)
         phys = self._physical_schema(schema, mapping)
-        reader = self.spark.read.schema(phys)
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.path)
-        df = self._apply_dv(reader.parquet(*paths), snap)
+        df = self._apply_dv(self._keyed_scan(snap, adds), snap)
         return self._to_logical(
             df.select(*[f.name for f in phys.fields]), mapping
         )
@@ -1148,11 +1202,7 @@ class DeltaTable:
         snap = self.snapshot()
         mapping = self._column_mapping(snap)
         phys = self._physical_schema(self.schema(), mapping)
-        reader = self.spark.read.schema(phys)
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.path)
-        raw = reader.parquet(*snap.file_paths(self.path)) \
-            .withColumn("__file", F.col("_metadata.file_path"))
+        raw = self._keyed_scan(snap, snap.files)
         return self._to_logical(
             self._apply_dv(raw, snap)
             .select(*[f.name for f in phys.fields], "__file"),
@@ -1177,15 +1227,8 @@ class DeltaTable:
         schema = self.schema()
         mapping = self._column_mapping(snap)
         phys = self._physical_schema(schema, mapping)
-        reader = self.spark.read.schema(phys)
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.path)
-        df = self._apply_dv(
-            reader.parquet(
-                *[os.path.join(self.path, p) for p in rel_paths]
-            ),
-            snap,
-        )
+        subset = [f for f in snap.files if f["path"] in set(rel_paths)]
+        df = self._apply_dv(self._keyed_scan(snap, subset), snap)
         return self._to_logical(
             df.select(*[f.name for f in phys.fields]), mapping
         )
@@ -1233,13 +1276,7 @@ class DeltaTable:
         snap = self.snapshot()
         schema = self.schema()
         mapping = self._column_mapping(snap)
-        reader = self.spark.read.schema(
-            self._physical_schema(schema, mapping))
-        if snap.partition_columns:
-            reader = reader.option("basePath", self.path)
-        raw = reader.parquet(*snap.file_paths(self.path))
-        keyed = raw.withColumn("__fp", self._file_key_expr()) \
-                   .withColumn("__ri", F.col("_metadata.row_index"))
+        keyed = self._keyed_scan(snap, snap.files)
         old_dv = self._dv_df(snap)
         live = keyed
         if old_dv is not None:

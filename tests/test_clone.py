@@ -74,14 +74,30 @@ def test_clone_of_clone(spark, tmp_path, src):
 
 
 def test_clone_guards(spark, tmp_path, src):
-    c = src.clone(str(tmp_path / "c"))
+    src.clone(str(tmp_path / "c"))
     with pytest.raises(ValidationError):
         src.clone(str(tmp_path / "c"))  # target already a table
+
+
+def test_clone_partitioned(spark, tmp_path):
+    """Partitioned clones work because partition values come from the
+    log (add.partitionValues), not directory inference — external
+    absolute paths have no usable directory layout."""
     p = DeltaTable(spark, str(tmp_path / "part"))
-    p.write(spark.createDataFrame([(1, "a")], "id long, k string"),
-            partition_by=["k"])
-    with pytest.raises(ValidationError):
-        p.clone(str(tmp_path / "pc"))  # partitioned unsupported
+    p.write(spark.createDataFrame(
+        [(i, ["a", "b", None][i % 3]) for i in range(9)],
+        "id long, k string"), partition_by=["k"])
+    c = p.clone(str(tmp_path / "pc"))
+    assert _ids(c) == list(range(9))
+    assert sorted(r["id"] for r in c.query({"k": "a"}).collect()) \
+        == [0, 3, 6]
+    # null partition (__HIVE_DEFAULT_PARTITION__) round-trips
+    assert sorted(r["id"] for r in
+                  c.query({"k": {"$exists": False}}).collect()) \
+        == [2, 5, 8]
+    c.delete({"k": "b"})
+    assert _ids(c) == [0, 2, 3, 5, 6, 8]
+    assert _ids(p) == list(range(9))
 
 
 def test_clone_vacuum_never_touches_source(spark, tmp_path, src):
