@@ -96,7 +96,16 @@ def _file_can_match(
             # partition values are strings (Hive dirs); string-compare
             val = pv.get(col)
             if val is None:
-                continue  # null partition: only $eq None could match — keep
+                # null partition: $eq/$in with non-null operands can
+                # never match (engine equality excludes nulls, matching
+                # Mongo bare-equality semantics); other ops stay
+                # conservative
+                if op == "$eq" and v is not None:
+                    return False
+                if op == "$in" and isinstance(v, (list, tuple)) and \
+                        None not in v:
+                    return False
+                continue
             if op == "$eq" and str(v) != val:
                 return False
             if op == "$in" and isinstance(v, (list, tuple)) and \

@@ -111,3 +111,84 @@ def test_engine_can_extend_foreign_table(spark, foreign_table):
                                   "id long, v string, part string"))
     assert sorted(r.id for r in t.to_df().collect()) == [1, 2, 3, 9]
     assert t.version() == 2
+
+
+def test_reads_foreign_non_hive_layout(spark, tmp_path):
+    """The Delta spec does NOT require Hive directory layout — partition
+    values come from add.partitionValues. A foreign table with FLAT
+    data files (no part=x/ dirs) must read, filter, and prune
+    correctly."""
+    root = str(tmp_path / "flat")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    def write_flat(rel, ids, vs):
+        dest = os.path.join(root, rel)
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64()),
+                      "v": pa.array(vs, pa.string())}), dest)
+        return os.path.getsize(dest)
+
+    s1 = write_flat("f-aaa.parquet", [1, 2], ["x", "y"])
+    s2 = write_flat("f-bbb.parquet", [3, 4], ["p", "q"])
+    s3 = write_flat("f-ccc.parquet", [5], ["n"])
+    adds = [
+        ("f-aaa.parquet", {"part": "a"}, s1, 2),
+        ("f-bbb.parquet", {"part": "b"}, s2, 2),
+        # null partition: spec serializes as JSON null
+        ("f-ccc.parquet", {"part": None}, s3, 1),
+    ]
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-flat", "format": {"provider": "parquet"},
+            "schemaString": SCHEMA_JSON, "partitionColumns": ["part"],
+            "configuration": {}, "createdTime": 1700000000000,
+        }},
+    ] + [
+        {"add": {"path": p, "partitionValues": pv, "size": s,
+                 "modificationTime": 1700000000000, "dataChange": True,
+                 "stats": json.dumps({"numRecords": n})}}
+        for p, pv, s, n in adds
+    ])
+
+    t = DeltaTable(spark, root)
+    rows = {(r["id"], r["part"]) for r in t.query({}).collect()}
+    assert rows == {(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, None)}
+    assert sorted(r["id"] for r in t.query({"part": "b"}).collect()) \
+        == [3, 4]
+    # partition pruning on log values still works without directories
+    t.query({"part": "a"}).collect()
+    assert t.last_query_skipped_files == 2
+    # null partition readable
+    assert [r["id"] for r in
+            t.query({"part": {"$exists": False}}).collect()] == [5]
+
+
+def test_foreign_partition_values_override_file_columns(spark, tmp_path):
+    """Files that DO physically contain the partition column still read
+    the LOG's values (spec: readers must use partitionValues)."""
+    root = str(tmp_path / "override")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    dest = os.path.join(root, "g.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([7], pa.int64()),
+                  "v": pa.array(["w"], pa.string()),
+                  "part": pa.array(["stale"], pa.string())}), dest)
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "foreign-ovr", "format": {"provider": "parquet"},
+            "schemaString": SCHEMA_JSON, "partitionColumns": ["part"],
+            "configuration": {}, "createdTime": 1700000000000,
+        }},
+        {"add": {"path": "g.parquet",
+                 "partitionValues": {"part": "fresh"},
+                 "size": os.path.getsize(dest),
+                 "modificationTime": 1700000000000, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 1})}},
+    ])
+    t = DeltaTable(spark, root)
+    assert [(r["id"], r["part"]) for r in t.query({}).collect()] \
+        == [(7, "fresh")]
