@@ -2649,6 +2649,101 @@ def sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-based curation: Naive Bayes classifier, DSIR weights, MG sketch,
+# semantic decontamination (operators/classify.py, sketches.py, curation.py)
+# ---------------------------------------------------------------------------
+
+def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form Naive Bayes (the fastText-classifier role
+    in curation pipelines): train on documents with lang labels — two
+    aggregations, no solver — then score every document via a broadcast
+    join of the V×L model and emit the (true, predicted) confusion
+    counts. Scores are rounded to 6 dp before argmax so summation order
+    can never flip a prediction vs the oracle."""
+    from deltalake_spark.operators.classify import (
+        score_naive_bayes,
+        train_naive_bayes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = train_naive_bayes(docs, text_col="text", label_col="lang")
+    scored = score_naive_bayes(
+        docs, model, id_col="doc_id", text_col="text", keep_cols=["lang"]
+    )
+    return (
+        scored.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting toward the English slice: two unigram
+    LMs (aggregations), broadcast-joined log-ratios, one doc-keyed avg.
+    Top-20 most target-like docs; ties broken by doc_id on both sides."""
+    from deltalake_spark.operators.classify import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        target_filter=F.col("lang") == "en",
+    )
+    return w.orderBy(F.desc("weight"), "doc_id").limit(20)
+
+
+def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus token stream: bounded
+    per-partition counter summaries (capacity 4096), merged by one
+    sketch-keyed sum — the shuffle moves KB summaries, not tokens. The
+    fixture vocabulary fits the capacity, so no compression fires and
+    counts are exact (value-level oracle); the eviction path and its
+    n/(k+1) bound are property-tested in tests/test_sketches.py."""
+    from deltalake_spark.operators.classify import tokenize_ascii
+    from deltalake_spark.operators.sketches import mg_frequent_items
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokenize_ascii(F.col("text"))).alias("token")
+    )
+    mg = mg_frequent_items(toks, col="token", capacity=4096)
+    return (
+        mg.orderBy(F.desc("mg_count"), "token")
+        .limit(15)
+        .select("token", F.col("mg_count").alias("freq"))
+    )
+
+
+def semantic_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: label-0 vectors act as the eval
+    set; every other vector gets its max cosine vs that set (broadcast
+    join + corpus-keyed max, never corpus×corpus) and a ≥0.35 flag.
+    Per-label contamination counts + the rounded max similarity."""
+    from deltalake_spark.operators.curation import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    out = semantic_decontaminate(
+        corpus,
+        eval_df,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.35,
+    )
+    return (
+        out.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("contaminated").cast("long")).alias("contaminated"),
+            F.round(F.max("max_eval_sim"), 6).alias("max_sim"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2663,6 +2758,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # green CORRECTNESS_r02 rows follow — across rounds every query gets a
 # driver-recorded verdict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "nb_language_confusion": nb_language_confusion,
+    "dsir_importance_topk": dsir_importance_topk,
+    "frequent_tokens_sketch": frequent_tokens_sketch,
+    "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
     "repetition_filter_stats": repetition_filter_stats,
@@ -2775,6 +2874,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nb_language_confusion": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS token
+              FROM documents
+            ),
+            counts AS (
+              SELECT lang AS label, token, count(*)::DOUBLE AS c
+              FROM toks GROUP BY 1, 2
+            ),
+            totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM counts),
+            priors AS (
+              SELECT lang AS label,
+                     ln(count(*) / (SELECT count(*)::DOUBLE FROM documents))
+                       AS log_prior
+              FROM documents GROUP BY 1
+            ),
+            pairs AS (
+              SELECT tk.doc_id, tk.lang, p.label, p.log_prior, tk.token
+              FROM toks tk CROSS JOIN priors p
+            ),
+            scored AS (
+              SELECT pr.doc_id, pr.lang, pr.label,
+                     round(pr.log_prior + sum(
+                       ln((coalesce(c.c, 0) + 1.0)
+                          / (tt.t + (SELECT v FROM vocab)))), 6) AS score
+              FROM pairs pr
+              LEFT JOIN counts c
+                ON c.label = pr.label AND c.token = pr.token
+              JOIN totals tt ON tt.label = pr.label
+              GROUP BY pr.doc_id, pr.lang, pr.label, pr.log_prior
+            ),
+            pred AS (
+              SELECT doc_id, lang, label AS predicted,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+              FROM scored
+            )
+            SELECT lang, predicted, count(*) AS n
+            FROM pred WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "dsir_importance_topk": """
+            WITH toks AS (
+              SELECT doc_id, (lang = 'en') AS is_target,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS token
+              FROM documents
+            ),
+            raw AS (
+              SELECT token, count(*)::DOUBLE AS c_raw FROM toks GROUP BY 1
+            ),
+            tgt AS (
+              SELECT token, count(*)::DOUBLE AS c_tgt
+              FROM toks WHERE is_target GROUP BY 1
+            ),
+            stats AS (
+              SELECT count(*)::DOUBLE AS t_raw,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE
+                       AS t_tgt,
+                     count(DISTINCT token)::DOUBLE AS v
+              FROM toks
+            ),
+            lm AS (
+              SELECT r.token,
+                     ln((coalesce(g.c_tgt, 0) + 1.0) / (s.t_tgt + s.v))
+                     - ln((r.c_raw + 1.0) / (s.t_raw + s.v)) AS log_ratio
+              FROM raw r
+              LEFT JOIN tgt g USING (token)
+              CROSS JOIN stats s
+            )
+            SELECT t.doc_id, round(avg(l.log_ratio), 6) AS weight
+            FROM toks t JOIN lm l USING (token)
+            GROUP BY 1
+            ORDER BY weight DESC, doc_id
+            LIMIT 20
+        """,
+        "frequent_tokens_sketch": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS freq
+            FROM toks
+            GROUP BY 1
+            ORDER BY freq DESC, token
+            LIMIT 15
+        """,
+        "semantic_decontam_stats": """
+            WITH ev AS (
+              SELECT embedding::DOUBLE[] AS ev
+              FROM embeddings WHERE label = 0
+            ),
+            corpus AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS emb
+              FROM embeddings WHERE label <> 0
+            ),
+            sims AS (
+              SELECT c.vec_id,
+                     round(max(
+                       list_dot_product(c.emb, e.ev) /
+                       (sqrt(list_dot_product(c.emb, c.emb)) *
+                        sqrt(list_dot_product(e.ev, e.ev)))), 6)
+                       AS max_eval_sim
+              FROM corpus c CROSS JOIN ev e
+              GROUP BY 1
+            )
+            SELECT c.label, count(*) AS n_vecs,
+                   sum(CASE WHEN s.max_eval_sim >= 0.35 THEN 1 ELSE 0 END)
+                     AS contaminated,
+                   round(max(s.max_eval_sim), 6) AS max_sim
+            FROM corpus c JOIN sims s USING (vec_id)
+            GROUP BY 1 ORDER BY 1
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

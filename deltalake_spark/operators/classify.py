@@ -1,0 +1,235 @@
+"""Model-based corpus classification: Naive Bayes + DSIR importance weights.
+
+Large-scale training-data pipelines gate documents with cheap linear
+text classifiers (the fastText quality/language-ID pattern) and select
+domain-relevant data with importance weights (DSIR: Data Selection via
+Importance Resampling, Xie et al. 2023). The reference engine has no
+model-based operators at all — its closest analog is the stopword
+heuristic this repo ships in ``operators/text.py`` — so these are
+north-star additions, built Spark-first:
+
+- **Training is two narrow aggregations** (class priors + per-class
+  token counts), not an iterative solver: multinomial Naive Bayes with
+  add-one smoothing is closed-form, so the "fit" is exactly one shuffle
+  on (label, token) and produces a small model table. Deterministic,
+  partitioning-invariant, and value-level oracle-able in ANSI SQL —
+  properties an SGD fit cannot offer the correctness gate.
+- **Scoring is a broadcast join**, never a UDF: the model (V×L rows,
+  MBs even for web-scale vocabularies after ``min_count`` pruning)
+  broadcasts to every executor; per-document log-likelihood sums are
+  one aggregation on doc_id. At 100 TB the corpus-side cost is a single
+  explode + one shuffle keyed by document — the same shape as the
+  token-count statistics the pipeline computes anyway.
+- **Scores are rounded before argmax** so float-summation order (which
+  Spark does not guarantee) can never flip a prediction between runs or
+  against the DuckDB oracle: ties at 6 decimal places break by label.
+
+DSIR follows the same discipline: unigram LMs for the target slice and
+the raw corpus are two aggregations; the per-document weight
+``mean(log p_target(tok) - log p_raw(tok))`` is one broadcast join and
+one doc-keyed aggregation. Hashed-ngram features (the paper's trick to
+bound V) drop in by replacing the token column with
+``pmod(hash(token), B)`` — at fixture scale raw unigrams keep the
+DuckDB oracle exact, and the hashed variant changes only the join key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokenize_ascii",
+    "NaiveBayesModel",
+    "train_naive_bayes",
+    "score_naive_bayes",
+    "dsir_importance_weights",
+]
+
+
+def tokenize_ascii(col: F.Column) -> F.Column:
+    """Lowercase ASCII-word tokens as an array column (JVM-side).
+
+    Mirrors the oracle's ``regexp_split_to_array(lower(x), '[^a-z]+')``
+    with empties filtered, so Spark and DuckDB tokenize identically.
+    """
+    return F.filter(
+        F.split(F.lower(col), "[^a-z]+"), lambda t: t != F.lit("")
+    )
+
+
+@dataclass(frozen=True)
+class NaiveBayesModel:
+    """Closed-form multinomial NB model as two small DataFrames.
+
+    ``priors``:      label, log_prior (ln of doc-count fraction)
+    ``likelihoods``: label, token, c (token count in that class)
+    ``totals``:      label, t (total token occurrences in that class)
+    ``vocab_size``:  |V| across all classes (add-one denominator).
+
+    All components are aggregation outputs sized by V×L — broadcastable;
+    nothing here scales with corpus row count.
+    """
+
+    priors: DataFrame
+    likelihoods: DataFrame
+    totals: DataFrame
+    vocab_size: int
+
+
+def train_naive_bayes(
+    df: DataFrame,
+    *,
+    text_col: str,
+    label_col: str,
+    min_count: int = 1,
+) -> NaiveBayesModel:
+    """Fit multinomial NB with add-one smoothing in two aggregations.
+
+    ``min_count`` prunes rare (label, token) cells from the model to
+    bound its size on web-scale vocabularies; pruned cells score as
+    unseen (count 0 + smoothing), keeping the formula uniform. The
+    default 1 keeps the model exact for the oracle twin.
+    """
+    n_docs = df.count()
+    priors = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.log(F.count("*") / F.lit(float(n_docs))).alias("log_prior"))
+    )
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokenize_ascii(F.col(text_col))).alias("token"),
+    )
+    likelihoods = (
+        toks.groupBy("label", "token")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    totals = toks.groupBy("label").agg(F.count("*").alias("t"))
+    vocab_size = likelihoods.select("token").distinct().count()
+    return NaiveBayesModel(priors, likelihoods, totals, vocab_size)
+
+
+def score_naive_bayes(
+    df: DataFrame,
+    model: NaiveBayesModel,
+    *,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score documents against every class; pick the argmax class.
+
+    Output: one row per input document with ``predicted`` (argmax
+    label, ties broken by label ascending) and ``score`` (the winning
+    rounded log-posterior) plus ``keep_cols`` carried through.
+
+    Plan shape: explode tokens → broadcast-join the V×L model → one
+    aggregation keyed by (doc, label) → one doc-keyed ranking window.
+    No Python in the hot path; every arithmetic step (ln of a single
+    division, then a sum rounded to ``round_digits``) is replicated
+    exactly by the SQL oracle, and the rounding makes argmax immune to
+    summation-order float drift.
+    """
+    keep_cols = keep_cols or []
+    # each doc token occurrence × each label, then model left-join:
+    # unseen (label, token) cells coalesce to c=0 and get pure smoothing
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        *[F.col(c) for c in keep_cols],
+        F.explode(tokenize_ascii(F.col(text_col))).alias("token"),
+    )
+    labeled = toks.crossJoin(
+        F.broadcast(model.priors.select("label", "log_prior"))
+    )
+    joined = labeled.join(
+        F.broadcast(model.likelihoods), ["label", "token"], "left"
+    ).join(F.broadcast(model.totals), ["label"], "left")
+    v = float(model.vocab_size)
+    tok_ll = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+        / (F.col("t") + F.lit(v))
+    )
+    scored = joined.groupBy(
+        "__doc", *keep_cols, "label", "log_prior"
+    ).agg(F.sum(tok_ll).alias("__ll"))
+    scored = scored.withColumn(
+        "score", F.round(F.col("log_prior") + F.col("__ll"), round_digits)
+    )
+    w = Window.partitionBy("__doc").orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("__doc").alias(id_col),
+            *keep_cols,
+            F.col("label").alias("predicted"),
+            "score",
+        )
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    target_filter: F.Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document DSIR importance weight vs a target slice.
+
+    weight(doc) = mean over tokens of
+    ``ln p_target(tok) - ln p_raw(tok)`` with add-one smoothing over
+    the raw vocabulary (so target-unseen tokens are defined). Documents
+    resembling the target slice score high; resampling by these weights
+    shifts the corpus mixture toward the target domain (DSIR).
+
+    Plan shape: the two unigram LMs are aggregations producing
+    vocabulary-sized tables that broadcast; corpus scoring is one
+    explode + one doc-keyed aggregation. Nothing driver-side, nothing
+    all-pairs. The weight is rounded so the value-level oracle is
+    immune to summation order.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        target_filter.alias("__is_target"),
+        F.explode(tokenize_ascii(F.col(text_col))).alias("token"),
+    )
+    raw_counts = toks.groupBy("token").agg(F.count("*").alias("c_raw"))
+    tgt_counts = (
+        toks.where("__is_target")
+        .groupBy("token")
+        .agg(F.count("*").alias("c_tgt"))
+    )
+    lm = raw_counts.join(tgt_counts, "token", "left")
+    # smoothing denominators: raw vocabulary size for both LMs so the
+    # ratio is well-defined on target-unseen tokens. One scan for all
+    # three scalars (not three separate count() actions).
+    stats = toks.agg(
+        F.count("*").alias("t_raw"),
+        F.sum(F.col("__is_target").cast("long")).alias("t_tgt"),
+        F.count_distinct("token").alias("v"),
+    ).first()
+    t_raw, t_tgt, v = stats["t_raw"], stats["t_tgt"], stats["v"]
+    lm = lm.select(
+        "token",
+        (
+            F.log(
+                (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
+                / F.lit(float(t_tgt + v))
+            )
+            - F.log((F.col("c_raw") + F.lit(1.0)) / F.lit(float(t_raw + v)))
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "token")
+        .groupBy("__doc")
+        .agg(F.round(F.avg("log_ratio"), round_digits).alias("weight"))
+        .select(F.col("__doc").alias(id_col), "weight")
+    )

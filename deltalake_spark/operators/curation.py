@@ -230,3 +230,50 @@ def redact_pii(
         pat, repl = PII_PATTERNS[kind]
         red = F.regexp_replace(red, pat, repl)
     return out.withColumn(text_col, red)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    eval_vec_col: str | None = None,
+    threshold: float = 0.95,
+    sim_col: str = "max_eval_sim",
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose maximum
+    cosine similarity against an evaluation set reaches ``threshold``.
+
+    The n-gram ``decontaminate`` above catches verbatim leakage;
+    paraphrased benchmark items need this semantic pass. Same cost
+    model: eval suites are small (thousands of vectors), so the eval
+    side broadcasts and the corpus streams through one map-side
+    broadcast join + one corpus-keyed max — never a corpus×corpus pair
+    set. Similarity math is the sequential double-precision fold from
+    ``operators/similarity.cosine_expr`` (hash-matches DuckDB's
+    ``list_dot_product``), rounded to 6 dp before the threshold compare
+    so join/aggregation order can never flip a flag. For eval sets too
+    big to broadcast, block both sides with ``similarity.rh_sketch``
+    first (same pattern as ``dedup.embedding_neardup``).
+    """
+    from .similarity import cosine_expr
+
+    eval_vec_col = eval_vec_col or vec_col
+    ev = eval_df.select(F.col(eval_vec_col).alias("__ev"))
+    sims = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col))
+        .crossJoin(F.broadcast(ev))
+        .groupBy("__cid")
+        .agg(
+            F.round(
+                F.max(cosine_expr(F.col(vec_col), F.col("__ev"))), 6
+            ).alias(sim_col)
+        )
+    )
+    return corpus.join(
+        sims, corpus[id_col] == sims["__cid"]
+    ).drop("__cid").withColumn(
+        flag_col, F.col(sim_col) >= F.lit(threshold)
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "hll_partition_sketches",
     "hll_merge",
     "approx_quantiles",
+    "mg_frequent_items",
 ]
 
 
@@ -119,3 +120,74 @@ def approx_quantiles(
             F.lit(accuracy),
         ).alias(out_col)
     )
+
+
+def _mg_compress(counts: dict, capacity: int) -> None:
+    """Compress a counter dict to ≤ ``capacity`` entries, MG-style.
+
+    Subtracts the (capacity+1)-th largest count from every entry and
+    drops non-positives — the mergeable-summaries compression (Agarwal
+    et al., PODS'12): at most ``capacity`` entries can exceed that
+    threshold, and the per-item undercount introduced across all
+    compressions of a stream of n items totals ≤ n/(capacity+1).
+    """
+    if len(counts) <= capacity:
+        return
+    import numpy as np
+
+    vals = np.fromiter(counts.values(), dtype=np.int64)
+    thresh = int(np.partition(vals, -(capacity + 1))[-(capacity + 1)])
+    for t in list(counts):
+        c = counts[t] - thresh
+        if c > 0:
+            counts[t] = c
+        else:
+            del counts[t]
+
+
+def mg_frequent_items(
+    df: DataFrame,
+    *,
+    col: str,
+    capacity: int = 256,
+    count_col: str = "mg_count",
+) -> DataFrame:
+    """Misra-Gries heavy hitters over a string column, mergeable.
+
+    Completes the sketch trio (HLL distinct, GK quantiles, MG
+    frequency): per-partition bounded-memory counter summaries built in
+    one Arrow-batched pass, merged by a single (token-keyed) sum. The
+    column to sketch is typically an exploded token stream.
+
+    Guarantees (classic MG, preserved under merge-by-addition):
+    every item with true frequency > n/(capacity+1) appears in the
+    output, and its reported count satisfies
+    ``true − n/(capacity+1) ≤ reported ≤ true``. State per partition is
+    ≤ capacity counters regardless of stream length; the merged result
+    is ≤ partitions × capacity rows (KBs), so the shuffle moves
+    sketches, not the stream — the exact-count twin shuffles every
+    distinct value. When the true vocabulary fits ``capacity`` no
+    compression ever fires and counts are exact (how the gate query
+    stays value-level while the eviction path is property-tested).
+
+    Batches are pre-aggregated with vectorized ``value_counts`` before
+    touching the Python dict, so per-item Python work is O(distinct per
+    batch), not O(stream).
+    """
+    import pandas as pd
+
+    out_schema = f"`{col}` string, `{count_col}` long"
+
+    def build(batches):
+        d: dict = {}
+        for pdf in batches:
+            for t, c in pdf[col].value_counts().items():
+                if t is None:
+                    continue
+                d[t] = d.get(t, 0) + int(c)
+            _mg_compress(d, capacity)
+        if d:
+            yield pd.DataFrame({col: list(d.keys()), count_col: list(d.values())})
+
+    sketches = df.select(col).mapInPandas(build, out_schema)
+    return sketches.groupBy(col).agg(F.sum(count_col).alias(count_col))

@@ -1,0 +1,218 @@
+"""Naive Bayes / DSIR / MG-sketch / semantic-decontamination tests.
+
+Each operator is checked against an independent pure-Python (or numpy)
+reference implementation on small data, plus partitioning-invariance —
+the property that makes the closed-form designs safe on a real cluster.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.classify import (
+    dsir_importance_weights,
+    score_naive_bayes,
+    train_naive_bayes,
+)
+from deltalake_spark.operators.curation import semantic_decontaminate
+from deltalake_spark.operators.sketches import mg_frequent_items
+
+DOCS = [
+    (1, "spam", "buy cheap pills buy now"),
+    (2, "spam", "cheap pills online buy"),
+    (3, "ham", "meeting notes for the team"),
+    (4, "ham", "team lunch notes tomorrow"),
+    (5, "ham", "notes on the quarterly meeting"),
+]
+
+
+def _tokenize(text: str) -> list[str]:
+    import re
+
+    return [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+
+
+def _nb_reference(docs):
+    """Independent multinomial NB with add-one smoothing."""
+    labels = Counter(lab for _, lab, _ in docs)
+    n_docs = len(docs)
+    counts: Counter = Counter()
+    totals: Counter = Counter()
+    vocab = set()
+    for _, lab, text in docs:
+        for tok in _tokenize(text):
+            counts[(lab, tok)] += 1
+            totals[lab] += 1
+            vocab.add(tok)
+    v = len(vocab)
+    out = {}
+    for doc_id, _, text in docs:
+        scores = {}
+        for lab in labels:
+            s = math.log(labels[lab] / n_docs)
+            for tok in _tokenize(text):
+                s += math.log(
+                    (counts[(lab, tok)] + 1.0) / (totals[lab] + v)
+                )
+            scores[lab] = round(s, 6)
+        # argmax, ties by label ascending
+        best = max(scores.values())
+        out[doc_id] = min(k for k, sc in scores.items() if sc == best)
+    return out
+
+
+def test_nb_matches_python_reference(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "label", "text"])
+    model = train_naive_bayes(df, text_col="text", label_col="label")
+    scored = score_naive_bayes(
+        df, model, id_col="doc_id", text_col="text"
+    )
+    got = {r["doc_id"]: r["predicted"] for r in scored.collect()}
+    assert got == _nb_reference(DOCS)
+    # sanity: the classes actually separate on this data
+    assert got[1] == "spam" and got[3] == "ham"
+
+
+def test_nb_partitioning_invariant(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "label", "text"])
+    base = None
+    for parts in (1, 7):
+        d = df.repartition(parts)
+        model = train_naive_bayes(d, text_col="text", label_col="label")
+        scored = score_naive_bayes(
+            d, model, id_col="doc_id", text_col="text"
+        ).orderBy("doc_id")
+        rows = [(r["doc_id"], r["predicted"], r["score"]) for r in scored.collect()]
+        if base is None:
+            base = rows
+        else:
+            assert rows == base
+
+
+def test_nb_min_count_prunes_but_still_scores(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "label", "text"])
+    model = train_naive_bayes(
+        df, text_col="text", label_col="label", min_count=2
+    )
+    kept = model.likelihoods.agg(F.min("c")).first()[0]
+    assert kept >= 2
+    scored = score_naive_bayes(df, model, id_col="doc_id", text_col="text")
+    assert scored.count() == len(DOCS)
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "label", "text"])
+    w = dsir_importance_weights(
+        df,
+        id_col="doc_id",
+        text_col="text",
+        target_filter=F.col("label") == "spam",
+    )
+    got = {r["doc_id"]: r["weight"] for r in w.collect()}
+    assert len(got) == len(DOCS)
+    spam_mean = (got[1] + got[2]) / 2
+    ham_mean = (got[3] + got[4] + got[5]) / 3
+    assert spam_mean > ham_mean
+    # deterministic under repartition
+    w2 = dsir_importance_weights(
+        df.repartition(5),
+        id_col="doc_id",
+        text_col="text",
+        target_filter=F.col("label") == "spam",
+    )
+    assert {r["doc_id"]: r["weight"] for r in w2.collect()} == got
+
+
+def test_dsir_reference_value(spark):
+    """Closed-form check on a 2-doc corpus."""
+    rows = [(1, True, "a a b"), (2, False, "b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "is_tgt", "text"])
+    w = dsir_importance_weights(
+        df, id_col="doc_id", text_col="text",
+        target_filter=F.col("is_tgt"),
+    )
+    got = {r["doc_id"]: r["weight"] for r in w.collect()}
+    # raw counts: a=2 b=2 c=1, T_raw=5, V=3; tgt: a=2 b=1, T_tgt=3
+    def lr(c_tgt, c_raw):
+        return math.log((c_tgt + 1) / (3 + 3)) - math.log((c_raw + 1) / (5 + 3))
+
+    exp1 = round((lr(2, 2) + lr(2, 2) + lr(1, 2)) / 3, 6)
+    exp2 = round((lr(1, 2) + lr(0, 1)) / 2, 6)
+    assert got == {1: pytest.approx(exp1), 2: pytest.approx(exp2)}
+
+
+def test_mg_exact_when_capacity_fits(spark):
+    data = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(data, ["tok"]).repartition(4)
+    out = {
+        r["tok"]: r["mg_count"]
+        for r in mg_frequent_items(df, col="tok", capacity=16).collect()
+    }
+    assert out == {"a": 50, "b": 30, "c": 5}
+
+
+def test_mg_eviction_bound(spark):
+    """Capacity far below vocabulary: every reported count must be an
+    underestimate within n/(capacity+1), and every true heavy hitter
+    above that threshold must survive the merge."""
+    import random
+
+    rng = random.Random(7)
+    stream = []
+    # heavy items with mass, plus a long tail of distinct singletons
+    for i, mass in ((0, 400), (1, 300), (2, 200)):
+        stream += [f"heavy{i}"] * mass
+    stream += [f"tail{j}" for j in range(1500)]
+    rng.shuffle(stream)
+    n = len(stream)
+    cap = 64
+    truth = Counter(stream)
+    df = spark.createDataFrame([(t,) for t in stream], ["tok"]).repartition(8)
+    got = {
+        r["tok"]: r["mg_count"]
+        for r in mg_frequent_items(df, col="tok", capacity=cap).collect()
+    }
+    bound = n / (cap + 1)
+    for tok, c in got.items():
+        assert c <= truth[tok]
+        assert truth[tok] - c <= bound
+    for tok, c in truth.items():
+        if c > bound:
+            assert tok in got, f"heavy hitter {tok} ({c} > {bound}) evicted"
+    # sketch stayed bounded: far fewer rows than the 1503-token vocabulary
+    assert len(got) <= 8 * cap
+
+
+def test_semantic_decontaminate_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    ev = rng.normal(size=(4, 8)).astype("float32")
+    corpus = rng.normal(size=(10, 8)).astype("float32")
+    corpus[7] = ev[2] * 1.7  # planted contamination (cosine 1.0)
+    ev_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(ev)],
+        ["vec_id", "vec"],
+    )
+    c_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        ["vec_id", "vec"],
+    )
+    out = semantic_decontaminate(
+        c_df, ev_df, id_col="vec_id", vec_col="vec", threshold=0.9
+    )
+    got = {r["vec_id"]: (r["max_eval_sim"], r["contaminated"]) for r in out.collect()}
+    cd = corpus.astype("float64")
+    ed = ev.astype("float64")
+    sims = (cd @ ed.T) / (
+        np.linalg.norm(cd, axis=1)[:, None] * np.linalg.norm(ed, axis=1)[None, :]
+    )
+    for i in range(10):
+        exp = round(float(sims[i].max()), 6)
+        assert got[i][0] == pytest.approx(exp, abs=1e-6)
+        assert got[i][1] == (exp >= 0.9)
+    assert got[7][1] is True
