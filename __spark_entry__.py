@@ -2743,6 +2743,31 @@ def semantic_decontam_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deterministic_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by the portable Knuth hash:
+    pure per-row projection (zero shuffle before the stats agg), stable
+    across reruns and partitionings. Fractions are binary-exact
+    (0.75/0.125/0.125) so the range boundaries are exact integers on
+    both sides of the oracle."""
+    from deltalake_spark.operators.mixing import deterministic_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = deterministic_split(
+        docs,
+        id_col="doc_id",
+        fractions={"train": 0.75, "val": 0.125, "test": 0.125},
+        seed=7,
+    )
+    return (
+        split.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2759,6 +2784,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded verdict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_language_confusion": nb_language_confusion,
+    "deterministic_split_stats": deterministic_split_stats,
     "dsir_importance_topk": dsir_importance_topk,
     "frequent_tokens_sketch": frequent_tokens_sketch,
     "semantic_decontam_stats": semantic_decontam_stats,
@@ -2917,6 +2943,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, predicted, count(*) AS n
             FROM pred WHERE rn = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "deterministic_split_stats": """
+            WITH pri AS (
+              SELECT lang, n_chars,
+                     ((doc_id + 7) * 2654435761) % 4294967296 AS p
+              FROM documents
+            ),
+            assigned AS (
+              SELECT lang, n_chars,
+                     CASE WHEN p < 3221225472 THEN 'train'
+                          WHEN p < 3758096384 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM pri
+            )
+            SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS chars
+            FROM assigned
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "dsir_importance_topk": """

@@ -204,3 +204,41 @@ def deterministic_shuffle(
             "shuffle_key", doc_priority(F.col(id_col), seed))
         .orderBy("shuffle_key", id_col)
     )
+
+
+def deterministic_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    fractions: "dict[str, float] | None" = None,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable hash.
+
+    Every large-corpus pipeline needs a split that is (a) stable across
+    reruns and cluster layouts, (b) disjoint and exhaustive, and
+    (c) assignable per-row with zero shuffle — ``rand()`` gives none of
+    these under retry/re-partitioning. The priority hash maps each id
+    to [0, 2^32); cumulative fraction boundaries carve that range, so a
+    document's split is a pure projection of its id. Adding a new split
+    later only moves ids at the carved boundary, and the same Knuth
+    hash keeps the DuckDB oracle value-level (integer arithmetic only).
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    pri = doc_priority(F.col(id_col), seed)
+    expr = None
+    acc = 0.0
+    # iterate in insertion order; last bucket catches the remainder so
+    # float boundary arithmetic can never leave a row unassigned
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name] / total
+        bound = int(acc * 2**32)
+        cond = pri < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn(split_col, expr)

@@ -233,3 +233,27 @@ def test_span_dedup_matches_reference(spark, texts, k):
     got = {r["doc_id"]: (r["text"], r["n_spans_total"], r["n_spans_kept"])
            for r in span_dedup(df, span_tokens=k).collect()}
     assert got == want
+
+
+def test_deterministic_split_disjoint_exhaustive(spark):
+    from deltalake_spark.operators.mixing import deterministic_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = deterministic_split(
+        df, id_col="doc_id",
+        fractions={"train": 0.75, "val": 0.125, "test": 0.125}, seed=7)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive: every row assigned exactly once
+    assert sum(counts.values()) == 5000
+    # roughly proportional (hash uniformity)
+    assert abs(counts["train"] - 3750) < 250
+    # stable across partitioning and repeated runs
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    out2 = deterministic_split(
+        df.repartition(13), id_col="doc_id",
+        fractions={"train": 0.75, "val": 0.125, "test": 0.125}, seed=7)
+    assert sorted((r["doc_id"], r["split"]) for r in out2.collect()) == a
+    # seed changes the assignment
+    out3 = deterministic_split(df, id_col="doc_id", seed=8)
+    assert sorted((r["doc_id"], r["split"]) for r in out3.collect()) != a
