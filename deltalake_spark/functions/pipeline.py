@@ -454,3 +454,91 @@ def apply_pipeline(
                 f"Unknown pipeline stage {op!r}. Supported: {STAGES}"
             )
     return out
+
+
+class AggregationStats:
+    """Execution statistics mirroring the reference's AggregationResult
+    stats block (src/query/index.ts:1137-1149): documentsProcessed,
+    groupsCreated, executionTimeMs."""
+
+    __slots__ = ("documents_processed", "groups_created",
+                 "execution_time_ms")
+
+    def __init__(self, documents_processed: int, groups_created: int,
+                 execution_time_ms: float) -> None:
+        self.documents_processed = documents_processed
+        self.groups_created = groups_created
+        self.execution_time_ms = execution_time_ms
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return (f"AggregationStats(documents_processed="
+                f"{self.documents_processed}, groups_created="
+                f"{self.groups_created}, execution_time_ms="
+                f"{self.execution_time_ms:.1f})")
+
+
+def aggregate(
+    df: DataFrame,
+    pipeline: Sequence[Mapping[str, Any]],
+    tables: Mapping[str, DataFrame] | None = None,
+) -> "tuple[list, AggregationStats]":
+    """Eager pipeline execution returning (documents, stats) — the
+    reference's ``aggregate()`` shape (src/query/index.ts:1722-1770).
+
+    The row counts come from Spark's Observation API: metric nodes
+    accumulate DURING the one real execution, so documentsProcessed
+    (input rows) and groupsCreated (rows emitted by the first $group)
+    cost no extra scan — where the reference counts eagerly because the
+    arrays are already in memory, we observe the stream in flight.
+
+    Caveat (documented divergence): a downstream early-terminating
+    ``$limit`` lets Spark stop consuming group output once the limit is
+    satisfied, so groups_created reflects groups actually produced by
+    the execution — the honest number for a lazy engine.
+
+    Placement subtlety: a ``$sort`` plans as a range-partitioned sort
+    whose boundary-sampling pass re-executes the subtree above the
+    aggregation's (reused) shuffle — a metric node directly under it
+    would double-count. The group observation therefore attaches after
+    the contiguous run of cardinality-preserving stages ($sort,
+    $project, $addFields/$set, $replaceRoot) that follows the first
+    $group: same row count, but above the sampled subtree.
+    """
+    import time
+
+    from pyspark.sql import Observation
+
+    # where to attach the group-cardinality observation (see docstring)
+    card_preserving = {"$sort", "$project", "$addFields", "$set",
+                       "$replaceRoot"}
+    group_obs_after = None
+    for i, stage in enumerate(pipeline):
+        if isinstance(stage, Mapping) and len(stage) == 1 \
+                and next(iter(stage)) == "$group":
+            group_obs_after = i
+            for j in range(i + 1, len(pipeline)):
+                nxt = pipeline[j]
+                if isinstance(nxt, Mapping) and len(nxt) == 1 \
+                        and next(iter(nxt)) in card_preserving:
+                    group_obs_after = j
+                else:
+                    break
+            break
+
+    obs_in = Observation()
+    obs_group: "Observation | None" = None
+    out = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    for i, stage in enumerate(pipeline):
+        out = apply_pipeline(out, [stage], tables)
+        if group_obs_after is not None and i == group_obs_after:
+            obs_group = Observation()
+            out = out.observe(obs_group, F.count(F.lit(1)).alias("n"))
+    t0 = time.perf_counter()
+    docs = out.collect()
+    ms = (time.perf_counter() - t0) * 1000.0
+    stats = AggregationStats(
+        int(obs_in.get["n"]),
+        int(obs_group.get["n"]) if obs_group is not None else 0,
+        ms,
+    )
+    return docs, stats

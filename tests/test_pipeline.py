@@ -309,3 +309,37 @@ def test_unwind_include_array_index(sales):
     with pytest.raises(InvalidPipelineError):
         apply_pipeline(sales, [{"$unwind": {"path": "$tags",
                                             "includeArrayIndex": "$x"}}])
+
+
+def test_aggregate_returns_documents_and_stats(spark):
+    from deltalake_spark.functions.pipeline import aggregate
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", i * 10) for i in range(30)],
+        ["id", "cat", "amount"],
+    )
+    docs, stats = aggregate(df, [
+        {"$match": {"amount": {"$gte": 50}}},
+        {"$group": {"_id": "$cat", "total": {"$sum": "$amount"}}},
+        {"$sort": {"total": -1}},
+    ])
+    assert len(docs) == 3
+    assert stats.documents_processed == 30
+    assert stats.groups_created == 3
+    assert stats.execution_time_ms > 0
+    # values: cats of ids 5..29 -> totals
+    expected = {}
+    for i in range(5, 30):
+        expected[f"c{i % 3}"] = expected.get(f"c{i % 3}", 0) + i * 10
+    got = {r["_id"]: r["total"] for r in docs}
+    assert got == expected
+
+
+def test_aggregate_stats_without_group(spark):
+    from deltalake_spark.functions.pipeline import aggregate
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+    docs, stats = aggregate(df, [{"$match": {"x": {"$gt": 1}}}])
+    assert len(docs) == 2
+    assert stats.documents_processed == 3
+    assert stats.groups_created == 0
