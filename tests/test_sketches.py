@@ -99,3 +99,76 @@ def test_gate_queries_sane(spark):
                      for r in d)
     q = entry_mod.queries()["sketch_quantile_check"](spark, sf).collect()
     assert q and all(r.p50_rank_ok and r.p90_rank_ok for r in q)
+
+
+# --- KMV (bottom-k) sketches ------------------------------------------------
+
+def test_kmv_unsaturated_is_exact(spark):
+    from deltalake_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    df = spark.createDataFrame(
+        [("g", i % 40) for i in range(500)], ["g", "uid"])
+    s = kmv_sketch(df, group_cols=["g"], key_col="uid", k=64)
+    assert s.count() == 40  # sketch IS the distinct hash set
+    est = kmv_estimate(s, group_cols=["g"], k=64).first()
+    assert est["est_distinct"] == 40.0
+
+
+def test_kmv_estimate_accuracy_and_determinism(spark):
+    from deltalake_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    n = 20_000
+    df = spark.range(n).select(F.lit("g").alias("g"),
+                               F.col("id").alias("uid"))
+    vals = []
+    for parts in (1, 16):
+        s = kmv_sketch(df.repartition(parts), group_cols=["g"],
+                       key_col="uid", k=256)
+        est = kmv_estimate(s, group_cols=["g"], k=256).first()["est_distinct"]
+        vals.append(est)
+        # KMV rel. error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+        assert abs(est - n) / n < 0.25, est
+    assert vals[0] == vals[1]  # partitioning-invariant, exactly
+
+
+def test_kmv_intersection_estimates_overlap(spark):
+    from deltalake_spark.operators.sketches import (
+        kmv_intersection,
+        kmv_sketch,
+    )
+
+    # A = [0, 8000), B = [4000, 12000) -> |A∩B| = 4000, J = 1/3
+    a = spark.range(0, 8_000).select(F.lit("a").alias("g"),
+                                     F.col("id").alias("uid"))
+    b = spark.range(4_000, 12_000).select(F.lit("b").alias("g"),
+                                          F.col("id").alias("uid"))
+    sa = kmv_sketch(a, group_cols=["g"], key_col="uid", k=256)
+    sb = kmv_sketch(b, group_cols=["g"], key_col="uid", k=256)
+    r = kmv_intersection(sa, sb, k=256).first()
+    assert abs(r["est_jaccard"] - 1 / 3) < 0.15
+    assert abs(r["est_intersection"] - 4_000) / 4_000 < 0.35
+
+
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    """The k smallest of two merged sketches must equal the union's own
+    sketch — the property that makes KMV mergeable at all."""
+    from deltalake_spark.operators.sketches import kmv_sketch
+
+    a = spark.range(0, 5_000).select(F.lit("s").alias("g"),
+                                     F.col("id").alias("uid"))
+    b = spark.range(2_500, 9_000).select(F.lit("s").alias("g"),
+                                         F.col("id").alias("uid"))
+    k = 128
+    sa = kmv_sketch(a, group_cols=["g"], key_col="uid", k=k)
+    sb = kmv_sketch(b, group_cols=["g"], key_col="uid", k=k)
+    merged = sorted(
+        r["kmv_h"]
+        for r in sa.unionByName(sb).select("kmv_h").distinct()
+        .orderBy("kmv_h").limit(k).collect()
+    )
+    direct = sorted(
+        r["kmv_h"]
+        for r in kmv_sketch(a.unionByName(b), group_cols=["g"],
+                            key_col="uid", k=k).collect()
+    )
+    assert merged == direct
