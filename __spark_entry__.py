@@ -2828,6 +2828,30 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-token contiguous shards over the deterministic training
+    order (the corpus-layout step after mixing/shuffling): distributed
+    prefix sum of token counts, shard = exclusive-cumsum div the shard
+    size. Per-shard doc/token totals; every shard except the last must
+    land within one doc of the target size by construction."""
+    from deltalake_spark.operators.mixing import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    out = assign_shards(
+        docs, id_col="doc_id", text_col="text",
+        shard_tokens=2000, seed=3)
+    return (
+        out.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tokens"),
+            F.min("cum_tokens").alias("first_cum"),
+            F.max("cum_tokens").alias("last_cum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2848,6 +2872,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_topk": dsir_importance_topk,
     "frequent_tokens_sketch": frequent_tokens_sketch,
     "kmv_user_overlap": kmv_user_overlap,
+    "shard_assignment_stats": shard_assignment_stats,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3071,6 +3096,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "shard_assignment_stats": """
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     t -> t <> '')) AS tok,
+                     ((doc_id + 3) * 2654435761) % 4294967296 AS pri
+              FROM documents
+            ),
+            cum AS (
+              SELECT doc_id, tok,
+                     sum(tok) OVER (ORDER BY pri, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_tokens
+              FROM base
+            )
+            SELECT (cum_tokens - tok) // 2000 AS shard_id,
+                   count(*) AS n_docs,
+                   sum(tok) AS tokens,
+                   min(cum_tokens) AS first_cum,
+                   max(cum_tokens) AS last_cum
+            FROM cum
+            GROUP BY 1 ORDER BY 1
         """,
         "kmv_user_overlap": """
             WITH hashes AS (

@@ -242,3 +242,67 @@ def deterministic_split(
     expr = (F.lit(names[-1]) if expr is None
             else expr.otherwise(F.lit(names[-1])))
     return df.withColumn(split_col, expr)
+
+
+def assign_shards(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_tokens: int,
+    seed: int = 0,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Assign docs to equal-token contiguous shards in training order.
+
+    The last layout step of a training-data pipeline: after mixing and
+    shuffling, the corpus is cut into shards of ``shard_tokens`` each,
+    following the deterministic global order (priority hash, ties by
+    id). A doc belongs to the shard where its span STARTS
+    (``floor(exclusive_cumsum / shard_tokens)``), so shard boundaries
+    never split reassembly order and the layout is reproducible
+    anywhere.
+
+    Scale shape: the global running token sum uses the same distributed
+    prefix-sum as ``sample_by_token_budget`` — per-bucket totals (high
+    byte of the priority) offset-summed on a ``n_buckets``-row frame,
+    running sums completed inside bucket partitions. No single task
+    ever sees the whole corpus; output adds ``shard_id``, ``tok``,
+    ``cum_tokens``.
+    """
+    shift = 2**32 // n_buckets
+    base = (
+        df.withColumn("__tok", token_count(F.col(text_col)))
+        .withColumn("__pri", doc_priority(F.col(id_col), seed))
+        .withColumn("__bkt", (F.col("__pri") / F.lit(shift)).cast("long"))
+    )
+    per_bucket = base.groupBy("__bkt").agg(
+        F.sum("__tok").alias("__bkt_tok"))
+    # offsets frame is n_buckets rows, so one partition is correct and
+    # cheap; the partition key is column-derived (always 0) because a
+    # bare literal would be constant-folded out of the partition spec
+    # and trip the "no partition defined" warning
+    w_off = (
+        Window.partitionBy(F.col("__bkt") * F.lit(0)).orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bkt_tok").over(w_off), F.lit(0))
+    ).drop("__bkt_tok")
+    w_in = (
+        Window.partitionBy("__bkt").orderBy("__pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_in))
+    )
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor((F.col("__cum") - F.col("__tok"))
+                    / F.lit(shard_tokens)).cast("long"))
+        .withColumnRenamed("__tok", "tok")
+        .withColumnRenamed("__cum", "cum_tokens")
+        .drop("__pri", "__bkt", "__off")
+    )

@@ -257,3 +257,42 @@ def test_deterministic_split_disjoint_exhaustive(spark):
     # seed changes the assignment
     out3 = deterministic_split(df, id_col="doc_id", seed=8)
     assert sorted((r["doc_id"], r["split"]) for r in out3.collect()) != a
+
+
+def test_assign_shards_matches_sequential_reference(spark):
+    from deltalake_spark.operators.mixing import (
+        assign_shards,
+        doc_priority,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 7))) for i in range(2000)],
+        ["doc_id", "text"],
+    )
+    out = assign_shards(df, id_col="doc_id", text_col="text",
+                        shard_tokens=500, seed=3)
+    rows = {r["doc_id"]: (r["shard_id"], r["tok"], r["cum_tokens"])
+            for r in out.collect()}
+    # sequential reference: sort by (priority, id), running sum
+    KNUTH = 2654435761
+    order = sorted(range(2000),
+                   key=lambda i: (((i + 3) * KNUTH) % 2**32, i))
+    cum = 0
+    for i in order:
+        tok = 3 + i % 7
+        assert rows[i] == (cum // 500, tok, cum + tok), i
+        cum += tok
+    # partitioning invariance
+    out2 = assign_shards(df.repartition(17), id_col="doc_id",
+                         text_col="text", shard_tokens=500, seed=3)
+    assert {r["doc_id"]: (r["shard_id"], r["tok"], r["cum_tokens"])
+            for r in out2.collect()} == rows
+    # shard fill: every shard but the last holds >= shard_tokens - max_doc
+    per = {}
+    for sid, tok, _ in rows.values():
+        per[sid] = per.get(sid, 0) + tok
+    last = max(per)
+    for sid, tot in per.items():
+        if sid != last:
+            assert tot >= 500 - 9
