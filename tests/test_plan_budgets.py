@@ -56,6 +56,15 @@ BUDGETS = {
     "mixture_temperature_sample": (6, False),
     # TakeOrderedAndProject — a global sort head must not shuffle
     "deterministic_shuffle_head": (0, False),
+    # pure projection + stats agg + sort — the split itself shuffles 0
+    "deterministic_split_stats": (2, False),
+    # two LM aggs + broadcast log-ratio join + doc-keyed avg + top-k
+    "dsir_importance_topk": (4, False),
+    # MG summaries merge on one KB-scale token-keyed exchange
+    "frequent_tokens_sketch": (1, False),
+    # bucketed prefix sum: per-bucket agg + tiny offsets window +
+    # in-bucket window + final agg/sort; offsets join broadcasts
+    "shard_assignment_stats": (5, False),
 }
 
 
@@ -102,6 +111,40 @@ def test_lm_perplexity_plan(spark):
     assert s.nested_loop_joins <= 1  # the 1-row V attach only
     assert s.shuffles <= 6
     assert s.broadcast_joins >= 2  # model joins never shuffle the corpus
+
+
+def test_nb_confusion_plan(spark):
+    """NB scoring: the L-row priors attach is a sanctioned broadcast
+    nested-loop (same class as q22's scalar); the V×L model must join
+    broadcast so the corpus never shuffles for the lookup."""
+    df = entry_mod.queries()["nb_language_confusion"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # priors cross-attach only
+    assert s.broadcast_joins >= 2   # likelihoods + totals
+    assert s.shuffles <= 8
+
+
+def test_semantic_decontam_plan(spark):
+    """Eval-set attach is the one sanctioned broadcast nested-loop; the
+    corpus side must never shuffle for the similarity pass."""
+    df = entry_mod.queries()["semantic_decontam_stats"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # broadcast eval crossJoin only
+    assert s.shuffles <= 4
+
+
+def test_kmv_overlap_plan(spark):
+    """Everything past the per-segment distinct is sketch-sized (≤ k
+    rows per segment); the replicated-click attach is a broadcast
+    nested-loop over a 4-row type frame. Shuffle count is high but
+    every exchange moves KB sketches, so the pin only guards shape."""
+    df = entry_mod.queries()["kmv_user_overlap"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1
+    assert s.shuffles <= 14
 
 
 def test_summary_counts(spark):
