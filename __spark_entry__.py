@@ -2778,7 +2778,11 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped bottom-k windows), not a driver loop; everything downstream
     of the sketch touches ≤ k rows per segment. Deterministic because
     the hash is a fixed bijection — the SQL twin replays it exactly."""
-    from deltalake_spark.operators.sketches import kmv_estimate, kmv_sketch
+    from deltalake_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_intersection,
+        kmv_sketch,
+    )
 
     K = 64
     ev = _t(spark, sf_dir, "events")
@@ -2787,39 +2791,12 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                        out_col="est_users")
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"))
-
-    a = (s.where(F.col("event_type") == "click")
-         .select(F.col("kmv_h").alias("h"),
-                 F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
-    others = s.where(F.col("event_type") != "click")
-    types = others.select("event_type").distinct()
-    a_rep = a.crossJoin(F.broadcast(types))
-    b = others.select(
-        "event_type", F.col("kmv_h").alias("h"),
-        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
-    merged = (
-        a_rep.unionByName(b)
-        .groupBy("event_type", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    union_k = (merged.withColumn("__rn", F.row_number().over(w))
-               .where(F.col("__rn") <= K))
-    space = float(2 ** 32)
-    pair = union_k.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.max("h").alias("__hk"),
-        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("__both"),
-    ).select(
-        "event_type",
-        F.round(F.col("__both") / F.col("__n"), 6).alias("est_jaccard"),
-        F.round(
-            (F.col("__both") / F.col("__n")) *
-            F.when(F.col("__n") < K, F.col("__n").cast("double"))
-             .otherwise(F.lit(float(K - 1)) * F.lit(space) / F.col("__hk")),
-            4,
-        ).alias("est_overlap"),
-    )
+    pair = kmv_intersection(
+        s.where(F.col("event_type") == "click").drop("event_type"),
+        s.where(F.col("event_type") != "click"),
+        k=K,
+        group_cols=["event_type"],
+    ).withColumnRenamed("est_intersection", "est_overlap")
     return (
         exact.join(est, "event_type").join(pair, "event_type")
         .select("event_type", "exact_users", "est_users",
@@ -2988,15 +2965,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "nb_language_confusion": """
             WITH toks AS (
+              -- outer-unnest: zero-token docs keep one NULL-token row
+              -- (scored by prior alone), mirroring explode_outer
               SELECT doc_id, lang,
-                     unnest(list_filter(
-                       regexp_split_to_array(lower(text), '[^a-z]+'),
-                       t -> t <> '')) AS token
-              FROM documents
+                     unnest(CASE WHEN len(l) = 0 THEN [NULL]
+                            ELSE l END) AS token
+              FROM (SELECT doc_id, lang,
+                           list_filter(
+                             regexp_split_to_array(lower(text),
+                                                   '[^a-z]+'),
+                             t -> t <> '') AS l
+                    FROM documents)
             ),
             counts AS (
               SELECT lang AS label, token, count(*)::DOUBLE AS c
-              FROM toks GROUP BY 1, 2
+              FROM toks WHERE token IS NOT NULL GROUP BY 1, 2
             ),
             totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
             vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM counts),
@@ -3013,8 +2996,10 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
               SELECT pr.doc_id, pr.lang, pr.label,
                      round(pr.log_prior + sum(
-                       ln((coalesce(c.c, 0) + 1.0)
-                          / (tt.t + (SELECT v FROM vocab)))), 6) AS score
+                       CASE WHEN pr.token IS NULL THEN 0
+                            ELSE ln((coalesce(c.c, 0) + 1.0)
+                                    / (tt.t + (SELECT v FROM vocab)))
+                       END), 6) AS score
               FROM pairs pr
               LEFT JOIN counts c
                 ON c.label = pr.label AND c.token = pr.token
@@ -3050,36 +3035,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_importance_topk": """
             WITH toks AS (
+              -- outer-unnest mirrors explode_outer: zero-token docs
+              -- keep one NULL-token row and score a neutral 0.0
               SELECT doc_id, (lang = 'en') AS is_target,
-                     unnest(list_filter(
-                       regexp_split_to_array(lower(text), '[^a-z]+'),
-                       t -> t <> '')) AS token
-              FROM documents
+                     unnest(CASE WHEN len(l) = 0 THEN [NULL]
+                            ELSE l END) AS token
+              FROM (SELECT doc_id, lang,
+                           list_filter(
+                             regexp_split_to_array(lower(text),
+                                                   '[^a-z]+'),
+                             t -> t <> '') AS l
+                    FROM documents)
             ),
-            raw AS (
-              SELECT token, count(*)::DOUBLE AS c_raw FROM toks GROUP BY 1
-            ),
-            tgt AS (
-              SELECT token, count(*)::DOUBLE AS c_tgt
-              FROM toks WHERE is_target GROUP BY 1
+            counts AS (
+              SELECT token, count(*)::DOUBLE AS c_raw,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE
+                       AS c_tgt
+              FROM toks WHERE token IS NOT NULL GROUP BY 1
             ),
             stats AS (
-              SELECT count(*)::DOUBLE AS t_raw,
-                     sum(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE
-                       AS t_tgt,
-                     count(DISTINCT token)::DOUBLE AS v
-              FROM toks
+              SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt,
+                     count(*)::DOUBLE AS v
+              FROM counts
             ),
             lm AS (
-              SELECT r.token,
-                     ln((coalesce(g.c_tgt, 0) + 1.0) / (s.t_tgt + s.v))
-                     - ln((r.c_raw + 1.0) / (s.t_raw + s.v)) AS log_ratio
-              FROM raw r
-              LEFT JOIN tgt g USING (token)
-              CROSS JOIN stats s
+              SELECT c.token,
+                     ln((c.c_tgt + 1.0) / (s.t_tgt + s.v))
+                     - ln((c.c_raw + 1.0) / (s.t_raw + s.v)) AS log_ratio
+              FROM counts c CROSS JOIN stats s
             )
-            SELECT t.doc_id, round(avg(l.log_ratio), 6) AS weight
-            FROM toks t JOIN lm l USING (token)
+            SELECT t.doc_id,
+                   coalesce(round(avg(l.log_ratio), 6), 0.0) AS weight
+            FROM toks t LEFT JOIN lm l USING (token)
             GROUP BY 1
             ORDER BY weight DESC, doc_id
             LIMIT 20

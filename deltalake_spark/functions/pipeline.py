@@ -491,10 +491,13 @@ def aggregate(
     cost no extra scan — where the reference counts eagerly because the
     arrays are already in memory, we observe the stream in flight.
 
-    Caveat (documented divergence): a downstream early-terminating
-    ``$limit`` lets Spark stop consuming group output once the limit is
-    satisfied, so groups_created reflects groups actually produced by
-    the execution — the honest number for a lazy engine.
+    Caveat (documented divergence): early-terminating ``$limit``
+    pipelines let Spark stop pulling rows once the limit is satisfied,
+    so BOTH metrics reflect rows actually streamed by the execution —
+    ``documents_processed`` can undercount the input and
+    ``groups_created`` the groups, where the reference's eager engine
+    always reports full counts. That is the honest number for a lazy
+    engine; callers needing the eager semantics should drop the $limit.
 
     Placement subtlety: a ``$sort`` plans as a range-partitioned sort
     whose boundary-sampling pass re-executes the subtree above the
@@ -502,43 +505,60 @@ def aggregate(
     would double-count. The group observation therefore attaches after
     the contiguous run of cardinality-preserving stages ($sort,
     $project, $addFields/$set, $replaceRoot) that follows the first
-    $group: same row count, but above the sampled subtree.
+    $group. When a LATER $sort sits past a non-preserving stage (e.g.
+    ``$group → $match → $sort``), no in-flight placement is safe, so
+    groups_created falls back to one extra aggregation-only job over
+    the prefix pipeline — exact, at the cost the reference pays on
+    every query.
     """
     import time
 
     from pyspark.sql import Observation
 
+    def _op(stage):
+        if isinstance(stage, Mapping) and len(stage) == 1:
+            return next(iter(stage))
+        return None
+
     # where to attach the group-cardinality observation (see docstring)
     card_preserving = {"$sort", "$project", "$addFields", "$set",
                        "$replaceRoot"}
+    group_idx = None
     group_obs_after = None
     for i, stage in enumerate(pipeline):
-        if isinstance(stage, Mapping) and len(stage) == 1 \
-                and next(iter(stage)) == "$group":
+        if _op(stage) == "$group":
+            group_idx = i
             group_obs_after = i
             for j in range(i + 1, len(pipeline)):
-                nxt = pipeline[j]
-                if isinstance(nxt, Mapping) and len(nxt) == 1 \
-                        and next(iter(nxt)) in card_preserving:
+                if _op(pipeline[j]) in card_preserving:
                     group_obs_after = j
                 else:
                     break
             break
+    # a $sort above the attach point would re-execute the metric node
+    # during boundary sampling — use the exact-count fallback instead
+    needs_fallback = group_obs_after is not None and any(
+        _op(s) == "$sort" for s in pipeline[group_obs_after + 1:]
+    )
 
     obs_in = Observation()
     obs_group: "Observation | None" = None
     out = df.observe(obs_in, F.count(F.lit(1)).alias("n"))
     for i, stage in enumerate(pipeline):
         out = apply_pipeline(out, [stage], tables)
-        if group_obs_after is not None and i == group_obs_after:
+        if not needs_fallback and group_obs_after is not None \
+                and i == group_obs_after:
             obs_group = Observation()
             out = out.observe(obs_group, F.count(F.lit(1)).alias("n"))
     t0 = time.perf_counter()
     docs = out.collect()
+    if obs_group is not None:
+        groups = int(obs_group.get["n"])
+    elif needs_fallback:
+        groups = apply_pipeline(
+            df, list(pipeline[:group_idx + 1]), tables).count()
+    else:
+        groups = 0
     ms = (time.perf_counter() - t0) * 1000.0
-    stats = AggregationStats(
-        int(obs_in.get["n"]),
-        int(obs_group.get["n"]) if obs_group is not None else 0,
-        ms,
-    )
+    stats = AggregationStats(int(obs_in.get["n"]), groups, ms)
     return docs, stats

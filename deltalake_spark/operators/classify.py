@@ -133,14 +133,21 @@ def score_naive_bayes(
     division, then a sum rounded to ``round_digits``) is replicated
     exactly by the SQL oracle, and the rounding makes argmax immune to
     summation-order float drift.
+
+    Documents that tokenize to ZERO tokens (numeric-only, non-Latin
+    script under the ASCII tokenizer) are still scored — by class prior
+    alone — via ``explode_outer``; a plain explode would silently drop
+    them from the output, which for a language/quality gate means
+    silently discarding every such document.
     """
     keep_cols = keep_cols or []
+    # explode_outer keeps empty-token docs as a single null-token row;
     # each doc token occurrence × each label, then model left-join:
     # unseen (label, token) cells coalesce to c=0 and get pure smoothing
     toks = df.select(
         F.col(id_col).alias("__doc"),
         *[F.col(c) for c in keep_cols],
-        F.explode(tokenize_ascii(F.col(text_col))).alias("token"),
+        F.explode_outer(tokenize_ascii(F.col(text_col))).alias("token"),
     )
     labeled = toks.crossJoin(
         F.broadcast(model.priors.select("label", "log_prior"))
@@ -149,9 +156,11 @@ def score_naive_bayes(
         F.broadcast(model.likelihoods), ["label", "token"], "left"
     ).join(F.broadcast(model.totals), ["label"], "left")
     v = float(model.vocab_size)
-    tok_ll = F.log(
-        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-        / (F.col("t") + F.lit(v))
+    tok_ll = F.when(F.col("token").isNull(), F.lit(0.0)).otherwise(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+            / (F.col("t") + F.lit(v))
+        )
     )
     scored = joined.groupBy(
         "__doc", *keep_cols, "label", "log_prior"
@@ -190,46 +199,51 @@ def dsir_importance_weights(
     resembling the target slice score high; resampling by these weights
     shifts the corpus mixture toward the target domain (DSIR).
 
-    Plan shape: the two unigram LMs are aggregations producing
-    vocabulary-sized tables that broadcast; corpus scoring is one
-    explode + one doc-keyed aggregation. Nothing driver-side, nothing
-    all-pairs. The weight is rounded so the value-level oracle is
-    immune to summation order.
+    Plan shape: ONE token-keyed aggregation produces both unigram LMs
+    (c_raw and c_tgt side by side); the smoothing scalars come from
+    that vocabulary-sized frame, not a corpus rescan. Scoring is the
+    broadcast log-ratio join + one doc-keyed aggregation — two corpus
+    passes total (counts + scoring). Nothing driver-side beyond three
+    scalars, nothing all-pairs. The weight is rounded so the
+    value-level oracle is immune to summation order.
+
+    Zero-token documents get a neutral weight of 0.0 (explode_outer
+    keeps them; a plain explode would drop them from the output).
     """
     toks = df.select(
         F.col(id_col).alias("__doc"),
         target_filter.alias("__is_target"),
-        F.explode(tokenize_ascii(F.col(text_col))).alias("token"),
+        F.explode_outer(tokenize_ascii(F.col(text_col))).alias("token"),
     )
-    raw_counts = toks.groupBy("token").agg(F.count("*").alias("c_raw"))
-    tgt_counts = (
-        toks.where("__is_target")
-        .groupBy("token")
-        .agg(F.count("*").alias("c_tgt"))
+    real = toks.where(F.col("token").isNotNull())
+    # both LMs in one pass over the token stream
+    counts = real.groupBy("token").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.col("__is_target").cast("long")).alias("c_tgt"),
     )
-    lm = raw_counts.join(tgt_counts, "token", "left")
     # smoothing denominators: raw vocabulary size for both LMs so the
-    # ratio is well-defined on target-unseen tokens. One scan for all
-    # three scalars (not three separate count() actions).
-    stats = toks.agg(
-        F.count("*").alias("t_raw"),
-        F.sum(F.col("__is_target").cast("long")).alias("t_tgt"),
-        F.count_distinct("token").alias("v"),
+    # ratio is well-defined on target-unseen tokens. Derived from the
+    # vocabulary-sized counts frame — no extra corpus scan.
+    stats = counts.agg(
+        F.sum("c_raw").alias("t_raw"),
+        F.sum("c_tgt").alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
     ).first()
     t_raw, t_tgt, v = stats["t_raw"], stats["t_tgt"], stats["v"]
-    lm = lm.select(
+    lm = counts.select(
         "token",
         (
-            F.log(
-                (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(1.0))
-                / F.lit(float(t_tgt + v))
-            )
+            F.log((F.col("c_tgt") + F.lit(1.0)) / F.lit(float(t_tgt + v)))
             - F.log((F.col("c_raw") + F.lit(1.0)) / F.lit(float(t_raw + v)))
         ).alias("log_ratio"),
     )
     return (
-        toks.join(F.broadcast(lm), "token")
+        toks.join(F.broadcast(lm), "token", "left")
         .groupBy("__doc")
-        .agg(F.round(F.avg("log_ratio"), round_digits).alias("weight"))
+        .agg(
+            F.coalesce(
+                F.round(F.avg("log_ratio"), round_digits), F.lit(0.0)
+            ).alias("weight")
+        )
         .select(F.col("__doc").alias(id_col), "weight")
     )

@@ -257,6 +257,12 @@ def semantic_decontaminate(
     so join/aggregation order can never flip a flag. For eval sets too
     big to broadcast, block both sides with ``similarity.rh_sketch``
     first (same pattern as ``dedup.embedding_neardup``).
+
+    An EMPTY eval set must mean "nothing is contaminated", so the
+    similarity frame attaches with a LEFT join and the flag coalesces
+    to False (``sim_col`` stays null) — an inner join here would
+    silently delete the whole corpus, the same failure mode the n-gram
+    ``decontaminate`` above guards against with its left join.
     """
     from .similarity import cosine_expr
 
@@ -273,7 +279,8 @@ def semantic_decontaminate(
         )
     )
     return corpus.join(
-        sims, corpus[id_col] == sims["__cid"]
+        sims, corpus[id_col] == sims["__cid"], "left"
     ).drop("__cid").withColumn(
-        flag_col, F.col(sim_col) >= F.lit(threshold)
+        flag_col,
+        F.coalesce(F.col(sim_col) >= F.lit(threshold), F.lit(False)),
     )

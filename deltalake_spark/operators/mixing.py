@@ -133,6 +133,53 @@ def temperature_budgets(
     )
 
 
+def _bucketed_running_tokens(
+    df: DataFrame,
+    *,
+    group_cols: "list[str]",
+    id_col: str,
+    text_col: str,
+    seed: int,
+    n_buckets: int,
+) -> DataFrame:
+    """Shared distributed prefix sum over the priority order.
+
+    Adds ``__tok``, ``__pri``, ``__bkt``, ``__off``, ``__cum`` (exact
+    running token total per ``group_cols`` in (priority, id) order).
+    Per-(group, bucket) totals are windowed into cumulative offsets on
+    a tiny groups×``n_buckets`` frame and broadcast back; the running
+    sum completes inside each bucket partition, so no single task ever
+    scans a whole group. With ``group_cols=[]`` the prefix sum is
+    corpus-global; the offsets window then keys on a column-derived
+    constant (a bare literal would be constant-folded out of the
+    partition spec and plan an unpartitioned window)."""
+    shift = 2**32 // n_buckets
+    base = df.withColumn("__tok", token_count(F.col(text_col))) \
+        .withColumn("__pri", doc_priority(F.col(id_col), seed)) \
+        .withColumn("__bkt", (F.col("__pri") / F.lit(shift))
+                    .cast("long"))
+    off_keys = (list(group_cols)
+                or [(F.col("__bkt") * F.lit(0)).alias("__zero")])
+    per_bucket = base.groupBy(*group_cols, "__bkt").agg(
+        F.sum("__tok").alias("__bkt_tok"))
+    w_off = (
+        Window.partitionBy(*off_keys).orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bkt_tok").over(w_off), F.lit(0))
+    ).drop("__bkt_tok")
+    w_in = (
+        Window.partitionBy(*group_cols, "__bkt")
+        .orderBy("__pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), [*group_cols, "__bkt"])
+        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_in))
+    )
+
+
 def sample_by_token_budget(
     df: DataFrame,
     budgets: DataFrame,
@@ -155,29 +202,9 @@ def sample_by_token_budget(
     running total including this doc), plus every non-key column of
     ``budgets`` (e.g. ``budget``/``tokens``) — carried through so
     callers don't re-join (and thereby re-compute) the budget frame."""
-    shift = 2**32 // n_buckets
-    base = df.withColumn("__tok", token_count(F.col(text_col))) \
-        .withColumn("__pri", doc_priority(F.col(id_col), seed)) \
-        .withColumn("__bkt", (F.col("__pri") / F.lit(shift))
-                    .cast("long"))
-    per_bucket = base.groupBy(group_col, "__bkt").agg(
-        F.sum("__tok").alias("__bkt_tok"))
-    w_off = (
-        Window.partitionBy(group_col).orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = per_bucket.withColumn(
-        "__off", F.coalesce(F.sum("__bkt_tok").over(w_off), F.lit(0))
-    ).drop("__bkt_tok")
-    w_in = (
-        Window.partitionBy(group_col, "__bkt")
-        .orderBy("__pri", id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        base.join(F.broadcast(offsets), [group_col, "__bkt"])
-        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_in))
-    )
+    cum = _bucketed_running_tokens(
+        df, group_cols=[group_col], id_col=id_col, text_col=text_col,
+        seed=seed, n_buckets=n_buckets)
     out = (
         cum.join(F.broadcast(budgets), group_col)
         .filter(F.col("__cum") <= F.col("budget"))
@@ -270,33 +297,9 @@ def assign_shards(
     ever sees the whole corpus; output adds ``shard_id``, ``tok``,
     ``cum_tokens``.
     """
-    shift = 2**32 // n_buckets
-    base = (
-        df.withColumn("__tok", token_count(F.col(text_col)))
-        .withColumn("__pri", doc_priority(F.col(id_col), seed))
-        .withColumn("__bkt", (F.col("__pri") / F.lit(shift)).cast("long"))
-    )
-    per_bucket = base.groupBy("__bkt").agg(
-        F.sum("__tok").alias("__bkt_tok"))
-    # offsets frame is n_buckets rows, so one partition is correct and
-    # cheap; the partition key is column-derived (always 0) because a
-    # bare literal would be constant-folded out of the partition spec
-    # and trip the "no partition defined" warning
-    w_off = (
-        Window.partitionBy(F.col("__bkt") * F.lit(0)).orderBy("__bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = per_bucket.withColumn(
-        "__off", F.coalesce(F.sum("__bkt_tok").over(w_off), F.lit(0))
-    ).drop("__bkt_tok")
-    w_in = (
-        Window.partitionBy("__bkt").orderBy("__pri", id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = (
-        base.join(F.broadcast(offsets), "__bkt")
-        .withColumn("__cum", F.col("__off") + F.sum("__tok").over(w_in))
-    )
+    cum = _bucketed_running_tokens(
+        df, group_cols=[], id_col=id_col, text_col=text_col,
+        seed=seed, n_buckets=n_buckets)
     return (
         cum.withColumn(
             "shard_id",

@@ -214,13 +214,24 @@ KMV_SPACE = 2 ** 32
 
 
 def kmv_hash(key_col, seed: int = 0):
-    """Bijective integer hash into [0, 2^32): Knuth multiplicative over
-    the (shifted) key. Bijectivity means distinct keys never collide —
-    the KMV estimator's i.i.d-uniform assumption holds as well as any
-    fixed multiplicative scheme allows, and determinism keeps the
-    DuckDB oracle exact."""
-    return F.pmod((key_col.cast("long") + F.lit(seed)) * F.lit(KMV_MULT),
-                  F.lit(KMV_SPACE)).cast("long")
+    """Deterministic Knuth-multiplicative hash into [0, 2^32).
+
+    The odd multiplier is a bijection of the 32-bit key space, so keys
+    WITHIN [0, 2^32) never collide; ids ≥ 2^32 fold mod 2^32 first
+    (two ids congruent mod 2^32 share a hash — for >32-bit id spaces
+    use a 64-bit variant, same shape). The multiply is decomposed into
+    16-bit halves so no intermediate exceeds ~2^49: never overflows
+    int64, safe under ANSI mode, and exactly congruent to
+    ``(key * M) mod 2^32`` — the SQL twin can keep the plain formula
+    whenever its key width cannot overflow."""
+    k = F.pmod(key_col.cast("long") + F.lit(seed), F.lit(KMV_SPACE))
+    hi = (k / F.lit(65536)).cast("long")  # k div 2^16, < 2^16
+    lo = F.pmod(k, F.lit(65536))
+    return F.pmod(
+        F.pmod(hi * F.lit(KMV_MULT), F.lit(KMV_SPACE)) * F.lit(65536)
+        + lo * F.lit(KMV_MULT),
+        F.lit(KMV_SPACE),
+    ).cast("long")
 
 
 def kmv_sketch(
@@ -291,30 +302,51 @@ def kmv_intersection(
     *,
     k: int = 256,
     hash_col: str = "kmv_h",
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """Jaccard + intersection-cardinality estimates from two sketches.
+    """Jaccard + intersection-cardinality estimates from sketches.
 
     Merge = k smallest of the union of retained hashes (exactly the
     union's own KMV sketch); ρ = fraction of those present in both
     sides estimates Jaccard; intersection ≈ ρ × est_distinct(union).
-    One-row result, computed entirely from the KB-size sketches.
-    Bottom-k of the merge is ``orderBy(h).limit(k)`` — planned as
-    TakeOrdered (per-partition heaps), not a single-partition window."""
+    Computed entirely from the KB-size sketches.
+
+    Ungrouped (``group_cols=None``): one row from two single-segment
+    sketches; bottom-k of the merge is ``orderBy(h).limit(k)`` —
+    planned as TakeOrdered (per-partition heaps), no single-partition
+    window. Grouped: ``sketch_a`` (one segment, its group columns
+    dropped) is compared against EVERY segment of ``sketch_b`` in one
+    declarative plan — sketch_a's rows replicate per counterpart group
+    (broadcast, sketch-sized), the merge groups by (group, h), and the
+    bottom-k is a group-partitioned window. One result row per
+    ``sketch_b`` group."""
+    group_cols = group_cols or []
     a = sketch_a.select(F.col(hash_col).alias("h"),
                         F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-    b = sketch_b.select(F.col(hash_col).alias("h"),
+    b = sketch_b.select(*group_cols, F.col(hash_col).alias("h"),
                         F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    if group_cols:
+        groups = sketch_b.select(*group_cols).distinct()
+        a = a.crossJoin(F.broadcast(groups))
     merged = (
         a.unionByName(b)
-        .groupBy("h")
+        .groupBy(*group_cols, "h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    union_k = merged.orderBy("h").limit(k)
-    return union_k.agg(
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        union_k = (merged.withColumn("__rn", F.row_number().over(w))
+                   .where(F.col("__rn") <= k))
+    else:
+        union_k = merged.orderBy("h").limit(k)
+    return union_k.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n"),
         F.max("h").alias("__hk"),
         F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("__both"),
     ).select(
+        *group_cols,
         F.round(F.col("__both") / F.col("__n"), 6).alias("est_jaccard"),
         F.round(
             (F.col("__both") / F.col("__n")) *

@@ -216,3 +216,44 @@ def test_semantic_decontaminate_matches_numpy(spark):
         assert got[i][0] == pytest.approx(exp, abs=1e-6)
         assert got[i][1] == (exp >= 0.9)
     assert got[7][1] is True
+
+
+def test_nb_scores_zero_token_docs_by_prior(spark):
+    """Docs that tokenize to nothing (numeric/non-Latin text) must still
+    be scored — by class prior alone — not silently dropped."""
+    docs = DOCS + [(6, "ham", "12345 67890"), (7, "ham", "你好世界")]
+    df = spark.createDataFrame(docs, ["doc_id", "label", "text"])
+    model = train_naive_bayes(df, text_col="text", label_col="label")
+    scored = score_naive_bayes(df, model, id_col="doc_id",
+                               text_col="text")
+    got = {r["doc_id"]: (r["predicted"], r["score"])
+           for r in scored.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    # prior-only argmax: ham has 5/7 docs vs spam 2/7
+    import math
+    assert got[6][0] == "ham" and got[7][0] == "ham"
+    assert got[6][1] == pytest.approx(round(math.log(5 / 7), 6))
+
+
+def test_dsir_zero_token_docs_get_neutral_weight(spark):
+    df = spark.createDataFrame(
+        DOCS + [(6, "ham", "!!!")], ["doc_id", "label", "text"])
+    w = dsir_importance_weights(
+        df, id_col="doc_id", text_col="text",
+        target_filter=F.col("label") == "spam")
+    got = {r["doc_id"]: r["weight"] for r in w.collect()}
+    assert got[6] == 0.0 and len(got) == 6
+
+
+def test_semantic_decontaminate_empty_eval_set(spark):
+    """An empty eval set means nothing is contaminated — the corpus
+    must pass through intact, not be deleted by an inner join."""
+    c_df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)], ["vec_id", "vec"])
+    ev_df = c_df.filter(F.col("vec_id") < 0)  # empty
+    out = semantic_decontaminate(
+        c_df, ev_df, id_col="vec_id", vec_col="vec", threshold=0.5)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["contaminated"] is False for r in rows)
+    assert all(r["max_eval_sim"] is None for r in rows)

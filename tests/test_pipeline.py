@@ -343,3 +343,23 @@ def test_aggregate_stats_without_group(spark):
     assert len(docs) == 2
     assert stats.documents_processed == 3
     assert stats.groups_created == 0
+
+
+def test_aggregate_group_count_exact_despite_gap_sort(spark):
+    """$group -> $match -> $sort: the $match breaks the contiguous
+    cardinality-preserving run, so an in-flight metric under the sort
+    would double-count via boundary sampling; the fallback must report
+    the exact group count."""
+    from deltalake_spark.functions.pipeline import aggregate
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 7}") for i in range(700)], ["id", "cat"]
+    ).repartition(8)
+    docs, stats = aggregate(df, [
+        {"$group": {"_id": "$cat", "n": {"$sum": 1}}},
+        {"$match": {"n": {"$gte": 100}}},
+        {"$sort": {"n": -1}},
+    ])
+    assert stats.groups_created == 7
+    assert stats.documents_processed == 700
+    assert len(docs) == 7

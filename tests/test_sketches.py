@@ -172,3 +172,21 @@ def test_kmv_merge_equals_direct_union_sketch(spark):
                             key_col="uid", k=k).collect()
     )
     assert merged == direct
+
+
+def test_kmv_hash_safe_for_large_keys(spark):
+    """Keys near int64 ranges must hash without overflow (ANSI-safe
+    decomposed multiply) and stay congruent to (k*M) mod 2^32."""
+    from deltalake_spark.operators.sketches import kmv_hash
+
+    keys = [0, 1, 65535, 65536, 2**31, 2**32 - 1, 2**32, 2**40 + 123,
+            2**52 + 7]
+    df = spark.createDataFrame([(k,) for k in keys], ["uid"])
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        got = {r["uid"]: r["h"] for r in df.select(
+            "uid", kmv_hash(F.col("uid")).alias("h")).collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    for k in keys:
+        assert got[k] == (k * 2654435761) % 2**32, k
