@@ -2699,7 +2699,7 @@ def frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-keyed sum — the shuffle moves KB summaries, not tokens. The
     fixture vocabulary fits the capacity, so no compression fires and
     counts are exact (value-level oracle); the eviction path and its
-    n/(k+1) bound are property-tested in tests/test_sketches.py."""
+    n/(k+1) bound are property-tested in tests/test_classify.py."""
     from deltalake_spark.operators.classify import tokenize_ascii
     from deltalake_spark.operators.sketches import mg_frequent_items
 
@@ -2829,6 +2829,42 @@ def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_unionwith_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$unionWith extension stage (Mongo 4.4; the reference's only
+    union is the implicit multi-file scan concat): short English docs
+    unioned with a sub-pipelined slice of long non-English docs that
+    carries an extra column — unionByName null-fills it on the left
+    side, zero shuffle for the concat itself."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "flag", F.lit("long"))  # column the left side lacks
+    out = apply_pipeline(
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") < 250))
+            .select("doc_id", "lang", "n_chars"),
+        [
+            {"$unionWith": {
+                "coll": "flagged",
+                "pipeline": [
+                    {"$match": {"lang": {"$ne": "en"},
+                                "n_chars": {"$gte": 400}}},
+                    {"$project": ["doc_id", "lang", "n_chars", "flag"]},
+                ],
+            }},
+            {"$group": {"_id": {"lang": "$lang", "flag": "$flag"},
+                        "n": {"$sum": 1},
+                        "chars": {"$sum": "$n_chars"}}},
+        ],
+        tables={"flagged": flagged},
+    )
+    return out.select(
+        F.col("_id.lang").alias("lang"),
+        F.col("_id.flag").alias("flag"),
+        "n", "chars",
+    ).orderBy("lang", "flag")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2850,6 +2886,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_tokens_sketch": frequent_tokens_sketch,
     "kmv_user_overlap": kmv_user_overlap,
     "shard_assignment_stats": shard_assignment_stats,
+    "pipeline_unionwith_quality": pipeline_unionwith_quality,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3083,6 +3120,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "pipeline_unionwith_quality": """
+            WITH unioned AS (
+              SELECT doc_id, lang, n_chars, NULL AS flag
+              FROM documents
+              WHERE lang = 'en' AND n_chars < 250
+              UNION ALL
+              SELECT doc_id, lang, n_chars, 'long' AS flag
+              FROM documents
+              WHERE (lang IS NULL OR lang <> 'en') AND n_chars >= 400
+            )
+            SELECT lang, flag, count(*) AS n, sum(n_chars) AS chars
+            FROM unioned
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "shard_assignment_stats": """
             WITH base AS (

@@ -278,6 +278,40 @@ def apply_add_fields(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
     return out
 
 
+def apply_union_with(
+    df: DataFrame,
+    spec: Mapping[str, Any] | str,
+    tables: Mapping[str, DataFrame] | None = None,
+) -> DataFrame:
+    """``$unionWith``: concatenate another collection (optionally run
+    through its own sub-pipeline first) — Mongo 4.4 stage; extension
+    here (the reference's only union is the implicit multi-file scan
+    concat, src/delta/table.ts:1702-1779). Accepts the string shorthand
+    ``{"$unionWith": "coll"}`` or ``{coll, pipeline}``.
+
+    Spark-natively this is ``unionByName(allowMissingColumns=True)``
+    — a zero-shuffle plan concat, with Mongo's behavior of null-filling
+    fields the other side lacks."""
+    if isinstance(spec, str):
+        src, sub = spec, None
+    elif isinstance(spec, Mapping) and "coll" in spec:
+        src, sub = spec["coll"], spec.get("pipeline")
+    else:
+        raise InvalidPipelineError(
+            f"$unionWith requires a collection name or "
+            f"{{coll, pipeline}}, got {spec!r}"
+        )
+    if isinstance(src, DataFrame):
+        other = src
+    elif tables is not None and src in tables:
+        other = tables[src]
+    else:
+        other = df.sparkSession.table(src)
+    if sub:
+        other = apply_pipeline(other, sub, tables)
+    return df.unionByName(other, allowMissingColumns=True)
+
+
 def apply_lookup(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -396,7 +430,7 @@ def apply_replace_root(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
 
 STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
           "$unwind", "$count", "$addFields", "$set", "$lookup", "$bucket",
-          "$sortByCount", "$replaceRoot")
+          "$sortByCount", "$replaceRoot", "$unionWith")
 
 
 def apply_pipeline(
@@ -443,6 +477,8 @@ def apply_pipeline(
             out = apply_add_fields(out, spec)
         elif op == "$lookup":
             out = apply_lookup(out, spec, tables)
+        elif op == "$unionWith":
+            out = apply_union_with(out, spec, tables)
         elif op == "$bucket":
             out = apply_bucket(out, spec)
         elif op == "$sortByCount":

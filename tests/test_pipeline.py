@@ -363,3 +363,25 @@ def test_aggregate_group_count_exact_despite_gap_sort(spark):
     assert stats.groups_created == 7
     assert stats.documents_processed == 700
     assert len(docs) == 7
+
+
+def test_union_with_stage(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"])
+    b = spark.createDataFrame(
+        [(3, "z", 9.5), (4, "w", 0.5)], ["id", "v", "extra"])
+    out = apply_pipeline(
+        a,
+        [{"$unionWith": {"coll": "b",
+                         "pipeline": [{"$match": {"extra": {"$gt": 1}}}]}},
+         {"$sort": {"id": 1}}],
+        tables={"b": b},
+    )
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    # missing columns null-filled (Mongo shape)
+    assert rows[0]["extra"] is None and rows[2]["extra"] == 9.5
+    # string shorthand
+    out2 = apply_pipeline(a, [{"$unionWith": "b"}], tables={"b": b})
+    assert out2.count() == 4
