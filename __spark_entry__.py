@@ -2865,6 +2865,38 @@ def pipeline_unionwith_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "flag")
 
 
+def window_fields_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$setWindowFields (Mongo 5.0 window stage → Spark Window frames):
+    per-customer running order total, rank, previous price, and
+    whole-partition total in one window exchange. sortBy includes the
+    orderkey tiebreaker so running sums are a deterministic sequential
+    fold — bit-identical to the SQL window."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    out = apply_pipeline(orders, [
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {
+                "run_total": {"$sum": "$o_totalprice"},
+                "rnk": {"$documentNumber": {}},
+                "prev_price": {"$shift": {"output": "$o_totalprice",
+                                          "by": -1, "default": 0.0}},
+                "cust_total": {"$sum": "$o_totalprice",
+                               "window": {"documents":
+                                          ["unbounded", "unbounded"]}},
+            },
+        }},
+    ])
+    return out.select(
+        "o_custkey", "o_orderkey", "rnk",
+        F.round("run_total", 2).alias("run_total"),
+        F.round("prev_price", 2).alias("prev_price"),
+        F.round("cust_total", 2).alias("cust_total"),
+    ).orderBy("o_custkey", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2887,6 +2919,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_user_overlap": kmv_user_overlap,
     "shard_assignment_stats": shard_assignment_stats,
     "pipeline_unionwith_quality": pipeline_unionwith_quality,
+    "window_fields_running": window_fields_running,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3120,6 +3153,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "window_fields_running": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS rnk,
+                   round(sum(o_totalprice) OVER (
+                     w ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW), 2) AS run_total,
+                   round(coalesce(lag(o_totalprice) OVER w, 0.0), 2)
+                     AS prev_price,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey), 2) AS cust_total
+            FROM orders
+            WHERE o_custkey < 100
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_custkey, rnk
         """,
         "pipeline_unionwith_quality": """
             WITH unioned AS (

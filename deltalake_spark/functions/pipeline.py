@@ -312,6 +312,113 @@ def apply_union_with(
     return df.unionByName(other, allowMissingColumns=True)
 
 
+def apply_set_window_fields(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+) -> DataFrame:
+    """``$setWindowFields``: per-row window computations — Mongo 5.0's
+    window stage, mapped 1:1 onto Spark's Window frames (extension;
+    the reference has no window functions at all, SURVEY §2.5).
+
+    Supported output operators: ``$sum $avg $min $max $count`` (with an
+    optional ``window.documents: [lower, upper]`` ROWS frame where
+    bounds are ints, ``"unbounded"`` or ``"current"``), ``$rank``,
+    ``$denseRank``, ``$documentNumber`` and ``$shift``
+    (``{output, by, default}`` → lead/lag). Ranking/shift operators
+    require ``sortBy`` and ignore frames, per Mongo.
+
+    Scale shape: one hash shuffle on ``partitionBy`` (Spark window
+    exchange); running aggregates evaluate in a single ordered pass per
+    partition. Callers should include a tiebreaker in ``sortBy`` —
+    like Mongo, ties otherwise make running values nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    if not isinstance(spec, Mapping) or "output" not in spec:
+        raise InvalidPipelineError(
+            f"$setWindowFields requires an 'output' mapping, got {spec!r}"
+        )
+    part = spec.get("partitionBy")
+    sort = spec.get("sortBy")
+    base = Window.partitionBy(
+        *([value_expr(part)] if part is not None else [])
+    )
+    if sort:
+        order = [
+            value_expr(f"${k}") if d >= 0 else F.desc(k)
+            for k, d in sort.items()
+        ]
+        base = base.orderBy(*order)
+
+    def _bound(b, default):
+        if b == "unbounded":
+            return default
+        if b == "current":
+            return Window.currentRow
+        return int(b)
+
+    out = df
+    for name, ospec in spec["output"].items():
+        if not isinstance(ospec, Mapping) or not ospec:
+            raise InvalidPipelineError(
+                f"$setWindowFields output {name!r} must be a mapping"
+            )
+        ospec = dict(ospec)
+        frame = ospec.pop("window", None)
+        if len(ospec) != 1:
+            raise InvalidPipelineError(
+                f"$setWindowFields output {name!r} needs exactly one "
+                f"operator, got {sorted(ospec)}"
+            )
+        op, operand = next(iter(ospec.items()))
+        w = base
+        if op in ("$rank", "$denseRank", "$documentNumber", "$shift"):
+            if not sort:
+                raise InvalidPipelineError(f"{op} requires sortBy")
+            if op == "$rank":
+                expr = F.rank().over(w)
+            elif op == "$denseRank":
+                expr = F.dense_rank().over(w)
+            elif op == "$documentNumber":
+                expr = F.row_number().over(w)
+            else:
+                if not isinstance(operand, Mapping) \
+                        or "output" not in operand or "by" not in operand:
+                    raise InvalidPipelineError(
+                        "$shift requires {'output': expr, 'by': int"
+                        " [, 'default': value]}"
+                    )
+                by = int(operand["by"])
+                fn = F.lead if by > 0 else F.lag
+                expr = fn(
+                    value_expr(operand["output"]), abs(by),
+                    operand.get("default"),
+                ).over(w)
+        elif op in ("$sum", "$avg", "$min", "$max", "$count"):
+            if frame and "documents" in frame:
+                lo, hi = frame["documents"]
+                w = w.rowsBetween(
+                    _bound(lo, Window.unboundedPreceding),
+                    _bound(hi, Window.unboundedFollowing),
+                )
+            elif sort:
+                # Mongo default with sortBy: unbounded preceding..current
+                w = w.rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow)
+            agg = {"$sum": F.sum, "$avg": F.avg, "$min": F.min,
+                   "$max": F.max,
+                   "$count": lambda c: F.count(F.lit(1))}[op]
+            expr = agg(value_expr(operand)).over(w)
+        else:
+            raise InvalidPipelineError(
+                f"Unknown $setWindowFields operator {op!r}. Supported: "
+                "$sum $avg $min $max $count $rank $denseRank "
+                "$documentNumber $shift"
+            )
+        out = out.withColumn(name, expr)
+    return out
+
+
 def apply_lookup(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -430,7 +537,7 @@ def apply_replace_root(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
 
 STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
           "$unwind", "$count", "$addFields", "$set", "$lookup", "$bucket",
-          "$sortByCount", "$replaceRoot", "$unionWith")
+          "$sortByCount", "$replaceRoot", "$unionWith", "$setWindowFields")
 
 
 def apply_pipeline(
@@ -479,6 +586,8 @@ def apply_pipeline(
             out = apply_lookup(out, spec, tables)
         elif op == "$unionWith":
             out = apply_union_with(out, spec, tables)
+        elif op == "$setWindowFields":
+            out = apply_set_window_fields(out, spec)
         elif op == "$bucket":
             out = apply_bucket(out, spec)
         elif op == "$sortByCount":

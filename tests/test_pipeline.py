@@ -385,3 +385,49 @@ def test_union_with_stage(spark):
     # string shorthand
     out2 = apply_pipeline(a, [{"$unionWith": "b"}], tables={"b": b})
     assert out2.count() == 4
+
+
+def test_set_window_fields_stage(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+         ("b", 1, 5.0), ("b", 2, 15.0)],
+        ["grp", "seq", "amt"],
+    )
+    out = apply_pipeline(df, [
+        {"$setWindowFields": {
+            "partitionBy": "$grp",
+            "sortBy": {"seq": 1},
+            "output": {
+                "running": {"$sum": "$amt"},
+                "rnk": {"$rank": {}},
+                "prev": {"$shift": {"output": "$amt", "by": -1,
+                                    "default": 0.0}},
+                "grp_total": {"$sum": "$amt",
+                              "window": {"documents":
+                                         ["unbounded", "unbounded"]}},
+            },
+        }},
+    ]).orderBy("grp", "seq")
+    rows = [(r["grp"], r["seq"], r["running"], r["rnk"], r["prev"],
+             r["grp_total"]) for r in out.collect()]
+    assert rows == [
+        ("a", 1, 10.0, 1, 0.0, 60.0),
+        ("a", 2, 30.0, 2, 10.0, 60.0),
+        ("a", 3, 60.0, 3, 20.0, 60.0),
+        ("b", 1, 5.0, 1, 0.0, 20.0),
+        ("b", 2, 20.0, 2, 5.0, 20.0),
+    ]
+
+
+def test_set_window_fields_validation(spark):
+    from deltalake_spark.errors import InvalidPipelineError
+    from deltalake_spark.functions.pipeline import apply_set_window_fields
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(InvalidPipelineError):
+        apply_set_window_fields(df, {"output": {"r": {"$rank": {}}}})
+    with pytest.raises(InvalidPipelineError):
+        apply_set_window_fields(
+            df, {"sortBy": {"x": 1}, "output": {"r": {"$bogus": {}}}})
