@@ -2897,6 +2897,41 @@ def window_fields_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "rnk")
 
 
+def densify_fill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$densify + $fill (Mongo 5.1/5.3 time-series stages): per-user
+    hourly event sums densified to a gapless series (sequence-explode
+    grid + anti-join, per-partition bounds) and gap rows filled by
+    last-observation-carried-forward (ignorenulls last over a running
+    frame). The hypertable-rollup complement: turns sparse event
+    aggregates into the continuous series training/monitoring jobs
+    expect."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    sparse = (
+        # integer div: nano-epoch longs exceed double's 53-bit mantissa,
+        # so a float division could misbucket boundary timestamps
+        ev.withColumn("hr", F.expr("ts div 3600000000000"))
+        .groupBy("user_id", "hr")
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    dense = apply_pipeline(sparse, [
+        {"$densify": {"field": "hr", "partitionBy": "$user_id",
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$user_id", "sortBy": {"hr": 1},
+                   "output": {"v": {"method": "locf"}}}},
+    ])
+    return (
+        dense.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.sum("v"), 2).alias("total_filled"),
+            F.round(F.avg("v"), 4).alias("avg_filled"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2920,6 +2955,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_assignment_stats": shard_assignment_stats,
     "pipeline_unionwith_quality": pipeline_unionwith_quality,
     "window_fields_running": window_fields_running,
+    "densify_fill_timeseries": densify_fill_timeseries,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3153,6 +3189,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "densify_fill_timeseries": """
+            WITH sparse AS (
+              SELECT user_id,
+                     epoch_us(ts) // 3600000000 AS hr,
+                     round(sum(value), 4) AS v
+              FROM events
+              WHERE user_id < 20
+              GROUP BY 1, 2
+            ),
+            lim AS (
+              SELECT user_id, min(hr) AS lo, max(hr) AS hi
+              FROM sparse GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi, 1)) AS hr
+              FROM lim
+            ),
+            dens AS (
+              SELECT g.user_id, g.hr, s.v
+              FROM grid g LEFT JOIN sparse s USING (user_id, hr)
+            ),
+            filled AS (
+              SELECT user_id, hr,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS fv
+              FROM dens
+            )
+            SELECT user_id, count(*) AS n_hours,
+                   round(sum(fv), 2) AS total_filled,
+                   round(avg(fv), 4) AS avg_filled
+            FROM filled
+            GROUP BY 1 ORDER BY 1
         """,
         "window_fields_running": """
             SELECT o_custkey, o_orderkey,

@@ -419,6 +419,116 @@ def apply_set_window_fields(
     return out
 
 
+def apply_densify(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+) -> DataFrame:
+    """``$densify``: generate documents at regular steps of a numeric
+    field so downstream window/fill stages see a gapless series —
+    Mongo 5.1's time-series gap stage (extension; the reference has no
+    series operators).
+
+    ``{field, partitionBy?, range: {step, bounds: 'partition' |
+    [lo, hi]}}``. With ``bounds: 'partition'`` each partition densifies
+    between its own min and max; explicit bounds apply to every
+    partition. Generated docs carry only the partition keys + field
+    (other columns null), and only fill points NOT already present.
+
+    Scale shape: the grid is built per-partition from a min/max
+    aggregate + ``sequence()`` explode (O(generated rows), no
+    driver-side loop) and anti-joined against the existing points —
+    one aggregation + one join keyed by partition, no corpus sort.
+    """
+    if not isinstance(spec, Mapping) or "field" not in spec \
+            or "range" not in spec:
+        raise InvalidPipelineError(
+            f"$densify requires {{field, range}}, got {spec!r}"
+        )
+    field = spec["field"]
+    rng = spec["range"]
+    step = rng.get("step")
+    if not step or step <= 0:
+        raise InvalidPipelineError("$densify range.step must be > 0")
+    part = spec.get("partitionBy") or []
+    if isinstance(part, str):
+        part = [part]
+    part = [p.lstrip("$") for p in part]
+    bounds = rng.get("bounds", "partition")
+    if bounds == "partition":
+        if not part:
+            raise InvalidPipelineError(
+                "$densify bounds='partition' requires partitionBy"
+            )
+        limits = df.groupBy(*part).agg(
+            F.min(field).alias("__lo"), F.max(field).alias("__hi"))
+    elif isinstance(bounds, Sequence) and len(bounds) == 2:
+        base = df.select(*part).distinct() if part \
+            else df.limit(1).select(F.lit(1).alias("__one")).drop("__one")
+        limits = base.withColumn("__lo", F.lit(bounds[0])) \
+                     .withColumn("__hi", F.lit(bounds[1]))
+    else:
+        raise InvalidPipelineError(
+            "$densify range.bounds must be 'partition' or [lo, hi]"
+        )
+    grid = limits.select(
+        *part,
+        F.explode(
+            F.sequence(F.col("__lo").cast("long"),
+                       F.col("__hi").cast("long"),
+                       F.lit(int(step)))
+        ).alias(field),
+    )
+    existing = df.select(*part, field)
+    gen = grid.join(existing, [*part, field], "left_anti")
+    return df.unionByName(gen, allowMissingColumns=True)
+
+
+def apply_fill(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+) -> DataFrame:
+    """``$fill``: fill null fields — Mongo 5.3's stage. Methods:
+    ``{method: 'locf'}`` (last observation carried forward over
+    sortBy within partitionBy — ``last(ignorenulls)`` over a running
+    frame, one window exchange) or ``{value: v}`` (constant, zero
+    shuffle)."""
+    from pyspark.sql import Window
+
+    if not isinstance(spec, Mapping) or "output" not in spec:
+        raise InvalidPipelineError(
+            f"$fill requires an 'output' mapping, got {spec!r}"
+        )
+    part = spec.get("partitionBy") or []
+    if isinstance(part, str):
+        part = [part]
+    part = [p.lstrip("$") for p in part]
+    sort = spec.get("sortBy")
+    out = df
+    for name, how in spec["output"].items():
+        if not isinstance(how, Mapping) or len(how) != 1:
+            raise InvalidPipelineError(
+                f"$fill output {name!r} must be {{method}} or {{value}}"
+            )
+        if "value" in how:
+            out = out.withColumn(
+                name, F.coalesce(F.col(name), F.lit(how["value"])))
+        elif how.get("method") == "locf":
+            if not sort:
+                raise InvalidPipelineError("$fill locf requires sortBy")
+            w = Window.partitionBy(*part).orderBy(
+                *[F.col(k) if d >= 0 else F.desc(k)
+                  for k, d in sort.items()]
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            out = out.withColumn(
+                name, F.last(F.col(name), ignorenulls=True).over(w))
+        else:
+            raise InvalidPipelineError(
+                f"$fill output {name!r}: unknown method {how!r} "
+                "(supported: locf, value)"
+            )
+    return out
+
+
 def apply_lookup(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -537,7 +647,8 @@ def apply_replace_root(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
 
 STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
           "$unwind", "$count", "$addFields", "$set", "$lookup", "$bucket",
-          "$sortByCount", "$replaceRoot", "$unionWith", "$setWindowFields")
+          "$sortByCount", "$replaceRoot", "$unionWith", "$setWindowFields",
+          "$densify", "$fill")
 
 
 def apply_pipeline(
@@ -588,6 +699,10 @@ def apply_pipeline(
             out = apply_union_with(out, spec, tables)
         elif op == "$setWindowFields":
             out = apply_set_window_fields(out, spec)
+        elif op == "$densify":
+            out = apply_densify(out, spec)
+        elif op == "$fill":
+            out = apply_fill(out, spec)
         elif op == "$bucket":
             out = apply_bucket(out, spec)
         elif op == "$sortByCount":

@@ -431,3 +431,37 @@ def test_set_window_fields_validation(spark):
     with pytest.raises(InvalidPipelineError):
         apply_set_window_fields(
             df, {"sortBy": {"x": 1}, "output": {"r": {"$bogus": {}}}})
+
+
+def test_densify_and_fill_stages(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 20, 3.0), ("b", 10, 7.0), ("b", 15, 9.0)],
+        ["grp", "t", "v"],
+    )
+    out = apply_pipeline(df, [
+        {"$densify": {"field": "t", "partitionBy": "$grp",
+                      "range": {"step": 5, "bounds": "partition"}}},
+        {"$fill": {"partitionBy": "$grp", "sortBy": {"t": 1},
+                   "output": {"v": {"method": "locf"}}}},
+    ]).orderBy("grp", "t")
+    rows = [(r["grp"], r["t"], r["v"]) for r in out.collect()]
+    assert rows == [
+        ("a", 0, 1.0), ("a", 5, 1.0), ("a", 10, 1.0), ("a", 15, 1.0),
+        ("a", 20, 3.0),
+        ("b", 10, 7.0), ("b", 15, 9.0),
+    ]
+    # off-step existing docs survive densify untouched
+    df2 = spark.createDataFrame([("a", 3, 5.0)], ["grp", "t", "v"])
+    out2 = apply_pipeline(
+        df.unionByName(df2),
+        [{"$densify": {"field": "t", "partitionBy": "$grp",
+                       "range": {"step": 10, "bounds": "partition"}}}])
+    ts = sorted(r["t"] for r in out2.where("grp = 'a'").collect())
+    assert ts == [0, 3, 10, 20]
+    # constant fill
+    out3 = apply_pipeline(
+        out2.where("grp = 'a'"),
+        [{"$fill": {"output": {"v": {"value": 0.0}}}}])
+    assert out3.where("v IS NULL").count() == 0
