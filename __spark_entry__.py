@@ -2932,6 +2932,76 @@ def densify_fill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_merge_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$out + $merge terminal stages wired to the Delta table layer:
+    $out overwrite-creates a per-nation balance table from a pipeline,
+    a second pipeline $merges adjusted rows (update) plus synthetic
+    nations (insert) into it, and the final table state is returned.
+    Each stage is one atomic Delta commit (OCC + CDC), which is the
+    Mongo semantics' durability upgraded to a transaction log."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    cust = _t(spark, sf_dir, "customer")
+    t = _fresh_table(spark, "pipe_merge_out")
+    base = (
+        cust.groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("bal"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    apply_pipeline(base, [{"$out": t}])
+    upd = base.filter(F.col("nation") % 5 == 0) \
+        .withColumn("bal", F.round(F.col("bal") + 1000, 2))
+    ins = base.filter(F.col("nation") % 7 == 0) \
+        .withColumn("nation", F.col("nation") + 100)
+    apply_pipeline(upd.unionByName(ins), [
+        {"$merge": {"into": t, "on": "nation",
+                    "whenMatched": "replace",
+                    "whenNotMatched": "insert"}},
+    ])
+    return t.to_df().select("nation", "bal", "n").orderBy("nation")
+
+
+def graph_lookup_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$graphLookup (Mongo 3.4 recursive traversal) over a synthetic
+    management tree (parent = custkey div 10): BFS iterative equi-joins
+    with cycle guard collect each customer's ancestor chain; output
+    histograms chain length with summed chain balances. Oracle is a
+    recursive CTE — the SQL equivalent of the bounded BFS."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    docs = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") >= 10,
+                   (F.col("c_custkey") / 10).cast("long")).alias("parent"),
+            F.col("c_acctbal").alias("bal"),
+        )
+    )
+    out = apply_pipeline(docs, [
+        {"$graphLookup": {
+            "from": docs, "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "k",
+            "as": "anc",
+        }},
+    ])
+    per_doc = out.select(
+        "k",
+        F.size("anc").alias("n_anc"),
+        F.round(
+            F.aggregate(F.col("anc"), F.lit(0.0),
+                        lambda acc, e: acc + e["bal"]), 2
+        ).alias("chain_bal"),
+    )
+    return (
+        per_doc.groupBy("n_anc")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.sum("chain_bal"), 2).alias("total_chain"))
+        .orderBy("n_anc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2956,6 +3026,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_unionwith_quality": pipeline_unionwith_quality,
     "window_fields_running": window_fields_running,
     "densify_fill_timeseries": densify_fill_timeseries,
+    "pipeline_merge_out": pipeline_merge_out,
+    "graph_lookup_ancestors": graph_lookup_ancestors,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3189,6 +3261,57 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "graph_lookup_ancestors": """
+            WITH RECURSIVE docs AS (
+              SELECT c_custkey AS k,
+                     CASE WHEN c_custkey >= 10
+                          THEN c_custkey // 10 END AS parent,
+                     c_acctbal AS bal
+              FROM customer WHERE c_custkey < 500
+            ),
+            anc AS (
+              SELECT d.k AS start, p.k AS node, p.bal
+              FROM docs d JOIN docs p ON d.parent = p.k
+              UNION
+              SELECT a.start, p.k, p.bal
+              FROM anc a
+              JOIN docs d ON a.node = d.k
+              JOIN docs p ON d.parent = p.k
+            ),
+            per_start AS (
+              SELECT start, count(*) AS n_anc,
+                     round(sum(bal), 2) AS chain_bal
+              FROM anc GROUP BY 1
+            ),
+            per_doc AS (
+              SELECT d.k,
+                     coalesce(p.n_anc, 0) AS n_anc,
+                     coalesce(p.chain_bal, 0.0) AS chain_bal
+              FROM docs d LEFT JOIN per_start p ON d.k = p.start
+            )
+            SELECT n_anc, count(*) AS n_docs,
+                   round(sum(chain_bal), 2) AS total_chain
+            FROM per_doc
+            GROUP BY 1 ORDER BY 1
+        """,
+        "pipeline_merge_out": """
+            WITH base AS (
+              SELECT c_nationkey AS nation,
+                     round(sum(c_acctbal), 2) AS bal,
+                     count(*) AS n
+              FROM customer GROUP BY 1
+            ),
+            final AS (
+              SELECT nation,
+                     CASE WHEN nation % 5 = 0
+                          THEN round(bal + 1000, 2) ELSE bal END AS bal,
+                     n
+              FROM base
+              UNION ALL
+              SELECT nation + 100, bal, n FROM base WHERE nation % 7 = 0
+            )
+            SELECT nation, bal, n FROM final ORDER BY 1
         """,
         "densify_fill_timeseries": """
             WITH sparse AS (

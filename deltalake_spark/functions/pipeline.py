@@ -529,6 +529,180 @@ def apply_fill(
     return out
 
 
+def apply_out(
+    df: DataFrame,
+    spec: Any,
+    tables: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """``$out``: replace a target collection with the pipeline result —
+    Mongo's terminal write stage, mapped to a Delta overwrite (one
+    atomic commit; readers time-travel to the pre-$out version).
+
+    ``spec`` is a ``DeltaTable``, a table path string, or a name that
+    resolves through ``tables`` to either. Returns the written
+    DataFrame so the stage stays chainable for stats."""
+    from deltalake_spark.delta.table import DeltaTable
+
+    target = tables[spec] if tables and isinstance(spec, str) \
+        and spec in tables else spec
+    if isinstance(target, str):
+        target = DeltaTable(df.sparkSession, target)
+    if not isinstance(target, DeltaTable):
+        raise InvalidPipelineError(
+            f"$out target must be a DeltaTable or path, got {spec!r}"
+        )
+    target.write(df, mode="overwrite")
+    return df
+
+
+def apply_merge(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    tables: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """``$merge``: upsert the pipeline result into a target collection
+    (Mongo 4.2's terminal stage) — mapped to ``DeltaTable.merge``, so
+    whenMatched/whenNotMatched become the Delta MERGE clauses and the
+    whole upsert is one OCC commit with CDC records.
+
+    ``{into, on, whenMatched: 'replace'|'keepExisting'|'merge'(=
+    replace here: row-level replace equals field-merge for full rows),
+    whenNotMatched: 'insert'|'discard'}``. ``on`` is the equality key
+    (string or list)."""
+    from deltalake_spark.delta.table import DeltaTable
+
+    if not isinstance(spec, Mapping) or "into" not in spec:
+        raise InvalidPipelineError(
+            f"$merge requires {{into, on, ...}}, got {spec!r}"
+        )
+    target = spec["into"]
+    if tables and isinstance(target, str) and target in tables:
+        target = tables[target]
+    if isinstance(target, str):
+        target = DeltaTable(df.sparkSession, target)
+    if not isinstance(target, DeltaTable):
+        raise InvalidPipelineError(
+            f"$merge into must be a DeltaTable or path, got {spec['into']!r}"
+        )
+    on = spec.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    matched = spec.get("whenMatched", "merge")
+    not_matched = spec.get("whenNotMatched", "insert")
+    if matched not in ("replace", "merge", "keepExisting"):
+        raise InvalidPipelineError(
+            f"$merge whenMatched must be replace/merge/keepExisting, "
+            f"got {matched!r}"
+        )
+    if not_matched not in ("insert", "discard"):
+        raise InvalidPipelineError(
+            f"$merge whenNotMatched must be insert/discard, "
+            f"got {not_matched!r}"
+        )
+    update = {c: f"s.`{c}`" for c in df.columns} \
+        if matched in ("replace", "merge") else None
+    target.merge(
+        df,
+        cond,
+        when_matched_update=update,
+        when_not_matched_insert=(not_matched == "insert"),
+    )
+    return df
+
+
+def apply_graph_lookup(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    tables: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """``$graphLookup``: bounded recursive traversal (Mongo 3.4) —
+    per input doc, follow ``connectFromField → connectToField`` edges
+    in ``from`` up to ``maxDepth`` recursions and collect every reached
+    doc (with its depth) into the array field ``as``.
+
+    Spark-first shape: breadth-first iterative equi-joins — round d
+    joins the CURRENT frontier values against ``from`` on the connect
+    key (hash join, broadcastable dimension), exactly the pointer-
+    jumping pattern of ``operators/dedup.connected_components``. A
+    (doc, value) seen-set anti-join guards cycles, so each round's
+    frontier only carries NEW values and the loop terminates on the
+    first empty frontier even with maxDepth above the graph diameter.
+    The driver-side loop runs at most ``maxDepth + 1`` bounded rounds —
+    never data-proportional. Reached docs dedupe to their minimum
+    depth, matching Mongo's BFS semantics.
+    """
+    required = {"from", "startWith", "connectFromField",
+                "connectToField", "as"}
+    if not isinstance(spec, Mapping) or not required <= set(spec):
+        raise InvalidPipelineError(
+            f"$graphLookup requires keys {sorted(required)}, got {spec!r}"
+        )
+    src = spec["from"]
+    if isinstance(src, DataFrame):
+        from_df = src
+    elif tables is not None and src in tables:
+        from_df = tables[src]
+    else:
+        from_df = df.sparkSession.table(src)
+    cf, ct, out_name = (spec["connectFromField"],
+                        spec["connectToField"], spec["as"])
+    depth_field = spec.get("depthField")
+    max_depth = int(spec.get("maxDepth", 20))
+    if max_depth < 0:
+        raise InvalidPipelineError("$graphLookup maxDepth must be >= 0")
+
+    seed = df.withColumn("__gid", F.monotonically_increasing_id())
+    frontier = (
+        seed.select("__gid", value_expr(spec["startWith"]).alias("__val"))
+        .where(F.col("__val").isNotNull())
+        .distinct()
+    )
+    seen = frontier
+    node = F.struct(*[F.col(c) for c in from_df.columns]).alias("__doc")
+    levels = []
+    for depth in range(max_depth + 1):
+        if frontier.isEmpty():
+            break
+        matched = (
+            frontier.join(from_df, frontier["__val"] == from_df[ct])
+            .select("__gid", node, F.lit(depth).alias("__depth"))
+        )
+        levels.append(matched)
+        nxt = (
+            matched.select(
+                "__gid", F.col("__doc")[cf].alias("__val"))
+            .where(F.col("__val").isNotNull())
+            .distinct()
+        )
+        # cycle guard: only expand values this doc has not seen yet
+        frontier = nxt.join(seen, ["__gid", "__val"], "left_anti") \
+            .localCheckpoint(eager=False)
+        seen = seen.unionByName(frontier)
+    if levels:
+        all_matched = levels[0]
+        for m in levels[1:]:
+            all_matched = all_matched.unionByName(m)
+        per_doc = (
+            all_matched.groupBy("__gid", "__doc")
+            .agg(F.min("__depth").alias("__depth"))
+        )
+        elem = F.struct(F.col("__doc"), F.col("__depth")) \
+            if depth_field else F.col("__doc")
+        arr = per_doc.groupBy("__gid").agg(
+            F.collect_list(elem).alias("__arr"))
+        joined = seed.join(arr, "__gid", "left")
+    else:
+        joined = seed.withColumn("__arr", F.lit(None))
+    if depth_field:
+        fill = F.transform(
+            F.coalesce(F.col("__arr"), F.array()),
+            lambda e: e["__doc"].withField(depth_field, e["__depth"]),
+        )
+    else:
+        fill = F.coalesce(F.col("__arr"), F.array())
+    return joined.withColumn(out_name, fill).drop("__gid", "__arr")
+
+
 def apply_lookup(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -648,7 +822,7 @@ def apply_replace_root(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
 STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
           "$unwind", "$count", "$addFields", "$set", "$lookup", "$bucket",
           "$sortByCount", "$replaceRoot", "$unionWith", "$setWindowFields",
-          "$densify", "$fill")
+          "$densify", "$fill", "$merge", "$out", "$graphLookup")
 
 
 def apply_pipeline(
@@ -695,6 +869,8 @@ def apply_pipeline(
             out = apply_add_fields(out, spec)
         elif op == "$lookup":
             out = apply_lookup(out, spec, tables)
+        elif op == "$graphLookup":
+            out = apply_graph_lookup(out, spec, tables)
         elif op == "$unionWith":
             out = apply_union_with(out, spec, tables)
         elif op == "$setWindowFields":
@@ -703,6 +879,10 @@ def apply_pipeline(
             out = apply_densify(out, spec)
         elif op == "$fill":
             out = apply_fill(out, spec)
+        elif op == "$merge":
+            out = apply_merge(out, spec, tables)
+        elif op == "$out":
+            out = apply_out(out, spec, tables)
         elif op == "$bucket":
             out = apply_bucket(out, spec)
         elif op == "$sortByCount":

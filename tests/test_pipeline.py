@@ -465,3 +465,78 @@ def test_densify_and_fill_stages(spark):
         out2.where("grp = 'a'"),
         [{"$fill": {"output": {"v": {"value": 0.0}}}}])
     assert out3.where("v IS NULL").count() == 0
+
+
+def test_out_and_merge_stages(spark, tmp_path):
+    from deltalake_spark.delta.table import DeltaTable
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    path = str(tmp_path / "merge_target")
+    t = DeltaTable(spark, path)
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "v"])
+    # $out: overwrite-create the target from a pipeline
+    apply_pipeline(base, [{"$out": t}])
+    assert t.to_df().count() == 3
+    # $merge: upsert updated + new rows by key
+    src = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], ["id", "name", "v"])
+    apply_pipeline(src, [
+        {"$merge": {"into": t, "on": "id",
+                    "whenMatched": "replace",
+                    "whenNotMatched": "insert"}},
+    ])
+    got = {r["id"]: (r["name"], r["v"])
+           for r in t.to_df().collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
+                   4: ("d", 40)}
+    # keepExisting + discard = no-op merge
+    apply_pipeline(
+        spark.createDataFrame([(2, "x", 0), (9, "y", 9)],
+                              ["id", "name", "v"]),
+        [{"$merge": {"into": t, "on": "id",
+                     "whenMatched": "keepExisting",
+                     "whenNotMatched": "discard"}}])
+    assert {r["id"] for r in t.to_df().collect()} == {1, 2, 3, 4}
+    assert t.to_df().where("id = 2").first()["v"] == 200
+
+
+def test_graph_lookup_ancestors_and_cycles(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    # tree: 1 <- 2 <- 3 <- 4, plus a 2-cycle 10 <-> 11
+    emp = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3), (10, 11), (11, 10)],
+        ["eid", "mgr"],
+    )
+    out = apply_pipeline(emp, [
+        {"$graphLookup": {
+            "from": emp, "startWith": "$mgr",
+            "connectFromField": "mgr", "connectToField": "eid",
+            "as": "chain", "depthField": "d",
+        }},
+    ])
+    got = {r["eid"]: sorted((e["eid"], e["d"]) for e in r["chain"])
+           for r in out.collect()}
+    assert got[1] == []                      # null start -> empty
+    assert got[4] == [(1, 2), (2, 1), (3, 0)]  # BFS depths
+    # cycle terminates and collects both nodes once, min depth
+    assert got[10] == [(10, 1), (11, 0)]
+    assert got[11] == [(10, 0), (11, 1)]
+
+
+def test_graph_lookup_max_depth(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    emp = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3)], ["eid", "mgr"])
+    out = apply_pipeline(emp, [
+        {"$graphLookup": {
+            "from": emp, "startWith": "$mgr",
+            "connectFromField": "mgr", "connectToField": "eid",
+            "as": "chain", "maxDepth": 0,
+        }},
+    ])
+    got = {r["eid"]: [e["eid"] for e in r["chain"]]
+           for r in out.collect()}
+    assert got[4] == [3] and got[1] == []
