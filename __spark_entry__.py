@@ -3002,6 +3002,39 @@ def graph_lookup_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_expr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo expression-operator surface inside $addFields ($toUpper,
+    $concat, $cond/$gte, $floor/$divide, $substrCP, $strLenCP) followed
+    by a compound $group — every operator compiles to a Catalyst
+    expression, so the whole enrichment stays in whole-stage codegen."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_pipeline(docs, [
+        {"$addFields": {
+            "lang_uc": {"$toUpper": "$lang"},
+            "size_band": {"$cond": {"if": {"$gte": ["$n_chars", 300]},
+                                    "then": "long", "else": "short"}},
+            "hectochars": {"$floor": {"$divide": ["$n_chars", 100]}},
+            "src_head": {"$substrCP": ["$source", 0, 4]},
+            "name_len": {"$strLenCP": {"$concat": ["$source", ":",
+                                                   "$lang"]}},
+        }},
+        {"$group": {"_id": {"lang_uc": "$lang_uc",
+                            "size_band": "$size_band"},
+                    "n": {"$sum": 1},
+                    "hc": {"$sum": "$hectochars"},
+                    "max_name_len": {"$max": "$name_len"},
+                    "n_srcs": {"$addToSet": "$src_head"}}},
+    ])
+    return out.select(
+        F.col("_id.lang_uc").alias("lang_uc"),
+        F.col("_id.size_band").alias("size_band"),
+        "n", "hc", "max_name_len",
+        F.size("n_srcs").alias("n_src_heads"),
+    ).orderBy("lang_uc", "size_band")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3028,6 +3061,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "densify_fill_timeseries": densify_fill_timeseries,
     "pipeline_merge_out": pipeline_merge_out,
     "graph_lookup_ancestors": graph_lookup_ancestors,
+    "pipeline_expr_enrich": pipeline_expr_enrich,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3261,6 +3295,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "pipeline_expr_enrich": """
+            WITH enriched AS (
+              SELECT upper(lang) AS lang_uc,
+                     CASE WHEN n_chars >= 300 THEN 'long'
+                          ELSE 'short' END AS size_band,
+                     CAST(floor(n_chars / 100.0) AS BIGINT)
+                       AS hectochars,
+                     substr(source, 1, 4) AS src_head,
+                     len(source || ':' || lang) AS name_len
+              FROM documents
+            )
+            SELECT lang_uc, size_band, count(*) AS n,
+                   sum(hectochars) AS hc,
+                   max(name_len) AS max_name_len,
+                   count(DISTINCT src_head) AS n_src_heads
+            FROM enriched
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "graph_lookup_ancestors": """
             WITH RECURSIVE docs AS (

@@ -41,14 +41,45 @@ ARITHMETIC_OPS = {
     "$divide": lambda a, b: a / b,
 }
 
+# single-argument expression operators (Mongo $project/$addFields
+# surface; all compile to JVM built-ins, zero Python in the hot path)
+UNARY_OPS = {
+    "$toUpper": F.upper,
+    "$toLower": F.lower,
+    "$strLenCP": F.length,
+    "$trim": lambda c: F.trim(c),
+    "$abs": F.abs,
+    "$ceil": F.ceil,
+    "$floor": F.floor,
+    "$sqrt": F.sqrt,
+    "$ln": F.log,
+    "$toString": lambda c: c.cast("string"),
+    "$toInt": lambda c: c.cast("long"),
+    "$toDouble": lambda c: c.cast("double"),
+}
+
+COMPARISON_OPS = {
+    "$eq": lambda a, b: a == b,
+    "$ne": lambda a, b: ~a.eqNullSafe(b),
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+}
+
 
 def value_expr(operand: Any) -> Column:
     """An accumulator/projection operand → Column.
 
     ``'$field'`` references (incl. dot paths), literals, and nested
-    arithmetic expressions (the reference supports nested accumulator
-    expressions inside $sum, src/query/index.ts:1240-1249 — we generalize
-    to all accumulators).
+    expressions. Beyond the reference's nested-$sum arithmetic
+    (src/query/index.ts:1240-1249, generalized to all accumulators),
+    the Mongo expression surface is covered: arithmetic ($add/
+    $subtract/$multiply/$divide, variadic), string ($concat/$toUpper/
+    $toLower/$substrCP/$strLenCP/$trim), numeric ($abs/$ceil/$floor/
+    $sqrt/$ln/$round/$mod), conditional ($cond/$ifNull), comparison
+    ($eq/$ne/$gt/$gte/$lt/$lte), and casts ($toString/$toInt/
+    $toDouble). Every operator compiles to a Catalyst expression.
     """
     if isinstance(operand, str) and operand.startswith("$"):
         return F.col(operand[1:])
@@ -56,17 +87,61 @@ def value_expr(operand: Any) -> Column:
         if len(operand) != 1:
             raise InvalidPipelineError(f"Bad expression operand: {operand!r}")
         op, args = next(iter(operand.items()))
-        if op not in ARITHMETIC_OPS:
-            raise InvalidPipelineError(
-                f"Unknown expression operator {op!r}. "
-                f"Supported: {sorted(ARITHMETIC_OPS)}"
+        if op in ARITHMETIC_OPS:
+            if not isinstance(args, Sequence) or len(args) < 2:
+                raise InvalidPipelineError(f"{op} requires >=2 operands")
+            result = value_expr(args[0])
+            for a in args[1:]:
+                result = ARITHMETIC_OPS[op](result, value_expr(a))
+            return result
+        if op in UNARY_OPS:
+            return UNARY_OPS[op](value_expr(args))
+        if op in COMPARISON_OPS:
+            if not isinstance(args, Sequence) or len(args) != 2:
+                raise InvalidPipelineError(f"{op} requires [a, b]")
+            return COMPARISON_OPS[op](value_expr(args[0]),
+                                      value_expr(args[1]))
+        if op == "$concat":
+            if not isinstance(args, Sequence) or len(args) < 2:
+                raise InvalidPipelineError("$concat requires >=2 operands")
+            return F.concat(*[value_expr(a) for a in args])
+        if op == "$substrCP":
+            if not isinstance(args, Sequence) or len(args) != 3:
+                raise InvalidPipelineError(
+                    "$substrCP requires [string, start, length]")
+            # Mongo start is 0-based; Spark substring is 1-based
+            return F.substring(
+                value_expr(args[0]),
+                value_expr(args[1]) + F.lit(1),
+                value_expr(args[2]),
             )
-        if not isinstance(args, Sequence) or len(args) < 2:
-            raise InvalidPipelineError(f"{op} requires >=2 operands")
-        result = value_expr(args[0])
-        for a in args[1:]:
-            result = ARITHMETIC_OPS[op](result, value_expr(a))
-        return result
+        if op == "$round":
+            if not isinstance(args, Sequence) or len(args) != 2:
+                raise InvalidPipelineError("$round requires [expr, place]")
+            return F.round(value_expr(args[0]), int(args[1]))
+        if op == "$mod":
+            if not isinstance(args, Sequence) or len(args) != 2:
+                raise InvalidPipelineError("$mod requires [a, b]")
+            return value_expr(args[0]) % value_expr(args[1])
+        if op == "$ifNull":
+            if not isinstance(args, Sequence) or len(args) < 2:
+                raise InvalidPipelineError("$ifNull requires >=2 operands")
+            return F.coalesce(*[value_expr(a) for a in args])
+        if op == "$cond":
+            if isinstance(args, Mapping):
+                parts = [args.get("if"), args.get("then"), args.get("else")]
+            elif isinstance(args, Sequence) and len(args) == 3:
+                parts = list(args)
+            else:
+                raise InvalidPipelineError(
+                    "$cond requires [if, then, else] or {if, then, else}")
+            return F.when(
+                value_expr(parts[0]), value_expr(parts[1])
+            ).otherwise(value_expr(parts[2]))
+        raise InvalidPipelineError(
+            f"Unknown expression operator {op!r}. Supported: "
+            f"{sorted([*ARITHMETIC_OPS, *UNARY_OPS, *COMPARISON_OPS, '$concat', '$substrCP', '$round', '$mod', '$ifNull', '$cond'])}"
+        )
     return F.lit(operand)
 
 

@@ -540,3 +540,37 @@ def test_graph_lookup_max_depth(spark):
     got = {r["eid"]: [e["eid"] for e in r["chain"]]
            for r in out.collect()}
     assert got[4] == [3] and got[1] == []
+
+
+def test_expression_operators(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "Alpha", 10.567, None), (2, "beta", -3.2, 5.0)],
+        ["id", "name", "x", "y"],
+    )
+    out = apply_pipeline(df, [
+        {"$addFields": {
+            "upper": {"$toUpper": "$name"},
+            "tag": {"$concat": ["$name", "-", {"$toString": "$id"}]},
+            "head": {"$substrCP": ["$name", 0, 2]},
+            "mag": {"$round": [{"$abs": "$x"}, 1]},
+            "y_filled": {"$ifNull": ["$y", 0.0]},
+            "band": {"$cond": {"if": {"$gte": ["$x", 0]},
+                               "then": "pos", "else": "neg"}},
+            "parity": {"$mod": ["$id", 2]},
+        }},
+    ]).orderBy("id")
+    rows = out.collect()
+    r1, r2 = rows
+    assert r1["upper"] == "ALPHA" and r2["upper"] == "BETA"
+    assert r1["tag"] == "Alpha-1" and r2["tag"] == "beta-2"
+    assert r1["head"] == "Al"
+    assert r1["mag"] == 10.6 and r2["mag"] == 3.2
+    assert r1["y_filled"] == 0.0 and r2["y_filled"] == 5.0
+    assert r1["band"] == "pos" and r2["band"] == "neg"
+    assert r1["parity"] == 1 and r2["parity"] == 0
+    # unknown operator still raises a clear error
+    from deltalake_spark.errors import InvalidPipelineError
+    with pytest.raises(InvalidPipelineError):
+        apply_pipeline(df, [{"$addFields": {"z": {"$bogus": "$x"}}}])
