@@ -65,6 +65,14 @@ BUDGETS = {
     # bucketed prefix sum: per-bucket agg + tiny offsets window +
     # in-bucket window + final agg/sort; offsets join broadcasts
     "shard_assignment_stats": (5, False),
+    # zero-shuffle union concat; agg + sort only
+    "pipeline_unionwith_quality": (2, True),
+    # one window exchange (all frames share the partition order) + sort
+    "window_fields_running": (2, True),
+    # sparse agg + broadcast grid join + locf window + final agg/sort
+    "densify_fill_timeseries": (6, True),
+    # codegen expression enrichment collapses into the agg scan
+    "pipeline_expr_enrich": (3, False),
 }
 
 
