@@ -3035,6 +3035,28 @@ def pipeline_expr_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang_uc", "size_band")
 
 
+def bucket_auto_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$bucketAuto (Mongo 3.4): ~equal-count buckets whose boundaries
+    come from ONE exact-percentile aggregation broadcast back as a
+    codegen CASE chain — no ntile single-partition window, no global
+    sort. Runs over integer cents so the i/6 quantile interpolation is
+    bit-identical to the SQL oracle."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "cents", F.expr("cast(round(o_totalprice * 100) as bigint)"))
+    out = apply_pipeline(orders, [
+        {"$bucketAuto": {"groupBy": "$cents", "buckets": 6,
+                         "output": {"count": {"$sum": 1},
+                                    "total": {"$sum": "$cents"}}}},
+    ])
+    return out.select(
+        F.col("_id.min").alias("lo"),
+        F.col("_id.max").alias("hi"),
+        "count", "total",
+    ).orderBy("lo")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3062,6 +3084,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_merge_out": pipeline_merge_out,
     "graph_lookup_ancestors": graph_lookup_ancestors,
     "pipeline_expr_enrich": pipeline_expr_enrich,
+    "bucket_auto_prices": bucket_auto_prices,
     "semantic_decontam_stats": semantic_decontam_stats,
     "decontaminate_docs": decontaminate_docs,
     "pii_redaction_stats": pii_redaction_stats,
@@ -3295,6 +3318,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 15
+        """,
+        "bucket_auto_prices": """
+            WITH g AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            bs AS (
+              SELECT quantile_cont(cents,
+                       [1.0/6, 2.0/6, 3.0/6, 4.0/6, 5.0/6]) AS b
+              FROM g
+            ),
+            assigned AS (
+              SELECT cents,
+                     CASE WHEN cents <= b[1] THEN 0
+                          WHEN cents <= b[2] THEN 1
+                          WHEN cents <= b[3] THEN 2
+                          WHEN cents <= b[4] THEN 3
+                          WHEN cents <= b[5] THEN 4
+                          ELSE 5 END AS bk
+              FROM g CROSS JOIN bs
+            )
+            SELECT min(cents) AS lo, max(cents) AS hi,
+                   count(*) AS count, sum(cents) AS total
+            FROM assigned
+            GROUP BY bk ORDER BY lo
         """,
         "pipeline_expr_enrich": """
             WITH enriched AS (

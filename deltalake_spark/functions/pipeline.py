@@ -685,6 +685,112 @@ def apply_merge(
     return df
 
 
+def apply_facet(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    tables: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """``$facet``: run several sub-pipelines over the SAME input and
+    return one document holding each facet's results as an array.
+
+    Spark shape: each facet is its own pipeline over the shared plan
+    (Catalyst reuses the common subtree via exchange reuse); every
+    facet collapses to a one-row array aggregate (facet outputs are
+    document-sized by definition — Mongo caps them at 16 MB), and the
+    one-row frames cross-join into the single result document."""
+    if not isinstance(spec, Mapping) or not spec:
+        raise InvalidPipelineError(
+            f"$facet requires a non-empty mapping of sub-pipelines, "
+            f"got {spec!r}"
+        )
+    result = None
+    for name, sub in spec.items():
+        branch = apply_pipeline(df, sub, tables)
+        one = branch.agg(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in branch.columns])
+            ).alias(name)
+        )
+        result = one if result is None else result.crossJoin(one)
+    return result
+
+
+def apply_bucket_auto(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+) -> DataFrame:
+    """``$bucketAuto``: split docs into ~equal-count buckets with
+    boundaries derived from the data (Mongo 3.4).
+
+    Spark-first: boundaries are the exact ``i/N`` percentiles of the
+    groupBy expression — ONE aggregation, broadcast back as a CASE
+    chain, so there is no global sort / ntile single-partition window;
+    assignment is a pure codegen projection. Per Mongo, ties across a
+    boundary collapse into the lower bucket (duplicate boundaries are
+    dropped), so bucket counts are near-equal, not exact. Output
+    follows the $bucket shape: ``_id`` = {min, max} of the bucket plus
+    the ``output`` accumulators (default count)."""
+    if not isinstance(spec, Mapping) or "groupBy" not in spec \
+            or "buckets" not in spec:
+        raise InvalidPipelineError(
+            f"$bucketAuto requires {{groupBy, buckets}}, got {spec!r}"
+        )
+    n = int(spec["buckets"])
+    if n < 1:
+        raise InvalidPipelineError("$bucketAuto buckets must be >= 1")
+    gb = value_expr(spec["groupBy"])
+    ps = [i / n for i in range(1, n)]
+    row = df.agg(
+        F.percentile(gb, F.array(*[F.lit(p) for p in ps])).alias("bs")
+    ).first() if ps else None
+    bounds = []
+    if row and row["bs"] is not None:
+        for b in row["bs"]:
+            if not bounds or b > bounds[-1]:
+                bounds.append(b)
+    bucket = F.lit(len(bounds))
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(gb <= F.lit(bounds[i]), F.lit(i)).otherwise(bucket)
+    out_spec = spec.get("output") or {"count": {"$sum": 1}}
+    aggs = [accumulator_expr(name, a) for name, a in out_spec.items()]
+    grouped = (
+        df.withColumn("__bk", bucket)
+        .groupBy("__bk")
+        .agg(F.min(gb).alias("__lo"), F.max(gb).alias("__hi"), *aggs)
+    )
+    return grouped.select(
+        F.struct(F.col("__lo").alias("min"),
+                 F.col("__hi").alias("max")).alias("_id"),
+        *[F.col(name) for name in out_spec],
+    ).orderBy("_id.min")
+
+
+def apply_sample(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
+    """``$sample``: pseudo-random N documents. DOCUMENTED DIVERGENCE:
+    Mongo draws a fresh random sample per execution; a distributed
+    engine wants reproducibility, so this samples by the portable
+    priority hash of ``seedBy`` (default: first column) with an
+    optional ``seed`` — deterministic across runs and partitionings,
+    planned as TakeOrdered (per-partition heaps, no global sort)."""
+    from deltalake_spark.operators.mixing import doc_priority
+
+    if not isinstance(spec, Mapping) or "size" not in spec:
+        raise InvalidPipelineError(
+            f"$sample requires {{size}}, got {spec!r}"
+        )
+    size = int(spec["size"])
+    if size < 0:
+        raise InvalidPipelineError("$sample size must be >= 0")
+    key = spec.get("seedBy") or df.columns[0]
+    seed = int(spec.get("seed", 0))
+    return (
+        df.withColumn("__pri", doc_priority(F.col(key), seed))
+        .orderBy("__pri", key)
+        .limit(size)
+        .drop("__pri")
+    )
+
+
 def apply_graph_lookup(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -897,7 +1003,8 @@ def apply_replace_root(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
 STAGES = ("$match", "$group", "$project", "$sort", "$limit", "$skip",
           "$unwind", "$count", "$addFields", "$set", "$lookup", "$bucket",
           "$sortByCount", "$replaceRoot", "$unionWith", "$setWindowFields",
-          "$densify", "$fill", "$merge", "$out", "$graphLookup")
+          "$densify", "$fill", "$merge", "$out", "$graphLookup",
+          "$facet", "$bucketAuto", "$sample")
 
 
 def apply_pipeline(
@@ -946,6 +1053,12 @@ def apply_pipeline(
             out = apply_lookup(out, spec, tables)
         elif op == "$graphLookup":
             out = apply_graph_lookup(out, spec, tables)
+        elif op == "$facet":
+            out = apply_facet(out, spec, tables)
+        elif op == "$bucketAuto":
+            out = apply_bucket_auto(out, spec)
+        elif op == "$sample":
+            out = apply_sample(out, spec)
         elif op == "$unionWith":
             out = apply_union_with(out, spec, tables)
         elif op == "$setWindowFields":

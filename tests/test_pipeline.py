@@ -574,3 +574,45 @@ def test_expression_operators(spark):
     from deltalake_spark.errors import InvalidPipelineError
     with pytest.raises(InvalidPipelineError):
         apply_pipeline(df, [{"$addFields": {"z": {"$bogus": "$x"}}}])
+
+
+def test_facet_bucketauto_sample_stages(spark):
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"c{i % 3}", float(i)) for i in range(100)],
+        ["id", "cat", "v"],
+    )
+    # $facet: two sub-pipelines over the same input, one result doc
+    out = apply_pipeline(df, [
+        {"$facet": {
+            "by_cat": [{"$group": {"_id": "$cat", "n": {"$sum": 1}}},
+                       {"$sort": {"_id": 1}}],
+            "top3": [{"$sort": {"v": -1}}, {"$limit": 3},
+                     {"$project": ["id"]}],
+        }},
+    ])
+    row = out.first()
+    assert sorted((e["_id"], e["n"]) for e in row["by_cat"]) == [
+        ("c0", 34), ("c1", 33), ("c2", 33)]
+    assert sorted(e["id"] for e in row["top3"]) == [97, 98, 99]
+
+    # $bucketAuto: ~equal-count buckets, contiguous boundaries
+    ba = apply_pipeline(df, [
+        {"$bucketAuto": {"groupBy": "$v", "buckets": 4}},
+    ]).collect()
+    assert len(ba) == 4
+    assert sum(r["count"] for r in ba) == 100
+    assert all(20 <= r["count"] <= 30 for r in ba)
+    mins = [r["_id"]["min"] for r in ba]
+    assert mins == sorted(mins)
+
+    # $sample: deterministic across partitionings, size respected
+    s1 = apply_pipeline(df, [{"$sample": {"size": 10, "seed": 5}}])
+    s2 = apply_pipeline(df.repartition(7),
+                        [{"$sample": {"size": 10, "seed": 5}}])
+    ids1 = sorted(r["id"] for r in s1.collect())
+    assert ids1 == sorted(r["id"] for r in s2.collect())
+    assert len(ids1) == 10
+    s3 = apply_pipeline(df, [{"$sample": {"size": 10, "seed": 6}}])
+    assert sorted(r["id"] for r in s3.collect()) != ids1
