@@ -3057,6 +3057,92 @@ def bucket_auto_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lo")
 
 
+def pipeline_expr_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date expression operators ($year/$week/$dateDiff/
+    $dateTrunc/$switch — functions/expr_ops.py) inside $addFields.
+    $week implements Mongo's Sunday-anchored week-0 numbering, which has
+    no Spark builtin; $dateDiff counts day-boundary crossings like Mongo
+    (and DuckDB's date_diff, which is the oracle). Everything compiles
+    to Catalyst date intrinsics — one scan, one shuffle for the group."""
+    import datetime as _dt
+
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    orders = _t(spark, sf_dir, "orders")
+    out = apply_pipeline(orders, [
+        {"$addFields": {
+            "yr": {"$year": "$o_orderdate"},
+            "wk": {"$week": "$o_orderdate"},
+            "age_days": {"$dateDiff": {
+                "startDate": "$o_orderdate",
+                "endDate": {"$literal": _dt.datetime(1998, 8, 1)},
+                "unit": "day"}},
+            "month_start": {"$dateTrunc": {"date": "$o_orderdate",
+                                           "unit": "month"}},
+            "band": {"$switch": {
+                "branches": [
+                    {"case": {"$lt": ["$o_totalprice", 50000]},
+                     "then": "low"},
+                    {"case": {"$lt": ["$o_totalprice", 150000]},
+                     "then": "mid"},
+                ],
+                "default": "high"}},
+        }},
+        {"$group": {"_id": {"yr": "$yr", "band": "$band"},
+                    "n": {"$sum": 1},
+                    "max_wk": {"$max": "$wk"},
+                    "sum_age": {"$sum": "$age_days"},
+                    "months": {"$addToSet": "$month_start"}}},
+    ])
+    return out.select(
+        F.col("_id.yr").alias("yr"),
+        F.col("_id.band").alias("band"),
+        "n", "max_wk", "sum_age",
+        F.size("months").alias("n_months"),
+    ).orderBy("yr", "band")
+
+
+def pipeline_expr_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array lambda operators ($split/$filter/$map/$reduce/$arrayElemAt
+    — functions/expr_ops.py) over document text. Every per-word step is
+    a Spark higher-order function (transform/filter/aggregate) on the
+    in-row array: zero Python, zero shuffle until the final one-shuffle
+    $group. The same shapes via a Python UDF would Arrow-round-trip the
+    whole text column; this stays in whole-stage codegen."""
+    from deltalake_spark.functions.pipeline import apply_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_pipeline(docs, [
+        {"$addFields": {"words": {"$split": ["$text", " "]}}},
+        {"$addFields": {
+            "n_words": {"$size": "$words"},
+            "n_long": {"$size": {"$filter": {
+                "input": "$words",
+                "cond": {"$gt": [{"$strLenCP": "$$this"}, 4]}}}},
+            "char_sum": {"$reduce": {
+                "input": {"$map": {"input": "$words",
+                                   "in": {"$strLenCP": "$$this"}}},
+                "initialValue": 0,
+                "in": {"$add": ["$$value", "$$this"]}}},
+            "first_w": {"$toUpper": {"$arrayElemAt": ["$words", 0]}},
+            "last_len": {"$strLenCP": {"$arrayElemAt": ["$words", -1]}},
+        }},
+        {"$group": {"_id": "$lang",
+                    "n_docs": {"$sum": 1},
+                    "words_total": {"$sum": "$n_words"},
+                    "long_total": {"$sum": "$n_long"},
+                    "chars_total": {"$sum": "$char_sum"},
+                    "first_uc": {"$addToSet": "$first_w"},
+                    "last_len_max": {"$max": "$last_len"}}},
+    ])
+    return out.select(
+        F.col("_id").alias("lang"),
+        "n_docs", "words_total", "long_total", "chars_total",
+        F.size("first_uc").alias("n_first_uc"),
+        "last_len_max",
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3072,6 +3158,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # green CORRECTNESS_r02 rows follow — across rounds every query gets a
 # driver-recorded verdict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pipeline_expr_dates": pipeline_expr_dates,
+    "pipeline_expr_arrays": pipeline_expr_arrays,
     "nb_language_confusion": nb_language_confusion,
     "deterministic_split_stats": deterministic_split_stats,
     "dsir_importance_topk": dsir_importance_topk,
@@ -3198,6 +3286,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pipeline_expr_dates": """
+            WITH enriched AS (
+              SELECT year(o_orderdate) AS yr,
+                     -- Mongo $week: Sunday-anchored, week 0 before the
+                     -- first Sunday (DuckDB dayofweek: Sunday = 0)
+                     CAST(floor((dayofyear(o_orderdate) + 6
+                                 - dayofweek(o_orderdate)) / 7)
+                          AS INT) AS wk,
+                     date_diff('day', o_orderdate,
+                               TIMESTAMP '1998-08-01') AS age_days,
+                     date_trunc('month', o_orderdate) AS month_start,
+                     CASE WHEN o_totalprice < 50000 THEN 'low'
+                          WHEN o_totalprice < 150000 THEN 'mid'
+                          ELSE 'high' END AS band
+              FROM orders
+            )
+            SELECT yr, band, count(*) AS n, max(wk) AS max_wk,
+                   sum(age_days) AS sum_age,
+                   count(DISTINCT month_start) AS n_months
+            FROM enriched
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "pipeline_expr_arrays": """
+            WITH w AS (
+              SELECT lang, string_split(text, ' ') AS words
+              FROM documents
+            ),
+            enriched AS (
+              SELECT lang,
+                     len(words) AS n_words,
+                     len(list_filter(words, x -> length(x) > 4))
+                       AS n_long,
+                     CAST(coalesce(list_sum(
+                       list_transform(words, x -> length(x))), 0)
+                       AS BIGINT) AS char_sum,
+                     upper(words[1]) AS first_w,
+                     length(words[-1]) AS last_len
+              FROM w
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_words) AS words_total,
+                   sum(n_long) AS long_total,
+                   sum(char_sum) AS chars_total,
+                   count(DISTINCT first_w) AS n_first_uc,
+                   max(last_len) AS last_len_max
+            FROM enriched
+            GROUP BY 1 ORDER BY 1
+        """,
         "nb_language_confusion": """
             WITH toks AS (
               -- outer-unnest: zero-token docs keep one NULL-token row

@@ -68,7 +68,7 @@ COMPARISON_OPS = {
 }
 
 
-def value_expr(operand: Any) -> Column:
+def value_expr(operand: Any, env: Mapping[str, Column] | None = None) -> Column:
     """An accumulator/projection operand → Column.
 
     ``'$field'`` references (incl. dot paths), literals, and nested
@@ -78,9 +78,26 @@ def value_expr(operand: Any) -> Column:
     $subtract/$multiply/$divide, variadic), string ($concat/$toUpper/
     $toLower/$substrCP/$strLenCP/$trim), numeric ($abs/$ceil/$floor/
     $sqrt/$ln/$round/$mod), conditional ($cond/$ifNull), comparison
-    ($eq/$ne/$gt/$gte/$lt/$lte), and casts ($toString/$toInt/
-    $toDouble). Every operator compiles to a Catalyst expression.
+    ($eq/$ne/$gt/$gte/$lt/$lte), casts ($toString/$toInt/$toDouble),
+    and the extended surface in ``expr_ops`` (dates, arrays with
+    $$var lambdas, $switch/$let, strings, math/trig, $convert).
+    Every operator compiles to a Catalyst expression.
+
+    ``env`` maps lambda/let variable names to Columns so ``"$$this"``/
+    ``"$$value"``/``$let`` bindings resolve inside $map/$filter/$reduce
+    bodies (dotted tails index into struct elements).
     """
+    if isinstance(operand, str) and operand.startswith("$$"):
+        parts = operand[2:].split(".")
+        bound = (env or {}).get(parts[0])
+        if bound is None:
+            raise InvalidPipelineError(
+                f"Unknown variable {operand!r} (in scope: "
+                f"{sorted(env or {})}; $$ROOT/$$CURRENT are not "
+                "supported — reference fields directly)")
+        for field in parts[1:]:
+            bound = bound[field]
+        return bound
     if isinstance(operand, str) and operand.startswith("$"):
         return F.col(operand[1:])
     if isinstance(operand, Mapping):
@@ -90,43 +107,43 @@ def value_expr(operand: Any) -> Column:
         if op in ARITHMETIC_OPS:
             if not isinstance(args, Sequence) or len(args) < 2:
                 raise InvalidPipelineError(f"{op} requires >=2 operands")
-            result = value_expr(args[0])
+            result = value_expr(args[0], env)
             for a in args[1:]:
-                result = ARITHMETIC_OPS[op](result, value_expr(a))
+                result = ARITHMETIC_OPS[op](result, value_expr(a, env))
             return result
         if op in UNARY_OPS:
-            return UNARY_OPS[op](value_expr(args))
+            return UNARY_OPS[op](value_expr(args, env))
         if op in COMPARISON_OPS:
             if not isinstance(args, Sequence) or len(args) != 2:
                 raise InvalidPipelineError(f"{op} requires [a, b]")
-            return COMPARISON_OPS[op](value_expr(args[0]),
-                                      value_expr(args[1]))
+            return COMPARISON_OPS[op](value_expr(args[0], env),
+                                      value_expr(args[1], env))
         if op == "$concat":
             if not isinstance(args, Sequence) or len(args) < 2:
                 raise InvalidPipelineError("$concat requires >=2 operands")
-            return F.concat(*[value_expr(a) for a in args])
+            return F.concat(*[value_expr(a, env) for a in args])
         if op == "$substrCP":
             if not isinstance(args, Sequence) or len(args) != 3:
                 raise InvalidPipelineError(
                     "$substrCP requires [string, start, length]")
             # Mongo start is 0-based; Spark substring is 1-based
             return F.substring(
-                value_expr(args[0]),
-                value_expr(args[1]) + F.lit(1),
-                value_expr(args[2]),
+                value_expr(args[0], env),
+                value_expr(args[1], env) + F.lit(1),
+                value_expr(args[2], env),
             )
         if op == "$round":
             if not isinstance(args, Sequence) or len(args) != 2:
                 raise InvalidPipelineError("$round requires [expr, place]")
-            return F.round(value_expr(args[0]), int(args[1]))
+            return F.round(value_expr(args[0], env), int(args[1]))
         if op == "$mod":
             if not isinstance(args, Sequence) or len(args) != 2:
                 raise InvalidPipelineError("$mod requires [a, b]")
-            return value_expr(args[0]) % value_expr(args[1])
+            return value_expr(args[0], env) % value_expr(args[1], env)
         if op == "$ifNull":
             if not isinstance(args, Sequence) or len(args) < 2:
                 raise InvalidPipelineError("$ifNull requires >=2 operands")
-            return F.coalesce(*[value_expr(a) for a in args])
+            return F.coalesce(*[value_expr(a, env) for a in args])
         if op == "$cond":
             if isinstance(args, Mapping):
                 parts = [args.get("if"), args.get("then"), args.get("else")]
@@ -136,11 +153,16 @@ def value_expr(operand: Any) -> Column:
                 raise InvalidPipelineError(
                     "$cond requires [if, then, else] or {if, then, else}")
             return F.when(
-                value_expr(parts[0]), value_expr(parts[1])
-            ).otherwise(value_expr(parts[2]))
+                value_expr(parts[0], env), value_expr(parts[1], env)
+            ).otherwise(value_expr(parts[2], env))
+        from deltalake_spark.functions import expr_ops
+
+        extended = expr_ops.build(op, args, env, value_expr)
+        if extended is not None:
+            return extended
         raise InvalidPipelineError(
             f"Unknown expression operator {op!r}. Supported: "
-            f"{sorted([*ARITHMETIC_OPS, *UNARY_OPS, *COMPARISON_OPS, '$concat', '$substrCP', '$round', '$mod', '$ifNull', '$cond'])}"
+            f"{sorted([*ARITHMETIC_OPS, *UNARY_OPS, *COMPARISON_OPS, '$concat', '$substrCP', '$round', '$mod', '$ifNull', '$cond', *expr_ops.HANDLERS])}"
         )
     return F.lit(operand)
 

@@ -73,6 +73,11 @@ BUDGETS = {
     "densify_fill_timeseries": (6, True),
     # codegen expression enrichment collapses into the agg scan
     "pipeline_expr_enrich": (3, False),
+    # date intrinsics + $switch CASE fold into the scan (full-table
+    # query, nothing to push); agg + sort
+    "pipeline_expr_dates": (2, False),
+    # higher-order array lambdas stay in-row; one group shuffle + sort
+    "pipeline_expr_arrays": (2, False),
 }
 
 
