@@ -3143,6 +3143,20 @@ def pipeline_expr_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.py): top-20 documents
+    for a three-term query. Corpus stats (N, avgdl, per-term df) are ONE
+    broadcast row; per-doc tf comes from JVM higher-order functions over
+    the token array; ranking is TakeOrderedAndProject. Two scans + a
+    broadcast hash join — no inverted index, no wide shuffle, 100 TB
+    shape. Scores rounded before ordering so the k-boundary is
+    bit-reproducible against the DuckDB oracle."""
+    from deltalake_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "vector"], k=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3160,6 +3174,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
+    "bm25_topk_docs": bm25_topk_docs,
     "nb_language_confusion": nb_language_confusion,
     "deterministic_split_stats": deterministic_split_stats,
     "dsir_importance_topk": dsir_importance_topk,
@@ -3286,6 +3301,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '') AS tk
+              FROM documents
+            ),
+            base AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+            stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl,
+                     sum(CASE WHEN list_contains(tk, 'spark')
+                         THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN list_contains(tk, 'merge')
+                         THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN list_contains(tk, 'vector')
+                         THEN 1 ELSE 0 END) AS df2
+              FROM base
+            ),
+            tfs AS (
+              SELECT doc_id, dl,
+                     len(list_filter(tk, x -> x = 'spark')) AS tf0,
+                     len(list_filter(tk, x -> x = 'merge')) AS tf1,
+                     len(list_filter(tk, x -> x = 'vector')) AS tf2
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id,
+                round(
+                    ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                      * tf0 * 2.2
+                      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                      * tf1 * 2.2
+                      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                      * tf2 * 2.2
+                      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                  4) AS score
+              FROM tfs CROSS JOIN stats
+            )
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
         "pipeline_expr_dates": """
             WITH enriched AS (
               SELECT year(o_orderdate) AS yr,

@@ -359,6 +359,44 @@ def apply_sort(df: DataFrame, spec: Mapping[str, int]) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def apply_project_stage(df: DataFrame, spec: Any) -> DataFrame:
+    """``$project`` with Mongo's full grammar.
+
+    Pure include/exclude specs route to :func:`apply_projection`
+    (reference parity, src/query/index.ts:1509-1547). Any computed
+    value — ``{"total": {"$multiply": [...]}}`` or a ``"$field"``
+    rename — switches the stage to Mongo's inclusion mode: the output
+    has exactly the included + computed fields, and mixing in
+    exclusions is rejected like Mongo's
+    "Cannot do exclusion ... in inclusion projection" error. Computed
+    values reuse the expression grammar, so the whole stage is one
+    Catalyst Project node."""
+    if not isinstance(spec, Mapping) or not spec:
+        return apply_projection(df, spec)
+    # any bare number is an include/exclude flag in Mongo (truthy =
+    # include); literal outputs need $literal, exactly like Mongo
+    flags = {k: v for k, v in spec.items()
+             if isinstance(v, (bool, int, float))}
+    if len(flags) == len(spec):
+        return apply_projection(df, spec)
+    excluded = [k for k, v in flags.items() if not v]
+    if excluded:
+        raise InvalidPipelineError(
+            f"$project: cannot mix exclusion of {excluded} with "
+            "computed/included fields (Mongo inclusion-mode semantics)")
+    cols = []
+    for name, v in spec.items():
+        if "." in name:
+            raise InvalidPipelineError(
+                f"$project computed mode supports top-level output "
+                f"names only, got {name!r}")
+        if name in flags:
+            cols.append(F.col(name))
+        else:
+            cols.append(value_expr(v).alias(name))
+    return df.select(*cols)
+
+
 def apply_add_fields(df: DataFrame, spec: Mapping[str, Any]) -> DataFrame:
     """``$addFields`` / ``$set``: computed top-level columns (extension —
     the reference pipeline has no field-computation stage; expressions
@@ -1058,7 +1096,7 @@ def apply_pipeline(
         elif op == "$group":
             out = apply_group(out, spec)
         elif op == "$project":
-            out = apply_projection(out, spec)
+            out = apply_project_stage(out, spec)
         elif op == "$sort":
             out = apply_sort(out, spec)
         elif op == "$limit":

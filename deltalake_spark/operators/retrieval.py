@@ -1,0 +1,120 @@
+"""Lexical retrieval: BM25 scoring over a document corpus.
+
+The reference engine has no text-retrieval operator; this is a
+north-star addition for training-data curation (query-focused corpus
+selection, eval-set mining, boosted sampling — the lexical complement
+to the embedding ANN operators in ``operators/similarity.py``).
+
+Scale design (Robertson/Spärck Jones BM25, the Okapi formulation used
+by Lucene):
+
+- Per-document term frequencies come from Spark higher-order functions
+  over the in-row token array — a narrow, shuffle-free JVM projection.
+- The corpus statistics BM25 needs (N, avgdl, per-term document
+  frequency) are ONE struct-valued SCALAR SUBQUERY: a single extra
+  aggregation stage producing one row of a few doubles regardless of
+  corpus size, referenced directly by the scoring expression.  No join
+  node exists in the plan — a literal-key broadcast join would fold
+  back into a nested-loop join (which the plan budgets forbid), and a
+  driver-side collect would serialize the pipeline.
+- Top-k lands in TakeOrderedAndProject (per-partition heaps, no global
+  sort materialization).
+
+At 100 TB this is two corpus scans (stats + score) with KB-scale
+intermediate state — no inverted index is materialized.  For repeated
+querying, persist the token arrays and stats once and reuse them; the
+per-query cost is then one scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(text_col: Column) -> Column:
+    """Lowercase whitespace tokens, empties dropped (matches
+    operators/text.py token accounting)."""
+    return F.filter(F.split(F.lower(F.trim(text_col)), r"\s+"),
+                    lambda t: t != "")
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-words query.
+
+    idf uses the Lucene-style non-negative form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``; tf saturation is
+    ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.  Score is rounded
+    before the final ordering so the ranking (incl. the k boundary) is
+    reproducible bit-for-bit against a SQL oracle despite 1-ulp libm
+    differences in ``ln``.
+
+    Registers a temp view named by the corpus plan's semantic hash (the
+    scalar subquery needs a relation to reference); repeated calls on
+    the same corpus replace it, keeping the catalog bounded.
+    """
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+
+    # deterministic per-corpus-plan name: lazily-evaluated results from
+    # earlier calls on a DIFFERENT corpus keep resolving their own view
+    view = f"__bm25_corpus_{docs.semanticHash() & 0xFFFFFFFF:08x}"
+    docs.createOrReplaceTempView(view)
+
+    tk_sql = (f"filter(split(lower(trim({text_col})), '\\\\s+'), "
+              "x -> x != '')")
+    df_parts = ", ".join(
+        f"sum(cast(array_contains(tk, {_sql_str(t)}) as int)) as df_{i}"
+        for i, t in enumerate(terms))
+    stats = F.expr(
+        f"(select struct(cast(count(*) as double) as n, "
+        f"avg(size(tk)) as avgdl, {df_parts}) "
+        f"from (select {tk_sql} as tk from {view}))")
+
+    toks = docs.select(
+        F.col(id_col),
+        tokenize(F.col(text_col)).alias("__tk"),
+    ).withColumn("__dl", F.size("__tk"))
+
+    def term_eq(term: str):
+        # single-arg lambda factory: a two-parameter lambda would be
+        # interpreted by F.filter as its (element, index) form
+        return lambda x: x == F.lit(term)
+
+    parts: list[Column] = []
+    for i, t in enumerate(terms):
+        tf = F.size(F.filter("__tk", term_eq(t)))
+        df_t = stats[f"df_{i}"]
+        idf = F.log(
+            F.lit(1.0) + (stats["n"] - df_t + 0.5) / (df_t + 0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / stats["avgdl"])
+        parts.append(idf * tf * F.lit(k1 + 1.0) / denom)
+    score = parts[0]
+    for p in parts[1:]:
+        score = score + p
+
+    return (
+        toks.select(
+            F.col(id_col),
+            F.round(score, round_to).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -395,6 +395,53 @@ class TestMath:
         assert ev(spark, {"$toBool": 1}) == [True]
 
 
+class TestProjectComputed:
+    """$project with computed fields (Mongo inclusion-mode grammar)."""
+
+    def test_computed_and_included(self, spark):
+        from deltalake_spark.functions.pipeline import apply_pipeline
+
+        df = spark.createDataFrame([(1, 10.0, "ab"), (2, 20.0, "cde")],
+                                   ["id", "price", "tag"])
+        out = apply_pipeline(df, [
+            {"$project": {
+                "id": 1,
+                "double_price": {"$multiply": ["$price", 2]},
+                "tag_up": {"$toUpper": "$tag"},
+            }},
+            {"$sort": {"id": 1}},
+        ])
+        assert out.columns == ["id", "double_price", "tag_up"]
+        assert [tuple(r) for r in out.collect()] == \
+            [(1, 20.0, "AB"), (2, 40.0, "CDE")]
+
+    def test_rename_via_field_ref(self, spark):
+        from deltalake_spark.functions.pipeline import apply_pipeline
+
+        df = spark.createDataFrame([(1, "x")], ["id", "v"])
+        out = apply_pipeline(df, [{"$project": {"renamed": "$v"}}])
+        assert out.columns == ["renamed"]
+        assert out.collect()[0]["renamed"] == "x"
+
+    def test_mixing_exclusion_rejected(self, spark):
+        from deltalake_spark.errors import InvalidPipelineError
+        from deltalake_spark.functions.pipeline import apply_pipeline
+
+        df = spark.createDataFrame([(1, "x")], ["id", "v"])
+        with pytest.raises(InvalidPipelineError, match="exclusion"):
+            apply_pipeline(df, [{"$project": {
+                "id": 0, "up": {"$toUpper": "$v"}}}])
+
+    def test_pure_include_exclude_unchanged(self, spark):
+        from deltalake_spark.functions.pipeline import apply_pipeline
+
+        df = spark.createDataFrame([(1, "x", 2.0)], ["id", "v", "w"])
+        assert apply_pipeline(
+            df, [{"$project": {"id": 1, "v": 1}}]).columns == ["id", "v"]
+        assert apply_pipeline(
+            df, [{"$project": {"w": 0}}]).columns == ["id", "v"]
+
+
 class TestInPipeline:
     """The operators compose inside real pipeline stages."""
 

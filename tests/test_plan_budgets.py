@@ -78,6 +78,9 @@ BUDGETS = {
     "pipeline_expr_dates": (2, False),
     # higher-order array lambdas stay in-row; one group shuffle + sort
     "pipeline_expr_arrays": (2, False),
+    # stats via one scalar subquery (no join node), TakeOrdered head —
+    # zero wide shuffles end to end
+    "bm25_topk_docs": (0, False),
 }
 
 
