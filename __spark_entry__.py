@@ -2476,6 +2476,37 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: cluster by nearest of 8 seed
+    centroids (the vec_id<8 vectors — deterministic, oracle-replayable),
+    drop rows with a lower-id cosine>=0.35 twin in the same cluster, and
+    report per-cluster keep/drop counts. Exercises
+    ``operators.dedup.semantic_dedup`` +
+    ``operators.similarity.cluster_assign`` end-to-end. The seed collect
+    is 8 rows of KB-scale codebook metadata — the same bounded-driver
+    cost model as IVF centroid training."""
+    from deltalake_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = [
+        list(r[0])
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    out = semantic_dedup(emb, seeds, id_col="vec_id", threshold=0.35)
+    return (
+        out.withColumn("cluster", F.col("cluster").cast("long"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(F.col("kept"), F.col("vec_id")).otherwise(0))
+            .alias("kept_id_sum"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3238,6 +3269,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_lookup_segments": pipeline_lookup_segments,
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
     "embedding_cosine_pairs": embedding_cosine_pairs,
+    "semantic_dedup_stats": semantic_dedup_stats,
     "doc_chunk_pack": doc_chunk_pack,
     "doc_chunk_overlap_stats": doc_chunk_overlap_stats,
     "video_meta_extract": video_meta_extract,
@@ -4621,6 +4653,45 @@ def oracle_sql() -> dict[str, str]:
                                             b.embedding::DOUBLE[]))),
                      6) >= 0.4
             ORDER BY 1, 2
+        """,
+        "semantic_dedup_stats": """
+            WITH seeds AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 8),
+            dist AS (
+              SELECT e.vec_id, e.embedding, s.cid,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])
+                           - 2.0 * list_dot_product(e.embedding::DOUBLE[],
+                                                    s.cvec)
+                           + list_dot_product(s.cvec, s.cvec), 6) AS d
+              FROM embeddings e CROSS JOIN seeds s),
+            assign AS (
+              SELECT vec_id, embedding, cid AS cluster,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM dist),
+            a AS (SELECT vec_id, embedding, cluster
+                  FROM assign WHERE rn = 1),
+            dropped AS (
+              SELECT DISTINCT x.vec_id
+              FROM a x JOIN a y
+                ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+              WHERE ROUND(
+                      list_dot_product(x.embedding::DOUBLE[],
+                                       y.embedding::DOUBLE[]) /
+                      (sqrt(list_dot_product(x.embedding::DOUBLE[],
+                                             x.embedding::DOUBLE[])) *
+                       sqrt(list_dot_product(y.embedding::DOUBLE[],
+                                             y.embedding::DOUBLE[]))),
+                      6) >= 0.35)
+            SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+                   CAST(SUM(CASE WHEN d.vec_id IS NULL
+                                 THEN a.vec_id ELSE 0 END) AS BIGINT)
+                       AS kept_id_sum
+            FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+            GROUP BY 1 ORDER BY 1
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

@@ -466,3 +466,59 @@ def embedding_neardup(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cluster_col: str = "cluster",
+    keep_col: str = "kept",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings by nearest centroid, then drop a
+    row when a *lower-id* row in the same cluster is semantically identical
+    (cosine >= threshold). Keeping the minimum id per duplicate set is the
+    deterministic stand-in for the paper's keep-one-representative rule.
+
+    Returns the input plus ``cluster`` and a boolean ``kept``.
+
+    Scale shape: assignment is a map-only JVM expression
+    (:func:`~deltalake_spark.operators.similarity.cluster_assign`); the
+    duplicate scan is a self-equi-join on the cluster id — one hash shuffle,
+    never a cross join. Per-cluster work is quadratic in cluster size, so
+    the codebook must grow with the corpus (the paper uses n/k ≈ 100–200
+    rows per cluster; centroids stay KB-scale metadata regardless). Skewed
+    clusters are the operator's known hazard — size the codebook, or
+    pre-split hot clusters, before running at full scale.
+    """
+    from deltalake_spark.operators.similarity import cluster_assign, cosine_expr
+
+    assigned = cluster_assign(df, centroids, vec_col=vec_col,
+                              cluster_col=cluster_col)
+    base = assigned.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+    )
+    x = base.select(F.col("__c"), F.col("__id").alias("__xid"),
+                    F.col("__v").alias("__xv"))
+    y = base.select(F.col("__c"), F.col("__id").alias("__yid"),
+                    F.col("__v").alias("__yv"))
+    dropped = (
+        x.join(y, "__c")
+        .filter(F.col("__yid") < F.col("__xid"))
+        .filter(F.round(cosine_expr(F.col("__xv"), F.col("__yv")), 6)
+                >= threshold)
+        .select(F.col("__xid").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .withColumn(keep_col, F.col("__dup").isNull())
+        .drop("__dup")
+    )

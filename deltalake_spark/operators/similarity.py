@@ -363,6 +363,53 @@ def pairwise_topk_join(
     )
 
 
+def cluster_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Exact nearest-centroid assignment with a deterministic, replayable
+    rule: squared L2 via the ``|x|² − 2x·c + |c|²`` dot-product expansion,
+    rounded to 6 decimals, ties broken by centroid index.
+
+    Unlike :func:`ivf_assign` (whose un-rounded score ranking is fine for
+    probe ordering), the rounding + index tie-break here makes the
+    assignment bit-for-bit reproducible by any engine that computes the
+    same three dot products in double precision — which is what lets the
+    DuckDB oracle replay it value-for-value. Built as one JVM-parsed SQL
+    string (same py4j-avoidance reasoning as :func:`_probe_expr`) and
+    memoized per codebook. Map-only: zero shuffle, whole-stage codegen.
+    """
+    key = ("cluster", tuple(tuple(c) for c in centroids), vec_col)
+    expr = _PROBE_CACHE.get(key)
+    if expr is None:
+        v = f"cast(`{vec_col}` as array<double>)"
+        self_dot = (f"aggregate(zip_with({v}, {v}, (x, y) -> x * y),"
+                    " 0.0D, (a, x) -> a + x)")
+        structs = []
+        for i, c in enumerate(centroids):
+            lits = ",".join(f"{float(x)!r}D" for x in c)
+            dot = (f"aggregate(zip_with({v}, array({lits}),"
+                   " (x, y) -> x * y), 0.0D, (a, x) -> a + x)")
+            c_sq = repr(sum(float(x) * float(x) for x in c))
+            structs.append(
+                f"named_struct('d', round(__sd - 2.0D * {dot} + {c_sq}D, 6),"
+                f" 'i', {i})"
+            )
+        body = f"array_min(array({','.join(structs)})).i"
+        # bind the shared |x|² once via a lambda so it isn't recomputed
+        # per centroid (k× the fold cost otherwise)
+        expr = F.expr(
+            f"transform(array({self_dot}), __sd -> {body})[0]"
+        )
+        if len(_PROBE_CACHE) > 64:
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = expr
+    return df.withColumn(cluster_col, expr)
+
+
 def quantize_embeddings(
     df: DataFrame,
     *,

@@ -274,3 +274,54 @@ def test_quantize_zero_vector(spark):
     assert out[1]["qvec"] == [0, 0, 0]
     assert out[1]["scale"] == 0.0 and out[1]["max_abs_err"] == 0.0
     assert out[2]["qvec"][1] == -127  # max-magnitude component saturates
+
+
+class TestSemanticDedup:
+    def test_known_clusters_and_drops(self, spark):
+        from deltalake_spark.operators.dedup import semantic_dedup
+
+        rows = [
+            (1, [1.0, 0.01]),    # cluster 0, kept (lowest id)
+            (2, [0.99, 0.0]),    # cluster 0, cos(1,2)≈1 → dropped
+            (3, [0.01, 1.0]),    # cluster 1, kept
+            (4, [-0.02, 0.9]),   # cluster 1, cos(3,4)≈0.999 → dropped
+            (5, [0.7, 0.7]),     # equidistant → tie-break to cluster 0;
+                                 # cos vs 1 ≈ 0.71 < 0.95 → kept
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]],
+                             id_col="vec_id", threshold=0.95)
+        got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in out.collect()}
+        assert got == {1: (0, True), 2: (0, False), 3: (1, True),
+                       4: (1, False), 5: (0, True)}
+
+    def test_numpy_parity_on_fixture(self, spark, tables):
+        """Exact kept-set parity with a numpy reference over the real
+        embeddings fixture — same rounded-L2 assignment, same rounded
+        cosine drop rule."""
+        import numpy as np
+
+        from deltalake_spark.operators.dedup import semantic_dedup
+
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        seeds = [list(r[0]) for r in emb.where("vec_id < 8")
+                 .orderBy("vec_id").select("embedding").collect()]
+        out = semantic_dedup(emb, seeds, id_col="vec_id", threshold=0.35)
+        got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in out.collect()}
+
+        rows = emb.orderBy("vec_id").collect()
+        ids = [r[0] for r in rows]
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        C = np.array(seeds, dtype=np.float64)
+        d = np.round((X * X).sum(1)[:, None] - 2 * X @ C.T
+                     + (C * C).sum(1)[None, :], 6)
+        assign = d.argmin(1)  # argmin takes first index on ties = our rule
+        norm = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = np.round(norm @ norm.T, 6)
+        n_dropped = 0
+        for i, vid in enumerate(ids):
+            dup = any(assign[j] == assign[i] and ids[j] < vid
+                      and S[i, j] >= 0.35 for j in range(len(ids)))
+            n_dropped += dup
+            assert got[vid] == (int(assign[i]), not dup), vid
+        assert n_dropped > 0  # threshold actually bites on the fixture

@@ -81,6 +81,10 @@ BUDGETS = {
     # stats via one scalar subquery (no join node), TakeOrdered head —
     # zero wide shuffles end to end
     "bm25_topk_docs": (0, False),
+    # narrow assignment; within-cluster pair join broadcasts at fixture
+    # scale (hash-shuffle equi-join at 100 TB — never cross); kept-flag
+    # join + agg + sort bound the rest
+    "semantic_dedup_stats": (4, False),
 }
 
 
