@@ -2507,6 +2507,35 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based data pruning (SSL-prototypes / D4): same 8 seed
+    centroids as ``semantic_dedup_stats``, keep the 20 *hardest*
+    (farthest-from-centroid) rows per cluster, report per-cluster
+    keep counts, id sum, and the kept distance range. Exercises
+    ``operators.similarity.cluster_prune`` end-to-end."""
+    from deltalake_spark.operators.similarity import cluster_prune
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = [
+        list(r[0])
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    kept = cluster_prune(emb, seeds, id_col="vec_id",
+                         keep_per_cluster=20, strategy="hard")
+    return (
+        kept.withColumn("cluster", F.col("cluster").cast("long"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").alias("kept_id_sum"),
+            F.round(F.min("dist"), 6).alias("min_kept_dist"),
+            F.round(F.max("dist"), 6).alias("max_kept_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3270,6 +3299,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "semantic_dedup_stats": semantic_dedup_stats,
+    "cluster_prune_stats": cluster_prune_stats,
     "doc_chunk_pack": doc_chunk_pack,
     "doc_chunk_overlap_stats": doc_chunk_overlap_stats,
     "video_meta_extract": video_meta_extract,
@@ -4691,6 +4721,36 @@ def oracle_sql() -> dict[str, str]:
                                  THEN a.vec_id ELSE 0 END) AS BIGINT)
                        AS kept_id_sum
             FROM a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+            GROUP BY 1 ORDER BY 1
+        """,
+        "cluster_prune_stats": """
+            WITH seeds AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+              FROM embeddings WHERE vec_id < 8),
+            dist AS (
+              SELECT e.vec_id, s.cid,
+                     ROUND(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])
+                           - 2.0 * list_dot_product(e.embedding::DOUBLE[],
+                                                    s.cvec)
+                           + list_dot_product(s.cvec, s.cvec), 6) AS d
+              FROM embeddings e CROSS JOIN seeds s),
+            assign AS (
+              SELECT vec_id, cid AS cluster, d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM dist),
+            a AS (SELECT vec_id, cluster, d FROM assign WHERE rn = 1),
+            ranked AS (
+              SELECT vec_id, cluster, d,
+                     ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY d DESC, vec_id) AS rk
+              FROM a)
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(vec_id) AS BIGINT) AS kept_id_sum,
+                   ROUND(MIN(d), 6) AS min_kept_dist,
+                   ROUND(MAX(d), 6) AS max_kept_dist
+            FROM ranked WHERE rk <= 20
             GROUP BY 1 ORDER BY 1
         """,
         "pipeline_lookup_segments": """

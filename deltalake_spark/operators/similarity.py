@@ -444,3 +444,58 @@ def quantize_embeddings(
         )
     )
     return out.withColumn("max_abs_err", err).drop("__v")
+
+
+def cluster_prune(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str,
+    keep_per_cluster: int,
+    strategy: str = "prototypical",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Cluster-based data pruning (SSL-prototypes, Sorscher et al. 2022
+    arXiv:2206.14486; D4 applies it after SemDeDup): assign each row to
+    its nearest centroid, rank within the cluster by distance to the
+    centroid, keep ``keep_per_cluster`` rows. ``prototypical`` keeps the
+    closest (easy, canonical) examples, ``hard`` keeps the farthest
+    (informative outliers — the paper's pick for large corpora).
+
+    The rank distance reuses :func:`cluster_assign`'s rounded-L2 rule
+    (6-decimal round, id tie-break) so results replay exactly in any
+    double-precision engine. One window shuffle on the cluster id —
+    per-cluster state is a row_number counter, no pair joins. Output:
+    input + ``cluster`` + ``dist`` + ``rank_in_cluster``, filtered to
+    the kept rows.
+    """
+    from pyspark.sql.window import Window
+
+    if strategy not in ("prototypical", "hard"):
+        raise ValueError(f"Unknown strategy {strategy!r}")
+    assigned = cluster_assign(df, centroids, vec_col=vec_col,
+                              cluster_col=cluster_col)
+    # per-row distance to the assigned centroid, same formulation as the
+    # assignment expression (|x|² − 2x·c + |c|², rounded): build a small
+    # CASE over the codebook so the whole thing stays one JVM projection
+    v = f"cast(`{vec_col}` as array<double>)"
+    self_dot = (f"aggregate(zip_with({v}, {v}, (x, y) -> x * y),"
+                " 0.0D, (a, x) -> a + x)")
+    arms = []
+    for i, c in enumerate(centroids):
+        lits = ",".join(f"{float(x)!r}D" for x in c)
+        dot = (f"aggregate(zip_with({v}, array({lits}),"
+               " (x, y) -> x * y), 0.0D, (a, x) -> a + x)")
+        c_sq = repr(sum(float(x) * float(x) for x in c))
+        arms.append(f"WHEN {i} THEN round(({self_dot}) - 2.0D * {dot}"
+                    f" + {c_sq}D, 6)")
+    dist = F.expr(f"CASE `{cluster_col}` {' '.join(arms)} END")
+    order = [F.asc("dist"), F.asc(id_col)] if strategy == "prototypical" \
+        else [F.desc("dist"), F.asc(id_col)]
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        assigned.withColumn("dist", dist)
+        .withColumn("rank_in_cluster", F.row_number().over(w))
+        .filter(F.col("rank_in_cluster") <= keep_per_cluster)
+    )

@@ -325,3 +325,62 @@ class TestSemanticDedup:
             n_dropped += dup
             assert got[vid] == (int(assign[i]), not dup), vid
         assert n_dropped > 0  # threshold actually bites on the fixture
+
+
+class TestClusterPrune:
+    def test_prototypical_vs_hard(self, spark):
+        from deltalake_spark.operators.similarity import cluster_prune
+
+        rows = [  # one cluster around [1,0], distances strictly ordered
+            (1, [1.0, 0.0]),     # dist 0.0
+            (2, [0.9, 0.0]),     # dist 0.01
+            (3, [0.5, 0.0]),     # dist 0.25
+            (4, [0.0, 0.1]),     # dist 1.01
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        seeds = [[1.0, 0.0]]
+        proto = cluster_prune(df, seeds, id_col="vec_id",
+                              keep_per_cluster=2, strategy="prototypical")
+        hard = cluster_prune(df, seeds, id_col="vec_id",
+                             keep_per_cluster=2, strategy="hard")
+        assert sorted(r["vec_id"] for r in proto.collect()) == [1, 2]
+        assert sorted(r["vec_id"] for r in hard.collect()) == [3, 4]
+        ranks = {r["vec_id"]: r["rank_in_cluster"] for r in hard.collect()}
+        assert ranks == {4: 1, 3: 2}
+
+    def test_bad_strategy_raises(self, spark):
+        from deltalake_spark.operators.similarity import cluster_prune
+
+        df = spark.createDataFrame([(1, [1.0])],
+                                   "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="strategy"):
+            cluster_prune(df, [[1.0]], id_col="vec_id",
+                          keep_per_cluster=1, strategy="median")
+
+    def test_numpy_parity_on_fixture(self, spark, tables):
+        """Kept set matches a numpy reference: same rounded-L2 distance,
+        same (dist desc, id) ranking."""
+        import numpy as np
+
+        from deltalake_spark.operators.similarity import cluster_prune
+
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        seeds = [list(r[0]) for r in emb.where("vec_id < 8")
+                 .orderBy("vec_id").select("embedding").collect()]
+        out = cluster_prune(emb, seeds, id_col="vec_id",
+                            keep_per_cluster=20, strategy="hard")
+        got = sorted((r["cluster"], r["vec_id"]) for r in out.collect())
+
+        rows = emb.orderBy("vec_id").collect()
+        ids = np.array([r[0] for r in rows])
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        C = np.array(seeds, dtype=np.float64)
+        d = np.round((X * X).sum(1)[:, None] - 2 * X @ C.T
+                     + (C * C).sum(1)[None, :], 6)
+        assign = d.argmin(1)
+        want = []
+        for c in range(len(seeds)):
+            members = [(d[i, c], int(ids[i])) for i in np.where(assign == c)[0]]
+            members.sort(key=lambda t: (-t[0], t[1]))
+            want += [(c, vid) for _, vid in members[:20]]
+        assert got == sorted(want)

@@ -85,6 +85,9 @@ BUDGETS = {
     # scale (hash-shuffle equi-join at 100 TB — never cross); kept-flag
     # join + agg + sort bound the rest
     "semantic_dedup_stats": (4, False),
+    # map-only assign + one cluster-keyed window (WindowGroupLimit'd
+    # top-20) + agg + sort; no joins at all
+    "cluster_prune_stats": (3, False),
 }
 
 
