@@ -363,26 +363,14 @@ def pairwise_topk_join(
     )
 
 
-def cluster_assign(
-    df: DataFrame,
-    centroids: list[list[float]],
-    *,
-    vec_col: str = "embedding",
-    cluster_col: str = "cluster",
-) -> DataFrame:
-    """Exact nearest-centroid assignment with a deterministic, replayable
-    rule: squared L2 via the ``|x|² − 2x·c + |c|²`` dot-product expansion,
-    rounded to 6 decimals, ties broken by centroid index.
-
-    Unlike :func:`ivf_assign` (whose un-rounded score ranking is fine for
-    probe ordering), the rounding + index tie-break here makes the
-    assignment bit-for-bit reproducible by any engine that computes the
-    same three dot products in double precision — which is what lets the
-    DuckDB oracle replay it value-for-value. Built as one JVM-parsed SQL
+def _nearest_struct_expr(centroids: list[list[float]], vec_col: str) -> Column:
+    """JVM expression for the nearest centroid as ``struct<d, i>``:
+    squared L2 via the ``|x|² − 2x·c + |c|²`` dot-product expansion,
+    rounded to 6 decimals, ties broken by centroid index (array_min on
+    structs compares d first, then i). Built as one JVM-parsed SQL
     string (same py4j-avoidance reasoning as :func:`_probe_expr`) and
-    memoized per codebook. Map-only: zero shuffle, whole-stage codegen.
-    """
-    key = ("cluster", tuple(tuple(c) for c in centroids), vec_col)
+    memoized per codebook."""
+    key = ("nearest", tuple(tuple(c) for c in centroids), vec_col)
     expr = _PROBE_CACHE.get(key)
     if expr is None:
         v = f"cast(`{vec_col}` as array<double>)"
@@ -398,7 +386,7 @@ def cluster_assign(
                 f"named_struct('d', round(__sd - 2.0D * {dot} + {c_sq}D, 6),"
                 f" 'i', {i})"
             )
-        body = f"array_min(array({','.join(structs)})).i"
+        body = f"array_min(array({','.join(structs)}))"
         # bind the shared |x|² once via a lambda so it isn't recomputed
         # per centroid (k× the fold cost otherwise)
         expr = F.expr(
@@ -407,7 +395,69 @@ def cluster_assign(
         if len(_PROBE_CACHE) > 64:
             _PROBE_CACHE.clear()
         _PROBE_CACHE[key] = expr
-    return df.withColumn(cluster_col, expr)
+    return expr
+
+
+def _nearest_struct_udf(centroids: list[list[float]]):
+    """Arrow-batched fallback for codebooks past the expression-tree
+    ceiling (k > 64): vectorized numpy distance matrix per batch. Same
+    round-to-6 + first-index tie rule; numpy's pairwise summation can
+    differ from a sequential fold in the last ulp, so the UDF path is
+    deterministic run-to-run but not oracle-replay exact — which is why
+    the gate queries stay on small codebooks (JVM path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    @pandas_udf("struct<d: double, i: int>")
+    def nearest(vs: pd.Series) -> pd.DataFrame:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        d = np.round((X * X).sum(1)[:, None] - 2.0 * (X @ C.T) + c_sq, 6)
+        idx = d.argmin(axis=1)  # first index on ties = the expr rule
+        return pd.DataFrame({
+            "d": d[np.arange(len(idx)), idx],
+            "i": idx.astype("int32"),
+        })
+
+    return nearest
+
+
+def _nearest_col(centroids: list[list[float]], vec_col: str) -> Column:
+    finite = all(np.isfinite(x) for c in centroids for x in c)
+    if len(centroids) <= _JVM_MAX_K and finite:
+        return _nearest_struct_expr(centroids, vec_col)
+    return _nearest_struct_udf(centroids)(F.col(vec_col))
+
+
+def cluster_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Exact nearest-centroid assignment with a deterministic, replayable
+    rule: squared L2 via the ``|x|² − 2x·c + |c|²`` dot-product expansion,
+    rounded to 6 decimals, ties broken by centroid index.
+
+    Unlike :func:`ivf_assign` (whose un-rounded score ranking is fine for
+    probe ordering), the rounding + index tie-break makes the assignment
+    reproducible by any engine that computes the same three dot products
+    in double precision — which is what lets the DuckDB oracle replay it
+    value-for-value. Small codebooks (k ≤ 64) run as one memoized JVM
+    expression (whole-stage codegen); larger ones switch to an
+    Arrow-batched pandas UDF, same as :func:`ivf_assign`. Map-only:
+    zero shuffle either way. Pass ``dist_col`` to also keep the distance
+    to the assigned centroid (computed in the same pass, not re-derived).
+    """
+    nc = _nearest_col(centroids, vec_col)
+    out = df.withColumn("__nc", nc).withColumn(
+        cluster_col, F.col("__nc.i"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.col("__nc.d"))
+    return out.drop("__nc")
 
 
 def quantize_embeddings(
@@ -475,27 +525,11 @@ def cluster_prune(
     if strategy not in ("prototypical", "hard"):
         raise ValueError(f"Unknown strategy {strategy!r}")
     assigned = cluster_assign(df, centroids, vec_col=vec_col,
-                              cluster_col=cluster_col)
-    # per-row distance to the assigned centroid, same formulation as the
-    # assignment expression (|x|² − 2x·c + |c|², rounded): build a small
-    # CASE over the codebook so the whole thing stays one JVM projection
-    v = f"cast(`{vec_col}` as array<double>)"
-    self_dot = (f"aggregate(zip_with({v}, {v}, (x, y) -> x * y),"
-                " 0.0D, (a, x) -> a + x)")
-    arms = []
-    for i, c in enumerate(centroids):
-        lits = ",".join(f"{float(x)!r}D" for x in c)
-        dot = (f"aggregate(zip_with({v}, array({lits}),"
-               " (x, y) -> x * y), 0.0D, (a, x) -> a + x)")
-        c_sq = repr(sum(float(x) * float(x) for x in c))
-        arms.append(f"WHEN {i} THEN round(({self_dot}) - 2.0D * {dot}"
-                    f" + {c_sq}D, 6)")
-    dist = F.expr(f"CASE `{cluster_col}` {' '.join(arms)} END")
+                              cluster_col=cluster_col, dist_col="dist")
     order = [F.asc("dist"), F.asc(id_col)] if strategy == "prototypical" \
         else [F.desc("dist"), F.asc(id_col)]
     w = Window.partitionBy(cluster_col).orderBy(*order)
     return (
-        assigned.withColumn("dist", dist)
-        .withColumn("rank_in_cluster", F.row_number().over(w))
+        assigned.withColumn("rank_in_cluster", F.row_number().over(w))
         .filter(F.col("rank_in_cluster") <= keep_per_cluster)
     )

@@ -384,3 +384,30 @@ class TestClusterPrune:
             members.sort(key=lambda t: (-t[0], t[1]))
             want += [(c, vid) for _, vid in members[:20]]
         assert got == sorted(want)
+
+    def test_large_codebook_udf_path(self, spark, tables):
+        """k > 64 switches to the Arrow UDF; same schema, same rule
+        (verified against numpy, which the UDF shares)."""
+        import numpy as np
+
+        from deltalake_spark.operators.similarity import cluster_assign
+
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        seeds = [list(r[0]) for r in emb.where("vec_id < 80")
+                 .orderBy("vec_id").select("embedding").collect()]
+        assert len(seeds) == 80
+        out = cluster_assign(emb, seeds, dist_col="d2")
+        got = {r["vec_id"]: (r["cluster"], r["d2"]) for r in out.collect()}
+
+        rows = emb.orderBy("vec_id").collect()
+        ids = [r[0] for r in rows]
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        C = np.array(seeds, dtype=np.float64)
+        d = np.round((X * X).sum(1)[:, None] - 2 * X @ C.T
+                     + (C * C).sum(1)[None, :], 6)
+        for i, vid in enumerate(ids):
+            c, dv = got[vid]
+            assert c == int(d[i].argmin())
+            assert dv == pytest.approx(d[i].min(), abs=1e-9)
+        # seed rows sit in their own cluster at distance 0
+        assert all(got[v] == (v, 0.0) for v in range(80))
