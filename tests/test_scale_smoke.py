@@ -357,3 +357,48 @@ def test_mg_sketch_at_volume(spark, big_docs):
     # with a count within the bound
     assert "alpha" in got
     assert 500_000 - got["alpha"] <= n / (cap + 1)
+
+
+def test_cluster_assign_and_prune_at_volume(spark):
+    """2M synthetic vectors constructed centroid+offset so the correct
+    assignment is known in closed form (id % 16) and the hard-prune
+    winners are exactly predictable via CRT. Assignment must be perfect
+    (margin 10 vs max offset 0.4) and map-only; the prune keeps the
+    max-offset rows with id-ascending tie-break."""
+    from deltalake_spark.operators.similarity import (
+        cluster_assign,
+        cluster_prune,
+    )
+    from deltalake_spark.plans import plan_summary
+
+    K, DIM, N_V = 16, 4, 2_000_000
+    centroids = [[10.0 * ((j >> d) & 1) for d in range(DIM)]
+                 for j in range(K)]
+    # vector = centroid[id % 16], plus (id % 5)/10 added on dim (id % 4)
+    dims = [
+        (F.lit(10.0) * ((F.col("id") / (1 << d)).cast("long") % 2)
+         + F.when(F.col("id") % DIM == d,
+                  (F.col("id") % 5) / 10.0).otherwise(0.0)).cast("float")
+        for d in range(DIM)
+    ]
+    vecs = spark.range(N_V).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding"))
+
+    assigned = cluster_assign(vecs, centroids)
+    assert plan_summary(assigned).shuffles == 0  # map-only at any scale
+    wrong = assigned.filter(
+        F.col("cluster") != (F.col("vec_id") % K)).count()
+    assert wrong == 0
+
+    kept = cluster_prune(vecs, centroids, id_col="vec_id",
+                         keep_per_cluster=10, strategy="hard")
+    got = sorted(r["vec_id"] for r in kept.collect())
+    # hardest = offset 4/10 (id % 5 == 4); tie-break smallest ids.
+    # id % 16 == j and id % 5 == 4 is one residue class mod 80 (CRT):
+    want = sorted(
+        base + 80 * t
+        for base in range(80) if base % 5 == 4
+        for t in range(10)
+    )
+    assert got == want
+    assert len(got) == K * 10
