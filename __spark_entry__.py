@@ -2536,6 +2536,28 @@ def cluster_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE trainer's iteration-0 pair count (the exact
+    computation ``train_bpe`` argmaxes each merge round): word-count
+    table → adjacent character pairs weighted by word frequency → top 20.
+    Value-level oracle for the primitive whose repeated application IS
+    training (the loop itself is Python-reference-parity-tested in
+    ``tests/test_bpe.py``)."""
+    from deltalake_spark.operators.bpe import SEP, adjacent_pairs, word_counts
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    syms = word_counts(docs).select(
+        F.split("word", "").alias("syms"), "cnt")
+    pairs = syms.select(
+        F.explode(adjacent_pairs("syms")).alias("p"), "cnt"
+    ).select(F.translate(F.col("p"), SEP, "|").alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair").agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3300,6 +3322,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": embedding_cosine_pairs,
     "semantic_dedup_stats": semantic_dedup_stats,
     "cluster_prune_stats": cluster_prune_stats,
+    "bpe_pair_counts": bpe_pair_counts,
     "doc_chunk_pack": doc_chunk_pack,
     "doc_chunk_overlap_stats": doc_chunk_overlap_stats,
     "video_meta_extract": video_meta_extract,
@@ -4752,6 +4775,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(d), 6) AS max_kept_dist
             FROM ranked WHERE rk <= 20
             GROUP BY 1 ORDER BY 1
+        """,
+        "bpe_pair_counts": """
+            WITH w AS (
+              SELECT t.w AS word, COUNT(*) AS wcnt
+              FROM (SELECT UNNEST(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS w
+                    FROM documents WHERE lang = 'en') t
+              GROUP BY 1),
+            p AS (
+              SELECT UNNEST(list_transform(range(1, len(word)), i ->
+                       substr(word, CAST(i AS INT), 1) || '|' ||
+                       substr(word, CAST(i + 1 AS INT), 1))) AS pair,
+                     wcnt
+              FROM w)
+            SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+            FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

@@ -88,6 +88,9 @@ BUDGETS = {
     # map-only assign + one cluster-keyed window (WindowGroupLimit'd
     # top-20) + agg + sort; no joins at all
     "cluster_prune_stats": (3, False),
+    # word-count shuffle + pair-count shuffle, TakeOrdered head; the
+    # lang filter must reach the scan
+    "bpe_pair_counts": (2, True),
 }
 
 
