@@ -3254,6 +3254,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # green CORRECTNESS_r02 rows follow — across rounds every query gets a
 # driver-recorded verdict.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semantic_dedup_stats": semantic_dedup_stats,
+    "cluster_prune_stats": cluster_prune_stats,
+    "bpe_pair_counts": bpe_pair_counts,
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
@@ -3320,9 +3323,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_lookup_segments": pipeline_lookup_segments,
     "pipeline_bucket_quantities": pipeline_bucket_quantities,
     "embedding_cosine_pairs": embedding_cosine_pairs,
-    "semantic_dedup_stats": semantic_dedup_stats,
-    "cluster_prune_stats": cluster_prune_stats,
-    "bpe_pair_counts": bpe_pair_counts,
     "doc_chunk_pack": doc_chunk_pack,
     "doc_chunk_overlap_stats": doc_chunk_overlap_stats,
     "video_meta_extract": video_meta_extract,
