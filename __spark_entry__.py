@@ -2558,6 +2558,26 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sampling, 15 docs per language weighted by length:
+    exercises ``operators.mixing.weighted_sample`` (portable-hash
+    priorities, so the selection replays exactly in DuckDB). Ranks are
+    selection-only outputs; the float priority itself is not emitted
+    (cross-engine pow can differ in the last ulp — selection is robust
+    to that, a displayed float is not)."""
+    from deltalake_spark.operators.mixing import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    out = weighted_sample(docs, id_col="doc_id", weight_col="n_chars",
+                          k=15, group_col="lang")
+    return (
+        out.select("lang", "doc_id", "n_chars",
+                   F.col("sample_rank").cast("long").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3257,6 +3277,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_stats": semantic_dedup_stats,
     "cluster_prune_stats": cluster_prune_stats,
     "bpe_pair_counts": bpe_pair_counts,
+    "weighted_sample_docs": weighted_sample_docs,
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
@@ -4792,6 +4813,24 @@ def oracle_sql() -> dict[str, str]:
               FROM w)
             SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
             FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20
+        """,
+        "weighted_sample_docs": """
+            WITH pri AS (
+              SELECT lang, doc_id, n_chars,
+                     pow(((((doc_id + 7) * 2654435761) % 4294967296)
+                          + 0.5) / 4294967296.0,
+                         1.0 / n_chars) AS p
+              FROM documents WHERE n_chars > 0),
+            r AS (
+              SELECT lang, doc_id, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY p DESC, doc_id)
+                         AS sample_rank
+              FROM pri)
+            SELECT lang, doc_id, n_chars,
+                   CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 15
+            ORDER BY lang, sample_rank
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

@@ -309,3 +309,47 @@ def assign_shards(
         .withColumnRenamed("__cum", "cum_tokens")
         .drop("__pri", "__bkt", "__off")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES): each row gets priority ``u^(1/w)`` with ``u`` derived
+    from the portable id hash; the top-k priorities are a weighted sample
+    without replacement. The standard way to pick a quality- or
+    length-weighted corpus subset reproducibly — ``rand()``-based
+    sampling changes under retries and repartitioning, this never does.
+
+    With ``group_col``, k rows per group (one window shuffle on the
+    group key); without, a global top-k (TakeOrderedAndProject —
+    per-partition heaps, no full sort). Rows with weight <= 0 or null
+    are never sampled. Appends ``sample_rank``.
+    """
+    from pyspark.sql.window import Window
+
+    u = (doc_priority(F.col(id_col), seed) + F.lit(0.5)) / F.lit(2.0**32)
+    w = F.col(weight_col).cast("double")
+    pri = F.when(w > 0.0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(-1.0))
+    scored = df.withColumn("__pri", pri).filter(F.col("__pri") >= 0.0)
+    if group_col is None:
+        # rank assigned after the take: global order is (pri desc, id)
+        top = scored.orderBy(F.desc("__pri"), F.asc(id_col)).limit(k)
+        wname = Window.orderBy(F.desc("__pri"), F.asc(id_col))
+        return (
+            top.withColumn("sample_rank", F.row_number().over(wname))
+            .drop("__pri")
+        )
+    wname = Window.partitionBy(group_col).orderBy(
+        F.desc("__pri"), F.asc(id_col))
+    return (
+        scored.withColumn("sample_rank", F.row_number().over(wname))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__pri")
+    )

@@ -296,3 +296,64 @@ def test_assign_shards_matches_sequential_reference(spark):
     for sid, tot in per.items():
         if sid != last:
             assert tot >= 500 - 9
+
+
+class TestWeightedSample:
+    def test_matches_python_reference(self, spark):
+        from deltalake_spark.operators.mixing import (
+            KNUTH,
+            weighted_sample,
+        )
+
+        rows = [(i, "g0" if i % 2 else "g1", float(10 + (i * 13) % 90))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, grp string, w double")
+        out = weighted_sample(df, id_col="doc_id", weight_col="w", k=5,
+                              group_col="grp", seed=7)
+        got = {(r["grp"], r["sample_rank"]): r["doc_id"]
+               for r in out.collect()}
+
+        def pri(i, w):
+            u = (((i + 7) * KNUTH) % 2**32 + 0.5) / 2**32
+            return u ** (1.0 / w)
+
+        for g in ("g0", "g1"):
+            members = [(i, w) for i, gg, w in rows if gg == g]
+            ranked = sorted(members, key=lambda t: (-pri(*t), t[0]))[:5]
+            for rk, (i, _) in enumerate(ranked, start=1):
+                assert got[(g, rk)] == i
+        assert len(got) == 10
+
+    def test_weight_bias(self, spark):
+        """Heavily weighted rows dominate the sample."""
+        from deltalake_spark.operators.mixing import weighted_sample
+
+        rows = [(i, 1000.0 if i < 50 else 0.001) for i in range(1000)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = weighted_sample(df, id_col="doc_id", weight_col="w", k=40)
+        picked = [r["doc_id"] for r in out.collect()]
+        assert len(picked) == 40
+        assert sum(1 for i in picked if i < 50) >= 38
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from deltalake_spark.operators.mixing import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double")
+        out = weighted_sample(df, id_col="doc_id", weight_col="w", k=10)
+        assert [r["doc_id"] for r in out.collect()] == [1]
+
+    def test_repartition_invariance(self, spark):
+        from deltalake_spark.operators.mixing import weighted_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 9 + 1.0).alias("w"))
+        a = {r["doc_id"] for r in weighted_sample(
+            df, id_col="doc_id", weight_col="w", k=25).collect()}
+        b = {r["doc_id"] for r in weighted_sample(
+            df.repartition(13), id_col="doc_id", weight_col="w",
+            k=25).collect()}
+        assert a == b and len(a) == 25

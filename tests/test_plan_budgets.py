@@ -91,6 +91,9 @@ BUDGETS = {
     # word-count shuffle + pair-count shuffle, TakeOrdered head; the
     # lang filter must reach the scan
     "bpe_pair_counts": (2, True),
+    # priority projection + one lang-keyed window (WindowGroupLimit) +
+    # output sort; full-table sample, nothing to push
+    "weighted_sample_docs": (2, False),
 }
 
 
