@@ -2578,6 +2578,38 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking (same terms as ``bm25_topk_docs``) fused with a document-
+    length prior ranking. Exercises ``operators.retrieval.rrf_fuse``
+    on two genuinely different rankings of the same corpus."""
+    from pyspark.sql.window import Window
+
+    from deltalake_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, ["spark", "merge", "vector"], k=20)
+    lex = lex.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"),
+                                           F.asc("doc_id"))))
+    # top-20 via TakeOrdered (distributed per-partition heaps), THEN the
+    # rank window over the 20-row result — a bare global window here
+    # would single-partition the whole corpus
+    prior = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("n_chars"),
+                                               F.asc("doc_id"))))
+    )
+    out = rrf_fuse([lex, prior], id_col="doc_id", k=60)
+    return out.withColumn(
+        "fused_rank", F.col("fused_rank").cast("long")
+    ).orderBy("fused_rank")
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3278,6 +3310,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_prune_stats": cluster_prune_stats,
     "bpe_pair_counts": bpe_pair_counts,
     "weighted_sample_docs": weighted_sample_docs,
+    "rrf_fused_topk": rrf_fused_topk,
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
@@ -4831,6 +4864,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sample_rank AS BIGINT) AS sample_rank
             FROM r WHERE sample_rank <= 15
             ORDER BY lang, sample_rank
+        """,
+        "rrf_fused_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '') AS tk
+              FROM documents
+            ),
+            base AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+            stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl,
+                     sum(CASE WHEN list_contains(tk, 'spark')
+                         THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN list_contains(tk, 'merge')
+                         THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN list_contains(tk, 'vector')
+                         THEN 1 ELSE 0 END) AS df2
+              FROM base
+            ),
+            tfs AS (
+              SELECT doc_id, dl,
+                     len(list_filter(tk, x -> x = 'spark')) AS tf0,
+                     len(list_filter(tk, x -> x = 'merge')) AS tf1,
+                     len(list_filter(tk, x -> x = 'vector')) AS tf2
+              FROM base
+            ),
+            scored AS (
+              SELECT doc_id,
+                round(
+                    ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+                      * tf0 * 2.2
+                      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+                      * tf1 * 2.2
+                      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+                      * tf2 * 2.2
+                      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+                  4) AS score
+              FROM tfs CROSS JOIN stats
+            ),
+            lex AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+              FROM scored QUALIFY r <= 20
+            ),
+            prior AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+              FROM documents QUALIFY r <= 20
+            ),
+            fused AS (
+              SELECT doc_id, SUM(1.0 / (60 + r)) AS s
+              FROM (SELECT * FROM lex UNION ALL SELECT * FROM prior)
+              GROUP BY 1
+            )
+            SELECT doc_id, ROUND(s, 6) AS rrf_score,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                       AS fused_rank
+            FROM fused ORDER BY fused_rank
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

@@ -118,3 +118,52 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: "Sequence[DataFrame]",
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse several
+    rankings of the same id space with ``score(d) = Σ 1/(k + rank_d)``
+    — the standard glue for hybrid retrieval (BM25 + ANN + priors),
+    robust to incomparable score scales because only ranks matter.
+
+    Each input carries ``(id_col, rank_col)`` with 1-based ranks.
+    Union + one hash aggregate on the id; no joins. The inputs are
+    top-k lists, so everything past the source rankings is
+    candidate-sized (|lists|·k rows), not corpus-sized — the final
+    global order is a TakeOrdered over that bounded set. Contributions
+    ``1/(k + rank)`` are exact IEEE divisions of small integers, so the
+    fused ordering replays bit-for-bit in any double-precision engine.
+    Output: ``id_col``, ``rrf_score`` (rounded to 6), ``fused_rank``.
+    """
+    from pyspark.sql.window import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    parts = [
+        d.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+             ).alias("__c"),
+        )
+        for d in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(id_col).agg(F.sum("__c").alias("__s"))
+    if topk is not None:
+        fused = fused.orderBy(F.desc("__s"), F.asc(id_col)).limit(topk)
+    w = Window.orderBy(F.desc("__s"), F.asc(id_col))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .withColumn("rrf_score", F.round(F.col("__s"), 6))
+        .drop("__s")
+        .select(id_col, "rrf_score", "fused_rank")
+    )

@@ -94,6 +94,9 @@ BUDGETS = {
     # priority projection + one lang-keyed window (WindowGroupLimit) +
     # output sort; full-table sample, nothing to push
     "weighted_sample_docs": (2, False),
+    # BM25 head (scalar-subquery stats, TakeOrdered) + length-prior
+    # TakeOrdered; fusion windows run on the <=40-row candidate set
+    "rrf_fused_topk": (2, False),
 }
 
 

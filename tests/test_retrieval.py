@@ -89,3 +89,40 @@ def test_view_isolation_across_corpora(spark):
     got_a = {r["doc_id"]: r["score"] for r in ra.collect()}
     assert got_a == python_bm25(ROWS, ["spark"])
     assert [r["doc_id"] for r in got_b] == [9]
+
+
+class TestRRFFuse:
+    def test_known_fusion(self, spark):
+        from deltalake_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long")
+        b = spark.createDataFrame(
+            [(20, 1), (10, 2), (40, 3)], "doc_id long, rank long")
+        out = {r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+               for r in rrf_fuse([a, b], k=60).collect()}
+        exp = {
+            10: 1 / 61 + 1 / 62,
+            20: 1 / 62 + 1 / 61,
+            30: 1 / 63,
+            40: 1 / 63,
+        }
+        for d, s in exp.items():
+            assert out[d][0] == round(s, 6)
+        # 10 and 20 tie exactly -> id ascending breaks it; same for 30/40
+        assert [out[d][1] for d in (10, 20, 30, 40)] == [1, 2, 3, 4]
+
+    def test_topk_and_single_list(self, spark):
+        from deltalake_spark.operators.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "doc_id long, rank long")
+        out = rrf_fuse([a], k=60, topk=3).collect()
+        assert [r["doc_id"] for r in out] == [0, 1, 2]
+        assert [r["fused_rank"] for r in out] == [1, 2, 3]
+
+    def test_empty_input_raises(self, spark):
+        from deltalake_spark.operators.retrieval import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
