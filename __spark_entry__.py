@@ -2610,6 +2610,37 @@ def rrf_fused_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fused_rank")
 
 
+def pq_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization over the embeddings table: 2 subspaces of 32
+    dims, 8 seed centroids each (the vec_id<8 subvectors — deterministic,
+    oracle-replayable), per-label code distribution and reconstruction
+    error. Exercises ``operators.similarity.pq_encode`` end-to-end; the
+    rounded-L2 + index-tie-break rule makes codes and errors replay
+    value-for-value in DuckDB."""
+    from deltalake_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label")
+    seeds = [
+        list(r[0])
+        for r in emb.where(F.col("vec_id") < 8)
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    enc = pq_encode(emb, books, code_col="pq_codes", err_col="err")
+    return (
+        enc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("err"), 4).alias("avg_err"),
+            F.max("err").alias("max_err"),
+            F.sum(F.col("pq_codes")[0] * 16 + F.col("pq_codes")[1])
+            .cast("long").alias("code_sum"),
+        )
+        .orderBy("label")
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3311,6 +3342,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_pair_counts": bpe_pair_counts,
     "weighted_sample_docs": weighted_sample_docs,
     "rrf_fused_topk": rrf_fused_topk,
+    "pq_error_stats": pq_error_stats,
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
@@ -4925,6 +4957,51 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
                        AS fused_rank
             FROM fused ORDER BY fused_rank
+        """,
+        "pq_error_stats": """
+            WITH s0 AS (
+              SELECT vec_id AS cid, (embedding[1:32])::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 8),
+            s1 AS (
+              SELECT vec_id AS cid, (embedding[33:64])::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 8),
+            e0 AS (SELECT vec_id, (embedding[1:32])::DOUBLE[] AS v
+                   FROM embeddings),
+            e1 AS (SELECT vec_id, (embedding[33:64])::DOUBLE[] AS v
+                   FROM embeddings),
+            d0 AS (
+              SELECT e.vec_id, s.cid,
+                     ROUND(list_dot_product(e.v, e.v)
+                           - 2.0 * list_dot_product(e.v, s.cv)
+                           + list_dot_product(s.cv, s.cv), 6) AS d
+              FROM e0 e CROSS JOIN s0 s),
+            d1 AS (
+              SELECT e.vec_id, s.cid,
+                     ROUND(list_dot_product(e.v, e.v)
+                           - 2.0 * list_dot_product(e.v, s.cv)
+                           + list_dot_product(s.cv, s.cv), 6) AS d
+              FROM e1 e CROSS JOIN s1 s),
+            a0 AS (
+              SELECT vec_id, cid AS c0, d AS e0d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM d0),
+            a1 AS (
+              SELECT vec_id, cid AS c1, d AS e1d,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d, cid) AS rn
+              FROM d1),
+            enc AS (
+              SELECT e.label, a0.c0, a1.c1,
+                     ROUND(a0.e0d + a1.e1d, 6) AS err
+              FROM embeddings e
+              JOIN a0 ON a0.vec_id = e.vec_id AND a0.rn = 1
+              JOIN a1 ON a1.vec_id = e.vec_id AND a1.rn = 1)
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(err), 4) AS avg_err,
+                   MAX(err) AS max_err,
+                   CAST(SUM(c0 * 16 + c1) AS BIGINT) AS code_sum
+            FROM enc GROUP BY 1 ORDER BY 1
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

@@ -533,3 +533,74 @@ def cluster_prune(
         assigned.withColumn("rank_in_cluster", F.row_number().over(w))
         .filter(F.col("rank_in_cluster") <= keep_per_cluster)
     )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector splits into ``m``
+    contiguous subspaces, each with its own ``k``-centroid k-means
+    (Jégou et al. 2011, the IVF-PQ layout every billion-scale ANN index
+    uses). Same bounded-driver cost model as :func:`train_centroids` —
+    ``m·k`` subvectors of metadata regardless of corpus size."""
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__s"))
+        books.append(
+            train_centroids(sliced, vec_col="__s", k=k, sample=sample,
+                            iters=iters, seed=seed + j))
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+    err_col: str | None = None,
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the nearest-centroid
+    index under :func:`cluster_assign`'s deterministic rounded-L2 rule.
+    Appends ``code_col`` (array<int>, one code per subspace — m bytes of
+    payload per vector at k<=256 instead of 4·dim) and optionally
+    ``err_col``, the rounded total squared reconstruction error
+    (sum of per-subspace residuals — exactly the quantity PQ's
+    asymmetric distance computation approximates).
+
+    Map-only: m nearest-centroid expressions over array slices, zero
+    shuffle, whole-stage codegen (Arrow UDF per subspace past k=64,
+    same dispatch as :func:`cluster_assign`)."""
+    m = len(codebooks)
+    dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    out = df
+    for j, book in enumerate(codebooks):
+        if any(len(c) != sub for c in book):
+            raise ValueError(f"codebook {j} width != {sub}")
+        out = out.withColumn(
+            f"__sub{j}", F.slice(F.col(vec_col), j * sub + 1, sub))
+        out = out.withColumn(f"__nc{j}", _nearest_col(book, f"__sub{j}"))
+    codes = F.array(*[F.col(f"__nc{j}.i") for j in range(m)])
+    out = out.withColumn(code_col, codes)
+    if err_col is not None:
+        err = F.col("__nc0.d")
+        for j in range(1, m):
+            err = err + F.col(f"__nc{j}.d")
+        out = out.withColumn(err_col, F.round(err, 6))
+    return out.drop(*[f"__sub{j}" for j in range(m)],
+                    *[f"__nc{j}" for j in range(m)])

@@ -411,3 +411,73 @@ class TestClusterPrune:
             assert dv == pytest.approx(d[i].min(), abs=1e-9)
         # seed rows sit in their own cluster at distance 0
         assert all(got[v] == (v, 0.0) for v in range(80))
+
+
+class TestProductQuantization:
+    def test_numpy_parity_on_fixture(self, spark, tables):
+        import numpy as np
+
+        from deltalake_spark.operators.similarity import pq_encode
+
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        seeds = [list(r[0]) for r in emb.where("vec_id < 8")
+                 .orderBy("vec_id").select("embedding").collect()]
+        books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+        out = pq_encode(emb, books, err_col="err")
+        got = {r["vec_id"]: (list(r["pq_codes"]), r["err"])
+               for r in out.collect()}
+
+        rows = emb.orderBy("vec_id").collect()
+        ids = [r[0] for r in rows]
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        for i, vid in enumerate(ids):
+            codes, err = [], 0.0
+            for j, book in enumerate(books):
+                C = np.array(book, dtype=np.float64)
+                v = X[i, j * 32:(j + 1) * 32]
+                d = np.round((v * v).sum() - 2 * C @ v
+                             + (C * C).sum(1), 6)
+                codes.append(int(d.argmin()))
+                err += d.min()
+            gc, ge = got[vid]
+            assert gc == codes, vid
+            assert ge == pytest.approx(round(err, 6), abs=1e-9)
+        # seed rows reconstruct exactly (their own subvectors are codes)
+        for v in range(8):
+            assert got[v] == ([v, v], 0.0)
+
+    def test_dim_validation(self, spark):
+        from deltalake_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_encode(df, [[[1.0]], [[1.0]]])
+        with pytest.raises(ValueError, match="not divisible"):
+            train_pq_codebooks(df, m=2)
+        with pytest.raises(ValueError, match="width"):
+            pq_encode(df.select(
+                "vec_id", F.expr("array(1.0F, 2.0F)").alias("embedding")),
+                [[[1.0]], [[1.0, 2.0]]])
+
+    def test_trained_codebooks_reduce_error(self, spark, tables):
+        """k-means codebooks beat arbitrary seed codebooks on mean
+        reconstruction error (sanity that training actually fits)."""
+        from deltalake_spark.operators.similarity import (
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        seeds = [list(r[0]) for r in emb.where("vec_id < 8")
+                 .orderBy("vec_id").select("embedding").collect()]
+        seed_books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+        trained = train_pq_codebooks(emb, m=2, k=8, iters=6)
+        e_seed = pq_encode(emb, seed_books, err_col="err") \
+            .agg(F.avg("err")).first()[0]
+        e_trained = pq_encode(emb, trained, err_col="err") \
+            .agg(F.avg("err")).first()[0]
+        assert e_trained < e_seed

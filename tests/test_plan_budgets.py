@@ -97,6 +97,8 @@ BUDGETS = {
     # BM25 head (scalar-subquery stats, TakeOrdered) + length-prior
     # TakeOrdered; fusion windows run on the <=40-row candidate set
     "rrf_fused_topk": (2, False),
+    # map-only two-subspace encode + agg + sort; no joins
+    "pq_error_stats": (2, False),
 }
 
 
