@@ -2641,6 +2641,25 @@ def pq_error_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ query path end-to-end: encode the corpus with the seed
+    codebooks (same as ``pq_error_stats``), then answer a top-10 nearest
+    query (the vec_id=11 vector) by asymmetric distance computation —
+    literal lookup tables over the m-byte codes, never touching the
+    vectors. Fully deterministic, so the whole approximate search
+    replays value-for-value in DuckDB."""
+    from deltalake_spark.operators.similarity import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = {r[0]: list(r[1])
+            for r in emb.where(F.col("vec_id") < 12)
+            .orderBy("vec_id").collect()}
+    seeds = [rows[i] for i in range(8)]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    enc = pq_encode(emb, books)
+    return pq_adc_topk(enc, books, rows[11], id_col="vec_id", k=10)
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3343,6 +3362,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_docs": weighted_sample_docs,
     "rrf_fused_topk": rrf_fused_topk,
     "pq_error_stats": pq_error_stats,
+    "pq_adc_topk_query": pq_adc_topk_query,
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
@@ -5002,6 +5022,54 @@ def oracle_sql() -> dict[str, str]:
                    MAX(err) AS max_err,
                    CAST(SUM(c0 * 16 + c1) AS BIGINT) AS code_sum
             FROM enc GROUP BY 1 ORDER BY 1
+        """,
+        "pq_adc_topk_query": """
+            WITH s0 AS (
+              SELECT vec_id AS cid, (embedding[1:32])::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 8),
+            s1 AS (
+              SELECT vec_id AS cid, (embedding[33:64])::DOUBLE[] AS cv
+              FROM embeddings WHERE vec_id < 8),
+            e0 AS (SELECT vec_id, (embedding[1:32])::DOUBLE[] AS v
+                   FROM embeddings),
+            e1 AS (SELECT vec_id, (embedding[33:64])::DOUBLE[] AS v
+                   FROM embeddings),
+            a0 AS (
+              SELECT vec_id, cid AS c0,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                       ROUND(list_dot_product(v, v)
+                             - 2.0 * list_dot_product(v, cv)
+                             + list_dot_product(cv, cv), 6), cid) AS rn
+              FROM e0 CROSS JOIN s0),
+            a1 AS (
+              SELECT vec_id, cid AS c1,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+                       ROUND(list_dot_product(v, v)
+                             - 2.0 * list_dot_product(v, cv)
+                             + list_dot_product(cv, cv), 6), cid) AS rn
+              FROM e1 CROSS JOIN s1),
+            q AS (
+              SELECT (embedding[1:32])::DOUBLE[] AS q0,
+                     (embedding[33:64])::DOUBLE[] AS q1
+              FROM embeddings WHERE vec_id = 11),
+            t0 AS (
+              SELECT cid,
+                     ROUND(list_dot_product(q0, q0)
+                           - 2.0 * list_dot_product(q0, cv)
+                           + list_dot_product(cv, cv), 6) AS d
+              FROM s0 CROSS JOIN q),
+            t1 AS (
+              SELECT cid,
+                     ROUND(list_dot_product(q1, q1)
+                           - 2.0 * list_dot_product(q1, cv)
+                           + list_dot_product(cv, cv), 6) AS d
+              FROM s1 CROSS JOIN q)
+            SELECT a0.vec_id, ROUND(t0.d + t1.d, 6) AS adc
+            FROM a0 JOIN a1 ON a1.vec_id = a0.vec_id AND a1.rn = 1
+            JOIN t0 ON t0.cid = a0.c0
+            JOIN t1 ON t1.cid = a1.c1
+            WHERE a0.rn = 1
+            ORDER BY adc, a0.vec_id LIMIT 10
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

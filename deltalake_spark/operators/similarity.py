@@ -604,3 +604,51 @@ def pq_encode(
         out = out.withColumn(err_col, F.round(err, 6))
     return out.drop(*[f"__sub{j}" for j in range(m)],
                     *[f"__nc{j}" for j in range(m)])
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    *,
+    id_col: str,
+    code_col: str = "pq_codes",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ codes
+    (Jégou 2011): per subspace, precompute the m×k table of squared L2
+    distances query-subvector → centroid (driver-side, KB of doubles),
+    then score every row with pure array-literal lookups on its codes —
+    the query path of an IVF-PQ index, reading only the m-byte codes,
+    never the vectors.
+
+    Map-only scoring + TakeOrderedAndProject; the distance tables fold
+    into the plan as literals (no join, no broadcast var). Table entries
+    use the same ``|q|² − 2q·c + |c|²`` expansion with sequential sums
+    and round-to-6 as :func:`cluster_assign`, so ADC scores replay
+    value-for-value in a SQL oracle. Output: ``id_col``, ``adc``
+    (rounded total), ascending.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    if len(query_vec) != m * sub:
+        raise ValueError(
+            f"query dim {len(query_vec)} != m*sub {m * sub}")
+    score = None
+    for j, book in enumerate(codebooks):
+        q = [float(x) for x in query_vec[j * sub:(j + 1) * sub]]
+        qq = sum(x * x for x in q)
+        entries = []
+        for c in book:
+            qc = sum(x * float(y) for x, y in zip(q, c))
+            cc = sum(float(y) * float(y) for y in c)
+            entries.append(round(qq - 2.0 * qc + cc, 6))
+        table = F.array(*[F.lit(e) for e in entries])
+        term = F.element_at(table, F.col(code_col)[j] + 1)
+        score = term if score is None else score + term
+    return (
+        encoded.withColumn("adc", F.round(score, 6))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "adc")
+    )

@@ -481,3 +481,64 @@ class TestProductQuantization:
         e_trained = pq_encode(emb, trained, err_col="err") \
             .agg(F.avg("err")).first()[0]
         assert e_trained < e_seed
+
+    def test_adc_topk_numpy_parity_and_recall(self, spark, tables):
+        """ADC scores match a numpy reference exactly; the approximate
+        top-10 overlaps the exact-L2 top-10 (sanity recall — seed
+        codebooks are crude, so require >= 3/10)."""
+        import numpy as np
+
+        from deltalake_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode,
+        )
+
+        emb = tables["embeddings"].select("vec_id", "embedding")
+        rows = emb.orderBy("vec_id").collect()
+        ids = [r[0] for r in rows]
+        X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        seeds = [list(r[1]) for r in rows[:8]]
+        books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+        qvec = list(rows[11][1])
+
+        got = pq_adc_topk(pq_encode(emb, books), books, qvec,
+                          id_col="vec_id", k=10).collect()
+
+        # numpy reference: same rounded assignment + rounded ADC tables
+        q = np.array(qvec, dtype=np.float64)
+        adc = np.zeros(len(ids))
+        for j, book in enumerate(books):
+            C = np.array(book, dtype=np.float64)
+            V = X[:, j * 32:(j + 1) * 32]
+            qj = q[j * 32:(j + 1) * 32]
+            d = np.round((V * V).sum(1)[:, None] - 2 * V @ C.T
+                         + (C * C).sum(1), 6)
+            codes = d.argmin(1)
+            t = np.round((qj * qj).sum() - 2 * C @ qj + (C * C).sum(1), 6)
+            adc += t[codes]
+        order = sorted(range(len(ids)),
+                       key=lambda i: (round(adc[i], 6), ids[i]))[:10]
+        want = [(ids[i], round(adc[i], 6)) for i in order]
+        assert [(r["vec_id"], r["adc"]) for r in got] == want
+
+        # recall sanity on TRAINED codebooks (seed books are crude by
+        # construction — measured 1/10 vs 4/10 trained at m=4,k=16; the
+        # fixture embeddings are near-random, capping achievable recall)
+        from deltalake_spark.operators.similarity import train_pq_codebooks
+
+        trained = train_pq_codebooks(emb, m=4, k=16, iters=8)
+        approx = pq_adc_topk(pq_encode(emb, trained), trained, qvec,
+                             id_col="vec_id", k=10).collect()
+        exact = np.round(((X - q) ** 2).sum(1), 6)
+        exact_top = {ids[i] for i in np.argsort(exact)[:10]}
+        hits = sum(1 for r in approx if r["vec_id"] in exact_top)
+        assert hits >= 3
+
+    def test_adc_query_dim_validation(self, spark):
+        from deltalake_spark.operators.similarity import pq_adc_topk
+
+        df = spark.createDataFrame(
+            [(1, [0, 0])], "vec_id long, pq_codes array<int>")
+        with pytest.raises(ValueError, match="query dim"):
+            pq_adc_topk(df, [[[1.0]], [[1.0]]], [1.0, 2.0, 3.0],
+                        id_col="vec_id")

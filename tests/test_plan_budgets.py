@@ -99,6 +99,8 @@ BUDGETS = {
     "rrf_fused_topk": (2, False),
     # map-only two-subspace encode + agg + sort; no joins
     "pq_error_stats": (2, False),
+    # encode + literal-table ADC scoring is map-only; TakeOrdered head
+    "pq_adc_topk_query": (0, False),
 }
 
 
