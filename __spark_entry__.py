@@ -2477,20 +2477,22 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings table: cluster by nearest of 8 seed
-    centroids (the vec_id<8 vectors — deterministic, oracle-replayable),
+    """SemDeDup over the embeddings table: cluster by nearest of 32 seed
+    centroids (the vec_id<32 vectors — deterministic, oracle-replayable),
     drop rows with a lower-id cosine>=0.35 twin in the same cluster, and
-    report per-cluster keep/drop counts. Exercises
+    report per-cluster keep/drop counts. 32 centroids keeps n/k in the
+    paper's 100-200 regime at sf0.1 (~5k vectors) so the within-cluster
+    pair scan stays quadratic-in-small. Exercises
     ``operators.dedup.semantic_dedup`` +
     ``operators.similarity.cluster_assign`` end-to-end. The seed collect
-    is 8 rows of KB-scale codebook metadata — the same bounded-driver
+    is 32 rows of KB-scale codebook metadata — the same bounded-driver
     cost model as IVF centroid training."""
     from deltalake_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = [
         list(r[0])
-        for r in emb.where(F.col("vec_id") < 8)
+        for r in emb.where(F.col("vec_id") < 32)
         .orderBy("vec_id").select("embedding").collect()
     ]
     out = semantic_dedup(emb, seeds, id_col="vec_id", threshold=0.35)
@@ -4816,7 +4818,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_stats": """
             WITH seeds AS (
               SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-              FROM embeddings WHERE vec_id < 8),
+              FROM embeddings WHERE vec_id < 32),
             dist AS (
               SELECT e.vec_id, e.embedding, s.cid,
                      ROUND(list_dot_product(e.embedding::DOUBLE[],

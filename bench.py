@@ -41,6 +41,17 @@ HEADLINE = [
     "percentile_prices",
 ]
 
+# new-in-round-3 flagships: benched separately (extra_queries) so the
+# headline warm total stays comparable to earlier rounds
+EXTRA = [
+    "semantic_dedup_stats",
+    "cluster_prune_stats",
+    "bpe_pair_counts",
+    "weighted_sample_docs",
+    "rrf_fused_topk",
+    "pq_adc_topk_query",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,6 +90,15 @@ def main() -> None:
         warm[name], _ = run_once(name)
         print(f"# warm {name}: {warm[name]}s", file=sys.stderr)
 
+    # round-3 flagship additions, measured OUTSIDE the headline total so
+    # "value"/"warm_total" stay comparable round-over-round (warm pass:
+    # each runs twice, second timing reported)
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        run_once(name)
+        extra[name], _ = run_once(name)
+        print(f"# extra(warm) {name}: {extra[name]}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_warm_total_wall",
         "value": round(sum(warm.values()), 3),
@@ -88,6 +108,7 @@ def main() -> None:
         "warm_total": round(sum(warm.values()), 3),
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "extra_queries": extra,
         "sf": sf,
     }))
 

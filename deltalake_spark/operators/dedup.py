@@ -477,6 +477,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     cluster_col: str = "cluster",
     keep_col: str = "kept",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings by nearest centroid, then drop a
@@ -495,24 +496,44 @@ def semantic_dedup(
     clusters are the operator's known hazard — size the codebook, or
     pre-split hot clusters, before running at full scale.
     """
-    from deltalake_spark.operators.similarity import cluster_assign, cosine_expr
+    from deltalake_spark.operators.similarity import (
+        cluster_assign,
+        dot_expr,
+        l2_norm_expr,
+    )
 
     assigned = cluster_assign(df, centroids, vec_col=vec_col,
                               cluster_col=cluster_col)
+    if materialize:
+        # the assignment feeds THREE self-join branches; without a cut
+        # Catalyst re-optimizes and re-evaluates the k-arm codebook
+        # expression per branch (measured 3.6s -> 1.0s warm at sf0.1,
+        # k=32). localCheckpoint materializes the assignment once —
+        # which is how you'd run a pair scan at 100 TB anyway. Eager
+        # (like connected_components): deferred materialization fires
+        # inside a later job after the source plan's SQL metrics are
+        # GC'd, spamming benign-but-scary accumulator errors. Pass
+        # materialize=False to keep the plan fully lazy/inspectable.
+        assigned = assigned.localCheckpoint(eager=True)
+    # norms once per ROW, not per pair: cosine = dot/(nx*ny) is the same
+    # arithmetic as cosine_expr, but the per-pair fold work drops from
+    # three array folds to one (the dot)
     base = assigned.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        l2_norm_expr(F.col(vec_col)).alias("__n"),
     )
     x = base.select(F.col("__c"), F.col("__id").alias("__xid"),
-                    F.col("__v").alias("__xv"))
+                    F.col("__v").alias("__xv"), F.col("__n").alias("__xn"))
     y = base.select(F.col("__c"), F.col("__id").alias("__yid"),
-                    F.col("__v").alias("__yv"))
+                    F.col("__v").alias("__yv"), F.col("__n").alias("__yn"))
+    cos = dot_expr(F.col("__xv"), F.col("__yv")) / (
+        F.col("__xn") * F.col("__yn"))
     dropped = (
         x.join(y, "__c")
         .filter(F.col("__yid") < F.col("__xid"))
-        .filter(F.round(cosine_expr(F.col("__xv"), F.col("__yv")), 6)
-                >= threshold)
+        .filter(F.round(cos, 6) >= threshold)
         .select(F.col("__xid").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))
