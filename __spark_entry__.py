@@ -2662,6 +2662,41 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(enc, books, rows[11], id_col="vec_id", k=10)
 
 
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card — the summary report every dataset release
+    ships (docs, tokens, char stats, language mix incl. Shannon entropy
+    via the shuffle-free ``ln n − Σc·ln c / n`` identity). Two
+    KB-output aggregates broadcast-joined; scales as two corpus scans
+    regardless of source count."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "lang", "text", "n_chars")
+    tok = F.size(F.split("text", " "))
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c"))
+    ent = (
+        per_lang.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                4,
+            ).alias("lang_entropy"),
+        )
+    )
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tok).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+    return (
+        stats.join(F.broadcast(ent), "source")
+        .select("source", "n_docs", "total_tokens", "avg_chars",
+                "n_langs", "lang_entropy")
+        .orderBy("source")
+    )
+
+
 def pipeline_lookup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension pipeline stages end-to-end: $lookup (pre-aggregated
     left join, Mongo array shape) → $unwind → $addFields (dotted struct
@@ -3365,6 +3400,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fused_topk": rrf_fused_topk,
     "pq_error_stats": pq_error_stats,
     "pq_adc_topk_query": pq_adc_topk_query,
+    "corpus_card": corpus_card,
     "pipeline_expr_dates": pipeline_expr_dates,
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
@@ -5072,6 +5108,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN t1 ON t1.cid = a1.c1
             WHERE a0.rn = 1
             ORDER BY adc, a0.vec_id LIMIT 10
+        """,
+        "corpus_card": """
+            WITH pl AS (
+              SELECT source, lang, COUNT(*) AS c
+              FROM documents GROUP BY 1, 2),
+            ent AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_langs,
+                     ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4)
+                         AS lang_entropy
+              FROM pl GROUP BY 1),
+            st AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS total_tokens,
+                     ROUND(AVG(n_chars), 4) AS avg_chars
+              FROM documents GROUP BY 1)
+            SELECT st.source, n_docs, total_tokens, avg_chars,
+                   n_langs, lang_entropy
+            FROM st JOIN ent ON ent.source = st.source
+            ORDER BY 1
         """,
         "pipeline_lookup_segments": """
             SELECT c_mktsegment AS _id, CAST(COUNT(*) AS BIGINT) AS count

@@ -101,6 +101,9 @@ BUDGETS = {
     "pq_error_stats": (2, False),
     # encode + literal-table ADC scoring is map-only; TakeOrdered head
     "pq_adc_topk_query": (0, False),
+    # two KB-output aggs (source and source×lang keyed) + broadcast
+    # join + sort; n_langs entropy via the shuffle-free ln identity
+    "corpus_card": (4, False),
 }
 
 
