@@ -122,14 +122,17 @@ def from_debezium(records: DataFrame) -> DataFrame:
               F.array(_variant("delete", F.col("_before"))))
         .otherwise(F.array(_variant("insert", F.col("_after"))))
     )
+    # integer `div`, not float `/`: ns since epoch (~1.7e18) exceeds a
+    # double's 2^53 exact-integer range, so float division drifts the
+    # last microsecond and breaks the round-trip (seen as a 1 us flake)
     ver = F.coalesce(
         F.col("_txn").cast("long"),
-        (F.col("_seq") / F.lit(1 << 32).cast("long")).cast("long"),
+        F.expr(f"_seq div {1 << 32}"),
     )
     exploded = records.select(
         F.explode(variants).alias("__v"),
         ver.alias("_commit_version"),
-        F.timestamp_micros((F.col("_ts") / 1000).cast("long"))
+        F.timestamp_micros(F.expr("_ts div 1000"))
         .alias("_commit_timestamp"),
     )
     return exploded.select(
