@@ -3524,8 +3524,67 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _grade_ordered(
+    qs: dict[str, Callable[[SparkSession, str], DataFrame]],
+    oracle_names: set[str],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Order the query registry from driver grade history, not by hand.
+
+    The driver grades a 50-query window per round in ``queries()`` dict
+    order, so ordering IS coverage policy (r3 verdict item 7:
+    sessionize_events sat hash-red from r1 to r3 because hand-rotation
+    favored new queries over red ones). Priority:
+
+      0. rows whose LAST driver grade was red (hash/rows/schema false,
+         or a real err) — re-front until observed green;
+      1. never-graded rows that have an oracle twin;
+      2. never-graded rows-only rows (weaker check, still needs its
+         driver record — kept after the oracled ones);
+      3. long-green / already-recorded rows, stalest grade first.
+
+    Ties keep the hand-written registration order. Reads
+    CORRECTNESS_r*.json next to this file; with no grade files the
+    hand order is returned unchanged (round-1 behavior).
+    """
+    import glob as _glob
+    import json as _json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, tuple[int, bool]] = {}  # name -> (round, was_red)
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int("".join(c for c in os.path.basename(path)
+                              if c.isdigit()) or 0)
+            graded = _json.load(open(path))
+        except Exception:
+            continue
+        for name, rec in graded.items():
+            err = rec.get("err")
+            rows_only_record = err == "no_oracle" and rec.get(
+                "spark_rows") is not None
+            red = (not rows_only_record) and (
+                rec.get("hash_match") is False
+                or rec.get("rows_match") is False
+                or rec.get("schema_match") is False
+                or (err not in (None, "no_oracle")))
+            last[name] = (rnd, red)
+
+    hand = {name: i for i, name in enumerate(qs)}
+
+    def key(name: str):
+        if name in last:
+            rnd, red = last[name]
+            if red:
+                return (0, 0, 0, hand[name])
+            return (3, 0, rnd, hand[name])  # stalest green first
+        has_oracle = name in oracle_names
+        return (1 if has_oracle else 2, 0, 0, hand[name])
+
+    return {name: qs[name] for name in sorted(qs, key=key)}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _grade_ordered(_QUERIES, set(oracle_sql()))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3591,7 +3650,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             SELECT yr, band, count(*) AS n, max(wk) AS max_wk,
-                   sum(age_days) AS sum_age,
+                   CAST(sum(age_days) AS BIGINT) AS sum_age,
                    count(DISTINCT month_start) AS n_months
             FROM enriched
             GROUP BY 1, 2 ORDER BY 1, 2
@@ -3614,9 +3673,9 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             )
             SELECT lang, count(*) AS n_docs,
-                   sum(n_words) AS words_total,
-                   sum(n_long) AS long_total,
-                   sum(char_sum) AS chars_total,
+                   CAST(sum(n_words) AS BIGINT) AS words_total,
+                   CAST(sum(n_long) AS BIGINT) AS long_total,
+                   CAST(sum(char_sum) AS BIGINT) AS chars_total,
                    count(DISTINCT first_w) AS n_first_uc,
                    max(last_len) AS last_len_max
             FROM enriched
@@ -3688,7 +3747,8 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'test' END AS split
               FROM pri
             )
-            SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS chars
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
             FROM assigned
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
@@ -3764,7 +3824,7 @@ def oracle_sql() -> dict[str, str]:
               FROM g CROSS JOIN bs
             )
             SELECT min(cents) AS lo, max(cents) AS hi,
-                   count(*) AS count, sum(cents) AS total
+                   count(*) AS count, CAST(sum(cents) AS BIGINT) AS total
             FROM assigned
             GROUP BY bk ORDER BY lo
         """,
@@ -3780,7 +3840,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang_uc, size_band, count(*) AS n,
-                   sum(hectochars) AS hc,
+                   CAST(sum(hectochars) AS BIGINT) AS hc,
                    max(name_len) AS max_name_len,
                    count(DISTINCT src_head) AS n_src_heads
             FROM enriched
@@ -3898,7 +3958,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE (lang IS NULL OR lang <> 'en') AND n_chars >= 400
             )
-            SELECT lang, flag, count(*) AS n, sum(n_chars) AS chars
+            SELECT lang, flag, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
             FROM unioned
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
@@ -3911,15 +3972,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ),
             cum AS (
+              -- window SUM also widens to HUGEINT in DuckDB; cast here so
+              -- shard_id / first_cum / last_cum all stay BIGINT
               SELECT doc_id, tok,
-                     sum(tok) OVER (ORDER BY pri, doc_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cum_tokens
+                     CAST(sum(tok) OVER (ORDER BY pri, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                          AS BIGINT) AS cum_tokens
               FROM base
             )
             SELECT (cum_tokens - tok) // 2000 AS shard_id,
                    count(*) AS n_docs,
-                   sum(tok) AS tokens,
+                   CAST(sum(tok) AS BIGINT) AS tokens,
                    min(cum_tokens) AS first_cum,
                    max(cum_tokens) AS last_cum
             FROM cum
@@ -4008,7 +4072,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1
             )
             SELECT c.label, count(*) AS n_vecs,
-                   sum(CASE WHEN s.max_eval_sim >= 0.35 THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN s.max_eval_sim >= 0.35
+                            THEN 1 ELSE 0 END) AS BIGINT)
                      AS contaminated,
                    round(max(s.max_eval_sim), 6) AS max_sim
             FROM corpus c JOIN sims s USING (vec_id)
@@ -5254,7 +5319,8 @@ def oracle_sql() -> dict[str, str]:
                  sess AS (SELECT user_id, sid, COUNT(*) AS n_events,
                                  (MAX(t) - MIN(t)) // 1000000 AS span_ms
                           FROM s GROUP BY 1, 2)
-            SELECT user_id, MAX(sid) AS n_sessions,
+            -- sid is a window SUM → HUGEINT in DuckDB; cast the MAX
+            SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
                    CAST(SUM(n_events) AS BIGINT) AS n_events,
                    (CAST(SUM(span_ms) AS BIGINT) // (10 * COUNT(*))) / 100.0
                        AS avg_session_span_s,

@@ -30,10 +30,31 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+# Oracle result types the driver's hash treats differently from the
+# matching Spark type even when values are identical. DuckDB widens
+# SUM(INTEGER/BIGINT) — aggregate AND window — to HUGEINT (int128);
+# the r1–r3 sessionize_events reds were exactly this, not float drift.
+# Twins must CAST(... AS BIGINT) (or ::DOUBLE for decimals).
+BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "INT128")
+
+
+def lint_oracle_types(ocols, otypes):
+    """Return list of (col, type) pairs whose DuckDB type the driver
+    hashes differently from Spark's. Empty list = clean."""
+    bad = []
+    for col, t in zip(ocols, otypes):
+        ts = str(t).upper()
+        if any(b in ts for b in BANNED_ORACLE_TYPES):
+            bad.append((col, str(t)))
+    return bad
+
+
 def norm_value(v):
-    # exact-repr compare: the driver hashes exact values, so a %.6g-style
-    # normalization here would hide 1-ulp drift the driver still catches
-    # (r1 post-mortem: sessionize_events)
+    # exact-repr compare: the driver hashes exact values AND their types,
+    # so a %.6g-style normalization here would hide drift the driver
+    # still catches. (The r1 "1-ulp drift" post-mortem for
+    # sessionize_events was a misdiagnosis — the real cause was a
+    # HUGEINT oracle column, now caught by lint_oracle_types.)
     if v is None:
         return "NULL"
     if isinstance(v, Decimal):
@@ -68,9 +89,15 @@ def check_one(spark, con, sf_dir, name, fn, oracles):
     try:
         res = con.sql(oracles[name])
         ocols = list(res.columns)
+        otypes = list(res.types)
         orows = res.fetchall()
     except Exception as e:
         return "FAIL", f"{name}: duckdb error: {e}"
+    bad_types = lint_oracle_types(ocols, otypes)
+    if bad_types:
+        return "FAIL", (f"{name}: oracle result has driver-hash-unsafe "
+                        f"type(s) {bad_types} — CAST to BIGINT/DOUBLE "
+                        f"in oracle_sql()")
     if sorted(scols) != sorted(ocols):
         return "FAIL", (f"{name}: columns spark={sorted(scols)} "
                         f"oracle={sorted(ocols)}")
