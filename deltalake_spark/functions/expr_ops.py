@@ -262,8 +262,10 @@ def _date_diff(args, ev):
         a = F.unix_timestamp(F.date_trunc(trunc_u, start))
         b = F.unix_timestamp(F.date_trunc(trunc_u, end))
         return ((b - a) / secs).cast("long")
-    return ((F.unix_micros(end) - F.unix_micros(start)) / 1000) \
-        .cast("long")
+    # millisecond: count boundary CROSSINGS like every other unit, not
+    # truncated elapsed micros/1000 (600µs → 1400µs crosses one boundary)
+    return (F.floor(F.unix_micros(end) / 1000)
+            - F.floor(F.unix_micros(start) / 1000)).cast("long")
 
 
 # ---------------------------------------------------------------------------
@@ -484,11 +486,21 @@ def _object_to_array(args, ev):
 
 @_op("$arrayToObject")
 def _array_to_object(args, ev):
-    # array<struct<k,v>> → map<K,V>; last key wins like Mongo
+    # array<struct<k,v>> → map<K,V>; last key wins like Mongo.
+    # array_distinct only merges identical (k,v) PAIRS, so duplicate keys
+    # with different values would reach map_from_entries and throw
+    # DUPLICATED_MAP_KEY under the default mapKeyDedupPolicy=EXCEPTION.
+    # Instead keep, per key, the first occurrence in the REVERSED array
+    # (= the last in the original): element i survives iff the first
+    # position of its key equals its own position.
     entries = F.transform(ev(args),
                           lambda e: F.struct(e["k"], e["v"]))
-    return F.map_from_entries(F.reverse(F.array_distinct(
-        F.reverse(entries))))
+    rev = F.reverse(entries)
+    keys = F.transform(rev, lambda e: e["k"])
+    last_wins = F.filter(
+        rev, lambda e, i: F.array_position(keys, e["k"])
+        == (i + F.lit(1)).cast("long"))
+    return F.map_from_entries(F.reverse(last_wins))
 
 
 @_op("$getField")
@@ -687,7 +699,10 @@ def _rtrim(args, ev):
 @_op("$strcasecmp")
 def _strcasecmp(args, ev):
     a, b = _args("$strcasecmp", args, 2)
-    la, lb = F.lower(ev(a)), F.lower(ev(b))
+    # Mongo treats null/missing as empty string (without the coalesce,
+    # every when-branch is null and a null input falls through to 1)
+    la = F.lower(F.coalesce(ev(a), F.lit("")))
+    lb = F.lower(F.coalesce(ev(b), F.lit("")))
     return F.when(la == lb, 0).when(la < lb, -1).otherwise(1)
 
 

@@ -380,12 +380,19 @@ def apply_project_stage(df: DataFrame, spec: Any) -> DataFrame:
     if len(flags) == len(spec):
         return apply_projection(df, spec)
     excluded = [k for k, v in flags.items() if not v]
+    # Mongo explicitly allows {"_id": 0} in inclusion mode — the one
+    # exclusion an inclusion projection may carry; drop it from the
+    # output instead of raising
+    id_excluded = "_id" in excluded
+    excluded = [k for k in excluded if k != "_id"]
     if excluded:
         raise InvalidPipelineError(
             f"$project: cannot mix exclusion of {excluded} with "
             "computed/included fields (Mongo inclusion-mode semantics)")
     cols = []
     for name, v in spec.items():
+        if id_excluded and name == "_id":
+            continue
         if "." in name:
             raise InvalidPipelineError(
                 f"$project computed mode supports top-level output "

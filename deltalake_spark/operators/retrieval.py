@@ -28,6 +28,7 @@ per-query cost is then one scan.
 
 from __future__ import annotations
 
+import uuid
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -65,16 +66,19 @@ def bm25_topk(
     reproducible bit-for-bit against a SQL oracle despite 1-ulp libm
     differences in ``ln``.
 
-    Registers a temp view named by the corpus plan's semantic hash (the
-    scalar subquery needs a relation to reference); repeated calls on
-    the same corpus replace it, keeping the catalog bounded.
+    Side effect: registers a uniquely-named temp view for the duration
+    of this call (the scalar subquery needs a relation to reference) and
+    drops it before returning — PySpark analysis is eager, so the view
+    is already resolved into the returned plan and the catalog is left
+    unchanged. A per-call unique name (not a 32-bit semanticHash, which
+    can collide across different corpora and silently rebind an earlier
+    lazily-built result's stats) makes cross-call interference
+    impossible.
     """
     if not terms:
         raise ValueError("bm25_topk requires at least one query term")
 
-    # deterministic per-corpus-plan name: lazily-evaluated results from
-    # earlier calls on a DIFFERENT corpus keep resolving their own view
-    view = f"__bm25_corpus_{docs.semanticHash() & 0xFFFFFFFF:08x}"
+    view = f"__bm25_corpus_{uuid.uuid4().hex}"
     docs.createOrReplaceTempView(view)
 
     tk_sql = (f"filter(split(lower(trim({text_col})), '\\\\s+'), "
@@ -110,7 +114,7 @@ def bm25_topk(
     for p in parts[1:]:
         score = score + p
 
-    return (
+    out = (
         toks.select(
             F.col(id_col),
             F.round(score, round_to).alias("score"),
@@ -118,6 +122,10 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+    # analysis already resolved the view into `out`'s plan; dropping it
+    # here leaves no catalog residue
+    docs.sparkSession.catalog.dropTempView(view)
+    return out
 
 
 def rrf_fuse(
