@@ -55,7 +55,13 @@ def write_cdc_file(table: "DeltaTable", df: DataFrame, version: int) -> None:
     )
     staging = os.path.join(table.path, "_staging",
                            f"cdc-{uuid.uuid4().hex}")
-    writer = stamped.coalesce(1).write.mode("overwrite")
+    # no coalesce(1): a wide UPDATE/MERGE must not funnel its whole
+    # change set through one task at cluster scale. One file per
+    # non-empty input partition; the rename loop below and the
+    # cdc-<version>-<uuid> naming already handle many files per commit
+    # (the reference likewise reads a LIST of _change_data files,
+    # src/cdc/index.ts:1403-1421).
+    writer = stamped.write.mode("overwrite")
     if fmt == "json":
         writer.json(staging)
         suffix = ".json"

@@ -154,3 +154,57 @@ def test_update_cdc_postimage_when_filter_on_updated_column(spark, tmp_path):
     assert images["update_preimage"] == ("a", 5.0)
     assert images["update_postimage"] == ("a", 2.5)
     assert len(feed) == 2
+
+
+def test_multi_partition_commit_writes_many_cdc_files(spark, tmp_path):
+    """r3 verdict item 4: write_cdc_file no longer coalesce(1)s — a
+    commit whose change set spans several partitions writes several
+    cdc-<version>-<uuid> files, and every reader still returns the
+    exact record set (the reference likewise reads a LIST of
+    _change_data files, src/cdc/index.ts:1403-1421)."""
+    import glob
+    import os
+
+    from deltalake_spark.streaming.consumer import CDCConsumer
+
+    t = DeltaTable(spark, str(tmp_path / "multifile"))
+    t.write(spark.createDataFrame([], "id long, v double"))
+    t.enable_cdc()
+    v_before = t.version()
+    # 8-partition insert: one CDC file per non-empty partition
+    df = spark.range(0, 400, 1, 8).select(
+        F.col("id"), (F.col("id") * 1.5).alias("v"))
+    t.write(df)
+    v_ins = t.version()
+    assert v_ins == v_before + 1
+    cdc_files = glob.glob(
+        os.path.join(str(tmp_path / "multifile"), "_change_data",
+                     f"cdc-{v_ins:020d}-*"))
+    assert len(cdc_files) > 1, "expected one CDC file per partition"
+
+    changes = t.read_changes(v_ins, v_ins)
+    got = sorted((r["id"], r["v"], r["_change_type"])
+                 for r in changes.collect())
+    assert got == [(i, i * 1.5, "insert") for i in range(400)]
+    assert changes.filter(
+        F.col("_commit_version") != v_ins).count() == 0
+
+    # a wide DELETE also fans out and reads back exactly
+    t.delete({"id": {"$lt": 100}})
+    v_del = t.version()
+    dels = t.read_changes(v_del, v_del).collect()
+    assert sorted(r["id"] for r in dels) == list(range(100))
+    assert {r["_change_type"] for r in dels} == {"delete"}
+
+    # timestamp reader and consumer see the identical record set
+    import datetime
+
+    by_ts = t.read_changes_by_timestamp(
+        datetime.datetime(1970, 1, 1)).collect()
+    assert len(by_ts) == 500
+    consumer = CDCConsumer(t, "multifile-group",
+                           starting_version=v_ins)
+    polled = consumer.poll().collect()
+    assert len(polled) == 500
+    assert sorted(r["id"] for r in polled if r["_change_type"] == "delete") \
+        == list(range(100))
