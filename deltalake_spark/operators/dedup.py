@@ -478,6 +478,7 @@ def semantic_dedup(
     cluster_col: str = "cluster",
     keep_col: str = "kept",
     materialize: bool = True,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings by nearest centroid, then drop a
@@ -493,8 +494,16 @@ def semantic_dedup(
     never a cross join. Per-cluster work is quadratic in cluster size, so
     the codebook must grow with the corpus (the paper uses n/k ≈ 100–200
     rows per cluster; centroids stay KB-scale metadata regardless). Skewed
-    clusters are the operator's known hazard — size the codebook, or
-    pre-split hot clusters, before running at full scale.
+    clusters are the operator's known hazard: ``max_cluster`` caps the
+    pair scan by letting only each cluster's ``max_cluster`` lowest-id
+    rows act as the keep-candidate (lower-id) side of the join — the
+    ``max_bucket`` pattern from :func:`minhash_lsh_candidates`. Pairs per
+    cluster drop from O(n²) to O(n·max_cluster); a hot cluster can no
+    longer stall the stage. Results are identical whenever every cluster
+    has ≤ ``max_cluster`` rows (the paper's n/k sizing); beyond the cap a
+    duplicate is missed only when its sole near-twin ranks past position
+    ``max_cluster`` — hot clusters in practice are boilerplate whose
+    duplicates are mutual, so the lowest-id members already cover them.
     """
     from deltalake_spark.operators.similarity import (
         cluster_assign,
@@ -526,8 +535,16 @@ def semantic_dedup(
     )
     x = base.select(F.col("__c"), F.col("__id").alias("__xid"),
                     F.col("__v").alias("__xv"), F.col("__n").alias("__xn"))
-    y = base.select(F.col("__c"), F.col("__id").alias("__yid"),
-                    F.col("__v").alias("__yv"), F.col("__n").alias("__yn"))
+    y_base = base
+    if max_cluster is not None:
+        # keep-candidate side capped to the cluster's lowest ids; the
+        # rank window partitions on the same key as the join, so the
+        # exchange is reused rather than added
+        w = Window.partitionBy("__c").orderBy("__id")
+        y_base = (base.withColumn("__rk", F.row_number().over(w))
+                  .filter(F.col("__rk") <= max_cluster).drop("__rk"))
+    y = y_base.select(F.col("__c"), F.col("__id").alias("__yid"),
+                      F.col("__v").alias("__yv"), F.col("__n").alias("__yn"))
     cos = dot_expr(F.col("__xv"), F.col("__yv")) / (
         F.col("__xn") * F.col("__yn"))
     dropped = (

@@ -402,3 +402,82 @@ def test_cluster_assign_and_prune_at_volume(spark):
     )
     assert got == want
     assert len(got) == K * 10
+
+
+def test_semantic_dedup_hot_cluster_cap(spark):
+    """r3 verdict item 5: a planted hot cluster (60% of all rows in one
+    cluster — 10x+ the mean) must not quadratic-blow the pair scan.
+    With max_cluster set, the keep-candidate side is capped per cluster,
+    so this test completes in seconds where the uncapped scan would
+    evaluate ~5.8e10 within-cluster pairs. Vectors are constructed so
+    the exact kept set is known in closed form: 8 distinct vectors per
+    cluster (p = id % 8), identical within a (cluster, p) group, and
+    every p value appears inside each cluster's first 32 ids — so the
+    capped run must still find EVERY duplicate (kept = min id per
+    (cluster, p))."""
+    from deltalake_spark.operators.dedup import semantic_dedup
+
+    N_V, DIM, CAP = 400_000, 8, 32
+    # cluster: ids with id%10 < 6 all land in cluster 0 (60%); the rest
+    # spread across clusters 1..4 (10% each)
+    c_expr = F.when(F.col("id") % 10 < 6, 0) \
+        .otherwise((F.col("id") % 10) - 5)
+    # centroid j = 20 * binary(j+1) over 8 dims; each p gets its OWN
+    # offset axis (same p → identical vector, cosine exactly 1.0;
+    # distinct p → cosine ≤ 0.9997 even when both axes are centroid
+    # dims, since the offsets are orthogonal to each other)
+    centroids = [[20.0 * (((j + 1) >> d) & 1) for d in range(DIM)]
+                 for j in range(5)]
+    p_expr = F.col("id") % 8
+    dims = [
+        (F.lit(20.0) * (F.shiftright(c_expr.cast("int") + 1, d) % 2)
+         + F.when(p_expr == d, 0.5).otherwise(0.0)).cast("double")
+        for d in range(DIM)
+    ]
+    vecs = spark.range(N_V).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding"),
+        c_expr.alias("true_c"), p_expr.alias("p"))
+
+    out = semantic_dedup(
+        vecs.select("vec_id", "embedding"), centroids,
+        id_col="vec_id", threshold=0.999999, max_cluster=CAP)
+    kept = sorted(r["vec_id"] for r in
+                  out.filter(F.col("kept")).select("vec_id").collect())
+    want = sorted(r["m"] for r in vecs.groupBy("true_c", "p")
+                  .agg(F.min("vec_id").alias("m")).collect())
+    assert kept == want  # exactly one representative per duplicate set
+    # cluster 0 sees all 8 p-values; clusters 1-4 hold only even ids
+    # (id % 10 fixed and even → id even, and gcd(10,8)=2 preserves
+    # parity) so each sees 4: 8 + 4*4 = 24 duplicate sets
+    assert len(kept) == 24
+
+
+def test_semantic_dedup_cap_parity_on_unskewed(spark):
+    """When every cluster fits under max_cluster, the capped run is
+    bit-identical to the uncapped one."""
+    from deltalake_spark.operators.dedup import semantic_dedup
+
+    DIM = 4
+    # j+1 keeps every centroid nonzero (a zero vector would hit ANSI
+    # divide-by-zero in the cosine)
+    centroids = [[20.0 * (((j + 1) >> d) & 1) for d in range(DIM)]
+                 for j in range(4)]
+    dims = [
+        (F.lit(20.0) * (F.shiftright((F.col("id") % 4).cast("int") + 1, d)
+                        % 2)
+         + F.when(F.col("id") % DIM == d,
+                  (F.col("id") % 7) / 5.0).otherwise(0.0)).cast("double")
+        for d in range(DIM)
+    ]
+    vecs = spark.range(2_000).select(
+        F.col("id").alias("vec_id"), F.array(*dims).alias("embedding"))
+    base = semantic_dedup(vecs, centroids, id_col="vec_id",
+                          threshold=0.98, materialize=False)
+    capped = semantic_dedup(vecs, centroids, id_col="vec_id",
+                            threshold=0.98, materialize=False,
+                            max_cluster=600)
+    k0 = sorted(r["vec_id"] for r in
+                base.filter(F.col("kept")).collect())
+    k1 = sorted(r["vec_id"] for r in
+                capped.filter(F.col("kept")).collect())
+    assert k0 == k1
