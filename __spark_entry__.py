@@ -14,6 +14,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1994,6 +1995,55 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG pixel decode (r3 verdict item 6): synthesize gradient RGB
+    PNGs from documents-table parameters inside an Arrow pandas UDF,
+    filter-cycled so every scanline filter (None/Sub/Up/Average/Paeth)
+    is exercised; decode with the stdlib-zlib decoder in
+    ``operators/multimodal.py`` fused with per-channel means in one
+    ``mapInPandas`` pass; aggregate per language. The oracle recomputes
+    the gradient means closed-form (mean of ``base + 8x`` over width w
+    is ``base + 4(w-1)``, exact in float64), so any unfilter bug breaks
+    value equality. Zero shuffles before the final agg; pixel buffers
+    never leave their partition."""
+    from deltalake_spark.operators.multimodal import (
+        make_png,
+        pixel_channel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for did, nc in zip(doc_id, n_chars):
+            did, nc = int(did), int(nc)
+            w, h = did % 8 + 4, nc % 6 + 3
+            br, bg, bb = (did * 3) % 128, (did * 5) % 128, (did * 7) % 128
+            row = bytes(
+                v for x in range(w)
+                for v in (br + 8 * x, bg + 8 * x, bb + 8 * x))
+            out.append(make_png(w, h, row * h, channels=3))
+        return pd.Series(out)
+
+    media = docs.select(
+        "doc_id", "lang",
+        synth(F.col("doc_id"), F.col("n_chars")).alias("payload"))
+    stats = pixel_channel_stats(media)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_c0"), 4).alias("avg_mean_r"),
+            F.round(F.avg("mean_c1"), 4).alias("avg_mean_g"),
+            F.round(F.avg("mean_c2"), 4).alias("avg_mean_b"),
+            F.sum(F.col("pix_width").cast("long")
+                  * F.col("pix_height")).alias("total_pixels"),
+        )
+        .orderBy("lang")
+    )
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN join over the embeddings table: k-means coarse
     quantizer (driver-trained on a sample), bucket equi-join probe with
@@ -3459,6 +3509,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_neardup_pairs": jaccard_neardup_pairs,
     "audio_meta_extract": audio_meta_extract,
     "multimodal_meta_extract": multimodal_meta_extract,
+    "png_pixel_stats": png_pixel_stats,
     "stratified_sample_docs": stratified_sample_docs,
     "cc_neardup_components": cc_neardup_components,
     "sketch_distinct_users": sketch_distinct_users,
@@ -5754,6 +5805,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(width), 2) AS avg_width,
                    ROUND(AVG(height), 2) AS avg_height
             FROM m GROUP BY sniffed_format ORDER BY sniffed_format
+        """,
+        "png_pixel_stats": """
+            -- closed form of the gradient PNGs the Spark side encodes,
+            -- filters (all five types), zlib-inflates, unfilters and
+            -- averages: channel value at x is base + 8x, constant in y,
+            -- so the per-image mean is base + 4*(w-1) exactly
+            WITH p AS (
+              SELECT lang,
+                     doc_id % 8 + 4 AS w,
+                     n_chars % 6 + 3 AS h,
+                     (doc_id * 3) % 128 AS br,
+                     (doc_id * 5) % 128 AS bg,
+                     (doc_id * 7) % 128 AS bb
+              FROM documents
+            )
+            SELECT lang, count(*) AS n,
+                   round(avg(br + 4 * (w - 1)), 4) AS avg_mean_r,
+                   round(avg(bg + 4 * (w - 1)), 4) AS avg_mean_g,
+                   round(avg(bb + 4 * (w - 1)), 4) AS avg_mean_b,
+                   CAST(sum(w * h) AS BIGINT) AS total_pixels
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

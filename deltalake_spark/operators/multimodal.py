@@ -10,16 +10,21 @@ over ``mapInPandas`` — the only sane shape at 100 TB:
   (set lower for large payloads);
 - decode/resize/frame-sample parallelize per partition with zero shuffle.
 
-The actual codecs (PIL/ffmpeg/soundfile) are not in this container, so the
-decode step is STUBBED: ``decode_image_meta`` parses only well-known header
-bytes (PNG/JPEG magic + dimensions) in pure Python, and ``fake_decode`` is
-a deterministic stand-in used by tests. The Spark-side plumbing — schema,
-UDF signatures, batching — is real.
+PNG is decoded for REAL — stdlib ``zlib`` inflate + full scanline
+unfiltering (None/Sub/Up/Average/Paeth) for 8-bit gray/gray+alpha/RGB/
+RGBA, non-interlaced — so ``decode_pixels`` and ``pixel_channel_stats``
+produce actual pixel values with no image library. The remaining codecs
+(JPEG/ffmpeg/soundfile) are not in this container, so those decode steps
+stay STUBBED: ``decode_image_meta`` parses well-known header bytes in
+pure Python, and ``fake_decode`` is a deterministic stand-in used by
+tests. The Spark-side plumbing — schema, UDF signatures, batching — is
+real everywhere.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Any, Iterator
 
 import pandas as pd
@@ -27,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -221,14 +227,241 @@ def audio_feature_stub(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(process, schema)
 
 
+# --- real PNG codec (stdlib zlib, no image libraries) ---------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        yield typ, payload[pos + 8:pos + 8 + length]
+        if typ == b"IEND":
+            return
+        pos += 12 + length  # len + type + data + crc
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to raw interleaved pixel bytes — a REAL decode with
+    no image library: zlib inflate + the spec's five scanline filters
+    (PNG spec §9 'Filtering'; filter recon as in RFC 2083 §6).
+
+    Supports 8-bit, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
+    non-interlaced. Palette (type 3), 16-bit, and Adam7 raise
+    ``ValueError`` — at cluster scale you'd swap PIL into the same
+    ``mapInPandas`` shape for those.
+
+    Returns ``(width, height, channels, pixels)`` with ``pixels``
+    row-major, ``len == width*height*channels``.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data[:13])
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _CHANNELS:
+                raise ValueError(
+                    f"unsupported PNG color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            channels = _CHANNELS[color_type]
+        elif typ == b"IDAT":
+            idat += data
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    recon = bytearray(height * stride)
+    bpp = channels
+    prev_off = -stride
+    pos = 0
+    for y in range(height):
+        f = raw[pos]
+        line = raw[pos + 1:pos + 1 + stride]
+        pos += 1 + stride
+        off = y * stride
+        if f == 0:  # None
+            recon[off:off + stride] = line
+        elif f == 1:  # Sub
+            for i in range(stride):
+                a = recon[off + i - bpp] if i >= bpp else 0
+                recon[off + i] = (line[i] + a) & 0xFF
+        elif f == 2:  # Up
+            if y == 0:
+                recon[off:off + stride] = line
+            else:
+                for i in range(stride):
+                    recon[off + i] = (line[i]
+                                      + recon[off + prev_off + i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = recon[off + i - bpp] if i >= bpp else 0
+                b = recon[off + prev_off + i] if y > 0 else 0
+                recon[off + i] = (line[i] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = recon[off + i - bpp] if i >= bpp else 0
+                b = recon[off + prev_off + i] if y > 0 else 0
+                c = recon[off + prev_off + i - bpp] \
+                    if (y > 0 and i >= bpp) else 0
+                recon[off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return width, height, channels, bytes(recon)
+
+
+def _filter_line(f: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = a
+        elif f == 2:
+            pred = b
+        elif f == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def make_png(width: int, height: int, pixels: bytes, *,
+             channels: int = 3, filter_cycle: bool = True) -> bytes:
+    """Encode raw interleaved pixel bytes as a spec-conformant PNG
+    (tests/synthesis helper). ``filter_cycle=True`` filters scanline y
+    with type ``y % 5``, so a decode round-trip exercises ALL five
+    unfilter paths."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError("pixel buffer size mismatch")
+    body = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = (y % 5) if filter_cycle else 0
+        body.append(f)
+        body += _filter_line(f, line, prev, channels)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b""))
+
+
 def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Full pixel decode — STUB. Image codec libraries are not available
-    in this environment; on a real cluster this body would call
-    PIL/turbojpeg inside the same mapInPandas shape."""
-    raise NotImplementedError(
-        "pixel decode requires image codecs not present in this container; "
-        "use decode_image_meta (header metadata) or fake_decode (tests)"
+    """Full PNG pixel decode via mapInPandas (Arrow batches): appends
+    ``pix_width``/``pix_height``/``pix_channels`` and the raw row-major
+    ``pixels`` binary. Non-PNG or unsupported payloads yield nulls
+    (filter on ``pix_width IS NOT NULL`` downstream). Per-partition,
+    zero shuffle; a production cluster swaps PIL/turbojpeg into this
+    exact shape for JPEG."""
+    schema = StructType(
+        df.schema.fields
+        + [StructField("pix_width", IntegerType()),
+           StructField("pix_height", IntegerType()),
+           StructField("pix_channels", IntegerType()),
+           StructField("pixels", BinaryType())]
     )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, cs, px = [], [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    w, h, c, p = png_decode(bytes(payload))
+                    ws.append(w); hs.append(h); cs.append(c); px.append(p)
+                except Exception:
+                    ws.append(None); hs.append(None)
+                    cs.append(None); px.append(None)
+            yield pdf.assign(
+                pix_width=pd.array(ws, dtype="Int32"),
+                pix_height=pd.array(hs, dtype="Int32"),
+                pix_channels=pd.array(cs, dtype="Int32"),
+                pixels=px,
+            )
+
+    return df.mapInPandas(process, schema)
+
+
+def pixel_channel_stats(df: DataFrame,
+                        payload_col: str = "payload") -> DataFrame:
+    """Decode PNG payloads and emit per-channel mean pixel values (the
+    canonical cheap image feature) in ONE Arrow pass — decode and
+    reduction fused so raw pixel buffers never cross a batch boundary.
+    Appends ``pix_width``/``pix_height``/``pix_channels`` and
+    ``mean_c0``/``mean_c1``/``mean_c2`` (null when the image has fewer
+    channels or the payload isn't decodable PNG)."""
+    import numpy as np
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField("pix_width", IntegerType()),
+           StructField("pix_height", IntegerType()),
+           StructField("pix_channels", IntegerType()),
+           StructField("mean_c0", DoubleType()),
+           StructField("mean_c1", DoubleType()),
+           StructField("mean_c2", DoubleType())]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, cs = [], [], []
+            m0, m1, m2 = [], [], []
+            for payload in pdf[payload_col]:
+                try:
+                    w, h, c, p = png_decode(bytes(payload))
+                except Exception:
+                    ws.append(None); hs.append(None); cs.append(None)
+                    m0.append(None); m1.append(None); m2.append(None)
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8).reshape(h, w, c)
+                means = arr.mean(axis=(0, 1), dtype=np.float64)
+                ws.append(w); hs.append(h); cs.append(c)
+                m0.append(float(means[0]))
+                m1.append(float(means[1]) if c > 1 else None)
+                m2.append(float(means[2]) if c > 2 else None)
+            yield pdf.assign(
+                pix_width=pd.array(ws, dtype="Int32"),
+                pix_height=pd.array(hs, dtype="Int32"),
+                pix_channels=pd.array(cs, dtype="Int32"),
+                mean_c0=pd.array(m0, dtype="float64"),
+                mean_c1=pd.array(m1, dtype="float64"),
+                mean_c2=pd.array(m2, dtype="float64"),
+            )
+
+    return df.mapInPandas(process, schema)
 
 
 def fake_decode(df: DataFrame, payload_col: str = "payload",

@@ -56,9 +56,86 @@ def test_fake_decode_batch_shape(media):
     assert by_id == again
 
 
-def test_decode_pixels_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_pixels(media)
+def test_decode_pixels_real_png(spark):
+    """decode_pixels is REAL now (r3 verdict item 6): stdlib-zlib PNG
+    decode with full unfiltering inside the mapInPandas shape. A
+    filter-cycled encode round-trips bit-exactly; undecodable payloads
+    yield nulls instead of failing the batch."""
+    from deltalake_spark.operators.multimodal import make_png
+
+    gradient = bytes((x * 7 + y * 13 + c * 29) % 256
+                     for y in range(9) for x in range(6) for c in range(3))
+    rgba = bytes((x * 11 + y * 3 + c) % 256
+                 for y in range(4) for x in range(5) for c in range(4))
+    gray = bytes((x + y) % 256 for y in range(7) for x in range(7))
+    df = make_media_df(spark, [
+        {"media_id": 1, "kind": "image", "format": "png",
+         "payload": make_png(6, 9, gradient, channels=3)},
+        {"media_id": 2, "kind": "image", "format": "png",
+         "payload": make_png(5, 4, rgba, channels=4)},
+        {"media_id": 3, "kind": "image", "format": "png",
+         "payload": make_png(7, 7, gray, channels=1, filter_cycle=False)},
+        {"media_id": 4, "kind": "image", "format": "jpeg",
+         "payload": b"\xff\xd8\xff\xe0" + b"\x00" * 40},  # not PNG → nulls
+        {"media_id": 5, "kind": "image", "format": None, "payload": None},
+    ])
+    out = {r["media_id"]: r for r in decode_pixels(df).collect()}
+    assert (out[1]["pix_width"], out[1]["pix_height"],
+            out[1]["pix_channels"]) == (6, 9, 3)
+    assert bytes(out[1]["pixels"]) == gradient
+    assert bytes(out[2]["pixels"]) == rgba
+    assert out[2]["pix_channels"] == 4
+    assert bytes(out[3]["pixels"]) == gray
+    assert out[4]["pix_width"] is None and out[4]["pixels"] is None
+    assert out[5]["pix_width"] is None
+
+
+def test_png_decode_rejects_unsupported():
+    from deltalake_spark.operators.multimodal import make_png, png_decode
+
+    good = make_png(3, 3, bytes(27), channels=3)
+    # 16-bit depth
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad_depth))
+    # palette color type
+    bad_ct = bytearray(good)
+    bad_ct[25] = 3
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad_ct))
+    # Adam7 interlace
+    bad_il = bytearray(good)
+    bad_il[28] = 1
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad_il))
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_pixel_channel_stats_closed_form(spark):
+    """mean of channel c over a base+8x horizontal gradient is
+    base + 4*(w-1), exactly (integer arithmetic in float64)."""
+    from deltalake_spark.operators.multimodal import (
+        make_png,
+        pixel_channel_stats,
+    )
+
+    w, h, bases = 9, 5, (10, 50, 90)
+    row = bytes(v for x in range(w) for v in (bases[0] + 8 * x,
+                                              bases[1] + 8 * x,
+                                              bases[2] + 8 * x))
+    df = make_media_df(spark, [
+        {"media_id": 1, "kind": "image", "format": "png",
+         "payload": make_png(w, h, row * h, channels=3)},
+        {"media_id": 2, "kind": "image", "format": "png", "payload": None},
+    ])
+    out = {r["media_id"]: r for r in pixel_channel_stats(df).collect()}
+    assert out[1]["mean_c0"] == bases[0] + 4 * (w - 1)
+    assert out[1]["mean_c1"] == bases[1] + 4 * (w - 1)
+    assert out[1]["mean_c2"] == bases[2] + 4 * (w - 1)
+    assert (out[1]["pix_width"], out[1]["pix_height"]) == (w, h)
+    assert out[2]["mean_c0"] is None
 
 
 def test_frame_sample_plan(media):
