@@ -2044,6 +2044,54 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wav_rms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode: synthesize 16-bit mono WAVs whose samples
+    cycle ``k * (i % 4)`` (k from doc_id) inside an Arrow pandas UDF,
+    decode the raw PCM with ``wav_pcm`` and compute per-window power/RMS
+    with ``audio_features`` (window = 250 ms of the 8 kHz stream = 2000
+    samples, a multiple of the pattern period, so every window's power
+    is exactly ``3.5 k²`` — halves are exact in float64 and the oracle
+    is closed-form). RMS enters only via order-insensitive min/max, so
+    no cross-engine summation-order drift is possible."""
+    from deltalake_spark.operators.multimodal import audio_features, make_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        import struct as _s
+        out = []
+        for did, nc in zip(doc_id, n_chars):
+            k = int(did) % 7 + 1
+            reps = int(nc) % 4 + 1  # 1..4 windows of 2000 frames
+            pattern = _s.pack("<4h", 0, k, 2 * k, 3 * k)
+            out.append(make_wav(sample_rate=8000, channels=1, bits=16,
+                                data=pattern * (500 * reps)))
+        return pd.Series(out)
+
+    media = docs.select(
+        "doc_id", "lang",
+        synth(F.col("doc_id"), F.col("n_chars")).alias("payload"))
+    feats = audio_features(media, window_ms=250, max_windows=16)
+    per_doc = feats.select(
+        "lang",
+        F.size("power").alias("n_win"),
+        F.element_at("power", 1).alias("p1"),
+        F.element_at("rms", 1).alias("r1"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_win").cast("long")).alias("total_windows"),
+            F.round(F.avg("p1"), 6).alias("avg_power"),
+            F.round(F.max("r1"), 6).alias("max_rms"),
+            F.round(F.min("r1"), 6).alias("min_rms"),
+        )
+        .orderBy("lang")
+    )
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate kNN join over the embeddings table: k-means coarse
     quantizer (driver-trained on a sample), bucket equi-join probe with
@@ -3510,6 +3558,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_meta_extract": audio_meta_extract,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
+    "wav_rms_stats": wav_rms_stats,
     "stratified_sample_docs": stratified_sample_docs,
     "cc_neardup_components": cc_neardup_components,
     "sketch_distinct_users": sketch_distinct_users,
@@ -5825,6 +5874,24 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(bg + 4 * (w - 1)), 4) AS avg_mean_g,
                    round(avg(bb + 4 * (w - 1)), 4) AS avg_mean_b,
                    CAST(sum(w * h) AS BIGINT) AS total_pixels
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "wav_rms_stats": """
+            -- closed form of the PCM the Spark side encodes into real
+            -- 16-bit WAVs and decodes back: samples cycle k*(0,1,2,3),
+            -- so a 2000-sample window's mean square is k^2*(0+1+4+9)/4
+            -- = 3.5*k^2 exactly; window count = (n_chars % 4) + 1
+            WITH p AS (
+              SELECT lang,
+                     doc_id % 7 + 1 AS k,
+                     n_chars % 4 + 1 AS reps
+              FROM documents
+            )
+            SELECT lang, count(*) AS n,
+                   CAST(sum(reps) AS BIGINT) AS total_windows,
+                   round(avg(3.5 * k * k), 6) AS avg_power,
+                   round(max(sqrt(3.5 * k * k)), 6) AS max_rms,
+                   round(min(sqrt(3.5 * k * k)), 6) AS min_rms
             FROM p GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not

@@ -10,13 +10,14 @@ over ``mapInPandas`` — the only sane shape at 100 TB:
   (set lower for large payloads);
 - decode/resize/frame-sample parallelize per partition with zero shuffle.
 
-PNG is decoded for REAL — stdlib ``zlib`` inflate + full scanline
-unfiltering (None/Sub/Up/Average/Paeth) for 8-bit gray/gray+alpha/RGB/
-RGBA, non-interlaced — so ``decode_pixels`` and ``pixel_channel_stats``
-produce actual pixel values with no image library. The remaining codecs
-(JPEG/ffmpeg/soundfile) are not in this container, so those decode steps
-stay STUBBED: ``decode_image_meta`` parses well-known header bytes in
-pure Python, and ``fake_decode`` is a deterministic stand-in used by
+PNG and WAV are decoded for REAL with no media library: PNG via stdlib
+``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth)
+for 8-bit gray/gray+alpha/RGB/RGBA non-interlaced (``decode_pixels``,
+``pixel_channel_stats``), and WAV via raw PCM sample decode
+(``wav_pcm``, ``audio_features`` — windowed power/RMS). The remaining
+codecs (JPEG/mp3/mp4 essence) are not in this container, so those decode
+steps stay STUBBED: ``decode_image_meta`` parses well-known header bytes
+in pure Python, and ``fake_decode`` is a deterministic stand-in used by
 tests. The Spark-side plumbing — schema, UDF signatures, batching — is
 real everywhere.
 """
@@ -183,14 +184,99 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def make_wav(sample_rate: int = 8000, channels: int = 1, bits: int = 16,
-             n_frames: int = 8000, fill: int = 0) -> bytes:
-    """Minimal valid PCM WAV payload (tests/fixtures — deterministic)."""
+             n_frames: int = 8000, fill: int = 0,
+             data: bytes | None = None) -> bytes:
+    """Minimal valid PCM WAV payload (tests/fixtures — deterministic).
+    Pass ``data`` to embed specific little-endian PCM sample bytes;
+    otherwise a byte-counter pattern of ``n_frames`` frames is used."""
     block = channels * bits // 8
-    data = bytes((fill + i) % 256 for i in range(n_frames * block))
+    if data is None:
+        data = bytes((fill + i) % 256 for i in range(n_frames * block))
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
                                 sample_rate * block, block, bits)
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def wav_pcm(payload: bytes):
+    """REAL PCM decode: WAV payloads carry raw samples, so stdlib struct
+    + numpy decode them exactly — no codec library. Returns
+    ``(meta, samples)`` with ``samples`` a float64 ndarray of shape
+    (frames, channels) in native amplitude units (int16 values, or
+    uint8 shifted to be zero-centered), or ``None`` for non-WAV /
+    non-PCM payloads."""
+    import numpy as np
+
+    m = wav_meta(payload)
+    if not m or m["bits"] not in (8, 16) or not m["n_frames"]:
+        return None
+    # find the data chunk offset
+    pos = 12
+    data_off = data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"data":
+            data_off, data_size = pos + 8, size
+            break
+        pos += 8 + size + (size & 1)
+    if data_off is None:
+        return None
+    raw = payload[data_off:data_off + data_size]
+    if m["bits"] == 16:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    else:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    frames = len(arr) // m["channels"]
+    return m, arr[:frames * m["channels"]].reshape(frames, m["channels"])
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload",
+                   *, window_ms: int = 250,
+                   max_windows: int = 16) -> DataFrame:
+    """REAL per-window audio features over PCM WAV payloads in one Arrow
+    pass: ``power`` (mean squared amplitude per window, across channels)
+    and ``rms`` (its square root) as ``array<double>`` — the canonical
+    cheap audio features for corpus filtering (silence/clipping
+    detection). Non-WAV payloads yield nulls. Same mapInPandas shape as
+    :func:`pixel_channel_stats`; compressed formats (mp3/flac) would
+    decode here via soundfile on a real cluster
+    (:func:`audio_feature_stub` remains the deterministic stand-in for
+    that path)."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType
+
+    schema = StructType(
+        df.schema.fields
+        + [StructField("power", ArrayType(DoubleType())),
+           StructField("rms", ArrayType(DoubleType()))]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            powers, rmss = [], []
+            for payload in pdf[payload_col]:
+                dec = wav_pcm(bytes(payload)) if payload is not None \
+                    else None
+                if dec is None:
+                    powers.append(None)
+                    rmss.append(None)
+                    continue
+                m, arr = dec
+                win = max(1, m["sample_rate"] * window_ms // 1000)
+                n = min(max_windows, arr.shape[0] // win)
+                if n == 0:
+                    powers.append([])
+                    rmss.append([])
+                    continue
+                w = arr[:n * win].reshape(n, win * arr.shape[1])
+                p = np.mean(np.square(w), axis=1)
+                powers.append([float(v) for v in p])
+                rmss.append([float(v) for v in np.sqrt(p)])
+            yield pdf.assign(power=powers, rms=rmss)
+
+    return df.mapInPandas(process, schema)
 
 
 def audio_feature_stub(df: DataFrame, payload_col: str = "payload",

@@ -260,3 +260,46 @@ def test_decode_video_meta(spark):
     assert got[2] == (600, 2000, 2)
     assert got[3] == (None, None, None)
     assert got[4] == (None, None, None)
+
+
+def test_wav_pcm_and_audio_features_real(spark):
+    """wav_pcm decodes raw PCM samples exactly; audio_features computes
+    real windowed power/RMS (not the stub's hash pattern)."""
+    import math
+    import struct as _s
+
+    from deltalake_spark.operators.multimodal import (
+        audio_features,
+        make_wav,
+        wav_pcm,
+    )
+
+    # known samples: k*(0,1,2,3) cycling, 16-bit mono 8kHz
+    k = 5
+    pattern = _s.pack("<4h", 0, k, 2 * k, 3 * k)
+    wav = make_wav(sample_rate=8000, channels=1, bits=16,
+                   data=pattern * 1500)  # 6000 frames = 3 windows @250ms
+    m, arr = wav_pcm(wav)
+    assert m["sample_rate"] == 8000 and m["channels"] == 1
+    assert arr.shape == (6000, 1)
+    assert list(arr[:4, 0]) == [0.0, 5.0, 10.0, 15.0]
+
+    # stereo uint8: values are shifted to zero-centered
+    stereo = make_wav(sample_rate=4000, channels=2, bits=8,
+                      data=bytes([128, 130] * 400))
+    m2, arr2 = wav_pcm(stereo)
+    assert m2["channels"] == 2 and arr2.shape == (400, 2)
+    assert list(arr2[0]) == [0.0, 2.0]
+
+    df = make_media_df(spark, [
+        {"media_id": 1, "kind": "audio", "format": "wav", "payload": wav},
+        {"media_id": 2, "kind": "audio", "format": "mp3",
+         "payload": b"\xff\xfb\x90\x00junk"},
+        {"media_id": 3, "kind": "audio", "format": None, "payload": None},
+    ])
+    out = {r["media_id"]: r
+           for r in audio_features(df, window_ms=250).collect()}
+    want_power = 3.5 * k * k  # mean of (0,k,2k,3k)^2
+    assert out[1]["power"] == [want_power] * 3
+    assert out[1]["rms"] == [math.sqrt(want_power)] * 3
+    assert out[2]["power"] is None and out[3]["rms"] is None
