@@ -41,7 +41,7 @@ HEADLINE = [
     "percentile_prices",
 ]
 
-# new-in-round-3 flagships: benched separately (extra_queries) so the
+# new-in-round-3/4 flagships: benched separately (extra_queries) so the
 # headline warm total stays comparable to earlier rounds
 EXTRA = [
     "semantic_dedup_stats",
@@ -50,6 +50,8 @@ EXTRA = [
     "weighted_sample_docs",
     "rrf_fused_topk",
     "pq_adc_topk_query",
+    "png_pixel_stats",   # r4: real PNG decode
+    "wav_rms_stats",     # r4: real PCM decode
 ]
 
 

@@ -345,10 +345,11 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     no image library: zlib inflate + the spec's five scanline filters
     (PNG spec §9 'Filtering'; filter recon as in RFC 2083 §6).
 
-    Supports 8-bit, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
-    non-interlaced. Palette (type 3), 16-bit, and Adam7 raise
-    ``ValueError`` — at cluster scale you'd swap PIL into the same
-    ``mapInPandas`` shape for those.
+    Supports 8-bit, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), non-interlaced; palette images are expanded to
+    RGB via the PLTE lookup. 16-bit and Adam7 raise ``ValueError`` —
+    at cluster scale you'd swap PIL into the same ``mapInPandas``
+    shape for those.
 
     Returns ``(width, height, channels, pixels)`` with ``pixels``
     row-major, ``len == width*height*channels``.
@@ -357,6 +358,8 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a PNG payload")
     width = height = None
     channels = 0
+    color_type = None
+    palette = None
     idat = bytearray()
     for typ, data in _png_chunks(payload):
         if typ == b"IHDR":
@@ -364,16 +367,20 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 struct.unpack(">IIBBBBB", data[:13])
             if depth != 8:
                 raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color_type not in _CHANNELS:
+            if color_type not in _CHANNELS and color_type != 3:
                 raise ValueError(
                     f"unsupported PNG color type {color_type}")
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
-            channels = _CHANNELS[color_type]
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
+        elif typ == b"PLTE":
+            palette = data
         elif typ == b"IDAT":
             idat += data
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color_type == 3 and (palette is None or len(palette) % 3):
+        raise ValueError("palette PNG missing/invalid PLTE")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
     if len(raw) != height * (stride + 1):
@@ -414,6 +421,15 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 recon[off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
+    if color_type == 3:
+        # expand palette indices to RGB triples
+        n_entries = len(palette) // 3
+        rgb = bytearray(width * height * 3)
+        for i, idx in enumerate(recon):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
+        return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(recon)
 
 
@@ -462,6 +478,34 @@ def make_png(width: int, height: int, pixels: bytes, *,
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(body)))
+            + chunk(b"IEND", b""))
+
+
+def make_png_indexed(width: int, height: int, indices: bytes,
+                     palette: bytes, *,
+                     filter_cycle: bool = True) -> bytes:
+    """Encode a palette (color type 3) PNG: one index byte per pixel
+    plus a PLTE of RGB triples (tests/synthesis helper)."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    if len(palette) % 3 or not palette:
+        raise ValueError("palette must be non-empty RGB triples")
+    body = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = indices[y * width:(y + 1) * width]
+        f = (y % 5) if filter_cycle else 0
+        body.append(f)
+        body += _filter_line(f, line, prev, 1)
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
             + chunk(b"IDAT", zlib.compress(bytes(body)))
             + chunk(b"IEND", b""))
 

@@ -303,3 +303,24 @@ def test_wav_pcm_and_audio_features_real(spark):
     assert out[1]["power"] == [want_power] * 3
     assert out[1]["rms"] == [math.sqrt(want_power)] * 3
     assert out[2]["power"] is None and out[3]["rms"] is None
+
+
+def test_png_palette_decode():
+    """Color-type-3 PNGs expand through the PLTE lookup to RGB."""
+    from deltalake_spark.operators.multimodal import (
+        make_png_indexed,
+        png_decode,
+    )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 11, 13])
+    idx = bytes([(x + y) % 4 for y in range(6) for x in range(5)])
+    enc = make_png_indexed(5, 6, idx, palette)
+    w, h, c, px = png_decode(enc)
+    assert (w, h, c) == (5, 6, 3)
+    want = b"".join(palette[3 * i:3 * i + 3] for i in idx)
+    assert px == want
+    # out-of-range index refused
+    import pytest as _pytest
+    bad = make_png_indexed(2, 1, bytes([0, 3]), bytes([1, 2, 3]))
+    with _pytest.raises(ValueError):
+        png_decode(bad)

@@ -104,6 +104,12 @@ BUDGETS = {
     # two KB-output aggs (source and source×lang keyed) + broadcast
     # join + sort; n_langs entropy via the shuffle-free ln identity
     "corpus_card": (4, False),
+    # synth UDF + fused decode/stats mapInPandas are map-only; one
+    # lang agg + sort. Pixel buffers never shuffle.
+    "png_pixel_stats": (2, False),
+    # same shape, audio flavor: synth + PCM decode/RMS in one Arrow
+    # pass, then lang agg + sort
+    "wav_rms_stats": (2, False),
 }
 
 
