@@ -3662,10 +3662,14 @@ def _grade_ordered(
             err = rec.get("err")
             rows_only_record = err == "no_oracle" and rec.get(
                 "spark_rows") is not None
+            # no_oracle WITHOUT spark_rows means the query crashed before
+            # producing rows — that is a red, not a healthy rows-only row
+            # (r4 advice: it must re-enter the grading window).
             red = (not rows_only_record) and (
                 rec.get("hash_match") is False
                 or rec.get("rows_match") is False
                 or rec.get("schema_match") is False
+                or (err == "no_oracle" and rec.get("spark_rows") is None)
                 or (err not in (None, "no_oracle")))
             last[name] = (rnd, red)
 

@@ -101,18 +101,30 @@ def main() -> None:
         extra[name], _ = run_once(name)
         print(f"# extra(warm) {name}: {extra[name]}s", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "headline_queries_warm_total_wall",
-        "value": round(sum(warm.values()), 3),
-        "unit": "sec",
-        "queries": warm,
-        "warm_queries": warm,  # r2-comparable key (same numbers)
-        "warm_total": round(sum(warm.values()), 3),
+    # Full detail goes to STDERR (humans / archaeology). STDOUT carries
+    # exactly ONE compact JSON line: the driver captures only the last
+    # 2000 chars of stdout, and r3/r4's ~2.5KB line overflowed that
+    # window ("parsed": null in BENCH_r03/04). Keep this line < 1900B.
+    print("# detail " + json.dumps({
         "cold_queries": cold,
-        "cold_total": round(sum(cold.values()), 3),
         "extra_queries": extra,
+    }), file=sys.stderr)
+
+    compact = {
+        "metric": "headline_queries_warm_total_wall",
+        "value": round(sum(warm.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in warm.items()},
+        "warm_total": round(sum(warm.values()), 2),
+        "cold_total": round(sum(cold.values()), 2),
+        "extra_total": round(sum(extra.values()), 2),
         "sf": sf,
-    }))
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never let the machine line overflow the window
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

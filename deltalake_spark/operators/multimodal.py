@@ -137,7 +137,9 @@ def wav_meta(payload: bytes) -> dict[str, int] | None:
             _, ch, sr, _, block, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8:pos + 24])
             fmt = (ch, sr, block, bits)
-        elif cid == b"data":
+        elif cid == b"data" and data_size is None:
+            # FIRST data chunk wins — wav_pcm decodes the first one, so
+            # meta and decode must agree on nonstandard multi-data WAVs
             data_size = size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None:
@@ -224,10 +226,16 @@ def wav_pcm(payload: bytes):
         return None
     raw = payload[data_off:data_off + data_size]
     if m["bits"] == 16:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        arr = np.frombuffer(raw[:len(raw) // 2 * 2], dtype="<i2") \
+            .astype(np.float64)
     else:
         arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
     frames = len(arr) // m["channels"]
+    # meta reflects the chunk actually decoded (truncated payloads and
+    # multi-data-chunk WAVs would otherwise disagree with sample count)
+    m = dict(m, n_frames=frames,
+             duration_ms=int(frames * 1000 / m["sample_rate"])
+             if m["sample_rate"] else 0)
     return m, arr[:frames * m["channels"]].reshape(frames, m["channels"])
 
 
