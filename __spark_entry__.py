@@ -1996,18 +1996,26 @@ def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG pixel decode (r3 verdict item 6): synthesize gradient RGB
-    PNGs from documents-table parameters inside an Arrow pandas UDF,
-    filter-cycled so every scanline filter (None/Sub/Up/Average/Paeth)
-    is exercised; decode with the stdlib-zlib decoder in
+    """REAL PNG pixel decode (r3 verdict item 6, widened r5): synthesize
+    gradient PNGs from documents-table parameters inside an Arrow pandas
+    UDF, cycling through FOUR encodings by doc_id — 8-bit RGB
+    (filter-cycled so every scanline filter None/Sub/Up/Average/Paeth
+    is exercised), color-type-3 palette via PLTE lookup, 16-bit RGB
+    (samples = 256·v big-endian; alternating Adam7), and 8-bit Adam7
+    interlaced. Decode with the stdlib-zlib decoder in
     ``operators/multimodal.py`` fused with per-channel means in one
-    ``mapInPandas`` pass; aggregate per language. The oracle recomputes
-    the gradient means closed-form (mean of ``base + 8x`` over width w
-    is ``base + 4(w-1)``, exact in float64), so any unfilter bug breaks
-    value equality. Zero shuffles before the final agg; pixel buffers
+    ``mapInPandas`` pass; 16-bit means are normalized by the exact
+    power-of-two 256 JVM-side; aggregate per language. The pixel value
+    at (x, y) is ``base_ch + 8x + 2y``, so the per-image mean is
+    ``base + 4(w-1) + (h-1)`` — exact integers in float64; the oracle
+    recomputes that closed form, so any unfilter, palette-expansion,
+    16-bit byte-order, or Adam7 scatter bug breaks value equality
+    (the y-term catches row-permutation bugs constant-in-y gradients
+    would miss). Zero shuffles before the final agg; pixel buffers
     never leave their partition."""
     from deltalake_spark.operators.multimodal import (
         make_png,
+        make_png_indexed,
         pixel_channel_stats,
     )
 
@@ -2019,24 +2027,41 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for did, nc in zip(doc_id, n_chars):
             did, nc = int(did), int(nc)
             w, h = did % 8 + 4, nc % 6 + 3
-            br, bg, bb = (did * 3) % 128, (did * 5) % 128, (did * 7) % 128
-            row = bytes(
-                v for x in range(w)
-                for v in (br + 8 * x, bg + 8 * x, bb + 8 * x))
-            out.append(make_png(w, h, row * h, channels=3))
+            bases = ((did * 3) % 128, (did * 5) % 128, (did * 7) % 128)
+            variant = did % 4
+            if variant == 1:
+                # palette: index y*w+x, PLTE entry = the gradient color
+                idx = bytes(y * w + x for y in range(h) for x in range(w))
+                plte = bytes(b + 8 * x + 2 * y
+                             for y in range(h) for x in range(w)
+                             for b in bases)
+                out.append(make_png_indexed(w, h, idx, plte))
+                continue
+            vals = [b + 8 * x + 2 * y
+                    for y in range(h) for x in range(w) for b in bases]
+            if variant == 2:
+                # 16-bit big-endian, sample = 256*v → high byte v, low 0
+                px = bytes(bb for v in vals for bb in (v, 0))
+                out.append(make_png(w, h, px, channels=3, depth=16,
+                                    interlace=(did // 4) % 2))
+            else:
+                out.append(make_png(w, h, bytes(vals), channels=3,
+                                    interlace=1 if variant == 3 else 0))
         return pd.Series(out)
 
     media = docs.select(
         "doc_id", "lang",
         synth(F.col("doc_id"), F.col("n_chars")).alias("payload"))
     stats = pixel_channel_stats(media)
+    scale = F.when(F.col("pix_depth") == 16, F.lit(256.0)) \
+        .otherwise(F.lit(1.0))
     return (
         stats.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("mean_c0"), 4).alias("avg_mean_r"),
-            F.round(F.avg("mean_c1"), 4).alias("avg_mean_g"),
-            F.round(F.avg("mean_c2"), 4).alias("avg_mean_b"),
+            F.round(F.avg(F.col("mean_c0") / scale), 4).alias("avg_mean_r"),
+            F.round(F.avg(F.col("mean_c1") / scale), 4).alias("avg_mean_g"),
+            F.round(F.avg(F.col("mean_c2") / scale), 4).alias("avg_mean_b"),
             F.sum(F.col("pix_width").cast("long")
                   * F.col("pix_height")).alias("total_pixels"),
         )
@@ -3624,6 +3649,22 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 
+def _grade_is_red(rec: dict) -> bool:
+    """Classify one driver grade record. A healthy rows-only record is
+    err=='no_oracle' WITH a spark_rows count; no_oracle with null
+    spark_rows means the query crashed before producing rows — red, so
+    it re-enters the grading window (r4 advice item 1)."""
+    err = rec.get("err")
+    rows_only_record = err == "no_oracle" and rec.get(
+        "spark_rows") is not None
+    return (not rows_only_record) and (
+        rec.get("hash_match") is False
+        or rec.get("rows_match") is False
+        or rec.get("schema_match") is False
+        or (err == "no_oracle" and rec.get("spark_rows") is None)
+        or (err not in (None, "no_oracle")))
+
+
 def _grade_ordered(
     qs: dict[str, Callable[[SparkSession, str], DataFrame]],
     oracle_names: set[str],
@@ -3659,19 +3700,7 @@ def _grade_ordered(
         except Exception:
             continue
         for name, rec in graded.items():
-            err = rec.get("err")
-            rows_only_record = err == "no_oracle" and rec.get(
-                "spark_rows") is not None
-            # no_oracle WITHOUT spark_rows means the query crashed before
-            # producing rows — that is a red, not a healthy rows-only row
-            # (r4 advice: it must re-enter the grading window).
-            red = (not rows_only_record) and (
-                rec.get("hash_match") is False
-                or rec.get("rows_match") is False
-                or rec.get("schema_match") is False
-                or (err == "no_oracle" and rec.get("spark_rows") is None)
-                or (err not in (None, "no_oracle")))
-            last[name] = (rnd, red)
+            last[name] = (rnd, _grade_is_red(rec))
 
     hand = {name: i for i, name in enumerate(qs)}
 
@@ -5860,10 +5889,12 @@ def oracle_sql() -> dict[str, str]:
             FROM m GROUP BY sniffed_format ORDER BY sniffed_format
         """,
         "png_pixel_stats": """
-            -- closed form of the gradient PNGs the Spark side encodes,
-            -- filters (all five types), zlib-inflates, unfilters and
-            -- averages: channel value at x is base + 8x, constant in y,
-            -- so the per-image mean is base + 4*(w-1) exactly
+            -- closed form of the gradient PNGs the Spark side encodes
+            -- four ways (8-bit/palette/16-bit/Adam7 by doc_id%4),
+            -- zlib-inflates, unfilters/deinterlaces and averages:
+            -- channel value at (x,y) is base + 8x + 2y, so the
+            -- per-image mean is base + 4*(w-1) + (h-1) exactly,
+            -- independent of the encoding variant
             WITH p AS (
               SELECT lang,
                      doc_id % 8 + 4 AS w,
@@ -5874,9 +5905,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, count(*) AS n,
-                   round(avg(br + 4 * (w - 1)), 4) AS avg_mean_r,
-                   round(avg(bg + 4 * (w - 1)), 4) AS avg_mean_g,
-                   round(avg(bb + 4 * (w - 1)), 4) AS avg_mean_b,
+                   round(avg(br + 4 * (w - 1) + (h - 1)), 4) AS avg_mean_r,
+                   round(avg(bg + 4 * (w - 1) + (h - 1)), 4) AS avg_mean_g,
+                   round(avg(bb + 4 * (w - 1) + (h - 1)), 4) AS avg_mean_b,
                    CAST(sum(w * h) AS BIGINT) AS total_pixels
             FROM p GROUP BY 1 ORDER BY 1
         """,

@@ -12,7 +12,8 @@ over ``mapInPandas`` — the only sane shape at 100 TB:
 
 PNG and WAV are decoded for REAL with no media library: PNG via stdlib
 ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth)
-for 8-bit gray/gray+alpha/RGB/RGBA non-interlaced (``decode_pixels``,
+for 8- and 16-bit gray/gray+alpha/RGB/RGBA/palette, both non-interlaced
+and Adam7-interlaced (``decode_pixels``,
 ``pixel_channel_stats``), and WAV via raw PCM sample decode
 (``wav_pcm``, ``audio_features`` — windowed power/RMS). The remaining
 codecs (JPEG/mp3/mp4 essence) are not in this container, so those decode
@@ -348,56 +349,25 @@ def _png_chunks(payload: bytes):
         pos += 12 + length  # len + type + data + crc
 
 
-def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG to raw interleaved pixel bytes — a REAL decode with
-    no image library: zlib inflate + the spec's five scanline filters
-    (PNG spec §9 'Filtering'; filter recon as in RFC 2083 §6).
+# Adam7 pass grids: (x_start, x_step, y_start, y_step), PNG spec §8.2
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
 
-    Supports 8-bit, color types 0/2/3/4/6 (gray, RGB, palette,
-    gray+alpha, RGBA), non-interlaced; palette images are expanded to
-    RGB via the PLTE lookup. 16-bit and Adam7 raise ``ValueError`` —
-    at cluster scale you'd swap PIL into the same ``mapInPandas``
-    shape for those.
 
-    Returns ``(width, height, channels, pixels)`` with ``pixels``
-    row-major, ``len == width*height*channels``.
-    """
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    width = height = None
-    channels = 0
-    color_type = None
-    palette = None
-    idat = bytearray()
-    for typ, data in _png_chunks(payload):
-        if typ == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", data[:13])
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth}")
-            if color_type not in _CHANNELS and color_type != 3:
-                raise ValueError(
-                    f"unsupported PNG color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
-            channels = 1 if color_type == 3 else _CHANNELS[color_type]
-        elif typ == b"PLTE":
-            palette = data
-        elif typ == b"IDAT":
-            idat += data
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if color_type == 3 and (palette is None or len(palette) % 3):
-        raise ValueError("palette PNG missing/invalid PLTE")
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    recon = bytearray(height * stride)
-    bpp = channels
+def _unfilter(raw: bytes, pos: int, n_rows: int, stride: int,
+              bpp: int) -> tuple[bytearray, int]:
+    """Reverse the five scanline filters over ``n_rows`` lines of
+    ``stride`` bytes each, starting at ``raw[pos]`` (each line is
+    prefixed by its filter-type byte). ``bpp`` is bytes per pixel —
+    filters operate on bytes at pixel distance, so 16-bit samples work
+    unchanged with doubled bpp. Returns ``(recon, next_pos)``."""
+    recon = bytearray(n_rows * stride)
     prev_off = -stride
-    pos = 0
-    for y in range(height):
+    for y in range(n_rows):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG data truncated")
         f = raw[pos]
         line = raw[pos + 1:pos + 1 + stride]
         pos += 1 + stride
@@ -429,6 +399,86 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
                 recon[off + i] = (line[i] + _paeth(a, b, c)) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {f}")
+    return recon, pos
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a PNG to raw interleaved pixel bytes — a REAL decode with
+    no image library: zlib inflate + the spec's five scanline filters
+    (PNG spec §9 'Filtering'; filter recon as in RFC 2083 §6) and the
+    seven-pass Adam7 deinterlace (spec §8.2).
+
+    Supports 8-bit AND 16-bit samples, color types 0/2/3/4/6 (gray,
+    RGB, palette, gray+alpha, RGBA), interlace methods 0 and Adam7;
+    palette images (8-bit per spec) are expanded to RGB via the PLTE
+    lookup. Sub-8-bit depths raise ``ValueError``.
+
+    Returns ``(width, height, channels, depth, pixels)`` with
+    ``pixels`` row-major, 16-bit samples big-endian as stored,
+    ``len == width*height*channels*(depth//8)``.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    width = height = None
+    channels = 0
+    color_type = depth = None
+    interlace = 0
+    palette = None
+    idat = bytearray()
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data[:13])
+            if depth not in (8, 16):
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color_type not in _CHANNELS and color_type != 3:
+                raise ValueError(
+                    f"unsupported PNG color type {color_type}")
+            if color_type == 3 and depth != 8:
+                raise ValueError("palette PNG must be 8-bit")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
+        elif typ == b"PLTE":
+            palette = data
+        elif typ == b"IDAT":
+            idat += data
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if color_type == 3 and (palette is None or len(palette) % 3):
+        raise ValueError("palette PNG missing/invalid PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        recon, _ = _unfilter(raw, 0, height, stride, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # into the full grid at (x0 + i*xs, y0 + j*ys)
+        recon = bytearray(width * height * bpp)
+        pos = 0
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = pw * bpp
+            sub, pos = _unfilter(raw, pos, ph, stride, bpp)
+            for ry in range(ph):
+                base = ((y0 + ry * ys) * width + x0) * bpp
+                row = sub[ry * stride:(ry + 1) * stride]
+                for rx in range(pw):
+                    dst = base + rx * xs * bpp
+                    recon[dst:dst + bpp] = row[rx * bpp:rx * bpp + bpp]
+        if pos != len(raw):
+            raise ValueError("PNG data length mismatch")
     if color_type == 3:
         # expand palette indices to RGB triples
         n_entries = len(palette) // 3
@@ -437,8 +487,8 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             if idx >= n_entries:
                 raise ValueError(f"palette index {idx} out of range")
             rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
-        return width, height, 3, bytes(rgb)
-    return width, height, channels, bytes(recon)
+        return width, height, 3, 8, bytes(rgb)
+    return width, height, channels, depth, bytes(recon)
 
 
 def _filter_line(f: int, line: bytes, prev: bytes, bpp: int) -> bytes:
@@ -462,29 +512,55 @@ def _filter_line(f: int, line: bytes, prev: bytes, bpp: int) -> bytes:
 
 
 def make_png(width: int, height: int, pixels: bytes, *,
-             channels: int = 3, filter_cycle: bool = True) -> bytes:
+             channels: int = 3, filter_cycle: bool = True,
+             depth: int = 8, interlace: int = 0) -> bytes:
     """Encode raw interleaved pixel bytes as a spec-conformant PNG
     (tests/synthesis helper). ``filter_cycle=True`` filters scanline y
     with type ``y % 5``, so a decode round-trip exercises ALL five
-    unfilter paths."""
+    unfilter paths. ``depth=16`` takes big-endian 16-bit samples;
+    ``interlace=1`` emits Adam7 (each pass filtered independently)."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    stride = width * channels
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported depth {depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    bpp = channels * depth // 8
+    stride = width * bpp
     if len(pixels) != height * stride:
         raise ValueError("pixel buffer size mismatch")
     body = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        line = pixels[y * stride:(y + 1) * stride]
-        f = (y % 5) if filter_cycle else 0
-        body.append(f)
-        body += _filter_line(f, line, prev, channels)
-        prev = line
+    if interlace == 0:
+        prev = bytes(stride)
+        for y in range(height):
+            line = pixels[y * stride:(y + 1) * stride]
+            f = (y % 5) if filter_cycle else 0
+            body.append(f)
+            body += _filter_line(f, line, prev, bpp)
+            prev = line
+    else:
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            prev = bytes(pw * bpp)
+            for ry in range(ph):
+                y = y0 + ry * ys
+                line = b"".join(
+                    pixels[(y * width + x0 + rx * xs) * bpp:
+                           (y * width + x0 + rx * xs) * bpp + bpp]
+                    for rx in range(pw))
+                f = (ry % 5) if filter_cycle else 0
+                body.append(f)
+                body += _filter_line(f, line, prev, bpp)
+                prev = line
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type,
+                       0, 0, interlace)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(bytes(body)))
             + chunk(b"IEND", b""))
@@ -530,23 +606,26 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         + [StructField("pix_width", IntegerType()),
            StructField("pix_height", IntegerType()),
            StructField("pix_channels", IntegerType()),
+           StructField("pix_depth", IntegerType()),
            StructField("pixels", BinaryType())]
     )
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, cs, px = [], [], [], []
+            ws, hs, cs, ds, px = [], [], [], [], []
             for payload in pdf[payload_col]:
                 try:
-                    w, h, c, p = png_decode(bytes(payload))
-                    ws.append(w); hs.append(h); cs.append(c); px.append(p)
+                    w, h, c, d, p = png_decode(bytes(payload))
+                    ws.append(w); hs.append(h); cs.append(c)
+                    ds.append(d); px.append(p)
                 except Exception:
                     ws.append(None); hs.append(None)
-                    cs.append(None); px.append(None)
+                    cs.append(None); ds.append(None); px.append(None)
             yield pdf.assign(
                 pix_width=pd.array(ws, dtype="Int32"),
                 pix_height=pd.array(hs, dtype="Int32"),
                 pix_channels=pd.array(cs, dtype="Int32"),
+                pix_depth=pd.array(ds, dtype="Int32"),
                 pixels=px,
             )
 
@@ -558,9 +637,11 @@ def pixel_channel_stats(df: DataFrame,
     """Decode PNG payloads and emit per-channel mean pixel values (the
     canonical cheap image feature) in ONE Arrow pass — decode and
     reduction fused so raw pixel buffers never cross a batch boundary.
-    Appends ``pix_width``/``pix_height``/``pix_channels`` and
-    ``mean_c0``/``mean_c1``/``mean_c2`` (null when the image has fewer
-    channels or the payload isn't decodable PNG)."""
+    Appends ``pix_width``/``pix_height``/``pix_channels``/``pix_depth``
+    and ``mean_c0``/``mean_c1``/``mean_c2`` (null when the image has
+    fewer channels or the payload isn't decodable PNG). Means are in
+    NATIVE sample units: 0–255 for 8-bit, 0–65535 for 16-bit — check
+    ``pix_depth`` to normalize downstream."""
     import numpy as np
 
     schema = StructType(
@@ -568,6 +649,7 @@ def pixel_channel_stats(df: DataFrame,
         + [StructField("pix_width", IntegerType()),
            StructField("pix_height", IntegerType()),
            StructField("pix_channels", IntegerType()),
+           StructField("pix_depth", IntegerType()),
            StructField("mean_c0", DoubleType()),
            StructField("mean_c1", DoubleType()),
            StructField("mean_c2", DoubleType())]
@@ -575,18 +657,20 @@ def pixel_channel_stats(df: DataFrame,
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, cs = [], [], []
+            ws, hs, cs, ds = [], [], [], []
             m0, m1, m2 = [], [], []
             for payload in pdf[payload_col]:
                 try:
-                    w, h, c, p = png_decode(bytes(payload))
+                    w, h, c, d, p = png_decode(bytes(payload))
                 except Exception:
                     ws.append(None); hs.append(None); cs.append(None)
+                    ds.append(None)
                     m0.append(None); m1.append(None); m2.append(None)
                     continue
-                arr = np.frombuffer(p, dtype=np.uint8).reshape(h, w, c)
+                dtype = np.dtype(">u2") if d == 16 else np.uint8
+                arr = np.frombuffer(p, dtype=dtype).reshape(h, w, c)
                 means = arr.mean(axis=(0, 1), dtype=np.float64)
-                ws.append(w); hs.append(h); cs.append(c)
+                ws.append(w); hs.append(h); cs.append(c); ds.append(d)
                 m0.append(float(means[0]))
                 m1.append(float(means[1]) if c > 1 else None)
                 m2.append(float(means[2]) if c > 2 else None)
@@ -594,6 +678,7 @@ def pixel_channel_stats(df: DataFrame,
                 pix_width=pd.array(ws, dtype="Int32"),
                 pix_height=pd.array(hs, dtype="Int32"),
                 pix_channels=pd.array(cs, dtype="Int32"),
+                pix_depth=pd.array(ds, dtype="Int32"),
                 mean_c0=pd.array(m0, dtype="float64"),
                 mean_c1=pd.array(m1, dtype="float64"),
                 mean_c2=pd.array(m2, dtype="float64"),

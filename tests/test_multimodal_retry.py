@@ -94,23 +94,107 @@ def test_png_decode_rejects_unsupported():
     from deltalake_spark.operators.multimodal import make_png, png_decode
 
     good = make_png(3, 3, bytes(27), channels=3)
-    # 16-bit depth
+    # sub-8-bit depth is genuinely unsupported (16-bit is real now)
     bad_depth = bytearray(good)
-    bad_depth[24] = 16
+    bad_depth[24] = 4
     with pytest.raises(ValueError):
         png_decode(bytes(bad_depth))
-    # palette color type
+    # header claims 16-bit but the IDAT stream is 8-bit sized → the
+    # stride check catches the mismatch (16-bit itself is supported)
+    bad_depth16 = bytearray(good)
+    bad_depth16[24] = 16
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad_depth16))
+    # header claims palette, but there is no PLTE chunk (palette
+    # support is real — the missing-PLTE guard is what fires here)
     bad_ct = bytearray(good)
     bad_ct[25] = 3
     with pytest.raises(ValueError):
         png_decode(bytes(bad_ct))
-    # Adam7 interlace
+    # header claims Adam7 but the IDAT stream is laid out sequential →
+    # pass-length accounting mismatches (Adam7 itself is supported)
     bad_il = bytearray(good)
     bad_il[28] = 1
     with pytest.raises(ValueError):
         png_decode(bytes(bad_il))
+    # invalid interlace method byte
+    bad_il2 = bytearray(good)
+    bad_il2[28] = 2
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad_il2))
     with pytest.raises(ValueError):
         png_decode(b"not a png at all")
+
+
+def test_png_decode_corrupt_idat_raises_valueerror():
+    """Docstring contract (r4 advice): corrupt/missing IDAT raises
+    ValueError, never a bare zlib.error."""
+    from deltalake_spark.operators.multimodal import make_png, png_decode
+
+    good = make_png(3, 3, bytes(27), channels=3)
+    # corrupt the IDAT payload bytes (skip sig+IHDR chunk = 8+25=33,
+    # then 8 bytes of IDAT len+type)
+    bad = bytearray(good)
+    for i in range(41, 49):
+        bad[i] ^= 0xFF
+    with pytest.raises(ValueError):
+        png_decode(bytes(bad))
+    # missing IDAT entirely
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _struct.pack(">IIBBBBB", 3, 3, 8, 2, 0, 0, 0)
+    no_idat = sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        png_decode(no_idat)
+
+
+def test_png_16bit_roundtrip():
+    """16-bit samples survive encode→decode bit-exactly through all
+    five filters (bpp doubles; filters stay byte-wise per spec)."""
+    from deltalake_spark.operators.multimodal import make_png, png_decode
+    import struct as _struct
+
+    w, h = 6, 7
+    vals = [(x * 1021 + y * 4099 + c * 257) % 65536
+            for y in range(h) for x in range(w) for c in range(3)]
+    pixels = b"".join(_struct.pack(">H", v) for v in vals)
+    enc = make_png(w, h, pixels, channels=3, depth=16)
+    assert png_decode(enc) == (w, h, 3, 16, pixels)
+    # gray 16-bit too
+    gvals = [(x * 9973 + y * 331) % 65536
+             for y in range(5) for x in range(4)]
+    gpx = b"".join(_struct.pack(">H", v) for v in gvals)
+    assert png_decode(make_png(4, 5, gpx, channels=1, depth=16)) \
+        == (4, 5, 1, 16, gpx)
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 interlaced PNGs deinterlace to the same pixels as the
+    sequential encoding — including sizes where some passes are empty,
+    8-bit and 16-bit, RGB/RGBA/gray."""
+    from deltalake_spark.operators.multimodal import make_png, png_decode
+    import struct as _struct
+
+    for w, h, c in [(6, 9, 3), (5, 4, 4), (7, 7, 1), (1, 1, 3),
+                    (2, 3, 1), (8, 8, 3), (9, 1, 2), (1, 9, 3)]:
+        pixels = bytes((x * 7 + y * 13 + ch * 29) % 256
+                       for y in range(h) for x in range(w)
+                       for ch in range(c))
+        enc = make_png(w, h, pixels, channels=c, interlace=1)
+        assert png_decode(enc) == (w, h, c, 8, pixels), (w, h, c)
+    # 16-bit Adam7
+    w, h = 9, 6
+    vals = [(x * 601 + y * 7919) % 65536
+            for y in range(h) for x in range(w) for _ in range(3)]
+    px16 = b"".join(_struct.pack(">H", v) for v in vals)
+    enc = make_png(w, h, px16, channels=3, depth=16, interlace=1)
+    assert png_decode(enc) == (w, h, 3, 16, px16)
 
 
 def test_pixel_channel_stats_closed_form(spark):
@@ -315,8 +399,8 @@ def test_png_palette_decode():
     palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 11, 13])
     idx = bytes([(x + y) % 4 for y in range(6) for x in range(5)])
     enc = make_png_indexed(5, 6, idx, palette)
-    w, h, c, px = png_decode(enc)
-    assert (w, h, c) == (5, 6, 3)
+    w, h, c, d, px = png_decode(enc)
+    assert (w, h, c, d) == (5, 6, 3, 8)
     want = b"".join(palette[3 * i:3 * i + 3] for i in idx)
     assert px == want
     # out-of-range index refused
