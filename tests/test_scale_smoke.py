@@ -207,12 +207,11 @@ def test_session_windows_state_bounded_at_volume(spark, staged_stream_dir):
     assert 0 < peak < 1000, f"session state not bounded: {peak}"
 
 
-@pytest.fixture(scope="module")
-def big_docs(spark):
-    """500k synthetic docs (~5M tokens) with planted duplicate spans:
+def _synth_docs(spark, n: int):
+    """n synthetic docs (~10 tokens each) with planted duplicate spans:
     every 10th doc repeats doc (id-10)'s text exactly, and a hot
     boilerplate sentence appears in ~10% of docs."""
-    base = spark.range(500_000).select(
+    base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(
             F.when(F.col("id") % 10 == 3, F.lit("common boilerplate "
@@ -228,6 +227,19 @@ def big_docs(spark):
         (F.pmod(F.col("id"), F.lit(20))).cast("string").alias("source"),
     )
     return base.persist()
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark):
+    """500k docs — the general volume fixture."""
+    return _synth_docs(spark, 500_000)
+
+
+@pytest.fixture(scope="module")
+def huge_docs(spark):
+    """2M docs (~20M tokens) — the r3-verdict-specified scale for the
+    BM25/BPE smokes; separate fixture so the 500k tests stay cheap."""
+    return _synth_docs(spark, 2_000_000)
 
 
 def test_span_dedup_conserves_spans_at_volume(spark, big_docs):
@@ -483,23 +495,23 @@ def test_semantic_dedup_cap_parity_on_unskewed(spark):
     assert k0 == k1
 
 
-def test_bm25_at_volume(spark, big_docs):
-    """r3 verdict item 8: BM25 over 500k docs. Plan shape must not grow
-    with the corpus — stats stay ONE struct scalar subquery (no join
-    node), scoring stays a narrow projection, and top-k lands in
-    TakeOrdered. Score sanity: docs containing the query term outrank
-    the rest, and the k boundary is deterministic."""
+def test_bm25_at_volume(spark, huge_docs):
+    """r3 verdict item 8 (completed to spec in r5): BM25 over 2M docs.
+    Plan shape must not grow with the corpus — stats stay ONE struct
+    scalar subquery (no join node), scoring stays a narrow projection,
+    and top-k lands in TakeOrdered. Score sanity: docs containing the
+    rare query term outrank the rest, and the k boundary is
+    deterministic."""
     from deltalake_spark.operators.retrieval import bm25_topk
-    from deltalake_spark.plans import plan_summary
 
-    out = bm25_topk(big_docs, ["alpha", "u13"], k=25)
+    out = bm25_topk(huge_docs, ["alpha", "u13"], k=25)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # stats are a scalar subquery, not a join
     assert "TakeOrderedAndProject" in plan
     rows = out.collect()
     assert len(rows) == 25
-    # 'u13' appears in ~63 docs (id % 7919 == 13); 'alpha' in all.
-    # top-k must be exactly the u13 docs (rare-term idf dominates),
+    # 'u13' appears in ~253 docs (id % 7919 == 13); 'alpha' in all.
+    # top-k must be exactly u13 docs (rare-term idf dominates),
     # scores descending with id-ascending tie-break.
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
@@ -507,26 +519,25 @@ def test_bm25_at_volume(spark, big_docs):
     assert all(i % 7_919 == 13 for i in top_ids)
 
 
-def test_bpe_lineage_flat_at_volume(spark, big_docs):
-    """BPE training at 500k docs for 50+ merges: the per-iteration plan
-    must stay flat (localCheckpoint cuts lineage every checkpoint_every
-    merges) instead of accreting 50 nested merge folds; encode stays a
-    single Arrow projection. Vocabulary growth must not blow up the
-    plan: the symbols frame's plan string is bounded by the
-    checkpoint interval, not by total merges done."""
+def test_bpe_lineage_flat_at_volume(spark, huge_docs):
+    """BPE at 2M docs (r3 verdict item 8 spec) for 50+ merges: the
+    per-iteration plan must stay flat (localCheckpoint cuts lineage
+    every checkpoint_every merges) instead of accreting 50 nested merge
+    folds; encode stays a single Arrow projection over the FULL corpus.
+    Vocabulary growth must not blow up the plan: the symbols frame's
+    plan is bounded by the checkpoint interval, not total merges."""
     from deltalake_spark.operators.bpe import encode_bpe, train_bpe
+    from deltalake_spark.plans import plan_summary
 
-    sample = big_docs.filter(F.col("doc_id") % 50 == 0)  # 10k docs
+    sample = huge_docs.filter(F.col("doc_id") % 200 == 0)  # 10k docs
     merges = train_bpe(sample, num_merges=52, min_freq=2,
                        checkpoint_every=8)
     assert len(merges) == 52
-    # encode at full volume: one Arrow stage, no shuffle
-    from deltalake_spark.plans import plan_summary
-
-    enc = encode_bpe(big_docs, merges)
+    # encode at full 2M volume: one Arrow stage, no shuffle
+    enc = encode_bpe(huge_docs, merges)
     assert plan_summary(enc).shuffles == 0
     n = enc.select(F.sum(F.size("bpe_tokens")).alias("t")).collect()[0]["t"]
-    assert n > 2_000_000  # every doc tokenized
+    assert n > 8_000_000  # every doc tokenized
     # determinism: same corpus, same merge list
     again = train_bpe(sample, num_merges=52, min_freq=2,
                       checkpoint_every=8)
