@@ -2367,7 +2367,10 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs={"n": "count(*)", "total_value": "round(sum(value), 2)"},
     )
     # complete mode: append would hold back windows newer than the final
-    # watermark (they only finalize when later data arrives)
+    # watermark (they only finalize when later data arrives). Complete
+    # mode emits per data batch, so the trailing no-data micro-batch is
+    # pure overhead; state is a few thousand windows, so 8 state-store
+    # partitions beat 32 (same hash agg, fewer store commits).
     out = run_available_now(
         win.select(
             F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
@@ -2375,6 +2378,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "total_value",
         ),
         output_mode="complete",
+        shuffle_partitions=8,
+        no_data_batch=False,
     )
     return out.orderBy("window_start", "event_type")
 

@@ -277,16 +277,47 @@ def stream_dedup(
     ).dropDuplicatesWithinWatermark(list(key_cols))
 
 
-def run_available_now(sdf: DataFrame, *, output_mode: str = "append") -> DataFrame:
+def run_available_now(
+    sdf: DataFrame, *, output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+    no_data_batch: bool = True,
+) -> DataFrame:
     """Run a streaming DataFrame to completion over available input via
-    the memory sink; return the materialized batch result."""
+    the memory sink; return the materialized batch result.
+
+    ``shuffle_partitions`` temporarily overrides
+    ``spark.sql.shuffle.partitions`` for the drain: stateful operators
+    create one state-store instance per shuffle partition PER
+    micro-batch, so a tiny-state query (e.g. a few hundred windows)
+    pays 32 store load/commit cycles per batch for nothing — 8 is
+    plenty below multi-GB state. ``no_data_batch=False`` skips the
+    trailing no-data micro-batch; ONLY safe for complete-mode sinks,
+    where emission doesn't wait on the watermark (append-mode session/
+    window flushes need that final batch — keep the default there).
+    Both confs are restored after the drain; callers that drain
+    concurrently from multiple threads should leave them unset.
+    """
+    spark = sdf.sparkSession
+    restore: dict[str, str] = {}
+    overrides: dict[str, str] = {}
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if not no_data_batch:
+        overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        for k, v in overrides.items():
+            restore[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
     return sdf.sparkSession.table(name)
