@@ -2069,6 +2069,55 @@ def png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (r5): synthesize block-constant
+    grayscale JPEGs from documents-table parameters inside an Arrow
+    pandas UDF — every 8x8 block holds one value, so the forward DCT
+    is DC-only and a unit quant table makes the round-trip BIT-EXACT —
+    then decode with the pure-numpy baseline decoder (Huffman + dequant
+    + IDCT, ``operators/jpeg.py``) fused with per-channel means in one
+    ``mapInPandas`` pass. Odd doc_ids add restart markers so the RST
+    resync path is gate-covered. Block (bx, by) holds
+    ``base + 13*bx + 29*by`` (max 96+26+29 < 255, no clipping), so the
+    per-image mean is ``base + 13*(nbx-1)/2 + 29*(nby-1)/2`` — halves,
+    exact in float64 — which the oracle recomputes closed-form. Any
+    Huffman, zigzag, dequant, IDCT, or RST bug breaks value equality.
+    Zero shuffles before the final agg."""
+    from deltalake_spark.operators.jpeg import make_jpeg
+    from deltalake_spark.operators.multimodal import pixel_channel_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for did, nc in zip(doc_id, n_chars):
+            did, nc = int(did), int(nc)
+            nbx, nby = did % 3 + 1, nc % 2 + 1
+            base = (did * 11) % 97
+            w, h = 8 * nbx, 8 * nby
+            img = bytes(base + 13 * (x // 8) + 29 * (y // 8)
+                        for y in range(h) for x in range(w))
+            out.append(make_jpeg(w, h, img, channels=1,
+                                 restart_interval=did % 2))
+        return pd.Series(out)
+
+    media = docs.select(
+        "doc_id", "lang",
+        synth(F.col("doc_id"), F.col("n_chars")).alias("payload"))
+    stats = pixel_channel_stats(media)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_c0"), 4).alias("avg_mean"),
+            F.sum(F.col("pix_width").cast("long")
+                  * F.col("pix_height")).alias("total_pixels"),
+        )
+        .orderBy("lang")
+    )
+
+
 def wav_rms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM audio decode: synthesize 16-bit mono WAVs whose samples
     cycle ``k * (i % 4)`` (k from doc_id) inside an Arrow pandas UDF,
@@ -3588,6 +3637,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_meta_extract": audio_meta_extract,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
+    "jpeg_pixel_stats": jpeg_pixel_stats,
     "wav_rms_stats": wav_rms_stats,
     "stratified_sample_docs": stratified_sample_docs,
     "cc_neardup_components": cc_neardup_components,
@@ -5914,6 +5964,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(bg + 4 * (w - 1) + (h - 1)), 4) AS avg_mean_g,
                    round(avg(bb + 4 * (w - 1) + (h - 1)), 4) AS avg_mean_b,
                    CAST(sum(w * h) AS BIGINT) AS total_pixels
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "jpeg_pixel_stats": """
+            -- closed form of the block-constant grayscale JPEGs the
+            -- Spark side encodes (DCT+Huffman), decodes (Huffman +
+            -- dequant + IDCT) and averages: block (bx,by) holds
+            -- base + 13*bx + 29*by, so the per-image mean is
+            -- base + 13*(nbx-1)/2 + 29*(nby-1)/2 (halves, exact)
+            WITH p AS (
+              SELECT lang,
+                     doc_id % 3 + 1 AS nbx,
+                     n_chars % 2 + 1 AS nby,
+                     (doc_id * 11) % 97 AS base
+              FROM documents
+            )
+            SELECT lang, count(*) AS n,
+                   round(avg(base + 13 * (nbx - 1) / 2.0
+                             + 29 * (nby - 1) / 2.0), 4) AS avg_mean,
+                   CAST(sum(64 * nbx * nby) AS BIGINT) AS total_pixels
             FROM p GROUP BY 1 ORDER BY 1
         """,
         "wav_rms_stats": """

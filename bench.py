@@ -52,6 +52,7 @@ EXTRA = [
     "pq_adc_topk_query",
     "png_pixel_stats",   # r4: real PNG decode
     "wav_rms_stats",     # r4: real PCM decode
+    "jpeg_pixel_stats",  # r5: real baseline JPEG decode
 ]
 
 

@@ -14,13 +14,16 @@ PNG and WAV are decoded for REAL with no media library: PNG via stdlib
 ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth)
 for 8- and 16-bit gray/gray+alpha/RGB/RGBA/palette, both non-interlaced
 and Adam7-interlaced (``decode_pixels``,
-``pixel_channel_stats``), and WAV via raw PCM sample decode
-(``wav_pcm``, ``audio_features`` — windowed power/RMS). The remaining
-codecs (JPEG/mp3/mp4 essence) are not in this container, so those decode
-steps stay STUBBED: ``decode_image_meta`` parses well-known header bytes
-in pure Python, and ``fake_decode`` is a deterministic stand-in used by
-tests. The Spark-side plumbing — schema, UDF signatures, batching — is
-real everywhere.
+``pixel_channel_stats``), WAV via raw PCM sample decode
+(``wav_pcm``, ``audio_features`` — windowed power/RMS), and baseline
+JPEG via the pure-numpy codec in ``operators/jpeg.py`` (Huffman +
+dequant + IDCT, arbitrary sampling factors, restart markers). The
+remaining essence codecs (mp3/mp4 audio-video) are not implementable
+without media libraries, so those decode steps stay STUBBED:
+``decode_audio_meta``/``decode_video_meta`` parse real container
+headers in pure Python, and ``fake_decode`` is a deterministic stand-in
+used by tests. The Spark-side plumbing — schema, UDF signatures,
+batching — is real everywhere.
 """
 
 from __future__ import annotations
@@ -594,13 +597,28 @@ def make_png_indexed(width: int, height: int, indices: bytes,
             + chunk(b"IEND", b""))
 
 
+def media_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Dispatch a raw image payload to the matching REAL codec by magic
+    bytes: PNG → :func:`png_decode`, baseline JPEG →
+    ``operators.jpeg.jpeg_decode``. Returns
+    ``(width, height, channels, depth, pixels)``; raises ValueError for
+    other formats."""
+    if payload[:8] == _PNG_SIG:
+        return png_decode(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from deltalake_spark.operators.jpeg import jpeg_decode
+        w, h, c, px = jpeg_decode(payload)
+        return w, h, c, 8, px
+    raise ValueError("unsupported image payload")
+
+
 def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Full PNG pixel decode via mapInPandas (Arrow batches): appends
-    ``pix_width``/``pix_height``/``pix_channels`` and the raw row-major
-    ``pixels`` binary. Non-PNG or unsupported payloads yield nulls
-    (filter on ``pix_width IS NOT NULL`` downstream). Per-partition,
-    zero shuffle; a production cluster swaps PIL/turbojpeg into this
-    exact shape for JPEG."""
+    """Full image pixel decode via mapInPandas (Arrow batches): appends
+    ``pix_width``/``pix_height``/``pix_channels``/``pix_depth`` and the
+    raw row-major ``pixels`` binary. PNG and baseline JPEG decode for
+    real (stdlib/numpy codecs); other or undecodable payloads yield
+    nulls (filter on ``pix_width IS NOT NULL`` downstream).
+    Per-partition, zero shuffle."""
     schema = StructType(
         df.schema.fields
         + [StructField("pix_width", IntegerType()),
@@ -615,7 +633,7 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             ws, hs, cs, ds, px = [], [], [], [], []
             for payload in pdf[payload_col]:
                 try:
-                    w, h, c, d, p = png_decode(bytes(payload))
+                    w, h, c, d, p = media_decode(bytes(payload))
                     ws.append(w); hs.append(h); cs.append(c)
                     ds.append(d); px.append(p)
                 except Exception:
@@ -661,7 +679,7 @@ def pixel_channel_stats(df: DataFrame,
             m0, m1, m2 = [], [], []
             for payload in pdf[payload_col]:
                 try:
-                    w, h, c, d, p = png_decode(bytes(payload))
+                    w, h, c, d, p = media_decode(bytes(payload))
                 except Exception:
                     ws.append(None); hs.append(None); cs.append(None)
                     ds.append(None)
