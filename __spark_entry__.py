@@ -2310,6 +2310,53 @@ def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def mp3_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG audio metadata (r5): synthesize MPEG-1 Layer III frame
+    streams (valid headers, zeroed essence, every third doc behind an
+    ID3v2 tag) from documents parameters inside an Arrow pandas UDF,
+    walk them back with the frame-header parser in
+    ``operators/multimodal.py`` via ``decode_audio_meta`` — the
+    essence is never decoded (no codec libs by design); the header walk
+    (sync, bitrate/rate tables, frame-length arithmetic, ID3 skip) is
+    real and the oracle recomputes frame count x 1152 samples / 44100 Hz
+    closed-form. Map-only before the final agg."""
+    from deltalake_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_mp3,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for did, nc in zip(doc_id, n_chars):
+            did, nc = int(did), int(nc)
+            out.append(make_mp3(
+                n_frames=nc % 20 + 5,
+                bitrate_kbps=(96, 128, 160)[did % 3],
+                mono=bool(did % 2),
+                id3_bytes=17 if did % 3 == 0 else 0,
+            ))
+        return pd.Series(out)
+
+    media = docs.select(
+        "doc_id", "lang",
+        synth(F.col("doc_id"), F.col("n_chars")).alias("payload"))
+    meta = decode_audio_meta(media)
+    return (
+        meta.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("duration_ms_parsed").cast("long"))
+            .alias("total_ms"),
+            F.sum(F.col("channels").cast("long")).alias("total_ch"),
+            F.max("sample_rate").alias("sr"),
+        )
+        .orderBy("lang")
+    )
+
+
 def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup cascade: raw events → hourly buckets →
     DAILY aggregates computed FROM THE HOURLY ROLLUP (sum of sums,
@@ -3635,6 +3682,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_dedup_stats": fingerprint_dedup_stats,
     "jaccard_neardup_pairs": jaccard_neardup_pairs,
     "audio_meta_extract": audio_meta_extract,
+    "mp3_meta_stats": mp3_meta_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -5915,6 +5963,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "mp3_meta_stats": """
+            -- closed form of the MPEG-1 Layer III streams the Spark
+            -- side synthesizes and frame-walks: n_frames from n_chars,
+            -- 1152 samples/frame at 44100 Hz, channels from doc parity
+            WITH p AS (
+              SELECT lang,
+                     n_chars % 20 + 5 AS nf,
+                     CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch
+              FROM documents
+            )
+            SELECT lang, count(*) AS n,
+                   CAST(sum((nf * 1152 * 1000) // 44100) AS BIGINT)
+                       AS total_ms,
+                   CAST(sum(ch) AS BIGINT) AS total_ch,
+                   max(44100) AS sr
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "audio_meta_extract": """
             SELECT doc_id AS media_id,

@@ -82,6 +82,9 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "wav"
     if payload[4:8] == b"ftyp":
         return "mp4"
+    if payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF
+                                 and (payload[1] & 0xE0) == 0xE0):
+        return "mp3"
     return "unknown"
 
 
@@ -158,10 +161,12 @@ def wav_meta(payload: bytes) -> dict[str, int] | None:
 
 
 def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Extract WAV header metadata via mapInPandas — same Arrow-batched
-    shape as :func:`decode_image_meta`, audio flavor. Compressed formats
-    (mp3/flac) would decode here on a real cluster; header parsing for
-    them is stubbed to nulls."""
+    """Extract audio metadata via mapInPandas — same Arrow-batched shape
+    as :func:`decode_image_meta`, audio flavor. WAV via the RIFF header
+    parse; MP3 via the real MPEG frame-header walk (:func:`mp3_meta` —
+    ``bits`` is null there, compressed streams have no PCM width).
+    Sample DECODE for compressed formats would need a codec library
+    (absent by design); metadata is real for both."""
     schema = StructType(
         df.schema.fields
         + [StructField("sample_rate", IntegerType()),
@@ -174,10 +179,13 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         for pdf in batches:
             srs, chs, bits, durs = [], [], [], []
             for payload in pdf[payload_col]:
-                m = wav_meta(bytes(payload)) if payload is not None else None
+                raw = bytes(payload) if payload is not None else None
+                m = wav_meta(raw) if raw else None
+                if m is None and raw:
+                    m = mp3_meta(raw)
                 srs.append(m["sample_rate"] if m else None)
                 chs.append(m["channels"] if m else None)
-                bits.append(m["bits"] if m else None)
+                bits.append(m.get("bits") if m else None)
                 durs.append(m["duration_ms"] if m else None)
             yield pdf.assign(
                 sample_rate=pd.array(srs, dtype="Int32"),
@@ -187,6 +195,132 @@ def decode_audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return df.mapInPandas(process, schema)
+
+
+# --- MPEG audio (MP3) frame-header parse ----------------------------------
+# Header layout and tables from the public MPEG-1/2 audio spec
+# (ISO 11172-3 / 13818-3). Bitrates in kbps, indexed by the 4-bit field;
+# row selected by (version, layer). 0 = "free"/invalid for our purposes.
+
+_MP3_BITRATES = {
+    # MPEG-1
+    (1, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+             384, 416, 448),
+    (1, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    # MPEG-2 / 2.5
+    (2, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000),    # version bits 11 = MPEG-1
+              2: (22050, 24000, 16000),    # 10 = MPEG-2
+              0: (11025, 12000, 8000)}     # 00 = MPEG-2.5
+
+
+def _mp3_frame(payload: bytes, pos: int):
+    """Parse one MPEG audio frame header at pos; returns
+    (frame_len, sample_rate, samples_per_frame, channels, bitrate_kbps)
+    or None if the 4 bytes at pos are not a valid header."""
+    if pos + 4 > len(payload):
+        return None
+    b1, b2, b3, b4 = payload[pos:pos + 4]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    vbits = (b2 >> 3) & 0x3
+    lbits = (b2 >> 1) & 0x3
+    if vbits == 1 or lbits == 0:
+        return None  # reserved version/layer
+    version = 1 if vbits == 3 else 2      # 2.5 uses the MPEG-2 tables
+    layer = 4 - lbits                     # bits 11→L1, 10→L2, 01→L3
+    br_idx = (b3 >> 4) & 0xF
+    sr_idx = (b3 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[(version, layer)][br_idx] * 1000
+    sample_rate = _MP3_RATES[vbits][sr_idx]
+    padding = (b3 >> 1) & 1
+    channels = 1 if ((b4 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        frame_len = (12 * bitrate // sample_rate + padding) * 4
+        spf = 384
+    else:
+        spf = 1152 if (layer == 2 or version == 1) else 576
+        frame_len = spf // 8 * bitrate // sample_rate + padding
+    return frame_len, sample_rate, spf, channels, bitrate // 1000
+
+
+def mp3_meta(payload: bytes) -> dict[str, int] | None:
+    """MPEG audio (MP3) stream metadata by walking frame headers — real
+    parsing with no codec library (the essence stays undecoded): skips
+    an ID3v2 tag, syncs on the first valid header, then counts
+    contiguous frames. Returns sample rate, channels, frame count,
+    bitrate of the first frame, and exact duration from
+    frames x samples_per_frame / rate; ``None`` if no frame syncs."""
+    if not payload:
+        return None
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        pos = 10 + size
+    first = None
+    while pos + 4 <= len(payload):
+        hdr = _mp3_frame(payload, pos)
+        if hdr:
+            first = hdr
+            break
+        pos += 1
+    if first is None:
+        return None
+    _, sample_rate, spf, channels, bitrate = first
+    n_frames = 0
+    samples = 0
+    while pos + 4 <= len(payload):
+        hdr = _mp3_frame(payload, pos)
+        if not hdr:
+            break
+        flen, _, fspf, _, _ = hdr
+        if flen <= 0 or pos + flen > len(payload):
+            break
+        n_frames += 1
+        samples += fspf
+        pos += flen
+    return {
+        "sample_rate": sample_rate, "channels": channels,
+        "bitrate_kbps": bitrate, "n_frames": n_frames,
+        "duration_ms": int(samples * 1000 / sample_rate),
+    }
+
+
+def make_mp3(n_frames: int = 10, *, bitrate_kbps: int = 128,
+             sample_rate: int = 44100, mono: bool = False,
+             id3_bytes: int = 0) -> bytes:
+    """Minimal valid MPEG-1 Layer III frame stream (tests/fixtures —
+    deterministic): correct headers, zeroed side-info/main data, optional
+    leading ID3v2 tag."""
+    br_idx = _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATES[3].index(sample_rate)
+    hdr = bytes([
+        0xFF,
+        0xFB,  # sync + MPEG-1 + Layer III + no CRC
+        (br_idx << 4) | (sr_idx << 2),
+        0xC0 if mono else 0x00,
+    ])
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = hdr + bytes(frame_len - 4)
+    out = b""
+    if id3_bytes:
+        out += (b"ID3" + bytes([4, 0, 0]) +
+                bytes([(id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+                       (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F])
+                + bytes(id3_bytes))
+    return out + frame * n_frames
 
 
 def make_wav(sample_rate: int = 8000, channels: int = 1, bits: int = 16,

@@ -389,6 +389,56 @@ def test_wav_pcm_and_audio_features_real(spark):
     assert out[2]["power"] is None and out[3]["rms"] is None
 
 
+def test_mp3_frame_walk():
+    """Real MPEG frame-header parsing: sync, tables, frame-length
+    arithmetic, ID3v2 skip, truncation — no codec library."""
+    from deltalake_spark.operators.multimodal import (
+        make_mp3,
+        mp3_meta,
+        sniff_format,
+    )
+
+    m = mp3_meta(make_mp3(n_frames=12, bitrate_kbps=128))
+    assert m == {"sample_rate": 44100, "channels": 2, "bitrate_kbps": 128,
+                 "n_frames": 12,
+                 "duration_ms": int(12 * 1152 * 1000 / 44100)}
+    # mono, other bitrate, leading ID3v2 tag
+    m = mp3_meta(make_mp3(n_frames=7, bitrate_kbps=160, mono=True,
+                          id3_bytes=17))
+    assert (m["channels"], m["n_frames"], m["bitrate_kbps"]) == (1, 7, 160)
+    # a truncated final frame is not counted
+    assert mp3_meta(make_mp3(n_frames=5)[:-10])["n_frames"] == 4
+    # non-audio yields None; sniffing doesn't confuse jpeg with mp3
+    assert mp3_meta(b"definitely not audio") is None
+    assert sniff_format(make_mp3(3)) == "mp3"
+    assert sniff_format(b"\xff\xd8\xff\xe0" + bytes(8)) == "jpeg"
+
+
+def test_decode_audio_meta_mp3_and_wav(spark):
+    """decode_audio_meta handles WAV and MP3 in the same Arrow pass;
+    bits is null for compressed streams."""
+    from deltalake_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_mp3,
+        make_wav,
+    )
+
+    df = make_media_df(spark, [
+        {"media_id": 1, "kind": "audio", "format": "wav",
+         "payload": make_wav(sample_rate=8000, n_frames=4000)},
+        {"media_id": 2, "kind": "audio", "format": "mp3",
+         "payload": make_mp3(n_frames=10, mono=True)},
+        {"media_id": 3, "kind": "audio", "format": None, "payload": None},
+    ])
+    out = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
+    assert (out[1]["sample_rate"], out[1]["bits"]) == (8000, 16)
+    assert out[1]["duration_ms_parsed"] == 500
+    assert (out[2]["sample_rate"], out[2]["channels"],
+            out[2]["bits"]) == (44100, 1, None)
+    assert out[2]["duration_ms_parsed"] == int(10 * 1152 * 1000 / 44100)
+    assert out[3]["sample_rate"] is None
+
+
 def test_png_palette_decode():
     """Color-type-3 PNGs expand through the PLTE lookup to RGB."""
     from deltalake_spark.operators.multimodal import (
