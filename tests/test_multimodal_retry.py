@@ -280,15 +280,23 @@ def test_wav_meta_parse_and_audio_decode(spark):
         {"media_id": 2, "kind": "audio", "format": "wav",
          "payload": make_wav(sample_rate=44100, n_frames=44100)},
         {"media_id": 3, "kind": "audio", "format": "mp3",
-         "payload": b"\xff\xfb\x90\x00junk"},   # non-WAV → nulls
+         # a bare MPEG-1 L3 sync header now PARSES (r5 mp3_meta):
+         # 0xFB=MPEG-1 L3, 0x90=128kbps/44100; too short for one full
+         # frame, so 0 frames / 0 ms
+         "payload": b"\xff\xfb\x90\x00junk"},
         {"media_id": 4, "kind": "audio", "format": None, "payload": None},
+        {"media_id": 5, "kind": "audio", "format": "bin",
+         "payload": b"neither wav nor mpeg"},   # → nulls
     ])
     out = {r["media_id"]: r for r in decode_audio_meta(df).collect()}
     assert out[1]["sample_rate"] == 8000
     assert out[1]["duration_ms_parsed"] == 500
     assert out[2]["sample_rate"] == 44100
     assert out[2]["duration_ms_parsed"] == 1000
-    assert out[3]["sample_rate"] is None and out[4]["sample_rate"] is None
+    assert (out[3]["sample_rate"], out[3]["bits"],
+            out[3]["duration_ms_parsed"]) == (44100, None, 0)
+    assert out[4]["sample_rate"] is None
+    assert out[5]["sample_rate"] is None
 
 
 def test_audio_feature_stub_shape(spark):
