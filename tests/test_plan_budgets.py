@@ -110,6 +110,10 @@ BUDGETS = {
     # same shape, audio flavor: synth + PCM decode/RMS in one Arrow
     # pass, then lang agg + sort
     "wav_rms_stats": (2, False),
+    # r5: same fused map-only shape for the baseline JPEG decode
+    "jpeg_pixel_stats": (2, False),
+    # r5: synth + MPEG frame-walk mapInPandas, one lang agg + sort
+    "mp3_meta_stats": (2, False),
 }
 
 
