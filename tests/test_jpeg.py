@@ -125,6 +125,27 @@ def test_rejects_non_baseline_and_malformed():
         pass
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_blockconst_roundtrip_randomized(seed):
+    """Property sweep: ANY block-constant grayscale image round-trips
+    bit-exactly at quant=1, across sizes, restart intervals, and value
+    ranges (deterministic LCG per seed — no global random state)."""
+    rng = seed * 2654435761 % 2**32
+    def nxt(n):
+        nonlocal rng
+        rng = (1103515245 * rng + 12345) % 2**31
+        return rng % n
+    for _ in range(8):
+        nbx, nby = nxt(4) + 1, nxt(3) + 1
+        w, h = 8 * nbx, 8 * nby
+        vals = [[nxt(256) for _ in range(nbx)] for _ in range(nby)]
+        img = bytes(vals[y // 8][x // 8]
+                    for y in range(h) for x in range(w))
+        ri = nxt(3)  # 0 = no restarts
+        enc = make_jpeg(w, h, img, channels=1, restart_interval=ri)
+        assert jpeg_decode(enc) == (w, h, 1, img), (w, h, ri)
+
+
 def test_media_decode_dispatch(spark):
     """decode_pixels / pixel_channel_stats route JPEG payloads to the
     real codec alongside PNG — same mapInPandas pass."""
