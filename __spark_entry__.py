@@ -2310,6 +2310,62 @@ def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def jl_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL signed random projection (r5): project the embeddings table
+    onto 8 deterministic ±1 planes entirely JVM-side
+    (``operators/reduce_dim.jl_project`` — literal-folded
+    zip_with/aggregate, whole-stage codegen, zero Python workers).
+    Components are quantized to the int-1000 grid first, so every
+    projected coordinate is an EXACT bigint and the oracle recomputes
+    the same dot products from the same literal sign planes with
+    DuckDB's list_dot_product — no float summation order anywhere.
+    Map-only until the final label agg."""
+    from deltalake_spark.operators.reduce_dim import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, vec_col="embedding", out_dim=8, dim=64,
+                      scale=1000, seed=7)
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("proj_0"), 4).alias("avg_p0"),
+            F.round(F.avg("proj_3"), 4).alias("avg_p3"),
+            F.round(F.avg("proj_7"), 4).alias("avg_p7"),
+            F.sum(F.abs(F.col("proj_0"))).alias("abs_p0"),
+        )
+        .orderBy("label")
+    )
+
+
+def gram_matrix_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gram/covariance aggregation probe (r5): the same
+    second-moment sums a one-pass PCA fit reduces (``reduce_dim.
+    pca_fit``), computed on the exact int-1000 grid JVM-side so chosen
+    gram entries G[i,j] = Σ q_i·q_j have a value-level DuckDB twin
+    (float-path PCA itself is pinned against a full-batch numpy
+    reference in tests/test_reduce_dim.py). One shuffle (the label
+    agg); scan stays map-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.expr("transform(cast(embedding as array<double>), "
+               "e -> cast(round(e * 1000.0D) as bigint))")
+    with_q = emb.withColumn("__q", q)
+
+    def g(i: int, j: int):
+        return F.sum(F.element_at("__q", i + 1)
+                     * F.element_at("__q", j + 1)).alias(f"g_{i}_{j}")
+
+    return (
+        with_q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            g(0, 0), g(0, 1), g(1, 7), g(31, 32), g(63, 63),
+            F.sum(F.element_at("__q", 1)).alias("s_0"),
+        )
+        .orderBy("label")
+    )
+
+
 def mp3_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG audio metadata (r5): synthesize MPEG-1 Layer III frame
     streams (valid headers, zeroed essence, every third doc behind an
@@ -3683,6 +3739,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_neardup_pairs": jaccard_neardup_pairs,
     "audio_meta_extract": audio_meta_extract,
     "mp3_meta_stats": mp3_meta_stats,
+    "jl_projection_stats": jl_projection_stats,
+    "gram_matrix_probe": gram_matrix_probe,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -3821,6 +3879,40 @@ def _grade_ordered(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return _grade_ordered(_QUERIES, set(oracle_sql()))
+
+
+def _jl_oracle() -> str:
+    """DuckDB twin of jl_projection_stats, generated from the SAME
+    deterministic sign planes the Spark side folds into its JVM
+    expressions — both engines compute identical exact-integer dot
+    products, so the check is value-level."""
+    from deltalake_spark.operators.reduce_dim import jl_signs
+
+    signs = jl_signs(8, 64, 7)
+    def arr(d: int) -> str:
+        return "[" + ",".join(str(s) for s in signs[d]) + "]"
+    return f"""
+        -- exact bigint JL projections from the same literal ±1 planes
+        WITH q AS (
+          SELECT label,
+                 list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * 1000)
+                             AS BIGINT)) AS qv
+          FROM embeddings
+        ), p AS (
+          SELECT label,
+                 CAST(list_dot_product(qv, {arr(0)}) AS BIGINT) AS p0,
+                 CAST(list_dot_product(qv, {arr(3)}) AS BIGINT) AS p3,
+                 CAST(list_dot_product(qv, {arr(7)}) AS BIGINT) AS p7
+          FROM q
+        )
+        SELECT label, count(*) AS n,
+               round(avg(p0), 4) AS avg_p0,
+               round(avg(p3), 4) AS avg_p3,
+               round(avg(p7), 4) AS avg_p7,
+               CAST(sum(abs(p0)) AS BIGINT) AS abs_p0
+        FROM p GROUP BY 1 ORDER BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5963,6 +6055,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "jl_projection_stats": _jl_oracle(),
+        "gram_matrix_probe": """
+            -- exact integer gram entries on the int-1000 grid; outer
+            -- CASTs keep DuckDB's HUGEINT sum out of the driver hash
+            WITH q AS (
+              SELECT label,
+                     list_transform(embedding,
+                       e -> CAST(round(CAST(e AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS qv
+              FROM embeddings
+            )
+            SELECT label, count(*) AS n,
+                   CAST(sum(qv[1] * qv[1]) AS BIGINT) AS g_0_0,
+                   CAST(sum(qv[1] * qv[2]) AS BIGINT) AS g_0_1,
+                   CAST(sum(qv[2] * qv[8]) AS BIGINT) AS g_1_7,
+                   CAST(sum(qv[32] * qv[33]) AS BIGINT) AS g_31_32,
+                   CAST(sum(qv[64] * qv[64]) AS BIGINT) AS g_63_63,
+                   CAST(sum(qv[1]) AS BIGINT) AS s_0
+            FROM q GROUP BY 1 ORDER BY 1
         """,
         "mp3_meta_stats": """
             -- closed form of the MPEG-1 Layer III streams the Spark

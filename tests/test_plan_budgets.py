@@ -114,6 +114,10 @@ BUDGETS = {
     "jpeg_pixel_stats": (2, False),
     # r5: synth + MPEG frame-walk mapInPandas, one lang agg + sort
     "mp3_meta_stats": (2, False),
+    # r5: JVM-codegen JL projections are map-only; label agg + sort
+    "jl_projection_stats": (2, False),
+    # r5: exact int-grid gram sums; label agg + sort
+    "gram_matrix_probe": (2, False),
 }
 
 
