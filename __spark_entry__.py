@@ -2310,6 +2310,42 @@ def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def unicode_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (r5): append doc_id%3 decomposed
+    'e'+U+0301 sequences to each document (JVM repeat — the fixtures
+    are ASCII, so the suffix is the only normalization-sensitive
+    content by construction), normalize with the Arrow-batched
+    ``operators/text.unicode_normalize`` (Python unicodedata), and
+    aggregate per language. The oracle runs DuckDB's utf8proc
+    ``nfc_normalize`` over the SAME synthesized strings — two
+    independent Unicode implementations must agree on lengths and
+    changed-row counts. Map-only until the lang agg."""
+    from deltalake_spark.operators.text import unicode_normalize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # the suffix must be the DECOMPOSED pair U+0065 U+0301 (NFC
+    # composes it to U+00E9) — built via chr() so no editor/source
+    # normalization can silently precompose it
+    raw = F.concat(
+        F.col("text"),
+        F.repeat(F.lit("e" + chr(0x0301)),
+                 (F.col("doc_id") % 3).cast("int")))
+    with_norm = docs.select(
+        "lang", raw.alias("raw"),
+        unicode_normalize(raw).alias("norm"))
+    return (
+        with_norm.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("raw").cast("long")).alias("raw_chars"),
+            F.sum(F.length("norm").cast("long")).alias("norm_chars"),
+            F.sum((F.col("raw") != F.col("norm")).cast("long"))
+            .alias("n_changed"),
+        )
+        .orderBy("lang")
+    )
+
+
 def jl_projection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL signed random projection (r5): project the embeddings table
     onto 8 deterministic ±1 planes entirely JVM-side
@@ -3741,6 +3777,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_meta_stats": mp3_meta_stats,
     "jl_projection_stats": jl_projection_stats,
     "gram_matrix_probe": gram_matrix_probe,
+    "unicode_norm_stats": unicode_norm_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6055,6 +6092,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "unicode_norm_stats": """
+            -- DuckDB's utf8proc NFC vs Python's unicodedata NFC over
+            -- the same synthesized decomposed suffixes ('e'+U+0301
+            -- composes to U+00E9: one char shorter per occurrence)
+            WITH p AS (
+              SELECT lang,
+                     text || repeat('e' || chr(769),
+                                    CAST(doc_id % 3 AS INT)) AS raw
+              FROM documents
+            )
+            SELECT lang, count(*) AS n,
+                   CAST(sum(length(raw)) AS BIGINT) AS raw_chars,
+                   CAST(sum(length(nfc_normalize(raw))) AS BIGINT)
+                       AS norm_chars,
+                   CAST(sum(CASE WHEN nfc_normalize(raw) <> raw
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_changed
+            FROM p GROUP BY 1 ORDER BY 1
         """,
         "jl_projection_stats": _jl_oracle(),
         "gram_matrix_probe": """

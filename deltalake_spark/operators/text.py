@@ -153,3 +153,27 @@ def rolling_hashes(text_col: Column, *, window: int = 16) -> Column:
     return F.transform(
         positions, lambda i: F.xxhash64(text_col.substr(i, F.lit(window)))
     )
+
+
+def unicode_normalize(text_col: Column, *, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) as an Arrow-batched
+    pandas UDF — Spark has no normalization builtin, and mojibake /
+    decomposed sequences are a standard web-corpus cleanup step before
+    dedup or tokenization (the same grapheme must hash identically).
+    Map-only, per-partition; nulls pass through."""
+    import unicodedata
+
+    import pandas  # noqa: F401 — pandas_udf resolves the hint by name
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def norm(s: pandas.Series) -> pandas.Series:
+        return s.map(lambda t: unicodedata.normalize(form, t)
+                     if t is not None else None)
+
+    # annotations are evaluated eagerly here (no `from __future__`
+    # string-hint indirection for the UDF signature)
+    norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    return pandas_udf(norm, "string")(text_col)

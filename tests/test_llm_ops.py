@@ -542,3 +542,31 @@ class TestProductQuantization:
         with pytest.raises(ValueError, match="query dim"):
             pq_adc_topk(df, [[[1.0]], [[1.0]]], [1.0, 2.0, 3.0],
                         id_col="vec_id")
+
+
+class TestUnicodeNormalize:
+    def test_nfc_composes_and_nulls_pass(self, spark):
+        from deltalake_spark.operators.text import unicode_normalize
+
+        dec = "e" + chr(0x0301)           # decomposed é
+        circled = chr(0x2460)             # CIRCLED DIGIT ONE (compat-only)
+        df = spark.createDataFrame(
+            [(1, f"caf{dec}"), (2, "plain ascii"), (3, None),
+             (4, circled + "m")],
+            "id long, text string")
+        out = {r["id"]: r["n"] for r in df.select(
+            "id", unicode_normalize(F.col("text")).alias("n")).collect()}
+        assert out[1] == "café"
+        assert out[2] == "plain ascii"
+        assert out[3] is None
+        assert out[4] == circled + "m"    # NFC keeps compatibility chars
+        nfkc = {r["id"]: r["n"] for r in df.select(
+            "id", unicode_normalize(F.col("text"), form="NFKC")
+            .alias("n")).collect()}
+        assert nfkc[4] == "1m"            # NFKC folds them
+
+    def test_bad_form_rejected(self, spark):
+        from deltalake_spark.operators.text import unicode_normalize
+
+        with pytest.raises(ValueError):
+            unicode_normalize(F.col("text"), form="NFX")

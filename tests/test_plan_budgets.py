@@ -118,6 +118,8 @@ BUDGETS = {
     "jl_projection_stats": (2, False),
     # r5: exact int-grid gram sums; label agg + sort
     "gram_matrix_probe": (2, False),
+    # r5: Arrow NFC pass is map-only; lang agg + sort
+    "unicode_norm_stats": (2, False),
 }
 
 
