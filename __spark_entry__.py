@@ -2310,6 +2310,46 @@ def audio_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter (r5): build a 2^16-bit filter over the
+    custkeys that placed orders (``sketches.bloom_build`` — bit_or
+    partial-aggregation, the shuffle carries at most m/32 words), probe
+    every customer against the broadcast filter, and report per-segment
+    membership counts next to the exact semi-join truth. No false
+    negatives is a hard invariant (maybe >= true per segment); false
+    positives are deterministic because the portable Knuth hash makes
+    the filter a pure function of the data — the oracle rebuilds the
+    SAME filter in SQL (same hash, same words) so counts match
+    value-level."""
+    from deltalake_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    bloom = bloom_build(orders, key_col="o_custkey",
+                        m_bits=1 << 16, k_hashes=4, seed=0)
+    probed = bloom_probe(customer, bloom, key_col="c_custkey",
+                         m_bits=1 << 16, k_hashes=4, seed=0)
+    truth = customer.join(
+        orders.select("o_custkey").distinct(),
+        customer.c_custkey == F.col("o_custkey"), "left"
+    ).select(
+        "c_custkey", "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("is_present"),
+    )
+    return (
+        truth.join(probed, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("maybe_present").cast("long")).alias("n_maybe"),
+            F.sum(F.col("is_present").cast("long")).alias("n_true"),
+            F.sum((F.col("maybe_present") & ~F.col("is_present"))
+                  .cast("long")).alias("n_false_pos"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def unicode_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (r5): append doc_id%3 decomposed
     'e'+U+0301 sequences to each document (JVM repeat — the fixtures
@@ -3778,6 +3818,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_projection_stats": jl_projection_stats,
     "gram_matrix_probe": gram_matrix_probe,
     "unicode_norm_stats": unicode_norm_stats,
+    "bloom_filter_stats": bloom_filter_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6092,6 +6133,67 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "bloom_filter_stats": """
+            -- rebuild the identical Bloom filter in SQL:
+            -- Kirsch-Mitzenmacher (h1 + j*odd(h2)) mod 2^16 with the
+            -- same two multiplicative hashes (HUGEINT intermediates
+            -- only), same 32-bit words
+            WITH h AS (
+              SELECT CAST(((CAST(o_custkey % 4294967296 AS HUGEINT)
+                            * 2654435761) % 4294967296) AS BIGINT) AS h1,
+                     CAST(((CAST((o_custkey + 1) % 4294967296 AS HUGEINT)
+                            * 2246822519) % 4294967296) AS BIGINT) AS h2
+              FROM orders
+            ), hashes AS (
+              SELECT (h1 + j.j * (h2 - h2 % 2 + 1)) % 65536 AS pos
+              FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+            ), words AS (
+              SELECT pos // 32 AS word_idx,
+                     bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))
+                         AS word
+              FROM hashes GROUP BY 1
+            ), probe AS (
+              SELECT c_custkey, c_mktsegment,
+                     count(*) FILTER (
+                       ((coalesce(w.word, 0)
+                         >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                     ) = 4 AS maybe_present
+              FROM (
+                SELECT c_custkey, c_mktsegment,
+                       (CAST(((CAST(c_custkey % 4294967296 AS HUGEINT)
+                               * 2654435761) % 4294967296) AS BIGINT)
+                        + j.j *
+                        ((CAST(((CAST((c_custkey + 1) % 4294967296
+                                      AS HUGEINT) * 2246822519)
+                                % 4294967296) AS BIGINT)
+                          - CAST(((CAST((c_custkey + 1) % 4294967296
+                                        AS HUGEINT) * 2246822519)
+                                  % 4294967296) AS BIGINT) % 2 + 1)))
+                       % 65536 AS pos
+                FROM customer
+                CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+              ) p
+              LEFT JOIN words w ON p.pos // 32 = w.word_idx
+              GROUP BY 1, 2
+            ), truth AS (
+              SELECT c.c_custkey,
+                     EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey)
+                         AS is_present
+              FROM customer c
+            )
+            SELECT p.c_mktsegment, count(*) AS n,
+                   CAST(sum(CASE WHEN p.maybe_present THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_maybe,
+                   CAST(sum(CASE WHEN t.is_present THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN p.maybe_present
+                                  AND NOT t.is_present
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_false_pos
+            FROM probe p JOIN truth t USING (c_custkey)
+            GROUP BY 1 ORDER BY 1
         """,
         "unicode_norm_stats": """
             -- DuckDB's utf8proc NFC vs Python's unicodedata NFC over

@@ -356,3 +356,113 @@ def kmv_intersection(
             4,
         ).alias("est_intersection"),
     )
+
+
+# --- Bloom filter (distributed build + broadcast probe) --------------------
+
+BLOOM_MULT2 = 2246822519  # second odd multiplier (xxhash32 prime 2)
+
+
+def _knuth32(key_col, mult: int, seed: int):
+    """((key + seed) * mult) mod 2^32 via 16-bit-decomposed multiply
+    (no int64 overflow under ANSI; same value as the HUGEINT SQL
+    formula)."""
+    k = F.pmod(key_col.cast("long") + F.lit(seed), F.lit(KMV_SPACE))
+    hi = (k / F.lit(65536)).cast("long")
+    lo = F.pmod(k, F.lit(65536))
+    return F.pmod(
+        F.pmod(hi * F.lit(mult), F.lit(KMV_SPACE)) * F.lit(65536)
+        + lo * F.lit(mult),
+        F.lit(KMV_SPACE),
+    ).cast("long")
+
+
+def _bloom_positions(key_col, *, m_bits: int, k_hashes: int, seed: int):
+    """k bit positions per key by Kirsch-Mitzenmacher double hashing:
+    ``(h1 + j*h2) mod m`` with two independent multiplicative hashes
+    and h2 forced odd (coprime with the power-of-two m, so the j-walk
+    never degenerates). A seed-offset family ((key+s_j)*M) would make
+    every position a FIXED offset of the first — effective k=1 and a
+    10x worse false-positive rate (measured)."""
+    h1 = _knuth32(key_col, KMV_MULT, seed)
+    h2 = _knuth32(key_col, BLOOM_MULT2, seed + 1)
+    h2o = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)  # force odd
+    return [
+        F.pmod(h1 + F.lit(j) * h2o, F.lit(m_bits))
+        for j in range(k_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    *,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Build an m-bit Bloom filter of ``key_col`` as ``(word_idx, word)``
+    rows — 32-bit words (no sign-bit edge in either engine), at most
+    ``m_bits/32`` rows regardless of corpus size.
+
+    The canonical "seen set" for dedup / URL dedup / decontamination at
+    scale: one pass, ONE shuffle whose width is the filter (KB), not the
+    data — ``bit_or`` partial-aggregates map-side, so each partition
+    ships at most m/32 words. No distinct pre-pass needed (bit_or is
+    idempotent). Deterministic: the same keys always produce the same
+    filter, which is what gives the gate query a value-level SQL twin.
+    """
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    pos = F.explode(F.array(*_bloom_positions(
+        F.col(key_col), m_bits=m_bits, k_hashes=k_hashes, seed=seed)))
+    return (
+        df.select(pos.alias("pos"))
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            # column-valued shift needs the SQL form (DSL shiftleft
+            # takes only a literal amount)
+            F.expr("shiftleft(1L, cast(pos % 32 as int))").alias("v"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("v").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    *,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+    seed: int = 0,
+    out_col: str = "maybe_present",
+) -> DataFrame:
+    """Probe distinct keys of ``df`` against a built filter. Returns one
+    row per distinct key with ``out_col`` true iff ALL k bits are set
+    (no false negatives; false-positive rate ~(1-e^{-kn/m})^k).
+
+    Scale shape: the filter is broadcast (≤ m/32 rows) to a map-side
+    join against the exploded key positions; one key-keyed shuffle
+    reaggregates the k bit tests. The corpus never moves."""
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    kp = keys.select(
+        "key",
+        F.explode(F.array(*_bloom_positions(
+            F.col("key"), m_bits=m_bits, k_hashes=k_hashes, seed=seed)))
+        .alias("pos"),
+    ).select(
+        "key",
+        (F.col("pos") / 32).cast("long").alias("word_idx"),
+        F.pmod(F.col("pos"), F.lit(32)).cast("int").alias("bit"),
+    )
+    joined = kp.join(F.broadcast(bloom), "word_idx", "left")
+    # column-valued shift amount needs the SQL form (the DSL's
+    # shiftright takes only a literal)
+    hit = F.expr("(shiftright(coalesce(word, 0L), bit) & 1) = 1")
+    return (
+        joined.groupBy("key")
+        .agg((F.sum(hit.cast("int")) == F.lit(k_hashes)).alias(out_col))
+        .withColumnRenamed("key", key_col)
+    )

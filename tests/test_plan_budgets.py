@@ -120,6 +120,9 @@ BUDGETS = {
     "gram_matrix_probe": (2, False),
     # r5: Arrow NFC pass is map-only; lang agg + sort
     "unicode_norm_stats": (2, False),
+    # r5: bit_or build (one KB-wide shuffle) + broadcast-filter probe
+    # + key reagg + truth semi-join + segment agg
+    "bloom_filter_stats": (8, False),
 }
 
 

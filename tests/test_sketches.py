@@ -190,3 +190,59 @@ def test_kmv_hash_safe_for_large_keys(spark):
         spark.conf.set("spark.sql.ansi.enabled", "false")
     for k in keys:
         assert got[k] == (k * 2654435761) % 2**32, k
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_deterministic(self, spark):
+        from deltalake_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+        from pyspark.sql import functions as F
+
+        present = spark.range(0, 5000).select(F.col("id").alias("k"))
+        bloom = bloom_build(present, key_col="k", m_bits=1 << 16,
+                            k_hashes=4)
+        # filter is bounded by m/32 words regardless of input size
+        words = bloom.collect()
+        assert len(words) <= (1 << 16) // 32
+        # every present key must probe true (hard Bloom invariant)
+        probed = bloom_probe(present, bloom, key_col="k",
+                             m_bits=1 << 16, k_hashes=4)
+        assert probed.filter(~F.col("maybe_present")).count() == 0
+        # absent keys: fp rate stays near theory ((1-e^{-kn/m})^k ~ 2.4%
+        # at n=5000, m=65536, k=4); assert a generous ceiling
+        absent = spark.range(1_000_000, 1_010_000).select(
+            F.col("id").alias("k"))
+        fp = bloom_probe(absent, bloom, key_col="k", m_bits=1 << 16,
+                         k_hashes=4).filter(F.col("maybe_present")).count()
+        assert fp / 10_000 < 0.08, fp
+        # deterministic: rebuilding from a different partitioning gives
+        # the identical word set
+        again = bloom_build(present.repartition(7), key_col="k",
+                            m_bits=1 << 16, k_hashes=4)
+        assert sorted((r["word_idx"], r["word"]) for r in words) \
+            == sorted((r["word_idx"], r["word"])
+                      for r in again.collect())
+
+    def test_probe_uses_broadcast_join(self, spark):
+        from deltalake_spark.operators.sketches import (
+            bloom_build,
+            bloom_probe,
+        )
+        from pyspark.sql import functions as F
+
+        present = spark.range(0, 100).select(F.col("id").alias("k"))
+        bloom = bloom_build(present, key_col="k")
+        out = bloom_probe(present, bloom, key_col="k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the filter moves, not data
+
+    def test_m_bits_validation(self, spark):
+        from deltalake_spark.operators.sketches import bloom_build
+        from pyspark.sql import functions as F
+
+        df = spark.range(1).select(F.col("id").alias("k"))
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            bloom_build(df, key_col="k", m_bits=100)
