@@ -2350,6 +2350,43 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (r5): build a 4x1024 grid over order custkeys
+    (``sketches.cms_build`` — map-side partial counts, the shuffle
+    carries the grid), estimate every ordering customer's frequency
+    from the broadcast grid, and compare per segment against the exact
+    counts: estimates NEVER undercount (hard CMS invariant —
+    ``n_under`` must be 0) and the total overcount is deterministic
+    because the double-hash grid is a pure function of the data. The
+    oracle rebuilds the identical grid in SQL."""
+    from deltalake_spark.operators.sketches import cms_build, cms_estimate
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cms = cms_build(orders, key_col="o_custkey", width=1024, depth=4)
+    est = cms_estimate(orders, cms, key_col="o_custkey",
+                       width=1024, depth=4)
+    true = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("true_cnt"))
+    both = est.join(true, "o_custkey").join(
+        customer.select(F.col("c_custkey").alias("o_custkey"),
+                        "c_mktsegment"),
+        "o_custkey")
+    return (
+        both.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("true_cnt").alias("total_true"),
+            F.sum("cms_est").alias("total_est"),
+            F.sum((F.col("cms_est") < F.col("true_cnt")).cast("long"))
+            .alias("n_under"),
+            F.max(F.col("cms_est") - F.col("true_cnt"))
+            .alias("max_overcount"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def unicode_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (r5): append doc_id%3 decomposed
     'e'+U+0301 sequences to each document (JVM repeat — the fixtures
@@ -3819,6 +3856,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gram_matrix_probe": gram_matrix_probe,
     "unicode_norm_stats": unicode_norm_stats,
     "bloom_filter_stats": bloom_filter_stats,
+    "cms_frequency_stats": cms_frequency_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6133,6 +6171,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "cms_frequency_stats": """
+            -- rebuild the identical 4x1024 Count-Min grid in SQL:
+            -- same Kirsch-Mitzenmacher double hash as the Bloom twin
+            WITH h AS (
+              SELECT o_custkey,
+                     CAST(((CAST(o_custkey % 4294967296 AS HUGEINT)
+                            * 2654435761) % 4294967296) AS BIGINT) AS h1,
+                     CAST(((CAST((o_custkey + 1) % 4294967296 AS HUGEINT)
+                            * 2246822519) % 4294967296) AS BIGINT) AS h2
+              FROM orders
+            ), cells AS (
+              SELECT o_custkey, j.j AS r,
+                     (h1 + j.j * (h2 - h2 % 2 + 1)) % 1024 AS c
+              FROM h CROSS JOIN (VALUES (0), (1), (2), (3)) j(j)
+            ), grid AS (
+              SELECT r, c, count(*) AS cnt FROM cells GROUP BY 1, 2
+            ), est AS (
+              SELECT k.o_custkey, min(g.cnt) AS cms_est
+              FROM (SELECT DISTINCT o_custkey, r, c FROM cells) k
+              JOIN grid g USING (r, c)
+              GROUP BY 1
+            ), truth AS (
+              SELECT o_custkey, count(*) AS true_cnt
+              FROM orders GROUP BY 1
+            )
+            SELECT c.c_mktsegment,
+                   count(*) AS n_keys,
+                   CAST(sum(t.true_cnt) AS BIGINT) AS total_true,
+                   CAST(sum(e.cms_est) AS BIGINT) AS total_est,
+                   CAST(sum(CASE WHEN e.cms_est < t.true_cnt
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+                   CAST(max(e.cms_est - t.true_cnt) AS BIGINT)
+                       AS max_overcount
+            FROM est e
+            JOIN truth t USING (o_custkey)
+            JOIN customer c ON c.c_custkey = e.o_custkey
+            GROUP BY 1 ORDER BY 1
         """,
         "bloom_filter_stats": """
             -- rebuild the identical Bloom filter in SQL:

@@ -38,6 +38,10 @@ __all__ = [
     "kmv_sketch",
     "kmv_estimate",
     "kmv_intersection",
+    "bloom_build",
+    "bloom_probe",
+    "cms_build",
+    "cms_estimate",
 ]
 
 
@@ -464,5 +468,76 @@ def bloom_probe(
     return (
         joined.groupBy("key")
         .agg((F.sum(hit.cast("int")) == F.lit(k_hashes)).alias(out_col))
+        .withColumnRenamed("key", key_col)
+    )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+def cms_build(
+    df: DataFrame,
+    *,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Build a depth x width Count-Min sketch of ``key_col`` occurrences
+    as ``(r, c, cnt)`` rows — at most depth*width rows regardless of
+    corpus size, with map-side partial counting (the shuffle carries
+    the grid, not the data). Point-frequency companion to the MG heavy
+    hitters / KMV / HLL family: est(key) = min_r grid[r][h_r(key)]
+    over-counts only (one-sided error <= eps*N w.h.p., eps = e/width).
+
+    Hashing is the same portable Kirsch-Mitzenmacher double hash as the
+    Bloom filter, so the grid is a pure function of the data — exact
+    SQL twin, partitioning-invariant."""
+    h1 = _knuth32(F.col(key_col), KMV_MULT, seed)
+    h2 = _knuth32(F.col(key_col), BLOOM_MULT2, seed + 1)
+    h2o = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)
+    rows = df.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     F.pmod(h1 + F.lit(r) * h2o, F.lit(width)).alias("c"))
+            for r in range(depth)
+        ])).alias("rc")
+    )
+    return (
+        rows.select("rc.r", "rc.c")
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    df: DataFrame,
+    cms: DataFrame,
+    *,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Estimate each distinct key's frequency from a built sketch:
+    broadcast the (KB-scale) grid against the keys' depth probe cells,
+    take the min over rows. Missing cells count 0. One key-keyed
+    shuffle; the corpus never moves."""
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    h1 = _knuth32(F.col("key"), KMV_MULT, seed)
+    h2 = _knuth32(F.col("key"), BLOOM_MULT2, seed + 1)
+    h2o = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)
+    probes = keys.select(
+        "key",
+        F.explode(F.array(*[
+            F.struct(F.lit(r).alias("r"),
+                     F.pmod(h1 + F.lit(r) * h2o, F.lit(width)).alias("c"))
+            for r in range(depth)
+        ])).alias("rc"),
+    ).select("key", "rc.r", "rc.c")
+    joined = probes.join(F.broadcast(cms), ["r", "c"], "left")
+    return (
+        joined.groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
         .withColumnRenamed("key", key_col)
     )

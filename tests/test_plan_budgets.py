@@ -123,6 +123,8 @@ BUDGETS = {
     # r5: bit_or build (one KB-wide shuffle) + broadcast-filter probe
     # + key reagg + truth semi-join + segment agg
     "bloom_filter_stats": (8, False),
+    # r5: grid build + broadcast-grid estimate + truth agg + joins
+    "cms_frequency_stats": (8, False),
 }
 
 

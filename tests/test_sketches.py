@@ -246,3 +246,48 @@ class TestBloomFilter:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             bloom_build(df, key_col="k", m_bits=100)
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_exact_when_sparse(self, spark):
+        from deltalake_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+        from pyspark.sql import functions as F
+
+        # planted frequencies: key k appears (k % 7) + 1 times
+        base = spark.range(0, 500).select(F.col("id").alias("k"))
+        stream = base.select(
+            "k", F.explode(F.sequence(F.lit(1), (F.col("k") % 7) + 1))
+            .alias("rep")).select("k")
+        cms = cms_build(stream, key_col="k", width=4096, depth=4)
+        # grid bounded, counts conserve the stream length
+        grid = cms.collect()
+        assert len(grid) <= 4 * 4096
+        total = stream.count()
+        per_row = {}
+        for r in grid:
+            per_row[r["r"]] = per_row.get(r["r"], 0) + r["cnt"]
+        assert all(v == total for v in per_row.values())
+        est = {r["k"]: r["cms_est"] for r in cms_estimate(
+            stream, cms, key_col="k", width=4096, depth=4).collect()}
+        true = {r["k"]: r["c"] for r in stream.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("c")).collect()}
+        # hard invariant: never undercounts
+        assert all(est[k] >= true[k] for k in true)
+        # sparse grid (500 keys x 4 rows into 4096 cells): most
+        # estimates exact, total overcount small
+        over = sum(est[k] - true[k] for k in true)
+        assert over <= total * 0.1, over
+
+    def test_partitioning_invariant(self, spark):
+        from deltalake_spark.operators.sketches import cms_build
+        from pyspark.sql import functions as F
+
+        df = spark.range(0, 2000).select((F.col("id") % 97).alias("k"))
+        a = sorted(map(tuple, cms_build(df.coalesce(1), key_col="k")
+                       .collect()))
+        b = sorted(map(tuple, cms_build(df.repartition(13), key_col="k")
+                       .collect()))
+        assert a == b
