@@ -125,6 +125,9 @@ BUDGETS = {
     "bloom_filter_stats": (8, False),
     # r5: grid build + broadcast-grid estimate + truth agg + joins
     "cms_frequency_stats": (8, False),
+    # r5: pair self-join + edge distinct + degree agg + oriented wedge
+    # join + closing join + tiny summary crossJoins
+    "copurchase_triangle_stats": (12, False),
 }
 
 
