@@ -2388,17 +2388,26 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("src"),
                 F.col("b.l_partkey").alias("dst"))
     )
-    edges = canonical_edges(pairs)
+    # cache the canonical edge list: the degree and triangle branches
+    # both reuse it, and without the cache each branch would replay the
+    # pair self-join — the standard shape for graph work at any scale
+    edges = canonical_edges(pairs).persist()
     deg = degree_stats(edges)
-    summary = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.max("degree").alias("max_degree"),
-        F.sum("degree").alias("degree_sum"),
+    per_node = triangle_count(edges, per_node=True)
+    # one output row from ONE aggregation: n_edges = Σdeg/2 and
+    # n_triangles = Σ(corner credits)/3 are exact identities, so no
+    # tiny-frame crossJoins are needed
+    return (
+        deg.join(per_node, "node", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum("degree") / 2).cast("long").alias("n_edges"),
+            F.max("degree").alias("max_degree"),
+            F.sum("degree").alias("degree_sum"),
+            (F.sum(F.coalesce(F.col("n_triangles"), F.lit(0))) / 3)
+            .cast("long").alias("n_triangles"),
+        )
     )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    tris = triangle_count(edges)
-    return summary.crossJoin(n_edges).crossJoin(tris).select(
-        "n_nodes", "n_edges", "max_degree", "degree_sum", "n_triangles")
 
 
 def cms_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

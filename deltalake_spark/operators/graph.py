@@ -86,10 +86,9 @@ def triangle_count(edges: DataFrame, *, per_node: bool = False) -> DataFrame:
     tris = wedges.join(closing, ["b1", "b2"])
     if not per_node:
         return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
-    corners = (
-        tris.select(F.col("w_src").alias("node"))
-        .unionAll(tris.select(F.col("b1").alias("node")))
-        .unionAll(tris.select(F.col("b2").alias("node")))
-    )
+    # explode the three corners in ONE pass — a union of three
+    # projections would replay the wedge+closing join three times
+    corners = tris.select(
+        F.explode(F.array("w_src", "b1", "b2")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
