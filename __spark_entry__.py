@@ -2364,6 +2364,46 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (r5): per-user first view → first click after it
+    → first purchase after that (``operators/funnel.funnel_steps`` —
+    cascaded conditional-min aggregations, no per-user arrays, so whale
+    users never blow up a task), counted per day of funnel entry. The
+    oracle recomputes the same strict-ordering mins with left joins —
+    exact timestamps/integers end to end."""
+    from deltalake_spark.operators.funnel import funnel_steps
+
+    events = _t(spark, sf_dir, "events")
+    steps = funnel_steps(events, steps=["view", "click", "purchase"])
+    day = F.date_format(
+        F.timestamp_micros(F.expr("ts_1 div 1000")), "yyyy-MM-dd")
+    return (
+        steps.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("ts_2").alias("n_click"),
+            F.count("ts_3").alias("n_purchase"),
+        )
+        .orderBy("day")
+    )
+
+
+def retention_cohort_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (r5): users bucketed by first-activity
+    week, counted per (cohort, week-offset) they return in
+    (``operators/funnel.retention_cohorts`` — two aggs + one
+    co-partitioned join, integer `div` on the nano domain so no
+    double-precision boundary drift). Exact integers; the oracle
+    recomputes the grid with epoch_ns arithmetic."""
+    from deltalake_spark.operators.funnel import retention_cohorts
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        retention_cohorts(events, period_days=7)
+        .orderBy("cohort_period", "period_offset")
+    )
+
+
 def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph operators (r5): build the co-purchase graph (parts
     appearing in the same order, thinned to partkey%5==0 so the pair
@@ -3918,6 +3958,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filter_stats": bloom_filter_stats,
     "cms_frequency_stats": cms_frequency_stats,
     "copurchase_triangle_stats": copurchase_triangle_stats,
+    "funnel_conversion_stats": funnel_conversion_stats,
+    "retention_cohort_stats": retention_cohort_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6232,6 +6274,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "funnel_conversion_stats": """
+            -- strict-ordering funnel via left-joined conditional mins;
+            -- ts is TIMESTAMP(NS) here vs long nanos Spark-side, the
+            -- date floor agrees
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS ts1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), t2 AS (
+              SELECT t1.user_id, t1.ts1, min(e.ts) AS ts2
+              FROM t1 LEFT JOIN events e
+                ON e.user_id = t1.user_id
+               AND e.event_type = 'click' AND e.ts > t1.ts1
+              GROUP BY 1, 2
+            ), t3 AS (
+              SELECT t2.user_id, t2.ts1, t2.ts2, min(e.ts) AS ts3
+              FROM t2 LEFT JOIN events e
+                ON e.user_id = t2.user_id
+               AND e.event_type = 'purchase' AND e.ts > t2.ts2
+              GROUP BY 1, 2, 3
+            )
+            SELECT strftime(CAST(ts1 AS DATE), '%Y-%m-%d') AS day,
+                   count(*) AS n_view,
+                   CAST(count(ts2) AS BIGINT) AS n_click,
+                   CAST(count(ts3) AS BIGINT) AS n_purchase
+            FROM t3 GROUP BY 1 ORDER BY 1
+        """,
+        "retention_cohort_stats": """
+            -- weekly cohort grid on the exact nano domain
+            WITH f AS (
+              SELECT user_id,
+                     epoch_ns(min(ts)) // 604800000000000
+                         AS cohort_period
+              FROM events GROUP BY 1
+            ), active AS (
+              SELECT DISTINCT user_id,
+                     epoch_ns(ts) // 604800000000000 AS active_period
+              FROM events
+            )
+            SELECT CAST(f.cohort_period AS BIGINT) AS cohort_period,
+                   CAST(a.active_period - f.cohort_period AS BIGINT)
+                       AS period_offset,
+                   count(*) AS n_users
+            FROM active a JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "copurchase_triangle_stats": """
             -- naive a<b<c triangle join: provably equal to the

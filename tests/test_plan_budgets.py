@@ -125,6 +125,10 @@ BUDGETS = {
     "bloom_filter_stats": (8, False),
     # r5: grid build + broadcast-grid estimate + truth agg + joins
     "cms_frequency_stats": (8, False),
+    # r5: cascaded conditional-min aggs, user-keyed exchanges reused
+    "funnel_conversion_stats": (7, True),
+    # r5: first-activity agg + distinct + co-partitioned join + grid agg
+    "retention_cohort_stats": (5, True),
     # r5: the TEXTUAL plan repeats the persisted edge subplan (pair
     # self-join + distinct) under every branch — degrees, orientation,
     # wedge, closing, summary — so the static Exchange count is high;
