@@ -2364,6 +2364,23 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (r5): build token posting lists over
+    the documents table (``retrieval.inverted_index`` — explode + two
+    hash aggs with map-side partial counts; the persisted form of the
+    stats BM25/TF-IDF recompute per query) and emit the scalar index
+    row per high-df token. Exact integers; the oracle rebuilds the
+    same index in SQL over the same whitespace tokenization."""
+    from deltalake_spark.operators.retrieval import inverted_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = inverted_index(docs, min_df=50)
+    return (
+        idx.select("token", "df", "total_tf", "first_doc", "last_doc")
+        .orderBy("token")
+    )
+
+
 def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (r5): per-user first view → first click after it
     → first purchase after that (``operators/funnel.funnel_steps`` —
@@ -3960,6 +3977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_triangle_stats": copurchase_triangle_stats,
     "funnel_conversion_stats": funnel_conversion_stats,
     "retention_cohort_stats": retention_cohort_stats,
+    "inverted_index_stats": inverted_index_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6274,6 +6292,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "inverted_index_stats": """
+            -- same whitespace tokenization, same index aggregation
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents
+            ), per AS (
+              SELECT token, doc_id, count(*) AS tf
+              FROM toks WHERE token <> '' GROUP BY 1, 2
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS df,
+                   CAST(sum(tf) AS BIGINT) AS total_tf,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc
+            FROM per GROUP BY 1 HAVING count(*) >= 50
+            ORDER BY 1
         """,
         "funnel_conversion_stats": """
             -- strict-ordering funnel via left-joined conditional mins;

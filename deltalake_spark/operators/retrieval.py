@@ -175,3 +175,42 @@ def rrf_fuse(
         .drop("__s")
         .select(id_col, "rrf_score", "fused_rank")
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Materialize an inverted index: one row per token with document
+    frequency, total term frequency, and the sorted posting list
+    (``array<struct<doc_id, tf>>``) — the persisted-side-table form of
+    the statistics BM25/TF-IDF recompute per query.
+
+    Scale shape: explode + two hash aggregations (token×doc partial
+    counts combine map-side, then token-keyed postings assembly). The
+    posting-list collect is bounded per token by document frequency —
+    for stopword-scale tokens cap or drop them via ``min_df``-style
+    pruning downstream before collecting (this helper materializes
+    what it is given). Tokens are whitespace-split; empty tokens are
+    dropped.
+    """
+    toks = df.select(
+        F.col(doc_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", doc_col).agg(
+        F.count(F.lit(1)).alias("tf"))
+    out = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min(doc_col).alias("first_doc"),
+        F.max(doc_col).alias("last_doc"),
+        F.sort_array(F.collect_list(
+            F.struct(F.col(doc_col), F.col("tf")))).alias("postings"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out

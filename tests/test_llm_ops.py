@@ -570,3 +570,21 @@ class TestUnicodeNormalize:
 
         with pytest.raises(ValueError):
             unicode_normalize(F.col("text"), form="NFX")
+
+
+class TestInvertedIndex:
+    def test_postings_and_stats(self, spark):
+        from deltalake_spark.operators.retrieval import inverted_index
+
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "b  c"), (3, "a")],
+            "doc_id long, text string")
+        idx = {r["token"]: r for r in inverted_index(docs).collect()}
+        assert set(idx) == {"a", "b", "c"}  # empty tokens dropped
+        assert (idx["a"]["df"], idx["a"]["total_tf"]) == (2, 3)
+        assert [tuple(p) for p in idx["a"]["postings"]] == [(1, 2), (3, 1)]
+        assert (idx["b"]["first_doc"], idx["b"]["last_doc"]) == (1, 2)
+        assert (idx["c"]["df"], idx["c"]["total_tf"]) == (1, 1)
+        # min_df prunes
+        pruned = inverted_index(docs, min_df=2)
+        assert {r["token"] for r in pruned.collect()} == {"a", "b"}

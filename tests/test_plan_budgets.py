@@ -125,6 +125,8 @@ BUDGETS = {
     "bloom_filter_stats": (8, False),
     # r5: grid build + broadcast-grid estimate + truth agg + joins
     "cms_frequency_stats": (8, False),
+    # r5: explode + token×doc partial agg + token agg + sort
+    "inverted_index_stats": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
     "funnel_conversion_stats": (7, True),
     # r5: first-activity agg + distinct + co-partitioned join + grid agg
