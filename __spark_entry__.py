@@ -2364,6 +2364,29 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (r5): Deequ-style constraint checks over the
+    orders table — uniqueness, completeness, range, value-set, regex —
+    ALL compiled into one aggregation pass (``operators/audit.py``;
+    constraint count never multiplies scans). Exact integer violation
+    counts; the oracle recomputes each check with plain SQL
+    aggregates."""
+    from deltalake_spark.operators.audit import audit_checks
+
+    orders = _t(spark, sf_dir, "orders")
+    out = audit_checks(orders, [
+        {"col": "o_orderkey", "check": "unique"},
+        {"col": "o_custkey", "check": "not_null"},
+        {"col": "o_totalprice", "check": "range",
+         "min": 0.0, "max": 600000.0},
+        {"col": "o_orderstatus", "check": "in_set",
+         "values": ["O", "F", "P"]},
+        {"col": "o_orderpriority", "check": "regex",
+         "pattern": "^[1-5]-"},
+    ])
+    return out.orderBy("col", "check")
+
+
 def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized inverted index (r5): build token posting lists over
     the documents table (``retrieval.inverted_index`` — explode + two
@@ -3978,6 +4001,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion_stats": funnel_conversion_stats,
     "retention_cohort_stats": retention_cohort_stats,
     "inverted_index_stats": inverted_index_stats,
+    "audit_constraint_stats": audit_constraint_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6292,6 +6316,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "audit_constraint_stats": """
+            -- each check as a plain SQL aggregate over the same scan
+            WITH base AS (
+              SELECT count(*) AS n,
+                     count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+                     sum(CASE WHEN o_custkey IS NULL
+                         THEN 1 ELSE 0 END) AS null_cust,
+                     sum(CASE WHEN o_totalprice IS NULL
+                               OR o_totalprice < 0
+                               OR o_totalprice > 600000
+                         THEN 1 ELSE 0 END) AS bad_price,
+                     sum(CASE WHEN o_orderstatus IS NULL
+                               OR o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS bad_status,
+                     sum(CASE WHEN o_orderpriority IS NULL
+                               OR NOT regexp_matches(o_orderpriority,
+                                                     '^[1-5]-')
+                         THEN 1 ELSE 0 END) AS bad_prio
+              FROM orders
+            ), rows_out AS (
+              SELECT 'o_custkey' AS col, 'not_null' AS "check",
+                     n AS n_rows, null_cust AS n_violations FROM base
+              UNION ALL
+              SELECT 'o_orderkey', 'unique', n, dup_keys FROM base
+              UNION ALL
+              SELECT 'o_orderpriority', 'regex', n, bad_prio FROM base
+              UNION ALL
+              SELECT 'o_orderstatus', 'in_set', n, bad_status FROM base
+              UNION ALL
+              SELECT 'o_totalprice', 'range', n, bad_price FROM base
+            )
+            SELECT col, "check", CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_violations AS BIGINT) AS n_violations,
+                   n_violations = 0 AS passed
+            FROM rows_out ORDER BY col, "check"
         """,
         "inverted_index_stats": """
             -- same whitespace tokenization, same index aggregation

@@ -1,0 +1,86 @@
+"""Single-pass data-quality audit (Deequ-style constraint checking).
+
+The pre-training validation step every large pipeline runs before a
+corpus ships: completeness, uniqueness, ranges, value sets, regex
+shape. All checks for a table compile into ONE aggregation pass —
+constraint count doesn't multiply scans — and uniqueness piggybacks a
+second count-distinct branch of the same scan. Exact integer outputs,
+so results are reproducible and SQL-twinned.
+
+Check spec (list of dicts):
+  {"col": c, "check": "not_null"}
+  {"col": c, "check": "unique"}
+  {"col": c, "check": "range", "min": lo, "max": hi}   (inclusive)
+  {"col": c, "check": "in_set", "values": [...]}
+  {"col": c, "check": "regex", "pattern": r"..."}
+
+Output: one row per check — (col, check, n_rows, n_violations, passed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["audit_checks"]
+
+
+def _violation_expr(spec: dict):
+    col = F.col(spec["col"])
+    kind = spec["check"]
+    if kind == "not_null":
+        return col.isNull()
+    if kind == "range":
+        lo, hi = spec["min"], spec["max"]
+        return col.isNull() | (col < F.lit(lo)) | (col > F.lit(hi))
+    if kind == "in_set":
+        return col.isNull() | ~col.isin(list(spec["values"]))
+    if kind == "regex":
+        return col.isNull() | ~col.rlike(spec["pattern"])
+    raise ValueError(f"unknown check kind {kind!r}")
+
+
+def audit_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Run all checks in one aggregation pass (plus one count-distinct
+    branch when any 'unique' check is present). Returns
+    ``(col, check, n_rows, n_violations, passed)`` rows in spec
+    order."""
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    row_checks = [c for c in checks if c["check"] != "unique"]
+    uni_checks = [c for c in checks if c["check"] == "unique"]
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, spec in enumerate(row_checks):
+        aggs.append(
+            F.sum(_violation_expr(spec).cast("long")).alias(f"__v{i}"))
+    for i, spec in enumerate(uni_checks):
+        # duplicates = rows - distinct values - (0 if no nulls... nulls
+        # count as violations of uniqueness here: distinct ignores null)
+        aggs.append(F.count_distinct(F.col(spec["col"]))
+                    .alias(f"__u{i}"))
+    agg = df.agg(*aggs)
+
+    # unpack to one row per check via stack (single JVM projection)
+    parts = []
+    for i, spec in enumerate(row_checks):
+        parts.append(
+            (spec["col"], spec["check"], F.col(f"__v{i}")))
+    for i, spec in enumerate(uni_checks):
+        parts.append(
+            (spec["col"], "unique", F.col("__n") - F.col(f"__u{i}")))
+    # keep original spec order
+    order = {(c["col"], c["check"]): j for j, c in enumerate(checks)}
+    parts.sort(key=lambda p: order[(p[0], p[1])])
+    stacked = F.array(*[
+        F.struct(
+            F.lit(colname).alias("col"),
+            F.lit(kind).alias("check"),
+            F.col("__n").alias("n_rows"),
+            viol.cast("long").alias("n_violations"),
+        )
+        for colname, kind, viol in parts
+    ])
+    out = agg.select(F.explode(stacked).alias("r")).select(
+        "r.col", "r.check", "r.n_rows", "r.n_violations")
+    return out.withColumn("passed", F.col("n_violations") == 0)

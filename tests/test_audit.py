@@ -1,0 +1,65 @@
+"""Single-pass data-quality audit (operators/audit.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deltalake_spark.operators.audit import audit_checks
+from deltalake_spark.plans import plan_summary
+
+
+@pytest.fixture()
+def dirty(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (2, None, 999.0),
+         (3, "zz", -5.0), (4, "c", None)],
+        "id long, name string, v double")
+
+
+def test_all_check_kinds(spark, dirty):
+    out = {(r["col"], r["check"]): r
+           for r in audit_checks(dirty, [
+               {"col": "id", "check": "unique"},
+               {"col": "name", "check": "not_null"},
+               {"col": "v", "check": "range", "min": 0, "max": 100},
+               {"col": "name", "check": "in_set",
+                "values": ["a", "b", "c"]},
+               {"col": "name", "check": "regex", "pattern": "^[a-z]$"},
+           ]).collect()}
+    assert out[("id", "unique")]["n_violations"] == 1      # dup id 2
+    assert out[("name", "not_null")]["n_violations"] == 1
+    # range: null + 999 + -5
+    assert out[("v", "range")]["n_violations"] == 3
+    assert out[("name", "in_set")]["n_violations"] == 2    # null + zz
+    assert out[("name", "regex")]["n_violations"] == 2
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert not any(r["passed"] for r in out.values())
+
+
+def test_clean_table_passes_and_single_pass(spark):
+    clean = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v"))
+    out = audit_checks(clean, [
+        {"col": "id", "check": "unique"},
+        {"col": "id", "check": "not_null"},
+        {"col": "v", "check": "range", "min": 0, "max": 6},
+    ])
+    assert all(r["passed"] for r in out.collect())
+    # all checks fold into one aggregation over one scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # range source appears once (+reuse)
+    assert plan_summary(out).shuffles <= 2
+
+
+def test_spec_order_preserved_and_validation(spark, dirty):
+    out = audit_checks(dirty, [
+        {"col": "v", "check": "range", "min": 0, "max": 100},
+        {"col": "id", "check": "unique"},
+        {"col": "name", "check": "not_null"},
+    ]).collect()
+    # spec order before the gate's orderBy: range, unique, not_null
+    assert [(r["col"], r["check"]) for r in out] == [
+        ("v", "range"), ("id", "unique"), ("name", "not_null")]
+    with pytest.raises(ValueError):
+        audit_checks(dirty, [])
+    with pytest.raises(ValueError):
+        audit_checks(dirty, [{"col": "id", "check": "nope"}])

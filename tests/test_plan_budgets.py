@@ -127,6 +127,8 @@ BUDGETS = {
     "cms_frequency_stats": (8, False),
     # r5: explode + token×doc partial agg + token agg + sort
     "inverted_index_stats": (3, False),
+    # r5: ONE aggregation pass for all five checks + explode + sort
+    "audit_constraint_stats": (2, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
     "funnel_conversion_stats": (7, True),
     # r5: first-activity agg + distinct + co-partitioned join + grid agg
