@@ -2387,6 +2387,22 @@ def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col", "check")
 
 
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler (r5): null counts, exact distincts, and
+    string-cast extrema for the bigint/varchar columns of customer in a
+    single aggregation (``operators/audit.profile_table`` — the exact
+    count-distincts share one expanded scan). Columns restricted to
+    types whose string rendering is engine-portable (bigint/varchar);
+    doubles/dates would pit Spark's cast formatting against DuckDB's."""
+    from deltalake_spark.operators.audit import profile_table
+
+    customer = _t(spark, sf_dir, "customer")
+    return profile_table(
+        customer,
+        ["c_custkey", "c_nationkey", "c_mktsegment", "c_name"],
+    ).orderBy("column")
+
+
 def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized inverted index (r5): build token posting lists over
     the documents table (``retrieval.inverted_index`` — explode + two
@@ -4002,6 +4018,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohort_stats": retention_cohort_stats,
     "inverted_index_stats": inverted_index_stats,
     "audit_constraint_stats": audit_constraint_stats,
+    "table_profile_stats": table_profile_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6316,6 +6333,46 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "table_profile_stats": """
+            WITH base AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+                         AS null_ck,
+                     count(DISTINCT c_custkey) AS d_ck,
+                     CAST(min(c_custkey) AS VARCHAR) AS min_ck,
+                     CAST(max(c_custkey) AS VARCHAR) AS max_ck,
+                     sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0
+                         END) AS null_nk,
+                     count(DISTINCT c_nationkey) AS d_nk,
+                     CAST(min(c_nationkey) AS VARCHAR) AS min_nk,
+                     CAST(max(c_nationkey) AS VARCHAR) AS max_nk,
+                     sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0
+                         END) AS null_seg,
+                     count(DISTINCT c_mktsegment) AS d_seg,
+                     min(c_mktsegment) AS min_seg,
+                     max(c_mktsegment) AS max_seg,
+                     sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                         AS null_nm,
+                     count(DISTINCT c_name) AS d_nm,
+                     min(c_name) AS min_nm,
+                     max(c_name) AS max_nm
+              FROM customer
+            )
+            SELECT 'c_custkey' AS "column", n AS n_rows,
+                   CAST(null_ck AS BIGINT) AS n_null,
+                   CAST(d_ck AS BIGINT) AS n_distinct,
+                   min_ck AS min_value, max_ck AS max_value FROM base
+            UNION ALL
+            SELECT 'c_mktsegment', n, CAST(null_seg AS BIGINT),
+                   CAST(d_seg AS BIGINT), min_seg, max_seg FROM base
+            UNION ALL
+            SELECT 'c_name', n, CAST(null_nm AS BIGINT),
+                   CAST(d_nm AS BIGINT), min_nm, max_nm FROM base
+            UNION ALL
+            SELECT 'c_nationkey', n, CAST(null_nk AS BIGINT),
+                   CAST(d_nk AS BIGINT), min_nk, max_nk FROM base
+            ORDER BY 1
         """,
         "audit_constraint_stats": """
             -- each check as a plain SQL aggregate over the same scan

@@ -84,3 +84,47 @@ def audit_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     out = agg.select(F.explode(stacked).alias("r")).select(
         "r.col", "r.check", "r.n_rows", "r.n_violations")
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def profile_table(
+    df: DataFrame,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """One-pass column profiler: ``(column, n_rows, n_null,
+    n_distinct, min_value, max_value)`` per profiled column, extrema
+    cast to string for a uniform schema.
+
+    All per-column counts/extrema fold into ONE aggregation; the exact
+    count-distincts share the same scan through Spark's expand path
+    (one shuffle total, width = profiled columns — swap in
+    approx_count_distinct when profiling hundreds of columns of a
+    100 TB table). The standard "what is in this table" step before
+    audits/training runs.
+    """
+    names = df.columns if cols is None else list(cols)
+    if not names:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(names):
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__null{i}"),
+            F.count_distinct(col).alias(f"__dist{i}"),
+            F.min(col).cast("string").alias(f"__min{i}"),
+            F.max(col).cast("string").alias(f"__max{i}"),
+        ]
+    agg = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null{i}").alias("n_null"),
+            F.col(f"__dist{i}").alias("n_distinct"),
+            F.col(f"__min{i}").alias("min_value"),
+            F.col(f"__max{i}").alias("max_value"),
+        )
+        for i, c in enumerate(names)
+    ])
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.column", "r.n_rows", "r.n_null", "r.n_distinct",
+        "r.min_value", "r.max_value")

@@ -63,3 +63,29 @@ def test_spec_order_preserved_and_validation(spark, dirty):
         audit_checks(dirty, [])
     with pytest.raises(ValueError):
         audit_checks(dirty, [{"col": "id", "check": "nope"}])
+
+
+class TestProfileTable:
+    def test_profile_values(self, spark):
+        from deltalake_spark.operators.audit import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None), (2, "y"), (None, "x")],
+            "a long, s string")
+        out = {r["column"]: r for r in profile_table(df).collect()}
+        assert out["a"]["n_rows"] == 4
+        assert out["a"]["n_null"] == 1
+        assert out["a"]["n_distinct"] == 2
+        assert (out["a"]["min_value"], out["a"]["max_value"]) == ("1", "2")
+        assert out["s"]["n_null"] == 1
+        assert out["s"]["n_distinct"] == 2
+        assert (out["s"]["min_value"], out["s"]["max_value"]) == ("x", "y")
+
+    def test_profile_column_subset_and_validation(self, spark):
+        from deltalake_spark.operators.audit import profile_table
+
+        df = spark.createDataFrame([(1, "x")], "a long, s string")
+        assert [r["column"] for r in
+                profile_table(df, ["s"]).collect()] == ["s"]
+        with pytest.raises(ValueError):
+            profile_table(df, [])

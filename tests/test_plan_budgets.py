@@ -129,6 +129,8 @@ BUDGETS = {
     "inverted_index_stats": (3, False),
     # r5: ONE aggregation pass for all five checks + explode + sort
     "audit_constraint_stats": (2, False),
+    # r5: single agg with expand for 4 exact distincts + explode + sort
+    "table_profile_stats": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
     "funnel_conversion_stats": (7, True),
     # r5: first-activity agg + distinct + co-partitioned join + grid agg
