@@ -53,6 +53,12 @@ EXTRA = [
     "png_pixel_stats",   # r4: real PNG decode
     "wav_rms_stats",     # r4: real PCM decode
     "jpeg_pixel_stats",  # r5: real baseline JPEG decode
+    "bloom_filter_stats",          # r5: bit_or build + broadcast probe
+    "cms_frequency_stats",         # r5: count-min grid
+    "funnel_conversion_stats",     # r5: cascaded conditional mins
+    "copurchase_triangle_stats",   # r5: degree-oriented triangles
+    "jl_projection_stats",         # r5: JVM-exact JL folds
+    "inverted_index_stats",        # r5: posting-list build
 ]
 
 
