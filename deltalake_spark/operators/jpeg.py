@@ -159,8 +159,18 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     (grayscale) or 3 (YCbCr converted to RGB with the JFIF/BT.601
     inverse, rounded and clamped). Raises ``ValueError`` for
     non-baseline streams (progressive, arithmetic, 12-bit) and for
-    malformed data.
+    malformed data — truncated segments never leak struct/index
+    errors.
     """
+    try:
+        return _jpeg_decode_impl(payload)
+    except (struct.error, IndexError, KeyError,
+            ZeroDivisionError) as exc:
+        raise ValueError(f"malformed JPEG stream: "
+                         f"{type(exc).__name__}: {exc}") from exc
+
+
+def _jpeg_decode_impl(payload: bytes) -> tuple[int, int, int, bytes]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -552,8 +552,18 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
 
     Returns ``(width, height, channels, depth, pixels)`` with
     ``pixels`` row-major, 16-bit samples big-endian as stored,
-    ``len == width*height*channels*(depth//8)``.
+    ``len == width*height*channels*(depth//8)``. Malformed streams
+    raise ValueError — never a leaked struct/index/zlib error.
     """
+    import struct as _struct
+    try:
+        return _png_decode_impl(payload)
+    except (_struct.error, IndexError) as exc:
+        raise ValueError(f"malformed PNG stream: "
+                         f"{type(exc).__name__}: {exc}") from exc
+
+
+def _png_decode_impl(payload: bytes) -> tuple[int, int, int, int, bytes]:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     width = height = None

@@ -170,3 +170,33 @@ def test_media_decode_dispatch(spark):
     assert bytes(out[1]["pixels"]) == bytes([99]) * (w * h)
     assert out[2]["pix_channels"] == 3
     assert out[3]["pix_width"] is None
+
+
+def test_decoder_fuzz_never_leaks_internal_errors():
+    """Deterministic mutation fuzz: every truncation and byte flip of
+    valid payloads either decodes or raises ValueError — never
+    struct.error / IndexError / KeyError (the docstring contract the
+    mapInPandas broad-except relies on being precise)."""
+    from deltalake_spark.operators.multimodal import make_png, png_decode
+
+    jpg = make_jpeg(16, 8, bytes(range(128)), channels=1,
+                    restart_interval=1)
+    png = make_png(4, 4, bytes(range(48)), channels=3)
+    payloads = []
+    for base, dec in ((jpg, jpeg_decode), (png, png_decode)):
+        # truncations at every 7th byte
+        for cut in range(2, len(base), 7):
+            payloads.append((base[:cut], dec))
+        # deterministic byte flips
+        rng = 12345
+        for _ in range(60):
+            rng = (1103515245 * rng + 12345) % (1 << 31)
+            i = rng % len(base)
+            mutated = bytearray(base)
+            mutated[i] ^= 0xFF
+            payloads.append((bytes(mutated), dec))
+    for p, dec in payloads:
+        try:
+            dec(p)
+        except ValueError:
+            pass  # the only allowed failure mode
