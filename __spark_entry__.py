@@ -2387,6 +2387,35 @@ def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col", "check")
 
 
+def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty vs a reference corpus (r5): docs with
+    doc_id%10==0 form the reference; every other doc's distinct
+    char-3-grams are scored against the reference's distinct gram set
+    (``curation.ngram_novelty`` — one gram-keyed join, integer-exact
+    per-doc counts). Per-lang aggregation sums the INTEGER columns and
+    takes one final exact division, so no per-doc float ratios enter
+    the aggregate. The Bloom variant (one-sided estimate) is pinned
+    against this exact path in tests."""
+    from deltalake_spark.operators.curation import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    reference = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    nov = ngram_novelty(corpus, reference)
+    return (
+        nov.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_novel").alias("total_novel"),
+            F.round(F.sum("n_novel") / F.sum("n_grams"), 4)
+            .alias("novelty_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
 def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profiler (r5): null counts, exact distincts, and
     string-cast extrema for the bigint/varchar columns of customer in a
@@ -4019,6 +4048,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index_stats": inverted_index_stats,
     "audit_constraint_stats": audit_constraint_stats,
     "table_profile_stats": table_profile_stats,
+    "ngram_novelty_stats": ngram_novelty_stats,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6333,6 +6363,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "ngram_novelty_stats": """
+            -- same substr-range 3-gram construction as the Spark side;
+            -- integer totals summed per lang, one final division
+            WITH g AS (
+              SELECT doc_id, lang,
+                     UNNEST(list_distinct(list_transform(
+                         range(1, greatest(len(text) - 2, 1) + 1),
+                         i -> substr(text, CAST(i AS INT), 3))))
+                         AS gram
+              FROM documents
+            ), ref AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0
+            ), scored AS (
+              SELECT c.doc_id, c.lang,
+                     count(*) AS n_grams,
+                     sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                         AS n_novel
+              FROM g c LEFT JOIN ref r ON c.gram = r.gram
+              WHERE c.doc_id % 10 <> 0
+              GROUP BY 1, 2
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_grams) AS BIGINT) AS total_grams,
+                   CAST(sum(n_novel) AS BIGINT) AS total_novel,
+                   round(sum(n_novel) / sum(n_grams), 4)
+                       AS novelty_ratio
+            FROM scored GROUP BY 1 ORDER BY 1
         """,
         "table_profile_stats": """
             WITH base AS (

@@ -284,3 +284,101 @@ def semantic_decontaminate(
         flag_col,
         F.coalesce(F.col(sim_col) >= F.lit(threshold), F.lit(False)),
     )
+
+
+def _char_ngrams(text_col, n: int):
+    """Distinct character n-grams of a string, JVM-side (the same
+    substr-range construction the SQL twins use)."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.length(text_col) - (n - 1), F.lit(1))),
+        lambda i: F.substring(text_col, i, F.lit(n)),
+    ))
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-document novelty vs a reference corpus: the fraction
+    of each doc's distinct character n-grams that appear nowhere in the
+    reference. The inverse of contamination scoring — high novelty =
+    new content, near-zero novelty = boilerplate/duplicated-from-
+    reference.
+
+    Returns ``(id, n_grams, n_novel, novelty)``. One gram-keyed join
+    against the reference's DISTINCT gram set (shuffle width = distinct
+    grams, not text); per-doc reduction is integer-exact. For
+    billion-doc references swap :func:`ngram_novelty_bloom` in — same
+    output shape, KB-size state instead of the distinct-gram join.
+    """
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"),
+    )
+    ref_grams = reference.select(
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("gram")
+    ).distinct().withColumn("__seen", F.lit(1))
+    joined = doc_grams.join(ref_grams, "gram", "left")
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("__seen").isNull().cast("long")).alias("n_novel"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "n_grams", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 4)
+            .alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_bloom(
+    docs: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Scale variant of :func:`ngram_novelty`: the reference gram set
+    becomes a Bloom filter (built once, ≤ m/32 words broadcast to the
+    probe), so novelty scoring never joins against the reference
+    again. One-sided error: false positives mark novel grams as seen,
+    so ``novelty_est <= exact novelty`` — a conservative keep-filter
+    (never flags reference content as novel)."""
+    from deltalake_spark.operators.sketches import bloom_build, bloom_probe
+
+    ref_grams = reference.select(
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("gram")
+    ).select(F.xxhash64("gram").alias("gram_key"))
+    bloom = bloom_build(ref_grams, key_col="gram_key",
+                        m_bits=m_bits, k_hashes=k_hashes, seed=seed)
+    doc_grams = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_char_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select("__id", F.xxhash64("gram").alias("gram_key"))
+    probed = bloom_probe(doc_grams, bloom, key_col="gram_key",
+                         m_bits=m_bits, k_hashes=k_hashes, seed=seed)
+    joined = doc_grams.join(probed, "gram_key")
+    return (
+        joined.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((~F.col("maybe_present")).cast("long"))
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "n_grams", "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 4)
+            .alias("novelty"),
+        )
+    )

@@ -257,3 +257,51 @@ def test_semantic_decontaminate_empty_eval_set(spark):
     assert len(rows) == 5
     assert all(r["contaminated"] is False for r in rows)
     assert all(r["max_eval_sim"] is None for r in rows)
+
+
+class TestNgramNovelty:
+    def test_exact_novelty_values(self, spark):
+        from deltalake_spark.operators.curation import ngram_novelty
+
+        ref = spark.createDataFrame(
+            [(100, "abcdef")], "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(1, "abcdef"),     # all grams in reference → novelty 0
+             (2, "xyzxyz"),    # no grams in reference → novelty 1
+             (3, "abcxyz")],   # mixed
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               ngram_novelty(docs, ref).collect()}
+        assert out[1]["novelty"] == 0.0
+        assert out[2]["novelty"] == 1.0
+        # doc 3 grams: abc bcx cxy xyz — only abc is in ref → 3/4
+        assert (out[3]["n_grams"], out[3]["n_novel"]) == (4, 3)
+        assert out[3]["novelty"] == 0.75
+
+    def test_bloom_variant_one_sided_and_close(self, spark):
+        from deltalake_spark.operators.curation import (
+            ngram_novelty,
+            ngram_novelty_bloom,
+        )
+        from pyspark.sql import functions as F
+
+        ref = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("ref text block "),
+                     F.col("id").cast("string"),
+                     F.lit(" common tail")).alias("text"))
+        docs = spark.range(300, 360).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("novel payload "),
+                     F.col("id").cast("string"),
+                     F.lit(" common tail")).alias("text"))
+        exact = {r["doc_id"]: r["n_novel"]
+                 for r in ngram_novelty(docs, ref).collect()}
+        est = {r["doc_id"]: r["n_novel"]
+               for r in ngram_novelty_bloom(
+                   docs, ref, m_bits=1 << 18).collect()}
+        assert set(exact) == set(est)
+        for d in exact:
+            # one-sided: bloom FPs mark grams as seen → est <= exact
+            assert est[d] <= exact[d], d
+            assert est[d] >= exact[d] - 3  # FP slack at this m/n

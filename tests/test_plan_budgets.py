@@ -131,6 +131,8 @@ BUDGETS = {
     "audit_constraint_stats": (2, False),
     # r5: single agg with expand for 4 exact distincts + explode + sort
     "table_profile_stats": (3, False),
+    # r5: gram explode + ref distinct + gram join + doc agg + lang agg
+    "ngram_novelty_stats": (7, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
     "funnel_conversion_stats": (7, True),
     # r5: first-activity agg + distinct + co-partitioned join + grid agg
