@@ -66,15 +66,18 @@ def jl_project(
     order anywhere), built as one SQL string per column to avoid py4j
     round-trip cost (see ``similarity._probe_expr``)."""
     signs = jl_signs(out_dim, dim, seed)
+    qcol = "__jl_q"
+    while qcol in df.columns:  # never clobber a caller column
+        qcol += "_"
     quant = (f"transform(cast(`{vec_col}` as array<double>), "
              f"e -> cast(round(e * {float(scale)!r}D) as bigint))")
-    out = df.withColumn("__q", F.expr(quant))
+    out = df.withColumn(qcol, F.expr(quant))
     for d in range(out_dim):
         lits = ",".join(f"{s}L" for s in signs[d])
-        expr = (f"aggregate(zip_with(__q, array({lits}), "
+        expr = (f"aggregate(zip_with(`{qcol}`, array({lits}), "
                 f"(x, y) -> x * y), cast(0 as bigint), (a, x) -> a + x)")
         out = out.withColumn(f"{prefix}{d}", F.expr(expr))
-    return out.drop("__q")
+    return out.drop(qcol)
 
 
 _PARTIAL_SCHEMA = ("n long, s array<double>, g array<double>")
