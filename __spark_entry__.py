@@ -2387,6 +2387,57 @@ def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col", "check")
 
 
+def agg_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (r5 §2.4 widening): all four grouping
+    combinations of (orderpriority, orderstatus) in one pass — Spark
+    ``cube()`` against SQL ``GROUP BY CUBE``. Exact counts; totalprice
+    summed on a cast-to-cents integer domain so no float summation
+    order enters the hash."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("cents").alias("total_cents"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window suite (r5 §2.5 widening): lead/lag/ntile/
+    percent_rank/cume_dist over customer partitions of orders in ONE
+    window pass, reduced to per-priority integer checksums (lead/lag
+    key sums, ntile bucket counts) plus the exact rational
+    percent_rank/cume_dist averages — both engines compute the same
+    integer-ratio divisions, so float equality is deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    enriched = orders.select(
+        "o_orderpriority",
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        enriched.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("next_key").alias("sum_next"),
+            F.sum("prev_key").alias("sum_prev"),
+            F.sum((F.col("quartile") == 1).cast("long")).alias("n_q1"),
+            F.sum((F.col("quartile") == 4).cast("long")).alias("n_q4"),
+            F.round(F.avg("pr"), 6).alias("avg_pr"),
+            F.round(F.avg("cd"), 6).alias("avg_cd"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def ngram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty vs a reference corpus (r5): docs with
     doc_id%10==0 form the reference; every other doc's distinct
@@ -4049,6 +4100,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audit_constraint_stats": audit_constraint_stats,
     "table_profile_stats": table_profile_stats,
     "ngram_novelty_stats": ngram_novelty_stats,
+    "agg_cube_stats": agg_cube_stats,
+    "window_rank_suite": window_rank_suite,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6363,6 +6416,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "agg_cube_stats": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
+        """,
+        "window_rank_suite": """
+            WITH w AS (
+              SELECT o_orderpriority,
+                     lead(o_orderkey, 1) OVER cw AS next_key,
+                     lag(o_orderkey, 1) OVER cw AS prev_key,
+                     ntile(4) OVER cw AS quartile,
+                     percent_rank() OVER cw AS pr,
+                     cume_dist() OVER cw AS cd
+              FROM orders
+              WINDOW cw AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+            )
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(next_key) AS BIGINT) AS sum_next,
+                   CAST(sum(prev_key) AS BIGINT) AS sum_prev,
+                   CAST(sum(CASE WHEN quartile = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_q1,
+                   CAST(sum(CASE WHEN quartile = 4 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_q4,
+                   round(avg(pr), 6) AS avg_pr,
+                   round(avg(cd), 6) AS avg_cd
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         "ngram_novelty_stats": """
             -- same substr-range 3-gram construction as the Spark side;

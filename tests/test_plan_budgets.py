@@ -133,6 +133,10 @@ BUDGETS = {
     "table_profile_stats": (3, False),
     # r5: gram explode + ref distinct + gram join + doc agg + lang agg
     "ngram_novelty_stats": (7, False),
+    # r5: one expand-based cube agg + sort
+    "agg_cube_stats": (2, False),
+    # r5: one window exchange (all five functions share it) + agg + sort
+    "window_rank_suite": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
     "funnel_conversion_stats": (7, True),
     # r5: first-activity agg + distinct + co-partitioned join + grid agg
