@@ -2387,6 +2387,30 @@ def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col", "check")
 
 
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/unpivot (r5 §2.4 widening): order counts pivoted wide by
+    status (one expand-free pivot agg with an explicit value list —
+    never the two-pass value-discovery scan), then melted back to long
+    with ``unpivot`` and re-aggregated — the round-trip must reproduce
+    the plain group-by counts exactly, and the oracle computes the
+    same long-form counts directly."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+    long = wide.unpivot(
+        ["o_orderpriority"], ["O", "F", "P"], "o_orderstatus", "n")
+    return (
+        long.filter(F.col("n") > 0)
+        .select("o_orderpriority", "o_orderstatus",
+                F.col("n").cast("long").alias("n"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
 def agg_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (r5 §2.4 widening): all four grouping
     combinations of (orderpriority, orderstatus) in one pass — Spark
@@ -4102,6 +4126,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty_stats": ngram_novelty_stats,
     "agg_cube_stats": agg_cube_stats,
     "window_rank_suite": window_rank_suite,
+    "pivot_unpivot_roundtrip": pivot_unpivot_roundtrip,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6416,6 +6441,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "pivot_unpivot_roundtrip": """
+            -- the wide->long round-trip must equal the direct counts
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n
+            FROM orders
+            WHERE o_orderstatus IN ('O', 'F', 'P')
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "agg_cube_stats": """
             SELECT o_orderpriority, o_orderstatus,

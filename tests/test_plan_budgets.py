@@ -135,6 +135,9 @@ BUDGETS = {
     "ngram_novelty_stats": (7, False),
     # r5: one expand-based cube agg + sort
     "agg_cube_stats": (2, False),
+    # r5: explicit-value pivot agg (no discovery scan) + post-unpivot
+    # filter agg + sort
+    "pivot_unpivot_roundtrip": (3, False),
     # r5: one window exchange (all five functions share it) + agg + sort
     "window_rank_suite": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
