@@ -545,14 +545,16 @@ def png_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
     (PNG spec §9 'Filtering'; filter recon as in RFC 2083 §6) and the
     seven-pass Adam7 deinterlace (spec §8.2).
 
-    Supports 8-bit AND 16-bit samples, color types 0/2/3/4/6 (gray,
-    RGB, palette, gray+alpha, RGBA), interlace methods 0 and Adam7;
-    palette images (8-bit per spec) are expanded to RGB via the PLTE
-    lookup. Sub-8-bit depths raise ``ValueError``.
+    Supports EVERY spec depth/color combination: 1/2/4/8/16-bit, color
+    types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA), interlace
+    methods 0 and Adam7. Palette images are expanded to RGB via the
+    PLTE lookup; sub-byte grayscale samples are unpacked MSB-first and
+    scaled by left-bit replication (exact 255·v/(2^d−1)).
 
     Returns ``(width, height, channels, depth, pixels)`` with
-    ``pixels`` row-major, 16-bit samples big-endian as stored,
-    ``len == width*height*channels*(depth//8)``. Malformed streams
+    ``pixels`` row-major: one byte per sample for depth ≤ 8 (sub-byte
+    gray pre-scaled to 0-255), big-endian pairs for 16-bit; ``depth``
+    is the SOURCE bit depth (palette output is 8). Malformed streams
     raise ValueError — never a leaked struct/index/zlib error.
     """
     import struct as _struct
@@ -576,13 +578,17 @@ def _png_decode_impl(payload: bytes) -> tuple[int, int, int, int, bytes]:
         if typ == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data[:13])
-            if depth not in (8, 16):
+            if depth not in (1, 2, 4, 8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
             if color_type not in _CHANNELS and color_type != 3:
                 raise ValueError(
                     f"unsupported PNG color type {color_type}")
-            if color_type == 3 and depth != 8:
-                raise ValueError("palette PNG must be 8-bit")
+            if depth < 8 and color_type not in (0, 3):
+                # spec: sub-byte depths exist only for grayscale/palette
+                raise ValueError(
+                    f"depth {depth} invalid for color type {color_type}")
+            if color_type == 3 and depth == 16:
+                raise ValueError("palette PNG cannot be 16-bit")
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
             channels = 1 if color_type == 3 else _CHANNELS[color_type]
@@ -600,32 +606,48 @@ def _png_decode_impl(payload: bytes) -> tuple[int, int, int, int, bytes]:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    bpp = channels * (depth // 8)
+    bpp = max(1, channels * depth // 8)  # filters act on packed bytes
     if interlace == 0:
-        stride = width * bpp
+        stride = (width * channels * depth + 7) // 8
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG data length mismatch")
-        recon, _ = _unfilter(raw, 0, height, stride, bpp)
+        packed, _ = _unfilter(raw, 0, height, stride, bpp)
+        if depth < 8:
+            recon = bytearray(width * height)
+            for y in range(height):
+                recon[y * width:(y + 1) * width] = _unpack_bits(
+                    packed[y * stride:(y + 1) * stride], width, depth)
+        else:
+            recon = packed
     else:
         # Adam7: seven independently-filtered sub-images, scattered
-        # into the full grid at (x0 + i*xs, y0 + j*ys)
-        recon = bytearray(width * height * bpp)
+        # into the full grid at (x0 + i*xs, y0 + j*ys). Sub-byte rows
+        # are unpacked to one byte per sample BEFORE scatter, so the
+        # scatter granularity is uniform.
+        spp = bpp if depth >= 8 else 1  # bytes per pixel after unpack
+        recon = bytearray(width * height * spp)
         pos = 0
         for x0, xs, y0, ys in _ADAM7:
             pw = (width - x0 + xs - 1) // xs
             ph = (height - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            stride = pw * bpp
+            stride = (pw * channels * depth + 7) // 8
             sub, pos = _unfilter(raw, pos, ph, stride, bpp)
             for ry in range(ph):
-                base = ((y0 + ry * ys) * width + x0) * bpp
+                base = ((y0 + ry * ys) * width + x0) * spp
                 row = sub[ry * stride:(ry + 1) * stride]
+                if depth < 8:
+                    row = _unpack_bits(row, pw, depth)
                 for rx in range(pw):
-                    dst = base + rx * xs * bpp
-                    recon[dst:dst + bpp] = row[rx * bpp:rx * bpp + bpp]
+                    dst = base + rx * xs * spp
+                    recon[dst:dst + spp] = row[rx * spp:rx * spp + spp]
         if pos != len(raw):
             raise ValueError("PNG data length mismatch")
+    if depth < 8 and color_type == 0:
+        # left-bit-replication scaling: exact 255*v/(2^d-1) for d=1/2/4
+        factor = 255 // ((1 << depth) - 1)
+        recon = bytearray(v * factor for v in recon)
     if color_type == 3:
         # expand palette indices to RGB triples
         n_entries = len(palette) // 3
@@ -636,6 +658,29 @@ def _png_decode_impl(payload: bytes) -> tuple[int, int, int, int, bytes]:
             rgb[3 * i:3 * i + 3] = palette[3 * idx:3 * idx + 3]
         return width, height, 3, 8, bytes(rgb)
     return width, height, channels, depth, bytes(recon)
+
+
+def _unpack_bits(row: bytes, n_samples: int, depth: int) -> bytearray:
+    """MSB-first sub-byte sample unpacking of one packed scanline
+    (PNG spec §7.2: pixels are packed left-to-right, high bits
+    first)."""
+    out = bytearray(n_samples)
+    mask = (1 << depth) - 1
+    per = 8 // depth
+    for x in range(n_samples):
+        shift = 8 - depth * (x % per + 1)
+        out[x] = (row[x // per] >> shift) & mask
+    return out
+
+
+def _pack_bits(samples: bytes, depth: int) -> bytes:
+    """Inverse of :func:`_unpack_bits` (encoder side)."""
+    per = 8 // depth
+    out = bytearray((len(samples) + per - 1) // per)
+    for x, v in enumerate(samples):
+        out[x // per] |= (v & ((1 << depth) - 1)) \
+            << (8 - depth * (x % per + 1))
+    return bytes(out)
 
 
 def _filter_line(f: int, line: bytes, prev: bytes, bpp: int) -> bytes:
@@ -667,19 +712,26 @@ def make_png(width: int, height: int, pixels: bytes, *,
     unfilter paths. ``depth=16`` takes big-endian 16-bit samples;
     ``interlace=1`` emits Adam7 (each pass filtered independently)."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    if depth not in (8, 16):
+    if depth not in (1, 2, 4, 8, 16):
         raise ValueError(f"unsupported depth {depth}")
+    if depth < 8 and channels != 1:
+        raise ValueError("sub-byte depths are grayscale-only")
     if interlace not in (0, 1):
         raise ValueError(f"bad interlace method {interlace}")
-    bpp = channels * depth // 8
-    stride = width * bpp
-    if len(pixels) != height * stride:
+    # sub-byte input: one RAW sample value (< 2^depth) per byte, packed
+    # here; >= 8-bit input: already-interleaved sample bytes
+    spp = max(1, channels * depth // 8)  # bytes per pixel, pre-packing
+    bpp = spp
+    if len(pixels) != height * width * spp:
         raise ValueError("pixel buffer size mismatch")
     body = bytearray()
     if interlace == 0:
-        prev = bytes(stride)
+        row_w = width * spp
+        prev = bytes((width * channels * depth + 7) // 8)
         for y in range(height):
-            line = pixels[y * stride:(y + 1) * stride]
+            line = pixels[y * row_w:(y + 1) * row_w]
+            if depth < 8:
+                line = _pack_bits(line, depth)
             f = (y % 5) if filter_cycle else 0
             body.append(f)
             body += _filter_line(f, line, prev, bpp)
@@ -690,13 +742,15 @@ def make_png(width: int, height: int, pixels: bytes, *,
             ph = (height - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            prev = bytes(pw * bpp)
+            prev = bytes((pw * channels * depth + 7) // 8)
             for ry in range(ph):
                 y = y0 + ry * ys
                 line = b"".join(
-                    pixels[(y * width + x0 + rx * xs) * bpp:
-                           (y * width + x0 + rx * xs) * bpp + bpp]
+                    pixels[(y * width + x0 + rx * xs) * spp:
+                           (y * width + x0 + rx * xs) * spp + spp]
                     for rx in range(pw))
+                if depth < 8:
+                    line = _pack_bits(line, depth)
                 f = (ry % 5) if filter_cycle else 0
                 body.append(f)
                 body += _filter_line(f, line, prev, bpp)

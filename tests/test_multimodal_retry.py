@@ -447,6 +447,66 @@ def test_decode_audio_meta_mp3_and_wav(spark):
     assert out[3]["sample_rate"] is None
 
 
+def test_png_sub_byte_depths_roundtrip():
+    """1/2/4-bit grayscale PNGs (the last spec depths, closed r5):
+    MSB-first unpacking + left-bit-replication scaling, across padded
+    widths, the filter cycle, and Adam7."""
+    from deltalake_spark.operators.multimodal import make_png, png_decode
+
+    cases = [
+        (1, 11, 6, 255),   # odd width → padding bits in every row
+        (2, 9, 5, 85),
+        (4, 13, 9, 17),
+    ]
+    for depth, w, h, factor in cases:
+        samples = bytes((3 * x + y) % (1 << depth)
+                        for y in range(h) for x in range(w))
+        want = bytes(v * factor for v in samples)
+        for il in (0, 1):
+            enc = make_png(w, h, samples, channels=1, depth=depth,
+                           interlace=il)
+            assert png_decode(enc) == (w, h, 1, depth, want), \
+                (depth, il)
+    # invalid: sub-byte RGB refused by encoder and decoder
+    with pytest.raises(ValueError):
+        make_png(4, 4, bytes(48), channels=3, depth=4)
+
+
+def test_png_4bit_palette_decode():
+    """Sub-byte PALETTE PNGs decode (hand-built — the encoder only
+    emits 8-bit indices): 4-bit indices expand through PLTE."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from deltalake_spark.operators.multimodal import png_decode
+
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    w, h = 5, 3
+    palette = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 1, 2, 3])
+    idx = [[(x + y) % 4 for x in range(w)] for y in range(h)]
+    # pack 4-bit indices MSB-first, one filtered (type 0) row at a time
+    body = bytearray()
+    for row in idx:
+        body.append(0)
+        packed = bytearray((w + 1) // 2)
+        for x, v in enumerate(row):
+            packed[x // 2] |= v << (4 if x % 2 == 0 else 0)
+        body += packed
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 0)
+    enc = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", palette)
+           + chunk(b"IDAT", _zlib.compress(bytes(body)))
+           + chunk(b"IEND", b""))
+    dw, dh, dc, dd, px = png_decode(enc)
+    assert (dw, dh, dc, dd) == (w, h, 3, 8)
+    want = b"".join(palette[3 * v:3 * v + 3]
+                    for row in idx for v in row)
+    assert px == want
+
+
 def test_png_palette_decode():
     """Color-type-3 PNGs expand through the PLTE lookup to RGB."""
     from deltalake_spark.operators.multimodal import (
