@@ -12,8 +12,8 @@ over ``mapInPandas`` — the only sane shape at 100 TB:
 
 PNG and WAV are decoded for REAL with no media library: PNG via stdlib
 ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth)
-for 8- and 16-bit gray/gray+alpha/RGB/RGBA/palette, both non-interlaced
-and Adam7-interlaced (``decode_pixels``,
+across the ENTIRE spec matrix — 1/2/4/8/16-bit, gray/gray+alpha/RGB/
+RGBA/palette, non-interlaced and Adam7 (``decode_pixels``,
 ``pixel_channel_stats``), WAV via raw PCM sample decode
 (``wav_pcm``, ``audio_features`` — windowed power/RMS), and baseline
 JPEG via the pure-numpy codec in ``operators/jpeg.py`` (Huffman +
