@@ -2387,6 +2387,38 @@ def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col", "check")
 
 
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (r5): customer-name pairs within 2
+    Levenshtein edits, blocked on (nation, digits 1-5 of the customer
+    number) so candidates are bounded within-block pairs — NEVER
+    all-pairs (``text.edit_distance_pairs``; JVM levenshtein inside the
+    join's codegen stage). Exact integer distance counts per nation;
+    the oracle runs the identical blocked join with DuckDB's
+    levenshtein — two independent edit-distance implementations must
+    agree pair-for-pair."""
+    from deltalake_spark.operators.text import edit_distance_pairs
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.substring("c_name", 10, 5).alias("blk"))
+    pairs = edit_distance_pairs(
+        customer, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey", "blk"], max_distance=2)
+    nation = customer.select(F.col("c_custkey").alias("id_a"),
+                             "c_nationkey")
+    return (
+        pairs.join(nation, "id_a")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("distance") == 1).cast("long")).alias("n_d1"),
+            F.sum((F.col("distance") == 2).cast("long")).alias("n_d2"),
+            F.sum("id_b").alias("sum_b"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot/unpivot (r5 §2.4 widening): order counts pivoted wide by
     status (one expand-free pivot agg with an explicit value list —
@@ -4127,6 +4159,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube_stats": agg_cube_stats,
     "window_rank_suite": window_rank_suite,
     "pivot_unpivot_roundtrip": pivot_unpivot_roundtrip,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6441,6 +6474,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "fuzzy_name_pairs": """
+            -- identical blocked join; DuckDB's levenshtein vs Spark's
+            WITH c AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     substr(c_name, 10, 5) AS blk
+              FROM customer
+            ), pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     a.c_nationkey,
+                     levenshtein(a.c_name, b.c_name) AS distance
+              FROM c a JOIN c b
+                ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 2
+            )
+            SELECT c_nationkey, count(*) AS n_pairs,
+                   CAST(sum(CASE WHEN distance = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_d1,
+                   CAST(sum(CASE WHEN distance = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_d2,
+                   CAST(sum(id_b) AS BIGINT) AS sum_b
+            FROM pairs GROUP BY 1 ORDER BY 1
         """,
         "pivot_unpivot_roundtrip": """
             -- the wide->long round-trip must equal the direct counts

@@ -177,3 +177,89 @@ def unicode_normalize(text_col: Column, *, form: str = "NFC") -> Column:
     # string-hint indirection for the UDF signature)
     norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
     return pandas_udf(norm, "string")(text_col)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_cols: list,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy matching: pairs of rows within the same block whose
+    ``text_col`` values are within ``max_distance`` Levenshtein edits —
+    the classic record-linkage / fuzzy-dedup primitive (names,
+    addresses, titles).
+
+    Scale shape: NEVER all-pairs — the equi-join on ``block_cols``
+    bounds candidates to within-block pairs (pick blocks like
+    normalized prefixes / phonetic keys so true matches share one);
+    the JVM ``levenshtein`` evaluates inside the join's codegen stage.
+    One block-keyed shuffle. Returns
+    ``(id_a, id_b, text_a, text_b, distance)`` with ``id_a < id_b``.
+    """
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)])
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)])
+    keys = [f"__b{i}" for i in range(len(block_cols))]
+    return (
+        left.join(right, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance",
+                    F.levenshtein(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("distance") <= max_distance)
+        .drop(*keys)
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage: order rows by ``text_col``
+    and compare each row with its next ``window`` neighbors — the
+    blocking-free alternative when no good block key exists (catches
+    near-matches blocking splits apart, misses ones that sort far
+    apart; run both and union for recall).
+
+    Scale shape: ONE global range-partitioned sort + lead() window
+    (no self-join); pair count is n x window regardless of skew."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(text_col, id_col)
+    # window expressions must be plain projections; the explode over
+    # their array happens in a second select
+    leads = df.select(
+        id_col, text_col,
+        *[F.lead(id_col, k).over(w).alias(f"__nid{k}")
+          for k in range(1, window + 1)],
+        *[F.lead(text_col, k).over(w).alias(f"__ntext{k}")
+          for k in range(1, window + 1)],
+    )
+    nb = F.array(*[
+        F.struct(F.col(f"__nid{k}").alias("nid"),
+                 F.col(f"__ntext{k}").alias("ntext"))
+        for k in range(1, window + 1)
+    ])
+    exploded = (
+        leads.select(id_col, text_col, F.explode(nb).alias("nb"))
+        .filter(F.col("nb.nid").isNotNull())
+    )
+    return (
+        exploded.select(
+            F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
+            F.col(text_col).alias("text_a"),
+            F.col("nb.ntext").alias("text_b"),
+            F.levenshtein(F.col(text_col), F.col("nb.ntext"))
+            .alias("distance"))
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -588,3 +588,48 @@ class TestInvertedIndex:
         # min_df prunes
         pruned = inverted_index(docs, min_df=2)
         assert {r["token"] for r in pruned.collect()} == {"a", "b"}
+
+
+class TestFuzzyMatching:
+    def test_edit_distance_pairs_blocked(self, spark):
+        from deltalake_spark.operators.text import edit_distance_pairs
+
+        df = spark.createDataFrame(
+            [(1, "smith", "a"), (2, "smyth", "a"), (3, "smithe", "a"),
+             (4, "smith", "b"),       # same text, different block
+             (5, "zzzzz", "a")],
+            "id long, name string, blk string")
+        pairs = {(r["id_a"], r["id_b"]): r["distance"]
+                 for r in edit_distance_pairs(
+                     df, id_col="id", text_col="name",
+                     block_cols=["blk"], max_distance=2).collect()}
+        assert pairs[(1, 2)] == 1          # smith~smyth
+        assert pairs[(1, 3)] == 1          # smith~smithe
+        assert pairs[(2, 3)] == 2
+        assert (1, 4) not in pairs         # blocking separates
+        assert not any(5 in p for p in pairs)
+
+    def test_sorted_neighborhood_pairs(self, spark):
+        from deltalake_spark.operators.text import (
+            sorted_neighborhood_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "alphb"), (3, "alphc"),
+             (4, "omega"), (5, "omegb")],
+            "id long, name string")
+        pairs = {(r["id_a"], r["id_b"]): r["distance"]
+                 for r in sorted_neighborhood_pairs(
+                     df, id_col="id", text_col="name",
+                     window=2, max_distance=1).collect()}
+        # sorted order: alpha alphb alphc omega omegb
+        assert pairs[(1, 2)] == 1
+        assert pairs[(2, 3)] == 1
+        assert pairs[(4, 5)] == 1
+        assert (3, 4) not in pairs  # distance 5 > 1
+        # window=1 misses the (1,3) pair two positions apart
+        narrow = {(r["id_a"], r["id_b"]) for r in
+                  sorted_neighborhood_pairs(
+                      df, id_col="id", text_col="name",
+                      window=1, max_distance=1).collect()}
+        assert (1, 3) not in narrow

@@ -138,6 +138,8 @@ BUDGETS = {
     # r5: explicit-value pivot agg (no discovery scan) + post-unpivot
     # filter agg + sort
     "pivot_unpivot_roundtrip": (3, False),
+    # r5: block-keyed self-join (never all-pairs) + nation join + agg
+    "fuzzy_name_pairs": (6, False),
     # r5: one window exchange (all five functions share it) + agg + sort
     "window_rank_suite": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
