@@ -2387,6 +2387,26 @@ def audit_constraint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("col", "check")
 
 
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram (r5): order totalprice (as exact
+    cents) into 8 equal-frequency buckets via DISTRIBUTED global
+    ranking — range repartition + partition-local row_number + a
+    KB-scale offset prefix (``audit.equidepth_histogram``), never the
+    single-partition window a naive global ntile costs. The oracle
+    computes the same ranks with row_number over the same total order;
+    bucket counts and exact cents boundaries must match."""
+    from deltalake_spark.operators.audit import equidepth_histogram
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey")
+    return (
+        equidepth_histogram(orders, col="cents", tiebreak="o_orderkey",
+                            buckets=8)
+        .orderBy("bucket")
+    )
+
+
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy matching (r5): customer-name pairs within 2
     Levenshtein edits, blocked on (nation, digits 1-5 of the customer
@@ -4160,6 +4180,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_suite": window_rank_suite,
     "pivot_unpivot_roundtrip": pivot_unpivot_roundtrip,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "equidepth_price_histogram": equidepth_price_histogram,
     "multimodal_meta_extract": multimodal_meta_extract,
     "png_pixel_stats": png_pixel_stats,
     "jpeg_pixel_stats": jpeg_pixel_stats,
@@ -6474,6 +6495,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = id_b
             WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.7
             ORDER BY id_a, id_b
+        """,
+        "equidepth_price_histogram": """
+            -- same total order, same rank->bucket arithmetic
+            WITH r AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                     row_number() OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                o_orderkey) AS rnk,
+                     count(*) OVER () AS n
+              FROM orders
+            )
+            SELECT CAST((rnk - 1) * 8 // n AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(min(cents) AS BIGINT) AS lo,
+                   CAST(max(cents) AS BIGINT) AS hi
+            FROM r GROUP BY 1 ORDER BY 1
         """,
         "fuzzy_name_pairs": """
             -- identical blocked join; DuckDB's levenshtein vs Spark's

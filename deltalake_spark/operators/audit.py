@@ -128,3 +128,65 @@ def profile_table(
     return agg.select(F.explode(rows).alias("r")).select(
         "r.column", "r.n_rows", "r.n_null", "r.n_distinct",
         "r.min_value", "r.max_value")
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    *,
+    col: str,
+    tiebreak: str,
+    buckets: int = 10,
+    partitions: int = 32,
+) -> DataFrame:
+    """EXACT equi-depth histogram: bucket b holds rows with global rank
+    in [b*n/B, (b+1)*n/B) under the total order (col, tiebreak) —
+    every bucket within one row of n/B, with exact per-bucket min/max.
+
+    Scale shape: a naive ``ntile() OVER (ORDER BY ...)`` funnels the
+    WHOLE table through one partition. This computes exact global ranks
+    distributively instead: range-repartition on the sort key,
+    partition-LOCAL row_number, plus a collected per-partition count
+    prefix (``partitions`` integers — driver-side KB) → global rank =
+    local rank + partition offset. The output is a pure function of the
+    data (ranks are unique thanks to the tiebreak), independent of
+    where the sampled range boundaries land.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql.window import Window
+
+    # persist the ranged layout: repartitionByRange SAMPLES boundaries
+    # per job, so without the pin the count job and the rank job could
+    # see different partition layouts and the offsets would lie
+    ranged = df.select(col, tiebreak).repartitionByRange(
+        partitions, F.col(col), F.col(tiebreak)).persist()
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "__lr",
+        F.row_number().over(
+            Window.partitionBy("__pid").orderBy(col, tiebreak)))
+    counts = {r["__pid"]: r["c"] for r in
+              with_pid.groupBy("__pid").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(counts.values())
+    if n == 0:
+        raise ValueError("empty input")
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid, F.lit(off)) \
+            .otherwise(off_expr)
+    ranked = local.withColumn("__rank", F.col("__lr") + off_expr)
+    bucket = F.expr(f"(( __rank - 1) * {buckets}L) div {n}L")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+        )
+    )

@@ -89,3 +89,49 @@ class TestProfileTable:
                 profile_table(df, ["s"]).collect()] == ["s"]
         with pytest.raises(ValueError):
             profile_table(df, [])
+
+
+class TestEquidepthHistogram:
+    def test_exact_buckets_vs_sequential(self, spark):
+        from deltalake_spark.operators.audit import equidepth_histogram
+        from pyspark.sql import functions as F
+
+        # values with heavy ties — the tiebreak resolves the order
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 13) for i in range(103)], "id long, v long")
+        out = {r["bucket"]: r for r in equidepth_histogram(
+            df, col="v", tiebreak="id", buckets=4,
+            partitions=5).collect()}
+        # sequential reference
+        rows = sorted(((i * 7) % 13, i) for i in range(103))
+        want = {}
+        for rank, (v, i) in enumerate(rows):
+            b = rank * 4 // 103
+            lo, hi, n = want.get(b, (v, v, 0))
+            want[b] = (min(lo, v), max(hi, v), n + 1)
+        assert set(out) == set(want)
+        for b, (lo, hi, n) in want.items():
+            assert (out[b]["lo"], out[b]["hi"], out[b]["n"]) == (lo, hi, n)
+        # equal depth within one row
+        sizes = [out[b]["n"] for b in sorted(out)]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_partitioning_invariant_and_validation(self, spark):
+        from deltalake_spark.operators.audit import equidepth_histogram
+        from pyspark.sql import functions as F
+
+        df = spark.range(500).select(
+            F.col("id"), ((F.col("id") * 31) % 97).alias("v"))
+        a = sorted(map(tuple, equidepth_histogram(
+            df.coalesce(1), col="v", tiebreak="id", buckets=7,
+            partitions=3).collect()))
+        b = sorted(map(tuple, equidepth_histogram(
+            df.repartition(11), col="v", tiebreak="id", buckets=7,
+            partitions=9).collect()))
+        assert a == b
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            equidepth_histogram(df, col="v", tiebreak="id", buckets=0)
+        empty = spark.createDataFrame([], "id long, v long")
+        with _pytest.raises(ValueError):
+            equidepth_histogram(empty, col="v", tiebreak="id")

@@ -140,6 +140,9 @@ BUDGETS = {
     "pivot_unpivot_roundtrip": (3, False),
     # r5: block-keyed self-join (never all-pairs) + nation join + agg
     "fuzzy_name_pairs": (6, False),
+    # r5: range repartition + pid-local window + bucket agg + sort
+    # (NO single-partition global window)
+    "equidepth_price_histogram": (4, False),
     # r5: one window exchange (all five functions share it) + agg + sort
     "window_rank_suite": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
