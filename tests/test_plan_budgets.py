@@ -141,8 +141,9 @@ BUDGETS = {
     # r5: block-keyed self-join (never all-pairs) + nation join + agg
     "fuzzy_name_pairs": (6, False),
     # r5: range repartition + pid-local window + bucket agg + sort
-    # (NO single-partition global window)
-    "equidepth_price_histogram": (4, False),
+    # (NO single-partition global window; persisted layout adds one
+    # textual exchange)
+    "equidepth_price_histogram": (5, False),
     # r5: one window exchange (all five functions share it) + agg + sort
     "window_rank_suite": (3, False),
     # r5: cascaded conditional-min aggs, user-keyed exchanges reused
