@@ -4083,6 +4083,158 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "merge", "vector"], k=20)
 
 
+def ols_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (operators/stats.py, r5 statistics suite):
+    slope/intercept/r² of extendedprice on quantity per returnflag via
+    the closed-form moment identities — ONE partial-aggregated shuffle,
+    no iteration. The oracle is DuckDB's native ``regr_slope /
+    regr_intercept / regr_r2``, so two independent derivations of the
+    SQL-standard REGR_* algebra must agree."""
+    from deltalake_spark.operators.stats import linear_regression
+
+    li = _t(spark, sf_dir, "lineitem")
+    fit = linear_regression(
+        li, x_col="l_quantity", y_col="l_extendedprice",
+        group_cols=["l_returnflag"])
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.round("slope", 2).alias("slope"),
+        F.round("intercept", 2).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+def chi2_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test (operators/stats.py): order
+    priority × order status. The N-row table collapses to a 15-cell
+    contingency frame in one shuffle; expected counts and marginals
+    are window sums over the cells. Exact integer n and dof; χ² and
+    Cramér's V rounded. Oracle recomputes the contingency algebra in
+    plain SQL."""
+    from deltalake_spark.operators.stats import chi_square
+
+    orders = _t(spark, sf_dir, "orders")
+    res = chi_square(orders, col_a="o_orderpriority",
+                     col_b="o_orderstatus")
+    return res.select(
+        F.round("chi2", 4).alias("chi2"),
+        "dof",
+        "n",
+        F.round("cramers_v", 6).alias("cramers_v"),
+    )
+
+
+def entropy_mi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic profile (operators/stats.py): entropy of
+    event_type, of the day-of-week, their joint entropy and mutual
+    information — one joint-count shuffle, marginals via windows over
+    the 35-cell frame. Day-of-week is epoch-day mod 7 on BOTH sides
+    (timezone-free integer arithmetic on the nano timestamps)."""
+    from deltalake_spark.operators.stats import entropy_stats
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("ts") / F.lit(86_400_000_000_000)).cast("long") % 7)
+        .alias("dow"),
+    )
+    res = entropy_stats(ev, col_a="event_type", col_b="dow")
+    return res.select(
+        F.round("h_a", 6).alias("h_type"),
+        F.round("h_b", 6).alias("h_dow"),
+        F.round("h_ab", 6).alias("h_joint"),
+        F.round("mi", 6).alias("mi"),
+    )
+
+
+def gini_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration profile (operators/stats.py): Gini
+    coefficient and Herfindahl index of discounted revenue across
+    suppliers, per returnflag. First shuffle reduces lineitem to one
+    row per (flag, supplier); the rank window runs over that reduced
+    frame only. Deterministic tie-break by supplier key."""
+    from deltalake_spark.operators.stats import gini_concentration
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("rev"),
+    )
+    res = gini_concentration(
+        li, key_col="l_suppkey", value_col="rev",
+        group_cols=["l_returnflag"])
+    return res.select(
+        "l_returnflag",
+        "n_keys",
+        F.round("total", 2).alias("total"),
+        F.round("gini", 6).alias("gini"),
+        F.round("hhi", 6).alias("hhi"),
+    ).orderBy("l_returnflag")
+
+
+def pareto_customer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis (operators/stats.py): how many customers
+    cover 50% / 80% / 95% of total order value — descending
+    cumulative-share window over the per-customer totals (one reduce,
+    then windows over the key frame). Integer ``keys_to_cover`` is
+    exact; the 1e-12 share slack keeps the boundary bit-stable across
+    engines."""
+    from deltalake_spark.operators.stats import pareto_coverage
+
+    orders = _t(spark, sf_dir, "orders")
+    res = pareto_coverage(
+        orders, key_col="o_custkey", value_col="o_totalprice",
+        thresholds=[0.5, 0.8, 0.95])
+    return res.select(
+        "threshold",
+        "n_keys",
+        "keys_to_cover",
+        F.round("frac_keys", 6).alias("frac_keys"),
+    ).orderBy("threshold")
+
+
+def welch_ttest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t test (operators/stats.py): purchase
+    vs click event values — both groups' moments in ONE conditional-
+    aggregate pass (no join, no pivot), then the t statistic and
+    Welch–Satterthwaite dof in closed form."""
+    from deltalake_spark.operators.stats import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    res = welch_ttest(ev, group_col="event_type", value_col="value",
+                      group_a="purchase", group_b="click")
+    return res.select(
+        "n_a", "n_b",
+        F.round("mean_a", 4).alias("mean_a"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 4).alias("dof"),
+    )
+
+
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust moments (operators/stats.py): per-priority winsorized
+    mean of order value at the exact [5%, 95%] percentiles (linear
+    interpolation — Spark ``percentile`` ≡ DuckDB ``quantile_cont``,
+    pinned by integer clip counts that any interpolation drift would
+    break). The two-number-per-group percentile frame is BROADCAST
+    back onto the detail rows: the big table is never shuffled."""
+    from deltalake_spark.operators.stats import winsorized_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    res = winsorized_stats(
+        orders, value_col="o_totalprice", lower=0.05, upper=0.95,
+        group_cols=["o_orderpriority"])
+    return res.select(
+        "o_orderpriority",
+        "n",
+        F.round("raw_mean", 2).alias("raw_mean"),
+        F.round("winsorized_mean", 2).alias("winsorized_mean"),
+        "n_clipped_low",
+        "n_clipped_high",
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4247,6 +4399,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": tfidf_top_terms,
     "delta_partitioned_query": delta_partitioned_query,
     "bucketed_colocated_join": bucketed_colocated_join,
+    "ols_regression_stats": ols_regression_stats,
+    "chi2_priority_status": chi2_priority_status,
+    "entropy_mi_events": entropy_mi_events,
+    "gini_supplier_share": gini_supplier_share,
+    "pareto_customer_coverage": pareto_customer_coverage,
+    "welch_ttest_events": welch_ttest_events,
+    "winsorized_price_stats": winsorized_price_stats,
 }
 
 
@@ -7012,6 +7171,162 @@ def oracle_sql() -> dict[str, str]:
                    round(max(sqrt(3.5 * k * k)), 6) AS max_rms,
                    round(min(sqrt(3.5 * k * k)), 6) AS min_rms
             FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "ols_regression_stats": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(regr_slope(l_extendedprice, l_quantity), 2)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 2)
+                     AS intercept,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "chi2_priority_status": """
+            WITH cells AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     CAST(count(*) AS DOUBLE) AS c
+              FROM orders GROUP BY 1, 2
+            ), m AS (
+              SELECT c,
+                     sum(c) OVER (PARTITION BY a) AS ra,
+                     sum(c) OVER (PARTITION BY b) AS cb,
+                     sum(c) OVER () AS n
+              FROM cells
+            ), agg AS (
+              SELECT sum((c - ra * cb / n) ^ 2 / (ra * cb / n)) AS chi2,
+                     (SELECT count(DISTINCT a) FROM cells) AS ka,
+                     (SELECT count(DISTINCT b) FROM cells) AS kb,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM m
+            )
+            SELECT round(chi2, 4) AS chi2,
+                   (ka - 1) * (kb - 1) AS dof,
+                   n,
+                   round(sqrt(chi2 / (n * (least(ka, kb) - 1))), 6)
+                     AS cramers_v
+            FROM agg
+        """,
+        "entropy_mi_events": """
+            WITH cells AS (
+              SELECT event_type AS a,
+                     (epoch_ns(ts) // 86400000000000) % 7 AS b,
+                     CAST(count(*) AS DOUBLE) AS c
+              FROM events GROUP BY 1, 2
+            ), m AS (
+              SELECT c / sum(c) OVER () AS pj,
+                     sum(c) OVER (PARTITION BY a) / sum(c) OVER ()
+                       AS pa,
+                     sum(c) OVER (PARTITION BY b) / sum(c) OVER ()
+                       AS pb,
+                     row_number() OVER (PARTITION BY a ORDER BY b)
+                       AS ra,
+                     row_number() OVER (PARTITION BY b ORDER BY a)
+                       AS rb
+              FROM cells
+            ), agg AS (
+              SELECT sum(CASE WHEN ra = 1 THEN -pa * ln(pa)
+                              ELSE 0 END) AS h_a,
+                     sum(CASE WHEN rb = 1 THEN -pb * ln(pb)
+                              ELSE 0 END) AS h_b,
+                     sum(-pj * ln(pj)) AS h_ab
+              FROM m
+            )
+            SELECT round(h_a, 6) AS h_type,
+                   round(h_b, 6) AS h_dow,
+                   round(h_ab, 6) AS h_joint,
+                   round(h_a + h_b - h_ab, 6) AS mi
+            FROM agg
+        """,
+        "gini_supplier_share": """
+            WITH k AS (
+              SELECT l_returnflag, l_suppkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS x
+              FROM lineitem GROUP BY 1, 2
+            ), r AS (
+              SELECT l_returnflag, x,
+                     row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY x, l_suppkey) AS i
+              FROM k
+            )
+            SELECT l_returnflag,
+                   count(*) AS n_keys,
+                   round(sum(x), 2) AS total,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) AS gini,
+                   round(sum(x * x) / (sum(x) * sum(x)), 6) AS hhi
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "pareto_customer_coverage": """
+            WITH k AS (
+              SELECT o_custkey, sum(o_totalprice) AS x
+              FROM orders GROUP BY 1
+            ), s AS (
+              SELECT sum(x) OVER (
+                       ORDER BY x DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING)
+                     / sum(x) OVER () AS cum
+              FROM k
+            ), t AS (
+              SELECT CAST(unnest([0.5, 0.8, 0.95]) AS DOUBLE)
+                AS threshold
+            )
+            SELECT threshold,
+                   count(*) AS n_keys,
+                   CAST(sum(CASE WHEN cum < threshold - 1e-12
+                                 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+                     AS keys_to_cover,
+                   round((sum(CASE WHEN cum < threshold - 1e-12
+                                   THEN 1 ELSE 0 END) + 1)
+                         / CAST(count(*) AS DOUBLE), 6) AS frac_keys
+            FROM s CROSS JOIN t GROUP BY 1 ORDER BY 1
+        """,
+        "welch_ttest_events": """
+            WITH agg AS (
+              SELECT count(*) FILTER (event_type = 'purchase') AS n_a,
+                     count(*) FILTER (event_type = 'click') AS n_b,
+                     avg(value) FILTER (event_type = 'purchase')
+                       AS mean_a,
+                     avg(value) FILTER (event_type = 'click')
+                       AS mean_b,
+                     var_samp(value) FILTER (event_type = 'purchase')
+                       AS va,
+                     var_samp(value) FILTER (event_type = 'click')
+                       AS vb
+              FROM events
+              WHERE event_type IN ('purchase', 'click')
+            )
+            SELECT n_a, n_b,
+                   round(mean_a, 4) AS mean_a,
+                   round(mean_b, 4) AS mean_b,
+                   round((mean_a - mean_b)
+                         / sqrt(va / n_a + vb / n_b), 6) AS t_stat,
+                   round((va / n_a + vb / n_b) ^ 2
+                         / ((va / n_a) ^ 2 / (n_a - 1)
+                            + (vb / n_b) ^ 2 / (n_b - 1)), 4) AS dof
+            FROM agg
+        """,
+        "winsorized_price_stats": """
+            WITH b AS (
+              SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, 0.05) AS lo,
+                     quantile_cont(o_totalprice, 0.95) AS hi
+              FROM orders GROUP BY 1
+            )
+            SELECT o.o_orderpriority,
+                   count(*) AS n,
+                   round(avg(o_totalprice), 2) AS raw_mean,
+                   round(avg(least(greatest(o_totalprice, lo), hi)), 2)
+                     AS winsorized_mean,
+                   CAST(sum(CASE WHEN o_totalprice < lo THEN 1
+                                 ELSE 0 END) AS BIGINT)
+                     AS n_clipped_low,
+                   CAST(sum(CASE WHEN o_totalprice > hi THEN 1
+                                 ELSE 0 END) AS BIGINT)
+                     AS n_clipped_high
+            FROM orders o JOIN b USING (o_orderpriority)
+            GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -1,0 +1,341 @@
+"""Closed-form statistical analytics: regression, independence tests,
+information theory, concentration, and robust moments.
+
+Engine-native additions (the reference at ``src/query/index.ts`` stops
+at the Mongo accumulator surface — ``$stdDevPop`` etc.; none of these
+exist there). Everything here is a CLOSED-FORM composition of JVM-side
+aggregates — no iteration, no UDFs, no driver math beyond assembling
+the plan — so each operator is one or two hash-aggregate shuffles
+regardless of input size:
+
+- :func:`linear_regression` — per-group OLS fit (slope, intercept, r²)
+  from the textbook moment identities ``slope = cov(x,y)/var(x)``,
+  ``r² = corr²``. ONE partial-aggregated shuffle; no second pass.
+- :func:`chi_square` — Pearson χ² independence over a contingency
+  table. One groupBy(a,b) shuffle builds the cells; marginals are
+  window sums OVER THE CELL FRAME (|A|·|B| rows, not N), so the big
+  table is touched once.
+- :func:`entropy_stats` — H(A), H(B), joint H(A,B) and mutual
+  information from the same single-pass joint-count frame.
+- :func:`gini_concentration` — Gini coefficient + Herfindahl index of
+  a per-key measure. Agg to keys, then rank/sum windows over the
+  (already reduced) key frame.
+- :func:`pareto_coverage` — "what fraction of keys covers X% of the
+  measure" (ABC analysis) via a descending cumulative-share window.
+- :func:`welch_ttest` — Welch's unequal-variance t statistic and
+  Satterthwaite dof between two groups, from per-group moments.
+- :func:`winsorized_stats` — exact-percentile winsorized mean/clip
+  counts per group (Spark's exact interpolating ``percentile``, same
+  linear rule as DuckDB ``quantile_cont``), percentile agg broadcast
+  back — the detail table is scanned twice but never re-shuffled.
+
+100 TB notes: every operator reduces to aggregates whose partial
+(map-side) combine Spark applies automatically; the window stages run
+on frames whose row count is the number of GROUPS / CELLS / KEYS, not
+input rows. ``winsorized_stats`` holds per-group value arrays only
+inside the exact-percentile aggregate — for truly unbounded groups
+callers should pre-aggregate or accept approx_percentile; documented
+on the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "linear_regression",
+    "chi_square",
+    "entropy_stats",
+    "gini_concentration",
+    "pareto_coverage",
+    "welch_ttest",
+    "winsorized_stats",
+]
+
+
+def linear_regression(
+    df: DataFrame,
+    *,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group simple OLS ``y = slope*x + intercept`` via population
+    moments (the SQL-standard ``REGR_*`` identities): one hash
+    aggregate computing n, means, ``covar_pop`` and ``var_pop``, then
+    pure column arithmetic. Emits ``n, slope, intercept, r2``; slope
+    and r² are null for degenerate groups (zero x-variance), matching
+    ``REGR_SLOPE``'s null contract."""
+    group_cols = group_cols or []
+    x, y = F.col(x_col), F.col(y_col)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("__mx"),
+        F.avg(y).alias("__my"),
+        F.covar_pop(x, y).alias("__cxy"),
+        F.var_pop(x).alias("__vx"),
+        F.var_pop(y).alias("__vy"),
+    )
+    slope = F.when(F.col("__vx") > 0, F.col("__cxy") / F.col("__vx"))
+    r2 = F.when(
+        (F.col("__vx") > 0) & (F.col("__vy") > 0),
+        (F.col("__cxy") * F.col("__cxy"))
+        / (F.col("__vx") * F.col("__vy")),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        (F.col("__my") - slope * F.col("__mx")).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def chi_square(df: DataFrame, *, col_a: str, col_b: str) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns. The N-row input collapses to one contingency-cell frame
+    in a single shuffle; row/column marginals and the grand total are
+    window sums over that cell frame (|A|·|B| rows), so no second scan
+    and no join. Returns ONE row: ``chi2``, ``dof``, ``n``, and
+    Cramér's V. Skew-safe: a hot category only concentrates one cell
+    count, the partial aggregation absorbs the volume map-side."""
+    cells = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).alias("__c"))
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wall = Window.partitionBy()
+    c = F.col("__c").cast("double")
+    expected = (
+        F.sum(c).over(wa) * F.sum(c).over(wb) / F.sum(c).over(wall))
+    enriched = cells.select(
+        col_a,
+        col_b,
+        c.alias("__c"),
+        expected.alias("__e"),
+    )
+    agg = enriched.groupBy().agg(
+        F.sum((F.col("__c") - F.col("__e")) ** 2 / F.col("__e"))
+        .alias("chi2"),
+        F.count_distinct(F.col(col_a)).alias("__ka"),
+        F.count_distinct(F.col(col_b)).alias("__kb"),
+        F.sum("__c").cast("long").alias("n"),
+    )
+    min_dim = F.least(F.col("__ka"), F.col("__kb")) - 1
+    return agg.select(
+        "chi2",
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).alias("dof"),
+        "n",
+        F.when(
+            min_dim > 0,
+            F.sqrt(F.col("chi2") / (F.col("n") * min_dim)),
+        ).alias("cramers_v"),
+    )
+
+
+def entropy_stats(df: DataFrame, *, col_a: str, col_b: str) -> DataFrame:
+    """Shannon entropies H(A), H(B), H(A,B) (nats) and mutual
+    information ``MI = H(A)+H(B)-H(A,B)`` from ONE pass: the joint
+    count frame is built with a single shuffle; marginal probabilities
+    are window sums over the joint cells. Joint entropy sums
+    ``-p log p`` over cells; marginal entropies de-duplicate each
+    level with a row_number guard instead of re-scanning the input."""
+    cells = df.groupBy(col_a, col_b).agg(
+        F.count(F.lit(1)).alias("__c"))
+    wall = Window.partitionBy()
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    n = F.sum("__c").over(wall).cast("double")
+    pj = F.col("__c") / n
+    pa = F.sum("__c").over(wa) / n
+    pb = F.sum("__c").over(wb) / n
+    ra = F.row_number().over(wa.orderBy(col_b))
+    rb = F.row_number().over(wb.orderBy(col_a))
+    terms = cells.select(
+        (-pj * F.log(pj)).alias("__hj"),
+        F.when(ra == 1, -pa * F.log(pa)).otherwise(F.lit(0.0))
+        .alias("__ha"),
+        F.when(rb == 1, -pb * F.log(pb)).otherwise(F.lit(0.0))
+        .alias("__hb"),
+    )
+    return terms.groupBy().agg(
+        F.sum("__ha").alias("h_a"),
+        F.sum("__hb").alias("h_b"),
+        F.sum("__hj").alias("h_ab"),
+    ).select(
+        "h_a",
+        "h_b",
+        "h_ab",
+        (F.col("h_a") + F.col("h_b") - F.col("h_ab")).alias("mi"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Concentration of a measure across keys, per group: Gini
+    coefficient via the rank formula over ascending per-key totals
+    ``G = (2·Σ i·x_i) / (n·Σ x) − (n+1)/n`` and the Herfindahl–
+    Hirschman index ``HHI = Σ share²``. First shuffle reduces the
+    input to one row per (group, key); the rank window then runs over
+    that reduced frame only. Ties are broken by key for determinism."""
+    group_cols = group_cols or []
+    keyed = df.groupBy(*group_cols, key_col).agg(
+        F.sum(value_col).cast("double").alias("__x"))
+    w = Window.partitionBy(*group_cols).orderBy("__x", key_col)
+    ranked = keyed.select(
+        *group_cols,
+        "__x",
+        F.row_number().over(w).alias("__i"),
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__x").alias("total"),
+        (
+            2.0 * F.sum(F.col("__i") * F.col("__x"))
+            / (F.count(F.lit(1)) * F.sum("__x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).alias("gini"),
+        (F.sum(F.col("__x") * F.col("__x"))
+         / (F.sum("__x") * F.sum("__x"))).alias("hhi"),
+    )
+
+
+def pareto_coverage(
+    df: DataFrame,
+    *,
+    key_col: str,
+    value_col: str,
+    thresholds: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ABC / Pareto analysis: per group, the NUMBER and FRACTION of
+    top keys whose descending cumulative share first reaches each
+    threshold (e.g. 0.5, 0.8, 0.9 of total revenue). One reduce to
+    per-key totals; a descending cumulative-sum window over the key
+    frame; one conditional-count agg per threshold. Output: one row
+    per (group, threshold)."""
+    group_cols = group_cols or []
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    keyed = df.groupBy(*group_cols, key_col).agg(
+        F.sum(value_col).cast("double").alias("__x"))
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("__x").desc(), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    shares = keyed.select(
+        *group_cols,
+        (F.sum("__x").over(w) / F.sum("__x").over(tot))
+        .alias("__cum_share"),
+    )
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    expanded = shares.select(*group_cols, "__cum_share", thr)
+    eps = 1e-12  # float-sum slack so 'exactly reaches' is stable
+    return expanded.groupBy(*group_cols, "threshold").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (
+            F.sum(
+                (F.col("__cum_share") < F.col("threshold") - eps)
+                .cast("long")
+            ) + 1
+        ).alias("keys_to_cover"),
+    ).select(
+        *group_cols,
+        "threshold",
+        "n_keys",
+        "keys_to_cover",
+        (F.col("keys_to_cover") / F.col("n_keys"))
+        .alias("frac_keys"),
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic between two
+    levels of ``group_col``, with the Welch–Satterthwaite degrees of
+    freedom. One conditional-aggregate pass (no join, no pivot):
+    FILTER-style aggregates compute both groups' n/mean/s² in the same
+    shuffle. Returns one row: ``n_a n_b mean_a mean_b t_stat dof``."""
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    agg = df.where(in_a | in_b).groupBy().agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.avg(F.when(in_a, v)).alias("mean_a"),
+        F.avg(F.when(in_b, v)).alias("mean_b"),
+        F.var_samp(F.when(in_a, v)).alias("__va"),
+        F.var_samp(F.when(in_b, v)).alias("__vb"),
+    )
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb))
+        .alias("t_stat"),
+        (
+            (sa + sb) * (sa + sb)
+            / (
+                sa * sa / (F.col("n_a") - 1)
+                + sb * sb / (F.col("n_b") - 1)
+            )
+        ).alias("dof"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    *,
+    value_col: str,
+    lower: float,
+    upper: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Winsorized mean per group: clamp values to the exact
+    [``lower``, ``upper``] percentiles (linear interpolation — Spark's
+    ``percentile``, the same rule as DuckDB/Postgres
+    ``quantile_cont``/``percentile_cont``) and re-average. The
+    percentile aggregate reduces each group to two numbers; that tiny
+    frame is BROADCAST back onto the detail rows, so the big table is
+    never shuffled — scanned twice, reduced twice, joined zero-shuffle.
+
+    Exact percentiles hold per-group value buffers inside the
+    aggregate; for pathological single groups at extreme scale swap in
+    ``approx_percentile`` (same plan shape, bounded memory)."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(v, F.lit(float(lower))).alias("__lo"),
+        F.percentile(v, F.lit(float(upper))).alias("__hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), on=group_cols or None, how="inner")
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.least(F.greatest(v, F.col("__lo")), F.col("__hi"))
+    return joined.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("raw_mean"),
+        F.avg(clamped).alias("winsorized_mean"),
+        F.sum((v < F.col("__lo")).cast("long")).alias("n_clipped_low"),
+        F.sum((v > F.col("__hi")).cast("long")).alias("n_clipped_high"),
+    )

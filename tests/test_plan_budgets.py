@@ -156,6 +156,16 @@ BUDGETS = {
     # at runtime the cached edges materialize ONCE and downstream
     # branches reuse them. Budget pins the current textual shape.
     "copurchase_triangle_stats": (28, False),
+    # r5 statistics suite (operators/stats.py): closed-form moment
+    # compositions — agg(+sort); marginal/rank windows run over
+    # already-reduced cell/key frames, never the input
+    "ols_regression_stats": (2, False),     # one moment agg + sort
+    "chi2_priority_status": (2, False),     # cell agg + final reduce
+    "entropy_mi_events": (1, False),        # joint-count agg only
+    "gini_supplier_share": (3, False),      # key agg + rank window + agg
+    "pareto_customer_coverage": (1, False),  # key agg; windows on keys
+    "welch_ttest_events": (0, True),        # conditional agg, 0 shuffles
+    "winsorized_price_stats": (3, True),    # percentile bcast + reagg
 }
 
 

@@ -1,0 +1,163 @@
+"""Unit tests for operators/stats.py — closed-form statistical
+operators checked against hand-derivable ground truth on tiny frames
+(the gate queries cross-check the same algebra against DuckDB at
+fixture scale)."""
+
+import math
+
+import pytest
+
+from deltalake_spark.operators.stats import (
+    chi_square,
+    entropy_stats,
+    gini_concentration,
+    linear_regression,
+    pareto_coverage,
+    welch_ttest,
+    winsorized_stats,
+)
+
+
+def test_linear_regression_exact_line(spark):
+    rows = [("g", float(x), 2.0 * x + 1.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = linear_regression(
+        df, x_col="x", y_col="y", group_cols=["grp"]).collect()[0]
+    assert out["n"] == 10
+    assert out["slope"] == pytest.approx(2.0)
+    assert out["intercept"] == pytest.approx(1.0)
+    assert out["r2"] == pytest.approx(1.0)
+
+
+def test_linear_regression_degenerate_x_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 5.0, 1.0), ("g", 5.0, 2.0)],
+        "grp string, x double, y double")
+    out = linear_regression(
+        df, x_col="x", y_col="y", group_cols=["grp"]).collect()[0]
+    assert out["slope"] is None and out["r2"] is None
+
+
+def test_chi_square_independent_uniform_is_zero(spark):
+    # perfectly independent 2x2 with equal cell counts
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square(df, col_a="a", col_b="b").collect()[0]
+    assert out["chi2"] == pytest.approx(0.0)
+    assert out["dof"] == 1
+    assert out["n"] == 20
+
+
+def test_chi_square_hand_computed(spark):
+    # cells: (x,u)=30 (x,v)=10 (y,u)=10 (y,v)=30; n=80
+    # marginals 40/40 each; expected 20 everywhere; chi2 = 4*100/20 = 20
+    rows = (
+        [("x", "u")] * 30 + [("x", "v")] * 10
+        + [("y", "u")] * 10 + [("y", "v")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square(df, col_a="a", col_b="b").collect()[0]
+    assert out["chi2"] == pytest.approx(20.0)
+    assert out["cramers_v"] == pytest.approx(math.sqrt(20.0 / 80.0))
+
+
+def test_entropy_independent_and_dependent(spark):
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(7)],
+        "a string, b string")
+    out = entropy_stats(ind, col_a="a", col_b="b").collect()[0]
+    ln2 = math.log(2.0)
+    assert out["h_a"] == pytest.approx(ln2)
+    assert out["h_b"] == pytest.approx(ln2)
+    assert out["mi"] == pytest.approx(0.0, abs=1e-12)
+
+    dep = spark.createDataFrame(
+        [("x", "u")] * 9 + [("y", "v")] * 9, "a string, b string")
+    out = entropy_stats(dep, col_a="a", col_b="b").collect()[0]
+    assert out["h_ab"] == pytest.approx(ln2)
+    assert out["mi"] == pytest.approx(ln2)
+
+
+def test_gini_uniform_zero_and_extreme(spark):
+    uniform = spark.createDataFrame(
+        [(k, 10.0) for k in range(8)], "k long, v double")
+    out = gini_concentration(
+        uniform, key_col="k", value_col="v").collect()[0]
+    assert out["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert out["hhi"] == pytest.approx(1.0 / 8)
+
+    # all mass on one key of n=4: G = (n-1)/n
+    skewed = spark.createDataFrame(
+        [(0, 0.0), (1, 0.0), (2, 0.0), (3, 100.0)], "k long, v double")
+    out = gini_concentration(
+        skewed, key_col="k", value_col="v").collect()[0]
+    assert out["gini"] == pytest.approx(0.75)
+    assert out["hhi"] == pytest.approx(1.0)
+
+
+def test_pareto_coverage_hand_case(spark):
+    # values 50, 30, 15, 5 → cum shares .5, .8, .95, 1.0
+    df = spark.createDataFrame(
+        [(0, 50.0), (1, 30.0), (2, 15.0), (3, 5.0)], "k long, v double")
+    out = pareto_coverage(
+        df, key_col="k", value_col="v", thresholds=[0.5, 0.8, 0.99])
+    got = {r["threshold"]: r["keys_to_cover"] for r in out.collect()}
+    assert got == {0.5: 1, 0.8: 2, 0.99: 4}
+
+
+def test_welch_identical_groups_t_zero(spark):
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)]
+    rows += [("b", float(v)) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_ttest(df, group_col="g", value_col="v",
+                      group_a="a", group_b="b").collect()[0]
+    assert out["t_stat"] == pytest.approx(0.0)
+    # equal n and s² → Satterthwaite dof = 2(n-1)
+    assert out["dof"] == pytest.approx(6.0)
+
+
+def test_welch_hand_computed(spark):
+    a, b = [1.0, 2.0, 3.0], [2.0, 4.0, 6.0, 8.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = welch_ttest(df, group_col="g", value_col="v",
+                      group_a="a", group_b="b").collect()[0]
+    ma, mb = sum(a) / 3, sum(b) / 4
+    va = sum((x - ma) ** 2 for x in a) / 2
+    vb = sum((x - mb) ** 2 for x in b) / 3
+    sa, sb = va / 3, vb / 4
+    t = (ma - mb) / math.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa * sa / 2 + sb * sb / 3)
+    assert out["t_stat"] == pytest.approx(t)
+    assert out["dof"] == pytest.approx(dof)
+
+
+def test_winsorized_clamps_exact_percentiles(spark):
+    # 0..100: p10 = 10.0, p90 = 90.0 exactly (linear interpolation on
+    # 101 evenly spaced points)
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(101)], "v double")
+    out = winsorized_stats(
+        df, value_col="v", lower=0.10, upper=0.90).collect()[0]
+    assert out["n"] == 101
+    assert out["raw_mean"] == pytest.approx(50.0)
+    # clamped: 10 values -> 10.0, 10 values -> 90.0, rest unchanged
+    expect = (sum(range(10, 91)) + 10 * 10.0 + 10 * 90.0) / 101
+    assert out["winsorized_mean"] == pytest.approx(expect)
+    assert out["n_clipped_low"] == 10
+    assert out["n_clipped_high"] == 10
+
+
+def test_winsorized_grouped_matches_ungrouped(spark):
+    rows = [("g1", float(v)) for v in range(101)]
+    rows += [("g2", float(v * 2)) for v in range(101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        r["g"]: r
+        for r in winsorized_stats(
+            df, value_col="v", lower=0.10, upper=0.90,
+            group_cols=["g"]).collect()
+    }
+    assert out["g1"]["n_clipped_low"] == 10
+    assert out["g2"]["winsorized_mean"] == pytest.approx(
+        2 * out["g1"]["winsorized_mean"])
