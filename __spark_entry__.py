@@ -4235,6 +4235,116 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def _daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-value rollup per type — the shared grain for the
+    time-series gate queries. ONE partial-agg shuffle over the raw
+    events; day is timezone-free integer epoch arithmetic on the nano
+    timestamps so both engines bucket identically."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.col("ts") / F.lit(86_400_000_000_000)).cast("long")
+        .alias("day"),
+    ).agg(F.sum("value").alias("total"))
+
+
+_DAILY_ORACLE = """
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS day,
+           sum(value) AS total
+    FROM events GROUP BY 1, 2
+"""
+
+
+def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact recursive EWMA (operators/timeseries.py) over the daily
+    rollup, α=0.3: the smoothing folds inside a JVM higher-order
+    ``aggregate`` over each type's sorted 30-day series — sequential
+    semantics with zero Python and zero iteration. The oracle
+    recomputes the recursion in CLOSED FORM (weighted self-join over
+    day indices): two independent derivations of the same recurrence
+    must agree to 4dp."""
+    from deltalake_spark.operators.timeseries import ewma
+
+    daily = _daily_events(spark, sf_dir)
+    sm = ewma(daily, group_cols=["event_type"], order_col="day",
+              value_col="total", alpha=0.3)
+    last_day = Window.partitionBy("event_type").orderBy(
+        F.col("day").desc())
+    return (
+        sm.withColumn("__rn", F.row_number().over(last_day))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.max(F.when(F.col("__rn") == 1,
+                                 F.col("ewma"))), 4)
+            .alias("last_ewma"),
+            F.round(F.avg("ewma"), 4).alias("avg_ewma"),
+            F.round(F.max("ewma"), 4).alias("max_ewma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def rolling_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-scores (operators/timeseries.py) over the daily
+    rollup: trailing mean/sample-stddev window, standardized residual,
+    |z| > 1.5 anomaly flag. Counts are exact integers; extreme z
+    rounded. The oracle runs the identical frame spec in DuckDB."""
+    from deltalake_spark.operators.timeseries import rolling_zscore
+
+    daily = _daily_events(spark, sf_dir)
+    z = rolling_zscore(
+        daily, group_cols=["event_type"], order_col="day",
+        value_col="total", window_size=7, threshold=1.5)
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.count(F.when(F.col("z").isNotNull(), 1)).alias("n_scored"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+        F.round(F.max("z"), 4).alias("max_z"),
+        F.round(F.min("z"), 4).alias("min_z"),
+    ).orderBy("event_type")
+
+
+def autocorr_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile (operators/timeseries.py) of the daily
+    series at lags 1, 2, 7 — one shared-sort window pass for every lag
+    column, one corr aggregate, literal-array unpivot. Oracle: the
+    same lag/corr algebra via DuckDB window functions."""
+    from deltalake_spark.operators.timeseries import autocorrelation
+
+    daily = _daily_events(spark, sf_dir)
+    ac = autocorrelation(
+        daily, group_cols=["event_type"], order_col="day",
+        value_col="total", lags=[1, 2, 7])
+    return ac.select(
+        "event_type",
+        "lag",
+        F.round("autocorr", 6).alias("autocorr"),
+        "n_pairs",
+    ).orderBy("event_type", "lag")
+
+
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain (operators/timeseries.py) over each
+    user's event-type sequence (ordered by ts with event_id as the
+    total-order tiebreaker): transition counts and row-normalized
+    probabilities. One user-keyed window + one (from, to) aggregate;
+    the probability marginal is a window over the 25-cell frame."""
+    from deltalake_spark.operators.timeseries import markov_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    mt = markov_transitions(
+        ev, entity_col="user_id", order_cols=["ts", "event_id"],
+        state_col="event_type")
+    return mt.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round("prob", 6).alias("prob"),
+    ).orderBy("from_state", "to_state")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4406,6 +4516,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_customer_coverage": pareto_customer_coverage,
     "welch_ttest_events": welch_ttest_events,
     "winsorized_price_stats": winsorized_price_stats,
+    "ewma_daily_values": ewma_daily_values,
+    "rolling_zscore_days": rolling_zscore_days,
+    "autocorr_daily_values": autocorr_daily_values,
+    "markov_event_transitions": markov_event_transitions,
 }
 
 
@@ -7327,6 +7441,118 @@ def oracle_sql() -> dict[str, str]:
                      AS n_clipped_high
             FROM orders o JOIN b USING (o_orderpriority)
             GROUP BY 1 ORDER BY 1
+        """,
+        "ewma_daily_values": """
+            -- closed form of the y_n = 0.3 x_n + 0.7 y_{n-1} recursion
+            -- the Spark side folds sequentially: y_n =
+            -- 0.7^(n-1) x_1 + Σ_{k=2..n} 0.3·0.7^(n-k) x_k
+            WITH d AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     sum(value) AS total
+              FROM events GROUP BY 1, 2
+            ), i AS (
+              SELECT event_type, total,
+                     row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS rn
+              FROM d
+            ), y AS (
+              SELECT a.event_type, a.rn,
+                     sum(CASE WHEN b.rn = 1
+                              THEN power(0.7, a.rn - 1) * b.total
+                              ELSE 0.3 * power(0.7, a.rn - b.rn)
+                                   * b.total END) AS yv
+              FROM i a JOIN i b
+                ON a.event_type = b.event_type AND b.rn <= a.rn
+              GROUP BY 1, 2
+            ), m AS (
+              SELECT event_type, max(rn) AS mx FROM i GROUP BY 1
+            )
+            SELECT y.event_type,
+                   count(*) AS n_days,
+                   round(max(CASE WHEN y.rn = m.mx THEN yv END), 4)
+                     AS last_ewma,
+                   round(avg(yv), 4) AS avg_ewma,
+                   round(max(yv), 4) AS max_ewma
+            FROM y JOIN m ON y.event_type = m.event_type
+            GROUP BY 1 ORDER BY 1
+        """,
+        "rolling_zscore_days": """
+            WITH d AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     sum(value) AS total
+              FROM events GROUP BY 1, 2
+            ), z AS (
+              SELECT event_type,
+                     CASE WHEN sd > 0 THEN (total - m) / sd END AS z
+              FROM (
+                SELECT event_type, total,
+                       avg(total) OVER w AS m,
+                       stddev_samp(total) OVER w AS sd
+                FROM d
+                WINDOW w AS (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              )
+            )
+            SELECT event_type,
+                   count(*) AS n_days,
+                   count(z) AS n_scored,
+                   CAST(sum(CASE WHEN abs(z) > 1.5 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_anomalies,
+                   round(max(z), 4) AS max_z,
+                   round(min(z), 4) AS min_z
+            FROM z GROUP BY 1 ORDER BY 1
+        """,
+        "autocorr_daily_values": """
+            WITH d AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     sum(value) AS total
+              FROM events GROUP BY 1, 2
+            ), l AS (
+              SELECT event_type, total AS x,
+                     lag(total, 1) OVER w AS l1,
+                     lag(total, 2) OVER w AS l2,
+                     lag(total, 7) OVER w AS l7
+              FROM d
+              WINDOW w AS (PARTITION BY event_type ORDER BY day)
+            ), a AS (
+              SELECT event_type,
+                     corr(x, l1) AS c1, corr(x, l2) AS c2,
+                     corr(x, l7) AS c7,
+                     count(l1) AS n1, count(l2) AS n2,
+                     count(l7) AS n7
+              FROM l GROUP BY 1
+            )
+            SELECT event_type, lag, round(c, 6) AS autocorr,
+                   n AS n_pairs
+            FROM (
+              SELECT event_type, CAST(1 AS BIGINT) AS lag,
+                     c1 AS c, n1 AS n FROM a
+              UNION ALL
+              SELECT event_type, 2, c2, n2 FROM a
+              UNION ALL
+              SELECT event_type, 7, c7, n7 FROM a
+            ) ORDER BY event_type, lag
+        """,
+        "markov_event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS prev
+              FROM events
+            ), c AS (
+              SELECT prev AS from_state, event_type AS to_state,
+                     count(*) AS n
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_state, to_state, n,
+                   round(n / sum(n) OVER (PARTITION BY from_state), 6)
+                     AS prob
+            FROM c ORDER BY 1, 2
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

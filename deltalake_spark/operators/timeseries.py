@@ -1,0 +1,199 @@
+"""Time-series analytics over rolled-up event grains: exponential
+smoothing, rolling anomaly scores, autocorrelation, and Markov chains.
+
+Engine-native (the reference's query surface — ``src/query/index.ts``
+— has no temporal smoothing/correlation operators). All operators run
+on a PRE-AGGREGATED series grain (e.g. daily totals per key): the
+reduction from raw events to the grain is the scale step — one hash
+aggregate over N rows — and everything after operates on frames whose
+size is (#keys × #periods), not raw volume.
+
+- :func:`ewma` — EXACT recursive exponential smoothing
+  ``y_n = α·x_n + (1−α)·y_{n−1}`` per series. The series is folded
+  inside a JVM higher-order ``aggregate`` over the sorted per-group
+  array (one shuffle, no UDFs); per-period rows are exploded back out.
+  Group size = periods in the grain, bounded by construction — for
+  multi-year second grains, re-grain first.
+- :func:`rolling_zscore` — rolling mean/stddev window (``w`` trailing
+  periods) and the standardized residual; the standard anomaly flag.
+- :func:`autocorrelation` — Pearson autocorrelation at a set of lags,
+  computed with ONE window pass (all lag columns share the same sort)
+  and one aggregate; results unpivoted to (key, lag) rows.
+- :func:`markov_transitions` — first-order state-transition counts
+  and row-normalized probabilities from per-entity ordered event
+  streams: one entity-keyed window for ``lag(state)``, one (from, to)
+  count aggregate, marginals via a window over the tiny cell frame.
+
+100 TB notes: the single raw-data touch in each operator is either a
+grain rollup (partial-agg combine) or an entity-keyed window; both
+shuffle once on their natural key. Everything downstream is
+cell-frame-sized. No collects, no iteration, no Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ewma",
+    "rolling_zscore",
+    "autocorrelation",
+    "markov_transitions",
+]
+
+
+def ewma(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exact recursive EWMA per group (``y_1 = x_1``;
+    ``y_n = α·x_n + (1−α)·y_{n−1}``), evaluated as a JVM
+    ``aggregate`` fold over the group's order-sorted (order, value)
+    array — bit-deterministic, sequential semantics with zero Python.
+    Returns the input grain with ``out_col`` appended."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    a = float(alpha)
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                F.col(value_col).alias("x"))))
+    # fold: accumulator is the growing array of (o, smoothed) structs;
+    # the next smoothed value reads the accumulator's last element
+    fold = F.aggregate(
+        arr,
+        F.expr("CAST(array() AS ARRAY<STRUCT<o: BIGINT, y: DOUBLE>>)"),
+        lambda acc, s: F.concat(
+            acc,
+            F.array(F.struct(
+                s["o"].alias("o"),
+                F.when(
+                    F.size(acc) == 0, s["x"].cast("double")
+                ).otherwise(
+                    F.lit(a) * s["x"]
+                    + F.lit(1.0 - a) * F.element_at(acc, -1)["y"]
+                ).alias("y"),
+            )),
+        ),
+    )
+    grouped = df.groupBy(*group_cols).agg(fold.alias("__series"))
+    ex = grouped.select(
+        *group_cols, F.explode("__series").alias("__s"))
+    return ex.select(
+        *group_cols,
+        F.col("__s.o").alias(order_col),
+        F.col("__s.y").alias(out_col),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_size: int,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window standardization: mean and sample stddev over
+    the ``window_size`` most recent periods (current inclusive),
+    ``z = (x − mean)/stddev``, and an ``is_anomaly`` flag at
+    |z| > threshold. z is null while the window holds < 2 periods or
+    the stddev is 0 — matching SQL semantics on both engines."""
+    if window_size < 2:
+        raise ValueError("window_size must be >= 2")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_size - 1), 0)
+    )
+    x = F.col(value_col).cast("double")
+    mean = F.avg(x).over(w)
+    sd = F.stddev_samp(x).over(w)
+    z = F.when(sd > 0, (x - mean) / sd)
+    return df.select(
+        *group_cols,
+        order_col,
+        value_col,
+        z.alias("z"),
+        (F.abs(z) > threshold).alias("is_anomaly"),
+    )
+
+
+def autocorrelation(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Pearson autocorrelation of each group's series at the given
+    lags. ONE window pass materializes every lag column (they share
+    the group sort, so Spark plans a single Window node / exchange);
+    one aggregate computes ``corr(x, x_lag)`` and the non-null pair
+    count per lag; a literal-array explode unpivots to one row per
+    (group, lag)."""
+    if not lags or any(lag < 1 for lag in lags):
+        raise ValueError("lags must be positive")
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    x = F.col(value_col).cast("double")
+    lagged = df.select(
+        *group_cols,
+        x.alias("__x"),
+        *[F.lag(x, lag).over(w).alias(f"__l{lag}") for lag in lags],
+    )
+    agg = lagged.groupBy(*group_cols).agg(
+        *[F.corr("__x", f"__l{lag}").alias(f"__c{lag}")
+          for lag in lags],
+        *[F.count(F.when(F.col(f"__l{lag}").isNotNull(), 1))
+          .alias(f"__n{lag}") for lag in lags],
+    )
+    pairs = F.explode(F.array(*[
+        F.struct(
+            F.lit(lag).cast("long").alias("lag"),
+            F.col(f"__c{lag}").alias("autocorr"),
+            F.col(f"__n{lag}").alias("n_pairs"),
+        )
+        for lag in lags
+    ])).alias("__p")
+    return agg.select(*group_cols, pairs).select(
+        *group_cols,
+        F.col("__p.lag").alias("lag"),
+        F.col("__p.autocorr").alias("autocorr"),
+        F.col("__p.n_pairs").alias("n_pairs"),
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition estimates from per-entity ordered
+    state sequences: ``lag(state)`` over one entity-keyed window pairs
+    each state with its predecessor; a (from, to) count aggregate and
+    a from-state marginal window (over the |S|² cell frame) yield
+    row-normalized probabilities. ``order_cols`` must make the
+    per-entity order total (include a tiebreaker id)."""
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    seq = df.select(
+        F.lag(state_col).over(w).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).where(F.col("from_state").isNotNull())
+    cells = seq.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n"))
+    marg = Window.partitionBy("from_state")
+    return cells.select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.col("n") / F.sum("n").over(marg)).alias("prob"),
+    )

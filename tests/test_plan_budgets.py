@@ -166,6 +166,13 @@ BUDGETS = {
     "pareto_customer_coverage": (1, False),  # key agg; windows on keys
     "welch_ttest_events": (0, True),        # conditional agg, 0 shuffles
     "winsorized_price_stats": (3, True),    # percentile bcast + reagg
+    # r5 time-series suite (operators/timeseries.py): one rollup
+    # shuffle to the daily grain; smoothing/window/corr run on the
+    # (type × day) frame only
+    "ewma_daily_values": (3, False),        # rollup + fold agg + sort
+    "rolling_zscore_days": (3, False),      # rollup + z window + agg
+    "autocorr_daily_values": (3, False),    # rollup + lag window + agg
+    "markov_event_transitions": (4, False),  # user window + cell agg
 }
 
 

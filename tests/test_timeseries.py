@@ -1,0 +1,104 @@
+"""Unit tests for operators/timeseries.py — exact smoothing recursion,
+window standardization, lag correlation, and Markov estimation against
+hand-computed series."""
+
+import math
+
+import pytest
+
+from deltalake_spark.operators.timeseries import (
+    autocorrelation,
+    ewma,
+    markov_transitions,
+    rolling_zscore,
+)
+
+
+def _series(spark, vals, grp="g"):
+    return spark.createDataFrame(
+        [(grp, i, float(v)) for i, v in enumerate(vals)],
+        "grp string, day long, total double")
+
+
+def test_ewma_matches_hand_recursion(spark):
+    vals = [10.0, 20.0, 15.0, 30.0, 5.0]
+    a = 0.4
+    expect = [vals[0]]
+    for v in vals[1:]:
+        expect.append(a * v + (1 - a) * expect[-1])
+    out = (
+        ewma(_series(spark, vals), group_cols=["grp"], order_col="day",
+             value_col="total", alpha=a)
+        .orderBy("day").collect()
+    )
+    assert [r["day"] for r in out] == list(range(5))
+    for r, e in zip(out, expect):
+        assert r["ewma"] == pytest.approx(e, rel=1e-12)
+
+
+def test_ewma_unsorted_input_and_alpha_validation(spark):
+    df = spark.createDataFrame(
+        [("g", 2, 3.0), ("g", 0, 1.0), ("g", 1, 2.0)],
+        "grp string, day long, total double")
+    out = ewma(df, group_cols=["grp"], order_col="day",
+               value_col="total", alpha=0.5).orderBy("day").collect()
+    # sorted fold: 1.0, then .5*2+.5*1=1.5, then .5*3+.5*1.5=2.25
+    assert [r["ewma"] for r in out] == pytest.approx([1.0, 1.5, 2.25])
+    with pytest.raises(ValueError):
+        ewma(df, group_cols=["grp"], order_col="day",
+             value_col="total", alpha=0.0)
+
+
+def test_rolling_zscore_flags_spike(spark):
+    vals = [10.0] * 6 + [100.0]
+    out = (
+        rolling_zscore(_series(spark, vals), group_cols=["grp"],
+                       order_col="day", value_col="total",
+                       window_size=4, threshold=1.5)
+        .orderBy("day").collect()
+    )
+    # constant prefix: sd == 0 → z null, no anomaly
+    assert out[3]["z"] is None
+    # spike day: window [10,10,10,100], mean 32.5, sd 45, z = 1.5
+    assert out[6]["z"] == pytest.approx(1.5)
+    assert out[6]["is_anomaly"] is False  # strict inequality
+    flags = [r["is_anomaly"] for r in out]
+    assert True not in flags
+
+
+def test_autocorrelation_alternating_series(spark):
+    # perfectly alternating: lag-1 corr = -1, lag-2 corr = +1
+    vals = [1.0, -1.0] * 6
+    out = autocorrelation(
+        _series(spark, vals), group_cols=["grp"], order_col="day",
+        value_col="total", lags=[1, 2])
+    got = {r["lag"]: r for r in out.collect()}
+    assert got[1]["autocorr"] == pytest.approx(-1.0)
+    assert got[2]["autocorr"] == pytest.approx(1.0)
+    assert got[1]["n_pairs"] == 11 and got[2]["n_pairs"] == 10
+    with pytest.raises(ValueError):
+        autocorrelation(_series(spark, vals), group_cols=["grp"],
+                        order_col="day", value_col="total", lags=[])
+
+
+def test_markov_transitions_hand_chain(spark):
+    # user 1: A B A B  → AB:2? transitions A→B, B→A, A→B
+    # user 2: A A B    → A→A, A→B
+    rows = [(1, i, s) for i, s in enumerate("ABAB")]
+    rows += [(2, i + 10, s) for i, s in enumerate("AAB")]
+    df = spark.createDataFrame(rows, "u long, t long, s string")
+    out = markov_transitions(
+        df, entity_col="u", order_cols=["t"], state_col="s")
+    got = {(r["from_state"], r["to_state"]): r for r in out.collect()}
+    assert got[("A", "B")]["n"] == 3
+    assert got[("A", "A")]["n"] == 1
+    assert got[("B", "A")]["n"] == 1
+    assert got[("A", "B")]["prob"] == pytest.approx(0.75)
+    assert got[("B", "A")]["prob"] == pytest.approx(1.0)
+
+
+def test_markov_single_events_yield_no_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "A"), (2, 0, "B")], "u long, t long, s string")
+    assert markov_transitions(
+        df, entity_col="u", order_cols=["t"], state_col="s").count() == 0
