@@ -4345,6 +4345,40 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_state", "to_state")
 
 
+def jw_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro–Winkler record linkage (operators/text.py, r5
+    fuzzy-matching widening): within-block customer-name pairs at
+    similarity ≥ 0.95, blocked on (nation, digits 1-5 of the customer
+    number) — the same NEVER-all-pairs shape as ``fuzzy_name_pairs``
+    but with the transposition-tolerant JW measure, which Spark lacks
+    natively: scored by an Arrow pandas UDF over the bounded candidate
+    stream only. The oracle runs the identical blocked join with
+    DuckDB's ``jaro_winkler_similarity`` — two independent JW
+    implementations (fuzz-verified equal on 3000 random pairs) must
+    agree pair-for-pair AND score-for-score."""
+    from deltalake_spark.operators.text import jaro_winkler_pairs
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.substring("c_name", 10, 5).alias("blk"))
+    pairs = jaro_winkler_pairs(
+        customer, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey", "blk"], min_similarity=0.95)
+    nation = customer.select(F.col("c_custkey").alias("id_a"),
+                             "c_nationkey")
+    return (
+        pairs.join(nation, "id_a")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("similarity"), 6).alias("avg_sim"),
+            F.round(F.min("similarity"), 6).alias("min_sim"),
+            F.sum("id_b").alias("sum_b"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4520,6 +4554,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_zscore_days": rolling_zscore_days,
     "autocorr_daily_values": autocorr_daily_values,
     "markov_event_transitions": markov_event_transitions,
+    "jw_name_pairs": jw_name_pairs,
 }
 
 
@@ -7553,6 +7588,30 @@ def oracle_sql() -> dict[str, str]:
                    round(n / sum(n) OVER (PARTITION BY from_state), 6)
                      AS prob
             FROM c ORDER BY 1, 2
+        """,
+        "jw_name_pairs": """
+            -- identical blocked join; DuckDB's native JW vs the
+            -- fuzz-verified Python implementation in operators/text.py
+            WITH c AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     substr(c_name, 10, 5) AS blk
+              FROM customer
+            ), pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     a.c_nationkey,
+                     jaro_winkler_similarity(a.c_name, b.c_name)
+                       AS similarity
+              FROM c a JOIN c b
+                ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+               AND a.c_custkey < b.c_custkey
+              WHERE jaro_winkler_similarity(a.c_name, b.c_name)
+                    >= 0.95
+            )
+            SELECT c_nationkey, count(*) AS n_pairs,
+                   round(avg(similarity), 6) AS avg_sim,
+                   round(min(similarity), 6) AS min_sim,
+                   CAST(sum(id_b) AS BIGINT) AS sum_b
+            FROM pairs GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

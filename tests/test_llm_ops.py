@@ -633,3 +633,52 @@ class TestFuzzyMatching:
                       df, id_col="id", text_col="name",
                       window=1, max_distance=1).collect()}
         assert (1, 3) not in narrow
+
+    def test_jaro_winkler_reference_values(self):
+        from deltalake_spark.operators.text import jaro_winkler
+
+        # canonical published values
+        assert jaro_winkler("martha", "marhta") == pytest.approx(
+            0.9611111111111111)
+        assert jaro_winkler("dixon", "dicksonx") == pytest.approx(
+            0.8133333333333332)
+        assert jaro_winkler("crate", "trace") == pytest.approx(
+            0.7333333333333333)  # below boost threshold: no bonus
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("abc", "") == 0.0
+        assert jaro_winkler("", "") == 0.0   # DuckDB convention
+        assert jaro_winkler("xy", "yx") == 0.0  # window 0: no matches
+
+    def test_jaro_winkler_matches_duckdb(self):
+        import random
+
+        import duckdb
+
+        from deltalake_spark.operators.text import jaro_winkler
+
+        con = duckdb.connect()
+        rng = random.Random(11)
+        for _ in range(400):
+            s1 = "".join(rng.choice("abcd ") for _ in
+                         range(rng.randint(0, 10)))
+            s2 = "".join(rng.choice("abcd ") for _ in
+                         range(rng.randint(0, 10)))
+            d = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)",
+                [s1, s2]).fetchone()[0]
+            assert jaro_winkler(s1, s2) == pytest.approx(
+                d, abs=1e-12), (s1, s2)
+
+    def test_jaro_winkler_pairs_blocked(self, spark):
+        from deltalake_spark.operators.text import jaro_winkler_pairs
+
+        df = spark.createDataFrame(
+            [(1, "martha", "a"), (2, "marhta", "a"), (3, "zzzzzz", "a"),
+             (4, "martha", "b")],   # blocking separates
+            "id long, name string, blk string")
+        got = {(r["id_a"], r["id_b"]): r["similarity"]
+               for r in jaro_winkler_pairs(
+                   df, id_col="id", text_col="name",
+                   block_cols=["blk"], min_similarity=0.9).collect()}
+        assert got[(1, 2)] == pytest.approx(0.9611111111111111)
+        assert len(got) == 1

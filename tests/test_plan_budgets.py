@@ -173,6 +173,9 @@ BUDGETS = {
     "rolling_zscore_days": (3, False),      # rollup + z window + agg
     "autocorr_daily_values": (3, False),    # rollup + lag window + agg
     "markov_event_transitions": (4, False),  # user window + cell agg
+    # r5: blocked JW join (broadcast at fixture scale; block-keyed
+    # equi-join at 100 TB — never cross); Arrow scorer post-blocking
+    "jw_name_pairs": (3, False),
 }
 
 
