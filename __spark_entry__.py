@@ -4379,6 +4379,52 @@ def jw_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (r5 media-matrix completion, operators/gif.py):
+    synthesize genuinely LZW-compressed GIF89a gradients from
+    documents-table parameters in an Arrow pandas UDF — every pixel a
+    distinct palette index so palette expansion is load-bearing, and
+    odd doc_ids interlaced so the 4-pass row schedule runs — then
+    decode fused with per-channel means in one ``mapInPandas`` pass
+    (``media_decode`` dispatches on the GIF magic). The palette entry
+    for index ``y·w+x`` is ``base_c + 8x + 2y``, so each channel mean
+    is the exact INTEGER ``base_c + 4(w−1) + (h−1)`` and the summed
+    channel mean is integer-exact end to end — any LZW, palette,
+    sub-block, or deinterlace-volume bug breaks value equality. Pixel
+    buffers never leave their partition; one lang agg + sort."""
+    from deltalake_spark.operators.gif import make_gif
+    from deltalake_spark.operators.multimodal import pixel_channel_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for did, nc in zip(doc_id, n_chars):
+            did, nc = int(did), int(nc)
+            w, h = did % 8 + 4, nc % 6 + 3
+            bases = ((did * 3) % 128, (did * 5) % 128, (did * 7) % 128)
+            idx = bytes(range(w * h))
+            pal = bytes(
+                b + 8 * (i % w) + 2 * (i // w)
+                for i in range(w * h) for b in bases)
+            out.append(make_gif(w, h, idx, pal,
+                                interlace=(did % 2 == 1)))
+        return pd.Series(out)
+
+    payloads = docs.withColumn("payload", synth("doc_id", "n_chars"))
+    stats = pixel_channel_stats(payloads)
+    summed = (F.col("mean_c0") + F.col("mean_c1") + F.col("mean_c2"))
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(summed), 4).alias("avg_sum_mean"),
+        F.round(F.max(summed), 4).alias("max_sum_mean"),
+        F.sum(F.col("pix_width") * F.col("pix_height")).cast("long")
+        .alias("total_pixels"),
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4555,6 +4601,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "autocorr_daily_values": autocorr_daily_values,
     "markov_event_transitions": markov_event_transitions,
     "jw_name_pairs": jw_name_pairs,
+    "gif_pixel_stats": gif_pixel_stats,
 }
 
 
@@ -7612,6 +7659,32 @@ def oracle_sql() -> dict[str, str]:
                    round(min(similarity), 6) AS min_sim,
                    CAST(sum(id_b) AS BIGINT) AS sum_b
             FROM pairs GROUP BY 1 ORDER BY 1
+        """,
+        "gif_pixel_stats": """
+            -- closed form of the palette gradients the Spark side
+            -- LZW-encodes into real GIFs and decodes back: channel
+            -- mean = base_c + 4(w-1) + (h-1), an exact integer, so
+            -- the summed channel mean is integer-exact in float64
+            WITH p AS (
+              SELECT lang,
+                     doc_id % 8 + 4 AS w,
+                     n_chars % 6 + 3 AS h,
+                     (doc_id * 3) % 128 AS b0,
+                     (doc_id * 5) % 128 AS b1,
+                     (doc_id * 7) % 128 AS b2
+              FROM documents
+            ), s AS (
+              SELECT lang, w, h,
+                     CAST(b0 + b1 + b2
+                          + 3 * (4 * (w - 1) + (h - 1)) AS DOUBLE)
+                       AS sum_mean
+              FROM p
+            )
+            SELECT lang, count(*) AS n,
+                   round(avg(sum_mean), 4) AS avg_sum_mean,
+                   round(max(sum_mean), 4) AS max_sum_mean,
+                   CAST(sum(w * h) AS BIGINT) AS total_pixels
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -798,7 +798,8 @@ def make_png_indexed(width: int, height: int, indices: bytes,
 def media_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
     """Dispatch a raw image payload to the matching REAL codec by magic
     bytes: PNG → :func:`png_decode`, baseline JPEG →
-    ``operators.jpeg.jpeg_decode``. Returns
+    ``operators.jpeg.jpeg_decode``, GIF →
+    ``operators.gif.gif_decode`` (LZW + palette + interlace). Returns
     ``(width, height, channels, depth, pixels)``; raises ValueError for
     other formats."""
     if payload[:8] == _PNG_SIG:
@@ -807,6 +808,9 @@ def media_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
         from deltalake_spark.operators.jpeg import jpeg_decode
         w, h, c, px = jpeg_decode(payload)
         return w, h, c, 8, px
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from deltalake_spark.operators.gif import gif_decode
+        return gif_decode(payload)
     raise ValueError("unsupported image payload")
 
 

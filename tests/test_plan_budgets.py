@@ -176,6 +176,9 @@ BUDGETS = {
     # r5: blocked JW join (broadcast at fixture scale; block-keyed
     # equi-join at 100 TB — never cross); Arrow scorer post-blocking
     "jw_name_pairs": (3, False),
+    # r5: synth + fused LZW decode/stats mapInPandas are map-only;
+    # one lang agg + sort — same shape as png/jpeg_pixel_stats
+    "gif_pixel_stats": (2, False),
 }
 
 
