@@ -59,6 +59,11 @@ EXTRA = [
     "copurchase_triangle_stats",   # r5: degree-oriented triangles
     "jl_projection_stats",         # r5: JVM-exact JL folds
     "inverted_index_stats",        # r5: posting-list build
+    "gif_pixel_stats",             # r5: real GIF LZW decode
+    "ewma_daily_values",           # r5: recursive fold smoothing
+    "markov_event_transitions",    # r5: user-sequence window
+    "winsorized_price_stats",      # r5: exact-percentile broadcast
+    "jw_name_pairs",               # r5: blocked Arrow JW scorer
 ]
 
 
