@@ -4425,6 +4425,36 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point k-means (r5, operators/clustering.py):
+    k=8 Lloyd's over the embeddings table, TWO full assign+update
+    iterations plus a final assignment — seeded by the 8 lowest
+    vec_ids, vectors quantized to exact integer micro-units so every
+    distance, argmin (ties -> lowest cid), and re-rounded centroid is
+    bit-identical on any engine or partitioning. Assignment is
+    map-only against literal centroids (the IVF-codebook pattern);
+    each update is ONE k-row groupBy shuffle of per-dimension integer
+    sums. Output: per-cluster membership, exact BIGINT inertia, and
+    the majority ground-truth label (ties -> lowest label). The
+    oracle replays BOTH iterations in SQL — any drift in the
+    recursion, the tie-breaks, or the empty-cluster rule breaks it."""
+    from deltalake_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit(emb, k=8, n_iter=2)
+    per = assigned.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sqdist").alias("sd"))
+    w = Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+    lab = (per.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("cid", F.col("label").alias("majority_label"),
+                   F.col("n").alias("majority_n")))
+    agg = per.groupBy("cid").agg(
+        F.sum("n").alias("n_members"),
+        F.sum("sd").alias("sum_sqdist"))
+    return agg.join(lab, "cid").orderBy("cid")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4602,6 +4632,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_event_transitions": markov_event_transitions,
     "jw_name_pairs": jw_name_pairs,
     "gif_pixel_stats": gif_pixel_stats,
+    "kmeans_cluster_stats": kmeans_cluster_stats,
 }
 
 
@@ -7685,6 +7716,96 @@ def oracle_sql() -> dict[str, str]:
                    round(max(sum_mean), 4) AS max_sum_mean,
                    CAST(sum(w * h) AS BIGINT) AS total_pixels
             FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "kmeans_cluster_stats": """
+            -- full SQL replay of the fixed-point Lloyd recursion:
+            -- quantize -> assign(c0) -> mean -> assign(c1) -> mean ->
+            -- final assign(c2). All distances are exact BIGINT sums;
+            -- centroid updates re-round one IEEE double division;
+            -- argmin ties break to the lowest cid, empty clusters
+            -- keep their previous centroid (COALESCE).
+            WITH q AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS pos,
+                     CAST(ROUND(unnest(CAST(embedding AS DOUBLE[]))
+                                * 1000000) AS BIGINT) AS qe
+              FROM embeddings
+            ), init AS (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cid
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), c0 AS (
+              SELECT i.cid, q.pos, q.qe AS ce
+              FROM init i JOIN q USING (vec_id)
+            ), a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c0 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), m1 AS (
+              SELECT a1.cid, q.pos,
+                     CAST(ROUND(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS ce
+              FROM a1 JOIN q USING (vec_id) GROUP BY a1.cid, q.pos
+            ), c1 AS (
+              SELECT c0.cid, c0.pos, COALESCE(m1.ce, c0.ce) AS ce
+              FROM c0 LEFT JOIN m1 USING (cid, pos)
+            ), a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c1 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), m2 AS (
+              SELECT a2.cid, q.pos,
+                     CAST(ROUND(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS ce
+              FROM a2 JOIN q USING (vec_id) GROUP BY a2.cid, q.pos
+            ), c2 AS (
+              SELECT c1.cid, c1.pos, COALESCE(m2.ce, c1.ce) AS ce
+              FROM c1 LEFT JOIN m2 USING (cid, pos)
+            ), a3 AS (
+              SELECT vec_id, cid, d2 FROM (
+                SELECT q.vec_id, c.cid,
+                       CAST(SUM((q.qe - c.ce) * (q.qe - c.ce))
+                            AS BIGINT) AS d2,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c2 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), per AS (
+              SELECT a3.cid, e.label,
+                     COUNT(*) AS n, SUM(a3.d2) AS sd
+              FROM a3 JOIN embeddings e USING (vec_id)
+              GROUP BY 1, 2
+            ), lab AS (
+              SELECT cid, label AS majority_label,
+                     CAST(n AS BIGINT) AS majority_n FROM (
+                SELECT cid, label, n,
+                       ROW_NUMBER() OVER (PARTITION BY cid
+                                          ORDER BY n DESC, label) AS rn
+                FROM per) WHERE rn = 1
+            ), agg AS (
+              SELECT cid, CAST(SUM(n) AS BIGINT) AS n_members,
+                     CAST(SUM(sd) AS BIGINT) AS sum_sqdist
+              FROM per GROUP BY cid
+            )
+            SELECT agg.cid, agg.n_members, agg.sum_sqdist,
+                   lab.majority_label, lab.majority_n
+            FROM agg JOIN lab USING (cid) ORDER BY cid
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -1,0 +1,199 @@
+"""Distributed k-means (Lloyd's) over embedding columns.
+
+Engine-native north-star surface (the reference has no clustering ops;
+compare ``src/query/index.ts``'s aggregate-only analytics). Clustering
+is the backbone of several operators that already live here — SemDeDup
+keys on cluster ids (``operators/dedup.py``), IVF/PQ ANN partitions by
+centroid (``operators/similarity.py``), cluster-based pruning scores
+within clusters — so a first-class, *distributed* Lloyd's loop closes
+the loop: those operators can train their partitions on the full
+corpus instead of a driver-side sample.
+
+Scale shape (the part that matters at 100 TB):
+
+- **Assignment is map-only.** Centroids are k x dim literals compiled
+  into the plan (k*dim <= a few thousand values — same bounded-driver
+  -state pattern as the IVF codebooks). Squared distance runs in JVM
+  ``zip_with``/``aggregate`` higher-order functions inside whole-stage
+  codegen; zero Python, zero shuffle, zero broadcast table.
+- **The update step is ONE k-row shuffle.** Per-dimension sums are k
+  independent ``SUM(qvec[i])`` aggregates in a single ``groupBy(cid)``
+  pass — map-side partial aggregation reduces every partition to k
+  rows of d+1 longs before anything crosses the wire. No posexplode
+  (which would shuffle n*d rows), no collect of assignments.
+- **Per-iteration driver state is k*(d+1) integers** — the only thing
+  collected, ever.
+
+Determinism (why this survives a correctness oracle): floating-point
+Lloyd's is not reproducible across partitionings — double summation
+order changes the low bits of the means, which can flip a borderline
+assignment. This implementation is **fixed-point**: vectors quantize
+once to integer micro-units (``round(x * scale)``, exact for float
+inputs because a 24-bit float times a 20-bit scale fits double's 53
+bits), all distances are exact BIGINT sums (order-independent), the
+argmin tie-breaks on the lowest cluster id, and the centroid update
+re-rounds to integers (``round(sum / n)`` — one IEEE division of an
+exactly-represented integer sum, identical on every engine). The same
+recursion is therefore replayable in ANSI SQL, numpy, or another Spark
+cluster bit-for-bit; see the ``kmeans_cluster_stats`` gate twin.
+
+Init is deterministic too: the k rows with the lowest ids seed the
+centroids (callers wanting k-means++ can pass explicit ``init``).
+Empty clusters keep their previous centroid (documented, tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_to_grid", "assign_to_centroids", "kmeans_fit"]
+
+DEFAULT_SCALE = 1_000_000
+
+
+def quantize_to_grid(col: Column, *, scale: int = DEFAULT_SCALE) -> Column:
+    """``array<float/double>`` -> ``array<long>`` micro-unit grid.
+
+    ``float -> double`` widening is exact and ``x * scale`` stays
+    inside double's 53-bit mantissa for float inputs, so the rounding
+    is a pure function of the stored value — the foundation of the
+    cross-engine determinism argument above.
+    """
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.round(x * float(scale)).cast("long"),
+    )
+
+
+def _sqdist_to_literal(qcol: Column, centroid: list[int]) -> Column:
+    """Exact integer squared L2 distance to a literal centroid."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    return F.aggregate(
+        F.zip_with(qcol, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[int]],
+    *,
+    qvec_col: str = "qvec",
+    cluster_col: str = "cid",
+    dist_col: str | None = "sqdist",
+) -> DataFrame:
+    """Nearest-centroid assignment against literal integer centroids.
+
+    Map-only: one ``(sqdist, cid)`` struct per centroid, ``array_min``
+    picks the lexicographic minimum — exact argmin with ties broken by
+    the LOWEST cluster id (struct comparison is field-ordered).
+    """
+    cands = F.array(*[
+        F.struct(
+            _sqdist_to_literal(F.col(qvec_col), c).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    best = F.array_min(cands)
+    out = df.withColumn("__best", best).withColumn(
+        cluster_col, F.col("__best.i"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.col("__best.d"))
+    return out.drop("__best")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = DEFAULT_SCALE,
+    init: list[list[int]] | None = None,
+    qvec_col: str = "qvec",
+) -> tuple[DataFrame, list[list[int]]]:
+    """Fixed-point Lloyd's: ``n_iter`` assign+update rounds, then a
+    final assignment against the last centroids.
+
+    Returns ``(assigned, centroids)`` where ``assigned`` carries
+    ``cid`` (int) and ``sqdist`` (exact BIGINT, in grid units²) and
+    ``centroids`` is the final k x dim integer grid — ready to feed
+    :func:`operators.similarity.cluster_prune`, SemDeDup, or an IVF
+    index build.
+
+    The quantized frame is cached: every iteration's assignment and
+    the update agg replay it, and at scale re-reading the source per
+    iteration would dominate the loop.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qdf = df.withColumn(qvec_col, quantize_to_grid(F.col(vec_col),
+                                                   scale=scale))
+    qdf = qdf.persist()
+    dim = len(qdf.select(qvec_col).first()[0])
+
+    if init is None:
+        # deterministic seed: the k lowest-id rows' quantized vectors
+        seed_rows = (qdf.select(id_col, qvec_col)
+                     .orderBy(id_col).limit(k).collect())
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} exceeds row count {len(seed_rows)}")
+        centroids = [list(r[qvec_col]) for r in seed_rows]
+    else:
+        centroids = [list(c) for c in init]
+        if len(centroids) != k:
+            raise ValueError("init must supply exactly k centroids")
+
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(qdf, centroids,
+                                       qvec_col=qvec_col, dist_col=None)
+        # ONE groupBy(cid) shuffle: d per-dimension exact integer sums
+        # + the member count, map-side combined to k rows per partition
+        sums = (
+            assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.col(qvec_col)[i]).alias(f"s{i}")
+                   for i in range(dim)])
+            .collect()
+        )
+        by_cid = {r["cid"]: r for r in sums}
+        new_centroids = []
+        for i, old in enumerate(centroids):
+            r = by_cid.get(i)
+            if r is None or r["n"] == 0:
+                new_centroids.append(old)  # empty cluster: keep seed
+            else:
+                n = r["n"]
+                # round(sum/n): sum is an exactly-represented integer
+                # (|sum| << 2^53 for micro-unit grids), so the single
+                # IEEE division + half-away-from-zero round is
+                # identical on every engine
+                new_centroids.append(
+                    [int(_round_half_away(r[f"s{j}"] / n))
+                     for j in range(dim)])
+        centroids = new_centroids
+
+    final = assign_to_centroids(qdf, centroids, qvec_col=qvec_col)
+    return final, centroids
+
+
+def _round_half_away(x: float) -> int:
+    """Round half away from zero ON THE DOUBLE ITSELF — C
+    ``std::round`` semantics, matching DuckDB ``round(double)`` and
+    Spark ``round()`` (Python's ``round`` is banker's, and
+    ``floor(x + 0.5)`` mis-rounds doubles just under a .5 boundary
+    when the add rounds up)."""
+    import math
+
+    y = abs(x)
+    fl = math.floor(y)
+    # y - floor(y) is EXACT: floor(y)=0 for y<1, else Sterbenz applies
+    # (floor(y) <= y <= 2*floor(y)). Computing on |x| matters: for x
+    # just above -0.5 the subtraction x - floor(x) rounds and fakes a
+    # .5 tie.
+    r = fl + 1 if (y - fl) >= 0.5 else fl
+    return int(-r if x < 0 else r)

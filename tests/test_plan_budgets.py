@@ -179,6 +179,12 @@ BUDGETS = {
     # r5: synth + fused LZW decode/stats mapInPandas are map-only;
     # one lang agg + sort — same shape as png/jpeg_pixel_stats
     "gif_pixel_stats": (2, False),
+    # r5: fixed-point k-means final frame — the k-row stats tail
+    # ((cid,label) agg + cid agg + majority window + broadcast join +
+    # sort); every Lloyd iteration inside kmeans_fit is map-only
+    # assignment + ONE k-row groupBy, and the assignment itself is
+    # literal-centroid zip_with with zero joins
+    "kmeans_cluster_stats": (5, False),
 }
 
 
