@@ -4455,6 +4455,39 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(lab, "cid").orderBy("cid")
 
 
+def pagerank_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (r5, operators/graph.py): symmetrize the
+    thinned co-purchase graph (same edge derivation as
+    copurchase_triangle_stats) and run THREE exact-integer power
+    iterations — ranks in 1e-12 units, contributions via integer floor
+    division, so the whole recursion is order-independent and
+    bit-replayable in SQL. Per iteration: one ranks<->edges equi-join
+    + one groupBy(dst) sum (the Pregel-on-DataFrames step); the
+    out-degree join happens once outside the loop. Top 20 parts by
+    (rank desc, id) — the deterministic influencer list."""
+    from deltalake_spark.operators.graph import (
+        canonical_edges,
+        pagerank_fixed_point,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 5 == 0).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+    )
+    und = canonical_edges(pairs)
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+        .unionAll(und.select(F.col("v").alias("src"),
+                             F.col("u").alias("dst")))
+    ranks = pagerank_fixed_point(edges, n_iter=3)
+    return ranks.orderBy(F.desc("rank_scaled"), F.asc("node")) \
+        .limit(20).select("node", "rank_scaled")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4633,6 +4666,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jw_name_pairs": jw_name_pairs,
     "gif_pixel_stats": gif_pixel_stats,
     "kmeans_cluster_stats": kmeans_cluster_stats,
+    "pagerank_copurchase_topk": pagerank_copurchase_topk,
 }
 
 
@@ -7806,6 +7840,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT agg.cid, agg.n_members, agg.sum_sqdist,
                    lab.majority_label, lab.majority_n
             FROM agg JOIN lab USING (cid) ORDER BY cid
+        """,
+        "pagerank_copurchase_topk": """
+            -- exact integer replay of three fixed-point PageRank
+            -- iterations over the symmetrized co-purchase graph:
+            -- r0 = scale//N; contrib = (r*85//100)//outdeg;
+            -- r' = (15*scale)//(100*N) + SUM(contrib)
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey % 5 = 0
+            ), und AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+            ), edges AS (
+              SELECT u AS src, v AS dst FROM und
+              UNION ALL SELECT v AS src, u AS dst FROM und
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), c AS (
+              SELECT ((100 - 85) * 1000000000000)
+                     // (100 * (SELECT COUNT(*) FROM nodes)) AS base,
+                     1000000000000
+                     // (SELECT COUNT(*) FROM nodes) AS r_init
+            ), outdeg AS (
+              SELECT src AS node, COUNT(*) AS outdeg
+              FROM edges GROUP BY 1
+            ), r0 AS (
+              SELECT node, (SELECT r_init FROM c) AS r FROM nodes
+            ), m1 AS (
+              SELECT e.dst AS node,
+                     SUM(((r.r * 85) // 100) // d.outdeg) AS mass
+              FROM edges e
+              JOIN r0 r ON r.node = e.src
+              JOIN outdeg d ON d.node = e.src
+              GROUP BY 1
+            ), r1 AS (
+              SELECT n.node,
+                     (SELECT base FROM c) + COALESCE(m.mass, 0) AS r
+              FROM nodes n LEFT JOIN m1 m USING (node)
+            ), m2 AS (
+              SELECT e.dst AS node,
+                     SUM(((r.r * 85) // 100) // d.outdeg) AS mass
+              FROM edges e
+              JOIN r1 r ON r.node = e.src
+              JOIN outdeg d ON d.node = e.src
+              GROUP BY 1
+            ), r2 AS (
+              SELECT n.node,
+                     (SELECT base FROM c) + COALESCE(m.mass, 0) AS r
+              FROM nodes n LEFT JOIN m2 m USING (node)
+            ), m3 AS (
+              SELECT e.dst AS node,
+                     SUM(((r.r * 85) // 100) // d.outdeg) AS mass
+              FROM edges e
+              JOIN r2 r ON r.node = e.src
+              JOIN outdeg d ON d.node = e.src
+              GROUP BY 1
+            ), r3 AS (
+              SELECT n.node,
+                     (SELECT base FROM c) + COALESCE(m.mass, 0) AS r
+              FROM nodes n LEFT JOIN m3 m USING (node)
+            )
+            SELECT node, CAST(r AS BIGINT) AS rank_scaled
+            FROM r3 ORDER BY r DESC, node LIMIT 20
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

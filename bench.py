@@ -64,6 +64,8 @@ EXTRA = [
     "markov_event_transitions",    # r5: user-sequence window
     "winsorized_price_stats",      # r5: exact-percentile broadcast
     "jw_name_pairs",               # r5: blocked Arrow JW scorer
+    "kmeans_cluster_stats",        # r5: fixed-point Lloyd iterations
+    "pagerank_copurchase_topk",    # r5: integer power iteration
 ]
 
 

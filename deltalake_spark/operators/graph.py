@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["canonical_edges", "degree_stats", "triangle_count"]
+__all__ = ["canonical_edges", "degree_stats", "triangle_count",
+           "pagerank_fixed_point"]
 
 
 def canonical_edges(df: DataFrame, src: str = "src",
@@ -92,3 +93,96 @@ def triangle_count(edges: DataFrame, *, per_node: bool = False) -> DataFrame:
         F.explode(F.array("w_src", "b1", "b2")).alias("node"))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10 ** 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over a DIRECTED edge list: ``n_iter``
+    power iterations in EXACT integer arithmetic.
+
+    Why fixed-point: double-precision PageRank is not reproducible —
+    the per-node contribution sum is order-dependent, so two runs with
+    different partitionings disagree in the low bits, and an
+    independent replay (SQL oracle, another cluster) can diverge. Here
+    ranks live in integer ``scale``-units and every step is exact and
+    order-independent:
+
+    - ``r0 = scale // N`` for every node;
+    - ``contrib(u->v) = (r(u) * damping_pct // 100) // outdeg(u)``
+      (integer floor divisions — deterministic, and the flooring loss
+      is bounded by ``outdeg`` units, i.e. < 1e-6 of a rank point at
+      the default scale);
+    - ``r'(v) = (100 - damping_pct) * scale // (100 * N)
+      + SUM(contrib)`` — a BIGINT sum, order-independent.
+
+    Dangling nodes (out-degree 0) simply leak their damped mass —
+    the usual redistribute-to-all variant needs an extra global agg
+    per iteration; for web-style link analysis over symmetrized
+    co-occurrence graphs every node has out-edges anyway. Documented,
+    tested.
+
+    Scale shape: the out-degree join happens ONCE outside the loop
+    (edges carry their source's outdeg thereafter); each iteration is
+    one ranks<->edges equi-join plus one ``groupBy(dst)`` sum — the
+    standard Pregel-on-DataFrames step, co-partitioned on the node
+    key so AQE reuses the exchange. Driver state is one scalar (N).
+    Returns ``(node, rank_scaled)`` with ranks in scale-units.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    outdeg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg"))
+    # one-time: annotate each edge with its source's out-degree
+    deg_edges = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .join(outdeg.withColumnRenamed("node", "e_src"), "e_src")
+        .persist()
+    )
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    ranks = nodes.withColumn(
+        "rank_scaled", F.lit(int(scale // n)).cast("long"))
+    stale: DataFrame | None = None
+    for it in range(n_iter):
+        contribs = (
+            deg_edges.join(ranks.withColumnRenamed("node", "e_src"), "e_src")
+            .select(
+                F.col("e_dst").alias("node"),
+                F.expr(f"(rank_scaled * {int(damping_pct)} DIV 100) "
+                       f"DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(int(base)).cast("long")
+             + F.coalesce(F.col("in_mass"), F.lit(0).cast("long")))
+            .alias("rank_scaled"),
+        )
+        # cut the iterative lineage: without this, iteration i's plan
+        # nests and REPLAYS every earlier iteration's join+agg
+        # (quadratic re-execution) — the same hazard the BPE trainer
+        # flattens with localCheckpoint
+        if it < n_iter - 1:
+            ranks = ranks.persist()
+            ranks.count()  # materialize now so the next plan reads cache
+            if stale is not None:
+                stale.unpersist()
+            stale = ranks
+    return ranks

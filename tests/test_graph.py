@@ -74,3 +74,99 @@ def test_triangle_count_star_has_none_clique_has_many(spark):
     k6 = canonical_edges(_edges_df(
         spark, [(a, b) for a in range(6) for b in range(a + 1, 6)]))
     assert triangle_count(k6).collect()[0]["n_triangles"] == 20
+
+
+# ---------------------------------------------------------------------------
+# pagerank_fixed_point
+
+
+def _pr_ref(edge_list, n_iter=3, damping_pct=85, scale=10 ** 12):
+    """Independent replay of the exact integer recursion."""
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edge_list:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(n_iter):
+        mass = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            mass[v] += (r[u] * damping_pct // 100) // outdeg[u]
+        r = {v: base + mass[v] for v in nodes}
+    return r
+
+
+def _edges_df(spark, edge_list, partitions=3):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edge_list], "src long, dst long"
+    ).repartition(partitions)
+
+
+def test_pagerank_matches_integer_replay(spark):
+    from deltalake_spark.operators.graph import pagerank_fixed_point
+
+    # a small web: hub (0), spokes, a cycle, and a dangling node (9)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 4), (4, 5),
+             (5, 3), (6, 0), (7, 0), (8, 0), (0, 9)]
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank_fixed_point(
+               _edges_df(spark, edges), n_iter=3).collect()}
+    assert got == _pr_ref(edges, n_iter=3)
+
+
+def test_pagerank_partitioning_invariance(spark):
+    import random
+
+    from deltalake_spark.operators.graph import pagerank_fixed_point
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(30), rng.randrange(30))
+                  for _ in range(120)})
+    edges = [(u, v) for u, v in edges if u != v]
+    runs = []
+    for parts in (1, 11):
+        runs.append(sorted(
+            tuple(r) for r in pagerank_fixed_point(
+                _edges_df(spark, edges, parts), n_iter=4).collect()))
+    assert runs[0] == runs[1]
+    assert runs[0] == sorted(_pr_ref(edges, n_iter=4).items())
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    from deltalake_spark.operators.graph import pagerank_fixed_point
+
+    # every spoke points at the hub; hub points at one spoke
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    r = {row["node"]: row["rank_scaled"]
+         for row in pagerank_fixed_point(
+             _edges_df(spark, edges), n_iter=3).collect()}
+    assert r[0] == max(r.values())
+    assert r[1] > r[2]  # the hub's single out-link boosts node 1
+    assert len(set(r[i] for i in range(2, 8))) == 1  # symmetric spokes
+
+
+def test_pagerank_mass_bounded_and_dangling_leaks(spark):
+    from deltalake_spark.operators.graph import pagerank_fixed_point
+
+    scale = 10 ** 12
+    # node 2 dangles: its damped mass leaks each iteration, so total
+    # mass stays strictly below scale but above the teleport floor
+    edges = [(0, 1), (1, 2)]
+    r = pagerank_fixed_point(_edges_df(spark, edges), n_iter=3,
+                             scale=scale)
+    total = sum(row["rank_scaled"] for row in r.collect())
+    assert total < scale
+    assert total >= (15 * scale) // 100 // 3 * 3
+
+
+def test_pagerank_validation(spark):
+    import pytest as _pytest
+
+    from deltalake_spark.operators.graph import pagerank_fixed_point
+
+    df = _edges_df(spark, [(0, 1)])
+    with _pytest.raises(ValueError):
+        pagerank_fixed_point(df, damping_pct=0)
+    with _pytest.raises(ValueError):
+        pagerank_fixed_point(df, damping_pct=100)

@@ -274,3 +274,19 @@ def test_summary_counts(spark):
     assert s.broadcast_joins >= 3  # region/nation/supplier dims
     # codegen spans only appear in the post-execution adaptive plan, so
     # they are not asserted here (field is best-effort pre-execution)
+
+
+def test_pagerank_gate_join_shapes(spark):
+    """pagerank_copurchase_topk is iterative: each Lloyd-style pass is
+    persisted+materialized inside pagerank_fixed_point, so the static
+    explain text NESTS the cached subtrees (InMemoryRelation embeds its
+    child plan) and raw Exchange counts double-count work the runtime
+    reads from cache — a shuffle-count budget would pin noise. What
+    must hold regardless: no cartesian/nested-loop join anywhere in
+    the tree, and the lineage cut actually happened (the final plan
+    reads an InMemoryTableScan instead of replaying iteration 1)."""
+    df = entry_mod.queries()["pagerank_copurchase_topk"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert "InMemoryTableScan" in s.text
