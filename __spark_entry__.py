@@ -4488,6 +4488,23 @@ def pagerank_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20).select("node", "rank_scaled")
 
 
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining (r5, operators/text.py): PMI-lift
+    scores for every adjacent token pair in the documents corpus —
+    word2vec-style phrase detection. All factors are exact integer
+    counts and the lift is ONE fixed left-associated chain of IEEE
+    ops, so the doubles are bit-identical cross-engine (no log in the
+    score; the ranking is log-invariant). Narrow bigram projection
+    (slice+arrays_zip, no self-join), two count shuffles, broadcast
+    vocabulary joins, totals collected as two scalars. Top 25 by
+    (lift desc, words) with a count floor of 5."""
+    from deltalake_spark.operators.text import collocation_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = collocation_pmi(docs, min_count=5)
+    return scored.orderBy(F.desc("lift"), "w1", "w2").limit(25)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4667,6 +4684,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gif_pixel_stats": gif_pixel_stats,
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "pagerank_copurchase_topk": pagerank_copurchase_topk,
+    "collocation_pmi_topk": collocation_pmi_topk,
 }
 
 
@@ -7904,6 +7922,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(r AS BIGINT) AS rank_scaled
             FROM r3 ORDER BY r DESC, node LIMIT 20
+        """,
+        "collocation_pmi_topk": """
+            -- PMI lift with the same exact factor order as the Spark
+            -- plan: c_xy * N_uni * N_uni / N_bi / c_x / c_y (all
+            -- integer counts -> one deterministic IEEE chain)
+            WITH toks AS (
+              SELECT string_split(trim(text), ' ') AS t FROM documents
+            ), uni AS (
+              SELECT w, COUNT(*) AS c FROM (
+                SELECT UNNEST(t) AS w FROM toks) WHERE w <> ''
+              GROUP BY 1
+            ), bi AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            ), bcnt AS (
+              SELECT w1, w2, COUNT(*) AS c_xy FROM bi
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+            ), tot AS (
+              SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_uni,
+                     (SELECT CAST(SUM(c_xy) AS DOUBLE) FROM bcnt) AS n_bi
+            )
+            SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS pair_count,
+                   CAST(b.c_xy AS DOUBLE) * t.n_uni * t.n_uni
+                     / t.n_bi / u1.c / u2.c AS lift
+            FROM bcnt b
+            JOIN uni u1 ON u1.w = b.w1
+            JOIN uni u2 ON u2.w = b.w2
+            CROSS JOIN tot t
+            WHERE b.c_xy >= 5
+            ORDER BY lift DESC, b.w1, b.w2 LIMIT 25
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

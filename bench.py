@@ -66,6 +66,7 @@ EXTRA = [
     "jw_name_pairs",               # r5: blocked Arrow JW scorer
     "kmeans_cluster_stats",        # r5: fixed-point Lloyd iterations
     "pagerank_copurchase_topk",    # r5: integer power iteration
+    "collocation_pmi_topk",        # r5: PMI phrase mining
 ]
 
 

@@ -361,3 +361,75 @@ def sorted_neighborhood_pairs(
             .alias("distance"))
         .filter(F.col("distance") <= max_distance)
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocation mining (word2vec-style phrase detection):
+    score every adjacent token pair by pointwise-mutual-information
+    LIFT and return per-pair counts + scores.
+
+    ``lift(w1,w2) = p(w1 w2) / (p(w1) * p(w2))``, computed as
+    ``c_xy * N_uni * N_uni / N_bi / c_x / c_y`` with that EXACT
+    left-associated IEEE op order — every factor is an exact integer
+    count, so the double result is bit-identical on any engine or
+    partitioning (no logs; callers wanting classic PMI can take
+    ``log2`` of the lift without changing the ranking).
+
+    Scale shape: tokenization and bigram extraction are one narrow
+    projection (``slice``+``arrays_zip`` — no self-join, docs with <2
+    tokens yield empty slices for free); unigram and bigram counts are
+    one hash-agg shuffle each; the two vocabulary joins broadcast (a
+    token vocabulary is KB..MB-scale even for a 100 TB corpus); the
+    two grand totals are ONE 2-scalar driver collect, compiled back as
+    literals so the plan carries no crossJoin/scalar-subquery node.
+
+    Returns ``(w1, w2, pair_count, lift)``, unfiltered order;
+    callers rank with ``orderBy(desc("lift"), "w1", "w2")``.
+    """
+    toks = df.select(
+        F.split(F.trim(F.col(text_col)), " ").alias("t"))
+    toks = toks.persist()  # unigram and bigram branches both replay it
+
+    uni = (toks.select(F.explode("t").alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    uni = uni.persist()
+
+    n = F.size("t")
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))").alias("w2"),
+    )
+    bi = (toks.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .filter((F.col("w1") != "") & (F.col("w2") != ""))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+
+    totals = uni.agg(F.sum("c").alias("n_uni")).collect()[0]
+    n_uni = int(totals["n_uni"] or 0)
+    n_bi = int(bi.agg(F.sum("c_xy")).collect()[0][0] or 0)
+    if n_uni == 0 or n_bi == 0:
+        return bi.filter(F.lit(False)).select(
+            "w1", "w2", F.col("c_xy").alias("pair_count"),
+            F.lit(0.0).alias("lift"))
+
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        bi.filter(F.col("c_xy") >= int(min_count))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1", "w2", F.col("c_xy").alias("pair_count"),
+            (F.col("c_xy").cast("double")
+             * F.lit(float(n_uni)) * F.lit(float(n_uni))
+             / F.lit(float(n_bi))
+             / F.col("c1") / F.col("c2")).alias("lift"),
+        )
+    )
+    return scored

@@ -682,3 +682,49 @@ class TestFuzzyMatching:
                    block_cols=["blk"], min_similarity=0.9).collect()}
         assert got[(1, 2)] == pytest.approx(0.9611111111111111)
         assert len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# collocation_pmi
+
+
+def _pmi_rows(spark, docs, min_count=1, partitions=3):
+    from deltalake_spark.operators.text import collocation_pmi
+
+    df = spark.createDataFrame([(t,) for t in docs], "text string") \
+        .repartition(partitions)
+    return {(r["w1"], r["w2"]): (r["pair_count"], r["lift"])
+            for r in collocation_pmi(df, min_count=min_count).collect()}
+
+
+def test_collocation_pmi_hand_values(spark):
+    got = _pmi_rows(spark, ["a b a b", "a b c"])
+    # unigrams a:3 b:3 c:1 (N_uni=7); bigrams ab:3 ba:1 bc:1 (N_bi=5)
+    def lift(cxy, cx, cy):
+        return float(cxy) * 7.0 * 7.0 / 5.0 / float(cx) / float(cy)
+    assert got == {
+        ("a", "b"): (3, lift(3, 3, 3)),
+        ("b", "a"): (1, lift(1, 3, 3)),
+        ("b", "c"): (1, lift(1, 3, 1)),
+    }
+    # the repeated pair scores higher than chance, the rare-word pair
+    # gets the frequency boost PMI is known for
+    assert got[("b", "c")][1] > got[("a", "b")][1] > got[("b", "a")][1]
+
+
+def test_collocation_pmi_min_count_and_short_docs(spark):
+    got = _pmi_rows(spark, ["x", "", "  ", "q r", "q r", "q r s"],
+                    min_count=3)
+    assert set(got) == {("q", "r")}
+    assert got[("q", "r")][0] == 3
+
+
+def test_collocation_pmi_partitioning_invariant(spark):
+    docs = [f"w{i % 7} w{(i * 3) % 7} w{(i * 5) % 11}" for i in range(200)]
+    a = _pmi_rows(spark, docs, min_count=2, partitions=1)
+    b = _pmi_rows(spark, docs, min_count=2, partitions=17)
+    assert a == b  # bit-exact doubles, not approx
+
+
+def test_collocation_pmi_empty_corpus(spark):
+    assert _pmi_rows(spark, ["", " "]) == {}

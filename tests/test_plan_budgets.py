@@ -185,6 +185,9 @@ BUDGETS = {
     # assignment + ONE k-row groupBy, and the assignment itself is
     # literal-centroid zip_with with zero joins
     "kmeans_cluster_stats": (5, False),
+    # r5: bigram explode agg + unigram agg (persisted; textually
+    # nested) + broadcast vocab joins + TakeOrdered head
+    "collocation_pmi_topk": (5, False),
 }
 
 
