@@ -4505,6 +4505,41 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("lift"), "w1", "w2").limit(25)
 
 
+def damerau_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked TRUE Damerau–Levenshtein linkage (r5,
+    operators/text.py): customer-name pairs at DL distance ≤ 2 within
+    (nation, digits-1-5) blocks — the adjacent-swap-as-one-edit
+    measure that completes the fuzzy family (Levenshtein JVM builtin,
+    JW Arrow scorer). Lowrance–Wagner with the last-occurrence table,
+    NOT the restricted OSA shortcut — fuzz-pinned equal to DuckDB's
+    native ``damerau_levenshtein`` over 3800 random pairs, and the
+    oracle re-scores the identical blocked join with it,
+    pair-for-pair. Arrow UDF sees only the blocked candidate stream
+    (never N²). Per-nation rollup keeps the output compact."""
+    from deltalake_spark.operators.text import damerau_pairs
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.substring("c_name", 10, 5).alias("blk"))
+    pairs = damerau_pairs(
+        customer, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey", "blk"], max_distance=2)
+    nation = customer.select(F.col("c_custkey").alias("id_a"),
+                             "c_nationkey")
+    return (
+        pairs.join(nation, "id_a")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("distance").alias("sum_dist"),
+            F.sum(F.when(F.col("distance") == 1, 1).otherwise(0))
+            .cast("long").alias("n_dist1"),
+            F.sum("id_b").alias("sum_b"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4685,6 +4720,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "pagerank_copurchase_topk": pagerank_copurchase_topk,
     "collocation_pmi_topk": collocation_pmi_topk,
+    "damerau_name_pairs": damerau_name_pairs,
 }
 
 
@@ -7952,6 +7988,30 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot t
             WHERE b.c_xy >= 5
             ORDER BY lift DESC, b.w1, b.w2 LIMIT 25
+        """,
+        "damerau_name_pairs": """
+            -- identical blocked join; DuckDB's native TRUE
+            -- Damerau-Levenshtein vs the Lowrance-Wagner Python
+            -- implementation (fuzz-verified equal in tests)
+            WITH c AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     substr(c_name, 10, 5) AS blk
+              FROM customer
+            ), pairs AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     a.c_nationkey,
+                     damerau_levenshtein(a.c_name, b.c_name) AS dist
+              FROM c a JOIN c b
+                ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+               AND a.c_custkey < b.c_custkey
+              WHERE damerau_levenshtein(a.c_name, b.c_name) <= 2
+            )
+            SELECT c_nationkey, count(*) AS n_pairs,
+                   CAST(sum(dist) AS BIGINT) AS sum_dist,
+                   CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dist1,
+                   CAST(sum(id_b) AS BIGINT) AS sum_b
+            FROM pairs GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -433,3 +433,98 @@ def collocation_pmi(
         )
     )
     return scored
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """TRUE Damerau–Levenshtein distance (Lowrance–Wagner, with the
+    per-character last-occurrence table) — transpositions of ADJACENT
+    characters cost 1 even when later edits separate them, so
+    ``("CA", "ABC") -> 2`` where the restricted OSA variant says 3.
+    This matches DuckDB's ``damerau_levenshtein`` exactly
+    (fuzz-pinned in tests), unlike OSA which most quick
+    implementations ship."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxdist = la + lb
+    # (la+2) x (lb+2) matrix with the -inf sentinel row/col
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxdist
+    for i in range(la + 1):
+        d[i + 1][0] = maxdist
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxdist
+        d[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,                      # substitute/match
+                d[i + 1][j] + 1,                     # insert
+                d[i][j + 1] + 1,                     # delete
+                d[k][l] + (i - 1 - k) + 1 + (j - 1 - l),  # transpose
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def damerau_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    block_cols: list,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked Damerau–Levenshtein record linkage: within-block pairs
+    at distance ≤ ``max_distance``. Completes the fuzzy-matching
+    family (``edit_distance_pairs`` = plain Levenshtein in JVM
+    codegen, ``jaro_winkler_pairs`` = position-tolerant similarity):
+    DL counts adjacent-swap typos — the single most common human
+    keying error — as ONE edit. Spark has no DL builtin, so the
+    distance runs in an Arrow pandas UDF over the blocked candidate
+    stream only (bounded by the equi-join — never N²).
+    Returns ``(id_a, id_b, text_a, text_b, distance)``."""
+    import pandas  # noqa: F401 — pandas_udf resolves the hint by name
+    from pyspark.sql.functions import pandas_udf
+
+    def score(a: "pandas.Series", b: "pandas.Series") -> "pandas.Series":
+        import pandas as pd
+
+        return pd.Series([
+            damerau_levenshtein(x, y)
+            if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ], dtype="Int64")
+
+    import pandas as pd
+
+    score.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                             "return": pd.Series}
+    dl_udf = pandas_udf(score, "long")
+
+    left = df.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)])
+    right = df.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
+        *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)])
+    keys = [f"__b{i}" for i in range(len(block_cols))]
+    return (
+        left.join(right, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", dl_udf(F.col("text_a"), F.col("text_b")))
+        .filter(F.col("distance") <= max_distance)
+        .drop(*keys)
+    )

@@ -728,3 +728,55 @@ def test_collocation_pmi_partitioning_invariant(spark):
 
 def test_collocation_pmi_empty_corpus(spark):
     assert _pmi_rows(spark, ["", " "]) == {}
+
+
+# ---------------------------------------------------------------------------
+# damerau_levenshtein / damerau_pairs
+
+
+def test_damerau_reference_values():
+    from deltalake_spark.operators.text import damerau_levenshtein as dl
+
+    # the case separating TRUE DL from restricted OSA: transpose then
+    # insert between the swapped pair — OSA says 3, DL says 2
+    assert dl("CA", "ABC") == 2
+    assert dl("ab", "ba") == 1
+    assert dl("kitten", "sitting") == 3
+    assert dl("", "") == 0
+    assert dl("", "abc") == 3 and dl("abc", "") == 3
+    assert dl("same", "same") == 0
+
+
+def test_damerau_matches_duckdb_fuzz():
+    import random
+
+    import duckdb
+
+    from deltalake_spark.operators.text import damerau_levenshtein as dl
+
+    con = duckdb.connect()
+    rng = random.Random(99)
+    for _ in range(800):
+        s1 = "".join(rng.choice("abcde01") for _ in range(rng.randrange(9)))
+        s2 = "".join(rng.choice("abcde01") for _ in range(rng.randrange(9)))
+        want = con.execute("SELECT damerau_levenshtein(?, ?)",
+                           [s1, s2]).fetchone()[0]
+        assert dl(s1, s2) == want, (s1, s2)
+
+
+def test_damerau_pairs_blocking_and_threshold(spark):
+    from deltalake_spark.operators.text import damerau_pairs
+
+    rows = [
+        (1, "dave", "A"), (2, "adve", "A"),   # transposition: dist 1
+        (3, "dxve", "A"),                     # substitution vs 1: dist 1
+        (4, "completely", "A"),               # far from everything
+        (5, "dave", "B"),                     # same text, other block
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in damerau_pairs(df, id_col="id", text_col="name",
+                                  block_cols=["blk"],
+                                  max_distance=2).collect()}
+    # (1,5) never compared (different blocks); 4 never passes threshold
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}

@@ -188,6 +188,9 @@ BUDGETS = {
     # r5: bigram explode agg + unigram agg (persisted; textually
     # nested) + broadcast vocab joins + TakeOrdered head
     "collocation_pmi_topk": (5, False),
+    # r5: blocked DL join (broadcast at fixture scale, equi-join at
+    # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
+    "damerau_name_pairs": (3, False),
 }
 
 
