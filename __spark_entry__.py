@@ -4540,6 +4540,25 @@ def damerau_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def auc_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (r5, operators/stats.py): per source, does
+    document LENGTH separate English from non-English docs?
+    Mann–Whitney U with proper average-rank tie handling, computed
+    WITHOUT a global sort: one groupBy reduces the corpus to the
+    per-score class histogram, a per-group prefix window runs over
+    histogram rows only, and 2U is an exact integer
+    (Σ 2·pos·neg_below + pos·neg — the second term is the tie
+    credit), so the final one-division AUC is bit-identical
+    cross-engine. Single-class groups yield NULL, not a crash."""
+    from deltalake_spark.operators.stats import roc_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "n_chars",
+        (F.col("lang") == "en").cast("long").alias("is_en"))
+    return roc_auc(docs, score_col="n_chars", label_col="is_en",
+                   group_cols=["source"]).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4721,6 +4740,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_copurchase_topk": pagerank_copurchase_topk,
     "collocation_pmi_topk": collocation_pmi_topk,
     "damerau_name_pairs": damerau_name_pairs,
+    "auc_doclen_source": auc_doclen_source,
 }
 
 
@@ -8012,6 +8032,40 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dist1,
                    CAST(sum(id_b) AS BIGINT) AS sum_b
             FROM pairs GROUP BY 1 ORDER BY 1
+        """,
+        "auc_doclen_source": """
+            -- same histogram construction: per-score class counts,
+            -- neg_below prefix, exact integer 2U, one division
+            WITH s AS (
+              SELECT source, n_chars AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), g AS (
+              SELECT source, score, COUNT(*) AS c,
+                     CAST(SUM(y) AS BIGINT) AS p
+              FROM s GROUP BY 1, 2
+            ), w AS (
+              SELECT source, score, c, p, c - p AS q,
+                     COALESCE(CAST(SUM(c - p) OVER (
+                       PARTITION BY source ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS BIGINT), 0)
+                       AS neg_below
+              FROM g
+            ), agg AS (
+              SELECT source,
+                     CAST(SUM(p) AS BIGINT) AS n_pos,
+                     CAST(SUM(q) AS BIGINT) AS n_neg,
+                     CAST(SUM(2 * p * neg_below + p * q) AS BIGINT)
+                       AS u2
+              FROM w GROUP BY 1
+            )
+            SELECT source, n_pos, n_neg, u2,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN CAST(u2 AS DOUBLE)
+                             / (2.0 * n_pos * n_neg)
+                   END AS auc
+            FROM agg ORDER BY source
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

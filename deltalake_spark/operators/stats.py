@@ -51,6 +51,7 @@ __all__ = [
     "pareto_coverage",
     "welch_ttest",
     "winsorized_stats",
+    "roc_auc",
 ]
 
 
@@ -339,3 +340,60 @@ def winsorized_stats(
         F.sum((v < F.col("__lo")).cast("long")).alias("n_clipped_low"),
         F.sum((v > F.col("__hi")).cast("long")).alias("n_clipped_high"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact ROC-AUC (Mann–Whitney U) per group, with proper
+    average-rank tie handling — the standard eval metric for "does
+    this signal separate the classes" checks over quality scores,
+    classifier outputs, or dedup similarities.
+
+    Exactness without a global sort: reduce to the per-score class
+    HISTOGRAM first (one groupBy shuffle — the only pass over the
+    detail rows), then on histogram rows compute
+    ``neg_below(s)`` with a prefix-sum window. Twice the U statistic
+    is then the exact integer
+    ``u2 = Σ_s (2·pos(s)·neg_below(s) + pos(s)·neg(s))``
+    (the second term IS the tie correction: each tied pos/neg pair
+    contributes ½), and ``auc = u2 / (2·n_pos·n_neg)`` is ONE double
+    division of exact integers — bit-identical on any engine or
+    partitioning, no rank column, no 0.5-rank floats.
+
+    The window runs over histogram rows (distinct scores per group),
+    not detail rows — for bounded-cardinality scores (lengths, int
+    quality buckets, calibrated probabilities) that is KB-scale even
+    at 100 TB. Groups with a single class get ``auc = NULL``
+    (undefined), not a crash. ``label_col`` must be 0/1-castable.
+
+    Returns per group: ``n_pos, n_neg, u2, auc``.
+    """
+    group_cols = group_cols or []
+    y = F.col(label_col).cast("long")
+    hist = df.groupBy(*group_cols, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(y).alias("__p"),
+    ).withColumn("__q", F.col("__c") - F.col("__p"))
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy()).orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "__neg_below",
+        F.coalesce(F.sum("__q").over(w), F.lit(0).cast("long")))
+    out = ranked.groupBy(*group_cols).agg(
+        F.sum("__p").alias("n_pos"),
+        F.sum("__q").alias("n_neg"),
+        F.sum(2 * F.col("__p") * F.col("__neg_below")
+              + F.col("__p") * F.col("__q")).alias("u2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("u2").cast("double")
+        / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+    )
+    return out.withColumn("auc", auc)

@@ -191,6 +191,9 @@ BUDGETS = {
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),
+    # r5: ONE detail-row shuffle (score histogram); prefix window +
+    # final agg run on histogram rows; sort
+    "auc_doclen_source": (3, False),
 }
 
 

@@ -161,3 +161,61 @@ def test_winsorized_grouped_matches_ungrouped(spark):
     assert out["g1"]["n_clipped_low"] == 10
     assert out["g2"]["winsorized_mean"] == pytest.approx(
         2 * out["g1"]["winsorized_mean"])
+
+# ---------------------------------------------------------------------------
+# roc_auc
+
+
+def _auc_brute(pairs):
+    """O(n²) reference: P(score_pos > score_neg) + ½P(tie)."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_brute_force_with_ties(spark):
+    import random
+
+    from deltalake_spark.operators.stats import roc_auc
+
+    rng = random.Random(13)
+    # heavy ties: scores are small ints; positives skew higher
+    pairs = [(rng.randrange(8) + (2 if rng.random() < 0.4 else 0), y)
+             for y in [rng.randrange(2) for _ in range(300)]]
+    pairs = [(s + (2 * y if rng.random() < 0.5 else 0), y)
+             for (s, _), y in zip(pairs, [p[1] for p in pairs])]
+    df = spark.createDataFrame(pairs, "score long, y long").repartition(7)
+    row = roc_auc(df, score_col="score", label_col="y").collect()[0]
+    want = _auc_brute(pairs)
+    n_pos = sum(1 for _, y in pairs if y == 1)
+    n_neg = len(pairs) - n_pos
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    assert row["u2"] == round(want * 2 * n_pos * n_neg)
+    assert abs(row["auc"] - want) < 1e-12
+
+
+def test_roc_auc_perfect_and_random_separation(spark):
+    from deltalake_spark.operators.stats import roc_auc
+
+    perfect = [(i + 100, 1) for i in range(20)] + [(i, 0) for i in range(20)]
+    allties = [(5, 1)] * 10 + [(5, 0)] * 10
+    df = spark.createDataFrame(
+        [("p", s, y) for s, y in perfect] + [("t", s, y) for s, y in allties],
+        "g string, score long, y long")
+    got = {r["g"]: r["auc"]
+           for r in roc_auc(df, score_col="score", label_col="y",
+                            group_cols=["g"]).collect()}
+    assert got["p"] == 1.0
+    assert got["t"] == 0.5
+
+
+def test_roc_auc_degenerate_single_class(spark):
+    from deltalake_spark.operators.stats import roc_auc
+
+    df = spark.createDataFrame([(1, 1), (2, 1)], "score long, y long")
+    row = roc_auc(df, score_col="score", label_col="y").collect()[0]
+    assert row["n_neg"] == 0 and row["auc"] is None
