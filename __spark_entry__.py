@@ -4559,6 +4559,27 @@ def auc_doclen_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                    group_cols=["source"]).orderBy("source")
 
 
+def kappa_langid_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (r5, operators/stats.py): per source,
+    chance-corrected agreement between the JVM language-ID heuristic
+    (``operators/text.py:language_id`` — the annotator) and the gold
+    ``lang`` column. ONE detail shuffle to the contingency cell
+    frame; marginals/diagonal/chance term are KB-frame aggregates;
+    the statistic is an exact integer rational evaluated as one
+    double division (n·agree − Σ row·col over n² − Σ row·col), so
+    it is bit-identical cross-engine. The oracle rebuilds the same
+    stopword-ratio argmax in SQL (the language_id_dist twin) and the
+    same kappa algebra."""
+    from deltalake_spark.operators.stats import cohens_kappa
+    from deltalake_spark.operators.text import language_id
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.col("lang").alias("gold"),
+        language_id(F.col("text")).alias("pred"))
+    return cohens_kappa(docs, col_a="pred", col_b="gold",
+                        group_cols=["source"]).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4741,6 +4762,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "collocation_pmi_topk": collocation_pmi_topk,
     "damerau_name_pairs": damerau_name_pairs,
     "auc_doclen_source": auc_doclen_source,
+    "kappa_langid_source": kappa_langid_source,
 }
 
 
@@ -8066,6 +8088,64 @@ def oracle_sql() -> dict[str, str]:
                              / (2.0 * n_pos * n_neg)
                    END AS auc
             FROM agg ORDER BY source
+        """,
+        "kappa_langid_source": """
+            -- same stopword-ratio argmax as language_id_dist, then
+            -- the exact-integer kappa algebra per source
+            WITH s AS (
+              SELECT source, lang AS gold,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('the','and','of','to','in','is','that','it')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_en,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('der','die','das','und','ist','nicht','ein','zu')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_de,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('le','la','les','et','est','un','une','que')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_fr,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('el','la','los','de','que','es','un','una')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_es,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('的','是','了','在','我','有','和','不')))
+                  / greatest(len(string_split(lower(text), ' ')), 1) AS s_zh
+              FROM documents),
+            p AS (SELECT source, gold,
+                    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) > 0 THEN
+                      CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                           WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                           WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                           WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                           ELSE 'zh' END
+                    ELSE 'und' END AS pred
+                  FROM s),
+            cells AS (
+              SELECT source, pred, gold, COUNT(*) AS c
+              FROM p GROUP BY 1, 2, 3
+            ), ra AS (
+              SELECT source, pred AS k, CAST(SUM(c) AS BIGINT) AS ra
+              FROM cells GROUP BY 1, 2
+            ), cb AS (
+              SELECT source, gold AS k, CAST(SUM(c) AS BIGINT) AS cb
+              FROM cells GROUP BY 1, 2
+            ), pe AS (
+              SELECT source, CAST(SUM(ra * cb) AS BIGINT) AS pe
+              FROM ra JOIN cb USING (source, k) GROUP BY 1
+            ), tot AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN pred = gold THEN c ELSE 0 END)
+                          AS BIGINT) AS n_agree
+              FROM cells GROUP BY 1
+            )
+            SELECT t.source, t.n, t.n_agree,
+                   COALESCE(pe.pe, 0) AS pe_pairs,
+                   CASE WHEN t.n * t.n - COALESCE(pe.pe, 0) <> 0
+                        THEN CAST(t.n * t.n_agree - COALESCE(pe.pe, 0)
+                                  AS DOUBLE)
+                             / (t.n * t.n - COALESCE(pe.pe, 0))
+                   END AS kappa
+            FROM tot t LEFT JOIN pe USING (source)
+            ORDER BY t.source
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -52,6 +52,7 @@ __all__ = [
     "welch_ttest",
     "winsorized_stats",
     "roc_auc",
+    "cohens_kappa",
 ]
 
 
@@ -397,3 +398,60 @@ def roc_auc(
         / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
     )
     return out.withColumn("auc", auc)
+
+
+def cohens_kappa(
+    df: DataFrame,
+    *,
+    col_a: str,
+    col_b: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Cohen's kappa per group: chance-corrected agreement between two
+    categorical annotators (model vs model, model vs gold label) —
+    the standard "is this auto-labeler actually better than chance"
+    check before trusting weak supervision at corpus scale.
+
+    One detail-row shuffle reduces to the contingency CELL frame
+    (|A|x|B| rows per group); marginals, the diagonal, and the chance
+    term are aggregates/joins over that KB-scale frame only. With
+    integer counts the whole statistic is the exact rational
+    ``kappa = (n·agree − Σ_k row_k·col_k) / (n² − Σ_k row_k·col_k)``
+    evaluated as ONE double division — bit-identical cross-engine.
+    (Exactness needs ``n² < 2^63``: fine to ~3e9 rows per group;
+    beyond that, pre-aggregate or accept double sums.) Degenerate
+    groups where both annotators are constant (``n² == Σ row·col``)
+    yield ``kappa = NULL``.
+
+    Returns per group: ``n, n_agree, pe_pairs, kappa``.
+    """
+    g = group_cols or []
+    cells = df.groupBy(
+        *g, F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    cells = cells.persist()  # three aggregates replay this KB frame
+    ra = cells.groupBy(*g, F.col("__a").alias("__k")).agg(
+        F.sum("__c").alias("__ra"))
+    cb = cells.groupBy(*g, F.col("__b").alias("__k")).agg(
+        F.sum("__c").alias("__cb"))
+    # inner join: a label absent on either side contributes 0 to pe —
+    # and a group with NO shared labels at all must surface pe = 0
+    # (left join + coalesce), not vanish or go NULL
+    pe = ra.join(cb, [*g, "__k"]).groupBy(*g).agg(
+        F.sum(F.col("__ra") * F.col("__cb")).alias("__pe"))
+    tot = cells.groupBy(*g).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0))).alias("n_agree"))
+    out = (tot.join(pe, g, "left") if g
+           else tot.crossJoin(F.broadcast(pe)))
+    out = out.withColumn(
+        "pe_pairs",
+        F.coalesce(F.col("__pe"), F.lit(0).cast("long"))).drop("__pe")
+    denom = F.col("n") * F.col("n") - F.col("pe_pairs")
+    kappa = F.when(
+        denom != 0,
+        (F.col("n") * F.col("n_agree") - F.col("pe_pairs"))
+        .cast("double") / denom,
+    )
+    return out.withColumn("kappa", kappa)

@@ -194,6 +194,9 @@ BUDGETS = {
     # r5: ONE detail-row shuffle (score histogram); prefix window +
     # final agg run on histogram rows; sort
     "auc_doclen_source": (3, False),
+    # r5: one detail shuffle to the cell frame (persisted; textually
+    # nested) + KB-frame marginal aggs/joins + sort
+    "kappa_langid_source": (8, False),
 }
 
 

@@ -219,3 +219,78 @@ def test_roc_auc_degenerate_single_class(spark):
     df = spark.createDataFrame([(1, 1), (2, 1)], "score long, y long")
     row = roc_auc(df, score_col="score", label_col="y").collect()[0]
     assert row["n_neg"] == 0 and row["auc"] is None
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+
+
+def _kappa_brute(pairs):
+    from collections import Counter
+
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    ra, cb = Counter(a for a, _ in pairs), Counter(b for _, b in pairs)
+    pe = sum(ra[k] * cb.get(k, 0) for k in ra)
+    if n * n == pe:
+        return None
+    return float(n * agree - pe) / (n * n - pe)
+
+
+def test_kappa_matches_brute_force(spark):
+    import random
+
+    from deltalake_spark.operators.stats import cohens_kappa
+
+    rng = random.Random(17)
+    labels = "xyz"
+    pairs = []
+    for _ in range(400):
+        a = rng.choice(labels)
+        # annotator b agrees 60% of the time, else random
+        b = a if rng.random() < 0.6 else rng.choice(labels)
+        pairs.append((a, b))
+    df = spark.createDataFrame(pairs, "a string, b string").repartition(9)
+    row = cohens_kappa(df, col_a="a", col_b="b").collect()[0]
+    want = _kappa_brute(pairs)
+    assert abs(row["kappa"] - want) < 1e-15
+    assert row["n"] == 400
+    assert row["n_agree"] == sum(1 for a, b in pairs if a == b)
+
+
+def test_kappa_reference_points(spark):
+    from deltalake_spark.operators.stats import cohens_kappa
+
+    # perfect agreement -> 1; independent-looking split -> 0;
+    # systematic disagreement -> negative
+    data = (
+        [("p", "u", "u")] * 5 + [("p", "v", "v")] * 5
+        + [("z", "u", "u"), ("z", "u", "v"), ("z", "v", "u"),
+           ("z", "v", "v")]
+        + [("m", "u", "v")] * 5 + [("m", "v", "u")] * 5
+    )
+    df = spark.createDataFrame(data, "g string, a string, b string")
+    got = {r["g"]: r["kappa"]
+           for r in cohens_kappa(df, col_a="a", col_b="b",
+                                 group_cols=["g"]).collect()}
+    assert got["p"] == 1.0
+    assert got["z"] == 0.0
+    assert got["m"] == -1.0
+
+
+def test_kappa_degenerate_constant_annotators(spark):
+    from deltalake_spark.operators.stats import cohens_kappa
+
+    df = spark.createDataFrame([("u", "u")] * 4, "a string, b string")
+    row = cohens_kappa(df, col_a="a", col_b="b").collect()[0]
+    assert row["kappa"] is None and row["n_agree"] == 4
+
+
+def test_kappa_disjoint_label_sets(spark):
+    from deltalake_spark.operators.stats import cohens_kappa
+
+    # no shared labels: agree=0, pe=0 -> kappa = 0/n² = 0
+    df = spark.createDataFrame([("u", "x"), ("v", "y")],
+                               "a string, b string")
+    row = cohens_kappa(df, col_a="a", col_b="b").collect()[0]
+    assert row["pe_pairs"] == 0 and row["kappa"] == 0.0
