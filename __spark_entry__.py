@@ -4580,6 +4580,29 @@ def kappa_langid_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                         group_cols=["source"]).orderBy("source")
 
 
+def copurchase_item_similarity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (r5,
+    operators/recommend.py): cosine similarity of binary basket
+    incidence over order baskets ("bought together" scoring).
+    Basket-keyed equi-join (never cross), mega-baskets dropped by the
+    max_basket guard BEFORE pairing (the co-occurrence skew bomb —
+    one 10k-item basket is 10⁸ pairs), broadcast item-frequency
+    joins. The score is two correctly-rounded IEEE ops over exact
+    integer counts, so the oracle matches bit-for-bit. Top 30 by
+    (cosine desc, ids) with a 2-basket support floor."""
+    from deltalake_spark.operators.recommend import (
+        cooccurrence_similarity,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 3 == 0)
+    sim = cooccurrence_similarity(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_pairs=2, max_basket=6)
+    return sim.orderBy(F.desc("cosine"), "item_a", "item_b").limit(30)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4763,6 +4786,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "damerau_name_pairs": damerau_name_pairs,
     "auc_doclen_source": auc_doclen_source,
     "kappa_langid_source": kappa_langid_source,
+    "copurchase_item_similarity": copurchase_item_similarity,
 }
 
 
@@ -8146,6 +8170,36 @@ def oracle_sql() -> dict[str, str]:
                    END AS kappa
             FROM tot t LEFT JOIN pe USING (source)
             ORDER BY t.source
+        """,
+        "copurchase_item_similarity": """
+            -- identical construction: distinct incidence, size-capped
+            -- baskets, unordered pair counts, cosine =
+            -- CAST(c_ab)/sqrt(CAST(c_a*c_b)) (two IEEE ops)
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+              FROM lineitem WHERE l_partkey % 3 = 0
+            ), keep AS (
+              SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 6
+            ), bik AS (
+              SELECT bi.b, bi.i FROM bi JOIN keep USING (b)
+            ), cnt AS (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bik GROUP BY 1
+            ), pairs AS (
+              SELECT a.i AS item_a, b.i AS item_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM bik a JOIN bik b
+                ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT p.item_a, p.item_b, p.n_both,
+                   ca.c AS n_a, cb.c AS n_b,
+                   CAST(p.n_both AS DOUBLE)
+                     / sqrt(CAST(ca.c * cb.c AS DOUBLE)) AS cosine
+            FROM pairs p
+            JOIN cnt ca ON ca.i = p.item_a
+            JOIN cnt cb ON cb.i = p.item_b
+            ORDER BY cosine DESC, p.item_a, p.item_b LIMIT 30
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

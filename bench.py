@@ -67,6 +67,7 @@ EXTRA = [
     "kmeans_cluster_stats",        # r5: fixed-point Lloyd iterations
     "pagerank_copurchase_topk",    # r5: integer power iteration
     "collocation_pmi_topk",        # r5: PMI phrase mining
+    "copurchase_item_similarity",  # r5: basket cosine recommender
 ]
 
 

@@ -197,6 +197,10 @@ BUDGETS = {
     # r5: one detail shuffle to the cell frame (persisted; textually
     # nested) + KB-frame marginal aggs/joins + sort
     "kappa_langid_source": (8, False),
+    # r5: basket-keyed pair equi-join over the persisted size-capped
+    # incidence frame (textually nested 4x) + broadcast count joins +
+    # TakeOrdered; the partkey thinning filter must reach the scans
+    "copurchase_item_similarity": (15, True),
 }
 
 
