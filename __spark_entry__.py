@@ -4603,6 +4603,38 @@ def copurchase_item_similarity(spark: SparkSession,
     return sim.orderBy(F.desc("cosine"), "item_a", "item_b").limit(30)
 
 
+def hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS (r5, operators/graph.py): hubs & authorities
+    over the bipartite customer→part purchase graph (ids namespaced
+    2k / 2k+1 so the key spaces stay disjoint) — influential buyers
+    vs popular parts by mutual reinforcement, TWO Kleinberg rounds.
+    Max-normalized in exact integer arithmetic (the 1e27-scale
+    product runs in decimal(38,0) / HUGEINT), so the recursion
+    replays bit-for-bit in SQL. Each half-step: one equi-join + one
+    groupBy sum + ONE scalar max. Output: top 12 authorities + top
+    12 hubs with both scores."""
+    from deltalake_spark.operators.graph import hits_fixed_point
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey",
+                                                "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 5 == 0).select("l_orderkey", "l_partkey")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_partkey") * 2 + 1).alias("dst"))
+        .distinct()
+    )
+    hits = hits_fixed_point(edges, n_iter=2).persist()
+    auth_top = (hits.orderBy(F.desc("auth_scaled"), "node").limit(12)
+                .withColumn("role", F.lit("auth")))
+    hub_top = (hits.orderBy(F.desc("hub_scaled"), "node").limit(12)
+               .withColumn("role", F.lit("hub")))
+    return (auth_top.unionAll(hub_top)
+            .select("role", "node", "hub_scaled", "auth_scaled")
+            .orderBy("role", "node"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4787,6 +4819,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "auc_doclen_source": auc_doclen_source,
     "kappa_langid_source": kappa_langid_source,
     "copurchase_item_similarity": copurchase_item_similarity,
+    "hits_customer_part": hits_customer_part,
 }
 
 
@@ -8200,6 +8233,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.i = p.item_a
             JOIN cnt cb ON cb.i = p.item_b
             ORDER BY cosine DESC, p.item_a, p.item_b LIMIT 30
+        """,
+        "hits_customer_part": """
+            -- exact replay of two max-normalized HITS rounds; the
+            -- raw*scale product runs in HUGEINT (Spark: decimal(38,0))
+            WITH e AS (
+              SELECT DISTINCT o_custkey * 2 AS s, l_partkey * 2 + 1 AS d
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE l_partkey % 5 = 0
+            ), nodes AS (
+              SELECT s AS node FROM e UNION SELECT d FROM e
+            ), a1r AS (
+              SELECT d AS node,
+                     CAST(COUNT(*) AS HUGEINT) * 1000000000000 AS r
+              FROM e GROUP BY 1
+            ), a1 AS (
+              SELECT node, CAST(r * 1000000000000
+                                // (SELECT MAX(r) FROM a1r)
+                                AS BIGINT) AS a
+              FROM a1r
+            ), h1r AS (
+              SELECT e.s AS node, CAST(SUM(a1.a) AS HUGEINT) AS r
+              FROM e JOIN a1 ON a1.node = e.d GROUP BY 1
+            ), h1 AS (
+              SELECT node, CAST(r * 1000000000000
+                                // (SELECT MAX(r) FROM h1r)
+                                AS BIGINT) AS h
+              FROM h1r
+            ), a2r AS (
+              SELECT e.d AS node, CAST(SUM(h1.h) AS HUGEINT) AS r
+              FROM e JOIN h1 ON h1.node = e.s GROUP BY 1
+            ), a2 AS (
+              SELECT node, CAST(r * 1000000000000
+                                // (SELECT MAX(r) FROM a2r)
+                                AS BIGINT) AS a
+              FROM a2r
+            ), h2r AS (
+              SELECT e.s AS node, CAST(SUM(a2.a) AS HUGEINT) AS r
+              FROM e JOIN a2 ON a2.node = e.d GROUP BY 1
+            ), h2 AS (
+              SELECT node, CAST(r * 1000000000000
+                                // (SELECT MAX(r) FROM h2r)
+                                AS BIGINT) AS h
+              FROM h2r
+            ), fin AS (
+              SELECT n.node,
+                     COALESCE(h2.h, 0) AS hub_scaled,
+                     COALESCE(a2.a, 0) AS auth_scaled
+              FROM nodes n
+              LEFT JOIN h2 USING (node) LEFT JOIN a2 USING (node)
+            )
+            SELECT * FROM (
+              SELECT 'auth' AS role, node, hub_scaled, auth_scaled
+              FROM (SELECT * FROM fin
+                    ORDER BY auth_scaled DESC, node LIMIT 12)
+              UNION ALL
+              SELECT 'hub', node, hub_scaled, auth_scaled
+              FROM (SELECT * FROM fin
+                    ORDER BY hub_scaled DESC, node LIMIT 12)
+            ) ORDER BY role, node
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["canonical_edges", "degree_stats", "triangle_count",
-           "pagerank_fixed_point"]
+           "pagerank_fixed_point", "hits_fixed_point"]
 
 
 def canonical_edges(df: DataFrame, src: str = "src",
@@ -186,3 +186,93 @@ def pagerank_fixed_point(
                 stale.unpersist()
             stale = ranks
     return ranks
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    *,
+    n_iter: int = 2,
+    scale: int = 10 ** 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-point HITS (hubs & authorities) over a DIRECTED edge
+    list: ``n_iter`` mutual-reinforcement rounds in EXACT integer
+    arithmetic.
+
+    Per round (Kleinberg's update, max-normalized):
+
+    - ``auth_raw(v) = Σ_{u→v} hub(u)`` — BIGINT sum, order-free;
+    - ``auth(v) = (auth_raw(v) * scale) // max(auth_raw)`` — integer
+      floor division against the global max (ONE scalar agg; the
+      product runs in exact decimal(38,0) since it can pass int64),
+      so the leader holds exactly ``scale`` and everything else is an
+      exact integer fraction of it;
+    - then the symmetric hub half-step from the fresh authorities.
+
+    Max-normalization replaces the usual L2 norm — same fixed points
+    up to scaling, but it keeps every value an integer (no sqrt), so
+    the whole recursion replays bit-for-bit in SQL/numpy and is
+    partitioning-invariant. Like :func:`pagerank_fixed_point`, each
+    half-step is one ranks<->edges equi-join + one ``groupBy`` sum;
+    per-round driver state is two scalars (the maxima). Nodes with no
+    in-edges get authority 0 (and symmetrically for hubs) via the
+    left join. Iterated frames persist+materialize to cut the
+    quadratic lineage replay.
+
+    Returns ``(node, hub_scaled, auth_scaled)``.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = edges.select(F.col(src).alias("e_src"),
+                     F.col(dst).alias("e_dst")).persist()
+    hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
+    auth = nodes.withColumn("a", F.lit(0).cast("long"))
+    stale: list[DataFrame] = []
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.agg(F.max(col)).collect()[0][0] or 0
+        if mx == 0:
+            return raw  # degenerate graph: all zero, keep zeros
+        # widen to decimal(38,0) for the product: raw * scale can
+        # reach ~1e27 (raw is an in-degree-weighted sum of 1e12-scale
+        # values), far past int64. Decimal multiply is exact and DIV
+        # returns the integral quotient as BIGINT — verified equal to
+        # Python/HUGEINT big-int arithmetic.
+        return raw.select(
+            "node",
+            F.expr(f"CAST({col} AS DECIMAL(38,0)) * {int(scale)} "
+                   f"DIV {int(mx)}").alias(col))
+
+    for it in range(n_iter):
+        araw = (
+            e.join(hub.withColumnRenamed("node", "e_src"), "e_src")
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = nodes.join(araw, "node", "left").select(
+            "node", F.coalesce("a", F.lit(0).cast("long")).alias("a"))
+        auth = _normalize(auth, "a").persist()
+        auth.count()
+        hraw = (
+            e.join(auth.withColumnRenamed("node", "e_dst"), "e_dst")
+            .groupBy(F.col("e_src").alias("node"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = nodes.join(hraw, "node", "left").select(
+            "node", F.coalesce("h", F.lit(0).cast("long")).alias("h"))
+        hub = _normalize(hub, "h").persist()
+        hub.count()
+        stale += [auth, hub]
+        for old in stale[:-2]:
+            old.unpersist()
+        stale = stale[-2:]
+    return (
+        hub.join(auth, "node")
+        .select("node", F.col("h").alias("hub_scaled"),
+                F.col("a").alias("auth_scaled"))
+    )

@@ -170,3 +170,72 @@ def test_pagerank_validation(spark):
         pagerank_fixed_point(df, damping_pct=0)
     with _pytest.raises(ValueError):
         pagerank_fixed_point(df, damping_pct=100)
+
+
+# ---------------------------------------------------------------------------
+# hits_fixed_point
+
+
+def _hits_ref(edge_list, n_iter=2, scale=10 ** 12):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(n_iter):
+        araw = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            araw[v] += h[u]
+        mx = max(araw.values())
+        a = araw if mx == 0 else {v: (araw[v] * scale) // mx
+                                  for v in nodes}
+        hraw = {v: 0 for v in nodes}
+        for u, v in edge_list:
+            hraw[u] += a[v]
+        mx = max(hraw.values())
+        h = hraw if mx == 0 else {v: (hraw[v] * scale) // mx
+                                  for v in nodes}
+    return h, a
+
+
+def test_hits_matches_integer_replay(spark):
+    from deltalake_spark.operators.graph import hits_fixed_point
+
+    edges = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 4), (4, 0), (5, 2),
+             (5, 1), (6, 6)]
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits_fixed_point(
+               _edges_df(spark, edges), n_iter=2).collect()}
+    h, a = _hits_ref(edges, n_iter=2)
+    assert got == {v: (h[v], a[v]) for v in h}
+
+
+def test_hits_hub_authority_separation(spark):
+    from deltalake_spark.operators.graph import hits_fixed_point
+
+    # bipartite: 0,1 point at 8,9 — pure hubs vs pure authorities
+    edges = [(0, 8), (0, 9), (1, 8), (1, 9)]
+    got = {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+           for r in hits_fixed_point(
+               _edges_df(spark, edges), n_iter=2).collect()}
+    scale = 10 ** 12
+    for hub in (0, 1):
+        assert got[hub] == (scale, 0)
+    for auth in (8, 9):
+        assert got[auth] == (0, scale)
+
+
+def test_hits_partitioning_invariance(spark):
+    import random
+
+    from deltalake_spark.operators.graph import hits_fixed_point
+
+    rng = random.Random(31)
+    edges = list({(rng.randrange(25), rng.randrange(25))
+                  for _ in range(100)})
+    runs = []
+    for parts in (1, 9):
+        runs.append(sorted(
+            tuple(r) for r in hits_fixed_point(
+                _edges_df(spark, edges, parts), n_iter=3).collect()))
+    assert runs[0] == runs[1]
+    h, a = _hits_ref(edges, n_iter=3)
+    assert runs[0] == sorted((v, h[v], a[v]) for v in h)

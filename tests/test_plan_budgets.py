@@ -306,3 +306,15 @@ def test_pagerank_gate_join_shapes(spark):
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
     assert "InMemoryTableScan" in s.text
+
+
+def test_hits_gate_join_shapes(spark):
+    """Same rationale as the pagerank gate: iterative op with
+    persisted+materialized half-steps — static Exchange counts pin
+    cache-nested noise. Must hold: no cartesian/nested-loop joins and
+    the lineage cut is real (InMemoryTableScan present)."""
+    df = entry_mod.queries()["hits_customer_part"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert "InMemoryTableScan" in s.text
