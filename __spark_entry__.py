@@ -4635,6 +4635,41 @@ def hits_customer_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("role", "node"))
 
 
+def dbscan_embedding_clusters(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN (r5, operators/clustering.py): density
+    clustering over the first two embedding coordinates (ε=0.015,
+    min_pts=4) — arbitrary-shape clusters plus explicit noise, the
+    density complement to kmeans_cluster_stats. ε-neighbors come from
+    ONE cell-keyed equi-join (probe exploded to its 9 neighbor cells
+    — bounded 9× expansion, never N²); the neighbor test is exact
+    integer dx²+dy² ≤ qeps²; clusters are min-label connected
+    components over core-core adjacency; border points join the
+    MINIMUM adjacent cluster (the deterministic fix for textbook
+    DBSCAN's scan-order dependence). The oracle replays everything,
+    CC via recursive CTE. Output: per-cluster point/core/border
+    counts + the noise row (cluster = -1)."""
+    from deltalake_spark.operators.clustering import dbscan_2d
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"))
+    out = dbscan_2d(emb, id_col="vec_id", x_col="x", y_col="y",
+                    eps=0.015, min_pts=4)
+    return (
+        out.groupBy(F.coalesce("cluster", F.lit(-1)).alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum((F.col("role") == "core").cast("long"))
+            .alias("n_core"),
+            F.sum((F.col("role") == "border").cast("long"))
+            .alias("n_border"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4820,6 +4855,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kappa_langid_source": kappa_langid_source,
     "copurchase_item_similarity": copurchase_item_similarity,
     "hits_customer_part": hits_customer_part,
+    "dbscan_embedding_clusters": dbscan_embedding_clusters,
 }
 
 
@@ -8292,6 +8328,64 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT * FROM fin
                     ORDER BY hub_scaled DESC, node LIMIT 12)
             ) ORDER BY role, node
+        """,
+        "dbscan_embedding_clusters": """
+            -- naive all-pairs replay of the grid-join candidate set
+            -- (provably identical: the 9-cell probe is complete for
+            -- eps-sized cells); CC over cores via recursive CTE;
+            -- border -> MIN adjacent cluster
+            WITH RECURSIVE p AS (
+              SELECT vec_id AS pid,
+                     CAST(ROUND(CAST(embedding[1] AS DOUBLE)
+                                * 1000000) AS BIGINT) AS qx,
+                     CAST(ROUND(CAST(embedding[2] AS DOUBLE)
+                                * 1000000) AS BIGINT) AS qy
+              FROM embeddings
+            ), pr AS (
+              SELECT a.pid, b.pid AS pid_b
+              FROM p a JOIN p b ON a.pid <> b.pid
+               AND (a.qx - b.qx) * (a.qx - b.qx)
+                   + (a.qy - b.qy) * (a.qy - b.qy) <= 225000000
+            ), flags AS (
+              SELECT p.pid, COALESCE(n.c, 0) + 1 >= 4 AS is_core
+              FROM p LEFT JOIN (SELECT pid, COUNT(*) AS c
+                                FROM pr GROUP BY 1) n USING (pid)
+            ), ce AS (
+              SELECT pr.pid AS a, pr.pid_b AS b FROM pr
+              JOIN flags f1 ON f1.pid = pr.pid AND f1.is_core
+              JOIN flags f2 ON f2.pid = pr.pid_b AND f2.is_core
+            ), reach AS (
+              SELECT pid AS node, pid AS label
+              FROM flags WHERE is_core
+              UNION
+              SELECT ce.a AS node, r.label
+              FROM ce JOIN reach r ON r.node = ce.b
+            ), core_lab AS (
+              SELECT node AS pid, MIN(label) AS cluster
+              FROM reach GROUP BY 1
+            ), border_lab AS (
+              SELECT pr.pid, MIN(cl.cluster) AS cluster
+              FROM pr
+              JOIN flags f ON f.pid = pr.pid AND NOT f.is_core
+              JOIN core_lab cl ON cl.pid = pr.pid_b
+              GROUP BY 1
+            ), lab AS (
+              SELECT f.pid,
+                     CASE WHEN f.is_core THEN 'core'
+                          WHEN b.cluster IS NOT NULL THEN 'border'
+                          ELSE 'noise' END AS role,
+                     COALESCE(c.cluster, b.cluster) AS cluster
+              FROM flags f
+              LEFT JOIN core_lab c USING (pid)
+              LEFT JOIN border_lab b ON b.pid = f.pid
+            )
+            SELECT COALESCE(cluster, -1) AS cluster,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   CAST(SUM(CASE WHEN role = 'core' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_core,
+                   CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_border
+            FROM lab GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -68,6 +68,7 @@ EXTRA = [
     "pagerank_copurchase_topk",    # r5: integer power iteration
     "collocation_pmi_topk",        # r5: PMI phrase mining
     "copurchase_item_similarity",  # r5: basket cosine recommender
+    "dbscan_embedding_clusters",   # r5: grid DBSCAN + CC
 ]
 
 

@@ -47,7 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_to_grid", "assign_to_centroids", "kmeans_fit"]
+__all__ = ["quantize_to_grid", "assign_to_centroids", "kmeans_fit",
+           "dbscan_2d"]
 
 DEFAULT_SCALE = 1_000_000
 
@@ -211,3 +212,128 @@ def _round_half_away(x: float) -> int:
     # .5 tie.
     r = fl + 1 if (y - fl) >= 0.5 else fl
     return int(-r if x < 0 else r)
+
+
+def dbscan_2d(
+    df: DataFrame,
+    *,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_pts: int,
+    scale: int = DEFAULT_SCALE,
+    max_cc_iter: int = 20,
+) -> DataFrame:
+    """Grid-accelerated DBSCAN over two coordinate columns — density
+    clustering to complement :func:`kmeans_fit` (finds arbitrary-shape
+    clusters and explicit NOISE, no k to choose). Standard use: run on
+    a 2-D reduction of an embedding column (JL / PCA from
+    ``operators/reduce_dim``).
+
+    Scale shape (the classic ε-neighborhood blow-up and its fix):
+    naive DBSCAN needs an all-pairs distance test. Bucketing points
+    into an ε-sized grid means any ε-neighbor lives in one of the 9
+    surrounding cells, so candidate pairs come from ONE cell-keyed
+    equi-join (probe side exploded to its 9 neighbor cells — a bounded
+    9× map-side expansion, never N²). Per-cell population bounds the
+    worst case; density defines the workload, not table size.
+
+    Exactness: coordinates quantize once to integer micro-units, ε to
+    ``qeps = round(eps·scale)``; the neighbor test is the exact
+    integer ``dx² + dy² <= qeps²``; cell ids are
+    ``floor(q / qeps)`` computed in double (deterministic IEEE, same
+    expression cross-engine, negatives handled by FLOOR not
+    truncation). Core points have ``|N_ε| >= min_pts`` (self
+    included, the textbook definition); clusters are connected
+    components over core-core ε-adjacency (min-label, exact); border
+    points join the MINIMUM cluster id among their in-range cores —
+    the one point where textbook DBSCAN is scan-order-dependent, made
+    deterministic here and replayed identically by the SQL twin.
+
+    Returns ``(id, role, cluster)`` — role in core/border/noise,
+    cluster = min member id (NULL for noise).
+    """
+    from deltalake_spark.operators.dedup import connected_components
+
+    qeps = int(round(float(eps) * scale))
+    if qeps <= 0:
+        raise ValueError("eps must be positive")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+
+    def q(c: str) -> Column:
+        return F.round(F.col(c).cast("double") * float(scale)) \
+            .cast("long")
+
+    def cell(qc: Column) -> Column:
+        return F.floor(qc.cast("double") / float(qeps)).cast("long")
+
+    pts = df.select(
+        F.col(id_col).alias("pid"), q(x_col).alias("qx"),
+        q(y_col).alias("qy"),
+    ).withColumn("cx", cell(F.col("qx"))) \
+     .withColumn("cy", cell(F.col("qy"))).persist()
+
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = (
+        pts.select(F.col("pid").alias("pid_b"),
+                   F.col("qx").alias("qx_b"), F.col("qy").alias("qy_b"),
+                   "cx", "cy", F.explode(offsets).alias("o"))
+        .select("pid_b", "qx_b", "qy_b",
+                (F.col("cx") + F.col("o.dx")).alias("cx"),
+                (F.col("cy") + F.col("o.dy")).alias("cy"))
+    )
+    dx, dy = F.col("qx") - F.col("qx_b"), F.col("qy") - F.col("qy_b")
+    pairs = (
+        pts.join(probe, ["cx", "cy"])
+        .filter((F.col("pid") != F.col("pid_b"))
+                & (dx * dx + dy * dy <= F.lit(qeps * qeps)))
+        .select("pid", "pid_b")
+    ).persist()
+
+    nbr = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n_nbr"))
+    flags = pts.select("pid").join(nbr, "pid", "left").select(
+        "pid",
+        (F.coalesce("n_nbr", F.lit(0)) + 1 >= int(min_pts))
+        .alias("is_core"),
+    ).persist()
+
+    cores = flags.filter("is_core").select("pid")
+    cc_edges = (
+        pairs.join(cores.withColumnRenamed("pid", "pid"), "pid")
+        .join(cores.withColumnRenamed("pid", "pid_b"), "pid_b")
+        .filter(F.col("pid") < F.col("pid_b"))
+        .select(F.col("pid").alias("src"), F.col("pid_b").alias("dst"))
+    )
+    labels = connected_components(cc_edges, max_iter=max_cc_iter) \
+        .withColumnRenamed("component", "cluster")
+    # isolated cores (no core neighbor) are singleton clusters
+    core_lab = cores.join(labels, cores.pid == labels.node, "left") \
+        .select("pid", F.coalesce("cluster", F.col("pid"))
+                .alias("cluster"))
+
+    border_lab = (
+        pairs.join(flags.filter(~F.col("is_core")).select("pid"), "pid")
+        .join(core_lab.select(F.col("pid").alias("pid_b"),
+                              F.col("cluster")), "pid_b")
+        .groupBy("pid").agg(F.min("cluster").alias("cluster"))
+    )
+
+    out = (
+        flags.join(core_lab.withColumnRenamed("cluster", "__cc"),
+                   "pid", "left")
+        .join(border_lab.withColumnRenamed("cluster", "__bc"),
+              "pid", "left")
+        .select(
+            F.col("pid").alias("id"),
+            F.when(F.col("is_core"), F.lit("core"))
+            .when(F.col("__bc").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise")).alias("role"),
+            F.coalesce("__cc", "__bc").alias("cluster"),
+        )
+    )
+    return out

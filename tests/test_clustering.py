@@ -166,3 +166,84 @@ def test_round_half_away_matches_duckdb_std_round():
         want = con.execute("SELECT CAST(ROUND(CAST(? AS DOUBLE)) AS BIGINT)",
                            [x]).fetchone()[0]
         assert _round_half_away(x) == want, x
+
+
+# ---------------------------------------------------------------------------
+# dbscan_2d
+
+
+def _dbscan(spark, pts, eps, min_pts, partitions=5, scale=1000):
+    from deltalake_spark.operators.clustering import dbscan_2d
+
+    df = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, x, y in pts],
+        "pid long, x double, y double").repartition(partitions)
+    out = dbscan_2d(df, id_col="pid", x_col="x", y_col="y",
+                    eps=eps, min_pts=min_pts, scale=scale)
+    return {r["id"]: (r["role"], r["cluster"]) for r in out.collect()}
+
+
+_TWO_SQUARES = [
+    # cluster A: unit square, all core at eps=1.5/min_pts=4
+    (0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 1.0),
+    # cluster B: shifted square
+    (4, 4.0, 0.0), (5, 5.0, 0.0), (6, 4.0, 1.0), (7, 5.0, 1.0),
+    # border point exactly eps from a core in EACH cluster -> joins
+    # the minimum cluster id (the determinism rule)
+    (8, 2.5, 0.0),
+    # noise
+    (9, 10.0, 10.0),
+    # cluster C: negative coordinates (floor-vs-truncate cell ids)
+    (10, -5.5, -5.5), (11, -6.5, -5.5), (12, -5.5, -6.5),
+    (13, -6.5, -6.5),
+]
+
+
+def test_dbscan_roles_clusters_and_negative_cells(spark):
+    got = _dbscan(spark, _TWO_SQUARES, eps=1.5, min_pts=4)
+    for pid in (0, 1, 2, 3):
+        assert got[pid] == ("core", 0)
+    for pid in (4, 5, 6, 7):
+        assert got[pid] == ("core", 4)
+    assert got[8] == ("border", 0)  # min of the two adjacent clusters
+    assert got[9] == ("noise", None)
+    for pid in (10, 11, 12, 13):
+        assert got[pid] == ("core", 10)
+
+
+def test_dbscan_partitioning_invariance(spark):
+    a = _dbscan(spark, _TWO_SQUARES, eps=1.5, min_pts=4, partitions=1)
+    b = _dbscan(spark, _TWO_SQUARES, eps=1.5, min_pts=4, partitions=13)
+    assert a == b
+
+
+def test_dbscan_min_pts_one_all_singleton_cores(spark):
+    pts = [(0, 0.0, 0.0), (1, 50.0, 50.0)]
+    got = _dbscan(spark, pts, eps=1.0, min_pts=1)
+    # isolated cores: singleton clusters labeled by their own id
+    assert got == {0: ("core", 0), 1: ("core", 1)}
+
+
+def test_dbscan_cross_cell_neighbors_counted(spark):
+    # two points 1.4 apart straddling a cell boundary (cells 0 and 1
+    # at eps=1.0... use eps=1.5 so qeps=1500, coords 0.9 and 2.2 land
+    # in cells 0 and 1) — the 9-cell probe must still pair them
+    pts = [(0, 0.9, 0.0), (1, 2.2, 0.0), (2, 0.0, 0.0)]
+    got = _dbscan(spark, pts, eps=1.5, min_pts=2)
+    assert got[0] == ("core", 0)
+    assert got[1] == ("core", 0)  # 1.3 from pid0: same component
+    assert got[2] == ("core", 0)
+
+
+def test_dbscan_validation(spark):
+    import pytest as _pytest
+
+    from deltalake_spark.operators.clustering import dbscan_2d
+
+    df = spark.createDataFrame([(0, 0.0, 0.0)], "pid long, x double, y double")
+    with _pytest.raises(ValueError):
+        dbscan_2d(df, id_col="pid", x_col="x", y_col="y",
+                  eps=0.0, min_pts=2)
+    with _pytest.raises(ValueError):
+        dbscan_2d(df, id_col="pid", x_col="x", y_col="y",
+                  eps=1.0, min_pts=0)

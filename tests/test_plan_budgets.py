@@ -318,3 +318,14 @@ def test_hits_gate_join_shapes(spark):
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
     assert "InMemoryTableScan" in s.text
+
+
+def test_dbscan_gate_join_shapes(spark):
+    """DBSCAN gate: candidate pairs must come from the cell-keyed
+    EQUI-join (9-cell probe) — no cartesian/nested-loop anywhere —
+    and the CC loop's persist+materialize lineage cut must be real."""
+    df = entry_mod.queries()["dbscan_embedding_clusters"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert "InMemoryTableScan" in s.text
