@@ -4670,6 +4670,29 @@ def dbscan_embedding_clusters(spark: SparkSession,
     )
 
 
+def target_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (r5, operators/stats.py): encode each
+    customer nation by its shrunk P(order status = 'F') — the
+    m-estimate featurization (m=100 pseudo-counts toward the global
+    prior) that high-cardinality categorical features get before
+    model training. Counts are exact integers, the prior is one
+    exact-integer division compiled back as a literal (2-scalar
+    collect, no crossJoin node), and the encode is a fixed IEEE op
+    chain — bit-identical in the SQL twin. One join + one groupBy
+    over the detail rows."""
+    from deltalake_spark.operators.stats import target_encode
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", (F.col("o_orderstatus") == "F").alias("is_f"))
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    j = orders.join(customer,
+                    orders.o_custkey == customer.c_custkey).select(
+        "c_nationkey", "is_f")
+    return target_encode(j, cat_col="c_nationkey", label_col="is_f",
+                         smoothing=100.0).orderBy("category")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4856,6 +4879,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_item_similarity": copurchase_item_similarity,
     "hits_customer_part": hits_customer_part,
     "dbscan_embedding_clusters": dbscan_embedding_clusters,
+    "target_encode_nation": target_encode_nation,
 }
 
 
@@ -8386,6 +8410,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN role = 'border' THEN 1 ELSE 0
                             END) AS BIGINT) AS n_border
             FROM lab GROUP BY 1 ORDER BY 1
+        """,
+        "target_encode_nation": """
+            -- same m-estimate algebra: exact integer counts, one
+            -- exact prior division, fixed IEEE encode chain
+            WITH j AS (
+              SELECT c_nationkey AS category,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS y
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            ), g AS (
+              SELECT category, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS sum_y
+              FROM j GROUP BY 1
+            ), t AS (
+              SELECT (SELECT CAST(SUM(sum_y) AS DOUBLE) FROM g)
+                     / (SELECT CAST(SUM(n) AS DOUBLE) FROM g) AS prior
+            )
+            SELECT g.category, g.n, g.sum_y,
+                   (CAST(g.sum_y AS DOUBLE) + 100.0 * t.prior)
+                     / (g.n + 100.0) AS encoded
+            FROM g CROSS JOIN t ORDER BY g.category
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

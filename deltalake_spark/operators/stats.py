@@ -53,6 +53,7 @@ __all__ = [
     "winsorized_stats",
     "roc_auc",
     "cohens_kappa",
+    "target_encode",
 ]
 
 
@@ -455,3 +456,49 @@ def cohens_kappa(
         .cast("double") / denom,
     )
     return out.withColumn("kappa", kappa)
+
+
+def target_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 20.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    standard high-cardinality featurization: each category maps to a
+    shrunk estimate of the label mean,
+
+        enc(c) = (sum_y(c) + m·prior) / (n(c) + m)
+
+    with ``prior`` the global label mean and ``m`` the smoothing
+    pseudo-count, so rare categories fall back toward the prior
+    instead of memorizing noise (the m-estimate / empirical-Bayes
+    shrinkage rule).
+
+    Determinism: with a 0/1 (or integer) label, ``sum_y`` and ``n``
+    are exact integers and ``prior`` is one exact-integer division;
+    the encode is then a FIXED chain of IEEE ops — reproducible
+    cross-engine, unlike a mean of doubles. One groupBy shuffle over
+    the detail rows + one 2-scalar collect for the prior (compiled
+    back as a literal — no crossJoin node).
+
+    Returns ``(category, n, sum_y, encoded)`` keyed by ``cat_col``'s
+    values; join it back (broadcast — category vocabularies are
+    small) to featurize the detail table.
+    """
+    y = F.col(label_col).cast("long")
+    grp = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("sum_y"))
+    grp = grp.persist()  # totals agg + output both read it
+    tot = grp.agg(F.sum("n"), F.sum("sum_y")).first()
+    n_all, y_all = int(tot[0] or 0), int(tot[1] or 0)
+    if n_all == 0:
+        return grp.withColumn("encoded", F.lit(None).cast("double"))
+    prior = y_all / n_all  # one exact-integer IEEE division
+    m = float(smoothing)
+    return grp.withColumn(
+        "encoded",
+        (F.col("sum_y").cast("double") + F.lit(m * prior))
+        / (F.col("n") + F.lit(m)),
+    )

@@ -201,6 +201,9 @@ BUDGETS = {
     # incidence frame (textually nested 4x) + broadcast count joins +
     # TakeOrdered; the partkey thinning filter must reach the scans
     "copurchase_item_similarity": (15, True),
+    # r5: one detail join + one category agg (persisted; textually
+    # nested) + sort; prior is a literal, no crossJoin node
+    "target_encode_nation": (3, False),
 }
 
 

@@ -294,3 +294,37 @@ def test_kappa_disjoint_label_sets(spark):
                                "a string, b string")
     row = cohens_kappa(df, col_a="a", col_b="b").collect()[0]
     assert row["pe_pairs"] == 0 and row["kappa"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# target_encode
+
+
+def test_target_encode_matches_hand_math(spark):
+    from deltalake_spark.operators.stats import target_encode
+
+    rows = [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 1 + [("c", 0)] * 5
+    df = spark.createDataFrame(rows, "cat string, y long").repartition(4)
+    out = {r["category"]: r for r in
+           target_encode(df, cat_col="cat", label_col="y",
+                         smoothing=10.0).collect()}
+    prior = 9 / 16
+    for cat, n, sy in [("a", 10, 8), ("b", 1, 1), ("c", 5, 0)]:
+        r = out[cat]
+        assert (r["n"], r["sum_y"]) == (n, sy)
+        assert r["encoded"] == (float(sy) + 10.0 * prior) / (n + 10.0)
+    # shrinkage: the 1-sample category sits near the prior, the
+    # 10-sample one pulls away toward its own mean
+    assert abs(out["b"]["encoded"] - prior) < abs(8 / 10 - prior) / 2
+    assert out["a"]["encoded"] > prior > out["c"]["encoded"]
+
+
+def test_target_encode_infinite_smoothing_is_prior(spark):
+    from deltalake_spark.operators.stats import target_encode
+
+    rows = [("a", 1), ("a", 0), ("b", 1)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    out = target_encode(df, cat_col="cat", label_col="y",
+                        smoothing=1e12).collect()
+    for r in out:
+        assert abs(r["encoded"] - 2 / 3) < 1e-9
