@@ -4693,6 +4693,30 @@ def target_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          smoothing=100.0).orderBy("category")
 
 
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard join (r5, operators/dedup.py):
+    every document pair with trigram-shingle Jaccard >= 1/5 across
+    the WHOLE corpus — no blocking key, no LSH approximation. The
+    PPJoin machinery makes that affordable: a distributed rarest-
+    first vocabulary rank (range-repartition + offset prefix, never a
+    single-partition window), provably-complete prefixes of length
+    n - ceil(n/5) + 1 (pure integer math), a prefix-only token join
+    (the frequent shingles with the long posting lists never enter a
+    prefix), size filtering, then exact integer verification
+    (den·inter >= num·union). Completeness is pinned against an
+    O(n²) brute force in tests; the oracle is the naive exact join."""
+    from deltalake_spark.operators.dedup import (
+        prefix_jaccard_join,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    pairs = prefix_jaccard_join(docs, id_col="doc_id", tokens_col="sh",
+                                threshold_num=1, threshold_den=5)
+    return pairs.orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4880,6 +4904,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_customer_part": hits_customer_part,
     "dbscan_embedding_clusters": dbscan_embedding_clusters,
     "target_encode_nation": target_encode_nation,
+    "prefix_jaccard_pairs": prefix_jaccard_pairs,
 }
 
 
@@ -8431,6 +8456,38 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(g.sum_y AS DOUBLE) + 100.0 * t.prior)
                      / (g.n + 100.0) AS encoded
             FROM g CROSS JOIN t ORDER BY g.category
+        """,
+        "prefix_jaccard_pairs": """
+            -- naive exact replay: distinct trigram shingles, full
+            -- shared-token pair join, integer threshold test
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents
+            ), sh0 AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), tok AS (
+              SELECT DISTINCT doc_id, g FROM sh0
+            ), sz AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM tok a JOIN tok b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT s.id_a, s.id_b, sa.n AS n_a, sb.n AS n_b, s.inter,
+                   CAST(s.inter AS DOUBLE)
+                     / (sa.n + sb.n - s.inter) AS jaccard
+            FROM shared s
+            JOIN sz sa ON sa.doc_id = s.id_a
+            JOIN sz sb ON sb.doc_id = s.id_b
+            WHERE 5 * s.inter >= 1 * (sa.n + sb.n - s.inter)
+            ORDER BY s.id_a, s.id_b
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -69,6 +69,7 @@ EXTRA = [
     "collocation_pmi_topk",        # r5: PMI phrase mining
     "copurchase_item_similarity",  # r5: basket cosine recommender
     "dbscan_embedding_clusters",   # r5: grid DBSCAN + CC
+    "prefix_jaccard_pairs",        # r5: PPJoin exact similarity join
 ]
 
 

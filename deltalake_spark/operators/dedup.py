@@ -560,3 +560,132 @@ def semantic_dedup(
         .withColumn(keep_col, F.col("__dup").isNull())
         .drop("__dup")
     )
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingle STRINGS (not hashes — see
+    :func:`word_shingle_hashes` for the hashed variant). The exact,
+    SQL-portable token set for :func:`prefix_jaccard_join`."""
+    toks = F.split(F.trim(text_col), " ")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)) - 1
+                   + F.when(n >= k, 1).otherwise(0)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>")))
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    rank_partitions: int = 32,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard similarity join:
+    every unordered pair with ``J(x, y) >= num/den``, no blocking key
+    needed, no approximation anywhere — the candidate generation is
+    provably complete and the verification is exact.
+
+    The classic set-similarity-join machinery (Chaudhuri/Bayardo
+    prefix filter), Spark-shaped:
+
+    1. **Rarity order.** Vocabulary ranked rarest-first by (freq,
+       token) — computed DISTRIBUTIVELY with the same range-repartition
+       + partition-local row_number + offset-prefix trick as
+       ``equidepth_histogram`` (a 100 TB vocabulary never funnels
+       through one partition; driver state = ``rank_partitions``
+       integers).
+    2. **Prefix.** A pair with J >= α shares >= ⌈α·max(|x|,|y|)⌉
+       tokens, so (pigeonhole under ANY total order) their prefixes of
+       length ``p = n - ⌈α·n⌉ + 1`` share at least one token. Prefix
+       lengths use pure integer math (``⌈α·n⌉ = (num·n + den - 1)
+       div den``) — no float thresholds anywhere.
+    3. **Candidates.** One token-keyed equi-join of PREFIXES only.
+       Rarest-first ordering puts the longest posting lists outside
+       every prefix — this is what bounds the join at scale, and it
+       is also why a blocking key becomes unnecessary.
+    4. **Size filter.** ``num·|x| <= den·|y|`` both ways (J >= α
+       forces α|x| <= |y|), applied before verification.
+    5. **Exact verify.** Candidates re-join the two token sets to
+       count the true intersection; the threshold test is the exact
+       integer ``den·c >= num·(|x|+|y|-c)``.
+
+    Returns ``(id_a, id_b, n_a, n_b, inter, jaccard)`` with
+    ``jaccard`` = one deterministic IEEE division.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+
+    tok = df.select(F.col(id_col).alias("did"),
+                    F.explode(F.col(tokens_col)).alias("w")) \
+        .distinct().persist()
+    sizes = tok.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.persist()
+
+    # --- global rarity rank, distributed (no single-partition window)
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    ranged = freq.repartitionByRange(
+        rank_partitions, F.col("f"), F.col("w")).persist()
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = {r["__pid"]: r["c"] for r in
+              with_pid.groupBy("__pid").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid, F.lit(off)) \
+            .otherwise(off_expr)
+    local = with_pid.withColumn(
+        "__lr", F.row_number().over(
+            Window.partitionBy("__pid").orderBy("f", "w")))
+    rank = local.select("w", (F.col("__lr") + off_expr).alias("rk"))
+
+    # --- per-doc prefix under the rarity order
+    wdoc = Window.partitionBy("did").orderBy("rk")
+    required = F.expr(f"({num} * n + {den} - 1) div {den}")
+    prefix = (
+        tok.join(rank, "w")
+        .withColumn("__rn", F.row_number().over(wdoc))
+        .join(sizes, "did")
+        .filter(F.col("__rn") <= F.col("n") - required + 1)
+        .select("did", "w")
+    )
+
+    # --- candidates: prefix x prefix on the shared (rare) token
+    pa = prefix.select(F.col("did").alias("id_a"), "w")
+    pb = prefix.select(F.col("did").alias("id_b"), "w")
+    sa = sizes.select(F.col("did").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("did").alias("id_b"), F.col("n").alias("n_b"))
+    cand = (
+        pa.join(pb, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+        .join(sa, "id_a").join(sb, "id_b")
+        .filter((num * F.col("n_a") <= den * F.col("n_b"))
+                & (num * F.col("n_b") <= den * F.col("n_a")))
+    )
+
+    # --- exact verification over the candidate set only
+    ta = tok.select(F.col("did").alias("id_a"), "w")
+    tb = tok.select(F.col("did").alias("id_b"), "w")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    uni = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        inter.filter(den * F.col("inter") >= num * uni)
+        .select("id_a", "id_b", "n_a", "n_b", "inter",
+                (F.col("inter").cast("double") / uni).alias("jaccard"))
+    )

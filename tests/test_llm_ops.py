@@ -780,3 +780,143 @@ def test_damerau_pairs_blocking_and_threshold(spark):
                                   max_distance=2).collect()}
     # (1,5) never compared (different blocks); 4 never passes threshold
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+# ---------------------------------------------------------------------------
+# prefix_jaccard_join / word_shingles
+
+
+def _brute_jaccard_pairs(docs, k, num, den):
+    import itertools
+
+    sets = {}
+    for i, t in docs:
+        toks = t.split()
+        sets[i] = {" ".join(toks[j:j + k])
+                   for j in range(len(toks) - k + 1)} if len(toks) >= k \
+            else set()
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        x, y = sets[a], sets[b]
+        if not x or not y:
+            continue
+        c = len(x & y)
+        u = len(x) + len(y) - c
+        if den * c >= num * u:
+            out[(a, b)] = (len(x), len(y), c, c / u)
+    return out
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    import random
+
+    from deltalake_spark.operators.dedup import (
+        prefix_jaccard_join,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(80):
+        base = [rng.choice(vocab) for _ in range(rng.randrange(4, 15))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.3:  # planted near-dup: small edit
+            mutated = list(base)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mutated)))
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .repartition(7).withColumn("sh", word_shingles(F.col("text"), 3))
+    got = {(r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["inter"],
+                                    r["jaccard"])
+           for r in prefix_jaccard_join(
+               df, id_col="doc_id", tokens_col="sh",
+               threshold_num=3, threshold_den=10).collect()}
+    want = _brute_jaccard_pairs(docs, 3, 3, 10)
+    assert got == want          # complete AND exact — no miss, no extra
+    assert len(want) > 10       # the fixture actually exercises it
+
+
+def test_prefix_jaccard_threshold_boundary_kept(spark):
+    from deltalake_spark.operators.dedup import prefix_jaccard_join
+
+    # J exactly 1/2 must be KEPT (>=, exact integer test)
+    rows = [(1, ["a", "b", "c"]), (2, ["a", "b", "d"])]  # J = 2/4 = 1/2
+    df = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    out = prefix_jaccard_join(df, id_col="doc_id", tokens_col="sh",
+                              threshold_num=1, threshold_den=2).collect()
+    assert len(out) == 1 and out[0]["jaccard"] == 0.5
+    out = prefix_jaccard_join(df, id_col="doc_id", tokens_col="sh",
+                              threshold_num=51,
+                              threshold_den=100).collect()
+    assert out == []
+
+
+def test_word_shingles_edges(spark):
+    from deltalake_spark.operators.dedup import word_shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b c",), ("a b",), ("",), ("x x x x",)],
+        "text string")
+    got = [r[0] for r in df.select(word_shingles(F.col("text"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b c"]
+    assert got[2] == [] and got[3] == []
+    assert got[4] == ["x x x"]  # distinct collapses repeats
+
+
+def test_prefix_jaccard_validation(spark):
+    import pytest as _pytest
+
+    from deltalake_spark.operators.dedup import prefix_jaccard_join
+
+    df = spark.createDataFrame([(1, ["a"])], "doc_id long, sh array<string>")
+    with _pytest.raises(ValueError):
+        prefix_jaccard_join(df, id_col="doc_id", tokens_col="sh",
+                            threshold_num=0, threshold_den=1)
+    with _pytest.raises(ValueError):
+        prefix_jaccard_join(df, id_col="doc_id", tokens_col="sh",
+                            threshold_num=3, threshold_den=2)
+
+
+def test_prefix_jaccard_prunes_at_high_threshold(spark):
+    """The scale property: at high α the prefix join inspects FAR
+    fewer pairs than the naive shared-token join (measured 1.13M ->
+    119k on the sf0.1 corpus at α=0.8). Pinned here structurally on a
+    fixture with heavy shared-token overlap but few true near-dups."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from deltalake_spark.operators.dedup import word_shingles
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> heavy sharing
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string") \
+        .withColumn("sh", word_shingles(F.col("text"), 3))
+    tok = df.select(F.col("doc_id").alias("did"),
+                    F.explode("sh").alias("w")).distinct().persist()
+    naive = (tok.alias("a").join(tok.alias("b"), "w")
+             .filter(F.col("a.did") < F.col("b.did"))
+             .select("a.did", "b.did").distinct().count())
+    sizes = tok.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    rank = freq.withColumn("rk", F.row_number().over(
+        Window.orderBy("f", "w")))
+    required = F.expr("(8 * n + 10 - 1) div 10")
+    prefix = (tok.join(rank, "w")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("did").orderBy("rk")))
+              .join(sizes, "did")
+              .filter(F.col("rn") <= F.col("n") - required + 1)
+              .select("did", "w"))
+    cand = (prefix.alias("a").join(prefix.alias("b"), "w")
+            .filter(F.col("a.did") < F.col("b.did"))
+            .select("a.did", "b.did").distinct().count())
+    assert naive > 5000          # the fixture really is overlap-heavy
+    assert cand < naive / 5      # prefixes prune hard at high alpha

@@ -204,6 +204,10 @@ BUDGETS = {
     # r5: one detail join + one category agg (persisted; textually
     # nested) + sort; prior is a literal, no crossJoin node
     "target_encode_nation": (3, False),
+    # r5: PPJoin pipeline — distributed vocab rank (range exchange +
+    # pid window), per-doc prefix window, prefix equi-join, verify
+    # joins; persisted tok/size frames nest textually
+    "prefix_jaccard_pairs": (44, False),
 }
 
 
