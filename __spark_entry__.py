@@ -4717,6 +4717,37 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def golden_customer_records(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (r5, operators/entity.py): the END
+    of the entity-resolution pipeline this engine now carries end to
+    end — blocked Damerau-Levenshtein matching (distance <= 1),
+    transitive clustering via connected components, then one
+    canonical record per entity under DETERMINISTIC field rules:
+    name from the lowest-id member (earliest), account balance = max,
+    market segment = modal value with ties to the smallest. Output:
+    the merged entities only (n_members >= 2). The oracle replays the
+    same pairs (DuckDB's native DL), a recursive-CTE closure, and the
+    same survivorship algebra."""
+    from deltalake_spark.operators.entity import golden_records
+    from deltalake_spark.operators.text import damerau_pairs
+
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment", F.substring("c_name", 10, 5).alias("blk"))
+    pairs = damerau_pairs(
+        customer, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey", "blk"], max_distance=1)
+    golden = golden_records(
+        customer.drop("blk"), pairs, id_col="c_custkey",
+        rules={"c_name": "earliest", "c_acctbal": "max",
+               "c_mktsegment": "most_common"})
+    return (golden.filter(F.col("n_members") >= 2)
+            .select("entity_id", "n_members", "c_name", "c_acctbal",
+                    "c_mktsegment")
+            .orderBy("entity_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4905,6 +4936,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dbscan_embedding_clusters": dbscan_embedding_clusters,
     "target_encode_nation": target_encode_nation,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
+    "golden_customer_records": golden_customer_records,
 }
 
 
@@ -8488,6 +8520,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sb ON sb.doc_id = s.id_b
             WHERE 5 * s.inter >= 1 * (sa.n + sb.n - s.inter)
             ORDER BY s.id_a, s.id_b
+        """,
+        "golden_customer_records": """
+            -- same pipeline: blocked DL<=1 pairs, recursive-CTE
+            -- transitive closure, deterministic survivorship
+            WITH RECURSIVE c AS (
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                     c_mktsegment, substr(c_name, 10, 5) AS blk
+              FROM customer
+            ), e AS (
+              SELECT a.c_custkey AS s, b.c_custkey AS d
+              FROM c a JOIN c b
+                ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+               AND a.c_custkey < b.c_custkey
+              WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
+            ), sym AS (
+              SELECT s, d FROM e UNION SELECT d, s FROM e
+            ), reach AS (
+              SELECT s AS node, s AS label FROM sym
+              UNION
+              SELECT sym.s, r.label
+              FROM sym JOIN reach r ON r.node = sym.d
+            ), comp AS (
+              SELECT node, MIN(label) AS entity FROM reach GROUP BY 1
+            ), rec AS (
+              SELECT c.*, COALESCE(comp.entity, c.c_custkey) AS entity
+              FROM c LEFT JOIN comp ON comp.node = c.c_custkey
+            ), agg AS (
+              SELECT entity AS entity_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_members,
+                     arg_min(c_name, c_custkey) AS c_name,
+                     MAX(c_acctbal) AS c_acctbal
+              FROM rec GROUP BY 1
+            ), modal AS (
+              SELECT entity AS entity_id, c_mktsegment FROM (
+                SELECT entity, c_mktsegment,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY entity
+                         ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+                FROM rec GROUP BY entity, c_mktsegment
+              ) WHERE rn = 1
+            )
+            SELECT a.entity_id, a.n_members, a.c_name, a.c_acctbal,
+                   m.c_mktsegment
+            FROM agg a JOIN modal m USING (entity_id)
+            WHERE a.n_members >= 2
+            ORDER BY a.entity_id
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

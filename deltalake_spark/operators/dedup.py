@@ -390,6 +390,14 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
+    # materialize the symmetric edge list ONCE: every iteration joins
+    # against it, and without the cut the edge lineage — which may be
+    # an expensive upstream computation (a pair self-join, an Arrow
+    # scorer like damerau_pairs) — re-executes per round. Measured on
+    # the golden-records gate at sf0.1: 2.5M Arrow DL evaluations
+    # replayed ~2x per CC round pinned two workers for >45 min;
+    # checkpointing makes the loop read executor storage instead.
+    sym = sym.localCheckpoint(eager=True)
     labels = sym.select(F.col("a").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
     prev_sum = None

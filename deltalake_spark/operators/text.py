@@ -295,7 +295,12 @@ def jaro_winkler_pairs(
 
     score.__annotations__ = {"a": pd.Series, "b": pd.Series,
                              "return": pd.Series}
-    jw_udf = pandas_udf(score, "double")
+    # asNondeterministic is an OPTIMIZER FENCE, not a semantics
+    # statement: without it Catalyst pushes the similarity filter
+    # (and a duplicate ArrowEvalPython) below the spreading exchange,
+    # so the scorer runs TWICE at file-split parallelism (measured on
+    # the sf0.1 golden gate: 2x 2.5M evals on 2 cores)
+    jw_udf = pandas_udf(score, "double").asNondeterministic()
 
     left = df.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
@@ -304,9 +309,15 @@ def jaro_winkler_pairs(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
         *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)])
     keys = [f"__b{i}" for i in range(len(block_cols))]
+    cand = left.join(right, keys).filter(F.col("id_a") < F.col("id_b"))
+    # spread the candidate stream before the Python scorer: a
+    # broadcast block join preserves the INPUT file partitioning, so
+    # without this the Arrow UDF runs at file-split parallelism (2
+    # cores on a 2-file table) no matter how wide the cluster is
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     return (
-        left.join(right, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand
         .withColumn("similarity",
                     jw_udf(F.col("text_a"), F.col("text_b")))
         .filter(F.col("similarity") >= min_similarity)
@@ -512,7 +523,8 @@ def damerau_pairs(
 
     score.__annotations__ = {"a": pd.Series, "b": pd.Series,
                              "return": pd.Series}
-    dl_udf = pandas_udf(score, "long")
+    # optimizer fence — see jaro_winkler_pairs
+    dl_udf = pandas_udf(score, "long").asNondeterministic()
 
     left = df.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"),
@@ -521,9 +533,14 @@ def damerau_pairs(
         F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"),
         *[F.col(c).alias(f"__b{i}") for i, c in enumerate(block_cols)])
     keys = [f"__b{i}" for i in range(len(block_cols))]
+    cand = left.join(right, keys).filter(F.col("id_a") < F.col("id_b"))
+    # full-parallelism scoring (see jaro_winkler_pairs): measured 7x
+    # on the sf0.1 golden-records gate, where the 2.5M-pair DL stream
+    # otherwise scored on the table's 2 file splits
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     return (
-        left.join(right, keys)
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand
         .withColumn("distance", dl_udf(F.col("text_a"), F.col("text_b")))
         .filter(F.col("distance") <= max_distance)
         .drop(*keys)

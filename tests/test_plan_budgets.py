@@ -336,3 +336,13 @@ def test_dbscan_gate_join_shapes(spark):
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
     assert "InMemoryTableScan" in s.text
+
+
+def test_golden_records_gate_join_shapes(spark):
+    """ER survivorship gate: CC is iterative (persisted half-steps →
+    nested static text), so pin shapes not counts — no cartesian /
+    nested-loop joins; the blocked pair join must be an equi-join."""
+    df = entry_mod.queries()["golden_customer_records"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
