@@ -4748,6 +4748,24 @@ def golden_customer_records(spark: SparkSession,
             .orderBy("entity_id"))
 
 
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis (r5, operators/funnel.py): each
+    user's first 4 events (ordered by ts with event_id as the unique
+    tiebreaker — paths are a pure function of the data) concatenated
+    into a path string, counted, top 20 by frequency. One entity
+    window (WindowGroupLimit caps the tail), the path built INSIDE
+    the per-user aggregate via array_sort of (step,event) structs —
+    no second sort shuffle — then a path-count agg whose cardinality
+    is bounded by |event_types|^4 at any input size."""
+    from deltalake_spark.operators.funnel import event_paths
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    paths = event_paths(ev, key_col="user_id", event_col="event_type",
+                        order_cols=["ts", "event_id"], max_steps=4)
+    return paths.orderBy(F.desc("n"), "path").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4937,6 +4955,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "target_encode_nation": target_encode_nation,
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "golden_customer_records": golden_customer_records,
+    "event_paths_topk": event_paths_topk,
 }
 
 
@@ -8566,6 +8585,24 @@ def oracle_sql() -> dict[str, str]:
             FROM agg a JOIN modal m USING (entity_id)
             WHERE a.n_members >= 2
             ORDER BY a.entity_id
+        """,
+        "event_paths_topk": """
+            -- same construction: ranked first-4 events, ordered
+            -- string_agg per user, path frequency
+            WITH e AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ), p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path,
+                     CAST(COUNT(*) AS BIGINT) AS n_steps
+              FROM e WHERE rn <= 4 GROUP BY 1
+            )
+            SELECT path, n_steps, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2
+            ORDER BY n DESC, path LIMIT 20
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -23,8 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["funnel_steps", "retention_cohorts"]
+__all__ = ["funnel_steps", "retention_cohorts", "event_paths"]
 
 _DAY_NS = 86_400_000_000_000
 
@@ -100,3 +101,51 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def event_paths(
+    df: DataFrame,
+    *,
+    key_col: str,
+    event_col: str,
+    order_cols: list[str],
+    max_steps: int = 5,
+    sep: str = ">",
+) -> DataFrame:
+    """Clickstream path analysis: each entity's first ``max_steps``
+    events (under the total order ``order_cols`` — include a unique
+    tiebreaker so paths are a pure function of the data) concatenated
+    into a path string, then counted across entities. The classic
+    "what do users actually do" rollup that funnels summarize away.
+
+    Scale shape: one entity-keyed window (row_number, capped at
+    ``max_steps`` — WindowGroupLimit prunes the tail), one
+    groupBy(entity) building the path INSIDE the aggregate
+    (``array_sort`` of (step, event) structs — no second window, no
+    re-sort shuffle), one path-count agg. Path cardinality is bounded
+    by |event_types|^max_steps regardless of input size.
+
+    Returns ``(path, n_steps, n)`` — callers rank with
+    ``orderBy(desc("n"), "path")``.
+    """
+    if max_steps < 1:
+        raise ValueError("max_steps must be >= 1")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    stepped = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(max_steps))
+    )
+    paths = stepped.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__rn").alias("s"),
+                             F.col(event_col).alias("e")))),
+                lambda x: x["e"],
+            ),
+            sep,
+        ).alias("path"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return paths.groupBy("path", "n_steps").agg(
+        F.count(F.lit(1)).alias("n"))

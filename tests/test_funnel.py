@@ -90,3 +90,50 @@ def test_retention_cohorts(spark):
             for r in retention_cohorts(
                 _events_df(spark, rows), period_days=7).collect()}
     assert grid == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# event_paths
+
+
+def test_event_paths_hand_values(spark):
+    from deltalake_spark.operators.funnel import event_paths
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: view cart buy (+ a 4th event beyond the cap)
+        (1, 10, "view"), (1, 20, "cart"), (1, 30, "buy"), (1, 40, "view"),
+        # user 2: same first three
+        (2, 5, "view"), (2, 6, "cart"), (2, 7, "buy"),
+        # user 3: single event
+        (3, 1, "view"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, et string") \
+        .repartition(5)
+    out = {(r["path"], r["n_steps"]): r["n"]
+           for r in event_paths(df, key_col="u", event_col="et",
+                                order_cols=["ts"],
+                                max_steps=3).collect()}
+    assert out == {("view>cart>buy", 3): 2, ("view", 1): 1}
+
+
+def test_event_paths_tiebreak_deterministic(spark):
+    from deltalake_spark.operators.funnel import event_paths
+
+    # two events share ts; the explicit tiebreaker column decides
+    rows = [(1, 10, 1, "a"), (1, 10, 0, "b")]
+    df = spark.createDataFrame(rows, "u long, ts long, eid long, et string")
+    out = event_paths(df, key_col="u", event_col="et",
+                      order_cols=["ts", "eid"], max_steps=5).collect()
+    assert out[0]["path"] == "b>a"
+
+
+def test_event_paths_validation(spark):
+    import pytest as _pytest
+
+    from deltalake_spark.operators.funnel import event_paths
+
+    df = spark.createDataFrame([(1, 1, "a")], "u long, ts long, et string")
+    with _pytest.raises(ValueError):
+        event_paths(df, key_col="u", event_col="et",
+                    order_cols=["ts"], max_steps=0)

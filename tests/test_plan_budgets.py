@@ -208,6 +208,9 @@ BUDGETS = {
     # pid window), per-doc prefix window, prefix equi-join, verify
     # joins; persisted tok/size frames nest textually
     "prefix_jaccard_pairs": (44, False),
+    # r5: one user window (WindowGroupLimit-capped) + path agg on the
+    # same exchange + TakeOrdered head
+    "event_paths_topk": (2, False),
 }
 
 
