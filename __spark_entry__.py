@@ -4766,6 +4766,84 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paths.orderBy(F.desc("n"), "path").limit(20)
 
 
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit (r5, operators/audit.py): equivalence-class
+    size histogram of the events table under the quasi-identifier
+    (event_type, event date, user cohort = user_id % 50) at k=5 —
+    the re-identification risk profile a dataset gets before release.
+    One groupBy over the quasi key (map-side partial counts), then a
+    tiny groupBy over the CLASS frame; all outputs exact integers."""
+    from deltalake_spark.operators.audit import k_anonymity
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d"),
+        (F.col("user_id") % 50).alias("cohort"))
+    return k_anonymity(
+        ev, quasi_cols=["event_type", "d", "cohort"], k=5)
+
+
+def tvd_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift monitor (r5, operators/stats.py): total-
+    variation distance between the event-type mix of the first half
+    of the month (days 1-15) and the second half — the per-batch
+    ingest check that catches upstream mix shifts. Per-bin numerators
+    are exact integers (|n_b·N_c − n_c·N_b|); every double is one
+    fixed IEEE division, so the SQL twin matches bit-for-bit with no
+    logarithms (the PMI trick). One groupBy(bin) + a 2-scalar
+    collect for the totals."""
+    from deltalake_spark.operators.stats import distribution_drift
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.expr("ts div 86400000000000") < 19738,  # 2024-01-16
+               F.lit("base"))
+        .otherwise(F.lit("curr")).alias("half"),
+        "event_type")
+    return distribution_drift(
+        ev, split_col="half", bin_col="event_type",
+        base_value="base", curr_value="curr")
+
+
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (r5, operators/stats.py): observed
+    first-significant-digit counts of order totals (integer cents,
+    digit from the bigint's decimal rendering — no cross-engine
+    log10) per order status, against compile-time Benford expectation
+    literals with per-digit χ² terms. One groupBy(status, digit)
+    shuffle; the totals window runs on the 9-row-per-group digit
+    frame."""
+    from deltalake_spark.operators.stats import benford_digit_test
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice")
+    return benford_digit_test(
+        orders, value_col="o_totalprice",
+        group_cols=["o_orderstatus"])
+
+
+def cusum_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection (r5, operators/timeseries.py): one-sided
+    Page CUSUM over each event type's DAILY value total, computed via
+    the exact prefix-sum closed form s_t = S_t − min_{j≤t} S_j (the
+    reset recursion without iteration — two shared-sort windows). The
+    grain is integer cents (sum of per-event rounded cents — exact
+    BIGINT, no float summation order), target 330000 cents/day,
+    threshold 150000; first_alarm marks each series' changepoint."""
+    from deltalake_spark.operators.timeseries import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+    out = cusum_changepoint(
+        daily, group_cols=["event_type"], order_col="d",
+        value_col="cents", target=330000.0, threshold=150000.0,
+        scale=1)
+    return out.orderBy("event_type", "d")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4956,6 +5034,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_jaccard_pairs": prefix_jaccard_pairs,
     "golden_customer_records": golden_customer_records,
     "event_paths_topk": event_paths_topk,
+    "k_anonymity_events": k_anonymity_events,
+    "tvd_drift_events": tvd_drift_events,
+    "benford_order_prices": benford_order_prices,
+    "cusum_daily_values": cusum_daily_values,
 }
 
 
@@ -8603,6 +8685,122 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, n_steps, CAST(COUNT(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2
             ORDER BY n DESC, path LIMIT 20
+        """,
+        "k_anonymity_events": """
+            -- same two-level grouping: quasi-identifier classes,
+            -- then the class-size histogram; exact integers
+            WITH cls AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     user_id % 50 AS cohort,
+                     CAST(COUNT(*) AS BIGINT) AS class_size
+              FROM events GROUP BY 1, 2, 3
+            )
+            SELECT class_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   class_size * CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   class_size < 5 AS at_risk
+            FROM cls GROUP BY class_size ORDER BY class_size
+        """,
+        "tvd_drift_events": """
+            -- same integer-numerator TVD: |n_b*Nc - n_c*Nb| exact
+            -- bigint, one IEEE division per reported double
+            WITH cells AS (
+              SELECT event_type AS bin,
+                     CAST(SUM(CASE WHEN epoch_ns(ts) // 86400000000000
+                                        < 19738 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_base,
+                     CAST(SUM(CASE WHEN epoch_ns(ts) // 86400000000000
+                                        >= 19738 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_curr
+              FROM events GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(n_base) AS BIGINT) AS nb,
+                     CAST(SUM(n_curr) AS BIGINT) AS nc
+              FROM cells
+            )
+            SELECT bin, n_base, n_curr,
+                   n_base / CAST(nb AS DOUBLE) AS p_base,
+                   n_curr / CAST(nc AS DOUBLE) AS p_curr,
+                   ABS(n_base * nc - n_curr * nb)
+                     / (2.0 * nb * nc) AS tvd_contrib
+            FROM cells CROSS JOIN tot ORDER BY bin
+        """,
+        "benford_order_prices": """
+            -- first digit from the cents bigint's decimal rendering;
+            -- Benford expectations as the same literal doubles the
+            -- Spark plan embeds (log10 folded at build time)
+            WITH v AS (
+              SELECT o_orderstatus,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+            ), d AS (
+              SELECT o_orderstatus,
+                     CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                          AS INTEGER) AS digit
+              FROM v
+            ), cnt AS (
+              SELECT o_orderstatus, digit,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM d GROUP BY 1, 2
+            ), w AS (
+              SELECT o_orderstatus, digit, n_obs,
+                     CAST(SUM(n_obs) OVER (PARTITION BY o_orderstatus)
+                          AS BIGINT) AS n_total
+              FROM cnt
+            ), e AS (
+              -- string-cast literals: DuckDB's DECIMAL->DOUBLE cast
+              -- is 1 ulp off the shortest-round-trip parse the Spark
+              -- plan embeds; VARCHAR->DOUBLE parses exactly
+              SELECT *,
+                     n_total * (CASE digit
+                       WHEN 1 THEN CAST('0.3010299956639812'  AS DOUBLE)
+                       WHEN 2 THEN CAST('0.17609125905568124' AS DOUBLE)
+                       WHEN 3 THEN CAST('0.12493873660829993' AS DOUBLE)
+                       WHEN 4 THEN CAST('0.09691001300805642' AS DOUBLE)
+                       WHEN 5 THEN CAST('0.07918124604762482' AS DOUBLE)
+                       WHEN 6 THEN CAST('0.06694678963061322' AS DOUBLE)
+                       WHEN 7 THEN CAST('0.05799194697768673' AS DOUBLE)
+                       WHEN 8 THEN CAST('0.05115252244738129' AS DOUBLE)
+                       WHEN 9 THEN CAST('0.04575749056067514' AS DOUBLE)
+                     END) AS expected
+              FROM w
+            )
+            SELECT o_orderstatus, digit, n_obs, n_total, expected,
+                   (n_obs - expected) * (n_obs - expected) / expected
+                     AS chi2_term
+            FROM e ORDER BY o_orderstatus, digit
+        """,
+        "cusum_daily_values": """
+            -- same prefix-sum closed form of the reset recursion:
+            -- s_t = S_t - least(min_{j<=t} S_j, 0), exact cents
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, d, cents,
+                     CAST(SUM(cents - 330000) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS S
+              FROM daily
+            ), c AS (
+              SELECT event_type, d, cents,
+                     S - LEAST(MIN(S) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS UNBOUNDED PRECEDING), 0) AS cusum_units
+              FROM s
+            ), a AS (
+              SELECT *, cusum_units > 150000 AS alarm FROM c
+            )
+            SELECT event_type, d, cents, cusum_units, alarm,
+                   alarm AND d = MIN(CASE WHEN alarm THEN d END)
+                     OVER (PARTITION BY event_type) AS first_alarm
+            FROM a ORDER BY event_type, d
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["audit_checks"]
+__all__ = ["audit_checks", "k_anonymity"]
 
 
 def _violation_expr(spec: dict):
@@ -189,4 +189,48 @@ def equidepth_histogram(
             F.min(col).alias("lo"),
             F.max(col).alias("hi"),
         )
+    )
+
+
+def k_anonymity(
+    df: DataFrame,
+    *,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit over a set of quasi-identifier columns — the
+    re-identification risk check a corpus gets before release: every
+    row must share its quasi-identifier combination (its equivalence
+    class) with at least ``k - 1`` others, or an attacker joining on
+    those columns can single people out.
+
+    Rather than one opaque pass/fail, this returns the equivalence-
+    class SIZE HISTOGRAM — one row per distinct class size with how
+    many classes/rows sit at that size and whether that size violates
+    ``k`` — so the caller reads both the anonymity level (the smallest
+    size) and the full risk mass at a glance. All outputs are exact
+    integers.
+
+    Scale shape: one groupBy over the quasi-identifier key (partial
+    map-side counts apply), then a second tiny groupBy over the CLASS
+    frame (rows = number of classes, already reduced); the size
+    histogram it returns is at most |distinct sizes| rows. NULL in a
+    quasi column is its own value (SQL GROUP BY semantics) — NULL
+    groups re-identify just like any other.
+
+    Output: ``(class_size, n_classes, n_rows, at_risk)`` ordered by
+    ``class_size``.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    classes = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .withColumn("n_rows", F.col("class_size") * F.col("n_classes"))
+        .withColumn("at_risk", F.col("class_size") < F.lit(int(k)))
+        .orderBy("class_size")
     )

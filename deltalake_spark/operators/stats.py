@@ -54,6 +54,8 @@ __all__ = [
     "roc_auc",
     "cohens_kappa",
     "target_encode",
+    "distribution_drift",
+    "benford_digit_test",
 ]
 
 
@@ -501,4 +503,133 @@ def target_encode(
         "encoded",
         (F.col("sum_y").cast("double") + F.lit(m * prior))
         / (F.col("n") + F.lit(m)),
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    *,
+    split_col: str,
+    bin_col: str,
+    base_value,
+    curr_value,
+) -> DataFrame:
+    """Distribution drift between a baseline and a current slice of
+    the same table — the monitoring check a 100 TB ingest runs per
+    batch: has the categorical/binned profile of the new data moved
+    away from the reference period?
+
+    The drift score is TOTAL VARIATION DISTANCE,
+    ``TVD = 1/2 · Σ_bins |p_base(b) − p_curr(b)|`` — same support-
+    union semantics as PSI but with NO logarithms, so the per-bin
+    numerators stay EXACT INTEGERS:
+
+        contrib_num(b) = |n_base(b)·N_curr − n_curr(b)·N_base|
+
+    and each reported double is one fixed IEEE division over exact
+    integers — bit-identical cross-engine (the same trick the PMI op
+    uses to avoid ln drift). Bins missing from one side contribute
+    their full mass, so category births/deaths register as drift.
+
+    Scale shape: ONE groupBy(bin) over the filtered detail rows
+    builds both counts via conditional sums; the totals are a 2-
+    scalar collect compiled back as literals (no crossJoin node);
+    everything after the first shuffle runs on the BIN frame.
+
+    Output: ``(bin, n_base, n_curr, p_base, p_curr, tvd_contrib)``
+    ordered by bin — TVD itself is ``sum(tvd_contrib)`` but the
+    per-bin frame is the useful artifact (which bins moved).
+    """
+    split = F.col(split_col)
+    both = df.where(split.isin([base_value, curr_value]))
+    cells = both.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.sum((split == F.lit(base_value)).cast("long"))
+        .alias("n_base"),
+        F.sum((split == F.lit(curr_value)).cast("long"))
+        .alias("n_curr"),
+    )
+    cells = cells.persist()  # totals agg + output both read it
+    tot = cells.agg(F.sum("n_base"), F.sum("n_curr")).first()
+    n_base_all, n_curr_all = int(tot[0] or 0), int(tot[1] or 0)
+    if n_base_all == 0 or n_curr_all == 0:
+        raise ValueError(
+            f"empty slice: baseline={n_base_all} current={n_curr_all}")
+    # |n_b·N_c − n_c·N_b| is an exact bigint; each double below is one
+    # IEEE division away from integers → reproducible cross-engine
+    num = F.abs(F.col("n_base") * F.lit(n_curr_all)
+                - F.col("n_curr") * F.lit(n_base_all))
+    return (
+        cells.select(
+            "bin", "n_base", "n_curr",
+            (F.col("n_base") / F.lit(float(n_base_all)))
+            .alias("p_base"),
+            (F.col("n_curr") / F.lit(float(n_curr_all)))
+            .alias("p_curr"),
+            (num / F.lit(2.0 * n_base_all * n_curr_all))
+            .alias("tvd_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), d=1..9,
+# folded to literal doubles HERE (not at runtime) so the Spark plan
+# and the SQL twin embed bit-identical constants with no cross-engine
+# log10 call.
+_BENFORD_P = (
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+)
+
+
+def benford_digit_test(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud / synthetic-data screen for naturally-occurring
+    amounts. Values are quantized to integer cents, the first digit
+    is taken from the INTEGER's decimal rendering (portable — no
+    cross-engine log10/pow drift), and each digit row reports its
+    observed count against the Benford expectation with its Pearson
+    χ² term ``(obs − n·p)² / (n·p)``.
+
+    Expected probabilities are compile-time literal doubles (module
+    constant ``_BENFORD_P``), so every reported double is a fixed
+    IEEE chain over exact integer counts and literals. The per-digit
+    frame (9 rows per group) is the output; callers sum ``chi2_term``
+    in digit order if they want the scalar statistic.
+
+    Scale shape: one groupBy(group, digit) shuffle with map-side
+    partial counts; the group-total window runs on the 9-row-per-
+    group digit frame. Rows with value ≤ 0 or NULL are excluded
+    (Benford applies to positive magnitudes).
+    """
+    groups = [F.col(c) for c in (group_cols or [])]
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    pos = df.where(F.col(value_col).isNotNull() & (cents > 0))
+    counts = pos.groupBy(*groups, digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n_obs"))
+    w = Window.partitionBy(
+        *[F.col(c) for c in (group_cols or [])]) if group_cols \
+        else Window.partitionBy()
+    counts = counts.withColumn("n_total", F.sum("n_obs").over(w))
+    p_expr = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        p_expr = F.when(F.col("digit") == d,
+                        F.lit(_BENFORD_P[d - 1])).otherwise(p_expr)
+    expected = F.col("n_total") * p_expr
+    dev = F.col("n_obs") - expected
+    return (
+        counts.select(
+            *[F.col(c) for c in (group_cols or [])],
+            "digit", "n_obs", "n_total",
+            expected.alias("expected"),
+            (dev * dev / expected).alias("chi2_term"),
+        )
+        .orderBy(*(group_cols or []), "digit")
     )

@@ -40,6 +40,7 @@ __all__ = [
     "rolling_zscore",
     "autocorrelation",
     "markov_transitions",
+    "cusum_changepoint",
 ]
 
 
@@ -197,3 +198,69 @@ def markov_transitions(
         "n",
         (F.col("n") / F.sum("n").over(marg)).alias("prob"),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    target: float,
+    threshold: float,
+    scale: int = 100,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per series (Page 1954) — the
+    sequential mean-shift monitor a streaming rollup runs per key:
+    raise when the cumulative excess over a target level exceeds a
+    decision threshold.
+
+    The textbook form is a RESET recursion
+    ``s_t = max(0, s_{t-1} + (x_t − target))`` — apparently
+    sequential, but it has the exact prefix-sum closed form
+
+        s_t = S_t − min_{0≤j≤t} S_j,   S_t = Σ_{i≤t} (x_i − target)
+
+    (the reset just subtracts the running minimum of the cumulative
+    sum, including the empty prefix S_0 = 0). Both sides run in
+    INTEGER units of ``1/scale`` (values and target quantized with
+    half-away rounding), so every statistic is an exact BIGINT and
+    the twin SQL replay matches bit-for-bit — two window passes, no
+    iteration, no fold.
+
+    Upper CUSUM only (drift upward); monitor ``-x`` for the lower
+    side. Output: the series grain with ``(cusum_units, alarm)``
+    appended, plus ``first_alarm`` marking the first breach per group
+    — the changepoint detection. ``threshold`` is in value units.
+
+    Scale shape: one shuffle on the group key; both windows (running
+    sum, running min) share the same (group, order) sort. Frame sizes
+    are the series grain, not raw rows.
+    """
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    q = int(scale)
+    # quantize value and target to exact integer units; round() here
+    # matches DuckDB round(double) on the fixture domain (same
+    # pattern the percentile/rollup cents queries pin)
+    x_units = F.round(F.col(value_col) * q).cast("long")
+    t_units = F.round(F.lit(float(target)) * q).cast("long")
+    h_units = F.round(F.lit(float(threshold)) * q).cast("long")
+    w_ord = Window.partitionBy(*group_cols).orderBy(order_col)
+    run = w_ord.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)
+    stepped = df.withColumn("__d", x_units - t_units)
+    stepped = stepped.withColumn("__S", F.sum("__d").over(run))
+    # min over prefixes INCLUDING the empty one: least(min(S), 0)
+    stepped = stepped.withColumn(
+        "__minS", F.least(F.min("__S").over(run), F.lit(0)))
+    out = stepped.withColumn(
+        "cusum_units", F.col("__S") - F.col("__minS"))
+    out = out.withColumn("alarm", F.col("cusum_units") > h_units)
+    w_alarm = Window.partitionBy(*group_cols)
+    first_alarm = F.min(
+        F.when(F.col("alarm"), F.col(order_col))).over(w_alarm)
+    out = out.withColumn(
+        "first_alarm",
+        F.col("alarm") & (F.col(order_col) == first_alarm))
+    return out.drop("__d", "__S", "__minS")

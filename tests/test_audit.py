@@ -135,3 +135,45 @@ class TestEquidepthHistogram:
         empty = spark.createDataFrame([], "id long, v long")
         with _pytest.raises(ValueError):
             equidepth_histogram(empty, col="v", tiebreak="id")
+
+
+# ---------------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_histogram(spark):
+    from deltalake_spark.operators.audit import k_anonymity
+    rows = (
+        [("a", "x")] * 1          # class size 1  -> at risk (k=3)
+        + [("a", "y")] * 2        # class size 2  -> at risk
+        + [("b", "x")] * 3        # class size 3  -> safe
+        + [("b", "y")] * 3        # class size 3  -> safe
+    )
+    df = spark.createDataFrame(rows, "qa string, qb string")
+    out = {r["class_size"]: r for r in
+           k_anonymity(df, quasi_cols=["qa", "qb"], k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_classes"] == 1 and out[1]["n_rows"] == 1
+    assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 2
+    assert out[3]["n_classes"] == 2 and out[3]["n_rows"] == 6
+    assert out[1]["at_risk"] and out[2]["at_risk"]
+    assert not out[3]["at_risk"]
+
+
+def test_k_anonymity_null_is_its_own_class(spark):
+    from deltalake_spark.operators.audit import k_anonymity
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), ("a", "x")], "qa string, qb string")
+    out = {r["class_size"]: r for r in
+           k_anonymity(df, quasi_cols=["qa", "qb"], k=2).collect()}
+    # (NULL, x) twice -> size 2 safe; (a, x) once -> size 1 at risk
+    assert out[2]["n_classes"] == 1 and not out[2]["at_risk"]
+    assert out[1]["n_classes"] == 1 and out[1]["at_risk"]
+
+
+def test_k_anonymity_validation(spark):
+    from deltalake_spark.operators.audit import k_anonymity
+    df = spark.createDataFrame([(1,)], "a int")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_anonymity(df, quasi_cols=[], k=2)
+    with _pytest.raises(ValueError):
+        k_anonymity(df, quasi_cols=["a"], k=0)

@@ -211,6 +211,17 @@ BUDGETS = {
     # r5: one user window (WindowGroupLimit-capped) + path agg on the
     # same exchange + TakeOrdered head
     "event_paths_topk": (2, False),
+    # r5: quasi-key agg + class-frame histogram agg + sort
+    "k_anonymity_events": (3, False),
+    # r5: one groupBy(bin) over the filtered detail (persisted;
+    # totals are literals — no crossJoin node) + sort
+    "tvd_drift_events": (3, False),
+    # r5: (status, digit) agg + totals window on the 9-row-per-group
+    # digit frame + sort
+    "benford_order_prices": (3, False),
+    # r5: daily-grain agg + one series-keyed exchange shared by both
+    # prefix windows + sort
+    "cusum_daily_values": (3, False),
 }
 
 

@@ -328,3 +328,71 @@ def test_target_encode_infinite_smoothing_is_prior(spark):
                         smoothing=1e12).collect()
     for r in out:
         assert abs(r["encoded"] - 2 / 3) < 1e-9
+
+
+# --------------------------------------------------------- distribution drift
+
+def test_distribution_drift_hand_values(spark):
+    from deltalake_spark.operators.stats import distribution_drift
+    rows = ([("base", "a")] * 6 + [("base", "b")] * 4
+            + [("curr", "a")] * 2 + [("curr", "b")] * 6
+            + [("curr", "c")] * 2 + [("other", "a")] * 9)
+    df = spark.createDataFrame(rows, "period string, bin string")
+    out = {r["bin"]: r for r in distribution_drift(
+        df, split_col="period", bin_col="bin",
+        base_value="base", curr_value="curr").collect()}
+    # base: a .6 b .4 c 0; curr: a .2 b .6 c .2; "other" ignored
+    assert out["a"]["n_base"] == 6 and out["a"]["n_curr"] == 2
+    assert out["a"]["p_base"] == 0.6 and out["a"]["p_curr"] == 0.2
+    assert out["a"]["tvd_contrib"] == abs(6 * 10 - 2 * 10) / 200.0
+    assert out["c"]["n_base"] == 0 and out["c"]["p_curr"] == 0.2
+    tvd = sum(r["tvd_contrib"] for r in out.values())
+    assert tvd == pytest.approx(0.4)  # (|.4| + |.2| + |.2|) / 2
+
+
+def test_distribution_drift_identical_is_zero(spark):
+    from deltalake_spark.operators.stats import distribution_drift
+    rows = [("base", "x")] * 3 + [("curr", "x")] * 5
+    df = spark.createDataFrame(rows, "period string, bin string")
+    out = distribution_drift(
+        df, split_col="period", bin_col="bin",
+        base_value="base", curr_value="curr").collect()
+    assert len(out) == 1 and out[0]["tvd_contrib"] == 0.0
+
+
+def test_distribution_drift_empty_slice_raises(spark):
+    from deltalake_spark.operators.stats import distribution_drift
+    df = spark.createDataFrame([("base", "x")], "period string, bin string")
+    with pytest.raises(ValueError):
+        distribution_drift(df, split_col="period", bin_col="bin",
+                           base_value="base", curr_value="missing")
+
+
+# ------------------------------------------------------------------- Benford
+
+def test_benford_digit_counts_and_chi2(spark):
+    from deltalake_spark.operators.stats import (
+        _BENFORD_P, benford_digit_test)
+    # values with known first digits of their cent amounts
+    vals = [1.00, 1.50, 19.99, 2.00, 25.0, 3.33, 0.094]  # digits:
+    # 100->1, 150->1, 1999->1, 200->2, 2500->2, 333->3, 9->9
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r["digit"]: r for r in
+           benford_digit_test(df, value_col="v").collect()}
+    assert {d: out[d]["n_obs"] for d in out} == {1: 3, 2: 2, 3: 1, 9: 1}
+    r = out[1]
+    assert r["n_total"] == 7
+    assert r["expected"] == 7 * _BENFORD_P[0]
+    dev = 3 - 7 * _BENFORD_P[0]
+    assert r["chi2_term"] == pytest.approx(dev * dev / (7 * _BENFORD_P[0]))
+
+
+def test_benford_excludes_nonpositive_and_groups(spark):
+    from deltalake_spark.operators.stats import benford_digit_test
+    rows = [("g1", 1.0), ("g1", -5.0), ("g1", 0.0), ("g1", None),
+            ("g2", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = benford_digit_test(
+        df, value_col="v", group_cols=["g"]).collect()
+    got = {(r["g"], r["digit"]): (r["n_obs"], r["n_total"]) for r in out}
+    assert got == {("g1", 1): (1, 1), ("g2", 7): (1, 1)}

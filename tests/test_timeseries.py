@@ -102,3 +102,63 @@ def test_markov_single_events_yield_no_rows(spark):
         [(1, 0, "A"), (2, 0, "B")], "u long, t long, s string")
     assert markov_transitions(
         df, entity_col="u", order_cols=["t"], state_col="s").count() == 0
+
+# ------------------------------------------------------------------- CUSUM
+
+def test_cusum_matches_reset_recursion(spark):
+    from deltalake_spark.operators.timeseries import cusum_changepoint
+    # hand series: target 10, shift upward at index 4
+    xs = [10.0, 9.0, 11.0, 10.0, 14.0, 15.0, 13.0, 16.0]
+    rows = [("k", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = cusum_changepoint(
+        df, group_cols=["k"], order_col="t", value_col="x",
+        target=10.0, threshold=5.0).orderBy("t").collect()
+    # python reference: s_t = max(0, s_{t-1} + (x - target)) in cents
+    s, ref = 0, []
+    for x in xs:
+        s = max(0, s + round(x * 100) - 1000)
+        ref.append(s)
+    assert [r["cusum_units"] for r in out] == ref
+    alarms = [r["alarm"] for r in out]
+    assert alarms == [u > 500 for u in ref]
+    firsts = [r["t"] for r in out if r["first_alarm"]]
+    first_expected = next(i for i, u in enumerate(ref) if u > 500)
+    assert firsts == [first_expected]
+
+
+def test_cusum_resets_after_dip(spark):
+    from deltalake_spark.operators.timeseries import cusum_changepoint
+    # a deep dip must clamp the statistic at zero, not go negative
+    xs = [5.0, 1.0, 5.0, 6.0]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)],
+        "k string, t long, x double")
+    out = cusum_changepoint(
+        df, group_cols=["k"], order_col="t", value_col="x",
+        target=5.0, threshold=100.0).orderBy("t").collect()
+    assert [r["cusum_units"] for r in out] == [0, 0, 0, 100]
+
+
+def test_cusum_groups_independent(spark):
+    from deltalake_spark.operators.timeseries import cusum_changepoint
+    rows = [("a", 0, 20.0), ("b", 0, 0.0), ("b", 1, 30.0)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = {(r["k"], r["t"]): r for r in cusum_changepoint(
+        df, group_cols=["k"], order_col="t", value_col="x",
+        target=10.0, threshold=5.0).collect()}
+    assert out[("a", 0)]["cusum_units"] == 1000
+    assert out[("b", 0)]["cusum_units"] == 0
+    assert out[("b", 1)]["cusum_units"] == 2000
+    assert out[("b", 1)]["alarm"] and out[("b", 1)]["first_alarm"]
+
+
+def test_cusum_validation(spark):
+    from deltalake_spark.operators.timeseries import cusum_changepoint
+    import pytest as _pytest
+    df = spark.createDataFrame([("k", 0, 1.0)],
+                               "k string, t long, x double")
+    with _pytest.raises(ValueError):
+        cusum_changepoint(df, group_cols=["k"], order_col="t",
+                          value_col="x", target=0.0, threshold=1.0,
+                          scale=0)
