@@ -4844,6 +4844,42 @@ def cusum_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "d")
 
 
+def frequent_itemsets_parts(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Distributed Apriori (r5, operators/itemsets.py): frequent part-
+    category itemsets of size 1-3 (category = l_partkey % 100) across
+    order baskets at support >= 6. Each level is Apriori-pruned
+    BEFORE the join that generates it (frequent-item restriction,
+    frequent-pair extension + two broadcast subset semi-joins); every
+    join is basket- or component-keyed — no cross products. Supports
+    are exact integers; the oracle is the naive unpruned join, equal
+    by the Apriori property."""
+    from deltalake_spark.operators.itemsets import frequent_itemsets
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("cat"))
+    out = frequent_itemsets(
+        li, basket_col="l_orderkey", item_col="cat", min_support=6,
+        max_size=3)
+    return out.orderBy("size", "item_a", "item_b", "item_c")
+
+
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (r5, operators/itemsets.py): both directions
+    of every part-category pair with basket support >= 35, scored
+    with support/confidence/lift — each ONE IEEE division over exact
+    integer counts (lift's products stay bigint), so the SQL twin
+    matches bit-for-bit. Pair join keyed on the basket id; item
+    frequency joins broadcast."""
+    from deltalake_spark.operators.itemsets import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("cat"))
+    out = association_rules(
+        li, basket_col="l_orderkey", item_col="cat", min_support=35)
+    return out.orderBy("antecedent", "consequent")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5038,6 +5074,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tvd_drift_events": tvd_drift_events,
     "benford_order_prices": benford_order_prices,
     "cusum_daily_values": cusum_daily_values,
+    "frequent_itemsets_parts": frequent_itemsets_parts,
+    "assoc_rules_parts": assoc_rules_parts,
 }
 
 
@@ -8801,6 +8839,70 @@ def oracle_sql() -> dict[str, str]:
                    alarm AND d = MIN(CASE WHEN alarm THEN d END)
                      OVER (PARTITION BY event_type) AS first_alarm
             FROM a ORDER BY event_type, d
+        """,
+        "frequent_itemsets_parts": """
+            -- naive unpruned levels — equal to the Apriori-pruned
+            -- plan by the subset property; exact integer supports
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+              FROM lineitem
+            ), l1 AS (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS s
+              FROM bi GROUP BY 1 HAVING COUNT(*) >= 6
+            ), l2 AS (
+              SELECT a.i AS ia, b.i AS ib,
+                     CAST(COUNT(*) AS BIGINT) AS s
+              FROM bi a JOIN bi b USING (b)
+              WHERE a.i < b.i GROUP BY 1, 2 HAVING COUNT(*) >= 6
+            ), l3 AS (
+              SELECT a.i AS ia, b.i AS ib, c.i AS ic,
+                     CAST(COUNT(*) AS BIGINT) AS s
+              FROM bi a JOIN bi b USING (b) JOIN bi c USING (b)
+              WHERE a.i < b.i AND b.i < c.i
+              GROUP BY 1, 2, 3 HAVING COUNT(*) >= 6
+            )
+            SELECT 1 AS size, i AS item_a,
+                   CAST(NULL AS BIGINT) AS item_b,
+                   CAST(NULL AS BIGINT) AS item_c, s AS support
+            FROM l1
+            UNION ALL
+            SELECT 2, ia, ib, CAST(NULL AS BIGINT), s FROM l2
+            UNION ALL
+            SELECT 3, ia, ib, ic, s FROM l3
+            ORDER BY size, item_a, item_b, item_c
+        """,
+        "assoc_rules_parts": """
+            -- same pair counts + one IEEE division per metric
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i
+              FROM lineitem
+            ), n AS (
+              SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM bi
+            ), cnt AS (
+              SELECT i, CAST(COUNT(*) AS BIGINT) AS c
+              FROM bi GROUP BY 1
+            ), pairs AS (
+              SELECT a.i AS ia, b.i AS ib,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM bi a JOIN bi b USING (b)
+              WHERE a.i < b.i GROUP BY 1, 2 HAVING COUNT(*) >= 35
+            ), rules AS (
+              SELECT ia AS antecedent, ib AS consequent, n_both
+              FROM pairs
+              UNION ALL
+              SELECT ib, ia, n_both FROM pairs
+            )
+            SELECT r.antecedent, r.consequent, r.n_both,
+                   ca.c AS n_ante, cc.c AS n_cons,
+                   r.n_both / CAST(n.nb AS DOUBLE) AS support_frac,
+                   CAST(r.n_both AS DOUBLE) / ca.c AS confidence,
+                   CAST(r.n_both * n.nb AS DOUBLE)
+                     / (ca.c * cc.c) AS lift
+            FROM rules r
+            JOIN cnt ca ON ca.i = r.antecedent
+            JOIN cnt cc ON cc.i = r.consequent
+            CROSS JOIN n
+            ORDER BY r.antecedent, r.consequent
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

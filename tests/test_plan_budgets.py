@@ -304,6 +304,20 @@ def test_kmv_overlap_plan(spark):
     assert s.shuffles <= 14
 
 
+def test_itemsets_gate_join_shapes(spark):
+    """The two itemsets gates persist the shared basket-item incidence
+    frame, so explain text nests cached subtrees AND the cache manager
+    dedups the identical lineage across the two queries — a raw
+    shuffle-count budget flips with test execution order (the
+    pagerank/hits lesson). What must hold regardless: every join is
+    basket- or component-keyed — no cartesian, no nested loop."""
+    for name in ("frequent_itemsets_parts", "assoc_rules_parts"):
+        df = entry_mod.queries()[name](spark, SF)
+        s = plan_summary(df)
+        assert s.cartesian_products == 0, name
+        assert s.nested_loop_joins == 0, name
+
+
 def test_summary_counts(spark):
     df = entry_mod.queries()["q5_nation_volume"](spark, SF)
     s = plan_summary(df)
