@@ -4880,6 +4880,35 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("antecedent", "consequent")
 
 
+def lpa_copurchase_communities(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Deterministic label propagation (r5, operators/graph.py): two
+    synchronous LPA rounds over the thinned co-purchase graph (same
+    edge derivation as the pagerank gate, deduped) — distinct-
+    neighbor votes, ties to the smallest label, so the labeling is a
+    pure function of the graph and the oracle replays both rounds in
+    SQL. Per round: one adjacency<->labels equi-join + one (node,
+    label) count agg + a node-partitioned row_number on the count
+    frame; rounds persist+materialize to cut lineage. Output: the
+    community size distribution."""
+    from deltalake_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 5 == 0).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    labels = label_propagation(pairs, n_iter=2)
+    return (labels.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("community"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5076,6 +5105,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_daily_values": cusum_daily_values,
     "frequent_itemsets_parts": frequent_itemsets_parts,
     "assoc_rules_parts": assoc_rules_parts,
+    "lpa_copurchase_communities": lpa_copurchase_communities,
 }
 
 
@@ -8903,6 +8933,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cc ON cc.i = r.consequent
             CROSS JOIN n
             ORDER BY r.antecedent, r.consequent
+        """,
+        "lpa_copurchase_communities": """
+            -- full two-round synchronous replay: distinct-neighbor
+            -- votes, max count, ties -> smallest label
+            WITH li AS (
+              SELECT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey % 5 = 0
+            ), pairs AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+            ), adj AS (
+              SELECT u AS node, v AS nbr FROM pairs
+              UNION
+              SELECT v, u FROM pairs
+            ), lab0 AS (
+              SELECT DISTINCT node, node AS label FROM adj
+            ), v1 AS (
+              SELECT a.node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+              FROM adj a JOIN lab0 l ON l.node = a.nbr GROUP BY 1, 2
+            ), lab1 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM v1
+              ) WHERE rn = 1
+            ), v2 AS (
+              SELECT a.node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+              FROM adj a JOIN lab1 l ON l.node = a.nbr GROUP BY 1, 2
+            ), lab2 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label) AS rn
+                FROM v2
+              ) WHERE rn = 1
+            )
+            SELECT label AS community,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM lab2 GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -23,11 +23,12 @@ self-join, closing-edge join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["canonical_edges", "degree_stats", "triangle_count",
-           "pagerank_fixed_point", "hits_fixed_point"]
+           "pagerank_fixed_point", "hits_fixed_point",
+           "label_propagation"]
 
 
 def canonical_edges(df: DataFrame, src: str = "src",
@@ -276,3 +277,74 @@ def hits_fixed_point(
         .select("node", F.col("h").alias("hub_scaled"),
                 F.col("a").alias("auth_scaled"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan 2007) —
+    community detection over an UNDIRECTED edge list, completing the
+    graph family (triangles / CC / PageRank / HITS give cohesion,
+    reachability, and centrality; this gives the mesoscale grouping).
+
+    Classic LPA is notoriously nondeterministic (random visit order,
+    random tie-breaks). This variant is a PURE FUNCTION of the graph,
+    so an independent replay matches exactly:
+
+    - synchronous rounds: every node updates from the SAME previous
+      labeling (no visit order);
+    - vote = distinct-neighbor label counts (multi-edges collapse);
+    - winner = highest count, ties broken by SMALLEST label — total
+      order, no randomness.
+
+    Labels start as node ids; after ``n_iter`` rounds each node's
+    label is its community. Fixed small ``n_iter`` (3 by default) is
+    the production pattern — LPA converges in a few rounds on social
+    graphs, and a bounded round count keeps the lineage and the SQL
+    replay finite. (Synchronous LPA can two-cycle on bipartite
+    structures; a fixed round count makes that a deterministic,
+    documented outcome rather than non-termination.)
+
+    Scale shape: symmetrize+dedup once (persisted); each round is one
+    adjacency<->labels equi-join, one (node, label) count aggregate,
+    and one row_number window over the COUNT frame (bounded by edge
+    count, partitioned by node — no global sort). Per-round
+    persist+materialize cuts the iterative lineage (the PageRank/BPE
+    lesson). Returns ``(node, community)``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("node"),
+                               F.col(src).alias("nbr")))
+        .distinct()
+        .persist()
+    )
+    labels = adj.select("node").distinct().withColumn(
+        "label", F.col("node"))
+    win = Window.partitionBy("node").orderBy(
+        F.desc("c"), F.asc("label"))
+    stale: DataFrame | None = None
+    for it in range(n_iter):
+        votes = (
+            adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if it < n_iter - 1:
+            labels = labels.persist()
+            labels.count()  # materialize: next round reads cache
+            if stale is not None:
+                stale.unpersist()
+            stale = labels
+    return labels.withColumnRenamed("label", "community")

@@ -239,3 +239,77 @@ def test_hits_partitioning_invariance(spark):
     assert runs[0] == runs[1]
     h, a = _hits_ref(edges, n_iter=3)
     assert runs[0] == sorted((v, h[v], a[v]) for v in h)
+
+
+# -------------------------------------------------------- label propagation
+
+def _lpa_reference(edges, n_iter):
+    """Pure-Python synchronous LPA with the same deterministic rules:
+    distinct-neighbor votes, max count, ties -> smallest label."""
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    labels = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_lpa_two_triangles_with_bridge(spark):
+    from deltalake_spark.operators.graph import label_propagation
+    edges = [(1, 2), (2, 3), (1, 3),         # triangle A
+             (10, 11), (11, 12), (10, 12),   # triangle B
+             (3, 10)]                        # bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(df, n_iter=3).collect()}
+    ref = _lpa_reference(edges, 3)
+    assert out == ref
+    # the two triangles resolve to different communities
+    assert len({out[1], out[2]}) == 1
+    assert len({out[10], out[11], out[12]}) == 1
+    assert out[1] != out[11]
+
+
+def test_lpa_matches_reference_on_random_graph(spark):
+    import random
+    from deltalake_spark.operators.graph import label_propagation
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30))
+                  for _ in range(60)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for n_iter in (1, 2, 3):
+        out = {r["node"]: r["community"] for r in
+               label_propagation(df, n_iter=n_iter).collect()}
+        assert out == _lpa_reference(edges, n_iter), n_iter
+
+
+def test_lpa_multi_edges_collapse_and_partitioning_invariance(spark):
+    from deltalake_spark.operators.graph import label_propagation
+    # node 4's vote must not double-count the duplicated (4,1) edge:
+    # neighbors {1, 2, 3}; labels {1: 1 vote, 2: 1, 3: 1} -> tie -> 1
+    edges = [(4, 1), (4, 1), (1, 4), (4, 2), (4, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["community"] for r in
+           label_propagation(df, n_iter=1).collect()}
+    assert out[4] == 1
+    out2 = {r["node"]: r["community"] for r in
+            label_propagation(df.repartition(7), n_iter=1).collect()}
+    assert out == out2
+
+
+def test_lpa_validation(spark):
+    import pytest as _pytest
+    from deltalake_spark.operators.graph import label_propagation
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        label_propagation(df, n_iter=0)

@@ -318,6 +318,19 @@ def test_itemsets_gate_join_shapes(spark):
         assert s.nested_loop_joins == 0, name
 
 
+def test_lpa_gate_join_shapes(spark):
+    """Same rationale as the pagerank/hits gates: iterative op with
+    per-round persist+materialize — explain text nests cached
+    subtrees, so a shuffle budget pins noise. Must hold: no cartesian
+    or nested-loop join, and the round-lineage cut happened (final
+    plan reads an InMemoryTableScan, not a replay of round 1)."""
+    df = entry_mod.queries()["lpa_copurchase_communities"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert "InMemoryTableScan" in s.text
+
+
 def test_summary_counts(spark):
     df = entry_mod.queries()["q5_nation_volume"](spark, SF)
     s = plan_summary(df)
