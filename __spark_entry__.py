@@ -4909,6 +4909,58 @@ def lpa_copurchase_communities(spark: SparkSession,
             .orderBy("community"))
 
 
+def _copurchase_pairs_thin(spark: SparkSession, sf_dir: str,
+                           mod: int) -> DataFrame:
+    """Shared gate-graph derivation: distinct co-purchase part pairs
+    (u < v) over the l_partkey % mod == 0 thinning."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % mod == 0).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+def bfs_part_neighborhood(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Bounded-hop BFS (r5, operators/graph.py): 3 synchronous
+    min-plus rounds from the smallest node of the symmetrized thinned
+    co-purchase graph — exact integer hop counts, unreached nodes
+    NULL, a pure function of the graph. Per round one edges<->dist
+    equi-join + one groupBy min, persist+materialize lineage cuts.
+    Output: the hop-distance histogram (unreached bucketed as -1)."""
+    from deltalake_spark.operators.graph import bfs_distances
+
+    pairs = _copurchase_pairs_thin(spark, sf_dir, 10)
+    sym = pairs.unionAll(pairs.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+    source = sym.agg(F.min("src")).first()[0]
+    dist = bfs_distances(sym, source=source, max_hops=3)
+    return (dist.groupBy(F.coalesce("hops", F.lit(-1)).alias("hops"))
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("hops"))
+
+
+def link_prediction_parts(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (r5, operators/graph.py): the
+    50 strongest missing edges of the thinned co-purchase graph by
+    the resource-allocation index in exact integer units
+    (Σ scale // deg(z) — no logarithm, order-independent BIGINT sum).
+    Wedge join keyed on the shared center, existing edges removed by
+    one anti-join; ties broken by the pair id."""
+    from deltalake_spark.operators.graph import link_prediction
+
+    pairs = _copurchase_pairs_thin(spark, sf_dir, 10)
+    scored = link_prediction(pairs, min_common=2)
+    return scored.orderBy(F.desc("ra_scaled"), "node_u",
+                          "node_v").limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5106,6 +5158,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_itemsets_parts": frequent_itemsets_parts,
     "assoc_rules_parts": assoc_rules_parts,
     "lpa_copurchase_communities": lpa_copurchase_communities,
+    "bfs_part_neighborhood": bfs_part_neighborhood,
+    "link_prediction_parts": link_prediction_parts,
 }
 
 
@@ -8974,6 +9028,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT label AS community,
                    CAST(COUNT(*) AS BIGINT) AS n_nodes
             FROM lab2 GROUP BY 1 ORDER BY 1
+        """,
+        "bfs_part_neighborhood": """
+            -- full three-round min-plus replay from MIN(node)
+            WITH li AS (
+              SELECT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey % 10 = 0
+            ), pairs AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+            ), adj AS (
+              SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT u AS node FROM adj
+            ), d0 AS (
+              SELECT node,
+                     CASE WHEN node = (SELECT MIN(node) FROM nodes)
+                          THEN CAST(0 AS BIGINT) END AS hops
+              FROM nodes
+            ), r1 AS (
+              SELECT a.v AS node,
+                     CAST(MIN(d.hops) + 1 AS BIGINT) AS via
+              FROM adj a JOIN d0 d ON d.node = a.u
+              WHERE d.hops IS NOT NULL GROUP BY 1
+            ), d1 AS (
+              SELECT n.node, LEAST(n.hops, r.via) AS hops
+              FROM d0 n LEFT JOIN r1 r USING (node)
+            ), r2 AS (
+              SELECT a.v AS node,
+                     CAST(MIN(d.hops) + 1 AS BIGINT) AS via
+              FROM adj a JOIN d1 d ON d.node = a.u
+              WHERE d.hops IS NOT NULL GROUP BY 1
+            ), d2 AS (
+              SELECT n.node, LEAST(n.hops, r.via) AS hops
+              FROM d1 n LEFT JOIN r2 r USING (node)
+            ), r3 AS (
+              SELECT a.v AS node,
+                     CAST(MIN(d.hops) + 1 AS BIGINT) AS via
+              FROM adj a JOIN d2 d ON d.node = a.u
+              WHERE d.hops IS NOT NULL GROUP BY 1
+            ), d3 AS (
+              SELECT n.node, LEAST(n.hops, r.via) AS hops
+              FROM d2 n LEFT JOIN r3 r USING (node)
+            )
+            SELECT CAST(COALESCE(hops, -1) AS BIGINT) AS hops,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM d3 GROUP BY 1 ORDER BY 1
+        """,
+        "link_prediction_parts": """
+            -- same wedge construction + integer RA floor divisions
+            WITH li AS (
+              SELECT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey % 10 = 0
+            ), pairs AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+            ), adj AS (
+              SELECT u AS node, v AS nbr FROM pairs
+              UNION SELECT v, u FROM pairs
+            ), deg AS (
+              SELECT node AS z, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM adj GROUP BY 1
+            ), cent AS (
+              SELECT a.nbr AS z, a.node AS leaf, d.deg
+              FROM adj a JOIN deg d ON d.z = a.nbr
+            ), wed AS (
+              SELECT x.leaf AS node_u, y.leaf AS node_v,
+                     CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                     CAST(SUM(1000000000000 // x.deg) AS BIGINT)
+                       AS ra_scaled
+              FROM cent x JOIN cent y
+                ON x.z = y.z AND x.leaf < y.leaf
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), cand AS (
+              SELECT w.* FROM wed w
+              LEFT JOIN pairs p
+                ON p.u = w.node_u AND p.v = w.node_v
+              WHERE p.u IS NULL
+            )
+            SELECT node_u, node_v, common_neighbors, ra_scaled
+            FROM cand
+            ORDER BY ra_scaled DESC, node_u, node_v LIMIT 50
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

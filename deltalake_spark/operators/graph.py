@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["canonical_edges", "degree_stats", "triangle_count",
            "pagerank_fixed_point", "hits_fixed_point",
-           "label_propagation"]
+           "label_propagation", "bfs_distances", "link_prediction"]
 
 
 def canonical_edges(df: DataFrame, src: str = "src",
@@ -348,3 +348,130 @@ def label_propagation(
                 stale.unpersist()
             stale = labels
     return labels.withColumnRenamed("label", "community")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    *,
+    source,
+    max_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-hop BFS from a single source over a DIRECTED edge list
+    (symmetrize first for undirected reachability) — "how far is
+    everything from here", the primitive under reachability audits
+    and neighborhood feature extraction.
+
+    Synchronous min-plus rounds in exact integers:
+    ``dist'(v) = min(dist(v), 1 + min over in-neighbors dist(u))``,
+    ``max_hops`` rounds, unreached nodes stay NULL. A fixed hop bound
+    is the production shape (k-hop neighborhoods, not full
+    transitive closure) and keeps the lineage and the SQL replay
+    finite; full closure belongs to connected_components.
+
+    Scale shape: each round is one edges<->dist equi-join + one
+    groupBy(node) min + one outer merge with the previous frame;
+    rounds persist+materialize to cut lineage (the PageRank lesson).
+    Returns ``(node, hops)`` with hops NULL when unreached within
+    ``max_hops``.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    adj = edges.select(F.col(src).alias("u"),
+                       F.col(dst).alias("v")).distinct().persist()
+    nodes = (adj.select(F.col("u").alias("node"))
+             .unionAll(adj.select(F.col("v").alias("node")))
+             .distinct())
+    dist = nodes.withColumn(
+        "hops",
+        F.when(F.col("node") == F.lit(source), F.lit(0).cast("long"))
+        .otherwise(F.lit(None).cast("long")))
+    stale: DataFrame | None = None
+    for it in range(max_hops):
+        relaxed = (
+            adj.join(dist.withColumnRenamed("node", "u"), "u")
+            .filter(F.col("hops").isNotNull())
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.min("hops") + F.lit(1)).alias("via"))
+        )
+        dist = (
+            dist.join(relaxed, "node", "left")
+            .select("node", F.least("hops", "via").alias("hops"))
+        )
+        if it < max_hops - 1:
+            dist = dist.persist()
+            dist.count()  # materialize: next round reads cache
+            if stale is not None:
+                stale.unpersist()
+            stale = dist
+    return dist
+
+
+def link_prediction(
+    edges: DataFrame,
+    *,
+    min_common: int = 1,
+    scale: int = 10 ** 12,
+    max_degree: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over an UNDIRECTED edge list:
+    score non-adjacent node pairs by shared-neighbor structure — the
+    "people you may know" / co-purchase gap-filling primitive.
+
+    Two classic scores per candidate pair (u, v), both EXACT:
+
+    - ``common_neighbors`` — count of shared neighbors (integer);
+    - ``ra_scaled`` — the resource-allocation index Σ_z 1/deg(z)
+      over shared neighbors z, in integer ``scale``-units via
+      ``scale // deg(z)`` floor division. RA is Adamic-Adar's
+      stronger sibling (Zhou 2009) and needs NO logarithm, so the
+      score is an order-independent BIGINT sum — bit-replayable in
+      SQL, unlike a float Σ 1/log deg.
+
+    Candidate pairs come from the wedge join (two adjacency hops
+    through a shared center z), then pairs that are ALREADY edges are
+    removed with one anti-join — prediction means proposing edges
+    that don't exist. ``max_degree`` (recommended at scale) drops
+    celebrity centers before the wedge join: a degree-m hub emits m²
+    candidate pairs and carries near-zero RA signal (its
+    ``scale // deg`` share rounds toward 0 anyway).
+
+    Scale shape: degree agg + center-keyed wedge self-join (equi-join
+    on z — never a cross product) + one (u,v) aggregate + the
+    anti-join. Returns ``(node_u, node_v, common_neighbors,
+    ra_scaled)`` with ``node_u < node_v``.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    adj = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionAll(edges.select(F.col(dst).alias("node"),
+                               F.col(src).alias("nbr")))
+        .distinct()
+        .persist()
+    )
+    deg = adj.groupBy(F.col("node").alias("z")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    centers = adj.select(F.col("nbr").alias("z"),
+                         F.col("node").alias("leaf"))
+    centers = centers.join(deg, "z")
+    if max_degree is not None:
+        centers = centers.filter(F.col("deg") <= int(max_degree))
+    a = centers.select("z", F.col("leaf").alias("node_u"), "deg")
+    b = centers.select("z", F.col("leaf").alias("node_v"))
+    wedges = (
+        a.join(b, "z")
+        .filter(F.col("node_u") < F.col("node_v"))
+        .groupBy("node_u", "node_v")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.expr(f"{int(scale)} DIV deg")).alias("ra_scaled"),
+        )
+        .filter(F.col("common_neighbors") >= int(min_common))
+    )
+    existing = adj.filter(F.col("node") < F.col("nbr")).select(
+        F.col("node").alias("node_u"), F.col("nbr").alias("node_v"))
+    return wedges.join(existing, ["node_u", "node_v"], "left_anti")

@@ -313,3 +313,99 @@ def test_lpa_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         label_propagation(df, n_iter=0)
+
+
+# ------------------------------------------------------------ BFS distances
+
+def test_bfs_hand_graph(spark):
+    from deltalake_spark.operators.graph import bfs_distances
+    # path 1->2->3->4 plus shortcut 1->3; directed
+    edges = [(1, 2), (2, 3), (3, 4), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["hops"] for r in
+           bfs_distances(df, source=1, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_bfs_hop_bound_leaves_null(spark):
+    from deltalake_spark.operators.graph import bfs_distances
+    edges = [(1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["hops"] for r in
+           bfs_distances(df, source=1, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: None}
+
+
+def test_bfs_direction_and_unreachable(spark):
+    from deltalake_spark.operators.graph import bfs_distances
+    # edge 3->1 does NOT make 3 reachable from 1; 9-10 is an island
+    edges = [(1, 2), (3, 1), (9, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["hops"] for r in
+           bfs_distances(df, source=1, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: None, 9: None, 10: None}
+
+
+def test_bfs_validation(spark):
+    import pytest as _pytest
+    from deltalake_spark.operators.graph import bfs_distances
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        bfs_distances(df, source=1, max_hops=-1)
+
+
+# ---------------------------------------------------------- link prediction
+
+def test_link_prediction_hand_scores(spark):
+    from deltalake_spark.operators.graph import link_prediction
+    # square 1-2-3-4-1: candidates are the diagonals (1,3) and (2,4),
+    # each with 2 common neighbors of degree 2
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["node_u"], r["node_v"]): r for r in
+           link_prediction(df, scale=1000).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    r = out[(1, 3)]
+    assert r["common_neighbors"] == 2
+    assert r["ra_scaled"] == 2 * (1000 // 2)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from deltalake_spark.operators.graph import link_prediction
+    # triangle + pendant: (1,2),(2,3),(1,3),(3,4). Wedge pairs through
+    # shared neighbors that are already edges must not appear.
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["node_u"], r["node_v"]): r for r in
+           link_prediction(df, scale=600).collect()}
+    # candidates: (1,4) and (2,4) via center 3 (deg 3)
+    assert set(out) == {(1, 4), (2, 4)}
+    assert out[(1, 4)]["common_neighbors"] == 1
+    assert out[(1, 4)]["ra_scaled"] == 600 // 3
+
+
+def test_link_prediction_degree_cap_and_min_common(spark):
+    from deltalake_spark.operators.graph import link_prediction
+    # star center 0 with leaves 1..4 plus an edge 1-2: capping degree
+    # at 3 drops all wedges through the hub
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = {(r["node_u"], r["node_v"]) for r in
+            link_prediction(df).collect()}
+    assert (3, 4) in full
+    capped = {(r["node_u"], r["node_v"]) for r in
+              link_prediction(df, max_degree=3).collect()}
+    # hub (deg 4) removed as a center: only centers 1/2 (deg 2) remain,
+    # and their wedge pairs are existing edges or hub pairs
+    assert (3, 4) not in capped
+    strict = {(r["node_u"], r["node_v"]) for r in
+              link_prediction(df, min_common=2).collect()}
+    assert all(p not in strict for p in [(3, 4)])
+
+
+def test_link_prediction_validation(spark):
+    import pytest as _pytest
+    from deltalake_spark.operators.graph import link_prediction
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        link_prediction(df, min_common=0)

@@ -331,6 +331,22 @@ def test_lpa_gate_join_shapes(spark):
     assert "InMemoryTableScan" in s.text
 
 
+def test_bfs_linkpred_gate_join_shapes(spark):
+    """bfs is iterative (per-round persist nests cached subtrees in
+    the explain text — 500+ textual exchanges for 3 real rounds) and
+    both gates share the _copurchase_pairs_thin lineage, which the
+    cache manager dedups across tests, so shuffle budgets would flip
+    with execution order. Shape must hold regardless: every join
+    equi-keyed, and bfs's round-lineage cut visible."""
+    for name in ("bfs_part_neighborhood", "link_prediction_parts"):
+        df = entry_mod.queries()[name](spark, SF)
+        s = plan_summary(df)
+        assert s.cartesian_products == 0, name
+        assert s.nested_loop_joins == 0, name
+        if name == "bfs_part_neighborhood":
+            assert "InMemoryTableScan" in s.text  # round-lineage cut
+
+
 def test_summary_counts(spark):
     df = entry_mod.queries()["q5_nation_volume"](spark, SF)
     s = plan_summary(df)
