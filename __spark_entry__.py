@@ -4961,6 +4961,23 @@ def link_prediction_parts(spark: SparkSession,
                           "node_v").limit(50)
 
 
+def textrank_doc_keywords(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """TextRank keywords (r5, operators/text.py): exact-integer
+    PageRank over the adjacent-token co-occurrence graph of the
+    documents corpus (bigram pairs with count >= 5, canonicalized and
+    symmetrized), two power iterations — the same narrow bigram
+    projection as the PMI gate feeding the same fixed-point PageRank
+    as the co-purchase gate, so the whole pipeline is counts, floor
+    divisions and bigint sums; the oracle replays both rounds. Top 50
+    tokens by (rank desc, token)."""
+    from deltalake_spark.operators.text import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    ranks = textrank_keywords(docs, min_pair_count=5, n_iter=2)
+    return ranks.orderBy(F.desc("rank_scaled"), "node").limit(50)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5160,6 +5177,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lpa_copurchase_communities": lpa_copurchase_communities,
     "bfs_part_neighborhood": bfs_part_neighborhood,
     "link_prediction_parts": link_prediction_parts,
+    "textrank_doc_keywords": textrank_doc_keywords,
 }
 
 
@@ -9111,6 +9129,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT node_u, node_v, common_neighbors, ra_scaled
             FROM cand
             ORDER BY ra_scaled DESC, node_u, node_v LIMIT 50
+        """,
+        "textrank_doc_keywords": """
+            -- bigram graph (count >= 5, canonical u<v, symmetrized)
+            -- + two exact integer PageRank rounds, same rules as the
+            -- co-purchase replay
+            WITH toks AS (
+              SELECT string_split(trim(text), ' ') AS t FROM documents
+            ), bi AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            ), bcnt AS (
+              SELECT w1, w2, COUNT(*) AS c FROM bi
+              WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+              HAVING COUNT(*) >= 5
+            ), und AS (
+              SELECT DISTINCT LEAST(w1, w2) AS u,
+                     GREATEST(w1, w2) AS v
+              FROM bcnt WHERE w1 <> w2
+            ), edges AS (
+              SELECT u AS src, v AS dst FROM und
+              UNION ALL SELECT v AS src, u AS dst FROM und
+            ), nodes AS (
+              SELECT DISTINCT src AS node FROM edges
+            ), c AS (
+              SELECT ((100 - 85) * 1000000000000)
+                     // (100 * (SELECT COUNT(*) FROM nodes)) AS base,
+                     1000000000000
+                     // (SELECT COUNT(*) FROM nodes) AS r_init
+            ), outdeg AS (
+              SELECT src AS node, COUNT(*) AS outdeg
+              FROM edges GROUP BY 1
+            ), r0 AS (
+              SELECT node, (SELECT r_init FROM c) AS r FROM nodes
+            ), m1 AS (
+              SELECT e.dst AS node,
+                     SUM(((r.r * 85) // 100) // d.outdeg) AS mass
+              FROM edges e
+              JOIN r0 r ON r.node = e.src
+              JOIN outdeg d ON d.node = e.src
+              GROUP BY 1
+            ), r1 AS (
+              SELECT n.node,
+                     (SELECT base FROM c) + COALESCE(m.mass, 0) AS r
+              FROM nodes n LEFT JOIN m1 m USING (node)
+            ), m2 AS (
+              SELECT e.dst AS node,
+                     SUM(((r.r * 85) // 100) // d.outdeg) AS mass
+              FROM edges e
+              JOIN r1 r ON r.node = e.src
+              JOIN outdeg d ON d.node = e.src
+              GROUP BY 1
+            ), r2 AS (
+              SELECT n.node,
+                     (SELECT base FROM c) + COALESCE(m.mass, 0) AS r
+              FROM nodes n LEFT JOIN m2 m USING (node)
+            )
+            SELECT node, CAST(r AS BIGINT) AS rank_scaled
+            FROM r2 ORDER BY r DESC, node LIMIT 50
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -545,3 +545,56 @@ def damerau_pairs(
         .filter(F.col("distance") <= max_distance)
         .drop(*keys)
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n_iter: int = 2,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) at corpus
+    scale: rank tokens by exact-integer PageRank over the adjacent-
+    token co-occurrence graph — the unsupervised keyword scorer that
+    needs no training data, upgraded from per-document to the whole
+    corpus in one graph.
+
+    Construction: the same narrow bigram projection as
+    :func:`collocation_pmi` (slice+arrays_zip — no self-join) yields
+    adjacent-token pairs; pairs seen fewer than ``min_pair_count``
+    times are noise-pruned; surviving pairs are canonicalized
+    (u < v, distinct) and symmetrized into an undirected token graph;
+    :func:`~deltalake_spark.operators.graph.pagerank_fixed_point`
+    then runs ``n_iter`` EXACT integer power iterations, so token
+    ranks are bit-replayable in SQL (the whole pipeline is counts,
+    floor divisions, and bigint sums — no floats anywhere).
+
+    Scale shape: one bigram count shuffle + the PageRank rounds (one
+    equi-join + one groupBy sum each, persisted); the token graph is
+    vocabulary-sized — KB..MB even for a 100 TB corpus. Returns
+    ``(node, rank_scaled)`` — token and its rank in 1e-12 units;
+    callers take ``orderBy(desc("rank_scaled"), "node")`` heads.
+    """
+    from deltalake_spark.operators.graph import (
+        canonical_edges,
+        pagerank_fixed_point,
+    )
+
+    toks = df.select(
+        F.split(F.trim(F.col(text_col)), " ").alias("t"))
+    n = F.size("t")
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))").alias("w2"),
+    )
+    bi = (toks.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .filter((F.col("w1") != "") & (F.col("w2") != ""))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+          .filter(F.col("c") >= int(min_pair_count)))
+    und = canonical_edges(bi, src="w1", dst="w2")
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")) \
+        .unionAll(und.select(F.col("v").alias("src"),
+                             F.col("u").alias("dst")))
+    return pagerank_fixed_point(edges, n_iter=n_iter)

@@ -920,3 +920,53 @@ def test_prefix_jaccard_prunes_at_high_threshold(spark):
             .select("a.did", "b.did").distinct().count())
     assert naive > 5000          # the fixture really is overlap-heavy
     assert cand < naive / 5      # prefixes prune hard at high alpha
+
+
+# ---------------------------------------------------------------- textrank
+
+def test_textrank_matches_integer_pagerank_reference(spark):
+    from deltalake_spark.operators.text import textrank_keywords
+    docs = [
+        ("big data big data pipeline",),
+        ("big data engine",),
+        ("data engine tuning",),
+        ("engine tuning guide",),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    out = {r["node"]: r["rank_scaled"] for r in
+           textrank_keywords(df, min_pair_count=1, n_iter=2).collect()}
+    # python reference: same bigrams -> canonical undirected graph ->
+    # integer pagerank (mirrors tests/test_graph.py::_pr_ref rules)
+    from collections import Counter
+    bigrams = Counter()
+    for (t,) in docs:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    und = {tuple(sorted(p)) for p in bigrams}
+    edges = [(u, v) for u, v in und] + [(v, u) for u, v in und]
+    nodes = {u for e in edges for u in e}
+    scale, damp, n = 10 ** 12, 85, len(nodes)
+    outdeg = Counter(u for u, _ in edges)
+    r = {v: scale // n for v in nodes}
+    for _ in range(2):
+        mass = {v: 0 for v in nodes}
+        for u, v in edges:
+            mass[v] += (r[u] * damp // 100) // outdeg[u]
+        base = (100 - damp) * scale // (100 * n)
+        r = {v: base + mass[v] for v in nodes}
+    assert out == r
+    # 'data' and 'engine' sit on the most bigram edges -> top ranks
+    top = sorted(out, key=lambda w: (-out[w], w))[:2]
+    assert set(top) == {"data", "engine"}
+
+
+def test_textrank_min_pair_count_prunes(spark):
+    from deltalake_spark.operators.text import textrank_keywords
+    df = spark.createDataFrame(
+        [("a b a b",), ("rare pair",)], "text string")
+    out = {r["node"] for r in
+           textrank_keywords(df, min_pair_count=2, n_iter=1).collect()}
+    # "rare pair" seen once -> pruned; the a-b edge (count 2: 'a b'
+    # twice in doc 1... actually 'a b' appears twice) survives
+    assert out == {"a", "b"}

@@ -347,6 +347,16 @@ def test_bfs_linkpred_gate_join_shapes(spark):
             assert "InMemoryTableScan" in s.text  # round-lineage cut
 
 
+def test_textrank_gate_join_shapes(spark):
+    """Iterative gate (pagerank rounds persist+materialize): same
+    rationale as the pagerank/hits/lpa shape pins."""
+    df = entry_mod.queries()["textrank_doc_keywords"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert "InMemoryTableScan" in s.text
+
+
 def test_summary_counts(spark):
     df = entry_mod.queries()["q5_nation_volume"](spark, SF)
     s = plan_summary(df)
