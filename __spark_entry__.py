@@ -4978,6 +4978,65 @@ def textrank_doc_keywords(spark: SparkSession,
     return ranks.orderBy(F.desc("rank_scaled"), "node").limit(50)
 
 
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (r5, operators/stats.py): per event type,
+    does the high-value rate (value > 50) differ between the even and
+    odd user cohorts — the A/B conversion read-out. One conditional
+    aggregation; every double is a fixed IEEE chain (divisions + one
+    sqrt) over exact integer counts, bit-identical in the twin."""
+    from deltalake_spark.operators.stats import proportion_ztest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        (F.col("value") > 50.0).alias("hi"))
+    return proportion_ztest(
+        ev, group_cols=["event_type"], variant_col="cohort",
+        success_col="hi", variant_a=0, variant_b=1) \
+        .orderBy("event_type")
+
+
+def mad_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outlier screen (r5, operators/stats.py): per order
+    priority, median/MAD of the order total in integer cents and the
+    count of |x − median| > 3·MAD — the heavy-tail-safe anomaly
+    audit. Both medians interpolate on exact halves (the winsorized
+    quantile_cont parity), the threshold compare is a fixed IEEE
+    chain; three group-keyed passes, stats broadcast back, the detail
+    never re-shuffles."""
+    from deltalake_spark.operators.stats import mad_outliers
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long")
+        .alias("cents"))
+    return mad_outliers(
+        orders, group_cols=["o_orderpriority"], value_col="cents",
+        k=3.0).orderBy("o_orderpriority")
+
+
+def seasonal_event_pattern(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Exact seasonal decomposition (r5, operators/timeseries.py):
+    weekly pattern of each event type's daily cent totals — detrended
+    by a centered 7-day moving average with everything scaled through
+    by the window length, so trend and detrended values stay exact
+    BIGINTs and the per-phase seasonal index is ONE IEEE division.
+    One series shuffle; row_number, windowed sum and count share the
+    same sort."""
+    from deltalake_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+    return seasonal_decompose(
+        daily, group_cols=["event_type"], order_col="d",
+        value_col="cents", season_length=7, window=7)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5178,6 +5237,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_part_neighborhood": bfs_part_neighborhood,
     "link_prediction_parts": link_prediction_parts,
     "textrank_doc_keywords": textrank_doc_keywords,
+    "ab_conversion_ztest": ab_conversion_ztest,
+    "mad_price_outliers": mad_price_outliers,
+    "seasonal_event_pattern": seasonal_event_pattern,
 }
 
 
@@ -9187,6 +9249,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(r AS BIGINT) AS rank_scaled
             FROM r2 ORDER BY r DESC, node LIMIT 50
+        """,
+        "ab_conversion_ztest": """
+            -- same conditional counts + the identical IEEE op chain
+            WITH g AS (
+              SELECT event_type,
+                     CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS n_a,
+                     CAST(SUM(CASE WHEN user_id % 2 = 0
+                                    AND value > 50.0 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS x_a,
+                     CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS n_b,
+                     CAST(SUM(CASE WHEN user_id % 2 = 1
+                                    AND value > 50.0 THEN 1
+                                   ELSE 0 END) AS BIGINT) AS x_b
+              FROM events GROUP BY 1
+            ), m AS (
+              SELECT *,
+                     x_a / CAST(n_a AS DOUBLE) AS pa,
+                     x_b / CAST(n_b AS DOUBLE) AS pb,
+                     (x_a + x_b) / CAST(n_a + n_b AS DOUBLE) AS pool
+              FROM g
+            ), s AS (
+              SELECT *,
+                     sqrt(pool * (1.0 - pool)
+                          * (1.0 / n_a + 1.0 / n_b)) AS se
+              FROM m
+            )
+            SELECT event_type, n_a, x_a, n_b, x_b,
+                   CASE WHEN n_a > 0 THEN pa END AS p_a,
+                   CASE WHEN n_b > 0 THEN pb END AS p_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+                        THEN (pa - pb) / se END AS z
+            FROM s ORDER BY event_type
+        """,
+        "mad_price_outliers": """
+            -- med/MAD via quantile_cont (same linear interpolation as
+            -- Spark's exact percentile), fixed-chain threshold
+            WITH o AS (
+              SELECT o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), med AS (
+              SELECT o_orderpriority,
+                     quantile_cont(cents, 0.5) AS median,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM o GROUP BY 1
+            ), mad AS (
+              SELECT o.o_orderpriority,
+                     quantile_cont(ABS(CAST(o.cents AS DOUBLE)
+                                       - m.median), 0.5) AS mad
+              FROM o JOIN med m USING (o_orderpriority)
+              GROUP BY 1
+            )
+            SELECT o.o_orderpriority, ANY_VALUE(m.n) AS n,
+                   ANY_VALUE(m.median) AS median,
+                   ANY_VALUE(d.mad) AS mad,
+                   CAST(SUM(CASE WHEN ABS(CAST(o.cents AS DOUBLE)
+                                          - m.median) > 3.0 * d.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_outliers
+            FROM o
+            JOIN med m USING (o_orderpriority)
+            JOIN mad d USING (o_orderpriority)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "seasonal_event_pattern": """
+            -- same integer-scaled detrend: trend_k = 7-day centered
+            -- sum, detrend_k = 7x - trend_k, seasonal = sum/(7*n)
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT event_type, cents,
+                     (ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY d) - 1) % 7
+                       AS phase,
+                     CAST(SUM(cents) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS BIGINT) AS trend_k,
+                     COUNT(*) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                       AS wn
+              FROM daily
+            ), full_w AS (
+              SELECT event_type, phase,
+                     7 * cents - trend_k AS detrend_k
+              FROM w WHERE wn = 7
+            )
+            SELECT event_type, CAST(phase AS INTEGER) AS phase,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(detrend_k) AS BIGINT) AS sum_detrend_k,
+                   CAST(SUM(detrend_k) AS BIGINT)
+                     / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
+            FROM full_w GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

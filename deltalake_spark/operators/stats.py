@@ -56,6 +56,8 @@ __all__ = [
     "target_encode",
     "distribution_drift",
     "benford_digit_test",
+    "proportion_ztest",
+    "mad_outliers",
 ]
 
 
@@ -632,4 +634,106 @@ def benford_digit_test(
             (dev * dev / expected).alias("chi2_term"),
         )
         .orderBy(*(group_cols or []), "digit")
+    )
+
+
+def proportion_ztest(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+) -> DataFrame:
+    """Two-proportion z-test per group — the A/B conversion test
+    (complements :func:`welch_ttest`, which compares means): is the
+    success rate of variant A different from variant B?
+
+        z = (p_a − p_b) / sqrt(p·(1−p)·(1/n_a + 1/n_b))
+
+    with ``p`` the pooled rate. All counts come from ONE conditional
+    aggregation (zero extra shuffles beyond the group agg); every
+    reported double is a FIXED chain of correctly-rounded IEEE ops
+    (divisions, one sqrt) over exact integers, so the SQL twin matches
+    bit-for-bit. Degenerate groups (either variant empty, or pooled
+    rate 0/1 → zero variance) return NULL z.
+
+    Output: ``(group..., n_a, x_a, n_b, x_b, p_a, p_b, z)``.
+    """
+    v = F.col(variant_col)
+    s = F.col(success_col).cast("long")
+    grp = df.groupBy(*group_cols).agg(
+        F.sum((v == F.lit(variant_a)).cast("long")).alias("n_a"),
+        F.sum(F.when(v == F.lit(variant_a), s).otherwise(0))
+        .alias("x_a"),
+        F.sum((v == F.lit(variant_b)).cast("long")).alias("n_b"),
+        F.sum(F.when(v == F.lit(variant_b), s).otherwise(0))
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a") / F.col("n_a").cast("double")
+    p_b = F.col("x_b") / F.col("n_b").cast("double")
+    pool = (F.col("x_a") + F.col("x_b")) \
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / F.col("n_a")
+                   + F.lit(1.0) / F.col("n_b")))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0)
+    return grp.select(
+        *group_cols, "n_a", "x_a", "n_b", "x_b",
+        F.when(F.col("n_a") > 0, p_a).alias("p_a"),
+        F.when(F.col("n_b") > 0, p_b).alias("p_b"),
+        F.when(ok, (p_a - p_b) / se).alias("z"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier screen per group via the median absolute
+    deviation — the heavy-tail-safe alternative to mean/stddev
+    z-scores (which break down when the outliers themselves inflate
+    the spread; median/MAD have a 50% breakdown point).
+
+    ``med = median(x)``; ``mad = median(|x − med|)``; a value is an
+    outlier when ``|x − med| > k·mad``. With integer(-cents) inputs
+    both medians interpolate on halves — exactly representable
+    doubles under the same linear rule as DuckDB ``quantile_cont``
+    (the winsorized-stats precedent) — and the threshold compare is
+    a fixed IEEE chain, so counts are cross-engine exact. Zero-MAD
+    groups (>50% identical values) degenerate to "anything ≠ median
+    is an outlier", the standard caveat.
+
+    Scale shape: three passes over the detail rows (median, MAD,
+    threshold count), each a group-keyed aggregate with the KB-scale
+    per-group stats broadcast back between passes — the detail table
+    is never re-shuffled. Like ``winsorized_stats``, the exact
+    ``percentile`` aggregate holds per-group arrays; pre-aggregate
+    unbounded groups or swap approx_percentile.
+
+    Output: ``(group..., n, median, mad, n_outliers)``.
+    """
+    x = F.col(value_col).cast("double")
+    med_frame = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.count(F.lit(1)).alias("n"))
+    with_med = df.join(F.broadcast(med_frame), list(group_cols))
+    dev = F.abs(x - F.col("median"))
+    mad_frame = with_med.groupBy(*group_cols).agg(
+        F.percentile(dev, F.lit(0.5)).alias("mad"))
+    full = with_med.join(F.broadcast(mad_frame), list(group_cols))
+    return (
+        full.groupBy(*group_cols)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum((F.abs(x - F.col("median"))
+                   > F.lit(float(k)) * F.col("mad")).cast("long"))
+            .alias("n_outliers"),
+        )
     )

@@ -41,6 +41,7 @@ __all__ = [
     "autocorrelation",
     "markov_transitions",
     "cusum_changepoint",
+    "seasonal_decompose",
 ]
 
 
@@ -264,3 +265,69 @@ def cusum_changepoint(
         "first_alarm",
         F.col("alarm") & (F.col(order_col) == first_alarm))
     return out.drop("__d", "__S", "__minS")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    season_length: int,
+    window: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition — the moving-average
+    method, made EXACT: which part of a series is recurring pattern
+    (day-of-week, hour-of-day) and which is trend?
+
+    The textbook method computes ``detrended = x − centered_moving_
+    average(x)`` in floats and averages by phase; the float average
+    makes it order-sensitive. Scaling through by the window length
+    ``k`` keeps everything integral:
+
+        trend_k(t)   = Σ window of k values        (exact BIGINT)
+        detrend_k(t) = k·x(t) − trend_k(t)         (exact BIGINT)
+        seasonal(φ)  = Σ_t detrend_k / (k·n_φ)     (ONE IEEE division)
+
+    Only full centered windows contribute (the standard edge rule),
+    and the phase φ is the 0-based position in the season
+    (``row_number − 1 mod season_length``). With integer inputs the
+    sums are order-independent BIGINTs, so the SQL twin matches
+    bit-for-bit.
+
+    Scale shape: one group-keyed shuffle; the row_number, windowed
+    sum, and windowed count all share the same (group, order) sort;
+    the phase aggregate runs on the series grain. ``window`` must be
+    odd (centered) and ≥ 3. Output: ``(group..., phase, n_obs,
+    sum_detrend_k, seasonal)``.
+    """
+    k = int(window)
+    m = int(season_length)
+    if k < 3 or k % 2 == 0:
+        raise ValueError("window must be odd and >= 3")
+    if m < 2:
+        raise ValueError("season_length must be >= 2")
+    h = k // 2
+    w_ord = Window.partitionBy(*group_cols).orderBy(order_col)
+    w_cent = w_ord.rowsBetween(-h, h)
+    x = F.col(value_col).cast("long")
+    staged = df.select(
+        *group_cols,
+        x.alias("__x"),
+        ((F.row_number().over(w_ord) - 1) % m).alias("phase"),
+        F.sum(x).over(w_cent).alias("__trend_k"),
+        F.count(F.lit(1)).over(w_cent).alias("__wn"),
+    )
+    full = staged.filter(F.col("__wn") == k).withColumn(
+        "__detrend_k", F.lit(k) * F.col("__x") - F.col("__trend_k"))
+    return (
+        full.groupBy(*group_cols, "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("__detrend_k").alias("sum_detrend_k"),
+        )
+        .withColumn(
+            "seasonal",
+            F.col("sum_detrend_k") / (F.lit(k) * F.col("n_obs")))
+        .orderBy(*group_cols, "phase")
+    )

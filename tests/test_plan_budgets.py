@@ -222,6 +222,14 @@ BUDGETS = {
     # r5: daily-grain agg + one series-keyed exchange shared by both
     # prefix windows + sort
     "cusum_daily_values": (3, False),
+    # r5: ONE conditional agg + sort — zero joins
+    "ab_conversion_ztest": (2, False),
+    # r5: three group-keyed passes (median, MAD, threshold count),
+    # stats broadcast back — the detail rows never re-shuffle
+    "mad_price_outliers": (5, False),
+    # r5: daily-grain agg + one series exchange shared by
+    # row_number/sum/count windows + phase agg
+    "seasonal_event_pattern": (3, False),
 }
 
 

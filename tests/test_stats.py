@@ -396,3 +396,71 @@ def test_benford_excludes_nonpositive_and_groups(spark):
         df, value_col="v", group_cols=["g"]).collect()
     got = {(r["g"], r["digit"]): (r["n_obs"], r["n_total"]) for r in out}
     assert got == {("g1", 1): (1, 1), ("g2", 7): (1, 1)}
+
+
+# -------------------------------------------------------- proportion z-test
+
+def test_proportion_ztest_hand_values(spark):
+    import math
+    from deltalake_spark.operators.stats import proportion_ztest
+    rows = ([("g", "A", 1)] * 30 + [("g", "A", 0)] * 70
+            + [("g", "B", 1)] * 50 + [("g", "B", 0)] * 50)
+    df = spark.createDataFrame(rows, "g string, v string, s int")
+    out = proportion_ztest(
+        df, group_cols=["g"], variant_col="v", success_col="s",
+        variant_a="A", variant_b="B").collect()[0]
+    assert (out["n_a"], out["x_a"], out["n_b"], out["x_b"]) == \
+        (100, 30, 100, 50)
+    assert out["p_a"] == 0.3 and out["p_b"] == 0.5
+    pool = 80 / 200.0
+    se = math.sqrt(pool * (1.0 - pool) * (1.0 / 100 + 1.0 / 100))
+    assert out["z"] == pytest.approx((0.3 - 0.5) / se)
+
+
+def test_proportion_ztest_degenerate_null(spark):
+    from deltalake_spark.operators.stats import proportion_ztest
+    # missing variant B -> null z; all-success pooled rate 1 -> null z
+    rows = [("g1", "A", 1), ("g1", "A", 0),
+            ("g2", "A", 1), ("g2", "B", 1)]
+    df = spark.createDataFrame(rows, "g string, v string, s int")
+    out = {r["g"]: r for r in proportion_ztest(
+        df, group_cols=["g"], variant_col="v", success_col="s",
+        variant_a="A", variant_b="B").collect()}
+    assert out["g1"]["z"] is None and out["g1"]["p_b"] is None
+    assert out["g2"]["z"] is None  # zero pooled variance
+
+
+# ------------------------------------------------------------- MAD outliers
+
+def test_mad_outliers_hand_values(spark):
+    from deltalake_spark.operators.stats import mad_outliers
+    # sorted {9,10,11,12,100}: median 11; deviations {2,1,0,1,89}
+    # -> MAD = 1
+    vals = [10, 9, 11, 12, 100]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, x int")
+    out = mad_outliers(
+        df, group_cols=["g"], value_col="x", k=3.0).collect()[0]
+    assert out["n"] == 5 and out["median"] == 11.0 and out["mad"] == 1.0
+    assert out["n_outliers"] == 1  # only 100 (|89| > 3)
+
+
+def test_mad_outliers_even_count_interpolates(spark):
+    from deltalake_spark.operators.stats import mad_outliers
+    df = spark.createDataFrame([("g", v) for v in [1, 2, 3, 4]],
+                               "g string, x int")
+    out = mad_outliers(
+        df, group_cols=["g"], value_col="x").collect()[0]
+    assert out["median"] == 2.5
+    # deviations {1.5, 0.5, 0.5, 1.5} -> median = 1.0
+    assert out["mad"] == 1.0 and out["n_outliers"] == 0
+
+
+def test_mad_outliers_zero_mad_degenerate(spark):
+    from deltalake_spark.operators.stats import mad_outliers
+    df = spark.createDataFrame(
+        [("g", v) for v in [5, 5, 5, 5, 9]], "g string, x int")
+    out = mad_outliers(
+        df, group_cols=["g"], value_col="x").collect()[0]
+    assert out["mad"] == 0.0
+    assert out["n_outliers"] == 1  # anything != median

@@ -162,3 +162,51 @@ def test_cusum_validation(spark):
         cusum_changepoint(df, group_cols=["k"], order_col="t",
                           value_col="x", target=0.0, threshold=1.0,
                           scale=0)
+
+
+# -------------------------------------------------- seasonal decomposition
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    from deltalake_spark.operators.timeseries import seasonal_decompose
+    # x(t) = 100*t (linear trend) + planted season [0, 30, -30] in a
+    # period of 3; window 3 removes a linear trend exactly
+    season = [0, 30, -30]
+    rows = [("k", t, 100 * t + season[t % 3]) for t in range(12)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {r["phase"]: r for r in seasonal_decompose(
+        df, group_cols=["k"], order_col="t", value_col="x",
+        season_length=3, window=3).collect()}
+    # centered MA of a pure linear trend equals the trend; the
+    # detrended value is the season term minus the season-window mean
+    # (here mean(season)=0 in every full window of 3), so seasonal
+    # recovers the planted values exactly
+    assert out[0]["seasonal"] == pytest.approx(0.0)
+    assert out[1]["seasonal"] == pytest.approx(30.0)
+    assert out[2]["seasonal"] == pytest.approx(-30.0)
+    # edges dropped: 12 points, 10 full windows
+    assert sum(r["n_obs"] for r in out.values()) == 10
+
+
+def test_seasonal_decompose_sum_matches_hand_calc(spark):
+    from deltalake_spark.operators.timeseries import seasonal_decompose
+    xs = [10, 20, 30, 40]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)], "k string, t long, x long")
+    out = {r["phase"]: r for r in seasonal_decompose(
+        df, group_cols=["k"], order_col="t", value_col="x",
+        season_length=2, window=3).collect()}
+    # full windows at t=1 (sum 60) and t=2 (sum 90); k=3
+    # detrend_k: t=1 -> 3*20-60 = 0 (phase 1); t=2 -> 3*30-90 = 0 (phase 0)
+    assert out[0]["sum_detrend_k"] == 0 and out[0]["n_obs"] == 1
+    assert out[1]["sum_detrend_k"] == 0 and out[1]["n_obs"] == 1
+
+
+def test_seasonal_decompose_validation(spark):
+    import pytest as _pytest
+    from deltalake_spark.operators.timeseries import seasonal_decompose
+    df = spark.createDataFrame([("k", 0, 1)], "k string, t long, x long")
+    for kw in ({"window": 4}, {"window": 1}, {"season_length": 1}):
+        args = {"season_length": 3, "window": 3, **kw}
+        with _pytest.raises(ValueError):
+            seasonal_decompose(df, group_cols=["k"], order_col="t",
+                               value_col="x", **args)
