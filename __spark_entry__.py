@@ -5037,6 +5037,27 @@ def seasonal_event_pattern(spark: SparkSession,
         value_col="cents", season_length=7, window=7)
 
 
+def holt_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (r5,
+    operators/timeseries.py): level+trend state and a 7-day-ahead
+    forecast of each event type's daily cent totals — the recursion
+    runs in exact integer floor divisions (α=30%, β=10%), folded
+    JVM-side over each series' sorted array, so the oracle replays
+    it with a recursive CTE bit-for-bit. One group shuffle."""
+    from deltalake_spark.operators.timeseries import holt_forecast
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+    return holt_forecast(
+        daily, group_cols=["event_type"], order_col="d",
+        value_col="cents", alpha_pct=30, beta_pct=10,
+        horizon=7).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5240,6 +5261,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_conversion_ztest": ab_conversion_ztest,
     "mad_price_outliers": mad_price_outliers,
     "seasonal_event_pattern": seasonal_event_pattern,
+    "holt_daily_forecast": holt_daily_forecast,
 }
 
 
@@ -9349,6 +9371,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(detrend_k) AS BIGINT)
                      / CAST(7 * COUNT(*) AS DOUBLE) AS seasonal
             FROM full_w GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "holt_daily_forecast": """
+            -- exact recursive-CTE replay of the integer Holt
+            -- recursion (// floors in DuckDB, matching the floor-div
+            -- fold on the Spark side)
+            WITH RECURSIVE daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), i AS (
+              SELECT event_type, cents,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn
+              FROM daily
+            ), mx AS (
+              SELECT event_type, MAX(rn) AS mx FROM i GROUP BY 1
+            ), rec AS (
+              SELECT event_type, rn, cents AS l,
+                     CAST(0 AS BIGINT) AS b
+              FROM i WHERE rn = 1
+              UNION ALL
+              -- DuckDB // truncates toward zero; subtract the
+              -- canonical non-negative remainder first so division
+              -- is exact = FLOOR, matching the Spark fold
+              SELECT event_type, rn, l,
+                     (bnum - ((bnum % 100 + 100) % 100)) // 100 AS b
+              FROM (
+                SELECT event_type, rn, pl, pb, l,
+                       10 * (l - pl) + 90 * pb AS bnum
+                FROM (
+                  SELECT event_type, rn, pl, pb,
+                         (lnum - ((lnum % 100 + 100) % 100)) // 100
+                           AS l
+                  FROM (
+                    SELECT i.event_type AS event_type, i.rn AS rn,
+                           r.l AS pl, r.b AS pb,
+                           30 * i.cents + 70 * (r.l + r.b) AS lnum
+                    FROM rec r
+                    JOIN i ON i.event_type = r.event_type
+                          AND i.rn = r.rn + 1
+                  )
+                )
+              )
+            )
+            SELECT r.event_type, CAST(r.rn AS BIGINT) AS n_periods,
+                   CAST(r.l AS BIGINT) AS level,
+                   CAST(r.b AS BIGINT) AS trend,
+                   CAST(r.l + 7 * r.b AS BIGINT) AS forecast
+            FROM rec r
+            JOIN mx ON mx.event_type = r.event_type AND r.rn = mx.mx
+            ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -42,6 +42,7 @@ __all__ = [
     "markov_transitions",
     "cusum_changepoint",
     "seasonal_decompose",
+    "holt_forecast",
 ]
 
 
@@ -330,4 +331,87 @@ def seasonal_decompose(
             "seasonal",
             F.col("sum_detrend_k") / (F.lit(k) * F.col("n_obs")))
         .orderBy(*group_cols, "phase")
+    )
+
+
+def holt_forecast(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha_pct: int = 30,
+    beta_pct: int = 10,
+    horizon: int = 7,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) with an
+    h-step-ahead forecast per series — the workhorse short-range
+    forecaster for capacity planning, done in EXACT integer
+    arithmetic so the recursion is bit-replayable cross-engine.
+
+    Float Holt is doubly order-sensitive (two coupled recursions).
+    Here smoothing weights are integer percents and every step is a
+    FLOOR division over integer value units:
+
+        l_t = (α·x_t + (100−α)·(l_{t−1} + b_{t−1})) fdiv 100
+        b_t = (β·(l_t − l_{t−1}) + (100−β)·b_{t−1}) fdiv 100
+
+    seeded ``l_1 = x_1, b_1 = 0``; forecast = ``l_n + h·b_n``. The
+    flooring bias is < 1 value unit per step — pass cents (or any
+    integer grain) and it is noise; in exchange the whole recursion
+    is a pure function of the series and the oracle replays it with
+    a recursive CTE. Floor (not truncate-toward-zero) semantics on
+    the possibly-negative trend numerator keep Spark and DuckDB
+    ``//`` in exact agreement.
+
+    Scale shape: same as :func:`ewma` — ONE group shuffle, the
+    recursion folds inside a JVM higher-order ``aggregate`` over
+    each group's order-sorted array (no UDFs, no per-row Python);
+    group size = series length, bounded by the grain. Output: one
+    row per group — ``(group..., n_periods, level, trend,
+    forecast)`` in input value units.
+    """
+    a, b = int(alpha_pct), int(beta_pct)
+    if not 0 < a <= 100 or not 0 <= b <= 100:
+        raise ValueError("alpha_pct in (0,100], beta_pct in [0,100]")
+    if horizon < 0:
+        raise ValueError("horizon must be >= 0")
+
+    def fdiv100(col):
+        # floor division by 100 for possibly-negative bigints (DIV
+        # truncates toward zero; DuckDB // floors): subtract the
+        # canonical non-negative remainder, then divide exactly
+        r = ((col % 100) + 100) % 100
+        return ((col - r) / 100).cast("long")
+
+    def step(acc, s):
+        first = F.struct(F.lit(1).cast("long").alias("n"),
+                         s["x"].alias("l"),
+                         F.lit(0).cast("long").alias("b"))
+        new_l = fdiv100(F.lit(a) * s["x"]
+                        + F.lit(100 - a) * (acc["l"] + acc["b"]))
+        new_b = fdiv100(F.lit(b) * (new_l - acc["l"])
+                        + F.lit(100 - b) * acc["b"])
+        rest = F.struct((acc["n"] + 1).alias("n"),
+                        new_l.alias("l"), new_b.alias("b"))
+        return F.when(acc["n"] == 0, first).otherwise(rest)
+
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("o"),
+                                F.col(value_col).cast("long")
+                                .alias("x"))))
+    fold = F.aggregate(
+        arr,
+        F.expr("named_struct('n', CAST(0 AS BIGINT), "
+               "'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT))"),
+        step,
+    )
+    grouped = df.groupBy(*group_cols).agg(fold.alias("__st"))
+    return grouped.select(
+        *group_cols,
+        F.col("__st.n").alias("n_periods"),
+        F.col("__st.l").alias("level"),
+        F.col("__st.b").alias("trend"),
+        (F.col("__st.l") + F.lit(int(horizon)) * F.col("__st.b"))
+        .alias("forecast"),
     )

@@ -230,6 +230,9 @@ BUDGETS = {
     # r5: daily-grain agg + one series exchange shared by
     # row_number/sum/count windows + phase agg
     "seasonal_event_pattern": (3, False),
+    # r5: daily-grain agg + one group fold shuffle + sort; the Holt
+    # recursion runs inside a JVM aggregate — no iteration in plan
+    "holt_daily_forecast": (3, False),
 }
 
 

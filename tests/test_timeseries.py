@@ -210,3 +210,70 @@ def test_seasonal_decompose_validation(spark):
         with _pytest.raises(ValueError):
             seasonal_decompose(df, group_cols=["k"], order_col="t",
                                value_col="x", **args)
+
+
+# ------------------------------------------------------------ Holt forecast
+
+def _holt_ref(xs, a=30, b=10, h=7):
+    l, t = xs[0], 0
+    for x in xs[1:]:
+        nl = (a * x + (100 - a) * (l + t)) // 100
+        t = (b * (nl - l) + (100 - b) * t) // 100
+        l = nl
+    return l, t, l + h * t
+
+
+def test_holt_matches_integer_reference(spark):
+    import random
+    from deltalake_spark.operators.timeseries import holt_forecast
+    rng = random.Random(5)
+    xs = [1000 + 40 * i + rng.randrange(-100, 100) for i in range(30)]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)],
+        "k string, t long, x long")
+    out = holt_forecast(
+        df, group_cols=["k"], order_col="t", value_col="x").collect()[0]
+    l, t, f = _holt_ref(xs)
+    assert out["n_periods"] == 30
+    assert (out["level"], out["trend"], out["forecast"]) == (l, t, f)
+
+
+def test_holt_tracks_linear_trend(spark):
+    from deltalake_spark.operators.timeseries import holt_forecast
+    # pure line x = 100*t: trend estimate converges toward 100
+    xs = [100 * i for i in range(40)]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)],
+        "k string, t long, x long")
+    out = holt_forecast(
+        df, group_cols=["k"], order_col="t", value_col="x",
+        horizon=10).collect()[0]
+    assert 50 <= out["trend"] <= 100
+    assert out["forecast"] == out["level"] + 10 * out["trend"]
+
+
+def test_holt_negative_trend_floor_semantics(spark):
+    from deltalake_spark.operators.timeseries import holt_forecast
+    # decreasing series drives the trend numerator negative — floor
+    # (not truncate) division must match the python // reference
+    xs = [1000 - 37 * i for i in range(20)]
+    df = spark.createDataFrame(
+        [("k", i, x) for i, x in enumerate(xs)],
+        "k string, t long, x long")
+    out = holt_forecast(
+        df, group_cols=["k"], order_col="t", value_col="x").collect()[0]
+    l, t, f = _holt_ref(xs)
+    assert (out["level"], out["trend"], out["forecast"]) == (l, t, f)
+    assert out["trend"] < 0
+
+
+def test_holt_validation(spark):
+    import pytest as _pytest
+    from deltalake_spark.operators.timeseries import holt_forecast
+    df = spark.createDataFrame([("k", 0, 1)], "k string, t long, x long")
+    with _pytest.raises(ValueError):
+        holt_forecast(df, group_cols=["k"], order_col="t",
+                      value_col="x", alpha_pct=0)
+    with _pytest.raises(ValueError):
+        holt_forecast(df, group_cols=["k"], order_col="t",
+                      value_col="x", horizon=-1)
