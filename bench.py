@@ -70,6 +70,14 @@ EXTRA = [
     "copurchase_item_similarity",  # r5: basket cosine recommender
     "dbscan_embedding_clusters",   # r5: grid DBSCAN + CC
     "prefix_jaccard_pairs",        # r5: PPJoin exact similarity join
+    "frequent_itemsets_parts",     # r5s3: distributed Apriori L1-L3
+    "lpa_copurchase_communities",  # r5s3: label propagation rounds
+    "link_prediction_parts",       # r5s3: wedge-join RA scoring
+    "textrank_doc_keywords",       # r5s3: bigram-graph pagerank
+    "cusum_daily_values",          # r5s3: prefix-sum CUSUM windows
+    "mad_price_outliers",          # r5s3: three-pass median/MAD
+    "holt_daily_forecast",         # r5s3: integer Holt fold
+    "benford_order_prices",        # r5s3: digit-frame chi-square
 ]
 
 
