@@ -5058,6 +5058,61 @@ def holt_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         horizon=7).orderBy("event_type")
 
 
+def cohort_retention_weekly(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (r5, operators/analytics.py): users
+    are cohorted by the week of their first event; each
+    (cohort-week, offset) cell counts the cohort's users still
+    active ``offset`` weeks later, with the classic retention_pct.
+    All counts are exact integers on a distinct (user, week) grain —
+    the single raw-data pass — and the percentage is one IEEE
+    division. Offsets capped at 8 weeks."""
+    from deltalake_spark.operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts div 604800000000000").alias("wk"))
+    out = cohort_retention(
+        ev, entity_col="user_id", period_col="wk", max_offset=8)
+    return out.orderBy("cohort_p", "offset")
+
+
+def rfm_customer_segments(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """RFM segmentation (r5, operators/analytics.py): per-customer
+    recency (days to 1998-08-02) / frequency / monetary-cents from
+    orders, scored into quintiles by ntile over the DETERMINISTIC
+    (metric, custkey) order — the tiebreak is part of the contract
+    since ntile boundaries are order-sensitive — then rolled up to
+    one row per (r,f,m) segment. One fact-table aggregate; the three
+    score windows sort the per-customer frame, never raw orders."""
+    from deltalake_spark.operators.analytics import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    out = rfm_segments(
+        orders, entity_col="o_custkey", date_col="o_orderdate",
+        amount_col="o_totalprice", asof="1998-08-02", buckets=5)
+    return out.orderBy("r_score", "f_score", "m_score")
+
+
+def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distances (r5,
+    operators/stats.py) between document-length distributions of
+    every source pair: D is computed as the INTEGER supremum
+    ``max_x |n_b·C_a(x) − n_a·C_b(x)|`` over cumulative counts, so
+    the statistic is engine-exact; the float d is one division. One
+    pass over documents builds the (source, n_chars) distribution
+    frame; everything after is grid-sized. Top-20 most-divergent
+    pairs."""
+    from deltalake_spark.operators.stats import ks_two_sample
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    out = ks_two_sample(docs, group_col="source", value_col="n_chars")
+    return out.orderBy(
+        F.col("d").desc(), "src_a", "src_b").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5262,6 +5317,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_price_outliers": mad_price_outliers,
     "seasonal_event_pattern": seasonal_event_pattern,
     "holt_daily_forecast": holt_daily_forecast,
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "rfm_customer_segments": rfm_customer_segments,
+    "ks_doclen_sources": ks_doclen_sources,
 }
 
 
@@ -9424,6 +9482,94 @@ def oracle_sql() -> dict[str, str]:
             FROM rec r
             JOIN mx ON mx.event_type = r.event_type AND r.rn = mx.mx
             ORDER BY 1
+        """,
+        "cohort_retention_weekly": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     epoch_ns(ts) // 604800000000000 AS wk
+              FROM events
+            ), first AS (
+              SELECT user_id, MIN(wk) AS cohort_p
+              FROM act GROUP BY 1
+            ), cells AS (
+              SELECT f.cohort_p, a.wk - f.cohort_p AS offset,
+                     CAST(COUNT(*) AS BIGINT) AS active
+              FROM act a JOIN first f USING (user_id)
+              WHERE a.wk - f.cohort_p <= 8
+              GROUP BY 1, 2
+            ), sizes AS (
+              SELECT cohort_p, active AS cohort_size
+              FROM cells WHERE offset = 0
+            )
+            SELECT c.cohort_p, c.offset, c.active, s.cohort_size,
+                   round(100.0 * c.active / s.cohort_size, 4)
+                     AS retention_pct
+            FROM cells c JOIN sizes s USING (cohort_p)
+            ORDER BY 1, 2
+        """,
+        "rfm_customer_segments": """
+            WITH base AS (
+              SELECT o_custkey,
+                     date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                               DATE '1998-08-02') AS recency_days,
+                     COUNT(*) AS frequency,
+                     CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM orders GROUP BY 1
+            ), scored AS (
+              SELECT cents,
+                     6 - ntile(5) OVER (
+                       ORDER BY recency_days ASC, o_custkey ASC)
+                       AS r_score,
+                     6 - ntile(5) OVER (
+                       ORDER BY frequency DESC, o_custkey ASC)
+                       AS f_score,
+                     6 - ntile(5) OVER (
+                       ORDER BY cents DESC, o_custkey ASC) AS m_score
+              FROM base
+            )
+            SELECT r_score, f_score, m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM scored GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "ks_doclen_sources": """
+            WITH counts AS (
+              SELECT source AS g, n_chars AS x,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ), totals AS (
+              SELECT g, CAST(SUM(c) AS BIGINT) AS n
+              FROM counts GROUP BY 1
+            ), grid AS (
+              SELECT t.g, t.n, x.x
+              FROM totals t
+              CROSS JOIN (SELECT DISTINCT x FROM counts) x
+            ), cum AS (
+              SELECT grid.g AS g, grid.x AS x, grid.n AS n,
+                     CAST(SUM(COALESCE(c.c, 0)) OVER (
+                       PARTITION BY grid.g ORDER BY grid.x
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM grid LEFT JOIN counts c
+                ON c.g = grid.g AND c.x = grid.x
+            ), pairs AS (
+              SELECT a.g AS src_a, b.g AS src_b,
+                     a.n AS n_a, b.n AS n_b,
+                     abs(b.n * a.cum - a.n * b.cum) AS dd
+              FROM cum a JOIN cum b ON a.x = b.x AND a.g < b.g
+            ), ks AS (
+              SELECT src_a, src_b,
+                     CAST(MAX(n_a) AS BIGINT) AS n_a,
+                     CAST(MAX(n_b) AS BIGINT) AS n_b,
+                     CAST(MAX(dd) AS BIGINT) AS d_scaled
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, n_a, n_b, d_scaled,
+                   round(d_scaled / (CAST(n_a AS DOUBLE) * n_b), 6)
+                     AS d
+            FROM ks
+            ORDER BY d DESC, src_a, src_b LIMIT 20
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:
