@@ -9492,16 +9492,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, MIN(wk) AS cohort_p
               FROM act GROUP BY 1
             ), cells AS (
-              SELECT f.cohort_p, a.wk - f.cohort_p AS offset,
+              SELECT f.cohort_p, a.wk - f.cohort_p AS "offset",
                      CAST(COUNT(*) AS BIGINT) AS active
               FROM act a JOIN first f USING (user_id)
               WHERE a.wk - f.cohort_p <= 8
               GROUP BY 1, 2
             ), sizes AS (
               SELECT cohort_p, active AS cohort_size
-              FROM cells WHERE offset = 0
+              FROM cells WHERE "offset" = 0
             )
-            SELECT c.cohort_p, c.offset, c.active, s.cohort_size,
+            SELECT c.cohort_p, c."offset", c.active, s.cohort_size,
                    round(100.0 * c.active / s.cohort_size, 4)
                      AS retention_pct
             FROM cells c JOIN sizes s USING (cohort_p)
