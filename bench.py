@@ -84,6 +84,7 @@ EXTRA = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load0 = round(os.getloadavg()[0], 1)
     spark = get_spark("deltalake-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -105,18 +106,24 @@ def main() -> None:
 
     # cold pass first (codegen/plan compile noise lands here, in the
     # PINNED list order above so attribution is stable round-to-round),
-    # then a warm pass. The headline metric is the WARM total: r2 showed
+    # then warm passes. The headline metric is the WARM total: r2 showed
     # cold deltas are JVM noise in both directions, so round-over-round
     # comparisons should lead with warm-to-warm ("queries" below = warm;
-    # cold is emitted separately).
+    # cold is emitted separately). Each warm number is the MEDIAN of 3
+    # passes — r5's driver bench ran during co-tenant load and reported
+    # a phantom +13% across the board; a single sample can't tell load
+    # from regression, the median of 3 mostly can (and `loadavg` in the
+    # compact line makes contaminated runs self-identifying).
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
         cold[name], n = run_once(name)
         print(f"# cold {name}: {cold[name]}s ({n} rows)", file=sys.stderr)
     for name in HEADLINE:
-        warm[name], _ = run_once(name)
-        print(f"# warm {name}: {warm[name]}s", file=sys.stderr)
+        samples = sorted(run_once(name)[0] for _ in range(3))
+        warm[name] = samples[1]
+        print(f"# warm {name}: {warm[name]}s (3 passes: {samples})",
+              file=sys.stderr)
 
     # round-3 flagship additions, measured OUTSIDE the headline total so
     # "value"/"warm_total" stay comparable round-over-round (warm pass:
@@ -145,6 +152,10 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 2),
         "extra_total": round(sum(extra.values()), 2),
         "sf": sf,
+        # 1-min load BEFORE the bench started vs at the end: values far
+        # above SPARK_GRAFT_CPUS mean co-tenant contention — treat the
+        # timings as contaminated rather than chasing phantom regressions
+        "loadavg": [load0, round(os.getloadavg()[0], 1)],
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # never let the machine line overflow the window

@@ -100,8 +100,11 @@ def png_dimensions(payload: bytes) -> tuple[int, int] | None:
 def decode_image_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Extract sniffed format + dimensions via mapInPandas (Arrow batches).
 
-    The full pixel decode is stubbed — raise NotImplementedError when
-    pixels are requested (codec libs absent); header metadata is real.
+    Header metadata only — for full pixel/sample decodes use
+    ``media_decode`` / ``pixel_channel_stats`` (PNG incl. 16-bit +
+    Adam7 + palette, baseline JPEG, GIF LZW, WAV PCM are all decoded
+    for real, pure-Python; only MP3/MP4 *essence* stays out of scope —
+    see COVERAGE.md).
     """
     schema = StructType(
         df.schema.fields

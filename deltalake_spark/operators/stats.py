@@ -720,7 +720,7 @@ def mad_outliers(
     """
     x = F.col(value_col).cast("double")
     med_frame = df.groupBy(*group_cols).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.percentile(x, F.lit(0.5)).alias("median"),
         F.count(F.lit(1)).alias("n"))
     with_med = df.join(F.broadcast(med_frame), list(group_cols))
     dev = F.abs(x - F.col("median"))

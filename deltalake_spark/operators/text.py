@@ -339,39 +339,85 @@ def sorted_neighborhood_pairs(
     near-matches blocking splits apart, misses ones that sort far
     apart; run both and union for recall).
 
-    Scale shape: ONE global range-partitioned sort + lead() window
-    (no self-join); pair count is n x window regardless of skew."""
+    Scale shape: a naive ``lead() OVER (ORDER BY ...)`` (no PARTITION
+    BY) funnels the whole table through ONE partition. Instead:
+    range-repartition on the sort key, compute leads PARTITION-LOCALLY,
+    then close the seams with a second pass over only the first/last
+    ``window`` rows of each partition (``<= 2*window*partitions`` rows,
+    driver-KB scale, so its single-partition window is free). A pair
+    straddling a boundary has all its intervening rows inside that tiny
+    frame (any fully-skipped partition must have < ``window`` rows, all
+    of which are boundary rows), so the seam pass sees true gaps;
+    same-partition pairs it produces are either duplicates of the local
+    pass or artifacts of the excised middles — both dropped by the
+    ``pid_a != pid_b`` filter. Pair count is n x window regardless of
+    skew; the ranged layout is persisted + materialized so both passes
+    agree on sampled partition boundaries."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(text_col, id_col)
-    # window expressions must be plain projections; the explode over
-    # their array happens in a second select
-    leads = df.select(
-        id_col, text_col,
-        *[F.lead(id_col, k).over(w).alias(f"__nid{k}")
-          for k in range(1, window + 1)],
-        *[F.lead(text_col, k).over(w).alias(f"__ntext{k}")
-          for k in range(1, window + 1)],
+    def pairs_from(frame: DataFrame, w: Window,
+                   cross_only: bool) -> DataFrame:
+        leads = frame.select(
+            id_col, text_col, "__pid",
+            *[F.lead(id_col, k).over(w).alias(f"__nid{k}")
+              for k in range(1, window + 1)],
+            *[F.lead(text_col, k).over(w).alias(f"__ntext{k}")
+              for k in range(1, window + 1)],
+            *[F.lead("__pid", k).over(w).alias(f"__npid{k}")
+              for k in range(1, window + 1)],
+        )
+        nb = F.array(*[
+            F.struct(F.col(f"__nid{k}").alias("nid"),
+                     F.col(f"__ntext{k}").alias("ntext"),
+                     F.col(f"__npid{k}").alias("npid"))
+            for k in range(1, window + 1)
+        ])
+        exploded = (
+            leads.select(id_col, text_col, "__pid",
+                         F.explode(nb).alias("nb"))
+            .filter(F.col("nb.nid").isNotNull())
+        )
+        if cross_only:
+            exploded = exploded.filter(F.col("nb.npid") != F.col("__pid"))
+        return (
+            exploded.select(
+                F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
+                F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
+                F.col(text_col).alias("text_a"),
+                F.col("nb.ntext").alias("text_b"),
+                F.levenshtein(F.col(text_col), F.col("nb.ntext"))
+                .alias("distance"))
+            .filter(F.col("distance") <= max_distance)
+        )
+
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.select(id_col, text_col)
+        .repartitionByRange(parts, F.col(text_col), F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-    nb = F.array(*[
-        F.struct(F.col(f"__nid{k}").alias("nid"),
-                 F.col(f"__ntext{k}").alias("ntext"))
-        for k in range(1, window + 1)
-    ])
-    exploded = (
-        leads.select(id_col, text_col, F.explode(nb).alias("nb"))
-        .filter(F.col("nb.nid").isNotNull())
+    # pin the sampled range boundaries: both passes (and the seam
+    # filter) must see the same __pid assignment
+    ranged.count()
+    w_local = Window.partitionBy("__pid").orderBy(text_col, id_col)
+    local = pairs_from(ranged, w_local, cross_only=False)
+
+    pw = Window.partitionBy("__pid").orderBy(text_col, id_col)
+    nrows = Window.partitionBy("__pid")
+    boundary = (
+        ranged
+        .withColumn("__lr", F.row_number().over(pw))
+        .withColumn("__n", F.count(F.lit(1)).over(nrows))
+        .filter((F.col("__lr") <= window)
+                | (F.col("__lr") > F.col("__n") - window))
+        .drop("__lr", "__n")
+        # KB-scale frame: global order here is exact and cheap
+        .coalesce(1)
     )
-    return (
-        exploded.select(
-            F.least(F.col(id_col), F.col("nb.nid")).alias("id_a"),
-            F.greatest(F.col(id_col), F.col("nb.nid")).alias("id_b"),
-            F.col(text_col).alias("text_a"),
-            F.col("nb.ntext").alias("text_b"),
-            F.levenshtein(F.col(text_col), F.col("nb.ntext"))
-            .alias("distance"))
-        .filter(F.col("distance") <= max_distance)
-    )
+    w_seam = Window.orderBy(text_col, id_col)
+    seam = pairs_from(boundary, w_seam, cross_only=True)
+    return local.unionByName(seam)
 
 
 def collocation_pmi(

@@ -380,9 +380,15 @@ def holt_forecast(
     def fdiv100(col):
         # floor division by 100 for possibly-negative bigints (DIV
         # truncates toward zero; DuckDB // floors): subtract the
-        # canonical non-negative remainder, then divide exactly
+        # canonical non-negative remainder, making the numerator an
+        # EXACT multiple of 100, then divide in decimal — `/ 100` on
+        # longs detours through double and silently loses exactness
+        # past 2^53 (level/trend numerators run ~100x input units)
         r = ((col % 100) + 100) % 100
-        return ((col - r) / 100).cast("long")
+        return (
+            (col - r).cast("decimal(38,0)")
+            / F.lit(100).cast("decimal(3,0)")
+        ).cast("long")
 
     def step(acc, s):
         first = F.struct(F.lit(1).cast("long").alias("n"),

@@ -54,6 +54,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def release_caches(spark: SparkSession) -> int:
+    """Unpersist every cached DataFrame/RDD in the session and return
+    how many persistent RDDs were dropped.
+
+    Several operators pin intermediate frames with ``persist()`` so
+    multi-branch plans agree on sampled partition layouts (range
+    boundaries, iterative lineage cuts). Those pins must outlive the
+    operator call — the returned DataFrame is lazy — so the CALLER owns
+    cleanup: materialize the result, then call this between queries in
+    a long-lived session (bench.py does) to keep storage memory flat.
+    Do NOT call it while other queries on the same session are still
+    running — clearing a pin mid-flight forces a recompute that may
+    resample range boundaries inconsistently between plan branches.
+    """
+    jsc = spark.sparkContext._jsc.sc()
+    n = jsc.getPersistentRDDs().size()
+    spark.catalog.clearCache()
+    # clearCache drops CacheManager (DataFrame) entries; sweep any
+    # RDD-level leftovers too so the count really reaches zero
+    remaining = jsc.getPersistentRDDs()
+    it = remaining.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    return n
+
+
+def cached_rdd_count(spark: SparkSession) -> int:
+    """Number of persistent RDDs the JVM currently tracks (storage-leak
+    probe for tests and long-session monitoring)."""
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
 def ts_to_long_nanos(df, col: str = "ts"):
     """Normalize a timestamp column to epoch nanoseconds (long).
 

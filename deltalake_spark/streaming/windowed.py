@@ -21,6 +21,7 @@ are engine-native additions built on Structured Streaming:
 
 from __future__ import annotations
 
+import threading
 import uuid
 from typing import Iterable, Iterator
 
@@ -29,7 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_STREAM_SOURCE_CACHE: dict[str, tuple] = {}
+_STREAM_SOURCE_CACHE: dict[tuple, tuple] = {}
+
+# Serializes every run_available_now drain: the session-wide conf
+# overrides it applies (shuffle partitions, noDataMicroBatches) would
+# otherwise leak into a drain started concurrently on the same
+# SparkSession from another thread (e.g. tools/check_oracle.py's
+# ThreadPoolExecutor), which can silently drop watermark-flushed rows.
+_DRAIN_LOCK = threading.Lock()
 
 __all__ = [
     "read_parquet_stream",
@@ -59,9 +67,13 @@ def read_parquet_stream(
     from deltalake_spark.session import ts_to_long_nanos
 
     # schema peek (a driver-side job) and symlink staging are pure
-    # functions of the path — memoize so repeated drains of the same
-    # source (bench warm passes, oracle re-runs) skip both
-    cached = _STREAM_SOURCE_CACHE.get(path)
+    # functions of the path CONTENT — memoize keyed on (path, mtime,
+    # size) so repeated drains of the same source (bench warm passes,
+    # oracle re-runs) skip both, while a regenerated file with a new
+    # schema invalidates naturally
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    cached = _STREAM_SOURCE_CACHE.get(key)
     if cached is not None and os.path.exists(cached[1]):
         schema, src_path = cached
     else:
@@ -74,7 +86,7 @@ def read_parquet_stream(
             os.symlink(os.path.abspath(path),
                        os.path.join(d, os.path.basename(path)))
             src_path = d
-        _STREAM_SOURCE_CACHE[path] = (schema, src_path)
+        _STREAM_SOURCE_CACHE[key] = (schema, src_path)
     path = src_path
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -306,8 +318,14 @@ def run_available_now(
     trailing no-data micro-batch; ONLY safe for complete-mode sinks,
     where emission doesn't wait on the watermark (append-mode session/
     window flushes need that final batch — keep the default there).
-    Both confs are restored after the drain; callers that drain
-    concurrently from multiple threads should leave them unset.
+    Both confs are restored after the drain. All drains serialize on a
+    module lock: the overrides are session-wide SQLConf mutations, so a
+    drain started concurrently on the same session from another thread
+    (tools/check_oracle.py runs registry queries in a ThreadPoolExecutor)
+    could otherwise inherit ``noDataMicroBatches=false`` mid-flight and
+    skip the trailing no-data batch that flushes watermarked state —
+    nondeterministic missing rows. Streaming drains are a small fraction
+    of the registry, so the serialization cost is a few seconds.
     """
     spark = sdf.sparkSession
     restore: dict[str, str] = {}
@@ -317,19 +335,20 @@ def run_available_now(
     if not no_data_batch:
         overrides["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    try:
-        for k, v in overrides.items():
-            restore[k] = spark.conf.get(k)
-            spark.conf.set(k, v)
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        for k, v in restore.items():
-            spark.conf.set(k, v)
+    with _DRAIN_LOCK:
+        try:
+            for k, v in overrides.items():
+                restore[k] = spark.conf.get(k)
+                spark.conf.set(k, v)
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            for k, v in restore.items():
+                spark.conf.set(k, v)
     return sdf.sparkSession.table(name)

@@ -526,3 +526,31 @@ def test_png_palette_decode():
     bad = make_png_indexed(2, 1, bytes([0, 3]), bytes([1, 2, 3]))
     with _pytest.raises(ValueError):
         png_decode(bad)
+
+
+def test_mp3_mp4_essence_boundary_is_valueerror():
+    """PERMANENT scope decision (r6, COVERAGE.md "Media decode
+    boundary"): MP3/MP4 essence is out of scope — metadata walks are
+    real, but routing their payloads at a pixel/sample decoder must
+    raise ValueError, never silently return garbage."""
+    from deltalake_spark.operators.multimodal import (
+        make_mp3,
+        make_mp4,
+        media_decode,
+        mp3_meta,
+        mp4_meta,
+        wav_pcm,
+    )
+
+    mp3 = make_mp3(n_frames=4)
+    mp4 = make_mp4()
+    # the metadata side stays real
+    assert mp3_meta(mp3)["n_frames"] == 4
+    assert mp4_meta(mp4)["timescale"] == 600
+    # the essence side is a hard ValueError for BOTH formats
+    with pytest.raises(ValueError):
+        media_decode(mp3)
+    with pytest.raises(ValueError):
+        media_decode(mp4)
+    # and the audio sample decoder rejects compressed essence too
+    assert wav_pcm(mp3) is None
