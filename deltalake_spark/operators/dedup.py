@@ -592,7 +592,6 @@ def prefix_jaccard_join(
     tokens_col: str,
     threshold_num: int,
     threshold_den: int,
-    rank_partitions: int = 32,
 ) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard similarity join:
     every unordered pair with ``J(x, y) >= num/den``, no blocking key
@@ -600,14 +599,14 @@ def prefix_jaccard_join(
     provably complete and the verification is exact.
 
     The classic set-similarity-join machinery (Chaudhuri/Bayardo
-    prefix filter), Spark-shaped:
+    prefix filter; Xiao et al.'s PPJoin positional filter),
+    Spark-shaped:
 
-    1. **Rarity order.** Vocabulary ranked rarest-first by (freq,
-       token) — computed DISTRIBUTIVELY with the same range-repartition
-       + partition-local row_number + offset-prefix trick as
-       ``equidepth_histogram`` (a 100 TB vocabulary never funnels
-       through one partition; driver state = ``rank_partitions``
-       integers).
+    1. **Rarity order.** Rarest-first = the composite sort key
+       ``(token_freq, token)``. Only the per-doc ORDER matters for
+       completeness (any consistent total order works), so no global
+       integer rank is ever materialized — one vocabulary-count
+       aggregate, zero driver state.
     2. **Prefix.** A pair with J >= α shares >= ⌈α·max(|x|,|y|)⌉
        tokens, so (pigeonhole under ANY total order) their prefixes of
        length ``p = n - ⌈α·n⌉ + 1`` share at least one token. Prefix
@@ -617,18 +616,39 @@ def prefix_jaccard_join(
        Rarest-first ordering puts the longest posting lists outside
        every prefix — this is what bounds the join at scale, and it
        is also why a blocking key becomes unnecessary.
-    4. **Size filter.** ``num·|x| <= den·|y|`` both ways (J >= α
-       forces α|x| <= |y|), applied before verification.
-    5. **Exact verify.** Candidates re-join the two token sets to
-       count the true intersection; the threshold test is the exact
-       integer ``den·c >= num·(|x|+|y|-c)``.
+    4. **Size + positional filters**, on the raw join output BEFORE
+       the pair-dedup shuffle: ``num·|x| <= den·|y|`` both ways, and
+       the PPJoin bound ``overlap <= 1 + min(|x|-i, |y|-j)`` at the
+       pair's first shared token — all integer arithmetic.
+    5. **Exact verify.** Each surviving pair joins its two DISTINCT
+       token arrays and counts the true intersection with one
+       map-side ``array_intersect`` (no re-explode, no groupBy); the
+       threshold test is the exact integer
+       ``den·c >= num·(|x|+|y|-c)``.
 
     Returns ``(id_a, id_b, n_a, n_b, inter, jaccard)`` with
     ``jaccard`` = one deterministic IEEE division.
+
+    Caller contract (cache lifetime): the operator pins ``tok`` and
+    ``sizes`` with ``persist()`` (multi-branch reuse); they stay
+    cached until the caller materializes the result. In a long-lived
+    session, materialize and then call
+    :func:`deltalake_spark.session.release_caches` to drop them
+    (bench.py's storage stays flat this way); tests pin this via
+    ``cached_rdd_count``.
     """
     if not (0 < threshold_num <= threshold_den):
         raise ValueError("threshold must be a fraction in (0, 1]")
     num, den = int(threshold_num), int(threshold_den)
+
+    # spread a narrow input first: a small/single-file table scans as
+    # 1-2 partitions, which would run the (expensive) tokenize+explode
+    # single-threaded and cap every downstream stage until the first
+    # shuffle. At warehouse scale the input already has thousands of
+    # partitions and this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
 
     tok = df.select(F.col(id_col).alias("did"),
                     F.explode(F.col(tokens_col)).alias("w")) \
@@ -636,60 +656,77 @@ def prefix_jaccard_join(
     sizes = tok.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
     sizes = sizes.persist()
 
-    # --- global rarity rank, distributed (no single-partition window)
+    # --- rarity order = the composite key (f, w) directly. Only the
+    # per-doc ORDER matters for prefix completeness (any total order
+    # works), so no global integer rank is ever materialized — the r5
+    # version's distributed rank machinery (range repartition + offset
+    # prefix + a driver collect per call) bought nothing the composite
+    # sort key doesn't give for free.
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
-    ranged = freq.repartitionByRange(
-        rank_partitions, F.col("f"), F.col("w")).persist()
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    counts = {r["__pid"]: r["c"] for r in
-              with_pid.groupBy("__pid").agg(
-                  F.count(F.lit(1)).alias("c")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        off_expr = F.when(F.col("__pid") == pid, F.lit(off)) \
-            .otherwise(off_expr)
-    local = with_pid.withColumn(
-        "__lr", F.row_number().over(
-            Window.partitionBy("__pid").orderBy("f", "w")))
-    rank = local.select("w", (F.col("__lr") + off_expr).alias("rk"))
 
-    # --- per-doc prefix under the rarity order
-    wdoc = Window.partitionBy("did").orderBy("rk")
+    # --- per-doc prefix under the rarity order; keep the position
+    # (__rn) for the positional filter and the size for the length
+    # filter so the candidate stage prunes BEFORE deduplicating
+    wdoc = Window.partitionBy("did").orderBy("f", "w")
     required = F.expr(f"({num} * n + {den} - 1) div {den}")
     prefix = (
-        tok.join(rank, "w")
-        .withColumn("__rn", F.row_number().over(wdoc))
+        tok.join(freq, "w")
         .join(sizes, "did")
+        .withColumn("__rn", F.row_number().over(wdoc))
         .filter(F.col("__rn") <= F.col("n") - required + 1)
-        .select("did", "w")
+        .select("did", "w", "n", "__rn")
     )
 
-    # --- candidates: prefix x prefix on the shared (rare) token
-    pa = prefix.select(F.col("did").alias("id_a"), "w")
-    pb = prefix.select(F.col("did").alias("id_b"), "w")
-    sa = sizes.select(F.col("did").alias("id_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("did").alias("id_b"), F.col("n").alias("n_b"))
+    # --- candidates: prefix x prefix on the shared (rare) token.
+    # Both filters run on the RAW join output — before the distinct —
+    # so pairs that can't meet the threshold never pay the dedup
+    # shuffle, and carrying (n_a, n_b) through the distinct replaces
+    # the two post-distinct joins back to `sizes` entirely.
+    pa = prefix.select(F.col("did").alias("id_a"), "w",
+                       F.col("n").alias("n_a"),
+                       F.col("__rn").alias("__ra"))
+    pb = prefix.select(F.col("did").alias("id_b"), "w",
+                       F.col("n").alias("n_b"),
+                       F.col("__rn").alias("__rb"))
+    # PPJoin positional filter: at a pair's FIRST shared token (rarity
+    # order, positions i, j) no earlier tokens are shared, so
+    # overlap <= 1 + min(n_a - i, n_b - j); J >= num/den needs
+    # overlap >= ceil(num*(n_a+n_b)/(num+den)). A qualifying pair's
+    # first-match row always passes (bound >= true overlap >= t), so
+    # dropping later rows that fail it keeps completeness — integer
+    # form: (num+den)*(1+min) >= num*(n_a+n_b).
+    pos_ok = (
+        (num + den)
+        * (1 + F.least(F.col("n_a") - F.col("__ra"),
+                       F.col("n_b") - F.col("__rb")))
+        >= num * (F.col("n_a") + F.col("n_b"))
+    )
     cand = (
         pa.join(pb, "w")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .join(sa, "id_a").join(sb, "id_b")
-        .filter((num * F.col("n_a") <= den * F.col("n_b"))
-                & (num * F.col("n_b") <= den * F.col("n_a")))
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (num * F.col("n_a") <= den * F.col("n_b"))
+                & (num * F.col("n_b") <= den * F.col("n_a"))
+                & pos_ok)
+        .select("id_a", "id_b", "n_a", "n_b").distinct()
     )
 
-    # --- exact verification over the candidate set only
-    ta = tok.select(F.col("did").alias("id_a"), "w")
-    tb = tok.select(F.col("did").alias("id_b"), "w")
+    # --- exact verification over the candidate set only: join each
+    # side's DISTINCT token array (map-side `array_intersect`, one
+    # JVM expression per pair) instead of re-exploding `tok` through a
+    # token-keyed shuffle + groupBy — the pruned candidate stream is
+    # orders of magnitude smaller than its exploded token stream
+    docs = df.select(F.col(id_col).alias("did"),
+                     F.array_distinct(F.col(tokens_col)).alias("__tk"))
+    da = docs.select(F.col("did").alias("id_a"),
+                     F.col("__tk").alias("__ta"))
+    db = docs.select(F.col("did").alias("id_b"),
+                     F.col("__tk").alias("__tb"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "w"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(da, "id_a").join(db, "id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("__ta", "__tb"))
+                    .cast("long"))
+        .drop("__ta", "__tb")
     )
     uni = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (

@@ -204,10 +204,12 @@ BUDGETS = {
     # r5: one detail join + one category agg (persisted; textually
     # nested) + sort; prior is a literal, no crossJoin node
     "target_encode_nation": (3, False),
-    # r5: PPJoin pipeline — distributed vocab rank (range exchange +
-    # pid window), per-doc prefix window, prefix equi-join, verify
-    # joins; persisted tok/size frames nest textually
-    "prefix_jaccard_pairs": (44, False),
+    # r6: PPJoin pipeline — (f,w) composite rarity order (no global
+    # rank materialization), per-doc prefix window, prefix equi-join
+    # with size+positional filters BEFORE the pair dedup, map-side
+    # array_intersect verify (no re-explode); persisted tok/size
+    # frames nest textually
+    "prefix_jaccard_pairs": (18, False),
     # r5: one user window (WindowGroupLimit-capped) + path agg on the
     # same exchange + TakeOrdered head
     "event_paths_topk": (2, False),
