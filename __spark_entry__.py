@@ -5113,6 +5113,74 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared r6 grain: per-type daily value totals in EXACT integer
+    cents (sum of per-event rounded cents — no float summation order)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+
+
+def changepoint_daily_events(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Offline least-squares change-point (r6,
+    operators/timeseries.py:sse_changepoint): for each event type's
+    daily cents series, the split minimizing two-segment SSE — exact
+    integer gain ``floor(1e6·(n·S_k − k·S)²/(n·k·(n−k)))`` in
+    decimal(38,0), argmax with smallest-k tie-break, segment means as
+    single IEEE divisions. One group shuffle shared by the prefix-sum
+    window and the argmax aggregate; the oracle replays the identical
+    recurrence on HUGEINT with ``//``."""
+    from deltalake_spark.operators.timeseries import sse_changepoint
+
+    out = sse_changepoint(
+        _daily_cents(spark, sf_dir), group_cols=["event_type"],
+        order_col="d", value_col="cents")
+    return out.orderBy("event_type")
+
+
+def theilsen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend (r6, operators/timeseries.py:theil_sen):
+    median pairwise slope of each event type's daily cents series plus
+    Sen's residual-median intercept — the outlier-proof alternative to
+    the OLS gate query. Pair generation is a group-keyed self-join
+    bounded by the 30-day grain (435 pairs/series); each slope is one
+    IEEE division of exact integers; medians use the exact
+    ``percentile`` aggregate (DuckDB quantile_cont parity)."""
+    from deltalake_spark.operators.timeseries import theil_sen
+
+    out = theil_sen(
+        _daily_cents(spark, sf_dir), group_cols=["event_type"],
+        order_col="d", value_col="cents")
+    return out.orderBy("event_type")
+
+
+def xcorr_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation (r6,
+    operators/timeseries.py:cross_correlation): per event type, does
+    daily VOLUME (event count) anticipate daily REACH (distinct
+    users)? r(lag) at lags 0/1/3/7 from exact integer moments — the
+    only IEEE ops are the final num/sqrt/sqrt chain, replayed in the
+    same order by the twin. ONE shared-sort window materializes every
+    lead column; row-position lead semantics are mirrored in SQL via
+    a rank self-join."""
+    from deltalake_spark.operators.timeseries import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.count_distinct("user_id").alias("y"))
+    out = cross_correlation(
+        daily, group_cols=["event_type"], order_col="d",
+        x_col="x", y_col="y", lags=[0, 1, 3, 7])
+    return out.orderBy("event_type", "lag")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5320,6 +5388,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "rfm_customer_segments": rfm_customer_segments,
     "ks_doclen_sources": ks_doclen_sources,
+    "changepoint_daily_events": changepoint_daily_events,
+    "theilsen_daily_trend": theilsen_daily_trend,
+    "xcorr_event_daily": xcorr_event_daily,
 }
 
 
@@ -9570,6 +9641,114 @@ def oracle_sql() -> dict[str, str]:
                      AS d
             FROM ks
             ORDER BY d DESC, src_a, src_b LIMIT 20
+        """,
+        "changepoint_daily_events": """
+            -- identical integer recurrence on HUGEINT; // floors like
+            -- Spark's (a - a % d)/d on exact multiples (all positive)
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), seq AS (
+              SELECT event_type, d, cents,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS k,
+                     SUM(cents) OVER (PARTITION BY event_type
+                                      ORDER BY d) AS sk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n,
+                     SUM(cents) OVER (PARTITION BY event_type) AS s
+              FROM daily
+            ), g AS (
+              SELECT event_type, d, k, n, sk, s,
+                     (1000000::HUGEINT
+                      * (n * sk - k * s) * (n * sk - k * s))
+                     // (CAST(n AS HUGEINT) * k * (n - k)) AS gain
+              FROM seq WHERE k < n
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS cp_index,
+                   CAST(d AS BIGINT) AS cp_order,
+                   CAST(gain AS BIGINT) AS gain_units,
+                   CAST(sk AS DOUBLE) / CAST(k AS DOUBLE)
+                     AS mean_left,
+                   CAST(s - sk AS DOUBLE) / CAST(n - k AS DOUBLE)
+                     AS mean_right
+            FROM g
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY gain DESC, k) = 1
+            ORDER BY event_type
+        """,
+        "theilsen_daily_trend": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), pairs AS (
+              SELECT a.event_type,
+                     CAST(b.cents - a.cents AS DOUBLE)
+                       / CAST(b.d - a.d AS DOUBLE) AS slope
+              FROM daily a JOIN daily b USING (event_type)
+              WHERE a.d < b.d
+            ), sl AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     quantile_cont(slope, 0.5) AS slope
+              FROM pairs GROUP BY 1
+            ), res AS (
+              SELECT d.event_type, s.n_pairs, s.slope,
+                     CAST(d.cents AS DOUBLE)
+                       - s.slope * CAST(d.d AS DOUBLE) AS r
+              FROM daily d JOIN sl s USING (event_type)
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(n_pairs) AS n_pairs, MIN(slope) AS slope,
+                   quantile_cont(r, 0.5) AS intercept
+            FROM res GROUP BY 1 ORDER BY 1
+        """,
+        "xcorr_event_daily": """
+            -- row-position lead semantics via a rank self-join; all
+            -- moments exact integers, the final num/sqrt/sqrt chain
+            -- replays Spark's IEEE op order
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS x,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS y
+              FROM events GROUP BY 1, 2
+            ), seq AS (
+              SELECT event_type, x, y,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY d) AS rn
+              FROM daily
+            ), lags AS (
+              SELECT * FROM (VALUES (0), (1), (3), (7)) t(lag)
+            ), pairs AS (
+              SELECT a.event_type, l.lag, a.x AS x, b.y AS y
+              FROM seq a CROSS JOIN lags l
+              JOIN seq b ON b.event_type = a.event_type
+                        AND b.rn = a.rn + l.lag
+            ), m AS (
+              SELECT event_type, lag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                   n AS n_pairs,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                     CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                       / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS xcorr
+            FROM m ORDER BY 1, 2
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -43,6 +43,9 @@ __all__ = [
     "cusum_changepoint",
     "seasonal_decompose",
     "holt_forecast",
+    "sse_changepoint",
+    "theil_sen",
+    "cross_correlation",
 ]
 
 
@@ -420,4 +423,215 @@ def holt_forecast(
         F.col("__st.b").alias("trend"),
         (F.col("__st.l") + F.lit(int(horizon)) * F.col("__st.b"))
         .alias("forecast"),
+    )
+
+
+def sse_changepoint(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    gain_scale: int = 10 ** 6,
+) -> DataFrame:
+    """Offline least-squares single change-point per series — the
+    binary-segmentation step (Scott-Knott / CUSUM's offline sibling):
+    the split ``k`` minimizing total SSE of the two segment means,
+    with the variance-reduction gain it buys.
+
+    EXACT integer arithmetic throughout: with prefix sum ``S_k``,
+    total ``S``, the SSE reduction at split k is
+
+        gain(k) = (n·S_k − k·S)² / (n·k·(n−k))
+
+    (all in squared value units). Numerator and denominator are exact
+    BIGINT-domain integers widened to ``decimal(38,0)``; the reported
+    ``gain_units`` is the exact floor of ``gain_scale·gain(k)``
+    computed remainder-first (``(a − a % d) / d`` — an exact multiple,
+    so the decimal division is exact; no double detour, no rounding
+    mode to disagree on). The argmax is ``max_by`` on the pair
+    ``(gain_units, −k)`` — deterministic smallest-k tie-break. A
+    DuckDB twin replays the identical recurrence on HUGEINT with
+    ``//``. Domain: ``gain_scale·|value|²·n`` must stay inside 38
+    digits (int64 series sums ~1e10 and 1e4 periods are fine).
+
+    Scale shape: one shuffle on the group key; the prefix-sum window
+    and the final argmax aggregate share it. Frames are the series
+    grain. No iteration — the classic O(n) scan per series is a
+    window + aggregate.
+
+    Output: one row per group —
+    ``(group..., n, cp_index, cp_order, gain_units, mean_left,
+    mean_right)`` where ``cp_index`` = size of the left segment and
+    ``cp_order`` = the last ``order_col`` value inside it.
+    """
+    if gain_scale < 1:
+        raise ValueError("gain_scale must be >= 1")
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = Window.partitionBy(*group_cols)
+
+    x = F.col(value_col).cast("long")
+    d = df.select(*group_cols, F.col(order_col), x.alias("__x"))
+    d = d.withColumn("__k", F.row_number().over(w))
+    d = d.withColumn("__Sk", F.sum("__x").over(run))
+    d = d.withColumn("__n", F.count(F.lit(1)).over(grp))
+    d = d.withColumn("__S", F.sum("__x").over(grp))
+    d = d.filter(F.col("__k") < F.col("__n"))  # splits 1..n-1
+
+    dec = "decimal(38,0)"
+    n_ = F.col("__n").cast(dec)
+    k_ = F.col("__k").cast(dec)
+    num_root = n_ * F.col("__Sk").cast(dec) - k_ * F.col("__S").cast(dec)
+    a = F.lit(int(gain_scale)).cast(dec) * num_root * num_root
+    den = n_ * k_ * (n_ - k_)
+    gain = ((a - a % den) / den).cast("long")
+
+    d = d.withColumn("__gain", gain)
+    best = d.groupBy(*group_cols).agg(
+        F.first("__n").alias("n"),
+        F.max(F.struct(F.col("__gain"),
+                       (-F.col("__k")).alias("__negk"),
+                       F.col("__k"),
+                       F.col(order_col).alias("__o"),
+                       F.col("__Sk"),
+                       F.col("__S"))).alias("__b"),
+    )
+    kk = F.col("__b.__k").cast("long")
+    nn = F.col("n").cast("long")
+    return best.select(
+        *group_cols,
+        nn.alias("n"),
+        kk.alias("cp_index"),
+        F.col("__b.__o").alias("cp_order"),
+        F.col("__b.__gain").alias("gain_units"),
+        (F.col("__b.__Sk").cast("double") / kk.cast("double"))
+        .alias("mean_left"),
+        ((F.col("__b.__S") - F.col("__b.__Sk")).cast("double")
+         / (nn - kk).cast("double")).alias("mean_right"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    slopes ``(x_j − x_i)/(t_j − t_i)`` — a 29% breakdown-point slope
+    estimator immune to the outliers that wreck OLS on dirty rollups.
+    Intercept = ``median(x_i − slope·t_i)`` (Sen 1968's residual
+    median — robust, unlike ``median(x) − slope·median(t)``).
+
+    Each pairwise slope is ONE deterministic IEEE division of exact
+    integers; the median uses the exact ``percentile`` aggregate
+    (halves interpolation — DuckDB ``quantile_cont`` parity, the same
+    contract ``mad_outliers`` pins).
+
+    Scale shape: the pair generation is a group-keyed self-join —
+    O(grain²) per series, bounded by the GRAIN, not raw volume (365
+    daily points → 66k pairs); re-grain first for multi-year fine
+    grains. One shuffle for the join, one for the median aggregate.
+
+    Output: ``(group..., n, n_pairs, slope, intercept)``.
+    """
+    a = df.select(*group_cols,
+                  F.col(order_col).cast("long").alias("__t"),
+                  F.col(value_col).cast("long").alias("__x"))
+    l = a.select(*group_cols, F.col("__t").alias("__ti"),
+                 F.col("__x").alias("__xi"))
+    r = a.select(*group_cols, F.col("__t").alias("__tj"),
+                 F.col("__x").alias("__xj"))
+    pairs = l.join(r, group_cols).filter(F.col("__ti") < F.col("__tj"))
+    slope = (
+        (F.col("__xj") - F.col("__xi")).cast("double")
+        / (F.col("__tj") - F.col("__ti")).cast("double")
+    )
+    med = pairs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.percentile(slope, F.lit(0.5)).alias("slope"),
+    )
+    resid = a.join(F.broadcast(med), group_cols).withColumn(
+        "__r", F.col("__x").cast("double")
+        - F.col("slope") * F.col("__t").cast("double"))
+    return resid.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("slope").alias("slope"),
+        F.percentile(F.col("__r"), F.lit(0.5)).alias("intercept"),
+    ).select(*group_cols, "n", "n_pairs", "slope", "intercept")
+
+
+def cross_correlation(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two aligned series:
+    ``r(lag) = corr(x_t, y_{t+lag})`` — the lead/lag discovery tool
+    (does event stream X anticipate stream Y?).
+
+    Unlike :func:`autocorrelation` (which uses ``F.corr``), every
+    moment here is an EXACT integer sum (inputs cast to long); the
+    only IEEE operations are the final
+    ``num / sqrt(dx) / sqrt(dy)`` — a fixed op order both engines
+    replay bit-for-bit. ONE window pass materializes every lead
+    column (shared sort), one aggregate per group computes all lags.
+
+    Output: ``(group..., lag, n_pairs, xcorr)``; ``xcorr`` is NULL
+    for degenerate (zero-variance) windows.
+    """
+    if not lags or any(lag < 0 for lag in lags):
+        raise ValueError("lags must be >= 0")
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    led = df.select(
+        *group_cols, x.alias("__x"),
+        *[F.lead(y, lag).over(w).alias(f"__y{lag}") for lag in lags],
+    )
+    aggs = []
+    for lag in lags:
+        yl = F.col(f"__y{lag}")
+        ok = yl.isNotNull()
+        xi = F.when(ok, F.col("__x"))
+        aggs += [
+            F.count(xi).alias(f"__n{lag}"),
+            F.sum(xi).alias(f"__sx{lag}"),
+            F.sum(yl).alias(f"__sy{lag}"),
+            F.sum(xi * xi).alias(f"__sxx{lag}"),
+            F.sum(yl * yl).alias(f"__syy{lag}"),
+            F.sum(xi * yl).alias(f"__sxy{lag}"),
+        ]
+    agg = led.groupBy(*group_cols).agg(*aggs)
+    rows = []
+    for lag in lags:
+        n = F.col(f"__n{lag}")
+        num = n * F.col(f"__sxy{lag}") \
+            - F.col(f"__sx{lag}") * F.col(f"__sy{lag}")
+        dx = n * F.col(f"__sxx{lag}") \
+            - F.col(f"__sx{lag}") * F.col(f"__sx{lag}")
+        dy = n * F.col(f"__syy{lag}") \
+            - F.col(f"__sy{lag}") * F.col(f"__sy{lag}")
+        r = F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double"))
+            / F.sqrt(dy.cast("double")))
+        rows.append(F.struct(
+            F.lit(lag).cast("long").alias("lag"),
+            n.cast("long").alias("n_pairs"),
+            r.alias("xcorr")))
+    pairs = F.explode(F.array(*rows)).alias("__p")
+    return agg.select(*group_cols, pairs).select(
+        *group_cols,
+        F.col("__p.lag").alias("lag"),
+        F.col("__p.n_pairs").alias("n_pairs"),
+        F.col("__p.xcorr").alias("xcorr"),
     )

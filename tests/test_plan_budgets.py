@@ -235,6 +235,15 @@ BUDGETS = {
     # r5: daily-grain agg + one group fold shuffle + sort; the Holt
     # recursion runs inside a JVM aggregate — no iteration in plan
     "holt_daily_forecast": (3, False),
+    # r6: daily-grain agg + ONE group shuffle shared by the prefix-sum
+    # window and the argmax aggregate + sort; no joins at all
+    "changepoint_daily_events": (3, False),
+    # r6: daily-grain agg + group-keyed pair self-join + slope-median
+    # agg + broadcast back for the residual median + sort
+    "theilsen_daily_trend": (6, False),
+    # r6: daily-grain agg (count_distinct expands) + one shared-sort
+    # lead window + moment agg + sort
+    "xcorr_event_daily": (4, False),
 }
 
 

@@ -277,3 +277,106 @@ def test_holt_validation(spark):
     with _pytest.raises(ValueError):
         holt_forecast(df, group_cols=["k"], order_col="t",
                       value_col="x", horizon=-1)
+
+
+# ---------------------------------------------------------------- r6 ops
+
+
+def test_sse_changepoint_planted_step(spark):
+    from deltalake_spark.operators.timeseries import sse_changepoint
+
+    # 10 at level 100, then 10 at level 200: split MUST land at k=10
+    rows = [("a", t, 100 if t < 10 else 200) for t in range(20)]
+    out = sse_changepoint(
+        spark.createDataFrame(rows, "g string, t long, v long"),
+        group_cols=["g"], order_col="t", value_col="v").collect()
+    r = out[0]
+    assert r["n"] == 20 and r["cp_index"] == 10 and r["cp_order"] == 9
+    assert r["mean_left"] == 100.0 and r["mean_right"] == 200.0
+    # exact gain: (n*Sk - k*S)^2/(n*k*(n-k)) = (20*1000-10*3000)^2/2000
+    # = 1e8/2000 = 50000 units^2, x 1e6 scale
+    assert r["gain_units"] == 50_000 * 10 ** 6
+
+
+def test_sse_changepoint_matches_python_argmax(spark):
+    import random
+
+    from deltalake_spark.operators.timeseries import sse_changepoint
+
+    rng = random.Random(7)
+    series = {g: [rng.randint(-50, 50) + (37 if i > rng.randint(5, 25)
+                                          else 0)
+                  for i in range(30)] for g in "ab"}
+    rows = [(g, t, v) for g, xs in series.items()
+            for t, v in enumerate(xs)]
+    got = {r["g"]: r for r in sse_changepoint(
+        spark.createDataFrame(rows, "g string, t long, v long"),
+        group_cols=["g"], order_col="t", value_col="v").collect()}
+
+    for g, xs in series.items():
+        n, S = len(xs), sum(xs)
+        best = None
+        pref = 0
+        for k in range(1, n):
+            pref += xs[k - 1]
+            a = 10 ** 6 * (n * pref - k * S) ** 2
+            gain = a // (n * k * (n - k))
+            cand = (gain, -k)
+            if best is None or cand > best:
+                best, bk = cand, k
+        assert got[g]["cp_index"] == bk
+        assert got[g]["gain_units"] == best[0]
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from deltalake_spark.operators.timeseries import theil_sen
+
+    # y = 3t + 5 with one wild outlier: slope stays exactly 3
+    rows = [("s", t, 3 * t + 5 if t != 7 else 9999) for t in range(15)]
+    r = theil_sen(
+        spark.createDataFrame(rows, "g string, t long, v long"),
+        group_cols=["g"], order_col="t", value_col="v").collect()[0]
+    assert r["n"] == 15 and r["n_pairs"] == 105
+    assert r["slope"] == 3.0
+    assert r["intercept"] == 5.0
+
+
+def test_cross_correlation_shifted_copy(spark):
+    from deltalake_spark.operators.timeseries import cross_correlation
+
+    # y is x shifted forward by 2: r(lag=2) == 1.0 exactly
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [("s", t, xs[t], xs[t - 2] if t >= 2 else 0)
+            for t in range(len(xs))]
+    out = {r["lag"]: r for r in cross_correlation(
+        spark.createDataFrame(rows, "g string, t long, x long, y long"),
+        group_cols=["g"], order_col="t", x_col="x", y_col="y",
+        lags=[0, 2]).collect()}
+    assert abs(out[2]["xcorr"] - 1.0) < 1e-12
+    assert out[2]["n_pairs"] == len(xs) - 2
+    assert abs(out[0]["xcorr"]) < 1.0
+
+
+def test_cross_correlation_matches_python_moments(spark):
+    import math as m
+    import random
+
+    from deltalake_spark.operators.timeseries import cross_correlation
+
+    rng = random.Random(11)
+    xs = [rng.randint(0, 100) for _ in range(40)]
+    ys = [rng.randint(0, 100) for _ in range(40)]
+    rows = [("s", t, xs[t], ys[t]) for t in range(40)]
+    out = {r["lag"]: r["xcorr"] for r in cross_correlation(
+        spark.createDataFrame(rows, "g string, t long, x long, y long"),
+        group_cols=["g"], order_col="t", x_col="x", y_col="y",
+        lags=[1, 3]).collect()}
+    for lag in (1, 3):
+        px = xs[:-lag]
+        py = ys[lag:]
+        n = len(px)
+        num = n * sum(a * b for a, b in zip(px, py)) \
+            - sum(px) * sum(py)
+        dx = n * sum(a * a for a in px) - sum(px) ** 2
+        dy = n * sum(b * b for b in py) - sum(py) ** 2
+        assert out[lag] == num / m.sqrt(dx) / m.sqrt(dy)
