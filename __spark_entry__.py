@@ -5181,6 +5181,62 @@ def xcorr_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "lag")
 
 
+def gini_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CART decision stump (r6, operators/stats.py:
+    best_gini_split): the best single threshold on l_quantity and on
+    l_discount for predicting returns (l_returnflag = 'R'), scored by
+    weighted Gini purity in EXACT integer arithmetic —
+    floor(1e12·((pL²+qL²)·nR + (pR²+qR²)·nL)/(nL·nR)) via the
+    remainder-first decimal division, argmax with smallest-threshold
+    tie-break. Per feature: one narrow agg to the distinct-value
+    frame, prefix-sum windows over it, one argmax. The twin replays
+    the recurrence on HUGEINT."""
+    from deltalake_spark.operators.stats import best_gini_split
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount",
+        (F.col("l_returnflag") == "R").alias("is_return"))
+    out = best_gini_split(li, label_col="is_return",
+                          feature_cols=["l_quantity", "l_discount"])
+    return out.orderBy("feature")
+
+
+def qnorm_daily_event_values(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Quantile normalization (r6, operators/stats.py:
+    quantile_normalize): harmonize the five event types' daily-cents
+    distributions — each type's k-th ranked day is replaced by the
+    mean of the k-th ranked values across all types (the
+    bioinformatics batch-correction classic). Rank mean = exact
+    integer sum / count, ONE IEEE division; one group-keyed rank
+    window + a KB-scale rank aggregate broadcast back."""
+    from deltalake_spark.operators.stats import quantile_normalize
+
+    out = quantile_normalize(
+        _daily_cents(spark, sf_dir), group_col="event_type",
+        order_col="d", value_col="cents")
+    return out.orderBy("event_type", "rank")
+
+
+def seq_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent sequential patterns (r6, operators/itemsets.py:
+    sequential_patterns): lengths 1-3 over per-user high-value event
+    streams (value > 180 — sparse sequences, ~2 events/user), EXISTS-
+    subsequence semantics, support = distinct users, min_support 8.
+    The closed forms (a>b ⟺ min_t(a) < max_t(b); a>b>c ⟺ some b in
+    the open (min_a, max_c) interval) turn sequence scanning into
+    entity-keyed joins over a per-(user, state) bounds frame built
+    ONCE; Apriori pruning runs before every generating join. The twin
+    replays the identical min/max/exists logic."""
+    from deltalake_spark.operators.itemsets import sequential_patterns
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 180)
+    out = sequential_patterns(
+        ev, entity_col="user_id", order_col="ts",
+        state_col="event_type", min_support=8)
+    return out.orderBy("level", "pattern")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5391,6 +5447,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint_daily_events": changepoint_daily_events,
     "theilsen_daily_trend": theilsen_daily_trend,
     "xcorr_event_daily": xcorr_event_daily,
+    "gini_split_lineitem": gini_split_lineitem,
+    "qnorm_daily_event_values": qnorm_daily_event_values,
+    "seq_patterns_events": seq_patterns_events,
 }
 
 
@@ -9749,6 +9808,127 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
                    END AS xcorr
             FROM m ORDER BY 1, 2
+        """,
+        "gini_split_lineitem": """
+            -- identical integer recurrence on HUGEINT; // floors like
+            -- Spark's remainder-first decimal division (all positive)
+            WITH feat AS (
+              SELECT 'l_quantity' AS feature,
+                     CAST(l_quantity AS DOUBLE) AS v,
+                     CAST(l_returnflag = 'R' AS BIGINT) AS y
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', CAST(l_discount AS DOUBLE),
+                     CAST(l_returnflag = 'R' AS BIGINT)
+              FROM lineitem
+            ), cells AS (
+              SELECT feature, v, COUNT(*) AS c, SUM(y) AS p
+              FROM feat GROUP BY 1, 2
+            ), cum AS (
+              SELECT feature, v,
+                     SUM(c) OVER w AS nL, SUM(p) OVER w AS pL,
+                     SUM(c) OVER (PARTITION BY feature) AS n,
+                     SUM(p) OVER (PARTITION BY feature) AS pT
+              FROM cells
+              WINDOW w AS (PARTITION BY feature ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+            ), scored AS (
+              SELECT feature, v, n, pT, nL, pL,
+                     (1000000000000::HUGEINT
+                      * ((pL * pL + (nL - pL) * (nL - pL)) * (n - nL)
+                         + ((pT - pL) * (pT - pL)
+                            + ((n - nL) - (pT - pL))
+                              * ((n - nL) - (pT - pL))) * nL))
+                     // (CAST(nL AS HUGEINT) * (n - nL)) AS score
+              FROM cum WHERE nL < n
+            )
+            SELECT feature, CAST(n AS BIGINT) AS n,
+                   CAST(pT AS BIGINT) AS n_pos,
+                   v AS threshold,
+                   CAST(score AS BIGINT) AS score_units,
+                   CAST(nL AS BIGINT) AS n_left,
+                   CAST(pL AS BIGINT) AS pos_left
+            FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY feature
+                                       ORDER BY score DESC, v) = 1
+            ORDER BY feature
+        """,
+        "qnorm_daily_event_values": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), ranked AS (
+              SELECT event_type, d, cents,
+                     ROW_NUMBER() OVER (PARTITION BY event_type
+                                        ORDER BY cents, d) AS rk
+              FROM daily
+            ), at_rank AS (
+              SELECT rk, CAST(SUM(cents) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS m
+              FROM ranked GROUP BY 1
+            )
+            SELECT r.event_type, CAST(r.d AS BIGINT) AS d, r.cents,
+                   CAST(r.rk AS BIGINT) AS rank,
+                   CAST(a.s AS DOUBLE) / CAST(a.m AS DOUBLE) AS qnorm,
+                   a.m AS n_groups
+            FROM ranked r JOIN at_rank a USING (rk)
+            ORDER BY 1, 4
+        """,
+        "seq_patterns_events": """
+            -- same min/max/exists closed forms as the engine:
+            -- a>b iff min_t(a) < max_t(b) (self: two timestamps);
+            -- a>b>c iff some b inside the open (min_a, max_c)
+            WITH ev AS (
+              SELECT user_id AS e, epoch_ns(ts) AS t,
+                     event_type AS s
+              FROM events WHERE value > 180
+            ), b AS (
+              SELECT e, s, MIN(t) AS lo, MAX(t) AS hi
+              FROM ev GROUP BY 1, 2
+            ), p1 AS (
+              SELECT s, CAST(COUNT(*) AS BIGINT) AS sup
+              FROM b GROUP BY 1 HAVING COUNT(*) >= 8
+            ), pairs AS (
+              SELECT ba.s AS a, bb.s AS bs,
+                     CAST(COUNT(*) AS BIGINT) AS sup
+              FROM b ba
+              JOIN b bb ON ba.e = bb.e
+              JOIN p1 fa ON fa.s = ba.s
+              JOIN p1 fb ON fb.s = bb.s
+              WHERE CASE WHEN ba.s = bb.s THEN ba.lo < ba.hi
+                         ELSE ba.lo < bb.hi END
+              GROUP BY 1, 2 HAVING COUNT(*) >= 8
+            ), cand AS (
+              SELECT p.a, p.bs AS bb, q.bs AS c
+              FROM pairs p JOIN pairs q ON q.a = p.bs
+              WHERE EXISTS (SELECT 1 FROM pairs r
+                            WHERE r.a = p.a AND r.bs = q.bs)
+            ), trip AS (
+              SELECT DISTINCT ev.e, ca.a, ca.bb, ca.c
+              FROM ev
+              JOIN cand ca ON ev.s = ca.bb
+              JOIN b bnda ON bnda.e = ev.e AND bnda.s = ca.a
+              JOIN b bndc ON bndc.e = ev.e AND bndc.s = ca.c
+              WHERE ev.t > bnda.lo AND ev.t < bndc.hi
+            ), l3 AS (
+              SELECT a || '>' || bb || '>' || c AS pattern,
+                     CAST(COUNT(*) AS BIGINT) AS sup
+              FROM trip GROUP BY 1 HAVING COUNT(*) >= 8
+            )
+            SELECT pattern, CAST(level AS BIGINT) AS level,
+                   CAST(support AS BIGINT) AS support
+            FROM (
+              SELECT s AS pattern, 1 AS level, sup AS support FROM p1
+              UNION ALL
+              SELECT a || '>' || bs, 2, sup FROM pairs
+              UNION ALL
+              SELECT pattern, 3, sup FROM l3
+            )
+            ORDER BY level, pattern
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["frequent_itemsets", "association_rules"]
+__all__ = ["frequent_itemsets", "association_rules",
+           "sequential_patterns"]
 
 
 def _incidence(df: DataFrame, basket_col: str, item_col: str,
@@ -199,4 +200,129 @@ def association_rules(
            ))
     if min_confidence > 0.0:
         out = out.filter(F.col("confidence") >= float(min_confidence))
+    return out
+
+
+def sequential_patterns(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order_col: str,
+    state_col: str,
+    min_support: int,
+    max_len: int = 3,
+) -> DataFrame:
+    """Frequent sequential patterns (lengths 1-3) across per-entity
+    ordered event streams — the PrefixSpan/GSP workload ("view then
+    error then purchase"), with EXISTS-subsequence semantics: an
+    entity supports ``a>b>c`` iff its stream contains SOME occurrence
+    of a strictly before SOME b strictly before SOME c. Support =
+    distinct supporting entities.
+
+    The closed-form trick that keeps this join-shaped instead of
+    sequence-scanning: per (entity, state) only ``(t_min, t_max)`` and
+    the occurrence list matter —
+
+    - ``a>b`` holds  iff  ``min_t(a) < max_t(b)``   (a != b), or the
+      state has >= 2 distinct timestamps (a = b);
+    - ``a>b>c`` holds iff SOME b-occurrence lies strictly inside the
+      open interval ``(min_t(a), max_t(c))`` — any such b pairs with
+      the extreme a and c occurrences.
+
+    Level-wise Apriori pruning BEFORE each generating join: states
+    below ``min_support`` never enter the pair join; a triple
+    candidate requires (a,b), (b,c) AND (a,c) all frequent (three
+    broadcast semi-joins against the KB-scale P2 frame) before any
+    event row is touched.
+
+    Scale shape: the raw stream is reduced ONCE to the per-entity
+    bounds frame (|entities| x |alphabet| rows) and reused by every
+    level; all joins are entity-keyed; pattern frames are
+    alphabet-sized and broadcast. The alphabet is assumed bounded
+    (event-type vocabularies are); support counts are exact integers.
+
+    Output: ``(pattern, level, support)`` with ``pattern`` like
+    ``"a>b>c"``, sorted by the caller.
+    """
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if not 1 <= max_len <= 3:
+        raise ValueError("max_len must be in 1..3")
+
+    ev = df.select(F.col(entity_col).alias("__e"),
+                   F.col(order_col).cast("long").alias("__t"),
+                   F.col(state_col).alias("__s"))
+    bounds = ev.groupBy("__e", "__s").agg(
+        F.min("__t").alias("__lo"),
+        F.max("__t").alias("__hi")).persist()
+
+    p1 = bounds.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("support")).filter(
+        F.col("support") >= min_support)
+    out = p1.select(F.col("__s").alias("pattern"),
+                    F.lit(1).cast("long").alias("level"),
+                    F.col("support").cast("long").alias("support"))
+    if max_len == 1:
+        return out
+
+    # L2: entity-keyed bounds self-join, restricted to frequent states
+    f1 = p1.select("__s")
+    ba = (bounds.join(F.broadcast(f1), "__s")
+          .select("__e", F.col("__s").alias("__a"),
+                  F.col("__lo").alias("__loa"),
+                  F.col("__hi").alias("__hia")))
+    bb = (bounds.join(F.broadcast(f1), "__s")
+          .select("__e", F.col("__s").alias("__b"),
+                  F.col("__lo").alias("__lob"),
+                  F.col("__hi").alias("__hib")))
+    holds2 = F.when(F.col("__a") == F.col("__b"),
+                    F.col("__loa") < F.col("__hia")) \
+        .otherwise(F.col("__loa") < F.col("__hib"))
+    pairs = (ba.join(bb, "__e").filter(holds2)
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= min_support)
+             .persist())
+    out = out.unionByName(pairs.select(
+        F.concat_ws(">", "__a", "__b").alias("pattern"),
+        F.lit(2).cast("long").alias("level"),
+        F.col("support").cast("long").alias("support")))
+    if max_len == 2:
+        return out
+
+    # L3 candidates: (a,b,c) with (a,b), (b,c), (a,c) all frequent
+    cand = (pairs.select(F.col("__a"), F.col("__b"))
+            .join(pairs.select(F.col("__a").alias("__b"),
+                               F.col("__b").alias("__c")), "__b")
+            .join(pairs.select(F.col("__a"),
+                               F.col("__b").alias("__c")),
+                  ["__a", "__c"], "left_semi"))
+    # count: a b-occurrence strictly inside (min_a, max_c). Every
+    # component is pre-restricted to states the candidate frame uses
+    # (single-column broadcast semi-joins), so the entity-keyed triple
+    # build never fans out over non-candidate states.
+    evb = ev.select("__e", F.col("__s").alias("__b"), "__t").join(
+        F.broadcast(cand.select("__b").distinct()), "__b", "left_semi")
+    with_a = evb.join(
+        bounds.select("__e", F.col("__s").alias("__a"),
+                      F.col("__lo").alias("__loa"))
+        .join(F.broadcast(cand.select("__a").distinct()), "__a",
+              "left_semi"), "__e")
+    with_c = with_a.join(
+        bounds.select("__e", F.col("__s").alias("__c"),
+                      F.col("__hi").alias("__hic"))
+        .join(F.broadcast(cand.select("__c").distinct()), "__c",
+              "left_semi"), "__e")
+    trip = (with_c.join(F.broadcast(cand), ["__a", "__b", "__c"],
+                        "left_semi")
+            .filter((F.col("__t") > F.col("__loa"))
+                    & (F.col("__t") < F.col("__hic")))
+            .select("__e", "__a", "__b", "__c").distinct()
+            .groupBy("__a", "__b", "__c")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= min_support))
+    out = out.unionByName(trip.select(
+        F.concat_ws(">", "__a", "__b", "__c").alias("pattern"),
+        F.lit(3).cast("long").alias("level"),
+        F.col("support").cast("long").alias("support")))
     return out

@@ -59,6 +59,8 @@ __all__ = [
     "proportion_ztest",
     "mad_outliers",
     "ks_two_sample",
+    "best_gini_split",
+    "quantile_normalize",
 ]
 
 
@@ -814,5 +816,145 @@ def ks_two_sample(
                 / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("d"),
+        )
+    )
+
+
+def best_gini_split(
+    df: DataFrame,
+    *,
+    label_col: str,
+    feature_cols: list[str],
+    score_scale: int = 10 ** 12,
+) -> DataFrame:
+    """Exact best univariate split per feature — the CART decision-
+    stump step: for each candidate threshold v (every distinct feature
+    value), split ``x <= v`` / ``x > v`` and score the weighted Gini
+    purity of the binary label; report each feature's argmax.
+
+    All in EXACT integer arithmetic: with left/right positive counts
+    ``pL, pR`` and sizes ``nL, nR``, minimizing weighted Gini impurity
+    is maximizing
+
+        score(v) = (pL² + (nL−pL)²)/nL + (pR² + (nR−pR)²)/nR
+
+    The reported ``score_units`` is the exact floor of ``score_scale ·
+    score(v)`` over the common denominator ``nL·nR``, computed
+    remainder-first in decimal(38,0) (the same exact-multiple division
+    trick as ``sse_changepoint`` — no rounding-mode ambiguity, HUGEINT
+    ``//`` replays it bit-for-bit). Argmax by ``(score_units, −v)``:
+    deterministic smallest-threshold tie-break.
+
+    Scale shape: per feature, ONE narrow aggregate reduces N rows to
+    the distinct-value frame (count, positives per value); prefix-sum
+    windows over that frame build every candidate split; one argmax
+    aggregate. The detail table is scanned once per feature, nothing
+    else scales with N. The global-sort window runs over the DISTINCT
+    VALUE frame only (bounded — quantize/bucket continuous features
+    first if their cardinality approaches N). Domain:
+    ``score_scale·n²`` inside 38 digits (n up to ~3e12 at default).
+
+    Output: one row per feature —
+    ``(feature, n, n_pos, threshold, score_units, n_left, pos_left)``.
+    """
+    if score_scale < 1:
+        raise ValueError("score_scale must be >= 1")
+    y = F.col(label_col).cast("long")
+    outs = []
+    for feat in feature_cols:
+        v = F.col(feat).cast("double")
+        cells = df.groupBy(v.alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(y).alias("__p"))
+        w = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        g = Window.partitionBy()
+        cum = (
+            cells
+            .withColumn("__nL", F.sum("__c").over(w))
+            .withColumn("__pL", F.sum("__p").over(w))
+            .withColumn("__n", F.sum("__c").over(g))
+            .withColumn("__pT", F.sum("__p").over(g))
+            .filter(F.col("__nL") < F.col("__n"))  # right side non-empty
+        )
+        dec = "decimal(38,0)"
+        nL = F.col("__nL").cast(dec)
+        pL = F.col("__pL").cast(dec)
+        nR = (F.col("__n") - F.col("__nL")).cast(dec)
+        pR = (F.col("__pT") - F.col("__pL")).cast(dec)
+        qL = nL - pL
+        qR = nR - pR
+        a = F.lit(int(score_scale)).cast(dec) * (
+            (pL * pL + qL * qL) * nR + (pR * pR + qR * qR) * nL)
+        den = nL * nR
+        score = ((a - a % den) / den).cast("long")
+        scored = cum.withColumn("__score", score)
+        best = scored.groupBy().agg(
+            F.first("__n").alias("__ntot"),
+            F.first("__pT").alias("__ptot"),
+            F.max(F.struct(
+                F.col("__score"),
+                (-F.col("__v")).alias("__negv"),
+                F.col("__v"), F.col("__nL"), F.col("__pL"))).alias("__b"),
+        )
+        outs.append(best.select(
+            F.lit(feat).alias("feature"),
+            F.col("__ntot").cast("long").alias("n"),
+            F.col("__ptot").cast("long").alias("n_pos"),
+            F.col("__b.__v").alias("threshold"),
+            F.col("__b.__score").alias("score_units"),
+            F.col("__b.__nL").cast("long").alias("n_left"),
+            F.col("__b.__pL").cast("long").alias("pos_left"),
+        ))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def quantile_normalize(
+    df: DataFrame,
+    *,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization across EQUAL-LENGTH groups (the
+    bioinformatics/batch-harmonization classic): rank each group's
+    values, replace every value with the MEAN of the values holding
+    the same rank across all groups — afterwards every group has an
+    identical distribution while preserving each group's order.
+
+    Designed for equal group sizes; with unequal groups the rank-mean
+    join still aligns but deep ranks average fewer groups — the
+    ``n_groups`` output column exposes exactly that, so callers can
+    assert it is constant (or re-grain first). ``order_col`` breaks
+    rank ties deterministically.
+
+    The rank mean is ``sum_at_rank / n_at_rank`` — exact integer sum,
+    ONE IEEE division — so the twin replays exactly.
+
+    Scale shape: one group-keyed rank window over the detail, one
+    KB-scale rank aggregate, one broadcast join back on rank. Output:
+    ``(group, order, value, rank, qnorm, n_groups)``.
+    """
+    x = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy("__x", order_col)
+    ranked = df.select(
+        F.col(group_col), F.col(order_col), x.alias("__x")
+    ).withColumn("__rk", F.row_number().over(w))
+    at_rank = ranked.groupBy("__rk").agg(
+        F.sum("__x").alias("__s"),
+        F.count(F.lit(1)).alias("__m"))
+    return (
+        ranked.join(F.broadcast(at_rank), "__rk")
+        .select(
+            F.col(group_col),
+            F.col(order_col),
+            F.col("__x").alias(value_col),
+            F.col("__rk").cast("long").alias("rank"),
+            (F.col("__s").cast("double") / F.col("__m").cast("double"))
+            .alias("qnorm"),
+            F.col("__m").cast("long").alias("n_groups"),
         )
     )

@@ -113,3 +113,99 @@ def test_itemsets_validation(spark):
     with pytest.raises(ValueError):
         association_rules(df, basket_col="b", item_col="i",
                           min_support=0)
+
+
+# ---------------------------------------------------------------- r6
+
+
+class TestSequentialPatterns:
+    def _mine(self, spark, rows, minsup, max_len=3):
+        from deltalake_spark.operators.itemsets import (
+            sequential_patterns,
+        )
+
+        df = spark.createDataFrame(rows, "e long, t long, s string")
+        return {(r["pattern"], r["level"]): r["support"]
+                for r in sequential_patterns(
+                    df, entity_col="e", order_col="t", state_col="s",
+                    min_support=minsup, max_len=max_len).collect()}
+
+    def test_hand_sequences(self, spark):
+        rows = [
+            (1, 0, "a"), (1, 1, "b"), (1, 2, "c"),
+            (2, 0, "a"), (2, 1, "b"),
+            (3, 0, "b"), (3, 1, "a"), (3, 2, "c"),
+        ]
+        got = self._mine(spark, rows, minsup=2)
+        assert got[("a", 1)] == 3 and got[("b", 1)] == 3
+        assert got[("c", 1)] == 2
+        assert got[("a>b", 2)] == 2       # entities 1, 2
+        assert got[("a>c", 2)] == 2       # entities 1, 3
+        assert got[("b>c", 2)] == 2       # entities 1, 3
+        assert ("b>a", 2) not in got      # entity 3 only: sup 1 < 2
+        assert ("a>b>c", 3) not in got    # entity 1 only: sup 1 < 2
+        assert set(got) == {("a", 1), ("b", 1), ("c", 1),
+                            ("a>b", 2), ("a>c", 2), ("b>c", 2)}
+
+    def test_matches_bruteforce_subsequences(self, spark):
+        import random
+        from itertools import product
+
+        rng = random.Random(19)
+        streams = {e: [(t, rng.choice("abcd"))
+                       for t in range(rng.randint(2, 10))]
+                   for e in range(25)}
+        rows = [(e, t, s) for e, st in streams.items() for t, s in st]
+        minsup = 5
+        got = self._mine(spark, rows, minsup)
+
+        def supports(entity, pat):
+            seq = [s for _, s in sorted(streams[entity])]
+            i = 0
+            for sym in pat:
+                found = False
+                for j in range(i, len(seq)):
+                    if seq[j] == sym:
+                        i = j + 1
+                        found = True
+                        break
+                if not found:
+                    return False
+            return True
+
+        want = {}
+        for ln in (1, 2, 3):
+            for pat in product("abcd", repeat=ln):
+                sup = sum(supports(e, pat) for e in streams)
+                if sup >= minsup:
+                    want[(">".join(pat), ln)] = sup
+        assert got == want
+
+    def test_repeated_state_pattern(self, spark):
+        rows = [
+            (1, 0, "x"), (1, 5, "x"),
+            (2, 0, "x"),
+            (3, 1, "x"), (3, 2, "x"), (3, 3, "x"),
+        ]
+        got = self._mine(spark, rows, minsup=2, max_len=2)
+        assert got[("x", 1)] == 3
+        assert got[("x>x", 2)] == 2      # entities 1 and 3 only
+
+    def test_validation_and_levels(self, spark):
+        import pytest as _p
+        from deltalake_spark.operators.itemsets import (
+            sequential_patterns,
+        )
+
+        df = spark.createDataFrame([(1, 0, "a")], "e long, t long, s string")
+        with _p.raises(ValueError):
+            sequential_patterns(df, entity_col="e", order_col="t",
+                                state_col="s", min_support=0)
+        with _p.raises(ValueError):
+            sequential_patterns(df, entity_col="e", order_col="t",
+                                state_col="s", min_support=1, max_len=4)
+        only1 = sequential_patterns(
+            df, entity_col="e", order_col="t", state_col="s",
+            min_support=1, max_len=1).collect()
+        assert [(r["pattern"], r["level"], r["support"])
+                for r in only1] == [("a", 1, 1)]

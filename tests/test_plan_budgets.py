@@ -244,6 +244,16 @@ BUDGETS = {
     # r6: daily-grain agg (count_distinct expands) + one shared-sort
     # lead window + moment agg + sort
     "xcorr_event_daily": (4, False),
+    # r6: per feature ONE narrow agg to the distinct-value frame +
+    # bounded single-partition prefix windows + argmax; zero joins
+    "gini_split_lineitem": (2, False),
+    # r6: daily-grain agg + group rank window + rank agg broadcast
+    # back + sort
+    "qnorm_daily_event_values": (6, False),
+    # r6: persisted bounds/pairs frames nest textually (68
+    # InMemoryTableScans at sf0.01); runtime is entity-keyed joins
+    # over the cached KB-scale frames, no cartesian anywhere
+    "seq_patterns_events": (125, False),
 }
 
 

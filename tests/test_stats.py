@@ -464,3 +464,101 @@ def test_mad_outliers_zero_mad_degenerate(spark):
         df, group_cols=["g"], value_col="x").collect()[0]
     assert out["mad"] == 0.0
     assert out["n_outliers"] == 1  # anything != median
+
+
+# ---------------------------------------------------------------- r6 ops
+
+
+def test_best_gini_split_separable(spark):
+    from deltalake_spark.operators.stats import best_gini_split
+
+    # label is exactly x >= 10: the perfect split is at v=9 (x<=9 left)
+    rows = [(float(x), 1 if x >= 10 else 0) for x in range(20)]
+    r = best_gini_split(
+        spark.createDataFrame(rows, "x double, y int"),
+        label_col="y", feature_cols=["x"]).collect()[0]
+    assert r["feature"] == "x"
+    assert r["threshold"] == 9.0
+    assert r["n"] == 20 and r["n_pos"] == 10
+    assert r["n_left"] == 10 and r["pos_left"] == 0
+    # pure split: score = (100+0)/10*2 scaled = 20 * 1e12
+    assert r["score_units"] == 20 * 10 ** 12
+
+
+def test_best_gini_split_matches_python_argmax(spark):
+    import random
+
+    from deltalake_spark.operators.stats import best_gini_split
+
+    rng = random.Random(3)
+    rows = [(float(rng.randint(0, 15)), rng.randint(0, 1))
+            for _ in range(300)]
+    got = {r["feature"]: r for r in best_gini_split(
+        spark.createDataFrame(rows, "x double, y int"),
+        label_col="y", feature_cols=["x"]).collect()}
+
+    from collections import Counter
+    cnt, pos = Counter(), Counter()
+    for x, y in rows:
+        cnt[x] += 1
+        pos[x] += y
+    vals = sorted(cnt)
+    n = len(rows)
+    ptot = sum(pos.values())
+    best = None
+    nL = pL = 0
+    for v in vals[:-1]:
+        nL += cnt[v]
+        pL += pos[v]
+        nR, pR = n - nL, ptot - pL
+        qL, qR = nL - pL, nR - pR
+        a = 10 ** 12 * ((pL * pL + qL * qL) * nR
+                        + (pR * pR + qR * qR) * nL)
+        sc = a // (nL * nR)
+        cand = (sc, -v)
+        if best is None or cand > best:
+            best, bv, bnl, bpl = cand, v, nL, pL
+    r = got["x"]
+    assert (r["threshold"], r["score_units"], r["n_left"],
+            r["pos_left"]) == (bv, best[0], bnl, bpl)
+
+
+def test_best_gini_split_multi_feature_and_validation(spark):
+    import pytest as _p
+
+    from deltalake_spark.operators.stats import best_gini_split
+
+    rows = [(float(x), float(x % 3), 1 if x >= 5 else 0)
+            for x in range(10)]
+    df = spark.createDataFrame(rows, "a double, b double, y int")
+    out = {r["feature"]: r for r in best_gini_split(
+        df, label_col="y", feature_cols=["a", "b"]).collect()}
+    assert set(out) == {"a", "b"}
+    # a separates perfectly, b cannot
+    assert out["a"]["score_units"] > out["b"]["score_units"]
+    with _p.raises(ValueError):
+        best_gini_split(df, label_col="y", feature_cols=["a"],
+                        score_scale=0)
+
+
+def test_quantile_normalize_equal_groups(spark):
+    from deltalake_spark.operators.stats import quantile_normalize
+
+    rows = [("a", 0, 10), ("a", 1, 30), ("a", 2, 20),
+            ("b", 0, 100), ("b", 1, 200), ("b", 2, 300)]
+    out = quantile_normalize(
+        spark.createDataFrame(rows, "g string, i long, v long"),
+        group_col="g", order_col="i", value_col="v").collect()
+    got = {(r["g"], r["i"]): (r["rank"], r["qnorm"], r["n_groups"])
+           for r in out}
+    # rank means: (10+100)/2=55, (20+200)/2=110, (30+300)/2=165
+    assert got[("a", 0)] == (1, 55.0, 2)
+    assert got[("a", 2)] == (2, 110.0, 2)
+    assert got[("a", 1)] == (3, 165.0, 2)
+    assert got[("b", 0)] == (1, 55.0, 2)
+    assert got[("b", 2)] == (3, 165.0, 2)
+    # both groups now share an identical value distribution
+    dist = {}
+    for r in out:
+        dist.setdefault(r["g"], []).append(r["qnorm"])
+    assert sorted(dist["a"]) == sorted(dist["b"])
