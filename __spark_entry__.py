@@ -5237,6 +5237,87 @@ def seq_patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("level", "pattern")
 
 
+def wav_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 decode (r6 media-matrix widening,
+    operators/multimodal.py): synthesize mu-law (odd doc_ids) and
+    A-law (even) WAVs whose 64 code bytes are ``(doc_id + i) % 256``,
+    expand them with the pure spec formulas (verified code-for-code
+    against CPython's audioop), and aggregate exact integer sample
+    sums/extrema per format. The oracle replays the G.711 expansion
+    ARITHMETICALLY in SQL (complement/xor, exponent shift, mantissa,
+    bias) over the same synthetic codes — any decode-table bug breaks
+    value equality. One Arrow pass, decode fused with reduction."""
+    from deltalake_spark.operators.multimodal import (
+        audio_sample_stats,
+        make_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            fmt = 7 if did % 2 else 6
+            codes = bytes((did + i) % 256 for i in range(64))
+            out.append(make_wav(sample_rate=8000, channels=1, bits=8,
+                                data=codes, audio_format=fmt))
+        return pd.Series(out)
+
+    payloads = docs.withColumn("payload", synth("doc_id"))
+    stats = audio_sample_stats(payloads)
+    return stats.groupBy("audio_format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("sum_amp").alias("sum_amp"),
+        F.min("min_amp").alias("min_amp"),
+        F.max("max_amp").alias("max_amp"),
+    ).orderBy("audio_format")
+
+
+def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode (r6 media-matrix widening,
+    operators/multimodal.py:bmp_decode): synthesize uncompressed BMPs
+    from documents-table parameters — bpp cycles 8-palette/24/32 by
+    doc_id, alternating bottom-up and top-down storage so the row
+    reorder is load-bearing, rows 4-byte padded — and decode fused
+    with per-channel means in one Arrow pass (``media_decode``
+    dispatches on the BM magic). Gradients are wrap-free, so every
+    channel mean is the closed form the oracle computes from (w, h)
+    alone; any padding, palette, BGR-order, or row-order bug breaks
+    value equality."""
+    from deltalake_spark.operators.multimodal import (
+        make_bmp,
+        pixel_channel_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        out = []
+        for did, nc in zip(doc_id, n_chars):
+            did, nc = int(did), int(nc)
+            w, h = did % 8 + 4, nc % 6 + 3
+            bpp = (8, 24, 32)[did % 3]
+            out.append(make_bmp(w, h, bpp=bpp,
+                                top_down=(did % 2 == 1)))
+        return pd.Series(out)
+
+    payloads = docs.withColumn("payload", synth("doc_id", "n_chars"))
+    stats = pixel_channel_stats(payloads)
+    summed = (F.col("mean_c0") + F.col("mean_c1") + F.col("mean_c2"))
+    return stats.groupBy("pix_channels").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(summed), 4).alias("avg_sum_mean"),
+        F.round(F.max(summed), 4).alias("max_sum_mean"),
+        F.sum(F.col("pix_width") * F.col("pix_height")).cast("long")
+        .alias("total_pixels"),
+    ).orderBy("pix_channels")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5450,6 +5531,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_split_lineitem": gini_split_lineitem,
     "qnorm_daily_event_values": qnorm_daily_event_values,
     "seq_patterns_events": seq_patterns_events,
+    "wav_g711_stats": wav_g711_stats,
+    "bmp_pixel_stats": bmp_pixel_stats,
 }
 
 
@@ -9929,6 +10012,65 @@ def oracle_sql() -> dict[str, str]:
               SELECT pattern, 3, sup FROM l3
             )
             ORDER BY level, pattern
+        """,
+        "wav_g711_stats": """
+            -- the G.711 expansion replayed ARITHMETICALLY: mu-law =
+            -- complement, 3-bit exponent, 4-bit mantissa, bias 132;
+            -- A-law = xor 0x55, exp-0 special case, sign bit set = +
+            WITH codes AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 2 = 1 THEN 7 ELSE 6 END
+                       AS audio_format,
+                     (d.doc_id + t.i) % 256 AS c
+              FROM documents d CROSS JOIN range(64) t(i)
+            ), dec AS (
+              SELECT doc_id, audio_format,
+                     CASE WHEN audio_format = 7 THEN
+                       CASE WHEN (255 - c) >= 128
+                         THEN -((((255 - c) % 16) * 8 + 132)
+                                * (1 << (((255 - c) // 16) % 8)) - 132)
+                         ELSE ((((255 - c) % 16) * 8 + 132)
+                               * (1 << (((255 - c) // 16) % 8)) - 132)
+                       END
+                     ELSE
+                       CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END
+                       * CASE WHEN ((xor(c, 85) // 16) % 8) = 0
+                           THEN (xor(c, 85) % 16) * 16 + 8
+                           ELSE ((xor(c, 85) % 16) * 16 + 264)
+                                * (1 << (((xor(c, 85) // 16) % 8) - 1))
+                         END
+                     END AS samp
+              FROM codes
+            )
+            SELECT CAST(audio_format AS INTEGER) AS audio_format,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS total_samples,
+                   CAST(SUM(samp) AS BIGINT) AS sum_amp,
+                   CAST(MIN(samp) AS BIGINT) AS min_amp,
+                   CAST(MAX(samp) AS BIGINT) AS max_amp
+            FROM dec GROUP BY 1 ORDER BY 1
+        """,
+        "bmp_pixel_stats": """
+            -- wrap-free gradients make every channel mean a closed
+            -- form of (w, h): 8-bit palette (i, 2i, 3i) at index x+y
+            -- sums to 3(w+h-2); 24/32-bit (x, y, x+y) sums to w+h-2
+            WITH params AS (
+              SELECT doc_id % 8 + 4 AS w, n_chars % 6 + 3 AS h,
+                     CASE doc_id % 3 WHEN 2 THEN 4 ELSE 3 END AS ch,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 3.0 * (doc_id % 8 + 4 + n_chars % 6
+                                      + 3 - 2)
+                          ELSE CAST(doc_id % 8 + 4 + n_chars % 6 + 3
+                                    - 2 AS DOUBLE)
+                     END AS sum_mean
+              FROM documents
+            )
+            SELECT CAST(ch AS INTEGER) AS pix_channels,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(AVG(sum_mean), 4) AS avg_sum_mean,
+                   round(MAX(sum_mean), 4) AS max_sum_mean,
+                   CAST(SUM(w * h) AS BIGINT) AS total_pixels
+            FROM params GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -78,6 +78,14 @@ EXTRA = [
     "mad_price_outliers",          # r5s3: three-pass median/MAD
     "holt_daily_forecast",         # r5s3: integer Holt fold
     "benford_order_prices",        # r5s3: digit-frame chi-square
+    "changepoint_daily_events",    # r6: exact SSE change-point
+    "theilsen_daily_trend",        # r6: pairwise-median robust trend
+    "xcorr_event_daily",           # r6: integer-moment lagged xcorr
+    "gini_split_lineitem",         # r6: exact CART decision stump
+    "qnorm_daily_event_values",    # r6: rank-mean quantile normalize
+    "seq_patterns_events",         # r6: bounds-frame PrefixSpan L1-L3
+    "wav_g711_stats",              # r6: real mu-law/A-law expansion
+    "bmp_pixel_stats",             # r6: real BMP decode
 ]
 
 

@@ -10,12 +10,14 @@ over ``mapInPandas`` — the only sane shape at 100 TB:
   (set lower for large payloads);
 - decode/resize/frame-sample parallelize per partition with zero shuffle.
 
-PNG and WAV are decoded for REAL with no media library: PNG via stdlib
+PNG, BMP and WAV are decoded for REAL with no media library: PNG via stdlib
 ``zlib`` inflate + full scanline unfiltering (None/Sub/Up/Average/Paeth)
 across the ENTIRE spec matrix — 1/2/4/8/16-bit, gray/gray+alpha/RGB/
 RGBA/palette, non-interlaced and Adam7 (``decode_pixels``,
 ``pixel_channel_stats``), WAV via raw PCM sample decode
-(``wav_pcm``, ``audio_features`` — windowed power/RMS), and baseline
+plus REAL G.711 mu-law/A-law expansion from the ITU-T spec formulas
+(``wav_pcm``, ``audio_sample_stats``, ``audio_features``), BMP via
+``bmp_decode`` (8/24/32 bpp, both row orders), and baseline
 JPEG via the pure-numpy codec in ``operators/jpeg.py`` (Huffman +
 dequant + IDCT, arbitrary sampling factors, restart markers). The
 remaining essence codecs (mp3/mp4 audio-video) are not implementable
@@ -80,6 +82,8 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
     if payload[4:8] == b"ftyp":
         return "mp4"
     if payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF
@@ -144,9 +148,9 @@ def wav_meta(payload: bytes) -> dict[str, int] | None:
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         if cid == b"fmt " and pos + 8 + 16 <= len(payload):
-            _, ch, sr, _, block, bits = struct.unpack(
+            tag, ch, sr, _, block, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8:pos + 24])
-            fmt = (ch, sr, block, bits)
+            fmt = (tag, ch, sr, block, bits)
         elif cid == b"data" and data_size is None:
             # FIRST data chunk wins — wav_pcm decodes the first one, so
             # meta and decode must agree on nonstandard multi-data WAVs
@@ -154,12 +158,13 @@ def wav_meta(payload: bytes) -> dict[str, int] | None:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None:
         return None
-    ch, sr, block, bits = fmt
+    tag, ch, sr, block, bits = fmt
     frames = (data_size // block) if (data_size and block) else 0
     return {
         "channels": ch, "sample_rate": sr, "bits": bits,
         "n_frames": frames,
         "duration_ms": int(frames * 1000 / sr) if sr else 0,
+        "audio_format": tag,
     }
 
 
@@ -328,17 +333,165 @@ def make_mp3(n_frames: int = 10, *, bitrate_kbps: int = 128,
 
 def make_wav(sample_rate: int = 8000, channels: int = 1, bits: int = 16,
              n_frames: int = 8000, fill: int = 0,
-             data: bytes | None = None) -> bytes:
-    """Minimal valid PCM WAV payload (tests/fixtures — deterministic).
-    Pass ``data`` to embed specific little-endian PCM sample bytes;
-    otherwise a byte-counter pattern of ``n_frames`` frames is used."""
+             data: bytes | None = None, audio_format: int = 1) -> bytes:
+    """Minimal valid WAV payload (tests/fixtures — deterministic).
+    Pass ``data`` to embed specific sample bytes; otherwise a
+    byte-counter pattern of ``n_frames`` frames is used.
+    ``audio_format``: 1 = linear PCM (default), 6 = G.711 A-law,
+    7 = G.711 mu-law (compressed formats are 8-bit, one code byte per
+    sample)."""
     block = channels * bits // 8
     if data is None:
         data = bytes((fill + i) % 256 for i in range(n_frames * block))
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, int(audio_format),
+                                channels, sample_rate,
                                 sample_rate * block, block, bits)
     return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def ulaw_decode_value(code: int) -> int:
+    """ITU-T G.711 mu-law expansion of ONE code byte to a linear
+    sample (int, 16-bit linear domain, ±32124 max). Pure spec formula
+    (complement, 3-bit exponent, 4-bit mantissa, bias 0x84) — the same
+    arithmetic the SQL oracle twin replays."""
+    u = (~code) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if sign else mag
+
+
+def alaw_decode_value(code: int) -> int:
+    """ITU-T G.711 A-law expansion of ONE code byte to a linear sample
+    (int, 16-bit linear domain, ±32256 max). Pure spec formula
+    (0x55 XOR, exponent 0 special case; sign bit set = positive)."""
+    v = code ^ 0x55
+    sign = v & 0x80
+    exp = (v >> 4) & 0x07
+    mant = v & 0x0F
+    if exp == 0:
+        mag = (mant << 4) + 8
+    else:
+        mag = ((mant << 4) + 0x108) << (exp - 1)
+    # A-law sign bit SET means positive — opposite of mu-law
+    return mag if sign else -mag
+
+
+def _g711_table(audio_format: int):
+    import numpy as np
+
+    fn = ulaw_decode_value if audio_format == 7 else alaw_decode_value
+    return np.array([fn(c) for c in range(256)], dtype=np.float64)
+
+
+def make_bmp(width: int, height: int, *, bpp: int = 24,
+             top_down: bool = False,
+             pixel_fn=None,
+             palette: list[tuple[int, int, int]] | None = None) -> bytes:
+    """Minimal valid uncompressed BMP (BITMAPINFOHEADER) for tests and
+    closed-form oracles. ``pixel_fn(x, y)`` returns an (r, g, b[, a])
+    tuple for 24/32 bpp or a palette index for 8 bpp; defaults to a
+    deterministic gradient. Rows padded to 4 bytes; bottom-up unless
+    ``top_down``."""
+    if bpp not in (8, 24, 32):
+        raise ValueError("bpp must be 8, 24 or 32")
+    if pixel_fn is None:
+        if bpp == 8:
+            pixel_fn = lambda x, y: (x + y) % 256  # noqa: E731
+        else:
+            pixel_fn = lambda x, y: (  # noqa: E731
+                x % 256, y % 256, (x + y) % 256, 255)[: bpp // 8]
+    pal = b""
+    n_colors = 0
+    if bpp == 8:
+        palette = palette or [(i, (2 * i) % 256, (3 * i) % 256)
+                              for i in range(256)]
+        n_colors = len(palette)
+        pal = b"".join(bytes((b_, g, r, 0)) for r, g, b_ in palette)
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            px = pixel_fn(x, y)
+            if bpp == 8:
+                row.append(px & 0xFF)
+            elif bpp == 24:
+                r, g, b_ = px[:3]
+                row += bytes((b_, g, r))
+            else:
+                r, g, b_, a = (list(px) + [255])[:4]
+                row += bytes((b_, g, r, a))
+        row += bytes(row_bytes - len(row))
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()
+    data = b"".join(rows)
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, width,
+                     -height if top_down else height, 1, bpp, 0,
+                     len(data), 2835, 2835, n_colors, 0)
+    return hdr + ih + pal + data
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """REAL BMP decode (no image library): BITMAPFILEHEADER +
+    BITMAPINFOHEADER, uncompressed (BI_RGB) 8-bit palette / 24-bit
+    BGR / 32-bit BGRA, bottom-up AND top-down (negative height),
+    4-byte row padding. Returns ``(width, height, channels, depth,
+    pixels)`` with row-major top-down RGB/RGBA bytes — the same
+    contract as ``png_decode``. Raises ValueError on anything
+    malformed or out of matrix (compressed BI_RLE/BI_BITFIELDS)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack("<I", payload[10:14])
+    (ih_size, width, height, planes, bpp, comp) = struct.unpack(
+        "<IiiHHI", payload[14:34])
+    if ih_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP unsupported")
+    if comp != 0:
+        raise ValueError("compressed BMP out of decode matrix")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    if width <= 0 or height == 0 or planes != 1:
+        raise ValueError("malformed BMP dimensions")
+    top_down = height < 0
+    height = abs(height)
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", payload[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + ih_size
+        pal = payload[pal_off:pal_off + 4 * n_colors]
+        if len(pal) < 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        palette = [(pal[4 * i + 2], pal[4 * i + 1], pal[4 * i])
+                   for i in range(n_colors)]
+    row_bytes = (width * bpp // 8 + 3) & ~3
+    need = pix_off + row_bytes * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    channels = 3 if bpp in (8, 24) else 4
+    out = bytearray()
+    order = range(height) if top_down else range(height - 1, -1, -1)
+    for y in order:
+        row = payload[pix_off + y * row_bytes:]
+        for x in range(width):
+            if bpp == 8:
+                idx = row[x]
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out += bytes(palette[idx])
+            elif bpp == 24:
+                b_, g, r = row[3 * x:3 * x + 3]
+                out += bytes((r, g, b_))
+            else:
+                b_, g, r, a = row[4 * x:4 * x + 4]
+                out += bytes((r, g, b_, a))
+    return width, height, channels, 8, bytes(out)
 
 
 def wav_pcm(payload: bytes):
@@ -351,7 +504,13 @@ def wav_pcm(payload: bytes):
     import numpy as np
 
     m = wav_meta(payload)
-    if not m or m["bits"] not in (8, 16) or not m["n_frames"]:
+    if not m or not m["n_frames"]:
+        return None
+    if m.get("audio_format", 1) not in (1, 6, 7):
+        return None  # compressed essence (e.g. MP3-in-WAV): out of scope
+    if m.get("audio_format", 1) == 1 and m["bits"] not in (8, 16):
+        return None
+    if m.get("audio_format", 1) in (6, 7) and m["bits"] != 8:
         return None
     # find the data chunk offset
     pos = 12
@@ -366,7 +525,12 @@ def wav_pcm(payload: bytes):
     if data_off is None:
         return None
     raw = payload[data_off:data_off + data_size]
-    if m["bits"] == 16:
+    tag = m.get("audio_format", 1)
+    if tag in (6, 7):
+        # REAL G.711 expansion: 256-entry table from the spec formula
+        arr = _g711_table(tag)[
+            np.frombuffer(raw, dtype=np.uint8)]
+    elif m["bits"] == 16:
         arr = np.frombuffer(raw[:len(raw) // 2 * 2], dtype="<i2") \
             .astype(np.float64)
     else:
@@ -814,6 +978,8 @@ def media_decode(payload: bytes) -> tuple[int, int, int, int, bytes]:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from deltalake_spark.operators.gif import gif_decode
         return gif_decode(payload)
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return bmp_decode(payload)
     raise ValueError("unsupported image payload")
 
 
@@ -850,6 +1016,53 @@ def decode_pixels(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 pix_channels=pd.array(cs, dtype="Int32"),
                 pix_depth=pd.array(ds, dtype="Int32"),
                 pixels=px,
+            )
+
+    return df.mapInPandas(process, schema)
+
+
+def audio_sample_stats(df: DataFrame,
+                       payload_col: str = "payload") -> DataFrame:
+    """Decode WAV payloads (linear PCM 8/16-bit AND G.711 mu-law/A-law
+    via the real spec-formula expansion) and emit whole-stream sample
+    statistics in ONE Arrow pass: ``n_samples``, ``sum_amp`` (exact —
+    integer-valued float64, |sum| << 2^53), ``min_amp``/``max_amp``,
+    plus the parsed ``audio_format`` tag. Nulls for undecodable
+    payloads. Same fused decode+reduce shape as
+    :func:`pixel_channel_stats` — raw sample buffers never leave
+    their batch."""
+    schema = StructType(
+        df.schema.fields
+        + [StructField("audio_format", IntegerType()),
+           StructField("n_samples", LongType()),
+           StructField("sum_amp", LongType()),
+           StructField("min_amp", LongType()),
+           StructField("max_amp", LongType())]
+    )
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tags, ns, sm, mn, mx = [], [], [], [], []
+            for payload in pdf[payload_col]:
+                dec = wav_pcm(bytes(payload)) if payload is not None \
+                    else None
+                if dec is None:
+                    tags.append(None); ns.append(None); sm.append(None)
+                    mn.append(None); mx.append(None)
+                    continue
+                m, arr = dec
+                flat = arr.ravel()
+                tags.append(m.get("audio_format", 1))
+                ns.append(int(flat.size))
+                sm.append(int(flat.sum()))
+                mn.append(int(flat.min()) if flat.size else None)
+                mx.append(int(flat.max()) if flat.size else None)
+            yield pdf.assign(
+                audio_format=pd.array(tags, dtype="Int32"),
+                n_samples=pd.array(ns, dtype="Int64"),
+                sum_amp=pd.array(sm, dtype="Int64"),
+                min_amp=pd.array(mn, dtype="Int64"),
+                max_amp=pd.array(mx, dtype="Int64"),
             )
 
     return df.mapInPandas(process, schema)

@@ -270,7 +270,8 @@ def test_wav_meta_parse_and_audio_decode(spark):
     w = make_wav(sample_rate=16000, channels=2, bits=16, n_frames=16000)
     m = wav_meta(w)
     assert m == {"channels": 2, "sample_rate": 16000, "bits": 16,
-                 "n_frames": 16000, "duration_ms": 1000}
+                 "n_frames": 16000, "duration_ms": 1000,
+                 "audio_format": 1}
     assert wav_meta(b"not a wav") is None
     assert wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt chunk
 
@@ -554,3 +555,131 @@ def test_mp3_mp4_essence_boundary_is_valueerror():
         media_decode(mp4)
     # and the audio sample decoder rejects compressed essence too
     assert wav_pcm(mp3) is None
+
+
+# ---------------------------------------------------------------- r6: G.711
+
+
+def test_g711_tables_match_audioop_reference():
+    """Every one of the 512 code points against CPython's audioop —
+    an independent implementation of the same ITU-T G.711 spec."""
+    import struct as _s
+
+    from deltalake_spark.operators.multimodal import (
+        alaw_decode_value,
+        ulaw_decode_value,
+    )
+
+    audioop = pytest.importorskip("audioop")
+    for c in range(256):
+        assert ulaw_decode_value(c) == _s.unpack(
+            "<h", audioop.ulaw2lin(bytes([c]), 2))[0]
+        assert alaw_decode_value(c) == _s.unpack(
+            "<h", audioop.alaw2lin(bytes([c]), 2))[0]
+
+
+def test_g711_spec_landmarks():
+    from deltalake_spark.operators.multimodal import (
+        alaw_decode_value,
+        ulaw_decode_value,
+    )
+
+    assert ulaw_decode_value(0xFF) == 0          # mu-law zero code
+    assert ulaw_decode_value(0x00) == -32124     # negative max
+    assert ulaw_decode_value(0x80) == 32124      # positive max
+    assert alaw_decode_value(0xD5) == 8          # A-law smallest +
+    assert alaw_decode_value(0x55) == -8         # A-law smallest -
+    assert max(abs(alaw_decode_value(c)) for c in range(256)) == 32256
+
+
+def test_wav_g711_decode_roundtrip():
+    from deltalake_spark.operators.multimodal import (
+        alaw_decode_value,
+        make_wav,
+        ulaw_decode_value,
+        wav_meta,
+        wav_pcm,
+    )
+
+    codes = bytes(range(256))
+    for fmt, table in ((7, ulaw_decode_value), (6, alaw_decode_value)):
+        w = make_wav(sample_rate=8000, channels=1, bits=8,
+                     data=codes, audio_format=fmt)
+        m = wav_meta(w)
+        assert m["audio_format"] == fmt and m["n_frames"] == 256
+        mm, arr = wav_pcm(w)
+        assert arr.shape == (256, 1)
+        assert [int(v) for v in arr[:, 0]] == \
+            [table(c) for c in range(256)]
+    # stereo interleave
+    w = make_wav(sample_rate=8000, channels=2, bits=8,
+                 data=bytes([0x00, 0xFF, 0x80, 0x7F]), audio_format=7)
+    from deltalake_spark.operators.multimodal import wav_pcm as _wp
+    _, arr = _wp(w)
+    assert arr.shape == (2, 2)
+    assert int(arr[0, 0]) == -32124 and int(arr[0, 1]) == 0
+
+
+def test_wav_unknown_format_rejected():
+    from deltalake_spark.operators.multimodal import make_wav, wav_pcm
+
+    w = make_wav(sample_rate=8000, channels=1, bits=16, n_frames=4,
+                 audio_format=85)  # MPEG-in-WAV: essence out of scope
+    assert wav_pcm(w) is None
+
+
+# ---------------------------------------------------------------- r6: BMP
+
+
+def test_bmp_roundtrip_all_depths():
+    from deltalake_spark.operators.multimodal import bmp_decode, make_bmp
+
+    for bpp, ch in ((8, 3), (24, 3), (32, 4)):
+        for td in (False, True):
+            # width 5: 24bpp rows are 15 bytes -> padded to 16
+            b = make_bmp(5, 4, bpp=bpp, top_down=td)
+            w, h, c, d, px = bmp_decode(b)
+            assert (w, h, c, d) == (5, 4, ch, 8)
+            assert len(px) == 5 * 4 * ch
+            # spot-check the deterministic generator at (x=3, y=1),
+            # independent of storage order
+            i = (1 * 5 + 3) * ch
+            if bpp == 8:
+                pal_idx = (3 + 1) % 256
+                assert px[i:i + 3] == bytes(
+                    (pal_idx, (2 * pal_idx) % 256, (3 * pal_idx) % 256))
+            else:
+                assert px[i] == 3 and px[i + 1] == 1 and px[i + 2] == 4
+                if ch == 4:
+                    assert px[i + 3] == 255
+
+
+def test_bmp_matches_media_decode_and_sniff():
+    from deltalake_spark.operators.multimodal import (
+        bmp_decode,
+        make_bmp,
+        media_decode,
+        sniff_format,
+    )
+
+    b = make_bmp(3, 2, bpp=24)
+    assert sniff_format(b) == "bmp"
+    assert media_decode(b) == bmp_decode(b)
+
+
+def test_bmp_malformed_raises():
+    from deltalake_spark.operators.multimodal import bmp_decode, make_bmp
+
+    good = make_bmp(4, 3, bpp=24)
+    with pytest.raises(ValueError):
+        bmp_decode(good[:40])                       # truncated header
+    with pytest.raises(ValueError):
+        bmp_decode(good[:-5])                       # truncated pixels
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1                                # BI_RLE8
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(bad_comp))
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 16
+    with pytest.raises(ValueError):
+        bmp_decode(bytes(bad_bpp))

@@ -254,6 +254,9 @@ BUDGETS = {
     # InMemoryTableScans at sf0.01); runtime is entity-keyed joins
     # over the cached KB-scale frames, no cartesian anywhere
     "seq_patterns_events": (125, False),
+    # r6: synth + fused Arrow decode+reduce + one format agg + sort
+    "wav_g711_stats": (2, False),
+    "bmp_pixel_stats": (2, False),
 }
 
 
