@@ -5318,6 +5318,74 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("pix_channels")
 
 
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability screen (r6, operators/text.py:
+    readability_stats): per-language regex counts (whitespace words,
+    [.!?]+ sentence runs with a min-1 floor, [aeiouy]+ vowel-group
+    syllables) — all exact integers — with the GROUP Flesch computed
+    once from totals (never averaged per-doc floats) and a per-doc
+    hard-document threshold count (order-independent). One narrow
+    projection + one hash agg."""
+    from deltalake_spark.operators.text import readability_stats
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    out = readability_stats(docs, group_cols=["lang"])
+    return out.orderBy("lang")
+
+
+def attribution_user_purchases(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (r6, operators/analytics.py:
+    touch_attribution): per event-type channel, first-touch /
+    last-touch / linear credit for purchase conversions over each
+    user's ordered stream — journeys delimited by the previous
+    conversion (reverse cumulative conversion count), linear credit
+    in EXACT 1e-12 integer units (floor(1e12·count/n) per
+    (channel, journey-size) cell, integer-summed). One entity window
+    pass + KB-scale cell aggregates."""
+    from deltalake_spark.operators.analytics import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    out = touch_attribution(
+        ev, entity_col="user_id", order_col="ts",
+        channel_col="event_type",
+        conversion_pred=(F.col("event_type") == "purchase"))
+    return out.select("channel", "first_touch", "last_touch",
+                      "linear_units", "n_touches").orderBy("channel")
+
+
+def km_user_purchase_survival(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-purchase (r6, operators/analytics.py:
+    kaplan_meier): per user, days from first activity to first
+    purchase (event) or last activity (right-censored); users split
+    by error exposure. Exact integer risk sets via a descending
+    cumulative window; the survival product is a FIXED-ORDER IEEE
+    multiply chain folded inside a JVM aggregate — DuckDB's ordered-
+    window product() replays the identical chain."""
+    from deltalake_spark.operators.analytics import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts div 86400000000000").alias("d"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("dlast"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("d"))).alias("dbuy"),
+        F.max((F.col("event_type") == "error").cast("int"))
+        .alias("err"))
+    subjects = per_user.select(
+        F.when(F.col("err") == 1, F.lit("error_exposed"))
+        .otherwise(F.lit("clean")).alias("seg"),
+        F.coalesce(F.col("dbuy") - F.col("d0"),
+                   F.col("dlast") - F.col("d0")).alias("dur"),
+        F.col("dbuy").isNotNull().cast("int").alias("ev"))
+    out = kaplan_meier(subjects, group_cols=["seg"],
+                       duration_col="dur", event_col="ev")
+    return out.orderBy("seg", "t")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5533,6 +5601,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seq_patterns_events": seq_patterns_events,
     "wav_g711_stats": wav_g711_stats,
     "bmp_pixel_stats": bmp_pixel_stats,
+    "readability_docs": readability_docs,
+    "attribution_user_purchases": attribution_user_purchases,
+    "km_user_purchase_survival": km_user_purchase_survival,
 }
 
 
@@ -10071,6 +10142,124 @@ def oracle_sql() -> dict[str, str]:
                    round(MAX(sum_mean), 4) AS max_sum_mean,
                    CAST(SUM(w * h) AS BIGINT) AS total_pixels
             FROM params GROUP BY 1 ORDER BY 1
+        """,
+        "readability_docs": """
+            WITH per AS (
+              SELECT lang,
+                     CAST(len(regexp_split_to_array(trim(text),
+                                                    '\\s+')) AS BIGINT)
+                       AS w,
+                     CAST(greatest(len(regexp_extract_all(text,
+                                                          '[.!?]+')),
+                                   1) AS BIGINT) AS s,
+                     CAST(len(regexp_extract_all(lower(text),
+                                                 '[aeiouy]+'))
+                          AS BIGINT) AS y
+              FROM documents
+            ), f AS (
+              SELECT *,
+                     206.835
+                     - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                     - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+                       AS fd
+              FROM per WHERE w > 0
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS total_words,
+                   CAST(SUM(s) AS BIGINT) AS total_sentences,
+                   CAST(SUM(y) AS BIGINT) AS total_syllables,
+                   206.835
+                   - 1.015 * (CAST(SUM(w) AS DOUBLE)
+                              / CAST(SUM(s) AS DOUBLE))
+                   - 84.6 * (CAST(SUM(y) AS DOUBLE)
+                             / CAST(SUM(w) AS DOUBLE))
+                     AS flesch_group,
+                   CAST(SUM(CAST(fd < 30.0 AS BIGINT)) AS BIGINT)
+                     AS n_hard
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "attribution_user_purchases": """
+            -- journeys via reverse cumulative conversion count; the
+            -- linear credit in exact 1e-12 integer units (HUGEINT //)
+            WITH ev AS (
+              SELECT user_id AS e, epoch_ns(ts) AS t,
+                     event_type AS ch,
+                     CAST(event_type = 'purchase' AS INTEGER) AS c
+              FROM events
+            ), marked AS (
+              SELECT *, SUM(c) OVER (PARTITION BY e ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS j
+              FROM ev
+            ), touches AS (
+              SELECT m.e, m.t, m.ch, m.j
+              FROM marked m
+              JOIN marked cv ON cv.e = m.e AND cv.c = 1 AND cv.j = m.j
+              WHERE m.c = 0 AND m.j >= 1
+            ), enriched AS (
+              SELECT ch,
+                     CAST(t = MIN(t) OVER (PARTITION BY e, j)
+                          AS BIGINT) AS isf,
+                     CAST(t = MAX(t) OVER (PARTITION BY e, j)
+                          AS BIGINT) AS isl,
+                     COUNT(*) OVER (PARTITION BY e, j) AS n
+              FROM touches
+            ), cells AS (
+              SELECT ch, n, COUNT(*) AS cnt, SUM(isf) AS f,
+                     SUM(isl) AS l
+              FROM enriched GROUP BY 1, 2
+            )
+            SELECT ch AS channel,
+                   CAST(SUM(f) AS BIGINT) AS first_touch,
+                   CAST(SUM(l) AS BIGINT) AS last_touch,
+                   CAST(SUM((1000000000000::HUGEINT * cnt) // n)
+                        AS BIGINT) AS linear_units,
+                   CAST(SUM(cnt) AS BIGINT) AS n_touches
+            FROM cells GROUP BY 1 ORDER BY 1
+        """,
+        "km_user_purchase_survival": """
+            -- ordered-window product() replays the engine's fixed
+            -- ascending-time IEEE multiply chain
+            WITH ev AS (
+              SELECT user_id,
+                     epoch_ns(ts) // 86400000000000 AS d, event_type
+              FROM events
+            ), per_user AS (
+              SELECT user_id, MIN(d) AS d0, MAX(d) AS dlast,
+                     MIN(CASE WHEN event_type = 'purchase'
+                              THEN d END) AS dbuy,
+                     MAX(CAST(event_type = 'error' AS INTEGER))
+                       AS err
+              FROM ev GROUP BY 1
+            ), subjects AS (
+              SELECT CASE WHEN err = 1 THEN 'error_exposed'
+                          ELSE 'clean' END AS seg,
+                     COALESCE(dbuy - d0, dlast - d0) AS dur,
+                     CAST(dbuy IS NOT NULL AS INTEGER) AS e
+              FROM per_user
+            ), cells AS (
+              SELECT seg, dur AS t, SUM(e) AS d,
+                     SUM(1 - e) AS c
+              FROM subjects GROUP BY 1, 2
+            ), risk AS (
+              SELECT seg, t, d, c,
+                     SUM(d + c) OVER (PARTITION BY seg ORDER BY t DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS n
+              FROM cells
+            ), steps AS (
+              SELECT seg, t, d, c, n,
+                     product(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+                       OVER (PARTITION BY seg ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS survival
+              FROM risk WHERE d > 0
+            )
+            SELECT seg, CAST(t AS BIGINT) AS t,
+                   CAST(n AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   CAST(c AS BIGINT) AS n_censored, survival
+            FROM steps ORDER BY 1, 2
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -86,6 +86,9 @@ EXTRA = [
     "seq_patterns_events",         # r6: bounds-frame PrefixSpan L1-L3
     "wav_g711_stats",              # r6: real mu-law/A-law expansion
     "bmp_pixel_stats",             # r6: real BMP decode
+    "readability_docs",            # r6: group-exact Flesch screen
+    "attribution_user_purchases",  # r6: exact-units multi-touch
+    "km_user_purchase_survival",   # r6: fixed-chain Kaplan-Meier
 ]
 
 

@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "cohort_retention",
     "rfm_segments",
+    "touch_attribution",
+    "kaplan_meier",
 ]
 
 
@@ -157,4 +159,161 @@ def rfm_segments(
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order_col: str,
+    channel_col: str,
+    conversion_pred,
+    lookback: int | None = None,
+) -> DataFrame:
+    """Multi-touch conversion attribution — first-touch, last-touch,
+    and linear credit per channel (the marketing-analytics classic):
+    for every conversion event, the non-conversion touches that
+    precede it (within ``lookback`` order units, if given, and after
+    the entity's previous conversion — each touch credits ONE
+    conversion journey) share the credit three ways.
+
+    Credit math: first/last are integer counts; linear credit is
+    ``1/n_touches`` per touch, aggregated EXACTLY: per (channel,
+    journey-size) cell, ``floor(1e12·count/n)`` in integer units
+    (remainder-first decimal division), integer-summed across cells
+    (order-independent), and surfaced both as ``linear_units``
+    (BIGINT) and ``linear_credit`` (= units/1e12, ONE IEEE division)
+    — no per-row float summation order anywhere.
+
+    Scale shape: one entity-keyed window pass marks each touch with
+    its next conversion (journey id = count of conversions so far,
+    descending trick); one (channel, journey-size) aggregate; the
+    final frame is |channels| x |journey sizes| — KB.
+
+    Output: ``(channel, first_touch, last_touch, linear_credit,
+    n_touches)``.
+    """
+    is_conv = conversion_pred.cast("int")
+    # journeys: touches belong to the NEXT conversion; number journeys
+    # by counting conversions from the END (reverse cumulative sum)
+    wrev = Window.partitionBy("__e").orderBy(
+        F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    marked = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(order_col).alias("__t"),
+        F.col(channel_col).alias("__ch"),
+        is_conv.alias("__c"),
+    ).withColumn("__j", F.sum("__c").over(wrev))
+    # touches: non-conversion rows whose journey has a conversion
+    # (__j >= 1); the conversion row of journey j carries __j == j
+    conv_times = marked.filter(F.col("__c") == 1).select(
+        "__e", F.col("__j").alias("__cj"),
+        F.col("__t").alias("__convt")).alias("cv")
+    touches = (
+        marked.filter((F.col("__c") == 0) & (F.col("__j") >= 1))
+        .alias("m")
+        .join(conv_times,
+              (F.col("m.__e") == F.col("cv.__e"))
+              & (F.col("m.__j") == F.col("cv.__cj")), "inner")
+        .select("m.__e", "m.__t", "m.__ch", "m.__j", "cv.__convt")
+    )
+    if lookback is not None:
+        touches = touches.filter(
+            F.col("__convt") - F.col("__t") <= int(lookback))
+    wj = Window.partitionBy("__e", "__j")
+    enriched = touches.select(
+        "__ch",
+        (F.col("__t") == F.min("__t").over(wj)).cast("long")
+        .alias("__is_first"),
+        (F.col("__t") == F.max("__t").over(wj)).cast("long")
+        .alias("__is_last"),
+        F.count(F.lit(1)).over(wj).alias("__n"),
+    )
+    cells = enriched.groupBy("__ch", "__n").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__is_first").alias("__f"),
+        F.sum("__is_last").alias("__l"),
+    )
+    dec = "decimal(38,0)"
+    a = F.lit(10 ** 12).cast(dec) * F.col("__cnt").cast(dec)
+    den = F.col("__n").cast(dec)
+    units = ((a - a % den) / den).cast("long")
+    out = cells.withColumn("__u", units) \
+        .groupBy(F.col("__ch").alias("channel")).agg(
+        F.sum("__f").alias("first_touch"),
+        F.sum("__l").alias("last_touch"),
+        F.sum("__u").alias("linear_units"),
+        F.sum("__cnt").alias("n_touches"),
+    )
+    return out.withColumn(
+        "linear_credit",
+        F.col("linear_units").cast("double") / F.lit(1e12))
+
+
+def kaplan_meier(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator per group — the standard
+    right-censored time-to-event curve (churn, time-to-conversion):
+    at each distinct event time t with ``d_t`` events out of ``n_t``
+    still at risk, ``S(t) = prod_{u<=t} (1 − d_u/n_u)``.
+
+    Exactness contract: ``n_t``/``d_t``/``c_t`` are exact integers
+    (at-risk via a descending cumulative window). The survival product
+    is a FIXED-ORDER IEEE multiply chain — factors ``(n−d)/n`` folded
+    in ascending time order inside a JVM ``aggregate`` over the
+    group's sorted step array, so any engine replaying the same chain
+    (DuckDB: ordered-window ``product()``) matches bit-for-bit; no
+    partition-order dependence.
+
+    Scale shape: one hash agg reduces subjects to (group, duration)
+    step cells; the at-risk window and the fold run over the step
+    frame (distinct durations per group — the grain), not subjects.
+
+    Output: one row per (group, event time) —
+    ``(group..., t, n_risk, n_events, n_censored, survival)``.
+    """
+    d = df.select(*group_cols,
+                  F.col(duration_col).cast("long").alias("__t"),
+                  F.col(event_col).cast("int").alias("__ev"))
+    cells = d.groupBy(*group_cols, "__t").agg(
+        F.sum("__ev").alias("__d"),
+        F.sum(F.lit(1) - F.col("__ev")).alias("__c"))
+    wrev = Window.partitionBy(*group_cols).orderBy(
+        F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    at_risk = cells.withColumn(
+        "__n", F.sum(F.col("__d") + F.col("__c")).over(wrev))
+    steps = at_risk.filter(F.col("__d") > 0)
+    # ascending-time fold: survival after each step, bit-deterministic
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("__t").alias("t"), F.col("__d").alias("d"),
+        F.col("__c").alias("c"), F.col("__n").alias("n"))))
+    fold = F.aggregate(
+        arr,
+        F.expr("CAST(array() AS ARRAY<STRUCT<t: BIGINT, d: BIGINT,"
+               " c: BIGINT, n: BIGINT, s: DOUBLE>>)"),
+        lambda acc, x: F.concat(acc, F.array(F.struct(
+            x["t"].alias("t"), x["d"].alias("d"), x["c"].alias("c"),
+            x["n"].alias("n"),
+            (F.when(F.size(acc) == 0, F.lit(1.0))
+             .otherwise(F.element_at(acc, -1)["s"])
+             * ((x["n"] - x["d"]).cast("double")
+                / x["n"].cast("double"))).alias("s")))),
+    )
+    grouped = steps.groupBy(*group_cols).agg(fold.alias("__curve"))
+    ex = grouped.select(*group_cols, F.explode("__curve").alias("__s"))
+    return ex.select(
+        *group_cols,
+        F.col("__s.t").alias("t"),
+        F.col("__s.n").alias("n_risk"),
+        F.col("__s.d").alias("n_events"),
+        F.col("__s.c").alias("n_censored"),
+        F.col("__s.s").alias("survival"),
     )

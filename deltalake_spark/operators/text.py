@@ -644,3 +644,68 @@ def textrank_keywords(
         .unionAll(und.select(F.col("v").alias("src"),
                              F.col("u").alias("dst")))
     return pagerank_fixed_point(edges, n_iter=n_iter)
+
+
+def readability_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    hard_threshold: float = 30.0,
+) -> DataFrame:
+    """Flesch reading-ease readability per group — the standard cheap
+    text-difficulty screen for corpus curation (drop/flag documents a
+    target audience can't parse).
+
+    ``flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)``
+    with pure-regex counts: words = whitespace tokens, sentences =
+    runs of ``[.!?]`` (min 1 so fragments don't divide by zero),
+    syllables = vowel-group runs ``[aeiouy]+`` over the lowercased
+    text (the classic dictionary-free approximation; vowelless tokens
+    contribute 0 — a documented variant, identical in both engines).
+
+    Every count is an exact integer; the GROUP-level score is computed
+    once from group total counts (no per-doc float averaging — that
+    would be partition-order-dependent). The per-doc score exists only
+    inside the order-independent ``n_hard`` threshold count.
+
+    Scale shape: one narrow projection (three regex counts per row)
+    + one hash aggregate. Output: ``(group..., n_docs, total_words,
+    total_sentences, total_syllables, flesch_group, n_hard)``.
+    """
+    group_cols = group_cols or []
+    t = F.col(text_col)
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[aeiouy]+"), F.lit(0)))
+
+    def flesch(w, s, y):
+        return (F.lit(206.835)
+                - F.lit(1.015) * (w.cast("double") / s.cast("double"))
+                - F.lit(84.6) * (y.cast("double") / w.cast("double")))
+
+    per_doc = df.select(
+        *group_cols,
+        words.cast("long").alias("__w"),
+        sentences.cast("long").alias("__s"),
+        syllables.cast("long").alias("__y"),
+    ).filter(F.col("__w") > 0)
+    doc_score = flesch(F.col("__w"), F.col("__s"), F.col("__y"))
+    agg = per_doc.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("total_words"),
+        F.sum("__s").alias("total_sentences"),
+        F.sum("__y").alias("total_syllables"),
+        F.sum((doc_score < F.lit(float(hard_threshold)))
+              .cast("long")).alias("n_hard"),
+    )
+    return agg.select(
+        *group_cols, "n_docs", "total_words", "total_sentences",
+        "total_syllables",
+        flesch(F.col("total_words"), F.col("total_sentences"),
+               F.col("total_syllables")).alias("flesch_group"),
+        "n_hard",
+    )

@@ -148,3 +148,101 @@ def test_ks_duckdb_crosscheck_seeded(spark):
         """).fetchone()
         want[(a, b)] = (na, nb, ds, round(ds / (float(na) * nb), 6))
     assert got == want
+
+
+# ---------------------------------------------------------------- r6 ops
+
+
+class TestTouchAttribution:
+    def _run(self, spark, rows, lookback=None):
+        from deltalake_spark.operators.analytics import touch_attribution
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "u long, t long, ch string")
+        out = touch_attribution(
+            df, entity_col="u", order_col="t", channel_col="ch",
+            conversion_pred=(F.col("ch") == "buy"), lookback=lookback)
+        return {r["channel"]: r for r in out.collect()}
+
+    def test_single_journey_credits(self, spark):
+        rows = [(1, 0, "ad"), (1, 1, "email"), (1, 2, "ad"),
+                (1, 3, "buy")]
+        got = self._run(spark, rows)
+        assert got["ad"]["first_touch"] == 1
+        assert got["ad"]["last_touch"] == 1
+        assert got["email"]["first_touch"] == 0
+        # linear: ad 2/3, email 1/3
+        assert abs(got["ad"]["linear_credit"] - 2 / 3) < 1e-12
+        assert abs(got["email"]["linear_credit"] - 1 / 3) < 1e-12
+        assert got["ad"]["n_touches"] == 2
+
+    def test_multiple_journeys_and_orphans(self, spark):
+        rows = [
+            # journey 1: ad -> buy ; journey 2: email -> buy
+            (1, 0, "ad"), (1, 1, "buy"), (1, 2, "email"), (1, 3, "buy"),
+            # orphan touches after the last conversion: no credit
+            (1, 4, "ad"),
+            # user with no conversion at all: no credit
+            (2, 0, "ad"), (2, 1, "email"),
+        ]
+        got = self._run(spark, rows)
+        assert got["ad"]["first_touch"] == 1 and got["ad"]["last_touch"] == 1
+        assert got["email"]["first_touch"] == 1
+        assert got["ad"]["n_touches"] == 1      # orphans excluded
+        assert got["ad"]["linear_credit"] == 1.0
+
+    def test_lookback_window(self, spark):
+        rows = [(1, 0, "ad"), (1, 100, "email"), (1, 101, "buy")]
+        got = self._run(spark, rows, lookback=10)
+        assert "ad" not in got                  # too old
+        assert got["email"]["first_touch"] == 1
+        assert got["email"]["last_touch"] == 1
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        from deltalake_spark.operators.analytics import kaplan_meier
+
+        # classic example: events at 1,2,4; censored at 3
+        rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 0),
+                ("g", 4, 1), ("g", 5, 0)]
+        df = spark.createDataFrame(rows, "g string, dur long, ev int")
+        out = {r["t"]: r for r in kaplan_meier(
+            df, group_cols=["g"], duration_col="dur",
+            event_col="ev").collect()}
+        assert set(out) == {1, 2, 4}
+        assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+        assert out[1]["survival"] == 4 / 5
+        assert out[2]["n_risk"] == 4
+        assert out[2]["survival"] == (4 / 5) * (3 / 4)
+        # after censoring at 3, risk set at 4 is {4, 5} = 2
+        assert out[4]["n_risk"] == 2
+        assert out[4]["survival"] == (4 / 5) * (3 / 4) * (1 / 2)
+
+    def test_matches_python_product_chain(self, spark):
+        import random
+
+        from deltalake_spark.operators.analytics import kaplan_meier
+
+        rng = random.Random(5)
+        rows = [("s", rng.randint(1, 12), rng.randint(0, 1))
+                for _ in range(200)]
+        df = spark.createDataFrame(rows, "g string, dur long, ev int")
+        got = {r["t"]: r["survival"] for r in kaplan_meier(
+            df, group_cols=["g"], duration_col="dur",
+            event_col="ev").collect()}
+
+        from collections import Counter
+        d, c = Counter(), Counter()
+        for _, t, ev in rows:
+            (d if ev else c)[t] += 1
+        times = sorted(set(d) | set(c))
+        n = len(rows)
+        s = 1.0
+        want = {}
+        for t in times:
+            if d[t]:
+                s = s * ((n - d[t]) / n)
+                want[t] = s
+            n -= d[t] + c[t]
+        assert got == want

@@ -970,3 +970,34 @@ def test_textrank_min_pair_count_prunes(spark):
     # "rare pair" seen once -> pruned; the a-b edge (count 2: 'a b'
     # twice in doc 1... actually 'a b' appears twice) survives
     assert out == {"a", "b"}
+
+
+class TestReadability:
+    def test_hand_counts(self, spark):
+        from deltalake_spark.operators.text import readability_stats
+
+        df = spark.createDataFrame(
+            [("en", "The cat sat. It was happy!")], "lang string, text string")
+        r = readability_stats(df, group_cols=["lang"]).collect()[0]
+        assert r["n_docs"] == 1
+        assert r["total_words"] == 6
+        assert r["total_sentences"] == 2
+        # the cat sat it was ha-ppy -> vowel runs 1+1+1+1+1+2
+        assert r["total_syllables"] == 7
+        expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (7 / 6)
+        assert r["flesch_group"] == expected
+
+    def test_hard_doc_count_and_fragments(self, spark):
+        from deltalake_spark.operators.text import readability_stats
+
+        docs = [
+            ("a", "Go now. It is ok. We run fast."),        # easy
+            ("a", "Multisyllabic verbalization necessitates "
+                  "disambiguation notwithstanding"),          # hard, no '.'
+        ]
+        df = spark.createDataFrame(docs, "g string, text string")
+        r = readability_stats(df, group_cols=["g"]).collect()[0]
+        assert r["n_docs"] == 2
+        assert r["n_hard"] == 1   # only the jargon fragment
+        # fragment got min-1 sentence, so totals stay finite
+        assert r["total_sentences"] == 3 + 1

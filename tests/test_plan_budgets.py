@@ -257,6 +257,13 @@ BUDGETS = {
     # r6: synth + fused Arrow decode+reduce + one format agg + sort
     "wav_g711_stats": (2, False),
     "bmp_pixel_stats": (2, False),
+    # r6: one narrow regex projection + lang agg + sort
+    "readability_docs": (2, False),
+    # r6: user window + journey self-join + cell aggs; KB frames after
+    # the first window
+    "attribution_user_purchases": (5, False),
+    # r6: user agg + step-cell agg + risk window + fold + sort
+    "km_user_purchase_survival": (4, False),
 }
 
 
