@@ -5386,6 +5386,117 @@ def km_user_purchase_survival(spark: SparkSession,
     return out.orderBy("seg", "t")
 
 
+def cuped_event_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (r6, operators/stats.py:
+    cuped_lift): arms = user_id parity, pre-period covariate = each
+    user's first-15-day event count, post metric = last-15-day event
+    count. theta from pooled covar/var moments, adjusted lift +
+    variance-reduction %, rounded like the other moment twins. Two
+    KB-output aggregates over the per-user frame; no per-row adjusted
+    values."""
+    from deltalake_spark.operators.stats import cuped_lift
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("d"))
+    # 1-scalar collect compiled to a literal (no one-row NLJ join)
+    d0 = ev.groupBy().agg(F.min("d").alias("d0")).collect()[0]["d0"]
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("d") - F.lit(d0) < 15).cast("long"))
+        .alias("pre"),
+        F.sum((F.col("d") - F.lit(d0) >= 15).cast("long"))
+        .alias("post"))
+    arms = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("c"))
+        .otherwise(F.lit("t")).alias("arm"),
+        F.col("pre").cast("double").alias("pre"),
+        F.col("post").cast("double").alias("post"))
+    r = cuped_lift(arms, arm_col="arm", pre_col="pre",
+                   post_col="post", control_value="c")
+    return r.select(
+        F.round("theta", 6).alias("theta"), "n_t", "n_c",
+        F.round("mean_t_adj", 6).alias("mean_t_adj"),
+        F.round("mean_c_adj", 6).alias("mean_c_adj"),
+        F.round("lift_adj", 6).alias("lift_adj"),
+        F.round("lift_raw", 6).alias("lift_raw"),
+        F.round("var_reduction_pct", 4).alias("var_reduction_pct"))
+
+
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core dense-community filter (r6, operators/graph.py:k_core):
+    the 3-core of the thinned co-purchase graph (same edge derivation
+    as the PageRank/triangle gates) after exactly 4 synchronous peel
+    rounds — each round removes ALL degree<k vertices simultaneously,
+    a pure function of the previous vertex set, so the unrolled
+    4-round SQL replay matches whether or not the peel has converged
+    (the k-core fixpoint is canonical; post-convergence rounds are
+    no-ops). Per round: one degree agg + two semi-joins, persisted."""
+    from deltalake_spark.operators.graph import canonical_edges, k_core
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 5 == 0).select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+    )
+    und = canonical_edges(pairs)
+    core = k_core(und.select(F.col("u").alias("src"),
+                             F.col("v").alias("dst")),
+                  k=3, n_rounds=4)
+    return core.orderBy("node")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (r6) — the remaining classic
+    streaming join shape (stream-stream interval join and stateful
+    sessions are already gated): the events file stream joins a
+    STATIC per-type mean-value dimension computed in batch from the
+    same table, keeps only above-average events, and aggregates
+    watermarked hourly counts. The static side broadcasts (no state,
+    re-planned per micro-batch); drained availableNow, so the batch
+    SQL twin is value-level."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        windowed_agg,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    static_dim = (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    stream = read_parquet_stream(spark, path).withColumn(
+        "event_ts",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    enriched = stream.join(F.broadcast(static_dim), "event_type") \
+        .filter(F.col("value") > F.col("avg_value"))
+    win = windowed_agg(
+        enriched,
+        time_col="event_ts",
+        window="1 hour",
+        watermark="2 hours",
+        group_cols=["event_type"],
+        aggs={"n": "count(*)",
+              "hot_value": "round(sum(value), 2)"},
+    )
+    out = run_available_now(
+        win.select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n", "hot_value",
+        ),
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_batch=False,
+    )
+    return out.orderBy("window_start", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5604,6 +5715,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_docs": readability_docs,
     "attribution_user_purchases": attribution_user_purchases,
     "km_user_purchase_survival": km_user_purchase_survival,
+    "cuped_event_lift": cuped_event_lift,
+    "kcore_copurchase": kcore_copurchase,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 
@@ -10260,6 +10374,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d AS BIGINT) AS n_events,
                    CAST(c AS BIGINT) AS n_censored, survival
             FROM steps ORDER BY 1, 2
+        """,
+        "cuped_event_lift": """
+            WITH ev AS (
+              SELECT user_id,
+                     epoch_ns(ts) // 86400000000000 AS d
+              FROM events
+            ), d0 AS (SELECT MIN(d) AS d0 FROM ev),
+            per_user AS (
+              SELECT user_id,
+                     SUM(CAST(d - (SELECT d0 FROM d0) < 15
+                              AS BIGINT)) AS pre,
+                     SUM(CAST(d - (SELECT d0 FROM d0) >= 15
+                              AS BIGINT)) AS post
+              FROM ev GROUP BY 1
+            ), arms AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'c' ELSE 't' END
+                       AS arm,
+                     CAST(pre AS DOUBLE) AS x,
+                     CAST(post AS DOUBLE) AS y
+              FROM per_user
+            ), pooled AS (
+              SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+                     AVG(x) AS mx
+              FROM arms
+            ), byarm AS (
+              SELECT arm, COUNT(*) AS n, AVG(y) AS my, AVG(x) AS ma,
+                     var_pop(y) AS vy, covar_pop(x, y) AS cxya,
+                     var_pop(x) AS vxa
+              FROM arms GROUP BY 1
+            ), calc AS (
+              SELECT b.*,
+                     CASE WHEN p.vx > 0 THEN p.cxy / p.vx
+                          ELSE 0.0 END AS theta,
+                     p.mx
+              FROM byarm b CROSS JOIN pooled p
+            ), adj AS (
+              SELECT arm, n, my, theta,
+                     my - theta * (ma - mx) AS adjm,
+                     vy - 2 * theta * cxya + theta * theta * vxa
+                       AS vadj,
+                     vy
+              FROM calc
+            )
+            SELECT round(MIN(theta), 6) AS theta,
+                   CAST(SUM(CASE WHEN arm = 't' THEN n END)
+                        AS BIGINT) AS n_t,
+                   CAST(SUM(CASE WHEN arm = 'c' THEN n END)
+                        AS BIGINT) AS n_c,
+                   round(MIN(CASE WHEN arm = 't' THEN adjm END), 6)
+                     AS mean_t_adj,
+                   round(MIN(CASE WHEN arm = 'c' THEN adjm END), 6)
+                     AS mean_c_adj,
+                   round(MIN(CASE WHEN arm = 't' THEN adjm END)
+                         - MIN(CASE WHEN arm = 'c' THEN adjm END), 6)
+                     AS lift_adj,
+                   round(MIN(CASE WHEN arm = 't' THEN my END)
+                         - MIN(CASE WHEN arm = 'c' THEN my END), 6)
+                     AS lift_raw,
+                   round(CASE WHEN MIN(CASE WHEN arm = 't'
+                                           THEN vy END) > 0
+                     THEN 100.0 * (1.0
+                       - MIN(CASE WHEN arm = 't' THEN vadj END)
+                         / MIN(CASE WHEN arm = 't' THEN vy END))
+                     END, 4) AS var_reduction_pct
+            FROM adj
+        """,
+        "kcore_copurchase": """
+            -- unrolled 4-round synchronous peel; each round removes
+            -- ALL degree<3 vertices of the previous subgraph at once
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+              WHERE l_partkey % 5 = 0
+            ), und AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM li a JOIN li b USING (l_orderkey)
+              WHERE a.l_partkey < b.l_partkey
+            ), e0 AS (
+              SELECT u AS a, v AS b FROM und
+              UNION ALL SELECT v AS a, u AS b FROM und
+            ), a1 AS (
+              SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 3
+            ), e1 AS (
+              SELECT e.a, e.b FROM e0 e
+              JOIN a1 x ON x.a = e.a JOIN a1 y ON y.a = e.b
+            ), a2 AS (
+              SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 3
+            ), e2 AS (
+              SELECT e.a, e.b FROM e1 e
+              JOIN a2 x ON x.a = e.a JOIN a2 y ON y.a = e.b
+            ), a3 AS (
+              SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 3
+            ), e3 AS (
+              SELECT e.a, e.b FROM e2 e
+              JOIN a3 x ON x.a = e.a JOIN a3 y ON y.a = e.b
+            ), a4 AS (
+              SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 3
+            ), e4 AS (
+              SELECT e.a, e.b FROM e3 e
+              JOIN a4 x ON x.a = e.a JOIN a4 y ON y.a = e.b
+            )
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM e4 GROUP BY 1 ORDER BY 1
+        """,
+        "stream_static_enrich": """
+            WITH dim AS (
+              SELECT event_type, AVG(value) AS avg_value FROM events
+              GROUP BY 1
+            ), hot AS (
+              SELECT e.event_type, e.value,
+                     epoch_ns(e.ts) // 3600000000000 AS hr
+              FROM events e JOIN dim d USING (event_type)
+              WHERE e.value > d.avg_value
+            )
+            SELECT strftime(to_timestamp(hr * 3600),
+                            '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(SUM(value), 2) AS hot_value
+            FROM hot GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

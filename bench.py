@@ -89,6 +89,8 @@ EXTRA = [
     "readability_docs",            # r6: group-exact Flesch screen
     "attribution_user_purchases",  # r6: exact-units multi-touch
     "km_user_purchase_survival",   # r6: fixed-chain Kaplan-Meier
+    "cuped_event_lift",            # r6: literal-theta CUPED readout
+    "kcore_copurchase",            # r6: synchronous k-core peel
 ]
 
 

@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["canonical_edges", "degree_stats", "triangle_count",
            "pagerank_fixed_point", "hits_fixed_point",
-           "label_propagation", "bfs_distances", "link_prediction"]
+           "label_propagation", "bfs_distances", "link_prediction",
+           "k_core"]
 
 
 def canonical_edges(df: DataFrame, src: str = "src",
@@ -475,3 +476,65 @@ def link_prediction(
     existing = adj.filter(F.col("node") < F.col("nbr")).select(
         F.col("node").alias("node_u"), F.col("nbr").alias("node_v"))
     return wedges.join(existing, ["node_u", "node_v"], "left_anti")
+
+
+def k_core(
+    edges: DataFrame,
+    *,
+    k: int,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition step: the maximal subgraph in which every
+    vertex keeps degree >= k — the classic dense-community filter
+    (spam rings, power-user cliques, robust similarity clusters).
+
+    Synchronous peeling: round i removes EVERY vertex whose degree in
+    the round-(i-1) subgraph is < k, simultaneously. The k-core is a
+    canonical object (the peeling fixpoint is unique and independent
+    of removal order), and each synchronous round is a pure function
+    of the previous vertex set — so a SQL replay of the same
+    ``n_rounds`` matches exactly, converged or not; once converged,
+    extra rounds are no-ops. Rounds after convergence cost one
+    cached-frame count each.
+
+    Scale shape: symmetrize+dedup once (persisted); each round is ONE
+    degree aggregate + two semi-joins against the surviving vertex
+    frame, persist+materialize to cut the iterative lineage
+    (PageRank/BPE lesson), early-stop on a stable vertex count.
+    Returns ``(node, degree)`` of the k-core subgraph.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be >= 1")
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"),
+                               F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    cur = adj
+    stale: DataFrame | None = None
+    prev_n: int | None = None
+    for _ in range(n_rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= int(k)).select("a")
+        nxt = (
+            cur.join(alive, "a", "left_semi")
+            .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
+            .persist()
+        )
+        n_alive = nxt.select("a").distinct().count()  # materializes
+        if stale is not None:
+            stale.unpersist()
+        stale = nxt
+        cur = nxt
+        if prev_n is not None and n_alive == prev_n:
+            break  # converged: further rounds are no-ops
+        prev_n = n_alive
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))

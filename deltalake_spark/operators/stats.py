@@ -61,6 +61,7 @@ __all__ = [
     "ks_two_sample",
     "best_gini_split",
     "quantile_normalize",
+    "cuped_lift",
 ]
 
 
@@ -957,4 +958,88 @@ def quantile_normalize(
             .alias("qnorm"),
             F.col("__m").cast("long").alias("n_groups"),
         )
+    )
+
+
+def cuped_lift(
+    df: DataFrame,
+    *,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+    control_value,
+) -> DataFrame:
+    """CUPED-adjusted A/B lift (Deng et al. 2013) — the industry-
+    standard variance-reduction for experiment readouts: regress the
+    post-period metric on its pre-period covariate,
+    ``theta = cov(pre, post)/var(pre)`` pooled across arms, adjust
+    ``y' = y − theta·(x − mean(x))``, then compare arm means of the
+    adjusted metric. Typically cuts required sample size 30-50% when
+    pre/post correlate.
+
+    Determinism contract: moments use SQL-standard aggregates
+    (``covar_pop``/``var_pop``/``avg``) whose merge order is
+    partition-dependent at the last ulps — gate queries round to the
+    same precision as the other moment-based twins (``ols_*``); the
+    adjustment and lift are a fixed arithmetic chain over the 2-arm
+    moment frame, so no per-row adjusted values ever materialize.
+
+    Output: one row — ``(theta, n_t, n_c, mean_t_adj, mean_c_adj,
+    lift_adj, lift_raw, var_reduction_pct)``.
+    """
+    x = F.col(pre_col).cast("double")
+    y = F.col(post_col).cast("double")
+    # pooled moments: ONE 3-scalar driver collect compiled back as
+    # literals (the corpus-stats precedent) — a one-row broadcast
+    # crossJoin would plan as BroadcastNestedLoopJoin, which the
+    # repo-wide plan budgets forbid
+    prow = df.groupBy().agg(
+        F.covar_pop(x, y).alias("cxy"),
+        F.var_pop(x).alias("vx"),
+        F.avg(x).alias("mx")).collect()[0]
+    theta_v = (prow["cxy"] / prow["vx"]) if (
+        prow["vx"] is not None and prow["vx"] > 0) else 0.0
+    j = df.groupBy(arm_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(y).alias("__my"),
+        F.avg(x).alias("__max"),
+        F.var_pop(y).alias("__vy"),
+        F.covar_pop(x, y).alias("__cxy_a"),
+        F.var_pop(x).alias("__vx_a"))
+    theta = F.lit(float(theta_v))
+    # adjusted arm mean: mean(y) - theta*(mean(x) - pooled mean(x))
+    adj = F.col("__my") - theta * (F.col("__max") - F.lit(prow["mx"]))
+    # per-arm adjusted variance: var(y) - 2 theta cov + theta^2 var(x)
+    vadj = (F.col("__vy") - 2 * theta * F.col("__cxy_a")
+            + theta * theta * F.col("__vx_a"))
+    is_c = F.col(arm_col) == F.lit(control_value)
+    enriched = j.select(
+        is_c.alias("__isc"), F.col("__n"), F.col("__my"),
+        adj.alias("__adj"), vadj.alias("__vadj"), F.col("__vy"),
+        theta.alias("__theta"))
+    out = enriched.groupBy().agg(
+        F.first(F.col("__theta")).alias("theta"),
+        F.sum(F.when(~F.col("__isc"), F.col("__n"))).alias("n_t"),
+        F.sum(F.when(F.col("__isc"), F.col("__n"))).alias("n_c"),
+        F.first(F.when(~F.col("__isc"), F.col("__adj")), True)
+        .alias("mean_t_adj"),
+        F.first(F.when(F.col("__isc"), F.col("__adj")), True)
+        .alias("mean_c_adj"),
+        F.first(F.when(~F.col("__isc"), F.col("__my")), True)
+        .alias("__myt"),
+        F.first(F.when(F.col("__isc"), F.col("__my")), True)
+        .alias("__myc"),
+        F.first(F.when(~F.col("__isc"), F.col("__vadj")), True)
+        .alias("__vat"),
+        F.first(F.when(~F.col("__isc"), F.col("__vy")), True)
+        .alias("__vyt"),
+    )
+    return out.select(
+        "theta", "n_t", "n_c", "mean_t_adj", "mean_c_adj",
+        (F.col("mean_t_adj") - F.col("mean_c_adj")).alias("lift_adj"),
+        (F.col("__myt") - F.col("__myc")).alias("lift_raw"),
+        F.when(F.col("__vyt") > 0,
+               F.lit(100.0) * (F.lit(1.0)
+                               - F.col("__vat") / F.col("__vyt")))
+        .alias("var_reduction_pct"),
     )

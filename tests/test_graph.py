@@ -409,3 +409,53 @@ def test_link_prediction_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         link_prediction(df, min_common=0)
+
+
+class TestKCore:
+    def _run(self, spark, edges, k, n_rounds=6):
+        from deltalake_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["degree"] for r in k_core(
+            df, k=k, n_rounds=n_rounds).collect()}
+
+    def test_triangle_with_tail(self, spark):
+        # triangle 1-2-3 plus a tail 3-4-5: 2-core = the triangle
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+        got = self._run(spark, edges, k=2)
+        assert got == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        # a chain hanging off a 4-clique: peeling must cascade
+        clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        chain = [(4, 5), (5, 6), (6, 7)]
+        got = self._run(spark, clique + chain, k=3)
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+        # k=4: nothing survives
+        assert self._run(spark, clique + chain, k=4) == {}
+
+    def test_matches_networkx_free_reference(self, spark):
+        import random
+
+        edges = set()
+        rng = random.Random(13)
+        while len(edges) < 120:
+            a, b = rng.randint(0, 30), rng.randint(0, 30)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        got = self._run(spark, sorted(edges), k=4, n_rounds=20)
+
+        # python peeling reference to the canonical fixpoint
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive
+                    if len(adj[v] & alive) < 4}
+            if not drop:
+                break
+            alive -= drop
+        want = {v: len(adj[v] & alive) for v in alive}
+        assert got == want

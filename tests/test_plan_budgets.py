@@ -264,6 +264,12 @@ BUDGETS = {
     "attribution_user_purchases": (5, False),
     # r6: user agg + step-cell agg + risk window + fold + sort
     "km_user_purchase_survival": (4, False),
+    # r6: per-user agg + one arm agg (pooled moments are literals —
+    # no one-row NLJ crossJoin)
+    "cuped_event_lift": (2, False),
+    # r6: per-round persisted frames nest textually; runtime is one
+    # degree agg + two semi-joins per peel round over cached frames
+    "kcore_copurchase": (270, False),
 }
 
 

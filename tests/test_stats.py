@@ -562,3 +562,58 @@ def test_quantile_normalize_equal_groups(spark):
     for r in out:
         dist.setdefault(r["g"], []).append(r["qnorm"])
     assert sorted(dist["a"]) == sorted(dist["b"])
+
+
+class TestCupedLift:
+    def test_matches_python_moments(self, spark):
+        import random
+
+        from deltalake_spark.operators.stats import cuped_lift
+
+        rng = random.Random(21)
+        rows = []
+        for i in range(400):
+            arm = "t" if i % 2 else "c"
+            pre = rng.randint(0, 100)
+            post = pre + rng.randint(0, 30) + (5 if arm == "t" else 0)
+            rows.append((arm, float(pre), float(post)))
+        df = spark.createDataFrame(rows, "arm string, pre double, post double")
+        r = cuped_lift(df, arm_col="arm", pre_col="pre",
+                       post_col="post", control_value="c").collect()[0]
+
+        xs = [x for _, x, _ in rows]
+        ys = [y for _, _, y in rows]
+        n = len(rows)
+        mx = sum(xs) / n
+        my = sum(ys) / n
+        cxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / n
+        vx = sum((a - mx) ** 2 for a in xs) / n
+        theta = cxy / vx
+        assert abs(r["theta"] - theta) < 1e-9
+
+        def arm_stats(a):
+            sub = [(x, y) for arm, x, y in rows if arm == a]
+            amx = sum(x for x, _ in sub) / len(sub)
+            amy = sum(y for _, y in sub) / len(sub)
+            return len(sub), amx, amy
+
+        nt, mxt, myt = arm_stats("t")
+        nc, mxc, myc = arm_stats("c")
+        assert (r["n_t"], r["n_c"]) == (nt, nc)
+        adj_t = myt - theta * (mxt - mx)
+        adj_c = myc - theta * (mxc - mx)
+        assert abs(r["lift_adj"] - (adj_t - adj_c)) < 1e-9
+        assert abs(r["lift_raw"] - (myt - myc)) < 1e-9
+        # pre correlates strongly with post -> big variance reduction
+        assert r["var_reduction_pct"] > 50
+
+    def test_zero_variance_pre_falls_back_to_raw(self, spark):
+        from deltalake_spark.operators.stats import cuped_lift
+
+        rows = [("t", 5.0, 12.0), ("t", 5.0, 14.0),
+                ("c", 5.0, 10.0), ("c", 5.0, 11.0)]
+        df = spark.createDataFrame(rows, "arm string, pre double, post double")
+        r = cuped_lift(df, arm_col="arm", pre_col="pre",
+                       post_col="post", control_value="c").collect()[0]
+        assert r["theta"] == 0.0
+        assert r["lift_adj"] == r["lift_raw"] == 2.5
