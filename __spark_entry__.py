@@ -5497,6 +5497,126 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def vocab_growth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (r6, operators/text.py:
+    vocab_growth): at ten doc-id cutpoints, documents seen, running
+    token total, distinct vocabulary, and corpus-hapax coverage — the
+    tokenizer/dedup scaling diagnostic. No rank windows: checkpoints
+    are ``floor(max_id·k/10)`` literals (1-scalar collect), token
+    first-sight is a plain min aggregate, and all forty statistics
+    come from ONE conditional aggregate over a tagged union of the
+    token-stats and per-doc frames."""
+    from deltalake_spark.operators.text import vocab_growth
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = vocab_growth(docs, n_checkpoints=10)
+    return out.select(
+        "k", "cut_id", "docs_seen", "tokens_total", "vocab",
+        "hapax_seen", F.round("ttr", 8).alias("ttr")).orderBy("k")
+
+
+def weighted_median_prices(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Exact weighted percentiles (r6, operators/stats.py:
+    weighted_percentile): per return flag, the price cents below
+    which 10/25/50/75/90% of the shipped QUANTITY trades — inverted-
+    CDF with pure-integer crossing tests (den·cumw >= num·total), no
+    float thresholds. One cell aggregate + one cumulative window over
+    the distinct-price frame + one conditional-min aggregate."""
+    from deltalake_spark.operators.stats import weighted_percentile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"))
+    out = weighted_percentile(
+        li, group_cols=["l_returnflag"], value_col="cents",
+        weight_col="qty",
+        quantiles=[(1, 10), (1, 4), (1, 2), (3, 4), (9, 10)])
+    return out.orderBy("l_returnflag", "q_num", "q_den")
+
+
+def absorption_event_conversion(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Absorbing-Markov conversion probability (r6,
+    operators/timeseries.py:markov_absorption): from each event-type
+    state, the probability the per-user empirical chain reaches
+    'purchase' before the 'error' sink within 12 steps — 12 EXACT
+    integer rounds in 1e-12 units (floor(Σ c·x / n) per transient
+    state), so the unrolled SQL replay is bit-identical. The raw
+    stream is touched once (lag window + cell count); the iteration
+    runs over the alphabet-bounded cell table."""
+    from deltalake_spark.operators.timeseries import markov_absorption
+
+    ev = _t(spark, sf_dir, "events")
+    out = markov_absorption(
+        ev, entity_col="user_id", order_cols=["ts", "event_id"],
+        state_col="event_type", target="purchase", sinks=["error"],
+        n_iter=12)
+    return out.orderBy("state")
+
+
+def _absorption_oracle_sql(n_iter: int = 12, q: int = 10 ** 12) -> str:
+    """Unrolled n-round integer replay of absorption_event_conversion
+    (generated: each round is the same join+floor-div block)."""
+    rounds = []
+    prev = "x0"
+    for j in range(1, n_iter + 1):
+        rounds.append(f"""x{j} AS (
+              SELECT st.state,
+                     CASE WHEN st.state = 'purchase' THEN {q}
+                          WHEN st.state = 'error' THEN 0
+                          ELSE CAST(COALESCE(agg.v, 0) AS BIGINT)
+                     END AS x
+              FROM states st LEFT JOIN (
+                SELECT t.f AS state,
+                       SUM(t.c * p.x) // MAX(o.n) AS v
+                FROM cells t
+                JOIN {prev} p ON p.state = t.t
+                JOIN outdeg o ON o.f = t.f
+                GROUP BY 1
+              ) agg ON agg.state = st.state
+            )""")
+        prev = f"x{j}"
+    rounds_sql = (",\n            ").join(rounds)
+    return f"""
+            WITH seq AS (
+              SELECT LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS f,
+                     event_type AS t
+              FROM events
+            ), cells AS (
+              SELECT f, t, CAST(COUNT(*) AS BIGINT) AS c
+              FROM seq
+              WHERE f IS NOT NULL AND f NOT IN ('purchase', 'error')
+              GROUP BY 1, 2
+            ), outdeg AS (
+              SELECT f, SUM(c) AS n FROM cells GROUP BY 1
+            ), states AS (
+              SELECT DISTINCT state FROM (
+                SELECT f AS state FROM cells
+                UNION SELECT t FROM cells
+                UNION SELECT 'purchase' UNION SELECT 'error'
+              )
+            ), x0 AS (
+              SELECT state,
+                     CASE WHEN state = 'purchase' THEN {q}
+                          ELSE 0 END AS x
+              FROM states
+            ), {rounds_sql}
+            SELECT s.state,
+                   s.state IN ('purchase', 'error') AS is_absorbing,
+                   CAST(COALESCE(o.n, 0) AS BIGINT) AS n_out,
+                   CAST(r.x AS BIGINT) AS prob_scaled
+            FROM states s
+            JOIN x{n_iter} r ON r.state = s.state
+            LEFT JOIN outdeg o ON o.f = s.state
+            ORDER BY 1
+        """
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5718,6 +5838,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cuped_event_lift": cuped_event_lift,
     "kcore_copurchase": kcore_copurchase,
     "stream_static_enrich": stream_static_enrich,
+    "vocab_growth_docs": vocab_growth_docs,
+    "weighted_median_prices": weighted_median_prices,
+    "absorption_event_conversion": absorption_event_conversion,
 }
 
 
@@ -10494,6 +10617,76 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(value), 2) AS hot_value
             FROM hot GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "vocab_growth_docs": """
+            WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+            ks AS (
+              SELECT CAST(k AS BIGINT) AS k,
+                     (SELECT m FROM mx) * k // 10 AS cut
+              FROM range(1, 11) t(k)
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS w
+              FROM documents
+            ), ts AS (
+              SELECT w, MIN(doc_id) AS fd, COUNT(*) AS tc
+              FROM toks GROUP BY 1
+            ), pd AS (
+              SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1
+            ), va AS (
+              SELECT ks.k,
+                     COUNT(*) FILTER (WHERE ts.fd <= ks.cut) AS vocab,
+                     COUNT(*) FILTER (WHERE ts.fd <= ks.cut
+                                      AND ts.tc = 1) AS hapax
+              FROM ks CROSS JOIN ts GROUP BY 1
+            ), da AS (
+              SELECT ks.k,
+                     COUNT(*) FILTER (WHERE pd.doc_id <= ks.cut)
+                       AS docs_seen,
+                     COALESCE(SUM(pd.n) FILTER (
+                       WHERE pd.doc_id <= ks.cut), 0) AS toks_total
+              FROM ks CROSS JOIN pd GROUP BY 1
+            )
+            SELECT ks.k, CAST(ks.cut AS BIGINT) AS cut_id,
+                   CAST(da.docs_seen AS BIGINT) AS docs_seen,
+                   CAST(da.toks_total AS BIGINT) AS tokens_total,
+                   CAST(va.vocab AS BIGINT) AS vocab,
+                   CAST(va.hapax AS BIGINT) AS hapax_seen,
+                   CASE WHEN da.toks_total > 0 THEN
+                     round(CAST(va.vocab AS DOUBLE)
+                           / CAST(da.toks_total AS DOUBLE), 8) END
+                     AS ttr
+            FROM ks JOIN va USING (k) JOIN da USING (k)
+            ORDER BY 1
+        """,
+        "weighted_median_prices": """
+            WITH cells AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       AS v,
+                     SUM(CAST(l_quantity AS BIGINT)) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), cum AS (
+              SELECT g, v,
+                     SUM(w) OVER (PARTITION BY g ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cw,
+                     SUM(w) OVER (PARTITION BY g) AS tw
+              FROM cells
+            ), qs AS (
+              SELECT * FROM (VALUES (1, 10), (1, 4), (1, 2), (3, 4),
+                                    (9, 10)) t(num, den)
+            )
+            SELECT g AS l_returnflag,
+                   CAST(num AS BIGINT) AS q_num,
+                   CAST(den AS BIGINT) AS q_den,
+                   CAST(MIN(CASE WHEN den * cw >= num * tw
+                                 THEN v END) AS BIGINT) AS value,
+                   CAST(MIN(tw) AS BIGINT) AS total_weight
+            FROM cum CROSS JOIN qs
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "absorption_event_conversion": _absorption_oracle_sql(12),
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:
         #   minhash_neardup_groups, simhash_blocks, embedding_knn_join,

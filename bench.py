@@ -91,6 +91,9 @@ EXTRA = [
     "km_user_purchase_survival",   # r6: fixed-chain Kaplan-Meier
     "cuped_event_lift",            # r6: literal-theta CUPED readout
     "kcore_copurchase",            # r6: synchronous k-core peel
+    "vocab_growth_docs",           # r6: tagged-union Heaps curve
+    "weighted_median_prices",      # r6: integer-crossing percentiles
+    "absorption_event_conversion", # r6: absorbing-chain fixed point
 ]
 
 

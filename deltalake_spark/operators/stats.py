@@ -62,6 +62,7 @@ __all__ = [
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
+    "weighted_percentile",
 ]
 
 
@@ -1042,4 +1043,63 @@ def cuped_lift(
                F.lit(100.0) * (F.lit(1.0)
                                - F.col("__vat") / F.col("__vyt")))
         .alias("var_reduction_pct"),
+    )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+) -> DataFrame:
+    """EXACT weighted percentiles per group (inverted-CDF definition):
+    the smallest value whose cumulative weight reaches ``q`` of the
+    group's total — the estimator for "the price half the QUANTITY
+    trades below" and every other mass-weighted cut, where unweighted
+    percentile silently answers a different question.
+
+    Quantiles are RATIONALS ``(num, den)``; the crossing test is the
+    pure integer ``den·cumw >= num·total`` — no float thresholds, no
+    interpolation ambiguity across engines.
+
+    Scale shape: one hash agg reduces N rows to (group, value) cells
+    with integer weight sums; one cumulative window over the cell
+    frame (bounded by distinct values per group — quantize continuous
+    values first if cardinality approaches N); one conditional-min
+    aggregate emits every quantile. Output:
+    ``(group..., q_num, q_den, value, total_weight)``.
+    """
+    for num, den in quantiles:
+        if not 0 < num <= den:
+            raise ValueError("quantiles must be fractions in (0, 1]")
+    v = F.col(value_col)
+    w = F.col(weight_col).cast("long")
+    cells = df.groupBy(*group_cols, v.alias("__v")).agg(
+        F.sum(w).alias("__w"))
+    wcum = Window.partitionBy(*group_cols).orderBy("__v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy(*group_cols)
+    cum = cells.withColumn("__cw", F.sum("__w").over(wcum)) \
+        .withColumn("__tw", F.sum("__w").over(wall))
+    aggs = []
+    for num, den in quantiles:
+        hit = den * F.col("__cw") >= num * F.col("__tw")
+        aggs.append(F.min(F.when(hit, F.col("__v")))
+                    .alias(f"__q_{num}_{den}"))
+    row = cum.groupBy(*group_cols).agg(
+        F.first("__tw").alias("__t"), *aggs)
+    cellsx = F.explode(F.array(*[
+        F.struct(F.lit(num).cast("long").alias("q_num"),
+                 F.lit(den).cast("long").alias("q_den"),
+                 F.col(f"__q_{num}_{den}").alias("value"))
+        for num, den in quantiles
+    ])).alias("__e")
+    return row.select(*group_cols, F.col("__t"), cellsx).select(
+        *group_cols,
+        F.col("__e.q_num").alias("q_num"),
+        F.col("__e.q_den").alias("q_den"),
+        F.col("__e.value").alias("value"),
+        F.col("__t").alias("total_weight"),
     )

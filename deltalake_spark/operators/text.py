@@ -709,3 +709,94 @@ def readability_stats(
                F.col("total_syllables")).alias("flesch_group"),
         "n_hard",
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve with hapax tracking — the
+    corpus-scaling diagnostic every tokenizer/dedup decision leans on:
+    at each of ``n_checkpoints`` id cutpoints, how many documents and
+    running tokens have been seen, how large the distinct vocabulary
+    has grown, and how many of the corpus's hapax legomena (tokens
+    occurring exactly once overall) have appeared.
+
+    Exactness/scale contract: checkpoints are the integer cutpoints
+    ``floor(max_id·k/n)`` (ONE 1-scalar collect compiled to literals —
+    no rank window over the doc frame, no one-row joins); "token first
+    seen" is ``min(id)`` per token — a plain aggregate; every
+    checkpoint statistic is a conditional integer aggregate over the
+    token/doc frames. Nothing is ordered row-by-row, so the operator
+    is two hash aggregates + one conditional-agg pass regardless of
+    corpus size; TTR is the only IEEE division.
+
+    Output: one row per checkpoint —
+    ``(k, cut_id, docs_seen, tokens_total, vocab, hapax_seen, ttr)``.
+    """
+    if n_checkpoints < 1:
+        raise ValueError("n_checkpoints must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))),
+                          r"\s+")).alias("__w"))
+    max_id = df.groupBy().agg(
+        F.max(F.col(id_col)).alias("m")).collect()[0]["m"]
+    if max_id is None:
+        raise ValueError("empty corpus")
+    cuts = [(k, int(max_id) * k // n_checkpoints)
+            for k in range(1, n_checkpoints + 1)]
+
+    # per-token: first doc + total corpus count (hapax = total 1);
+    # per-doc: token count. Both skinny frames union into ONE tagged
+    # frame reduced by a single conditional aggregate — no 1x1 join
+    # (which would plan as BroadcastNestedLoopJoin), no second pass
+    tok_stats = toks.groupBy("__w").agg(
+        F.min("__id").alias("__a"),
+        F.count(F.lit(1)).alias("__b")).select(
+        F.lit("w").alias("__kind"), "__a", "__b")
+    per_doc = toks.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n")).select(
+        F.lit("d").alias("__kind"), F.col("__id").alias("__a"),
+        F.col("__n").alias("__b"))
+    tagged = tok_stats.unionByName(per_doc)
+    is_w = F.col("__kind") == "w"
+    is_d = F.col("__kind") == "d"
+    aggs = []
+    for k, c in cuts:
+        within = F.col("__a") <= c
+        aggs += [
+            F.sum((is_w & within).cast("long")).alias(f"__v{k}"),
+            F.sum((is_w & within & (F.col("__b") == 1))
+                  .cast("long")).alias(f"__h{k}"),
+            F.sum((is_d & within).cast("long")).alias(f"__d{k}"),
+            F.sum(F.when(is_d & within, F.col("__b"))
+                  .otherwise(F.lit(0))).alias(f"__t{k}"),
+        ]
+    row = tagged.groupBy().agg(*aggs)
+    cells = F.explode(F.array(*[
+        F.struct(
+            F.lit(k).cast("long").alias("k"),
+            F.lit(c).cast("long").alias("cut_id"),
+            F.col(f"__d{k}").alias("docs_seen"),
+            F.col(f"__t{k}").alias("tokens_total"),
+            F.col(f"__v{k}").alias("vocab"),
+            F.col(f"__h{k}").alias("hapax_seen"),
+        ) for k, c in cuts
+    ])).alias("__c")
+    out = row.select(cells).select(
+        F.col("__c.k").alias("k"),
+        F.col("__c.cut_id").alias("cut_id"),
+        F.col("__c.docs_seen").alias("docs_seen"),
+        F.col("__c.tokens_total").alias("tokens_total"),
+        F.col("__c.vocab").alias("vocab"),
+        F.col("__c.hapax_seen").alias("hapax_seen"),
+        F.when(F.col("__c.tokens_total") > 0,
+               F.col("__c.vocab").cast("double")
+               / F.col("__c.tokens_total").cast("double"))
+        .alias("ttr"),
+    )
+    return out

@@ -1001,3 +1001,71 @@ class TestReadability:
         assert r["n_hard"] == 1   # only the jargon fragment
         # fragment got min-1 sentence, so totals stay finite
         assert r["total_sentences"] == 3 + 1
+
+
+class TestVocabGrowth:
+    def test_hand_corpus(self, spark):
+        from deltalake_spark.operators.text import vocab_growth
+
+        docs = [
+            (5, "a b a"),           # tokens a,b ; a twice
+            (10, "b c"),            # c new
+            (15, "c d unique"),     # d, unique new
+            (20, "a d"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r["k"]: r for r in vocab_growth(
+            df, n_checkpoints=4).collect()}
+        # cuts: 5, 10, 15, 20
+        assert out[1]["cut_id"] == 5
+        assert (out[1]["docs_seen"], out[1]["tokens_total"],
+                out[1]["vocab"]) == (1, 3, 2)
+        assert (out[2]["docs_seen"], out[2]["vocab"]) == (2, 3)
+        assert (out[3]["docs_seen"], out[3]["vocab"]) == (3, 5)
+        assert (out[4]["docs_seen"], out[4]["tokens_total"],
+                out[4]["vocab"]) == (4, 10, 5)
+        # corpus hapax: 'b'? no (x2) ; hapax = {unique} only -> first
+        # seen at doc 15
+        assert [out[k]["hapax_seen"] for k in (1, 2, 3, 4)] == \
+            [0, 0, 1, 1]
+        assert out[4]["ttr"] == 5 / 10
+
+    def test_monotone_and_python_parity(self, spark):
+        import random
+
+        from deltalake_spark.operators.text import vocab_growth
+
+        rng = random.Random(31)
+        docs = [(i + 1, " ".join(
+            rng.choice("aa bb cc dd ee ff gg hh ii jj".split())
+            for _ in range(rng.randint(3, 9)))) for i in range(40)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = sorted((r["k"], r["docs_seen"], r["tokens_total"],
+                      r["vocab"], r["hapax_seen"]) for r in
+                     vocab_growth(df, n_checkpoints=5).collect())
+
+        from collections import Counter
+        total = Counter()
+        first = {}
+        for did, text in docs:
+            for w in text.split():
+                total[w] += 1
+                first.setdefault(w, did)
+            first = first
+        # correct first-doc: min doc containing the token
+        first = {}
+        for did, text in sorted(docs):
+            for w in text.split():
+                if w not in first:
+                    first[w] = did
+        max_id = max(d for d, _ in docs)
+        want = []
+        for k in range(1, 6):
+            c = max_id * k // 5
+            docs_seen = sum(1 for d, _ in docs if d <= c)
+            toks = sum(len(t.split()) for d, t in docs if d <= c)
+            vocab = sum(1 for w, f in first.items() if f <= c)
+            hapax = sum(1 for w, f in first.items()
+                        if f <= c and total[w] == 1)
+            want.append((k, docs_seen, toks, vocab, hapax))
+        assert out == want

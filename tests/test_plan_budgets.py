@@ -270,6 +270,15 @@ BUDGETS = {
     # r6: per-round persisted frames nest textually; runtime is one
     # degree agg + two semi-joins per peel round over cached frames
     "kcore_copurchase": (270, False),
+    # r6: tagged-union conditional agg (checkpoints are literals —
+    # no rank window, no 1x1 join)
+    "vocab_growth_docs": (2, False),
+    # r6: cell agg + cumulative window over the distinct-value frame
+    # + conditional-min agg + sort
+    "weighted_median_prices": (3, False),
+    # r6: lag window + cell count; iteration is driver-side over the
+    # alphabet-bounded cell table
+    "absorption_event_conversion": (1, False),
 }
 
 

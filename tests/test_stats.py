@@ -617,3 +617,60 @@ class TestCupedLift:
                        post_col="post", control_value="c").collect()[0]
         assert r["theta"] == 0.0
         assert r["lift_adj"] == r["lift_raw"] == 2.5
+
+
+class TestWeightedPercentile:
+    def test_hand_weights(self, spark):
+        from deltalake_spark.operators.stats import weighted_percentile
+
+        # values 10(w1) 20(w1) 30(w8): half the mass sits at 30
+        rows = [("g", 10, 1), ("g", 20, 1), ("g", 30, 8)]
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        out = {(r["q_num"], r["q_den"]): r["value"]
+               for r in weighted_percentile(
+                   df, group_cols=["g"], value_col="v",
+                   weight_col="w").collect()}
+        assert out[(1, 4)] == 30   # cum 2/10 < 1/4 until 30
+        assert out[(1, 2)] == 30
+        assert out[(3, 4)] == 30
+        # unweighted median of the VALUES would be 20 — the point
+
+    def test_exact_boundary_crossing(self, spark):
+        from deltalake_spark.operators.stats import weighted_percentile
+
+        rows = [("g", 1, 5), ("g", 2, 5)]   # cum at v=1 is exactly 1/2
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        out = {(r["q_num"], r["q_den"]): r["value"]
+               for r in weighted_percentile(
+                   df, group_cols=["g"], value_col="v",
+                   weight_col="w", quantiles=[(1, 2), (1, 1)]).collect()}
+        assert out[(1, 2)] == 1    # >= is inclusive at the boundary
+        assert out[(1, 1)] == 2
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from deltalake_spark.operators.stats import weighted_percentile
+
+        rng = random.Random(41)
+        rows = [("g", rng.randint(0, 50), rng.randint(1, 9))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "g string, v long, w long")
+        qs = [(1, 10), (1, 4), (1, 2), (9, 10)]
+        got = {(r["q_num"], r["q_den"]): (r["value"], r["total_weight"])
+               for r in weighted_percentile(
+                   df, group_cols=["g"], value_col="v",
+                   weight_col="w", quantiles=qs).collect()}
+
+        from collections import Counter
+        wsum = Counter()
+        for _, v, w in rows:
+            wsum[v] += w
+        tot = sum(wsum.values())
+        for num, den in qs:
+            cum = 0
+            for v in sorted(wsum):
+                cum += wsum[v]
+                if den * cum >= num * tot:
+                    assert got[(num, den)] == (v, tot)
+                    break

@@ -380,3 +380,62 @@ def test_cross_correlation_matches_python_moments(spark):
         dx = n * sum(a * a for a in px) - sum(px) ** 2
         dy = n * sum(b * b for b in py) - sum(py) ** 2
         assert out[lag] == num / m.sqrt(dx) / m.sqrt(dy)
+
+
+class TestMarkovAbsorption:
+    def _run(self, spark, rows, n_iter=12):
+        from deltalake_spark.operators.timeseries import (
+            markov_absorption,
+        )
+
+        df = spark.createDataFrame(rows, "u long, t long, s string")
+        return {r["state"]: r for r in markov_absorption(
+            df, entity_col="u", order_cols=["t"], state_col="s",
+            target="buy", sinks=["quit"], n_iter=n_iter).collect()}
+
+    def test_deterministic_chain(self, spark):
+        # every a goes to b, every b goes to buy: P(absorb)=1 from both
+        rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "buy"),
+                (2, 0, "a"), (2, 1, "b"), (2, 2, "buy")]
+        got = self._run(spark, rows)
+        q = 10 ** 12
+        assert got["buy"]["prob_scaled"] == q
+        assert got["b"]["prob_scaled"] == q
+        assert got["a"]["prob_scaled"] == q
+        assert got["buy"]["is_absorbing"]
+        assert not got["a"]["is_absorbing"]
+
+    def test_split_chain_matches_python_fixed_point(self, spark):
+        # from a: 2 transitions to buy, 1 to quit, 1 to a (self)
+        rows = []
+        uid = 0
+        for dest in ("buy", "buy", "quit"):
+            rows += [(uid, 0, "a"), (uid, 1, dest)]
+            uid += 1
+        rows += [(uid, 0, "a"), (uid, 1, "a"), (uid, 2, "buy")]
+        got = self._run(spark, rows, n_iter=6)
+
+        q = 10 ** 12
+        # replay: c(a,buy)=3, c(a,quit)=1, c(a,a)=1 ; n=5
+        x = {"buy": q, "quit": 0, "a": 0}
+        for _ in range(6):
+            x = dict(x, a=(3 * x["buy"] + 1 * x["quit"]
+                           + 1 * x["a"]) // 5)
+        assert got["a"]["prob_scaled"] == x["a"]
+        assert got["a"]["n_out"] == 5
+        # exact fixed point is 3/4; bounded horizon approaches from
+        # below
+        assert 0 < got["a"]["prob_scaled"] <= 0.75 * q
+
+    def test_validation(self, spark):
+        import pytest as _p
+
+        from deltalake_spark.operators.timeseries import (
+            markov_absorption,
+        )
+
+        df = spark.createDataFrame([(1, 0, "a")], "u long, t long, s string")
+        with _p.raises(ValueError):
+            markov_absorption(df, entity_col="u", order_cols=["t"],
+                              state_col="s", target="buy",
+                              sinks=[], n_iter=0)
