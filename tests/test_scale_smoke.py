@@ -655,3 +655,117 @@ def test_pagerank_mass_conserved_at_volume(spark):
     assert cnt == n
     # flooring loses < 1 unit per edge per iteration + base rounding
     assert scale * 0.999 <= total <= scale
+
+
+# ------------------------------------------------------------------- r6 ops
+
+
+def test_kcore_planted_clique_survives_at_volume(spark):
+    """200k random edges over 50k nodes (expected degree ~8, mostly
+    peeled at k=12) + a planted 20-clique: the clique must survive
+    the peel intact, and every surviving vertex must genuinely keep
+    degree >= k IN the output subgraph (internal consistency — a
+    dropped peel round would leave under-degree stragglers)."""
+    from deltalake_spark.operators.graph import k_core
+
+    rand = spark.range(200_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(50_000)).alias("src"),
+        F.pmod(F.xxhash64((F.col("id") + 1).cast("string")),
+               F.lit(50_000)).alias("dst"))
+    clique_ids = list(range(60_000, 60_020))
+    clique = spark.createDataFrame(
+        [(a, b) for a in clique_ids for b in clique_ids if a < b],
+        "src long, dst long")
+    core = k_core(rand.unionByName(clique), k=12, n_rounds=12)
+    got = {r["node"]: r["degree"] for r in core.collect()}
+    for v in clique_ids:
+        assert got.get(v, 0) >= 19      # clique edges all intact
+    assert all(d >= 12 for d in got.values())
+
+
+def test_attribution_credit_conservation_at_volume(spark):
+    """500k events, whale user owns ~30%: every journey with >= 1
+    touch hands out exactly one first-touch, one last-touch, and
+    1e12 linear units (minus bounded floor loss) — credit is
+    conserved no matter how skewed the stream."""
+    from deltalake_spark.operators.analytics import touch_attribution
+
+    ev = spark.range(500_000).select(
+        F.col("id").alias("t"),
+        F.when(F.col("id") % 10 < 3, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(2_000)))
+        .alias("u"),
+        F.when(F.col("id") % 17 == 0, F.lit("buy"))
+        .otherwise(
+            F.concat(F.lit("ch"), (F.col("id") % 5).cast("string")))
+        .alias("ch"))
+    out = touch_attribution(
+        ev, entity_col="u", order_col="t", channel_col="ch",
+        conversion_pred=(F.col("ch") == "buy")).collect()
+    tot_first = sum(r["first_touch"] for r in out)
+    tot_last = sum(r["last_touch"] for r in out)
+    tot_units = sum(r["linear_units"] for r in out)
+    n_cells = len(out)
+    # journeys with >= 1 touch == first-touch total == last-touch total
+    assert tot_first == tot_last > 10_000
+    # linear units: 1e12 per touched journey, floor loss < 1 unit/cell
+    assert 0 <= tot_first * 10 ** 12 - tot_units < 10 ** 12 * n_cells
+
+
+def test_seq_patterns_mega_user_counts_once(spark):
+    """300k events with one mega-user (~40% of volume): EXISTS
+    subsequence semantics must count each entity ONCE per pattern, so
+    no support can exceed the entity count, and a planted universal
+    'a then z' pattern hits exactly n_entities."""
+    from deltalake_spark.operators.itemsets import sequential_patterns
+
+    n_users = 500
+    base = spark.range(300_000).select(
+        F.col("id").alias("t"),
+        F.when(F.col("id") % 10 < 4, 0)
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_users)))
+        .alias("u"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))
+        .alias("s"))
+    # plant: every user opens with 'a' (t=-2) and closes with 'z'
+    users = base.select("u").distinct()
+    head = users.select((F.lit(-2)).alias("t"), "u", F.lit("a").alias("s"))
+    tail = users.select(F.lit(10_000_000).alias("t"), "u",
+                        F.lit("z").alias("s"))
+    ev = base.unionByName(head).unionByName(tail)
+    out = {(r["pattern"], r["level"]): r["support"]
+           for r in sequential_patterns(
+               ev, entity_col="u", order_col="t", state_col="s",
+               min_support=int(n_users * 0.9)).collect()}
+    n_entities = users.count()
+    assert all(sup <= n_entities for sup in out.values())
+    assert out[("a>z", 2)] == n_entities
+    assert out[("a", 1)] == n_entities and out[("z", 1)] == n_entities
+
+
+def test_weighted_percentile_matches_python_at_volume(spark):
+    """1M weighted rows: the integer crossing must agree with a
+    python reference on the aggregated weight histogram."""
+    from deltalake_spark.operators.stats import weighted_percentile
+
+    df = spark.range(1_000_000).select(
+        F.lit("g").alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+        (F.pmod(F.xxhash64((F.col("id") * 3).cast("string")),
+                F.lit(9)) + 1).alias("w"))
+    qs = [(1, 10), (1, 2), (99, 100)]
+    got = {(r["q_num"], r["q_den"]): (r["value"], r["total_weight"])
+           for r in weighted_percentile(
+               df, group_cols=["g"], value_col="v", weight_col="w",
+               quantiles=qs).collect()}
+
+    hist = {r["v"]: r["w"] for r in df.groupBy("v").agg(
+        F.sum("w").alias("w")).collect()}
+    tot = sum(hist.values())
+    for num, den in qs:
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if den * cum >= num * tot:
+                assert got[(num, den)] == (v, tot)
+                break

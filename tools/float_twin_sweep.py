@@ -50,6 +50,15 @@ FLOAT_HEAVY = [
     "rfm_customer_segments",
     "cohort_retention_weekly",
     "seasonal_event_pattern",
+    # r6 additions
+    "theilsen_daily_trend",
+    "xcorr_event_daily",
+    "cuped_event_lift",
+    "km_user_purchase_survival",
+    "readability_docs",
+    "qnorm_daily_event_values",
+    "vocab_growth_docs",
+    "bmp_pixel_stats",
 ]
 
 
