@@ -5617,6 +5617,34 @@ def _absorption_oracle_sql(n_iter: int = 12, q: int = 10 ** 12) -> str:
         """
 
 
+def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful CUSUM drift monitor (r6,
+    streaming/windowed.py:stateful_cusum): per event type, maintain
+    the exact integer (S, min S) closed-form pair across micro-batches
+    via applyInPandasWithState and emit one row per UPWARD threshold
+    crossing (re-armed when the statistic falls back) — the
+    production alerting shape of cusum_changepoint, state = three
+    scalars per key. Drained availableNow; the batch twin replays the
+    closed form with a lag-based crossing detector, value-level."""
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_cusum,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    stream = stream.withColumn(
+        "__units", F.round(F.col("value") * 100).cast("long"))
+    alarms = stateful_cusum(
+        stream, key="event_type", target_units=5200,
+        threshold_units=25000)
+    out = run_available_now(alarms, output_mode="append",
+                            shuffle_partitions=8)
+    return out.orderBy("event_type", "ts")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5841,6 +5869,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_growth_docs": vocab_growth_docs,
     "weighted_median_prices": weighted_median_prices,
     "absorption_event_conversion": absorption_event_conversion,
+    "stream_cusum_alarms": stream_cusum_alarms,
 }
 
 
@@ -10687,6 +10716,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "absorption_event_conversion": _absorption_oracle_sql(12),
+        "stream_cusum_alarms": """
+            -- batch replay of the streaming monitor: prefix-sum
+            -- closed form s = S - min(0, min S), alarm rows at
+            -- upward crossings (lag-based re-arm detector)
+            WITH ev AS (
+              SELECT event_type, epoch_ns(ts) AS t, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS u
+              FROM events
+            ), o AS (
+              SELECT event_type, t, event_id,
+                     SUM(u - 5200) OVER (PARTITION BY event_type
+                                         ORDER BY t, event_id) AS S
+              FROM ev
+            ), c AS (
+              SELECT event_type, t, event_id,
+                     S - LEAST(MIN(S) OVER (PARTITION BY event_type
+                                            ORDER BY t, event_id),
+                               0) AS cusum
+              FROM o
+            ), x AS (
+              SELECT event_type, t, cusum,
+                     LAG(cusum, 1, 0) OVER (PARTITION BY event_type
+                                            ORDER BY t, event_id)
+                       AS prev
+              FROM c
+            )
+            SELECT event_type, CAST(t AS BIGINT) AS ts,
+                   CAST(cusum AS BIGINT) AS cusum_units
+            FROM x
+            WHERE cusum > 25000 AND prev <= 25000
+            ORDER BY 1, 2
+        """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:
         #   minhash_neardup_groups, simhash_blocks, embedding_knn_join,

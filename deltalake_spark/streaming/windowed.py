@@ -45,6 +45,7 @@ __all__ = [
     "windowed_agg",
     "session_windows",
     "stateful_sessions",
+    "stateful_cusum",
     "run_available_now",
 ]
 
@@ -222,6 +223,70 @@ def stateful_sessions(
         _session_func(gap_ns),
         outputStructType=_SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_CUSUM_SCHEMA = "event_type string, ts long, cusum_units long"
+_CUSUM_STATE = "s long, mins long, alarmed boolean"
+
+
+def _cusum_func(target_units: int, threshold_units: int):
+    def fn(key, pdfs, state):
+        (etype,) = key
+        if state.exists:
+            s_run, mins, alarmed = state.get
+        else:
+            s_run, mins, alarmed = 0, 0, False
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        out = []
+        for ts, units in zip(rows["ts"], rows["__units"]):
+            s_run += int(units) - target_units
+            mins = min(mins, s_run)
+            cusum = s_run - min(mins, 0)
+            if cusum > threshold_units:
+                if not alarmed:
+                    out.append((etype, int(ts), cusum))
+                    alarmed = True
+            else:
+                alarmed = False
+        state.update((s_run, mins, alarmed))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "ts", "cusum_units"])
+
+    return fn
+
+
+def stateful_cusum(
+    stream: DataFrame,
+    *,
+    key: str = "event_type",
+    value_units_col: str = "__units",
+    target_units: int,
+    threshold_units: int,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift monitor with cross-batch state
+    (`applyInPandasWithState`) — the production shape of
+    :func:`operators.timeseries.cusum_changepoint`: per key, maintain
+    the EXACT integer pair ``(S, min S)`` (the reset recursion's
+    prefix-sum closed form) and emit one row per UPWARD alarm
+    crossing (re-armed after the statistic falls back under the
+    threshold). State is three scalars per key — O(|keys|), runs
+    unbounded.
+
+    Determinism: rows are processed per key in (ts, event_id) order
+    within each micro-batch; with in-order batch boundaries (the
+    availableNow single-file drain, or an upstream ordered source)
+    the emitted crossings are the exact batch closed-form crossings,
+    so the DuckDB twin is value-level. ``value_units_col`` must be an
+    integer units column (e.g. rounded cents).
+    """
+    return stream.groupBy(key).applyInPandasWithState(
+        _cusum_func(int(target_units), int(threshold_units)),
+        outputStructType=_CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -246,3 +246,68 @@ def test_stream_dedup_across_micro_batches(spark, event_dir):
         watermark="1000 hours"))
     base_n = spark.read.parquet(event_dir).count()
     assert out.count() == base_n
+
+
+def test_stateful_cusum_matches_batch_closed_form(spark, tmp_path):
+    """Cross-batch state: the same input split into MULTIPLE
+    micro-batches (maxFilesPerTrigger=1 over several files) must emit
+    exactly the batch closed-form crossings."""
+    import os
+
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+        stateful_cusum,
+    )
+    from pyspark.sql import functions as F
+
+    # deterministic sawtooth: drift up, crash down, repeat -> several
+    # upward crossings under re-arm semantics
+    rows = []
+    t = 0
+    for cycle in range(4):
+        for i in range(30):
+            rows.append((t, t, "k", 40.0))  # +30/step over target 10
+            t += 1
+        rows.append((t, t, "k", -2000.0))  # crash resets the statistic
+        t += 1
+    src = tmp_path / "cusum_src"
+    os.makedirs(src)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double")
+    # several files so availableNow takes multiple micro-batches;
+    # files partition CONTIGUOUS time ranges (the documented in-order
+    # batch contract — an interleaved split would feed state out of
+    # event-time order)
+    n = len(rows)
+    for part in range(4):
+        lo, hi = part * n // 4, (part + 1) * n // 4
+        df.filter((F.col("event_id") >= lo)
+                  & (F.col("event_id") < hi)) \
+            .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = read_parquet_stream(spark, str(src), nanos_cols=(),
+                                 max_files_per_trigger=1)
+    stream = stream.withColumn(
+        "__units", F.round(F.col("value") * 100).cast("long"))
+    out = run_available_now(
+        stateful_cusum(stream, key="event_type", target_units=1000,
+                       threshold_units=50000),
+        output_mode="append").collect()
+    got = sorted((r["ts"], r["cusum_units"]) for r in out)
+
+    # python closed-form replay with the same re-arm rule
+    s_run, mins, alarmed = 0, 0, False
+    want = []
+    for eid, ts, _, v in sorted(rows):
+        s_run += round(v * 100) - 1000
+        mins = min(mins, s_run)
+        c = s_run - min(mins, 0)
+        if c > 50000:
+            if not alarmed:
+                want.append((ts, c))
+                alarmed = True
+        else:
+            alarmed = False
+    assert got == want
+    assert len(want) >= 3   # the sawtooth really re-arms
