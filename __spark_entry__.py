@@ -5645,6 +5645,49 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "ts")
 
 
+def containment_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment join (r6, operators/dedup.py:
+    prefix_containment_join): every ordered pair with trigram-shingle
+    containment |A∩B|/|A| >= 3/4 — the asymmetric quote/subset
+    question Jaccard misses. A-side rarest-first prefixes probe the
+    full token table (short posting lists by construction), size
+    filter before the pair dedup, map-side array_intersect verify.
+    Brute-force completeness pinned in tests; the oracle is the naive
+    exact ordered-pair join."""
+    from deltalake_spark.operators.dedup import (
+        prefix_containment_join,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    pairs = prefix_containment_join(
+        docs, id_col="doc_id", tokens_col="sh",
+        threshold_num=3, threshold_den=4)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def silhouette_embedding_clusters(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Simplified silhouette (r6, operators/clustering.py:
+    simplified_silhouette): cluster-quality scores for the SAME
+    2-iteration fixed-point k-means the kmeans gate runs — per
+    cluster, silhouette histogram bins, min/max, and the exact
+    integer within-cluster squared-distance sum. Every output is
+    order-independent (integer bin counts, min/max, integer sum), so
+    the twin replays the identical 2-round recursion + the s formula
+    with NO rounding tolerance."""
+    from deltalake_spark.operators.clustering import (
+        kmeans_fit,
+        simplified_silhouette,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned, centroids = kmeans_fit(emb, k=8, n_iter=2)
+    out = simplified_silhouette(assigned, centroids)
+    return out.orderBy("cid")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5870,6 +5913,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median_prices": weighted_median_prices,
     "absorption_event_conversion": absorption_event_conversion,
     "stream_cusum_alarms": stream_cusum_alarms,
+    "containment_doc_pairs": containment_doc_pairs,
+    "silhouette_embedding_clusters": silhouette_embedding_clusters,
 }
 
 
@@ -10747,6 +10792,144 @@ def oracle_sql() -> dict[str, str]:
             FROM x
             WHERE cusum > 25000 AND prev <= 25000
             ORDER BY 1, 2
+        """,
+        "containment_doc_pairs": """
+            -- naive exact ordered-pair replay of the containment join
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents
+            ), sh0 AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+              WHERE len(t) >= 3
+            ), tok AS (
+              SELECT DISTINCT doc_id, g FROM sh0
+            ), sz AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM tok GROUP BY 1
+            ), shared AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM tok a JOIN tok b
+                ON a.g = b.g AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT s.id_a, s.id_b, sa.n AS n_a, sb.n AS n_b, s.inter,
+                   CAST(s.inter AS DOUBLE) / CAST(sa.n AS DOUBLE)
+                     AS containment
+            FROM shared s
+            JOIN sz sa ON sa.doc_id = s.id_a
+            JOIN sz sb ON sb.doc_id = s.id_b
+            WHERE 4 * s.inter >= 3 * sa.n
+            ORDER BY s.id_a, s.id_b
+        """,
+        "silhouette_embedding_clusters": """
+            -- same 2-round Lloyd replay as kmeans_cluster_stats, then
+            -- the simplified-silhouette formula per point; outputs
+            -- are order-independent (bins / min / max / integer sum)
+            WITH q AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS pos,
+                     CAST(ROUND(unnest(CAST(embedding AS DOUBLE[]))
+                                * 1000000) AS BIGINT) AS qe
+              FROM embeddings
+            ), init AS (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cid
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), c0 AS (
+              SELECT i.cid, q.pos, q.qe AS ce
+              FROM init i JOIN q USING (vec_id)
+            ), a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c0 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), m1 AS (
+              SELECT a1.cid, q.pos,
+                     CAST(ROUND(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS ce
+              FROM a1 JOIN q USING (vec_id) GROUP BY a1.cid, q.pos
+            ), c1 AS (
+              SELECT c0.cid, c0.pos, COALESCE(m1.ce, c0.ce) AS ce
+              FROM c0 LEFT JOIN m1 USING (cid, pos)
+            ), a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c1 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), m2 AS (
+              SELECT a2.cid, q.pos,
+                     CAST(ROUND(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS ce
+              FROM a2 JOIN q USING (vec_id) GROUP BY a2.cid, q.pos
+            ), c2 AS (
+              SELECT c1.cid, c1.pos, COALESCE(m2.ce, c1.ce) AS ce
+              FROM c1 LEFT JOIN m2 USING (cid, pos)
+            ), a3 AS (
+              SELECT vec_id, cid, d2 FROM (
+                SELECT q.vec_id, c.cid,
+                       CAST(SUM((q.qe - c.ce) * (q.qe - c.ce))
+                            AS BIGINT) AS d2,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c2 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), dall AS (
+              SELECT q.vec_id, c.cid,
+                     CAST(SUM((q.qe - c.ce) * (q.qe - c.ce))
+                          AS BIGINT) AS d2
+              FROM q JOIN c2 c USING (pos)
+              GROUP BY 1, 2
+            ), pts AS (
+              SELECT a.vec_id, a.cid AS own_cid, a.d2 AS own_d,
+                     MIN(d.d2) AS other_d
+              FROM a3 a
+              JOIN dall d ON d.vec_id = a.vec_id
+                         AND d.cid <> a.cid
+              GROUP BY 1, 2, 3
+            ), sc AS (
+              SELECT own_cid AS cid, own_d,
+                     CASE WHEN greatest(sqrt(CAST(own_d AS DOUBLE)),
+                                        sqrt(CAST(other_d AS DOUBLE)))
+                               > 0
+                       THEN (sqrt(CAST(other_d AS DOUBLE))
+                             - sqrt(CAST(own_d AS DOUBLE)))
+                            / greatest(sqrt(CAST(own_d AS DOUBLE)),
+                                       sqrt(CAST(other_d AS DOUBLE)))
+                       ELSE 0.0 END AS s
+              FROM pts
+            )
+            SELECT CAST(cid AS INTEGER) AS cid,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(s < 0 AS BIGINT)) AS BIGINT)
+                     AS n_neg,
+                   CAST(SUM(CAST(s >= 0 AND s < 0.25 AS BIGINT))
+                        AS BIGINT) AS n_low,
+                   CAST(SUM(CAST(s >= 0.25 AND s < 0.5 AS BIGINT))
+                        AS BIGINT) AS n_mid,
+                   CAST(SUM(CAST(s >= 0.5 AND s < 0.75 AS BIGINT))
+                        AS BIGINT) AS n_high,
+                   CAST(SUM(CAST(s >= 0.75 AS BIGINT)) AS BIGINT)
+                     AS n_top,
+                   MIN(s) AS min_s, MAX(s) AS max_s,
+                   CAST(SUM(own_d) AS BIGINT) AS sum_sqdist_own
+            FROM sc GROUP BY 1 ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -94,6 +94,9 @@ EXTRA = [
     "vocab_growth_docs",           # r6: tagged-union Heaps curve
     "weighted_median_prices",      # r6: integer-crossing percentiles
     "absorption_event_conversion", # r6: absorbing-chain fixed point
+    "stream_cusum_alarms",         # r6: stateful streaming monitor
+    "containment_doc_pairs",       # r6: asymmetric containment join
+    "silhouette_embedding_clusters",  # r6: cluster-quality eval
 ]
 
 

@@ -48,6 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["quantize_to_grid", "assign_to_centroids", "kmeans_fit",
+           "simplified_silhouette",
            "dbscan_2d"]
 
 DEFAULT_SCALE = 1_000_000
@@ -337,3 +338,75 @@ def dbscan_2d(
         )
     )
     return out
+
+
+def simplified_silhouette(
+    assigned: DataFrame,
+    centroids: list[list[int]],
+    *,
+    qvec_col: str = "qvec",
+    cluster_col: str = "cid",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the O(n·k)
+    clustering-quality score (classic silhouette is O(n²), a
+    non-starter at corpus scale): per point,
+    ``a = ||x − c_own||``, ``b = min over other centroids ||x − c||``,
+    ``s = (b − a) / max(a, b)`` (0 when both are 0).
+
+    Determinism contract: distances are sqrt of EXACT integer squared
+    distances on the quantized grid; each point's ``s`` is a fixed
+    IEEE chain, and the output aggregates are all ORDER-INDEPENDENT —
+    histogram bin counts (integer comparisons on deterministic
+    doubles), min/max, and the exact integer sum of squared distances
+    — no float summation order anywhere, so the SQL twin is
+    value-level without rounding.
+
+    Map-only over the assigned frame (one centroid-literal transform,
+    shared with :func:`assign_to_centroids`'s shape) + ONE cluster
+    aggregate. Output per cluster: ``(cid, n, n_neg, n_low, n_mid,
+    n_high, n_top, min_s, max_s, sum_sqdist_own)``.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    cmat = F.array(*[
+        F.array(*[F.lit(int(v)).cast("long") for v in c])
+        for c in centroids
+    ])
+    cands = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(qvec_col), c,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    own = F.element_at(
+        F.filter(cands, lambda s_: s_["i"] == F.col(cluster_col)), 1)["d"]
+    other = F.array_min(
+        F.filter(cands, lambda s_: s_["i"] != F.col(cluster_col)))["d"]
+    a = F.sqrt(own.cast("double"))
+    b = F.sqrt(other.cast("double"))
+    sil = F.when(F.greatest(a, b) > 0,
+                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    enriched = assigned.select(
+        F.col(cluster_col).alias("cid"),
+        own.alias("__down"),
+        sil.alias("__s"))
+    return enriched.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__s") < 0).cast("long")).alias("n_neg"),
+        F.sum(((F.col("__s") >= 0) & (F.col("__s") < 0.25))
+              .cast("long")).alias("n_low"),
+        F.sum(((F.col("__s") >= 0.25) & (F.col("__s") < 0.5))
+              .cast("long")).alias("n_mid"),
+        F.sum(((F.col("__s") >= 0.5) & (F.col("__s") < 0.75))
+              .cast("long")).alias("n_high"),
+        F.sum((F.col("__s") >= 0.75).cast("long")).alias("n_top"),
+        F.min("__s").alias("min_s"),
+        F.max("__s").alias("max_s"),
+        F.sum("__down").alias("sum_sqdist_own"),
+    )

@@ -734,3 +734,95 @@ def prefix_jaccard_join(
         .select("id_a", "id_b", "n_a", "n_b", "inter",
                 (F.col("inter").cast("double") / uni).alias("jaccard"))
     )
+
+
+def prefix_containment_join(
+    df: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Prefix-filtered EXACT containment join: every ORDERED pair
+    (A, B), A != B, with ``|A ∩ B| / |A| >= num/den`` — "A is mostly
+    inside B", the asymmetric near-dup/quote/decontamination question
+    Jaccard misses (a paragraph lifted into a long document scores
+    tiny Jaccard but containment ~1).
+
+    Machinery mirrors :func:`prefix_jaccard_join` with the
+    containment-specific bounds:
+
+    - prefix: A must share ``>= ceil(α·|A|)`` tokens with B, so A's
+      rarest-first prefix of length ``|A| − ceil(α·|A|) + 1`` hits at
+      least one shared token (pigeonhole) — but B contributes its
+      FULL token list (containment has no symmetric prefix bound);
+      rarest-first keeps the probed posting lists short anyway.
+    - size filter: ``|B| >= ceil(α·|A|)`` (the intersection cannot
+      exceed |B|), applied before the pair dedup.
+    - exact verify: map-side ``array_intersect`` on the two distinct
+      token arrays; threshold test ``den·inter >= num·|A|`` in pure
+      integers.
+
+    Returns ``(id_a, id_b, n_a, n_b, inter, containment)`` where
+    ``containment`` is ONE IEEE division. Same caller cache contract
+    as prefix_jaccard_join (tok/sizes pins; release_caches after
+    materializing).
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
+
+    tok = df.select(F.col(id_col).alias("did"),
+                    F.explode(F.col(tokens_col)).alias("w")) \
+        .distinct().persist()
+    sizes = tok.groupBy("did").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sizes.persist()
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+
+    wdoc = Window.partitionBy("did").orderBy("f", "w")
+    required = F.expr(f"({num} * n + {den} - 1) div {den}")
+    prefix = (
+        tok.join(freq, "w")
+        .join(sizes, "did")
+        .withColumn("__rn", F.row_number().over(wdoc))
+        .filter(F.col("__rn") <= F.col("n") - required + 1)
+        .select("did", "w", "n")
+    )
+
+    pa = prefix.select(F.col("did").alias("id_a"), "w",
+                       F.col("n").alias("n_a"))
+    tb = tok.join(sizes, "did").select(
+        F.col("did").alias("id_b"), "w", F.col("n").alias("n_b"))
+    cand = (
+        pa.join(tb, "w")
+        .filter((F.col("id_a") != F.col("id_b"))
+                # |B| >= ceil(α|A|): den*|B| >= num*|A| is implied by
+                # den*|B| >= den*ceil(...) — use the exact form
+                & (den * F.col("n_b") >= num * F.col("n_a")))
+        .select("id_a", "id_b", "n_a", "n_b").distinct()
+    )
+
+    docs = df.select(F.col(id_col).alias("did"),
+                     F.array_distinct(F.col(tokens_col)).alias("__tk"))
+    da = docs.select(F.col("did").alias("id_a"),
+                     F.col("__tk").alias("__ta"))
+    db = docs.select(F.col("did").alias("id_b"),
+                     F.col("__tk").alias("__tb"))
+    inter = (
+        cand.join(da, "id_a").join(db, "id_b")
+        .withColumn("inter",
+                    F.size(F.array_intersect("__ta", "__tb"))
+                    .cast("long"))
+        .drop("__ta", "__tb")
+    )
+    return (
+        inter.filter(den * F.col("inter") >= num * F.col("n_a"))
+        .select("id_a", "id_b", "n_a", "n_b", "inter",
+                (F.col("inter").cast("double")
+                 / F.col("n_a").cast("double")).alias("containment"))
+    )

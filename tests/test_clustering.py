@@ -247,3 +247,71 @@ def test_dbscan_validation(spark):
     with _pytest.raises(ValueError):
         dbscan_2d(df, id_col="pid", x_col="x", y_col="y",
                   eps=1.0, min_pts=0)
+
+
+class TestSimplifiedSilhouette:
+    def test_matches_python_and_separation(self, spark):
+        import math
+        import random
+
+        from deltalake_spark.operators.clustering import (
+            simplified_silhouette,
+        )
+        from pyspark.sql import functions as F
+
+        rng = random.Random(9)
+        cents = [[0, 0], [1000, 1000]]
+        rows = []
+        for i in range(200):
+            cid = i % 2
+            base = cents[cid]
+            rows.append((i, cid,
+                         [base[0] + rng.randint(-50, 50),
+                          base[1] + rng.randint(-50, 50)]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, cid int, qvec array<long>")
+        got = {r["cid"]: r for r in simplified_silhouette(
+            df, cents).collect()}
+
+        # python replay
+        import collections
+        agg = collections.defaultdict(lambda: dict(
+            n=0, n_neg=0, n_low=0, n_mid=0, n_high=0, n_top=0,
+            mins=None, maxs=None, sd=0))
+        for _, cid, q in rows:
+            ds = [sum((a - b) ** 2 for a, b in zip(q, c))
+                  for c in cents]
+            own = ds[cid]
+            other = min(d for j, d in enumerate(ds) if j != cid)
+            a, b = math.sqrt(own), math.sqrt(other)
+            s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+            e = agg[cid]
+            e["n"] += 1
+            e["sd"] += own
+            key = ("n_neg" if s < 0 else "n_low" if s < 0.25
+                   else "n_mid" if s < 0.5 else "n_high" if s < 0.75
+                   else "n_top")
+            e[key] += 1
+            e["mins"] = s if e["mins"] is None else min(e["mins"], s)
+            e["maxs"] = s if e["maxs"] is None else max(e["maxs"], s)
+        for cid in (0, 1):
+            r, e = got[cid], agg[cid]
+            assert (r["n"], r["n_neg"], r["n_low"], r["n_mid"],
+                    r["n_high"], r["n_top"]) == \
+                (e["n"], e["n_neg"], e["n_low"], e["n_mid"],
+                 e["n_high"], e["n_top"])
+            assert r["min_s"] == e["mins"] and r["max_s"] == e["maxs"]
+            assert r["sum_sqdist_own"] == e["sd"]
+            # tight, well-separated clusters: everything scores high
+            assert r["n_top"] == r["n"]
+
+    def test_point_on_centroid_zero_guard(self, spark):
+        from deltalake_spark.operators.clustering import (
+            simplified_silhouette,
+        )
+
+        # a point exactly ON its (duplicate) centroid: a=b=0 -> s=0
+        df = spark.createDataFrame(
+            [(1, 0, [5, 5])], "vec_id long, cid int, qvec array<long>")
+        r = simplified_silhouette(df, [[5, 5], [5, 5]]).collect()[0]
+        assert r["min_s"] == r["max_s"] == 0.0

@@ -1069,3 +1069,46 @@ class TestVocabGrowth:
                         if f <= c and total[w] == 1)
             want.append((k, docs_seen, toks, vocab, hapax))
         assert out == want
+
+
+class TestContainmentJoin:
+    def test_quote_detection_and_bruteforce(self, spark):
+        import random
+
+        from deltalake_spark.operators.dedup import (
+            prefix_containment_join,
+            word_shingles,
+        )
+        from pyspark.sql import functions as F
+
+        rng = random.Random(23)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = []
+        for i in range(60):
+            docs.append((i, " ".join(rng.choice(vocab)
+                                     for _ in range(rng.randint(8, 25)))))
+        # plant: doc 100 is a strict substring of doc 3's text
+        host = docs[3][1]
+        docs.append((100, " ".join(host.split()[2:9])))
+        df = spark.createDataFrame(docs, "doc_id long, text string") \
+            .select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+        got = {(r["id_a"], r["id_b"]): (r["inter"], r["n_a"])
+               for r in prefix_containment_join(
+                   df, id_col="doc_id", tokens_col="sh",
+                   threshold_num=4, threshold_den=5).collect()}
+        # the planted quote is fully contained
+        assert (100, 3) in got
+        inter, n_a = got[(100, 3)]
+        assert inter == n_a
+        # asymmetry: the host is NOT contained in the quote
+        assert (3, 100) not in got
+
+        # brute-force completeness (all ordered pairs)
+        sets = {r["doc_id"]: set(r["sh"]) for r in df.collect()}
+        want = set()
+        for a, sa in sets.items():
+            for b, sb in sets.items():
+                if a != b and sa and \
+                        5 * len(sa & sb) >= 4 * len(sa):
+                    want.add((a, b))
+        assert set(got) == want

@@ -279,6 +279,11 @@ BUDGETS = {
     # r6: lag window + cell count; iteration is driver-side over the
     # alphabet-bounded cell table
     "absorption_event_conversion": (1, False),
+    # r6: PPJoin-shaped containment — persisted tok/size frames nest
+    # textually; prefix x full-token join + array verify
+    "containment_doc_pairs": (15, False),
+    # r6: map-only assignment + silhouette transform + ONE cluster agg
+    "silhouette_embedding_clusters": (2, False),
 }
 
 
