@@ -5688,6 +5688,73 @@ def silhouette_embedding_clusters(spark: SparkSession,
     return out.orderBy("cid")
 
 
+def ohlc_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC + VWAP hypertable rollup (r6, operators/timeseries.py:
+    ohlc_vwap): per event type and day, open/high/low/close of the
+    cent-quantized value (open/close via min_by/max_by over the
+    (ts, event_id) struct order — ONE aggregate, no window) and the
+    user-count-weighted VWAP from exact integer sums. The twin uses
+    DuckDB's arg_min/arg_max over the same composite order."""
+    from deltalake_spark.operators.timeseries import ohlc_vwap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d"),
+        F.struct(F.col("ts"), F.col("event_id")).alias("o"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = ohlc_vwap(ev, group_cols=["event_type"], order_col="o",
+                    bucket_col="d", value_col="cents")
+    return out.select(
+        "event_type", "bucket", "n", "open", "high", "low", "close",
+        "sum_qty", F.round("vwap", 6).alias("vwap")
+    ).orderBy("event_type", "bucket")
+
+
+def activity_streaks_users(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (r6, operators/timeseries.py:
+    activity_streaks): each user's maximal consecutive-active-day
+    runs via the period − row_number constant-group trick — one
+    distinct grain aggregate, one entity window, one streak
+    aggregate; no self-joins. Top 50 longest streaks (ties by user,
+    start) keep the output stable."""
+    from deltalake_spark.operators.timeseries import activity_streaks
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 86400000000000").alias("d"))
+    out = activity_streaks(ev, entity_col="user_id", period_col="d")
+    return out.orderBy(F.desc("length"), "user_id",
+                       "streak_start").limit(50)
+
+
+def twa_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (r6, operators/timeseries.py:
+    time_weighted_average): LOCF integral of each event type's
+    cent value over second-grain timestamps — the honest gauge mean
+    for irregular sampling (plain AVG over-weights bursts). The
+    stream first collapses to UNIQUE seconds (last value per second
+    by event_id — gauge semantics, and it makes the LOCF lead
+    deterministic); exact integer numerator (cents × seconds held),
+    ONE IEEE division."""
+    from deltalake_spark.operators.timeseries import (
+        time_weighted_average,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 1000000000").alias("sec"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    grain = ev.groupBy("event_type", "sec").agg(
+        F.max_by("cents", "event_id").alias("cents"))
+    out = time_weighted_average(
+        grain, group_cols=["event_type"], time_col="sec",
+        value_col="cents")
+    return out.select(
+        "event_type", "n", "t_first", "t_last", "twa_num", "span",
+        F.round("twa", 6).alias("twa")).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5915,6 +5982,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cusum_alarms": stream_cusum_alarms,
     "containment_doc_pairs": containment_doc_pairs,
     "silhouette_embedding_clusters": silhouette_embedding_clusters,
+    "ohlc_daily_values": ohlc_daily_values,
+    "activity_streaks_users": activity_streaks_users,
+    "twa_event_values": twa_event_values,
 }
 
 
@@ -10930,6 +11000,77 @@ def oracle_sql() -> dict[str, str]:
                    MIN(s) AS min_s, MAX(s) AS max_s,
                    CAST(SUM(own_d) AS BIGINT) AS sum_sqdist_own
             FROM sc GROUP BY 1 ORDER BY 1
+        """,
+        "ohlc_daily_values": """
+            WITH ev AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     epoch_ns(ts) AS t, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_type, CAST(d AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(FIRST(cents ORDER BY t, event_id)
+                        AS BIGINT) AS open,
+                   CAST(MAX(cents) AS BIGINT) AS high,
+                   CAST(MIN(cents) AS BIGINT) AS low,
+                   CAST(LAST(cents ORDER BY t, event_id)
+                        AS BIGINT) AS close,
+                   CAST(COUNT(*) AS BIGINT) AS sum_qty,
+                   round(CAST(SUM(cents) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 6) AS vwap
+            FROM ev GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "activity_streaks_users": """
+            WITH grain AS (
+              SELECT DISTINCT user_id,
+                     epoch_ns(ts) // 86400000000000 AS d
+              FROM events
+            ), keyed AS (
+              SELECT user_id, d,
+                     d - ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY d) AS grp
+              FROM grain
+            )
+            SELECT user_id, CAST(MIN(d) AS BIGINT) AS streak_start,
+                   CAST(MAX(d) AS BIGINT) AS streak_end,
+                   CAST(COUNT(*) AS BIGINT) AS length
+            FROM keyed GROUP BY user_id, grp
+            ORDER BY length DESC, user_id, streak_start LIMIT 50
+        """,
+        "twa_event_values": """
+            WITH ev AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 1000000000 AS sec, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), grain AS (
+              SELECT event_type, sec,
+                     arg_max(cents, event_id) AS cents
+              FROM ev GROUP BY 1, 2
+            ), led AS (
+              SELECT event_type, sec, cents,
+                     LEAD(sec) OVER (PARTITION BY event_type
+                                     ORDER BY sec) AS nxt
+              FROM grain
+            ), agg AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(MIN(sec) AS BIGINT) AS t_first,
+                     CAST(MAX(sec) AS BIGINT) AS t_last,
+                     CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL
+                            THEN cents * (nxt - sec) ELSE 0 END), 0)
+                          AS BIGINT) AS twa_num
+              FROM led GROUP BY 1
+            )
+            SELECT event_type, n, t_first, t_last, twa_num,
+                   CAST(t_last - t_first AS BIGINT) AS span,
+                   CASE WHEN t_last - t_first > 0 THEN
+                     round(CAST(twa_num AS DOUBLE)
+                           / CAST(t_last - t_first AS DOUBLE), 6)
+                   END AS twa
+            FROM agg ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

@@ -47,6 +47,9 @@ __all__ = [
     "theil_sen",
     "cross_correlation",
     "markov_absorption",
+    "ohlc_vwap",
+    "activity_streaks",
+    "time_weighted_average",
 ]
 
 
@@ -715,3 +718,131 @@ def markov_absorption(
     return spark.createDataFrame(
         rows, "state string, is_absorbing boolean, n_out long, "
               "prob_scaled long")
+
+
+def ohlc_vwap(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    bucket_col: str,
+    value_col: str,
+    qty_col: str | None = None,
+) -> DataFrame:
+    """OHLC candlestick + VWAP per time bucket — the hypertable rollup
+    every monitoring/finance pipeline runs: open/close are the
+    first/last values in ``order_col`` order (``min_by``/``max_by`` —
+    one aggregate, no window), high/low are min/max, and VWAP is the
+    quantity-weighted mean ``Σ v·q / Σ q`` from EXACT integer sums
+    with ONE trailing IEEE division (null when the bucket's quantity
+    is zero). Without ``qty_col`` every row weighs 1 (plain mean, same
+    exactness).
+
+    Scale shape: ONE hash aggregate over the detail rows (min_by/
+    max_by carry (order, value) pairs through the partial combine);
+    output is the bucket grain. ``order_col`` must be unique within a
+    bucket (include a tiebreaker in its construction) for
+    deterministic open/close.
+
+    Output: ``(group..., bucket, n, open, high, low, close,
+    sum_qty, vwap)`` — value columns in input units (cast to long).
+    """
+    v = F.col(value_col).cast("long")
+    q = (F.col(qty_col).cast("long") if qty_col is not None
+         else F.lit(1).cast("long"))
+    o = F.col(order_col)
+    agg = df.groupBy(*group_cols, F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by(v, o).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, o).alias("close"),
+        F.sum(q).alias("sum_qty"),
+        F.sum(v * q).alias("__pq"),
+    )
+    return agg.select(
+        *group_cols, "bucket", "n", "open", "high", "low", "close",
+        "sum_qty",
+        F.when(F.col("sum_qty") > 0,
+               F.col("__pq").cast("double")
+               / F.col("sum_qty").cast("double")).alias("vwap"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: each entity's maximal runs of CONSECUTIVE
+    active periods (the retention/engagement streak metric). The
+    classic trick: within an entity, consecutive periods share the
+    constant ``period − row_number`` (one window), so a streak is one
+    group of that difference — no self-joins, no iteration.
+
+    Scale shape: one distinct aggregate to the (entity, period)
+    grain, one entity-keyed window (row_number), one streak
+    aggregate. All exact integers.
+
+    Output: one row per streak —
+    ``(entity, streak_start, streak_end, length)``.
+    """
+    w = Window.partitionBy(entity_col).orderBy("__p")
+    grain = df.select(F.col(entity_col),
+                      F.col(period_col).cast("long").alias("__p")) \
+        .distinct()
+    keyed = grain.withColumn(
+        "__grp", F.col("__p") - F.row_number().over(w))
+    return (
+        keyed.groupBy(entity_col, "__grp")
+        .agg(F.min("__p").alias("streak_start"),
+             F.max("__p").alias("streak_end"),
+             F.count(F.lit(1)).alias("length"))
+        .drop("__grp")
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average over an IRREGULARLY-sampled series
+    (TimescaleDB ``time_weight('LOCF')`` semantics): each sample
+    holds its value until the next sample, so
+    ``TWA = Σ v_i·(t_{i+1} − t_i) / (t_n − t_0)`` — the honest mean
+    for gauges sampled on change, where the plain AVG over-weights
+    bursts.
+
+    The integral numerator is an EXACT integer sum (value units ×
+    time units — mind the 2^63 domain: quantize coarse grains first
+    for century-long nanosecond series); the average is ONE IEEE
+    division. One entity-keyed window (lead) + one aggregate.
+
+    Output: ``(group..., n, t_first, t_last, twa_num, span, twa)``;
+    groups with a single sample have zero span and a null twa.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("__t")
+    d = df.select(*group_cols,
+                  F.col(time_col).cast("long").alias("__t"),
+                  F.col(value_col).cast("long").alias("__v"))
+    led = d.withColumn("__tn", F.lead("__t").over(w))
+    agg = led.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__t").alias("t_first"),
+        F.max("__t").alias("t_last"),
+        F.sum(F.when(F.col("__tn").isNotNull(),
+                     F.col("__v") * (F.col("__tn") - F.col("__t")))
+              .otherwise(F.lit(0))).alias("twa_num"),
+    )
+    span = F.col("t_last") - F.col("t_first")
+    return agg.select(
+        *group_cols, "n", "t_first", "t_last", "twa_num",
+        span.alias("span"),
+        F.when(span > 0,
+               F.col("twa_num").cast("double") / span.cast("double"))
+        .alias("twa"),
+    )

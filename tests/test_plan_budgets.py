@@ -284,6 +284,12 @@ BUDGETS = {
     "containment_doc_pairs": (15, False),
     # r6: map-only assignment + silhouette transform + ONE cluster agg
     "silhouette_embedding_clusters": (2, False),
+    # r6: ONE bucket aggregate (min_by/max_by carry the order) + sort
+    "ohlc_daily_values": (2, False),
+    # r6: distinct grain + entity window + streak agg + TakeOrdered
+    "activity_streaks_users": (2, False),
+    # r6: second-grain agg + lead window + group agg (shared sort)
+    "twa_event_values": (3, False),
 }
 
 

@@ -439,3 +439,109 @@ class TestMarkovAbsorption:
             markov_absorption(df, entity_col="u", order_cols=["t"],
                               state_col="s", target="buy",
                               sinks=[], n_iter=0)
+
+
+class TestOhlcVwap:
+    def test_hand_bucket(self, spark):
+        from deltalake_spark.operators.timeseries import ohlc_vwap
+
+        rows = [("g", 0, 1, 10, 2), ("g", 0, 2, 30, 1),
+                ("g", 0, 3, 20, 3), ("g", 1, 4, 5, 1)]
+        df = spark.createDataFrame(
+            rows, "g string, b long, t long, v long, q long")
+        out = {r["bucket"]: r for r in ohlc_vwap(
+            df, group_cols=["g"], order_col="t", bucket_col="b",
+            value_col="v", qty_col="q").collect()}
+        r = out[0]
+        assert (r["open"], r["high"], r["low"], r["close"]) == \
+            (10, 30, 10, 20)
+        assert r["sum_qty"] == 6
+        assert r["vwap"] == (10 * 2 + 30 * 1 + 20 * 3) / 6
+        assert out[1]["open"] == out[1]["close"] == 5
+
+    def test_unweighted_and_zero_qty(self, spark):
+        from deltalake_spark.operators.timeseries import ohlc_vwap
+
+        rows = [("g", 0, 1, 10, 0), ("g", 0, 2, 20, 0)]
+        df = spark.createDataFrame(
+            rows, "g string, b long, t long, v long, q long")
+        r = ohlc_vwap(df, group_cols=["g"], order_col="t",
+                      bucket_col="b", value_col="v",
+                      qty_col="q").collect()[0]
+        assert r["vwap"] is None            # zero quantity -> null
+        r2 = ohlc_vwap(df, group_cols=["g"], order_col="t",
+                       bucket_col="b", value_col="v").collect()[0]
+        assert r2["vwap"] == 15.0           # unweighted mean
+
+
+class TestActivityStreaks:
+    def test_hand_streaks(self, spark):
+        from deltalake_spark.operators.timeseries import (
+            activity_streaks,
+        )
+
+        rows = [(1, d) for d in (3, 4, 5, 9, 10, 20)] + \
+               [(2, d) for d in (7, 7, 8)]       # dup period deduped
+        df = spark.createDataFrame(rows, "u long, d long")
+        out = sorted((r["u"], r["streak_start"], r["streak_end"],
+                      r["length"])
+                     for r in activity_streaks(
+                         df, entity_col="u", period_col="d").collect())
+        assert out == [(1, 3, 5, 3), (1, 9, 10, 2), (1, 20, 20, 1),
+                       (2, 7, 8, 2)]
+
+    def test_matches_python_at_volume(self, spark):
+        import random
+
+        from deltalake_spark.operators.timeseries import (
+            activity_streaks,
+        )
+
+        rng = random.Random(17)
+        active = {(u, d) for u in range(50)
+                  for d in range(60) if rng.random() < 0.5}
+        df = spark.createDataFrame(sorted(active), "u long, d long")
+        got = sorted((r["u"], r["streak_start"], r["length"])
+                     for r in activity_streaks(
+                         df, entity_col="u", period_col="d").collect())
+        want = []
+        for u in range(50):
+            days = sorted(d for (uu, d) in active if uu == u)
+            i = 0
+            while i < len(days):
+                j = i
+                while j + 1 < len(days) and days[j + 1] == days[j] + 1:
+                    j += 1
+                want.append((u, days[i], j - i + 1))
+                i = j + 1
+        assert got == sorted(want)
+
+
+class TestTimeWeightedAverage:
+    def test_locf_integral(self, spark):
+        from deltalake_spark.operators.timeseries import (
+            time_weighted_average,
+        )
+
+        # value 10 held for 8 units, then 50 for 2 units: TWA = 18
+        rows = [("g", 0, 10), ("g", 8, 50), ("g", 10, 0)]
+        df = spark.createDataFrame(rows, "g string, t long, v long")
+        r = time_weighted_average(
+            df, group_cols=["g"], time_col="t",
+            value_col="v").collect()[0]
+        assert r["twa_num"] == 10 * 8 + 50 * 2
+        assert r["span"] == 10
+        assert r["twa"] == 18.0
+        # plain mean would say 20 — the whole point
+        assert r["n"] == 3
+
+    def test_single_sample_null(self, spark):
+        from deltalake_spark.operators.timeseries import (
+            time_weighted_average,
+        )
+
+        df = spark.createDataFrame([("g", 5, 7)], "g string, t long, v long")
+        r = time_weighted_average(
+            df, group_cols=["g"], time_col="t",
+            value_col="v").collect()[0]
+        assert r["span"] == 0 and r["twa"] is None
