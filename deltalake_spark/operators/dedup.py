@@ -417,8 +417,12 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        # pointer-jumping: label := label(label) — halves path lengths so
-        # convergence is O(log diameter) rounds, not O(diameter)
+        # pointer-jumping: label := label(label) — halves path lengths
+        # so convergence is O(log diameter) rounds, not O(diameter).
+        # (Applying the jump k>1 times per round looks tempting for
+        # chain-shaped components, but each jump self-joins the
+        # un-materialized labels frame, so the within-round plan — and
+        # its execution — grows 2^k-fold; measured strictly slower.)
         l2 = labels.select(F.col("node").alias("n2"),
                            F.col("label").alias("parent"))
         labels = (
@@ -431,7 +435,11 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        labels = labels.localCheckpoint(eager=True)  # cut lineage growth
+        # cut lineage growth; LAZY so the convergence probe right
+        # below materializes the checkpoint in the SAME job — an
+        # eager checkpoint spent one extra scheduled job per round,
+        # which dominated wall time on small cluster graphs
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -59,6 +59,10 @@ FLOAT_HEAVY = [
     "qnorm_daily_event_values",
     "vocab_growth_docs",
     "bmp_pixel_stats",
+    "containment_doc_pairs",
+    "silhouette_embedding_clusters",
+    "ohlc_daily_values",
+    "twa_event_values",
 ]
 
 
