@@ -267,9 +267,12 @@ BUDGETS = {
     # r6: per-user agg + one arm agg (pooled moments are literals —
     # no one-row NLJ crossJoin)
     "cuped_event_lift": (2, False),
-    # r6: per-round persisted frames nest textually; runtime is one
-    # degree agg + two semi-joins per peel round over cached frames
-    "kcore_copurchase": (270, False),
+    # r6: per-round persisted frames nest textually, and HOW MUCH
+    # they nest depends on which subtrees the session's CacheManager
+    # already holds (259 standalone, ~290 inside the full suite) —
+    # the load-bearing assertions are no-NLJ/no-cartesian, so the
+    # textual cap carries a wide margin
+    "kcore_copurchase": (450, False),
     # r6: tagged-union conditional agg (checkpoints are literals —
     # no rank window, no 1x1 join)
     "vocab_growth_docs": (2, False),
