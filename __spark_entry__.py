@@ -5755,6 +5755,57 @@ def twa_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("twa", 6).alias("twa")).orderBy("event_type")
 
 
+def token_gini_concentration(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Vocabulary concentration (r6 composition gate): Gini + HHI of
+    the corpus token-frequency distribution per language — how
+    head-heavy each language's vocabulary usage is (the Zipf-shape
+    summary a tokenizer budget decision needs). Pure composition of
+    operators/stats.py:gini_concentration over the token-count frame;
+    one explode+count shuffle, then rank windows over the KB-scale
+    vocabulary."""
+    from deltalake_spark.operators.stats import gini_concentration
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                          r"\s+")).alias("tok"))
+    out = gini_concentration(toks.withColumn("one", F.lit(1)),
+                             key_col="tok", value_col="one",
+                             group_cols=["lang"])
+    return out.select(
+        "lang", "n_keys", "total",
+        F.round("gini", 8).alias("gini"),
+        F.round("hhi", 8).alias("hhi")).orderBy("lang")
+
+
+def burstiness_event_volumes(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Burstiness (r6 composition gate): Fano factor (index of
+    dispersion, var/mean) and the Barabási burstiness coefficient
+    ``(σ−μ)/(σ+μ)`` of each event type's DAILY volume — Poisson-like
+    traffic scores ~1/negative, bursty traffic higher. Exact integer
+    daily counts; population moments via the SQL-standard aggregates
+    with the same rounding contract as the other moment twins."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"))
+    x = F.col("n").cast("double")
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total"),
+        F.avg(x).alias("__mu"),
+        F.var_pop(x).alias("__var"))
+    sd = F.sqrt(F.col("__var"))
+    return agg.select(
+        "event_type", "n_days", "total",
+        F.round(F.col("__var") / F.col("__mu"), 6).alias("fano"),
+        F.round((sd - F.col("__mu")) / (sd + F.col("__mu")), 6)
+        .alias("burstiness")).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5985,6 +6036,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_daily_values": ohlc_daily_values,
     "activity_streaks_users": activity_streaks_users,
     "twa_event_values": twa_event_values,
+    "token_gini_concentration": token_gini_concentration,
+    "burstiness_event_volumes": burstiness_event_volumes,
 }
 
 
@@ -11071,6 +11124,48 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(t_last - t_first AS DOUBLE), 6)
                    END AS twa
             FROM agg ORDER BY 1
+        """,
+        "token_gini_concentration": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\\s+')) AS tok
+              FROM documents
+            ), k AS (
+              SELECT lang, tok, CAST(COUNT(*) AS DOUBLE) AS x
+              FROM toks GROUP BY 1, 2
+            ), r AS (
+              SELECT lang, x,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY x, tok) AS i
+              FROM k
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_keys,
+                   SUM(x) AS total,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 8) AS gini,
+                   round(sum(x * x) / (sum(x) * sum(x)), 8) AS hhi
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "burstiness_event_volumes": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), a AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(n) AS BIGINT) AS total,
+                     AVG(CAST(n AS DOUBLE)) AS mu,
+                     var_pop(CAST(n AS DOUBLE)) AS v
+              FROM daily GROUP BY 1
+            )
+            SELECT event_type, n_days, total,
+                   round(v / mu, 6) AS fano,
+                   round((sqrt(v) - mu) / (sqrt(v) + mu), 6)
+                     AS burstiness
+            FROM a ORDER BY 1
         """,
         # no oracle (rows-only checks) — LSH bucketing / sketches are not
         # SQL-expressible with portable hashing:

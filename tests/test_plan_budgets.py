@@ -293,6 +293,10 @@ BUDGETS = {
     "activity_streaks_users": (2, False),
     # r6: second-grain agg + lead window + group agg (shared sort)
     "twa_event_values": (3, False),
+    # r6: token-count agg + rank window over the KB vocab + lang agg
+    "token_gini_concentration": (3, False),
+    # r6: daily-grain agg + moment agg + sort
+    "burstiness_event_volumes": (3, False),
 }
 
 
