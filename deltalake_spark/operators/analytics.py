@@ -25,10 +25,10 @@ that reduced frame, whose size is the entity count, not event volume.
 (distinct on (entity, period) — one hash shuffle with partial
 combine); the first-period aggregate and the cohort join both run
 keyed by entity on the distinct frame. ``rfm_segments`` reduces to
-one row per customer, then sorts that frame three times (one window
-per metric) — for billions of entities the ntile windows are global
-sorts; swap in percent_rank over pre-aggregated histograms if the
-entity frame itself is too large to sort, documented below.
+one row per customer, then scores that frame three times via
+DISTRIBUTED exact global ranks (:mod:`.ranking`) — range shuffles,
+never a single-partition ntile sort, so the scoring survives
+billion-entity frames unchanged.
 """
 
 from __future__ import annotations
@@ -120,19 +120,27 @@ def rfm_segments(
     exact integer cents. Scores are ``buckets+1 − ntile(buckets)``
     so 5 is always "best" (most recent / most frequent / highest
     spend). ntile's bucket boundaries depend on the total order, so
-    each window orders by (metric, entity id) — deterministic and
+    each metric ranks by (metric, entity id) — deterministic and
     replayable on any engine with standard ntile semantics (first
     ``n mod k`` buckets take the extra rows; Spark and DuckDB agree).
 
     Plan shape: one entity-keyed hash aggregate over the fact table
-    (partial combine), then three windows over the per-entity frame —
-    each a sort of #entities rows, NOT fact rows. At billion-entity
-    scale replace ntile with percent_rank cuts over a pre-aggregated
-    metric histogram; at fact scale nothing changes.
+    (partial combine); then, instead of ``ntile() OVER (ORDER BY …)``
+    (whose plan is a SINGLE-partition sort of every entity), each
+    score comes from a DISTRIBUTED exact global rank
+    (:func:`operators.ranking.with_global_rank`: range shuffle +
+    partition-local row_number + a collected per-partition count
+    prefix) mapped through the ntile identity
+    ``ntile(k) = (rank−1)·k div n + 1`` — bit-identical output to the
+    window form at any scale, with no single-partition exchange. The
+    three per-metric score frames re-join the entity frame on the
+    entity key (hash joins, AQE-eligible).
 
     Output: one row per (r_score, f_score, m_score) with
     ``n_customers`` and ``total_cents``.
     """
+    from deltalake_spark.operators.ranking import with_global_rank
+
     if buckets < 2:
         raise ValueError("buckets must be >= 2")
     base = df.groupBy(entity_col).agg(
@@ -142,19 +150,35 @@ def rfm_segments(
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.round(F.col(amount_col) * 100).cast("long"))
         .alias("cents"),
-    )
+    ).persist()
     k = int(buckets)
-    w_r = Window.orderBy(F.col("recency_days").asc(),
-                         F.col(entity_col).asc())
-    w_f = Window.orderBy(F.col("frequency").desc(),
-                         F.col(entity_col).asc())
-    w_m = Window.orderBy(F.col("cents").desc(), F.col(entity_col).asc())
-    scored = base.select(
-        entity_col,
-        "cents",
-        (F.lit(k + 1) - F.ntile(k).over(w_r)).alias("r_score"),
-        (F.lit(k + 1) - F.ntile(k).over(w_f)).alias("f_score"),
-        (F.lit(k + 1) - F.ntile(k).over(w_m)).alias("m_score"),
+    n = base.count()
+    if n == 0:
+        raise ValueError("empty input")
+
+    def score_frame(metric: str, ascending: bool, out: str) -> DataFrame:
+        order = [
+            F.col(metric).asc() if ascending else F.col(metric).desc(),
+            F.col(entity_col).asc(),
+        ]
+        ranked = with_global_rank(
+            base.select(entity_col, metric), order)
+        # ntile(k) over a total order == (rank-1)*k div n + 1, so
+        # score = k+1 - ntile = k - (rank-1)*k div n (exact integers)
+        return ranked.select(
+            entity_col,
+            (F.lit(k) - F.expr(f"((__rank - 1) * {k}L) div {n}L"))
+            .cast("int").alias(out),
+        )
+
+    r = score_frame("recency_days", True, "r_score")
+    f = score_frame("frequency", False, "f_score")
+    m = score_frame("cents", False, "m_score")
+    scored = (
+        base.select(entity_col, "cents")
+        .join(r, entity_col)
+        .join(f, entity_col)
+        .join(m, entity_col)
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -488,3 +488,20 @@ def test_golden_records_gate_join_shapes(spark):
     s = plan_summary(df)
     assert s.cartesian_products == 0
     assert s.nested_loop_joins == 0
+
+
+def test_rfm_gate_no_single_partition_exchange(spark):
+    """RFM gate (r6 verdict ask #2): the quintile scoring must come from
+    the distributed global-rank path — a ``ntile() OVER (ORDER BY …)``
+    regression shows up as an ``Exchange SinglePartition`` funneling the
+    whole entity frame through one task. Pin its absence, plus the usual
+    join-shape invariants; range exchanges (the rank partitioner + the
+    final orderBy) are the expected shape."""
+    df = entry_mod.queries()["rfm_customer_segments"](spark, SF)
+    s = plan_summary(df)
+    assert "Exchange SinglePartition" not in s.text
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    # the ranked frames are persisted (range layout pinned for the
+    # offset collect) — the joins must read the cached layout back
+    assert "InMemoryTableScan" in s.text
