@@ -366,8 +366,11 @@ def simplified_silhouette(
     aggregate. Output per cluster: ``(cid, n, n_neg, n_low, n_mid,
     n_high, n_top, min_s, max_s, sum_sqdist_own)``.
     """
-    if not centroids:
-        raise ValueError("centroids must be non-empty")
+    if len(centroids) < 2:
+        # silhouette is undefined for k=1: the "other centroid" distance
+        # would be array_min over an empty array (null s, rows silently
+        # missing from every histogram bin) — fail loudly instead
+        raise ValueError("simplified_silhouette needs >= 2 centroids")
     cmat = F.array(*[
         F.array(*[F.lit(int(v)).cast("long") for v in c])
         for c in centroids

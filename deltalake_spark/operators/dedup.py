@@ -31,6 +31,48 @@ from pyspark.sql.window import Window
 # 32-bit Mersenne prime — universal-hash family (a*x + b) mod p
 _PRIME = 2_147_483_647
 
+# portable word-hash range: 28 bits keeps the 3-word polynomial combine
+# ((h1*31 + h2)*31 + h3 < 2^38) inside exact int64/DOUBLE on any engine
+_PORTABLE_WORD_SPACE = 1 << 28
+
+
+def portable_hash60(c: Column) -> Column:
+    """Cross-engine deterministic 60-bit string hash: the first 15 hex
+    digits of md5, parsed as an integer. md5 is byte-identical in every
+    engine (standard algorithm over UTF-8), and 60 bits stays positive
+    in int64 — DuckDB replays it as
+    ``CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)``.
+
+    This is the twin-able counterpart of ``F.hash``/``F.xxhash64``
+    (Spark-private Murmur3/XXH64 seeds — fast but unreplayable outside
+    the JVM). Use it when a gate needs a value-level SQL oracle; keep
+    the native hashes for pure-Spark hot paths."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_word_shingle_hashes(text_col: Column, k: int = 3) -> Column:
+    """Portable variant of :func:`word_shingle_hashes`: words hashed
+    with :func:`portable_hash60` (folded to 28 bits), k consecutive
+    word hashes combined with the same base-31 polynomial — pure
+    integer array math both engines replay exactly. One md5 per TOKEN
+    (not per shingle), same cost shape as the native path."""
+    tokens = F.split(F.trim(text_col), r"\s+")
+    wh = F.transform(
+        tokens,
+        lambda w: F.pmod(portable_hash60(w),
+                         F.lit(_PORTABLE_WORD_SPACE).cast("long")),
+    )
+    n = F.size(wh)
+    length = F.greatest(n - (k - 1), F.lit(1))
+    combined = F.slice(wh, 1, length)
+    for offset in range(1, k):
+        nxt = F.slice(wh, 1 + offset, length)
+        combined = F.zip_with(
+            combined, nxt,
+            lambda a, b: a * F.lit(31).cast("long") + F.coalesce(b, F.lit(0)),
+        )
+    return combined
+
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the universal hash family."""

@@ -828,6 +828,7 @@ def best_gini_split(
     label_col: str,
     feature_cols: list[str],
     score_scale: int = 10 ** 12,
+    max_thresholds: int = 100_000,
 ) -> DataFrame:
     """Exact best univariate split per feature — the CART decision-
     stump step: for each candidate threshold v (every distinct feature
@@ -852,15 +853,22 @@ def best_gini_split(
     windows over that frame build every candidate split; one argmax
     aggregate. The detail table is scanned once per feature, nothing
     else scales with N. The global-sort window runs over the DISTINCT
-    VALUE frame only (bounded — quantize/bucket continuous features
-    first if their cardinality approaches N). Domain:
-    ``score_scale·n²`` inside 38 digits (n up to ~3e12 at default).
+    VALUE frame only — ENFORCED: a feature whose distinct-value count
+    exceeds ``max_thresholds`` raises at runtime (quantize/bucket
+    continuous features first; the "quantize first" contract is a
+    guard, not an assumption). Numeric domain: the scored numerator is
+    ``score_scale·((pL²+qL²)·nR + (pR²+qR²)·nL)`` ~ ``score_scale·n³``,
+    which must stay inside decimal(38,0) — n up to ~3e8 rows at the
+    default scale (reduce ``score_scale`` to widen); an overflow (null
+    score) raises at runtime instead of silently skewing the argmax.
 
     Output: one row per feature —
     ``(feature, n, n_pos, threshold, score_units, n_left, pos_left)``.
     """
     if score_scale < 1:
         raise ValueError("score_scale must be >= 1")
+    if max_thresholds < 1:
+        raise ValueError("max_thresholds must be >= 1")
     y = F.col(label_col).cast("long")
     outs = []
     for feat in feature_cols:
@@ -877,6 +885,9 @@ def best_gini_split(
             .withColumn("__pL", F.sum("__p").over(w))
             .withColumn("__n", F.sum("__c").over(g))
             .withColumn("__pT", F.sum("__p").over(g))
+            # cardinality of the distinct-value frame (= the window
+            # frame), for the guard folded into the score below
+            .withColumn("__nd", F.count(F.lit(1)).over(g))
             .filter(F.col("__nL") < F.col("__n"))  # right side non-empty
         )
         dec = "decimal(38,0)"
@@ -889,7 +900,33 @@ def best_gini_split(
         a = F.lit(int(score_scale)).cast(dec) * (
             (pL * pL + qL * qL) * nR + (pR * pR + qR * qR) * nL)
         den = nL * nR
-        score = ((a - a % den) / den).cast("long")
+        raw = (a - a % den) / den
+        # guards live INSIDE the score expression (a free-standing guard
+        # column would be pruned): (1) cardinality — refuse unquantized
+        # high-cardinality features instead of crawling and mis-ranking;
+        # (2) decimal(38,0) overflow — a null numerator would otherwise
+        # silently vanish from the argmax (non-ANSI) instead of failing
+        score = (
+            F.when(
+                F.col("__nd") > F.lit(int(max_thresholds)),
+                F.raise_error(F.concat(
+                    F.lit(f"best_gini_split: feature {feat!r} has "),
+                    F.col("__nd").cast("string"),
+                    F.lit(f" distinct values > max_thresholds="
+                          f"{int(max_thresholds)}; quantize/bucket "
+                          f"it first"))).cast(dec),
+            )
+            .when(
+                raw.isNull(),
+                F.raise_error(F.lit(
+                    "best_gini_split: null score — decimal(38,0) "
+                    "overflow (score_scale*n^3 domain: n up to ~3e8 at "
+                    "the default scale; reduce score_scale) or null "
+                    "labels")).cast(dec),
+            )
+            .otherwise(raw)
+            .cast("long")
+        )
         scored = cum.withColumn("__score", score)
         best = scored.groupBy().agg(
             F.first("__n").alias("__ntot"),
@@ -993,11 +1030,22 @@ def cuped_lift(
     # pooled moments: ONE 3-scalar driver collect compiled back as
     # literals (the corpus-stats precedent) — a one-row broadcast
     # crossJoin would plan as BroadcastNestedLoopJoin, which the
-    # repo-wide plan budgets forbid
+    # repo-wide plan budgets forbid. The same collect validates the
+    # 2-arm contract: the treatment-side F.first aggregates below
+    # would silently mix arms on >2-arm input (partition-order pick).
     prow = df.groupBy().agg(
+        F.count_distinct(F.col(arm_col)).alias("n_arms"),
+        F.sum(F.when(F.col(arm_col) == F.lit(control_value), 1)
+              .otherwise(0)).alias("n_ctrl"),
         F.covar_pop(x, y).alias("cxy"),
         F.var_pop(x).alias("vx"),
         F.avg(x).alias("mx")).collect()[0]
+    if prow["n_arms"] != 2 or not prow["n_ctrl"]:
+        raise ValueError(
+            f"cuped_lift is a 2-arm readout: need exactly one control "
+            f"({control_value!r}) and one treatment arm, got "
+            f"{prow['n_arms']} distinct arm value(s) with "
+            f"{prow['n_ctrl']} control row(s)")
     theta_v = (prow["cxy"] / prow["vx"]) if (
         prow["vx"] is not None and prow["vx"] > 0) else 0.0
     j = df.groupBy(arm_col).agg(

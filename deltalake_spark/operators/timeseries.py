@@ -591,7 +591,9 @@ def cross_correlation(
     Output: ``(group..., lag, n_pairs, xcorr)``; ``xcorr`` is NULL
     for degenerate (zero-variance) windows.
     """
-    if not lags or any(lag < 0 for lag in lags):
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    if any(lag < 0 for lag in lags):
         raise ValueError("lags must be >= 0")
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     x = F.col(x_col).cast("long")
@@ -821,6 +823,12 @@ def time_weighted_average(
     time units — mind the 2^63 domain: quantize coarse grains first
     for century-long nanosecond series); the average is ONE IEEE
     division. One entity-keyed window (lead) + one aggregate.
+
+    Contract: ``time_col`` must be UNIQUE within each group — with
+    duplicate timestamps the LOCF ``lead`` order (and therefore which
+    value holds the interval) depends on physical row placement.
+    Pre-collapse duplicates first (e.g. ``max_by``/``avg`` per
+    timestamp, as the gate query does with its per-second grain).
 
     Output: ``(group..., n, t_first, t_last, twa_num, span, twa)``;
     groups with a single sample have zero span and a null twa.

@@ -228,33 +228,35 @@ def stateful_sessions(
     )
 
 
-_CUSUM_SCHEMA = "event_type string, ts long, cusum_units long"
 _CUSUM_STATE = "s long, mins long, alarmed boolean"
 
 
-def _cusum_func(target_units: int, threshold_units: int):
+def _cusum_func(target_units: int, threshold_units: int, *,
+                key_col: str, value_units_col: str, time_col: str,
+                tiebreak_col: str):
+    out_cols = [key_col, time_col, "cusum_units"]
+
     def fn(key, pdfs, state):
-        (etype,) = key
+        (kval,) = key
         if state.exists:
             s_run, mins, alarmed = state.get
         else:
             s_run, mins, alarmed = 0, 0, False
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        rows = pd.concat(list(pdfs)).sort_values([time_col, tiebreak_col])
         out = []
-        for ts, units in zip(rows["ts"], rows["__units"]):
+        for ts, units in zip(rows[time_col], rows[value_units_col]):
             s_run += int(units) - target_units
             mins = min(mins, s_run)
             cusum = s_run - min(mins, 0)
             if cusum > threshold_units:
                 if not alarmed:
-                    out.append((etype, int(ts), cusum))
+                    out.append((kval, int(ts), cusum))
                     alarmed = True
             else:
                 alarmed = False
         state.update((s_run, mins, alarmed))
         if out:
-            yield pd.DataFrame(
-                out, columns=["event_type", "ts", "cusum_units"])
+            yield pd.DataFrame(out, columns=out_cols)
 
     return fn
 
@@ -264,6 +266,8 @@ def stateful_cusum(
     *,
     key: str = "event_type",
     value_units_col: str = "__units",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
     target_units: int,
     threshold_units: int,
 ) -> DataFrame:
@@ -276,16 +280,29 @@ def stateful_cusum(
     threshold). State is three scalars per key — O(|keys|), runs
     unbounded.
 
-    Determinism: rows are processed per key in (ts, event_id) order
-    within each micro-batch; with in-order batch boundaries (the
-    availableNow single-file drain, or an upstream ordered source)
-    the emitted crossings are the exact batch closed-form crossings,
-    so the DuckDB twin is value-level. ``value_units_col`` must be an
-    integer units column (e.g. rounded cents).
+    Determinism: rows are processed per key in (``time_col``,
+    ``tiebreak_col``) order within each micro-batch; with in-order
+    batch boundaries (the availableNow single-file drain, or an
+    upstream ordered source) the emitted crossings are the exact
+    batch closed-form crossings, so the DuckDB twin is value-level.
+    ``value_units_col`` must be an integer units column (e.g. rounded
+    cents); ``time_col`` must be long nanos. The output schema is
+    derived from the stream: ``(key as its stream type, time_col
+    long, cusum_units long)``.
     """
+    fields = {f.name: f.dataType.simpleString()
+              for f in stream.schema.fields}
+    missing = [c for c in (key, value_units_col, time_col, tiebreak_col)
+               if c not in fields]
+    if missing:
+        raise ValueError(f"stateful_cusum: stream is missing column(s) "
+                         f"{missing}; have {sorted(fields)}")
+    out_schema = f"{key} {fields[key]}, {time_col} long, cusum_units long"
     return stream.groupBy(key).applyInPandasWithState(
-        _cusum_func(int(target_units), int(threshold_units)),
-        outputStructType=_CUSUM_SCHEMA,
+        _cusum_func(int(target_units), int(threshold_units),
+                    key_col=key, value_units_col=value_units_col,
+                    time_col=time_col, tiebreak_col=tiebreak_col),
+        outputStructType=out_schema,
         stateStructType=_CUSUM_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
