@@ -504,14 +504,20 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate groups (no SQL oracle —
-    rows-only check). See deltalake_spark.operators.dedup."""
+    """MinHash+LSH near-duplicate candidate groups (r7: value-level
+    DuckDB twin). hash_mode='portable' derives every hash from md5
+    integer arithmetic (word hash → base-31 shingle combine →
+    (a·h+b) mod p permutation minima → md5-of-concat band keys), so
+    the oracle replays the ENTIRE shingle→minhash→band→bucket recursion
+    value-for-value — same plan shape and recall family as the native
+    Murmur3 path (recall floor pinned in tests/test_rowsonly_recall.py).
+    See deltalake_spark.operators.dedup."""
     from deltalake_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
     groups = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
-        num_hashes=32, bands=8, shingle_size=5,
+        num_hashes=32, bands=8, shingle_size=5, hash_mode="portable",
     )
     # stringify the array so the driver's pandas canonicalizer can hash it
     return groups.select(
@@ -524,23 +530,33 @@ def minhash_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash prefix blocking (rows-only check)."""
+    """SimHash prefix blocking (r7: value-level DuckDB twin).
+    hash_mode='portable' builds a 60-bit fingerprint from md5-derived
+    shingle hashes with exact-integer ±1 bit sums, so the oracle
+    replays fingerprint AND blocking bit-for-bit; prefix recall floor
+    pinned in tests/test_rowsonly_recall.py."""
     from deltalake_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
     blocks = simhash_candidates(docs, id_col="doc_id", text_col="text",
-                                prefix_bits=12)
+                                prefix_bits=12, hash_mode="portable")
     return blocks.select(
         "block",
         F.array_join(
             F.transform(F.col("member_ids"), lambda x: x.cast("string")), ","
         ).alias("member_ids"),
         "group_size",
-    )
+    ).orderBy("block")
 
 
 def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked batch kNN self-join over embeddings (rows-only).
+    """LSH-blocked batch kNN self-join over embeddings (r7: value-level
+    DuckDB twin). exact_sketch=True buckets with the quantized INTEGER
+    sign sketch (micro-unit vectors · integer plane literals — zero
+    float sign hazard), so the oracle replays bucketing, cosine scores
+    (sequential double folds, round 6) and the per-query ranking
+    exactly. Planted-near-dup recall pinned in
+    tests/test_rowsonly_recall.py.
 
     Query and neighbor ids carry distinct output names so downstream
     consumers (and the driver's canonicalizer) never see duplicate labels.
@@ -552,8 +568,8 @@ def embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
     return pairwise_topk_join(
         left, right, left_id="query_id", right_id="neighbor_id",
-        k=3, num_planes=8,
-    )
+        k=3, num_planes=8, exact_sketch=True,
+    ).orderBy("query_id", "rank")
 
 
 def quality_score_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,20 +2202,42 @@ def wav_rms_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_int_centroids(spark: SparkSession, sf_dir: str, *, k: int,
+                          iters: int) -> list:
+    """Fixed-point k-means codebook per dataset (kmeans_fit: quantized
+    Lloyd over the FULL embeddings table — the distributed training
+    path), trained once per session like _cached_centroids. The integer
+    grid is a pure function of the data, so the IVF gate's oracle can
+    replay training + probe in SQL (same CTE recursion as the
+    kmeans_cluster_stats twin)."""
+    from deltalake_spark.operators.clustering import kmeans_fit
+
+    key = ("int", os.path.abspath(sf_dir), k, iters)
+    if key not in _CENTROID_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        _CENTROID_CACHE[key] = kmeans_fit(emb, k=k, n_iter=iters)[1]
+    return _CENTROID_CACHE[key]
+
+
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate kNN join over the embeddings table: k-means coarse
-    quantizer (driver-trained on a sample), bucket equi-join probe with
-    nprobe=4 of 8 buckets. Approximate → rows-only check; recall vs brute
-    force is asserted in tests/test_ivf.py."""
-    from deltalake_spark.operators.similarity import ivf_topk_join
+    """IVF approximate kNN join over the embeddings table (r7:
+    value-level DuckDB twin): fixed-point k-means coarse quantizer
+    (kmeans_fit over the full table — the same SQL-replayable Lloyd
+    recursion as kmeans_cluster_stats), EXACT-integer bucket routing
+    (ivf_topk_join_q), bucket equi-join probe with nprobe=4 of 8
+    buckets. The oracle replays training, assignment, probes and the
+    round-6 cosine ranking value-for-value; probe recall vs the
+    exhaustive twin stays pinned in tests/test_rowsonly_recall.py and
+    tests/test_ivf.py."""
+    from deltalake_spark.operators.similarity import ivf_topk_join_q
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = _cached_centroids(spark, sf_dir, k=8, iters=4, sample=2048)
+    centroids = _cached_int_centroids(spark, sf_dir, k=8, iters=2)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.select(
         F.col("vec_id").alias("corpus_id"), "embedding"
     )
-    return ivf_topk_join(
+    return ivf_topk_join_q(
         queries, corpus, centroids,
         query_id="vec_id", corpus_id="corpus_id", k=10, nprobe=4,
     ).orderBy("vec_id", "rank")
@@ -6143,6 +6181,266 @@ def _jl_oracle() -> str:
                round(avg(p7), 4) AS avg_p7,
                CAST(sum(abs(p0)) AS BIGINT) AS abs_p0
         FROM p GROUP BY 1 ORDER BY 1
+    """
+
+
+def _minhash_oracle() -> str:
+    """DuckDB twin of minhash_neardup_groups: replays the ENTIRE
+    portable recursion — md5 word hashes (28-bit), base-31 3-word
+    shingle combine with the same short-document null-padding, the
+    (a·h+b) mod p permutation minima from the SAME _hash_params(32)
+    literals, md5-of-concat band keys, and the sorted/capped bucket
+    grouping — value-for-value."""
+    from deltalake_spark.operators.dedup import (
+        _PORTABLE_WORD_SPACE,
+        _PRIME,
+        _hash_params,
+    )
+
+    params = _hash_params(32)
+    mins = ",\n                     ".join(
+        f"MIN((h * {a} + {b}) % {_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    # 8 bands x 4 rows: band key = 'm0|m1|m2|m3' etc.
+    band_rows = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, m{i0}||'|'||m{i1}||'|'||m{i2}"
+        "||'|'||m{i3} AS bkey FROM sig".format(
+            b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
+        for b in range(8))
+    return f"""
+        WITH wh AS (
+          SELECT doc_id,
+                 list_transform(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+                        % {_PORTABLE_WORD_SPACE}) AS wh
+          FROM documents
+        ), sh AS (
+          -- 3-word base-31 polynomial combine; out-of-range -> 0 pad,
+          -- mirroring Spark's slice+zip_with(coalesce) on short docs
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(wh) - 2, 1) + 1),
+                   i -> wh[i] * 961
+                        + COALESCE(wh[i + 1], 0) * 31
+                        + COALESCE(wh[i + 2], 0))) AS shs
+          FROM wh
+        ), e AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(shs, s -> s % {_PRIME})) AS h
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+                     {mins}
+          FROM e GROUP BY doc_id
+        ), bands AS (
+              {band_rows}
+        ), hashed AS (
+          SELECT doc_id, band,
+                 CAST(('0x' || substr(md5(bkey), 1, 15)) AS BIGINT)
+                     AS band_hash
+          FROM bands
+        )
+        SELECT band, band_hash,
+               array_to_string(
+                 list_sort(list(DISTINCT doc_id))[1:1000], ',')
+                   AS member_ids,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM hashed GROUP BY 1, 2 HAVING COUNT(*) > 1
+        ORDER BY band, band_hash
+    """
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_blocks: replays the portable 60-bit
+    SimHash — md5 4-char-shingle hashes, per-bit exact-integer ±1
+    sums, fingerprint reassembly from strictly-positive bits, 12-bit
+    top-prefix blocking — bit-for-bit."""
+    bits = 60
+    bit_sums = ",\n                 ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits))
+    fp = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits))
+    return f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   range(1, greatest(len(text) - 3, 1) + 1),
+                   i -> CAST(('0x' || substr(
+                          md5(substr(text, CAST(i AS INT), 4)),
+                          1, 15)) AS BIGINT))) AS h
+          FROM documents
+        ), bits AS (
+          SELECT doc_id,
+                 {bit_sums}
+          FROM sh GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id,
+                 {fp} AS simhash
+          FROM bits
+        )
+        SELECT simhash >> {bits - 12} AS block,
+               array_to_string(list_sort(list(doc_id)), ',')
+                   AS member_ids,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM fp GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY block
+    """
+
+
+_COS6 = ("ROUND(list_dot_product(CAST({a} AS DOUBLE[]),"
+         " CAST({b} AS DOUBLE[]))"
+         " / (sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]),"
+         " x -> x * x)))"
+         " * sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]),"
+         " x -> x * x)))), 6)")
+
+
+def _knn_join_oracle() -> str:
+    """DuckDB twin of embedding_knn_join: the SAME integer plane
+    literals the Spark side folds into rh_sketch_q — exact-integer
+    sign buckets (micro-unit vectors · integer planes, |dot| ≈ 2^48,
+    exact in both BIGINT and DOUBLE), bucket self-join, round-6 cosine,
+    per-query (score DESC, id ASC) top-3."""
+    from deltalake_spark.operators.similarity import rh_planes_q
+
+    planes = rh_planes_q(64, 8, 42)
+    sketch = "\n                 + ".join(
+        "(CASE WHEN list_dot_product(qv, [{lits}]) >= 0"
+        " THEN {bit} ELSE 0 END)".format(
+            lits=",".join(str(c) for c in plane), bit=1 << i)
+        for i, plane in enumerate(planes))
+    cos = _COS6.format(a="a.embedding", b="b.embedding")
+    return f"""
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+          FROM embeddings
+        ), sk AS (
+          SELECT vec_id, embedding,
+                 {sketch} AS sk
+          FROM q
+        ), cand AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {cos} AS score
+          FROM sk a JOIN sk b ON a.sk = b.sk
+        ), r AS (
+          SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, score, rank
+        FROM r WHERE rank <= 3 ORDER BY query_id, rank
+    """
+
+
+# the kmeans_cluster_stats fixed-point Lloyd replay (quantize ->
+# assign(c0) -> mean -> assign(c1) -> mean -> c2), shared verbatim by
+# the IVF twin below — k=8, 2 rounds, ties -> lowest cid, empty
+# clusters keep their previous centroid
+_LLOYD_CTES = """
+          q AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) AS pos,
+                     CAST(ROUND(unnest(CAST(embedding AS DOUBLE[]))
+                                * 1000000) AS BIGINT) AS qe
+              FROM embeddings
+            ), init AS (
+              SELECT vec_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                          AS INTEGER) AS cid
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ), c0 AS (
+              SELECT i.cid, q.pos, q.qe AS ce
+              FROM init i JOIN q USING (vec_id)
+            ), a1 AS (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c0 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), m1 AS (
+              SELECT a1.cid, q.pos,
+                     CAST(ROUND(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS ce
+              FROM a1 JOIN q USING (vec_id) GROUP BY a1.cid, q.pos
+            ), c1 AS (
+              SELECT c0.cid, c0.pos, COALESCE(m1.ce, c0.ce) AS ce
+              FROM c0 LEFT JOIN m1 USING (cid, pos)
+            ), a2 AS (
+              SELECT vec_id, cid FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c1 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), m2 AS (
+              SELECT a2.cid, q.pos,
+                     CAST(ROUND(CAST(SUM(q.qe) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS ce
+              FROM a2 JOIN q USING (vec_id) GROUP BY a2.cid, q.pos
+            ), c2 AS (
+              SELECT c1.cid, c1.pos, COALESCE(m2.ce, c1.ce) AS ce
+              FROM c1 LEFT JOIN m2 USING (cid, pos)
+            )"""
+
+
+def _ivf_ann_oracle() -> str:
+    """DuckDB twin of ivf_ann_topk: replays the fixed-point Lloyd
+    training (the kmeans_cluster_stats CTE recursion, k=8, 2 rounds),
+    then the EXACT-integer IVF routing — corpus argmin bucket, query
+    top-4 probe buckets (both ranked by BIGINT squared distance, ties
+    to the lowest cid) — and the round-6 cosine top-10 per query."""
+    cos = _COS6.format(a="eq.embedding", b="ec.embedding")
+    return f"""
+        WITH {_LLOYD_CTES}, cq AS (
+              -- corpus: argmin bucket over the trained grid
+              SELECT vec_id AS corpus_id, cid AS b FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c2 c USING (pos)
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn = 1
+            ), qp AS (
+              -- queries: nprobe=4 nearest buckets
+              SELECT vec_id, cid AS b FROM (
+                SELECT q.vec_id, c.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.vec_id
+                         ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                                  c.cid) AS rn
+                FROM q JOIN c2 c USING (pos)
+                WHERE q.vec_id % 50 = 0
+                GROUP BY q.vec_id, c.cid
+              ) WHERE rn <= 4
+            ), cand AS (
+              SELECT qp.vec_id, cq.corpus_id,
+                     {cos} AS score
+              FROM qp JOIN cq ON qp.b = cq.b
+              JOIN embeddings eq ON eq.vec_id = qp.vec_id
+              JOIN embeddings ec ON ec.vec_id = cq.corpus_id
+            ), r AS (
+              SELECT vec_id, corpus_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY score DESC, corpus_id ASC) AS rank
+              FROM cand
+            )
+        SELECT vec_id, corpus_id, score, rank
+        FROM r WHERE rank <= 10 ORDER BY vec_id, rank
     """
 
 
@@ -11167,8 +11465,12 @@ def oracle_sql() -> dict[str, str]:
                      AS burstiness
             FROM a ORDER BY 1
         """,
-        # no oracle (rows-only checks) — LSH bucketing / sketches are not
-        # SQL-expressible with portable hashing:
-        #   minhash_neardup_groups, simhash_blocks, embedding_knn_join,
-        #   ivf_ann_topk (approximate; exact twin: ivf_exhaustive_topk)
+        # r7: the four formerly rows-only gates now run on portable /
+        # exact-integer hashing, so their full recursions replay in SQL
+        # (generator functions — literal parameters shared with the
+        # Spark expressions):
+        "minhash_neardup_groups": _minhash_oracle(),
+        "simhash_blocks": _simhash_oracle(),
+        "embedding_knn_join": _knn_join_oracle(),
+        "ivf_ann_topk": _ivf_ann_oracle(),
     }

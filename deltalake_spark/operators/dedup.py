@@ -178,6 +178,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     max_bucket: int = 1000,
     shingle_mode: str = "word",
+    hash_mode: str = "native",
 ) -> DataFrame:
     """Near-duplicate candidate groups via MinHash + LSH banding.
 
@@ -185,8 +186,22 @@ def minhash_lsh_candidates(
     for buckets with >1 member. ``max_bucket`` caps pathological buckets
     (boilerplate) so downstream pair-verification doesn't explode — capped
     buckets are still reported, truncation is visible in group_size.
+
+    ``hash_mode='native'`` (default) hashes shingles and bands with
+    Spark's Murmur3 — the fast pure-Spark path.
+    ``hash_mode='portable'`` (word shingles only) swaps BOTH hash sites
+    for :func:`portable_hash60` arithmetic (md5-derived word hashes →
+    base-31 polynomial shingle combine → the same ``(a·h+b) mod p``
+    permutation minima → md5-of-concat band keys), making the whole
+    candidate derivation a pure integer function any SQL engine replays
+    value-for-value — the gate query's DuckDB twin. Identical plan
+    shape and recall family; ~equal cost (one md5 per token).
     """
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    if hash_mode not in ("native", "portable"):
+        raise ValueError("hash_mode must be 'native' or 'portable'")
+    if hash_mode == "portable" and shingle_mode != "word":
+        raise ValueError("portable hash_mode supports word shingles only")
     rows_per_band = num_hashes // bands
     params = _hash_params(num_hashes, seed)
 
@@ -194,26 +209,40 @@ def minhash_lsh_candidates(
     # makes the shuffle num_docs x num_hashes longs (tiny), and Spark's
     # vectorized hash agg computes the permutation minima ~3x faster than
     # a per-row higher-order-function fold (measured at sf0.1).
-    if shingle_mode == "word":
-        sh = word_shingle_hashes(F.col(text_col), 3)
+    if hash_mode == "portable":
+        sh = portable_word_shingle_hashes(F.col(text_col), 3)
+        exploded_sh = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(sh)).alias("__sh"),
+        ).select(
+            "__id",
+            F.pmod(F.col("__sh"), F.lit(_PRIME).cast("long")).alias("__h"),
+        )
     else:
-        sh = char_shingles(F.col(text_col), shingle_size)
-    exploded_sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(sh)).alias("__sh"),
-    ).select("__id", F.abs(F.hash("__sh")).cast("long").alias("__h"))
+        if shingle_mode == "word":
+            sh = word_shingle_hashes(F.col(text_col), 3)
+        else:
+            sh = char_shingles(F.col(text_col), shingle_size)
+        exploded_sh = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(sh)).alias("__sh"),
+        ).select("__id", F.abs(F.hash("__sh")).cast("long").alias("__h"))
     with_sig = exploded_sh.groupBy("__id").agg(*[
         F.min((F.col("__h") * a + b) % _PRIME).alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
     ])
 
+    def _band_hash(b: int) -> Column:
+        cols = [F.col(f"__m{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if hash_mode == "portable":
+            return portable_hash60(F.concat_ws("|", *cols))
+        return F.hash(*cols).cast("long")
+
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
-            F.hash(*[
-                F.col(f"__m{i}")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ]).alias("band_hash"),
+            _band_hash(b).alias("band_hash"),
         )
         for b in range(bands)
     ])
@@ -271,21 +300,59 @@ def simhash64(text_col: Column, *, shingle_size: int = 4) -> Column:
                        lambda acc, x: acc + x)
 
 
+_PORTABLE_SIMHASH_BITS = 60
+
+
 def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
                        prefix_bits: int = 16,
-                       shingle_size: int = 4) -> DataFrame:
+                       shingle_size: int = 4,
+                       hash_mode: str = "native") -> DataFrame:
     """Block near-dup candidates by SimHash prefix (single shuffle).
 
     At scale: multiple rotations would be used to guarantee Hamming-distance
     recall; one prefix block demonstrates the layout and keeps the shuffle
     narrow.
+
+    ``hash_mode='native'``: 64-bit xxhash64 fingerprint via the per-row
+    :func:`simhash64` fold. ``hash_mode='portable'``: a 60-bit
+    fingerprint from :func:`portable_hash60` shingle hashes, built by
+    explode → per-bit ±1 hash-aggregate (map-side combined; the shuffle
+    is docs × 60 ints) — every bit sum is exact integer arithmetic a
+    SQL engine replays, giving the gate query a value-level DuckDB
+    twin. The prefix is taken from the top of the 60-bit space.
     """
-    fp = simhash64(F.col(text_col), shingle_size=shingle_size)
-    shift = 64 - prefix_bits
-    with_fp = df.select(
-        F.col(id_col).alias("__id"),
-        fp.alias("simhash"),
-    ).withColumn("block", F.shiftright("simhash", shift))
+    if hash_mode not in ("native", "portable"):
+        raise ValueError("hash_mode must be 'native' or 'portable'")
+    if hash_mode == "portable":
+        bits = _PORTABLE_SIMHASH_BITS
+        if not 0 < prefix_bits <= bits:
+            raise ValueError(f"prefix_bits must be in 1..{bits}")
+        exploded = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(char_shingles(F.col(text_col), shingle_size))
+            .alias("__s"),
+        ).select("__id", portable_hash60(F.col("__s")).alias("__h"))
+        sums = exploded.groupBy("__id").agg(*[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(1) == 1,
+                       1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ])
+        fp = F.lit(0).cast("long")
+        for i in range(bits):
+            fp = fp + F.when(F.col(f"__b{i}") > 0,
+                             F.lit(1 << i).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        with_fp = sums.select(
+            "__id", fp.alias("simhash"),
+        ).withColumn("block", F.shiftright("simhash", bits - prefix_bits))
+    else:
+        fp64 = simhash64(F.col(text_col), shingle_size=shingle_size)
+        with_fp = df.select(
+            F.col(id_col).alias("__id"),
+            fp64.alias("simhash"),
+        ).withColumn("block", F.shiftright("simhash", 64 - prefix_bits))
     return (
         with_fp.groupBy("block")
         .agg(

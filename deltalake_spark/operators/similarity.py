@@ -105,6 +105,42 @@ def rh_sketch(vec_col: Column, *, dim: int, num_planes: int = 16,
     return sketch
 
 
+def rh_sketch_q(vec_col: Column, *, dim: int, num_planes: int = 16,
+                seed: int = 42, scale: int = 1_000_000) -> Column:
+    """EXACT-integer random-hyperplane sign sketch: the vector is
+    quantized to the micro-unit grid (``round(x·scale)`` longs — the
+    :mod:`operators.clustering` determinism foundation) and dotted
+    with INTEGER plane coefficients (``round(gauss·scale)``, from the
+    same seeded planes as :func:`rh_sketch`). Every sign test is pure
+    int64 arithmetic (|dot| < dim·scale²·|x|·|g| ≈ 2^48 for unit-ish
+    vectors), so the bucketing is bit-replayable in any SQL engine —
+    no float near-zero sign hazard. Same recall family as the float
+    sketch (the quantization perturbs each hyperplane by ≤ 1e-6)."""
+    from deltalake_spark.operators.clustering import quantize_to_grid
+
+    qv = quantize_to_grid(vec_col, scale=scale)
+    sketch = F.lit(0).cast("long")
+    for i, plane in enumerate(_planes(dim, num_planes, seed)):
+        ip = [int(round(c * scale)) for c in plane]
+        p = F.array(*[F.lit(c).cast("long") for c in ip])
+        dot = F.aggregate(
+            F.zip_with(qv, p, lambda x, y: x * y),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        sketch = sketch + F.when(dot >= 0, F.lit(1 << i).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    return sketch
+
+
+def rh_planes_q(dim: int, num_planes: int, seed: int = 42,
+                scale: int = 1_000_000) -> list[list[int]]:
+    """The integer plane coefficients :func:`rh_sketch_q` folds into
+    its plan — exposed so SQL oracles embed the SAME literals."""
+    return [
+        [int(round(c * scale)) for c in plane]
+        for plane in _planes(dim, num_planes, seed)
+    ]
+
+
 def lsh_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -316,6 +352,98 @@ def ivf_topk_join(
     )
 
 
+def _probe_expr_q(int_centroids: list[list[int]], qvec_col: str,
+                  nprobe: int) -> Column:
+    """EXACT-integer top-``nprobe`` centroid probe: squared L2 on the
+    quantized grid as ``struct<d,i>`` candidates, ``array_sort`` ranks
+    ascending by (d, i) — ties to the lowest centroid id, the same
+    contract as :func:`operators.clustering.assign_to_centroids`. One
+    shared lambda over an array-of-arrays literal (the codegen-size
+    lesson from assign_to_centroids)."""
+    cmat = F.array(*[
+        F.array(*[F.lit(int(v)).cast("long") for v in c])
+        for c in int_centroids
+    ])
+    cands = F.transform(
+        cmat,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(qvec_col), c,
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("i"),
+        ),
+    )
+    ranked = F.slice(F.array_sort(cands), 1, nprobe)
+    return F.transform(ranked, lambda s: s["i"])
+
+
+def ivf_topk_join_q(
+    queries: DataFrame,
+    corpus: DataFrame,
+    int_centroids: list[list[int]],
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF approximate kNN join with an EXACT-integer coarse quantizer:
+    same bucket-equi-join shape as :func:`ivf_topk_join`, but corpus
+    assignment (argmin) and query probes (top-``nprobe``) rank exact
+    BIGINT squared distances on the micro-unit grid against INTEGER
+    centroids (e.g. from :func:`operators.clustering.kmeans_fit`) —
+    the whole routing is a pure integer function of the data, so a SQL
+    oracle replays training + probe + join value-for-value. Cosine
+    scores stay on the raw float vectors (sequential double folds,
+    round 6 — the proven twin contract).
+
+    Scale shape: identical to the float path — map-only assignment
+    against KB-scale literal centroids, equi-join on the bucket id,
+    per-query ranked window; never a cross join."""
+    from pyspark.sql.window import Window
+
+    from deltalake_spark.operators.clustering import quantize_to_grid
+
+    if query_id == corpus_id:
+        raise ValueError(
+            f"query_id and corpus_id must differ (both {query_id!r}); "
+            "alias one side before joining so output columns are unique"
+        )
+    c = corpus.select(
+        F.col(corpus_id).alias("__rid"), F.col(vec_col).alias("__rv")
+    ).withColumn("__qv", quantize_to_grid(F.col("__rv"), scale=scale))
+    c = c.withColumn(
+        "__b", _probe_expr_q(int_centroids, "__qv", 1)[0]).drop("__qv")
+    q = queries.select(
+        F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")
+    ).withColumn("__qv", quantize_to_grid(F.col("__lv"), scale=scale))
+    q = (
+        q.withColumn("__probes", _probe_expr_q(int_centroids, "__qv",
+                                               nprobe))
+        .withColumn("__b", F.explode("__probes"))
+        .drop("__probes", "__qv")
+    )
+    joined = q.join(c, "__b").withColumn(
+        "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
+    )
+    w = Window.partitionBy("__lid").orderBy(F.desc("score"), F.asc("__rid"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__lid").alias(query_id),
+            F.col("__rid").alias(corpus_id),
+            "score",
+            F.col("__rn").alias("rank"),
+        )
+    )
+
+
 def pairwise_topk_join(
     left: DataFrame,
     right: DataFrame,
@@ -326,10 +454,14 @@ def pairwise_topk_join(
     k: int = 5,
     num_planes: int = 10,
     seed: int = 42,
+    exact_sketch: bool = False,
 ) -> DataFrame:
     """Batch kNN: for every left row, top-k right rows by cosine, blocked
     by matching LSH sketch (bucket equi-join, shuffle on the sketch — never
-    a cross join)."""
+    a cross join). ``exact_sketch=True`` buckets with the quantized
+    integer sketch (:func:`rh_sketch_q`) instead of the float one —
+    identical plan shape, and the bucketing becomes a pure integer
+    function a SQL oracle replays exactly."""
     from pyspark.sql.window import Window
 
     if left_id == right_id:
@@ -338,14 +470,15 @@ def pairwise_topk_join(
             "alias one side before joining so output columns are unique"
         )
     dim = left.select(F.size(F.col(vec_col))).first()[0]
+    sk = rh_sketch_q if exact_sketch else rh_sketch
     lsk = left.select(
         F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv")
-    ).withColumn("__sk", rh_sketch(F.col("__lv"), dim=dim,
-                                   num_planes=num_planes, seed=seed))
+    ).withColumn("__sk", sk(F.col("__lv"), dim=dim,
+                            num_planes=num_planes, seed=seed))
     rsk = right.select(
         F.col(right_id).alias("__rid"), F.col(vec_col).alias("__rv")
-    ).withColumn("__sk", rh_sketch(F.col("__rv"), dim=dim,
-                                   num_planes=num_planes, seed=seed))
+    ).withColumn("__sk", sk(F.col("__rv"), dim=dim,
+                            num_planes=num_planes, seed=seed))
     joined = lsk.join(rsk, "__sk").withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
     )

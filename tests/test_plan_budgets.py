@@ -35,6 +35,16 @@ BUDGETS = {
     "variant_binary_roundtrip": (2, False),
     "percentile_prices": (2, False),
     "ivf_exhaustive_topk": (2, False),    # bucket equi-join + ranked window
+    # r7 portable/exact-hash conversions — same banded/bucketed shapes:
+    # sig agg + band-bucket agg + sort
+    "minhash_neardup_groups": (3, False),
+    # bit-sum agg + block agg + sort
+    "simhash_blocks": (3, False),
+    # sketch equi-join (broadcast at fixture scale) + window + sort
+    "embedding_knn_join": (3, False),
+    # bucket equi-join + ranked window + sort (training is cached
+    # driver-side metadata, not part of this plan)
+    "ivf_ann_topk": (3, False),
     "language_id_dist": (2, False),       # one narrow pass + agg + sort
     "fingerprint_dedup_stats": (3, False),
     "jaccard_neardup_pairs": (3, False),  # lang-blocked pairs, never cross

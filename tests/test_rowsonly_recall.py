@@ -1,15 +1,18 @@
-"""Quantified recall bounds for the four rows-only gate queries
-(minhash_neardup_groups, simhash_blocks, embedding_knn_join,
-ivf_ann_topk): their LSH/ANN hashing can't be reproduced in a DuckDB
-oracle, so these tests pin recall against exact ground truth at sf0.01
-— a silent recall collapse now fails CI instead of hiding behind a
-rows-only check.
+"""Quantified recall bounds for the four (formerly rows-only) ANN/LSH
+gate queries (minhash_neardup_groups, simhash_blocks,
+embedding_knn_join, ivf_ann_topk). Since r7 all four run on portable /
+exact-integer hashing and carry value-level DuckDB twins — the oracle
+now proves the computation is THE declared recursion, and these tests
+keep proving the recursion is a GOOD one: recall against exact ground
+truth at sf0.01, so a silent recall collapse (bad banding, broken
+probe) fails CI even though the twin would still match.
 
-Measured baselines at sf0.01 (2026-08, seed-stable synthetic data):
-minhash 1.00, simhash prefix 0.71 (banded twin 1.00 by pigeonhole),
-planted-near-dup knn ~0.85 expected (8-plane sign-LSH at cos≈0.999),
-ivf nprobe=4/8 vs exhaustive 0.80. Floors sit well below the measured
-values so only a real regression trips them.
+Measured baselines at sf0.01 (r7, portable hashing, seed-stable
+synthetic data): minhash 1.00, simhash 60-bit prefix-12 ≥ 0.55 floor
+(banded native twin 1.00 by pigeonhole), planted-near-dup knn ≥ 0.6
+floor (8 quantized sign planes at cos≈0.99), ivf nprobe=4/8 vs
+exhaustive ≥ 0.6 floor. Floors sit below the measured values so only
+a real regression trips them.
 """
 
 import collections
