@@ -6186,13 +6186,13 @@ def _jl_oracle() -> str:
 
 def _minhash_oracle() -> str:
     """DuckDB twin of minhash_neardup_groups: replays the ENTIRE
-    portable recursion — md5 word hashes (28-bit), base-31 3-word
-    shingle combine with the same short-document null-padding, the
+    portable recursion — space-joined 3-word shingles with the same
+    short-document ''-padding, 28-bit md5 shingle hashes, the
     (a·h+b) mod p permutation minima from the SAME _hash_params(32)
-    literals, md5-of-concat band keys, and the sorted/capped bucket
-    grouping — value-for-value."""
+    literals, md5-of-concat 60-bit band keys, and the sorted/capped
+    bucket grouping — value-for-value."""
     from deltalake_spark.operators.dedup import (
-        _PORTABLE_WORD_SPACE,
+        _PORTABLE_SHINGLE_HEX,
         _PRIME,
         _hash_params,
     )
@@ -6208,26 +6208,25 @@ def _minhash_oracle() -> str:
             b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
         for b in range(8))
     return f"""
-        WITH wh AS (
+        WITH wt AS (
           SELECT doc_id,
-                 list_transform(
-                   regexp_split_to_array(trim(text), '\\s+'),
-                   w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
-                        % {_PORTABLE_WORD_SPACE}) AS wh
+                 regexp_split_to_array(trim(text), '\\s+') AS w
           FROM documents
         ), sh AS (
-          -- 3-word base-31 polynomial combine; out-of-range -> 0 pad,
+          -- space-joined 3-word shingles; out-of-range -> '' pad,
           -- mirroring Spark's slice+zip_with(coalesce) on short docs
           SELECT doc_id,
                  list_distinct(list_transform(
-                   range(1, greatest(len(wh) - 2, 1) + 1),
-                   i -> wh[i] * 961
-                        + COALESCE(wh[i + 1], 0) * 31
-                        + COALESCE(wh[i + 2], 0))) AS shs
-          FROM wh
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> w[i] || ' ' || COALESCE(w[i + 1], '')
+                        || ' ' || COALESCE(w[i + 2], ''))) AS shs
+          FROM wt
         ), e AS (
           SELECT doc_id,
-                 UNNEST(list_transform(shs, s -> s % {_PRIME})) AS h
+                 UNNEST(list_transform(shs,
+                   s -> CAST(('0x' || substr(md5(s), 1,
+                              {_PORTABLE_SHINGLE_HEX})) AS BIGINT)))
+                     AS h
           FROM sh
         ), sig AS (
           SELECT doc_id,

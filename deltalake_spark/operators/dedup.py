@@ -31,9 +31,9 @@ from pyspark.sql.window import Window
 # 32-bit Mersenne prime — universal-hash family (a*x + b) mod p
 _PRIME = 2_147_483_647
 
-# portable word-hash range: 28 bits keeps the 3-word polynomial combine
-# ((h1*31 + h2)*31 + h3 < 2^38) inside exact int64/DOUBLE on any engine
-_PORTABLE_WORD_SPACE = 1 << 28
+# portable shingle-hash width: 7 md5 hex digits = 28 bits keeps the
+# permutation products (h·a, a < 2^31) inside int64 on any engine
+_PORTABLE_SHINGLE_HEX = 7
 
 
 def portable_hash60(c: Column) -> Column:
@@ -50,26 +50,23 @@ def portable_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def portable_word_shingle_hashes(text_col: Column, k: int = 3) -> Column:
-    """Portable variant of :func:`word_shingle_hashes`: words hashed
-    with :func:`portable_hash60` (folded to 28 bits), k consecutive
-    word hashes combined with the same base-31 polynomial — pure
-    integer array math both engines replay exactly. One md5 per TOKEN
-    (not per shingle), same cost shape as the native path."""
+def portable_word_shingles(text_col: Column, k: int = 3) -> Column:
+    """k-word shingle STRINGS (space-joined, out-of-range words pad to
+    ''), for the portable hash paths: hashing happens AFTER the shingle
+    explode — once per distinct shingle row, in a vectorized
+    projection — because hashing inside this array expression would be
+    inlined into every ``slice`` copy by Catalyst's project-collapse
+    and fall out of codegen (measured 3× the cost). The slices here
+    only duplicate the cheap ``split``."""
     tokens = F.split(F.trim(text_col), r"\s+")
-    wh = F.transform(
-        tokens,
-        lambda w: F.pmod(portable_hash60(w),
-                         F.lit(_PORTABLE_WORD_SPACE).cast("long")),
-    )
-    n = F.size(wh)
+    n = F.size(tokens)
     length = F.greatest(n - (k - 1), F.lit(1))
-    combined = F.slice(wh, 1, length)
+    combined = F.slice(tokens, 1, length)
     for offset in range(1, k):
-        nxt = F.slice(wh, 1 + offset, length)
+        nxt = F.slice(tokens, 1 + offset, length)
         combined = F.zip_with(
             combined, nxt,
-            lambda a, b: a * F.lit(31).cast("long") + F.coalesce(b, F.lit(0)),
+            lambda a, b: F.concat(a, F.lit(" "), F.coalesce(b, F.lit(""))),
         )
     return combined
 
@@ -190,12 +187,12 @@ def minhash_lsh_candidates(
     ``hash_mode='native'`` (default) hashes shingles and bands with
     Spark's Murmur3 — the fast pure-Spark path.
     ``hash_mode='portable'`` (word shingles only) swaps BOTH hash sites
-    for :func:`portable_hash60` arithmetic (md5-derived word hashes →
-    base-31 polynomial shingle combine → the same ``(a·h+b) mod p``
-    permutation minima → md5-of-concat band keys), making the whole
-    candidate derivation a pure integer function any SQL engine replays
-    value-for-value — the gate query's DuckDB twin. Identical plan
-    shape and recall family; ~equal cost (one md5 per token).
+    for md5 arithmetic (28-bit md5 shingle hashes applied AFTER the
+    explode → the same ``(a·h+b) mod p`` permutation minima →
+    md5-of-concat 60-bit band keys), making the whole candidate
+    derivation a pure function any SQL engine replays value-for-value —
+    the gate query's DuckDB twin. Identical plan shape and recall
+    family; one md5 per distinct shingle + one per band.
     """
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     if hash_mode not in ("native", "portable"):
@@ -210,13 +207,16 @@ def minhash_lsh_candidates(
     # vectorized hash agg computes the permutation minima ~3x faster than
     # a per-row higher-order-function fold (measured at sf0.1).
     if hash_mode == "portable":
-        sh = portable_word_shingle_hashes(F.col(text_col), 3)
+        # shingle strings exploded FIRST, md5 applied once per row (see
+        # portable_word_shingles); 28-bit hash keeps (h·a+b) < 2^59
+        sh = portable_word_shingles(F.col(text_col), 3)
         exploded_sh = df.select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(sh)).alias("__sh"),
         ).select(
             "__id",
-            F.pmod(F.col("__sh"), F.lit(_PRIME).cast("long")).alias("__h"),
+            F.conv(F.substring(F.md5("__sh"), 1, _PORTABLE_SHINGLE_HEX),
+                   16, 10).cast("long").alias("__h"),
         )
     else:
         if shingle_mode == "word":

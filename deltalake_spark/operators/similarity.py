@@ -105,7 +105,7 @@ def rh_sketch(vec_col: Column, *, dim: int, num_planes: int = 16,
     return sketch
 
 
-def rh_sketch_q(vec_col: Column, *, dim: int, num_planes: int = 16,
+def rh_sketch_q(vec_sql: str, *, dim: int, num_planes: int = 16,
                 seed: int = 42, scale: int = 1_000_000) -> Column:
     """EXACT-integer random-hyperplane sign sketch: the vector is
     quantized to the micro-unit grid (``round(x·scale)`` longs — the
@@ -115,20 +115,33 @@ def rh_sketch_q(vec_col: Column, *, dim: int, num_planes: int = 16,
     int64 arithmetic (|dot| < dim·scale²·|x|·|g| ≈ 2^48 for unit-ish
     vectors), so the bucketing is bit-replayable in any SQL engine —
     no float near-zero sign hazard. Same recall family as the float
-    sketch (the quantization perturbs each hyperplane by ≤ 1e-6)."""
-    from deltalake_spark.operators.clustering import quantize_to_grid
+    sketch (the quantization perturbs each hyperplane by ≤ 1e-6).
 
-    qv = quantize_to_grid(vec_col, scale=scale)
-    sketch = F.lit(0).cast("long")
-    for i, plane in enumerate(_planes(dim, num_planes, seed)):
-        ip = [int(round(c * scale)) for c in plane]
-        p = F.array(*[F.lit(c).cast("long") for c in ip])
-        dot = F.aggregate(
-            F.zip_with(qv, p, lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        sketch = sketch + F.when(dot >= 0, F.lit(1 << i).cast("long")) \
-            .otherwise(F.lit(0).cast("long"))
-    return sketch
+    Takes the vector as a SQL identifier (e.g. ``"`embedding`"``) and
+    builds ONE JVM-parsed, memoized expression string — the
+    :func:`_probe_expr` py4j-avoidance pattern (num_planes×dim literal
+    ints through Column calls cost ~1s per build)."""
+    planes = rh_planes_q(dim, num_planes, seed, scale)
+    key = ("rhq", tuple(tuple(p) for p in planes), vec_sql)
+    expr = _PROBE_CACHE.get(key)
+    if expr is None:
+        qv = (f"transform(cast({vec_sql} as array<double>),"
+              f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
+        terms = []
+        for i, ip in enumerate(planes):
+            lits = ",".join(f"{int(c)}L" for c in ip)
+            dot = (f"aggregate(zip_with(v, array({lits}),"
+                   f" (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+            terms.append(f"if({dot} >= 0, {1 << i}L, 0L)")
+        # let-bind the quantized vector: a lambda variable is a bound
+        # VALUE, so the quantization runs once per row instead of being
+        # project-collapsed into every plane's dot product
+        expr = F.expr(
+            f"transform(array({qv}), v -> " + " + ".join(terms) + ")[0]")
+        if len(_PROBE_CACHE) > 64:
+            _PROBE_CACHE.clear()
+        _PROBE_CACHE[key] = expr
+    return expr
 
 
 def rh_planes_q(dim: int, num_planes: int, seed: int = 42,
@@ -352,32 +365,46 @@ def ivf_topk_join(
     )
 
 
-def _probe_expr_q(int_centroids: list[list[int]], qvec_col: str,
+def _probe_expr_q(int_centroids: list[list[int]], qvec_sql: str,
                   nprobe: int) -> Column:
     """EXACT-integer top-``nprobe`` centroid probe: squared L2 on the
     quantized grid as ``struct<d,i>`` candidates, ``array_sort`` ranks
     ascending by (d, i) — ties to the lowest centroid id, the same
-    contract as :func:`operators.clustering.assign_to_centroids`. One
-    shared lambda over an array-of-arrays literal (the codegen-size
-    lesson from assign_to_centroids)."""
-    cmat = F.array(*[
-        F.array(*[F.lit(int(v)).cast("long") for v in c])
+    contract as :func:`operators.clustering.assign_to_centroids`.
+
+    Built as ONE SQL string parsed JVM-side and memoized per codebook,
+    for the same reason as :func:`_probe_expr`: pushing k×dim literal
+    ints through per-literal Column calls costs seconds of py4j round
+    trips PER QUERY BUILD (measured 5.2s vs 1.4s on the IVF gate's
+    warm pass at k=8, dim=64 — the plan, once built, is identical).
+
+    ``qvec_sql`` is evaluated ONCE per row via a lambda let-binding
+    (``transform(array(expr), v -> body)[0]`` — lambda variables are
+    bound VALUES, unlike projected columns, which Catalyst's
+    project-collapse would inline k times into the per-centroid
+    distances)."""
+    key = ("q", tuple(tuple(c) for c in int_centroids), qvec_sql, nprobe)
+    cached = _PROBE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    arrays = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
         for c in int_centroids
-    ])
-    cands = F.transform(
-        cmat,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(qvec_col), c,
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            i.alias("i"),
-        ),
     )
-    ranked = F.slice(F.array_sort(cands), 1, nprobe)
-    return F.transform(ranked, lambda s: s["i"])
+    cands = (
+        f"transform(array({arrays}), (c, i) -> named_struct("
+        f"'d', aggregate(zip_with(v, c,"
+        f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x),"
+        f" 'i', i))"
+    )
+    col = F.expr(
+        f"transform(array({qvec_sql}), v -> "
+        f"transform(slice(array_sort({cands}), 1, {int(nprobe)}),"
+        f" s -> s.i))[0]")
+    if len(_PROBE_CACHE) > 64:  # bounded: codebooks are few per session
+        _PROBE_CACHE.clear()
+    _PROBE_CACHE[key] = col
+    return col
 
 
 def ivf_topk_join_q(
@@ -407,26 +434,30 @@ def ivf_topk_join_q(
     per-query ranked window; never a cross join."""
     from pyspark.sql.window import Window
 
-    from deltalake_spark.operators.clustering import quantize_to_grid
-
     if query_id == corpus_id:
         raise ValueError(
             f"query_id and corpus_id must differ (both {query_id!r}); "
             "alias one side before joining so output columns are unique"
         )
+
+    def qv_sql(col: str) -> str:
+        # quantize_to_grid as a SQL snippet, let-bound inside the probe
+        # so it evaluates once per row (not once per centroid)
+        return (f"transform(cast(`{col}` as array<double>),"
+                f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
+
     c = corpus.select(
         F.col(corpus_id).alias("__rid"), F.col(vec_col).alias("__rv")
-    ).withColumn("__qv", quantize_to_grid(F.col("__rv"), scale=scale))
-    c = c.withColumn(
-        "__b", _probe_expr_q(int_centroids, "__qv", 1)[0]).drop("__qv")
-    q = queries.select(
-        F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")
-    ).withColumn("__qv", quantize_to_grid(F.col("__lv"), scale=scale))
+    ).withColumn(
+        "__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0])
     q = (
-        q.withColumn("__probes", _probe_expr_q(int_centroids, "__qv",
-                                               nprobe))
+        queries.select(
+            F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")
+        )
+        .withColumn("__probes",
+                    _probe_expr_q(int_centroids, qv_sql("__lv"), nprobe))
         .withColumn("__b", F.explode("__probes"))
-        .drop("__probes", "__qv")
+        .drop("__probes")
     )
     joined = q.join(c, "__b").withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
@@ -470,15 +501,22 @@ def pairwise_topk_join(
             "alias one side before joining so output columns are unique"
         )
     dim = left.select(F.size(F.col(vec_col))).first()[0]
-    sk = rh_sketch_q if exact_sketch else rh_sketch
+    if exact_sketch:
+        lsk_expr = rh_sketch_q("`__lv`", dim=dim,
+                               num_planes=num_planes, seed=seed)
+        rsk_expr = rh_sketch_q("`__rv`", dim=dim,
+                               num_planes=num_planes, seed=seed)
+    else:
+        lsk_expr = rh_sketch(F.col("__lv"), dim=dim,
+                             num_planes=num_planes, seed=seed)
+        rsk_expr = rh_sketch(F.col("__rv"), dim=dim,
+                             num_planes=num_planes, seed=seed)
     lsk = left.select(
         F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv")
-    ).withColumn("__sk", sk(F.col("__lv"), dim=dim,
-                            num_planes=num_planes, seed=seed))
+    ).withColumn("__sk", lsk_expr)
     rsk = right.select(
         F.col(right_id).alias("__rid"), F.col(vec_col).alias("__rv")
-    ).withColumn("__sk", sk(F.col("__rv"), dim=dim,
-                            num_planes=num_planes, seed=seed))
+    ).withColumn("__sk", rsk_expr)
     joined = lsk.join(rsk, "__sk").withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
     )
