@@ -130,9 +130,10 @@ def rfm_segments(
     score comes from a DISTRIBUTED exact global rank
     (:func:`operators.ranking.with_global_rank`: range shuffle +
     partition-local row_number + a collected per-partition count
-    prefix) mapped through the ntile identity
-    ``ntile(k) = (rank−1)·k div n + 1`` — bit-identical output to the
-    window form at any scale, with no single-partition exchange. The
+    prefix) mapped through SQL-standard ntile bucketing (first
+    ``n mod k`` buckets hold ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)``) — bit-identical output to the window form at any
+    scale, with no single-partition exchange. The
     three per-metric score frames re-join the entity frame on the
     entity key (hash joins, AQE-eligible).
 
@@ -156,6 +157,24 @@ def rfm_segments(
     if n == 0:
         raise ValueError("empty input")
 
+    # ntile(k) from the exact global rank: the first n mod k buckets
+    # hold ceil(n/k) rows, the rest floor(n/k) — SQL-standard ntile
+    # (Spark and DuckDB agree). N.B. the tempting (rank-1)*k div n + 1
+    # identity is NOT ntile: it spreads the remainder Bresenham-style
+    # (e.g. n=12,k=5 gives sizes 3,2,3,2,2 instead of ntile's
+    # 3,3,2,2,2) — pinned by tests/test_ranking.py::test_ntile_identity.
+    q_, rem = divmod(n, k)
+    thr = rem * (q_ + 1)
+
+    # integer arithmetic throughout (div, not /); q_ == 0 implies
+    # thr == n >= every rank, so the else branch (and its division)
+    # is never evaluated in that case
+    ntile_expr = F.expr(
+        f"cast(if(__rank <= {thr}L,"
+        f" (__rank - 1) div {q_ + 1}L + 1,"
+        f" {rem}L + (__rank - 1 - {thr}L) div {max(q_, 1)}L + 1)"
+        f" as long)")
+
     def score_frame(metric: str, ascending: bool, out: str) -> DataFrame:
         order = [
             F.col(metric).asc() if ascending else F.col(metric).desc(),
@@ -163,12 +182,9 @@ def rfm_segments(
         ]
         ranked = with_global_rank(
             base.select(entity_col, metric), order)
-        # ntile(k) over a total order == (rank-1)*k div n + 1, so
-        # score = k+1 - ntile = k - (rank-1)*k div n (exact integers)
         return ranked.select(
             entity_col,
-            (F.lit(k) - F.expr(f"((__rank - 1) * {k}L) div {n}L"))
-            .cast("int").alias(out),
+            (F.lit(k + 1) - ntile_expr).cast("int").alias(out),
         )
 
     r = score_frame("recency_days", True, "r_score")

@@ -59,20 +59,68 @@ def test_empty_order_rejected(spark):
 
 
 def test_ntile_identity(spark):
-    """The rfm_segments mapping must equal real ntile for every
-    remainder class n mod k."""
-    for n in (10, 11, 12, 13, 14):
+    """The rfm_segments rank→ntile mapping must equal real ntile for
+    every remainder class n mod k — including n < k. N.B. the naive
+    (rank-1)*k div n + 1 is NOT ntile: at n=12, k=5 it yields bucket
+    sizes 3,2,3,2,2 (Bresenham remainder spread) where ntile
+    front-loads 3,3,2,2,2; this test caught exactly that (the TPC-H
+    fixtures' customer counts are divisible by 5, so the RFM oracle
+    alone could never see it)."""
+    k = 5
+    for n in (3, 10, 11, 12, 13, 14):
         df = spark.range(n).select(F.col("id"))
-        k = 5
         ranked = with_global_rank(df, [F.col("id").asc()])
+        q, rem = divmod(n, k)
+        thr = rem * (q + 1)
         got = {
             r["id"]: r["b"]
             for r in ranked.select(
                 "id",
-                F.expr(f"cast((__rank - 1) * {k} div {n} + 1 as int)")
-                .alias("b")).collect()
+                F.expr(
+                    f"cast(if(__rank <= {thr}L,"
+                    f" (__rank - 1) div {q + 1}L + 1,"
+                    f" {rem}L + (__rank - 1 - {thr}L)"
+                    f" div {max(q, 1)}L + 1) as int)"
+                ).alias("b")).collect()
         }
         w = Window.orderBy("id")
         want = {r["id"]: r["nt"] for r in df.select(
             "id", F.ntile(k).over(w).alias("nt")).collect()}
         assert got == want, f"n={n}"
+
+
+def test_rfm_matches_window_ntile_on_ragged_n(spark):
+    """rfm_segments end-to-end against a plain ntile-window reference
+    on an entity count NOT divisible by the bucket count (23 % 5 = 3),
+    the case the fixture tables can't exercise."""
+    from deltalake_spark.operators.analytics import rfm_segments
+
+    rows = []
+    for e in range(23):
+        for j in range((e % 4) + 1):
+            rows.append((e, f"1998-0{(j % 6) + 1}-15",
+                         100.0 + 7 * e + 3 * j))
+    df = spark.createDataFrame(rows, "cust long, d string, amt double")
+    got = sorted(
+        tuple(r) for r in rfm_segments(
+            df, entity_col="cust", date_col="d", amount_col="amt",
+            asof="1998-08-02", buckets=5).collect())
+
+    base = df.groupBy("cust").agg(
+        F.datediff(F.lit("1998-08-02").cast("date"),
+                   F.max(F.col("d").cast("date"))).alias("rec"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("amt") * 100).cast("long")).alias("cents"))
+    w_r = Window.orderBy(F.col("rec").asc(), F.col("cust").asc())
+    w_f = Window.orderBy(F.col("freq").desc(), F.col("cust").asc())
+    w_m = Window.orderBy(F.col("cents").desc(), F.col("cust").asc())
+    ref = base.select(
+        "cents",
+        (F.lit(6) - F.ntile(5).over(w_r)).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(w_f)).alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(w_m)).alias("m_score"),
+    ).groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"))
+    want = sorted(tuple(r) for r in ref.collect())
+    assert got == want
