@@ -769,3 +769,80 @@ def test_weighted_percentile_matches_python_at_volume(spark):
             if den * cum >= num * tot:
                 assert got[(num, den)] == (v, tot)
                 break
+
+
+def test_global_rank_exact_at_volume(spark):
+    """with_global_rank at 500k rows with heavy value ties: ranks must
+    be a permutation of 1..n (the partition-offset arithmetic loses or
+    double-counts rows only at volume), and the rfm ntile mapping must
+    produce EXACTLY the analytic bucket sizes (first n mod k buckets
+    ceil(n/k), rest floor(n/k)) for a remainder-heavy k."""
+    from deltalake_spark.operators.ranking import with_global_rank
+
+    n, k = 500_000, 7
+    df = spark.range(n).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"))
+    ranked = with_global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()]).persist()
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("__rank").alias("nd"),
+        F.min("__rank").alias("lo"),
+        F.max("__rank").alias("hi")).collect()[0]
+    assert (stats["cnt"], stats["nd"], stats["lo"], stats["hi"]) == \
+        (n, n, 1, n)
+
+    q, rem = divmod(n, k)
+    thr = rem * (q + 1)
+    buckets = ranked.select(
+        F.expr(f"if(__rank <= {thr}L, (__rank - 1) div {q + 1}L + 1,"
+               f" {rem}L + (__rank - 1 - {thr}L) div {q}L + 1)")
+        .alias("b")).groupBy("b").count().orderBy("b").collect()
+    want = [q + 1] * rem + [q] * (k - rem)
+    assert [r["count"] for r in buckets] == want
+    ranked.unpersist()
+
+
+def test_portable_minhash_boilerplate_cap_at_volume(spark):
+    """hash_mode='portable' at 200k docs with a planted 8k-doc
+    boilerplate block: the hot LSH buckets must report the true
+    group_size while member_ids stays capped (skew guard), planted
+    exact duplicates must co-occur in at least one band bucket, and
+    unique docs must not explode the bucket count."""
+    from deltalake_spark.operators.dedup import minhash_lsh_candidates
+
+    n, hot = 200_000, 8_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < hot,
+            F.lit("the quick brown fox jumps over the lazy dog again"),
+        ).otherwise(
+            F.concat_ws(
+                " ", F.lit("doc"),
+                F.conv(F.col("id").cast("string"), 10, 36),
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") * 3).cast("string")),
+                F.lit("tail"),
+                F.conv((F.col("id") * 7).cast("string"), 10, 30),
+            )
+        ).alias("text"),
+    )
+    groups = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, max_bucket=1000,
+        hash_mode="portable").persist()
+    hotrows = groups.filter(F.col("group_size") >= hot).collect()
+    # the boilerplate block collides in EVERY band (identical text ->
+    # identical signature), capped members, true size reported
+    assert len(hotrows) == 8
+    for r in hotrows:
+        assert r["group_size"] == hot
+        assert len(r["member_ids"]) == 1000
+        assert r["member_ids"][0] == 0
+    # unique docs contribute no mega-buckets beyond the planted one
+    assert groups.filter(F.col("group_size") > 50)
+    spurious = groups.filter(
+        (F.col("group_size") > 50) & (F.col("group_size") < hot)).count()
+    assert spurious == 0
+    groups.unpersist()

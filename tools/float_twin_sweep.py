@@ -63,6 +63,12 @@ FLOAT_HEAVY = [
     "silhouette_embedding_clusters",
     "ohlc_daily_values",
     "twa_event_values",
+    # r7 additions: the converted ANN gates carry round-6 cosine VALUES
+    # (their bucketing/banding is exact-integer); ivf_exhaustive_topk
+    # was the one pre-r7 cosine twin the list missed
+    "embedding_knn_join",
+    "ivf_ann_topk",
+    "ivf_exhaustive_topk",
 ]
 
 
