@@ -149,6 +149,13 @@ def rrf_fuse(
     ``1/(k + rank)`` are exact IEEE divisions of small integers, so the
     fused ordering replays bit-for-bit in any double-precision engine.
     Output: ``id_col``, ``rrf_score`` (rounded to 6), ``fused_rank``.
+
+    The ``fused_rank`` window is global-ordered (no PARTITION BY) by
+    design: its frame is the candidate union above — |lists|·k rows,
+    KB-scale — never the corpus. With ``topk=None`` the frame is the
+    union of the input lists, still candidate-sized by construction;
+    feed :func:`operators.ranking.with_global_rank` instead if you
+    ever fuse corpus-sized "rankings".
     """
     from pyspark.sql.window import Window
 
