@@ -97,6 +97,8 @@ EXTRA = [
     "stream_cusum_alarms",         # r6: stateful streaming monitor
     "containment_doc_pairs",       # r6: asymmetric containment join
     "silhouette_embedding_clusters",  # r6: cluster-quality eval
+    "simhash_blocks",              # r7: portable 60-bit fingerprint
+    "embedding_knn_join",          # r7: exact-integer sign-LSH kNN
 ]
 
 
