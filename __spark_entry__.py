@@ -5848,6 +5848,48 @@ def burstiness_event_volumes(spark: SparkSession,
 # Driver contract
 # ---------------------------------------------------------------------------
 
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (r7, operators/curation.py:
+    canonicalize_url) — step 0 of every web-corpus pipeline: lowercase
+    scheme/host, strip default ports and fragments, drop tracking
+    params (utm_*, fbclid, ...), sort surviving query params, collapse
+    trailing slashes; report per-host raw-vs-canonical distinct counts.
+    URLs are synthesized deterministically from doc_id (two syntactic
+    variants per doc that MUST collapse to one canonical form — the
+    audio/video-gate synthesis precedent), so the oracle replays
+    synthesis + canonicalization exactly. Map-only normalize + ONE
+    group aggregate."""
+    from deltalake_spark.operators.curation import url_dedup_stats
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 20).cast("string")
+    u1 = F.concat(
+        F.lit("HTTPS://WWW.Shop"), h, F.lit(".Example.COM:443"),
+        F.lit("/catalog/item/"), sid,
+        F.lit("/?utm_source=mail&b=2&a=1#frag"))
+    u2 = F.concat(
+        F.lit("https://www.shop"), h, F.lit(".example.com"),
+        F.lit("/catalog/item/"), sid,
+        F.lit("?a=1&fbclid=xy"), sid, F.lit("&b=2"))
+    urls = ids.select(u1.alias("url")).unionByName(
+        ids.select(u2.alias("url")))
+    return url_dedup_stats(urls, url_col="url").orderBy("host")
+
+
+def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per language (r7, operators/text.py:
+    zipf_fit): OLS of ln(freq) on ln(rank) over each language's top-100
+    tokens — the corpus-quality diagnostic that catches template spam
+    and token soups. Exact integer counts, total rank order, ≤100-row
+    moment frames, round-4 outputs (moment-twin convention)."""
+    from deltalake_spark.operators.text import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit(docs, group_col="lang", text_col="text",
+                    top_n=100).orderBy("lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6076,6 +6118,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "twa_event_values": twa_event_values,
     "token_gini_concentration": token_gini_concentration,
     "burstiness_event_volumes": burstiness_event_volumes,
+    "url_canonical_dedup": url_canonical_dedup,
+    "zipf_token_slope": zipf_token_slope,
 }
 
 
@@ -11472,4 +11516,117 @@ def oracle_sql() -> dict[str, str]:
         "simhash_blocks": _simhash_oracle(),
         "embedding_knn_join": _knn_join_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),
+        "url_canonical_dedup": """
+            WITH ids AS (
+              SELECT CAST(doc_id AS VARCHAR) AS sid,
+                     CAST(doc_id % 20 AS VARCHAR) AS h
+              FROM documents
+            ), raw AS (
+              SELECT 'HTTPS://WWW.Shop' || h || '.Example.COM:443'
+                     || '/catalog/item/' || sid
+                     || '/?utm_source=mail&b=2&a=1#frag' AS url
+              FROM ids
+              UNION ALL
+              SELECT 'https://www.shop' || h || '.example.com'
+                     || '/catalog/item/' || sid
+                     || '?a=1&fbclid=xy' || sid || '&b=2'
+              FROM ids
+            ), s1 AS (
+              SELECT url, regexp_replace(url, '#.*$', '') AS u0 FROM raw
+            ), s2 AS (
+              SELECT url,
+                lower(regexp_extract(u0,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+                regexp_replace(u0,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM s1
+            ), s3 AS (
+              SELECT url, sch,
+                lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
+                regexp_replace(rest, '^[^/?]*', '') AS pq
+              FROM s2
+            ), s4 AS (
+              SELECT url, sch,
+                CASE WHEN sch = 'https'
+                       THEN regexp_replace(hp, ':443$', '')
+                     WHEN sch = 'http'
+                       THEN regexp_replace(hp, ':80$', '')
+                     ELSE hp END AS host,
+                regexp_extract(pq, '^([^?]*)', 1) AS path,
+                CASE WHEN contains(pq, '?')
+                     THEN regexp_replace(pq, '^[^?]*\\?', '')
+                     ELSE '' END AS qry
+              FROM s3
+            ), s5 AS (
+              SELECT url, sch, host,
+                CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(path, '/+$', '') END AS pth,
+                array_to_string(list_sort(list_filter(
+                  string_split(qry, '&'),
+                  p -> p <> ''
+                       AND NOT starts_with(string_split(p, '=')[1],
+                                           'utm_')
+                       AND string_split(p, '=')[1] NOT IN
+                           ('fbclid','gclid','msclkid','igshid',
+                            'mc_eid','ref','sessionid','session_id',
+                            'sid','phpsessid'))), '&') AS qn
+              FROM s4
+            ), c AS (
+              SELECT url,
+                sch || '://' || host || pth ||
+                CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS canon
+              FROM s5
+            )
+            SELECT regexp_extract(canon,
+                     '^[a-z0-9+.-]*://([^/?]*)', 1) AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+                   CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+                   ROUND(COUNT(DISTINCT url)
+                         / COUNT(DISTINCT canon), 4) AS collapse_ratio
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "zipf_token_slope": """
+            WITH tok AS (
+              SELECT lang AS g,
+                     UNNEST(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS t
+              FROM documents
+            ), f AS (
+              SELECT g, t, CAST(COUNT(*) AS BIGINT) AS f
+              FROM tok GROUP BY 1, 2
+            ), r AS (
+              SELECT g, t, f,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY f DESC, t ASC) AS r
+              FROM f
+            ), top AS (SELECT * FROM r WHERE r <= 100), m AS (
+              SELECT g,
+                CAST(COUNT(*) AS BIGINT) AS n_ranks,
+                MIN(CASE WHEN r = 1 THEN t END) AS top_token,
+                MAX(CASE WHEN r = 1 THEN f END) AS top_freq,
+                SUM(ln(CAST(r AS DOUBLE))) AS sx,
+                SUM(ln(CAST(f AS DOUBLE))) AS sy,
+                SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)))
+                  AS sxx,
+                SUM(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)))
+                  AS sxy,
+                SUM(ln(CAST(f AS DOUBLE)) * ln(CAST(f AS DOUBLE)))
+                  AS syy
+              FROM top GROUP BY 1
+            )
+            SELECT g AS lang, n_ranks, top_token,
+                   CAST(top_freq AS BIGINT) AS top_freq,
+                   ROUND((n_ranks * sxy - sx * sy)
+                         / (n_ranks * sxx - sx * sx), 4) AS slope,
+                   ROUND((sy - ((n_ranks * sxy - sx * sy)
+                                / (n_ranks * sxx - sx * sx)) * sx)
+                         / n_ranks, 4) AS intercept,
+                   ROUND(((n_ranks * sxy - sx * sy)
+                          * (n_ranks * sxy - sx * sy))
+                         / ((n_ranks * sxx - sx * sx)
+                            * (n_ranks * syy - sy * sy)), 4) AS r2
+            FROM m ORDER BY lang
+        """,
     }

@@ -382,3 +382,97 @@ def ngram_novelty_bloom(
             .alias("novelty"),
         )
     )
+
+
+# --- URL canonicalization (web-corpus dedup step 0) -------------------------
+
+# tracking / session parameters dropped wholesale; utm_* is matched by
+# prefix. Kept deliberately RE2-free (plain string tests) so the DuckDB
+# twin replays byte-for-byte.
+TRACKING_PARAMS = (
+    "fbclid", "gclid", "msclkid", "igshid", "mc_eid", "ref",
+    "sessionid", "session_id", "sid", "phpsessid",
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the first dedup key
+    of every web-corpus pipeline (CCNet/Dolma run URL dedup before any
+    content hashing): lowercase scheme+host, strip the default port
+    (:80 http / :443 https), drop the fragment, remove tracking
+    parameters (``utm_*`` + :data:`TRACKING_PARAMS`), sort the
+    surviving query parameters, collapse trailing slashes (bare host →
+    ``/``).
+
+    Pure JVM string/array expressions (regexp_extract/split/filter/
+    array_sort — all RE2-compatible patterns), zero shuffle, exactly
+    reproducible in SQL. Contract: input is an absolute URL with an
+    explicit scheme; anything else passes through mangled rather than
+    raising (curation pipelines drop unparseable URLs by other means).
+    """
+    u = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, "^([^/?]*)", 1))
+    pathq = F.regexp_replace(rest, "^[^/?]*", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(pathq, "^([^?]*)", 1)
+    query = F.when(
+        pathq.contains("?"), F.regexp_replace(pathq, "^[^?]*\\?", "")
+    ).otherwise(F.lit(""))
+    path_n = F.regexp_replace(path, "/+$", "")
+    path_n = F.when(path_n == "", F.lit("/")).otherwise(path_n)
+    name = lambda p: F.split(p, "=").getItem(0)  # noqa: E731
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~name(p).startswith("utm_")
+        & ~name(p).isin(*TRACKING_PARAMS),
+    )
+    q_n = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path_n,
+        F.when(q_n != "", F.concat(F.lit("?"), q_n)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_stats(
+    df: DataFrame,
+    *,
+    url_col: str,
+    group_expr: Column | None = None,
+) -> DataFrame:
+    """Per-group URL dedup report: raw rows, distinct raw URLs,
+    distinct canonical URLs, and the collapse ratio (distinct raw /
+    distinct canonical — how many syntactic variants the
+    canonicalization folds together). ``group_expr`` defaults to the
+    canonical host.
+
+    Scale shape: canonicalization is map-only; ONE group aggregate
+    with two distinct-counts (Spark plans them as a single expand +
+    partial aggregate). The output frame is |groups| rows.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    if group_expr is None:
+        group_expr = F.regexp_extract(canon, "^[a-z0-9+.-]*://([^/?]*)", 1)
+    return (
+        df.select(
+            group_expr.alias("host"),
+            F.col(url_col).alias("__raw"),
+            canon.alias("__canon"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("__raw")).alias("n_raw"),
+            F.count_distinct(F.col("__canon")).alias("n_canonical"),
+        )
+        .withColumn(
+            "collapse_ratio",
+            F.round(F.col("n_raw") / F.col("n_canonical"), 4),
+        )
+    )

@@ -800,3 +800,69 @@ def vocab_growth(
         .alias("ttr"),
     )
     return out
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    group_col: str,
+    text_col: str,
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf rank-frequency fit per group — the classic corpus-quality
+    diagnostic (natural language sits near slope −1 on the log-log
+    rank/frequency line; template spam, boilerplate floods and
+    synthetic token soups bend it): OLS of ``ln(freq)`` on
+    ``ln(rank)`` over the ``top_n`` most frequent tokens.
+
+    Determinism contract: token counts are exact integers; the rank
+    order is total ((freq DESC, token ASC)); each (x, y) =
+    (ln(rank), ln(freq)) is a per-row deterministic IEEE pair, and the
+    OLS moments are sums over the ≤ ``top_n``-row fitted frame —
+    outputs round to 4 decimals (the moment-twin convention; drift
+    bound ~1e-13 ≪ 1e-4).
+
+    Scale shape: one (group, token) hash aggregate over the exploded
+    corpus (map-side combined — the shuffle carries the vocabulary,
+    not the text), a group-keyed rank window over the VOCABULARY
+    frame, then a |groups|-row OLS aggregate. Output per group:
+    ``(group, n_ranks, top_token, top_freq, slope, intercept, r2)``.
+    """
+    from pyspark.sql.window import Window as _W
+
+    if top_n < 3:
+        raise ValueError("top_n must be >= 3")
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("__t"),
+    ).filter(F.col("__t") != "")
+    freq = tok.groupBy("g", "__t").agg(F.count(F.lit(1)).alias("__f"))
+    w = _W.partitionBy("g").orderBy(F.desc("__f"), F.asc("__t"))
+    top = freq.withColumn("__r", F.row_number().over(w)) \
+        .filter(F.col("__r") <= int(top_n))
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__f").cast("double"))
+    agg = top.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.min(F.when(F.col("__r") == 1, F.col("__t"))).alias("top_token"),
+        F.max(F.when(F.col("__r") == 1, F.col("__f"))).alias("top_freq"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("n_ranks").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    slope = cov / vx
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_ranks", "top_token", "top_freq",
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("__sy") - slope * F.col("__sx")) / n, 4)
+        .alias("intercept"),
+        F.round((cov * cov) / (vx * vy), 4).alias("r2"),
+    )

@@ -118,3 +118,55 @@ def test_repetition_stats_exact(spark):
     assert out[2]["dup_ngram_frac"] == 0.0
     assert out[3]["ngram_total"] == 0
     assert out[3]["dup_ngram_frac"] == 0.0
+
+
+def test_canonicalize_url_rules(spark):
+    """Every canonicalization rule, one assertion each: fragment strip,
+    scheme+host lowercase, default-port strip (https:443 / http:80,
+    non-default kept), tracking-param drop (utm_* prefix + blocklist),
+    query-param sort, trailing-slash collapse, bare host -> '/'."""
+    from deltalake_spark.operators.curation import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://www.ex.com/a/b?a=1&b=2"),
+        ("http://Ex.com:80/path", "http://ex.com/path"),
+        ("http://ex.com:8080/path", "http://ex.com:8080/path"),
+        ("https://ex.com/p?fbclid=1&gclid=2&keep=3&sessionid=4",
+         "https://ex.com/p?keep=3"),
+        ("https://ex.com/p?z=1&a=2", "https://ex.com/p?a=2&z=1"),
+        ("https://ex.com///", "https://ex.com/"),
+        ("https://ex.com", "https://ex.com/"),
+        ("https://ex.com/p?utm_campaign=c", "https://ex.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+    # idempotence: canonicalizing a canonical URL is a no-op
+    canon = spark.createDataFrame([(w,) for _, w in cases], "url string")
+    again = [r[0] for r in
+             canon.select(canonicalize_url(F.col("url"))).collect()]
+    assert again == [want for _, want in cases]
+
+
+def test_url_dedup_stats_collapse(spark):
+    from deltalake_spark.operators.curation import url_dedup_stats
+
+    rows = [
+        ("https://a.com/x?utm_source=1",),
+        ("HTTPS://A.com/x/",),
+        ("https://a.com/y",),
+        ("http://b.com:80/z#f",),
+        ("http://b.com/z",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["host"]: r for r in
+           url_dedup_stats(df, url_col="url").collect()}
+    assert out["a.com"]["n_rows"] == 3
+    assert out["a.com"]["n_raw"] == 3
+    assert out["a.com"]["n_canonical"] == 2  # /x variants collapse
+    assert out["b.com"]["n_canonical"] == 1
+    assert float(out["b.com"]["collapse_ratio"]) == 2.0

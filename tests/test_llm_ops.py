@@ -1112,3 +1112,30 @@ class TestContainmentJoin:
                         5 * len(sa & sb) >= 4 * len(sa):
                     want.add((a, b))
         assert set(got) == want
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus built with exact Zipf counts freq(r) = round(C/r) must
+    fit slope ~ -1 with r2 ~ 1; a uniform corpus must fit slope ~ 0."""
+    from deltalake_spark.operators.text import zipf_fit
+    import pyspark.sql.functions as F
+
+    rows = []
+    C = 2000
+    for r in range(1, 51):
+        tokens = [f"w{r:03d}"] * round(C / r)
+        rows.append(("zipf", " ".join(tokens)))
+    for r in range(60):
+        rows.append(("flat", " ".join(f"u{r:03d}" for _ in range(10))))
+    df = spark.createDataFrame(rows, "g string, text string")
+    out = {r["g"]: r for r in zipf_fit(
+        df, group_col="g", text_col="text", top_n=50).collect()}
+    assert abs(out["zipf"]["slope"] + 1.0) < 0.02
+    assert out["zipf"]["r2"] > 0.999
+    assert out["zipf"]["top_token"] == "w001"
+    assert out["zipf"]["top_freq"] == 2000
+    assert abs(out["flat"]["slope"]) < 0.001
+
+    import pytest
+    with pytest.raises(ValueError, match=">= 3"):
+        zipf_fit(df, group_col="g", text_col="text", top_n=2)

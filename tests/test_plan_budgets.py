@@ -45,6 +45,10 @@ BUDGETS = {
     # bucket equi-join + ranked window + sort (training is cached
     # driver-side metadata, not part of this plan)
     "ivf_ann_topk": (3, False),
+    # r7: map-only canonicalize + distinct-expand agg + sort
+    "url_canonical_dedup": (3, False),
+    # r7: vocab agg + group rank window + moment agg + sort
+    "zipf_token_slope": (4, False),
     "language_id_dist": (2, False),       # one narrow pass + agg + sort
     "fingerprint_dedup_stats": (3, False),
     "jaccard_neardup_pairs": (3, False),  # lang-blocked pairs, never cross

@@ -69,6 +69,7 @@ FLOAT_HEAVY = [
     "embedding_knn_join",
     "ivf_ann_topk",
     "ivf_exhaustive_topk",
+    "zipf_token_slope",  # r7: ln-moment OLS (round-4 outputs)
 ]
 
 
