@@ -78,6 +78,39 @@ def _sqdist_to_literal(qcol: Column, centroid: list[int]) -> Column:
     )
 
 
+_EXPR_CACHE: "dict[tuple, Column]" = {}
+
+
+def _cmat_sql(centroids: list[list[int]]) -> str:
+    """The k×dim integer codebook as ONE SQL array-of-arrays literal."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in c) + ")"
+        for c in centroids
+    ) + ")"
+
+
+def _cands_sql(centroids: list[list[int]], qvec_sql: str) -> str:
+    """``(sqdist, cid)`` candidate structs against literal centroids —
+    exact integer squared L2, one shared lambda (the per-centroid form
+    k×-explodes the codegen tree, measured)."""
+    return (
+        f"transform({_cmat_sql(centroids)}, (c, i) -> named_struct("
+        f"'d', aggregate(zip_with({qvec_sql}, c,"
+        f" (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x),"
+        f" 'i', i))"
+    )
+
+
+def _cached_expr(key: tuple, build) -> Column:
+    expr = _EXPR_CACHE.get(key)
+    if expr is None:
+        expr = build()
+        if len(_EXPR_CACHE) > 64:  # codebooks are few per session
+            _EXPR_CACHE.clear()
+        _EXPR_CACHE[key] = expr
+    return expr
+
+
 def assign_to_centroids(
     df: DataFrame,
     centroids: list[list[int]],
@@ -91,28 +124,17 @@ def assign_to_centroids(
     Map-only: ONE array-of-arrays literal + one indexed ``transform``
     building ``(sqdist, cid)`` structs, ``array_min`` picks the
     lexicographic minimum — exact argmin with ties broken by the
-    LOWEST cluster id (struct comparison is field-ordered). A single
-    shared lambda keeps the codegen tree k× smaller than one
-    aggregate expression per centroid (measured: the per-centroid
-    form dominated the gate query's wall time with plan compile).
+    LOWEST cluster id (struct comparison is field-ordered).
+
+    Built as ONE JVM-parsed SQL string and memoized per codebook (the
+    ``_probe_expr`` lesson from operators/similarity.py: pushing k×dim
+    literals through per-literal Column calls costs ~1s of py4j round
+    trips per call — kmeans_fit makes n_iter+1 calls, so the gate
+    queries paid seconds of pure driver time per run).
     """
-    cmat = F.array(*[
-        F.array(*[F.lit(int(v)).cast("long") for v in c])
-        for c in centroids
-    ])
-    cands = F.transform(
-        cmat,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(qvec_col), c,
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            i.alias("i"),
-        ),
-    )
-    best = F.array_min(cands)
+    key = ("assign", tuple(tuple(c) for c in centroids), qvec_col)
+    best = _cached_expr(key, lambda: F.expr(
+        f"array_min({_cands_sql(centroids, f'`{qvec_col}`')})"))
     out = df.withColumn("__best", best).withColumn(
         cluster_col, F.col("__best.i"))
     if dist_col is not None:
@@ -371,34 +393,28 @@ def simplified_silhouette(
         # would be array_min over an empty array (null s, rows silently
         # missing from every histogram bin) — fail loudly instead
         raise ValueError("simplified_silhouette needs >= 2 centroids")
-    cmat = F.array(*[
-        F.array(*[F.lit(int(v)).cast("long") for v in c])
-        for c in centroids
-    ])
-    cands = F.transform(
-        cmat,
-        lambda c, i: F.struct(
-            F.aggregate(
-                F.zip_with(F.col(qvec_col), c,
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            i.alias("i"),
-        ),
-    )
-    own = F.element_at(
-        F.filter(cands, lambda s_: s_["i"] == F.col(cluster_col)), 1)["d"]
-    other = F.array_min(
-        F.filter(cands, lambda s_: s_["i"] != F.col(cluster_col)))["d"]
-    a = F.sqrt(own.cast("double"))
-    b = F.sqrt(other.cast("double"))
-    sil = F.when(F.greatest(a, b) > 0,
-                 (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
-    enriched = assigned.select(
-        F.col(cluster_col).alias("cid"),
-        own.alias("__down"),
-        sil.alias("__s"))
+    # ONE JVM-parsed, memoized expression (the assign_to_centroids /
+    # _probe_expr py4j lesson), let-bound so the k×dim distance
+    # candidates evaluate ONCE per row: `cs` is a bound VALUE, and the
+    # repeated filter()/sqrt() references below run over the in-memory
+    # k-struct array, not the distance computation. The old DSL form
+    # project-collapsed `cands` into both `own` and `other` (2× the
+    # distance work) and paid ~1s of per-literal Column calls per
+    # build. `inline` emits the (down, s) pair as a one-row generator —
+    # a struct column read twice would inline the whole tree twice.
+    key = ("sil", tuple(tuple(c) for c in centroids), qvec_col,
+           cluster_col)
+    own = f"filter(cs, s_ -> s_.i = `{cluster_col}`)[0].d"
+    oth = f"array_min(filter(cs, s_ -> s_.i != `{cluster_col}`)).d"
+    a = f"sqrt(cast({own} as double))"
+    b = f"sqrt(cast({oth} as double))"
+    pair = _cached_expr(key, lambda: F.expr(
+        f"inline(transform(array({_cands_sql(centroids, f'`{qvec_col}`')}),"
+        f" cs -> named_struct("
+        f"'__down', {own},"
+        f" '__s', if(greatest({a}, {b}) > 0d,"
+        f" ({b} - {a}) / greatest({a}, {b}), 0d))))"))
+    enriched = assigned.select(F.col(cluster_col).alias("cid"), pair)
     return enriched.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("__s") < 0).cast("long")).alias("n_neg"),
