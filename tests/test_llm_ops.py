@@ -191,6 +191,89 @@ class TestConnectedComponents:
         assert {r["component"] for r in out.collect()} == {0}
         assert out.count() == n + 1
 
+    def test_shuffled_long_path_few_rounds(self, spark):
+        """The r7 golden-records regression class: a 200-node PATH
+        whose ids are shuffled (so label pointers don't align with
+        graph distance). The old min-label+single-jump loop moved the
+        minimum ONE hop per round and silently returned split
+        components at its round cap; star contraction must solve it
+        in O(log n) rounds — 12 is generous for n=200."""
+        import random
+
+        from deltalake_spark.operators.dedup import connected_components
+
+        rng = random.Random(42)
+        ids = list(range(200))
+        rng.shuffle(ids)
+        edges = spark.createDataFrame(
+            [(ids[i], ids[i + 1]) for i in range(199)],
+            "src long, dst long")
+        out = connected_components(edges, max_iter=12)
+        comps = {r["component"] for r in out.collect()}
+        assert comps == {0}
+        assert out.count() == 200
+
+    def test_random_graphs_match_union_find(self, spark):
+        """Property check vs a python union-find reference: random
+        sparse graphs, cliques joined by a bridge, self-loops and
+        duplicate edges."""
+        import collections
+        import random
+
+        from deltalake_spark.operators.dedup import connected_components
+
+        def py_cc(edges):
+            adj = collections.defaultdict(list)
+            nodes = set()
+            for x, y in edges:
+                nodes.update((x, y))
+                if x != y:
+                    adj[x].append(y)
+                    adj[y].append(x)
+            comp = {}
+            for s in sorted(nodes):
+                if s in comp:
+                    continue
+                stack, seen = [s], [s]
+                comp[s] = s
+                while stack:
+                    u = stack.pop()
+                    for v in adj[u]:
+                        if v not in comp:
+                            comp[v] = s
+                            seen.append(v)
+                            stack.append(v)
+                m = min(seen)
+                for x in seen:
+                    comp[x] = m
+            return comp
+
+        rng = random.Random(7)
+        cases = [
+            [(rng.randrange(300), rng.randrange(300)) for _ in range(200)],
+            [(i, j) for i in range(15) for j in range(i + 1, 15)]
+            + [(200 + i, 200 + j) for i in range(15)
+               for j in range(i + 1, 15)] + [(14, 200)],
+            [(5, 5), (7, 7), (1, 2), (2, 1), (1, 2)],
+        ]
+        for ed in cases:
+            df = spark.createDataFrame(ed, "src long, dst long")
+            got = {r["node"]: r["component"]
+                   for r in connected_components(df).collect()}
+            assert got == py_cc(ed)
+
+    def test_nonconvergence_raises_not_silent(self, spark):
+        """max_iter too small must RAISE — the old loop returned a
+        wrong (split) partition silently."""
+        import pytest
+
+        from deltalake_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="still changing"):
+            connected_components(edges, max_iter=1)
+
 
 def test_simhash_near_pairs_recall_guarantee(spark):
     """Banded SimHash must find EVERY pair within Hamming distance
@@ -1139,3 +1222,52 @@ def test_zipf_fit_recovers_planted_slope(spark):
     import pytest
     with pytest.raises(ValueError, match=">= 3"):
         zipf_fit(df, group_col="g", text_col="text", top_n=2)
+
+
+def test_jw_batch_matches_scalar_fuzz():
+    """The vectorized ASCII Jaro-Winkler must agree with the scalar
+    reference (itself fuzz-pinned against DuckDB) on every pair,
+    including empties, equals, single chars, NULs, transposition-heavy
+    and length-skewed cases."""
+    import random
+
+    import numpy as np
+
+    from deltalake_spark.operators.text import (
+        _jaro_winkler_batch_ascii,
+        jaro_winkler,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcde012 #"
+    cases = [("", ""), ("", "a"), ("a", ""), ("a", "a"), ("ab", "ba"),
+             ("x", "y"), ("martha", "marhta"), ("dwayne", "duane"),
+             ("a\x00b", "a\x00b"), ("a\x00b", "ab"),
+             ("Customer#000000001", "Customer#000000010")]
+    for _ in range(3000):
+        la, lb = rng.randrange(0, 25), rng.randrange(0, 25)
+        cases.append((
+            "".join(rng.choice(alpha) for _ in range(la)),
+            "".join(rng.choice(alpha) for _ in range(lb)),
+        ))
+    got = _jaro_winkler_batch_ascii([a for a, _ in cases],
+                                    [b for _, b in cases])
+    want = np.array([jaro_winkler(a, b) for a, b in cases])
+    assert np.allclose(got, want, rtol=0, atol=0), \
+        [(c, g, w) for c, g, w in zip(cases, got, want)
+         if g != w][:5]
+
+
+def test_jw_batch_non_ascii_falls_back(spark):
+    """Non-ASCII names must still score (scalar fallback inside the
+    pandas UDF), identical to the scalar reference."""
+    from deltalake_spark.operators.text import jaro_winkler, jaro_winkler_pairs
+
+    rows = [(1, "Müller", "b"), (2, "Mueller", "b"), (3, "Müllér", "b")]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = {(r["id_a"], r["id_b"]): r["similarity"]
+           for r in jaro_winkler_pairs(
+               df, id_col="id", text_col="name", block_cols=["blk"],
+               min_similarity=0.0).collect()}
+    assert out[(1, 3)] == jaro_winkler("Müller", "Müllér")
+    assert out[(1, 2)] == jaro_winkler("Müller", "Mueller")
