@@ -478,82 +478,134 @@ def connected_components(
     *,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node,
     component) with component = min node id in the component.
 
-    This is the clustering step real near-dup dedup needs after candidate
-    generation (MinHash/SimHash give PAIRS; groups require transitive
-    closure). Algorithm: iterative min-label propagation — each round
-    every node takes the min label among itself and its neighbours; at
-    most ``diameter`` rounds, each one shuffle on node id. Convergence is
-    checked cheaply (sum of labels is monotonically decreasing). The
-    classic large-graph alternative (large-star/small-star) shortens the
-    round count; min-label keeps the per-round plan to one join + one
-    aggregate, which is the right trade for the short-diameter duplicate
-    clusters this feeds on.
+    This is the clustering step real near-dup dedup needs after
+    candidate generation (MinHash/SimHash give PAIRS; groups require
+    transitive closure). Algorithm: alternating star contraction
+    (large-star / small-star, Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — each round every node hooks
+    its larger neighbors (large-star) and then itself plus its smaller
+    neighbors (small-star) onto the minimum of the relevant
+    neighborhood; the edge set contracts toward per-component stars in
+    O(log n) rounds. Each half-round is one groupBy + one equi-join on
+    the (shrinking) edge set.
+
+    The r1–r6 implementation was min-label propagation with one
+    pointer jump per round: on PATH-shaped components with shuffled
+    ids the jump buys nothing and the minimum travels ONE hop per
+    round, so a 186-member duplicate chain in the sf0.1 golden-records
+    gate silently returned split components at max_iter=20 (caught r7
+    by the first sf0.1 oracle run of that gate). Star contraction
+    fixes the complexity; the loud failure below fixes the silence:
+    non-convergence raises, and a final verification pass asserts no
+    input edge crosses two output components — this operator now
+    returns the true partition or an error, never an approximation.
+
+    Self-loops are ignored for edges but their node still reports its
+    own singleton component.
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct()
-    # materialize the symmetric edge list ONCE: every iteration joins
-    # against it, and without the cut the edge lineage — which may be
-    # an expensive upstream computation (a pair self-join, an Arrow
-    # scorer like damerau_pairs) — re-executes per round. Measured on
-    # the golden-records gate at sf0.1: 2.5M Arrow DL evaluations
-    # replayed ~2x per CC round pinned two workers for >45 min;
-    # checkpointing makes the loop read executor storage instead.
-    sym = sym.localCheckpoint(eager=True)
-    labels = sym.select(F.col("a").alias("node")).distinct() \
-        .withColumn("label", F.col("node"))
-    prev_sum = None
+    a, b = F.col(src), F.col(dst)
+    e0 = edges.select(a.alias("a"), b.alias("b"))
+    # one canonical materialization: the input lineage may be expensive
+    # (a pair self-join, an Arrow scorer like damerau_pairs) and every
+    # round — plus the final verification — must read executor storage,
+    # not recompute it
+    e_init = (
+        e0.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"),
+                F.least("a", "b").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    e = e_init
+    prev_sig = None
+    converged = False
     for _ in range(max_iter):
-        # 1-hop: min over neighbours' labels
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy("a").agg(F.min("label").alias("nbr_label"))
+        # ---- large-star: every node's larger neighbors hook onto the
+        # min of its closed neighborhood
+        nbrs = e.select(F.col("hi").alias("node"),
+                        F.col("lo").alias("nbr")).unionByName(
+            e.select(F.col("lo").alias("node"), F.col("hi").alias("nbr")))
+        mins = nbrs.groupBy("node").agg(F.min("nbr").alias("__mn"))
+        mins = mins.select(
+            "node", F.least(F.col("__mn"), F.col("node")).alias("m"))
+        e = (
+            nbrs.join(mins, "node")
+            .filter(F.col("nbr") > F.col("node"))
+            .select(F.col("nbr").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
         )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+        # ---- small-star: each node plus its smaller neighbors hook
+        # onto the smallest of them. Edges are canonical (hi > lo), so
+        # grouping by hi yields exactly the smaller-neighbor set; the
+        # row carrying the min emits the (hi, m) hook, every other row
+        # re-hooks its lo
+        sm = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        e = (
+            e.join(sm, "hi")
             .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_label", F.col("label")),
-                ).alias("label"),
+                F.when(F.col("lo") == F.col("m"), F.col("hi"))
+                .otherwise(F.col("lo")).alias("hi"),
+                F.col("m").alias("lo"),
             )
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            # cut lineage growth; LAZY so the signature probe below
+            # materializes the checkpoint in the same job
+            .localCheckpoint(eager=False)
         )
-        # pointer-jumping: label := label(label) — halves path lengths
-        # so convergence is O(log diameter) rounds, not O(diameter).
-        # (Applying the jump k>1 times per round looks tempting for
-        # chain-shaped components, but each jump self-joins the
-        # un-materialized labels frame, so the within-round plan — and
-        # its execution — grows 2^k-fold; measured strictly slower.)
-        l2 = labels.select(F.col("node").alias("n2"),
-                           F.col("label").alias("parent"))
-        labels = (
-            labels.join(l2, labels["label"] == l2["n2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("parent", F.col("label")),
-                ).alias("label"),
-            )
-        )
-        # cut lineage growth; LAZY so the convergence probe right
-        # below materializes the checkpoint in the SAME job — an
-        # eager checkpoint spent one extra scheduled job per round,
-        # which dominated wall time on small cluster graphs
-        labels = labels.localCheckpoint(eager=False)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        # 31-bit folded hash: a raw xxhash64 sum overflows int64 under
+        # ANSI; (count, sum of 2^31-bounded hashes) stays exact to
+        # ~4e9 edges and the verification pass backstops collisions
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.pmod(F.xxhash64("hi", "lo"),
+                         F.lit(2_147_483_647))).alias("h")).first()
+        sig = (row["c"], row["h"])
+        if sig == prev_sig:
+            converged = True
             break
-        prev_sum = cur_sum
-    return labels.select("node", F.col("label").alias("component"))
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: edge set still changing after "
+            f"{max_iter} star-contraction rounds — raise max_iter")
+
+    # at the fixpoint e is a star forest: hi -> component min. The
+    # defensive min() collapses would-be duplicate hooks; roots and
+    # isolated nodes label themselves.
+    star = e.groupBy("hi").agg(F.min("lo").alias("__label"))
+    labels = (
+        nodes.join(star, nodes["node"] == star["hi"], "left")
+        .select("node",
+                F.coalesce("__label", F.col("node")).alias("component"))
+    )
+    # loud-wrongness guard: every INPUT edge must land inside one
+    # component (reads the checkpointed canonical edges — one cheap
+    # job, no lineage replay)
+    la = labels.select(F.col("node").alias("hi"),
+                       F.col("component").alias("__ca"))
+    lb = labels.select(F.col("node").alias("lo"),
+                       F.col("component").alias("__cb"))
+    bad = (e_init.join(la, "hi").join(lb, "lo")
+           .filter(F.col("__ca") != F.col("__cb")).count())
+    if bad:
+        raise RuntimeError(
+            f"connected_components: {bad} input edge(s) cross output "
+            f"components — star contraction produced a wrong partition")
+    return labels
 
 
 def embedding_neardup(
