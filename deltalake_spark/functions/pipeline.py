@@ -870,8 +870,9 @@ def apply_graph_lookup(
 
     Spark-first shape: breadth-first iterative equi-joins — round d
     joins the CURRENT frontier values against ``from`` on the connect
-    key (hash join, broadcastable dimension), exactly the pointer-
-    jumping pattern of ``operators/dedup.connected_components``. A
+    key (hash join, broadcastable dimension) — the bounded iterative
+    equi-join loop shape (cf. the star-contraction rounds of
+    ``operators/dedup.connected_components``). A
     (doc, value) seen-set anti-join guards cycles, so each round's
     frontier only carries NEW values and the loop terminates on the
     first empty frontier even with maxDepth above the graph diameter.
