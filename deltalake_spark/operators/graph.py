@@ -485,6 +485,7 @@ def k_core(
     n_rounds: int = 6,
     src: str = "src",
     dst: str = "dst",
+    require_converged: bool = False,
 ) -> DataFrame:
     """k-core decomposition step: the maximal subgraph in which every
     vertex keeps degree >= k — the classic dense-community filter
@@ -504,6 +505,15 @@ def k_core(
     frame, persist+materialize to cut the iterative lineage
     (PageRank/BPE lesson), early-stop on a stable vertex count.
     Returns ``(node, degree)`` of the k-core subgraph.
+
+    Bounded-round contract: with the default
+    ``require_converged=False`` the result after ``n_rounds``
+    un-converged rounds is the (well-defined, SQL-replayable)
+    ``n_rounds``-peeled subgraph, NOT yet the k-core — callers that
+    need the true fixpoint (worst case O(n) synchronous rounds on
+    path-shaped peel chains — the connected_components r7 lesson in
+    loud-vs-silent truncation) pass ``require_converged=True`` to get
+    a RuntimeError instead of a silent partial peel.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -520,6 +530,7 @@ def k_core(
     cur = adj
     stale: DataFrame | None = None
     prev_n: int | None = None
+    converged = False
     for _ in range(n_rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         alive = deg.filter(F.col("d") >= int(k)).select("a")
@@ -534,7 +545,13 @@ def k_core(
         stale = nxt
         cur = nxt
         if prev_n is not None and n_alive == prev_n:
+            converged = True
             break  # converged: further rounds are no-ops
         prev_n = n_alive
+    if require_converged and not converged:
+        raise RuntimeError(
+            f"k_core: peel still removing vertices after {n_rounds} "
+            f"rounds — raise n_rounds (the result would be the "
+            f"partial peel, not the k-core)")
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree"))

@@ -459,3 +459,25 @@ class TestKCore:
             alive -= drop
         want = {v: len(adj[v] & alive) for v in alive}
         assert got == want
+
+
+def test_kcore_require_converged_raises_on_partial_peel(spark):
+    """The CC r7 lesson applied to k-core: a path peels ~2 endpoints
+    per round at k=2, so 1 round cannot converge on a 12-node path —
+    require_converged=True must raise instead of returning the partial
+    peel, and the converged run must return the true (empty) 2-core."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from deltalake_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="partial peel"):
+        k_core(edges, k=2, n_rounds=1, require_converged=True).collect()
+    done = k_core(edges, k=2, n_rounds=10, require_converged=True)
+    assert done.count() == 0  # a path has no 2-core
+    # bounded-round contract unchanged by default: 1 round peels the
+    # two endpoints only
+    partial = k_core(edges, k=2, n_rounds=1)
+    assert partial.count() == 11
