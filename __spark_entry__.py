@@ -5890,6 +5890,38 @@ def zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                     top_n=100).orderBy("lang")
 
 
+def interval_union_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merge (r7, operators/temporal.py:
+    interval_union): each event opens a 30-minute exposure window
+    [ts, ts+30min); overlapping-or-touching windows per user coalesce.
+    Per-user rollup: islands, merged coverage (exact ns), biggest
+    merge. One user-keyed window pass + two user-keyed aggregates —
+    the classic uptime/exposure primitive. Top 50 users by coverage
+    (desc, user tiebreak) keeps the output bounded."""
+    from deltalake_spark.operators.temporal import interval_union
+
+    ev = _t(spark, sf_dir, "events")
+    win_ns = 30 * 60 * 1_000_000_000
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.lit(win_ns)).alias("e"),
+    )
+    merged = interval_union(iv, key_cols=["user_id"],
+                            start_col="s", end_col="e")
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("n_intervals").alias("n_events"),
+            F.sum("span").alias("coverage_ns"),
+            F.max("n_intervals").alias("max_merge"),
+        )
+        .orderBy(F.desc("coverage_ns"), F.asc("user_id"))
+        .limit(50)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -6120,6 +6152,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness_event_volumes": burstiness_event_volumes,
     "url_canonical_dedup": url_canonical_dedup,
     "zipf_token_slope": zipf_token_slope,
+    "interval_union_exposure": interval_union_exposure,
 }
 
 
@@ -11585,6 +11618,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COUNT(DISTINCT url)
                          / COUNT(DISTINCT canon), 4) AS collapse_ratio
             FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "interval_union_exposure": """
+            WITH iv AS (
+              SELECT user_id, epoch_ns(ts) AS s,
+                     epoch_ns(ts) + 1800000000000 AS e
+              FROM events
+            ), flagged AS (
+              SELECT user_id, s, e,
+                     CASE WHEN MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ), isl AS (
+              SELECT user_id, s, e,
+                     CAST(SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS island
+              FROM flagged
+            ), merged AS (
+              SELECT user_id, island, MIN(s) AS start, MAX(e) AS "end",
+                     CAST(COUNT(*) AS BIGINT) AS n_intervals
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(n_intervals) AS BIGINT) AS n_events,
+                   CAST(SUM("end" - start) AS BIGINT) AS coverage_ns,
+                   CAST(MAX(n_intervals) AS BIGINT) AS max_merge
+            FROM merged GROUP BY 1
+            ORDER BY coverage_ns DESC, user_id ASC LIMIT 50
         """,
         "zipf_token_slope": """
             WITH tok AS (

@@ -23,7 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join", "sessionize"]
+__all__ = ["asof_join", "interval_join", "interval_union",
+           "sessionize"]
 
 _L = "__asof_is_left"
 _T = "__asof_t"
@@ -163,3 +164,55 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(session_col, F.sum(new_session).over(running))
+
+
+def interval_union(
+    df: DataFrame,
+    *,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key — the
+    gaps-and-islands classic (uptime windows, ad-exposure spans,
+    viewing sessions): intervals ``[start, end)`` whose start is ≤ the
+    running maximum end of earlier intervals coalesce into one island.
+
+    Exact integer arithmetic end to end: order by (start, end) within
+    the key, island boundaries from a running ``max(end)`` over
+    PRECEDING rows, island ids from a running sum of boundary flags —
+    every step is a deterministic window over the key partition, so a
+    SQL engine replays it value-for-value.
+
+    Scale shape: ONE key-partitioned window pass over the intervals +
+    one (key, island) aggregate — both shuffles keyed by the entity,
+    never global. Output per island: ``(key..., island, start, end,
+    n_intervals, span)``.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    base = df.select(*key_cols, s.alias("__s"), e.alias("__e"))
+    w = Window.partitionBy(*key_cols).orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = base.withColumn(
+        "__new",
+        F.when(prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1)
+        .otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        islands.groupBy(*key_cols, "island")
+        .agg(
+            F.min("__s").alias("start"),
+            F.max("__e").alias("end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .withColumn("span", F.col("end") - F.col("start"))
+    )

@@ -49,6 +49,8 @@ BUDGETS = {
     "url_canonical_dedup": (3, False),
     # r7: vocab agg + group rank window + moment agg + sort
     "zipf_token_slope": (4, False),
+    # r7: one user-keyed window + island agg + user agg, TakeOrdered
+    "interval_union_exposure": (3, False),
     "language_id_dist": (2, False),       # one narrow pass + agg + sort
     "fingerprint_dedup_stats": (3, False),
     "jaccard_neardup_pairs": (3, False),  # lang-blocked pairs, never cross

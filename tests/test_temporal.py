@@ -152,3 +152,49 @@ class TestSessionize:
                          tiebreak=["eid"])
         got = {r["eid"]: r["session_seq"] for r in out.collect()}
         assert got == {1: 1, 2: 1, 3: 2}
+
+
+class TestIntervalUnion:
+    def test_merge_touch_and_gap(self, spark):
+        """Overlap merges, touching merges ([0,10)+[10,20) -> one
+        island), a gap splits; singleton keys stay singleton."""
+        from deltalake_spark.operators.temporal import interval_union
+        import pyspark.sql.functions as F
+
+        rows = [
+            ("u", 0, 10), ("u", 5, 12), ("u", 12, 20),  # overlap+touch
+            ("u", 25, 30),                              # gap -> island 2
+            ("v", 100, 101),
+        ]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        out = {(r["k"], r["island"]): (r["start"], r["end"],
+                                       r["n_intervals"], r["span"])
+               for r in interval_union(
+                   df, key_cols=["k"], start_col="s",
+                   end_col="e").collect()}
+        assert out == {
+            ("u", 1): (0, 20, 3, 20),
+            ("u", 2): (25, 30, 1, 5),
+            ("v", 1): (100, 101, 1, 1),
+        }
+
+    def test_contained_and_duplicate_intervals(self, spark):
+        from deltalake_spark.operators.temporal import interval_union
+
+        rows = [("u", 0, 100), ("u", 10, 20), ("u", 10, 20),
+                ("u", 99, 150)]
+        df = spark.createDataFrame(rows, "k string, s long, e long")
+        got = interval_union(df, key_cols=["k"], start_col="s",
+                             end_col="e").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["start"], r["end"], r["n_intervals"]) == (0, 150, 4)
+
+    def test_requires_keys(self, spark):
+        import pytest
+
+        from deltalake_spark.operators.temporal import interval_union
+
+        df = spark.createDataFrame([("u", 0, 1)], "k string, s long, e long")
+        with pytest.raises(ValueError, match="non-empty"):
+            interval_union(df, key_cols=[], start_col="s", end_col="e")
