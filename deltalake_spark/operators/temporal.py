@@ -41,25 +41,33 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tolerance: int | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the most recent
-    right row (same ``on`` keys) with ``right_time <= left_time``.
+    """As-of join: for every left row, attach the nearest right row
+    (same ``on`` keys) — ``direction='backward'`` (default) takes the
+    most recent right row with ``right_time <= left_time``;
+    ``direction='forward'`` takes the earliest right row with
+    ``right_time >= left_time`` (pandas ``merge_asof`` directions).
 
     Implementation: tag both sides, union them, and take a running
     ``last(..., ignorenulls=True)`` of the right-side payload over a
-    window partitioned by the keys and ordered by (time, side) — right
-    rows sort before left rows at equal timestamps so ties match, like
-    DuckDB/pandas ``ASOF JOIN`` with ``>=``. The payload travels as ONE
-    struct so all attached columns come from the same matched row.
+    window partitioned by the keys and ordered by (time, side) — time
+    ascending for backward, descending for forward; right rows sort
+    before left rows at equal timestamps either way so ties match,
+    like DuckDB/pandas ``ASOF JOIN`` with ``>=``/``<=``. The payload
+    travels as ONE struct so all attached columns come from the same
+    matched row.
 
     ``tolerance`` (same unit as the time columns, which must be numeric —
-    e.g. epoch nanos) nulls out matches older than
-    ``left_time - tolerance``.
+    e.g. epoch nanos) nulls out matches farther than ``tolerance`` from
+    ``left_time`` in the join direction.
 
     Scale: a single hash shuffle on ``on``; window is a linear scan per
     key. Skewed keys can be pre-salted by the caller (split the window
     per salt, then a second pass merges boundary state).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         # right_time is always attached as f"{right_time}{suffix}" from
@@ -86,16 +94,20 @@ def asof_join(
         F.lit(1).alias(_L),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
+    t_order = F.col(_T).asc() if direction == "backward" \
+        else F.col(_T).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_T).asc(), F.col(_L).asc())
+        .orderBy(t_order, F.col(_L).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(_R, F.last(_R, ignorenulls=True).over(w))
     out = matched.filter(F.col(_L) == 1)
     m = F.col(_R)
     if tolerance is not None:
-        m = F.when(F.col(_T) - m["__rt"] <= F.lit(tolerance), m)
+        gap = (F.col(_T) - m["__rt"]) if direction == "backward" \
+            else (m["__rt"] - F.col(_T))
+        m = F.when(gap <= F.lit(tolerance), m)
     cols = [F.col(c) for c in left.columns]
     cols.append(m["__rt"].alias(f"{right_time}{suffix}"))
     cols.extend(m[c].alias(f"{c}{suffix}") for c in right_cols)

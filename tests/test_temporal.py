@@ -198,3 +198,54 @@ class TestIntervalUnion:
         df = spark.createDataFrame([("u", 0, 1)], "k string, s long, e long")
         with pytest.raises(ValueError, match="non-empty"):
             interval_union(df, key_cols=[], start_col="s", end_col="e")
+
+
+class TestAsofForward:
+    def test_forward_direction_and_tolerance(self, spark):
+        """forward = earliest right with right_time >= left_time,
+        ties match, tolerance nulls far-future matches — pandas
+        merge_asof(direction='forward') semantics."""
+        from deltalake_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [("k", 10, "a"), ("k", 20, "b"), ("k", 35, "c"),
+             ("k", 100, "d"), ("x", 5, "e")],
+            "k string, t long, tag string")
+        right = spark.createDataFrame(
+            [("k", 20, 1.0), ("k", 30, 2.0), ("k", 50, 3.0)],
+            "k string, rt long, v double")
+        out = {r["tag"]: (r["rt_asof"], r["v_asof"])
+               for r in asof_join(
+                   left, right, on="k", left_time="t",
+                   right_time="rt", direction="forward").collect()}
+        assert out == {
+            "a": (20, 1.0),   # earliest rt >= 10
+            "b": (20, 1.0),   # tie matches
+            "c": (50, 3.0),
+            "d": (None, None),  # nothing ahead
+            "e": (None, None),  # key with no right rows
+        }
+
+        tol = {r["tag"]: r["rt_asof"]
+               for r in asof_join(
+                   left, right, on="k", left_time="t",
+                   right_time="rt", direction="forward",
+                   tolerance=10).collect()}
+        assert tol == {"a": 20, "b": 20, "c": None, "d": None,
+                       "e": None}
+
+    def test_backward_unchanged_and_direction_validated(self, spark):
+        import pytest
+
+        from deltalake_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame([("k", 25, "a")],
+                                     "k string, t long, tag string")
+        right = spark.createDataFrame([("k", 20, 1.0), ("k", 30, 2.0)],
+                                      "k string, rt long, v double")
+        r = asof_join(left, right, on="k", left_time="t",
+                      right_time="rt").collect()[0]
+        assert r["rt_asof"] == 20
+        with pytest.raises(ValueError, match="backward.*forward"):
+            asof_join(left, right, on="k", left_time="t",
+                      right_time="rt", direction="nearest")
