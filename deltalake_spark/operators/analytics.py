@@ -137,6 +137,12 @@ def rfm_segments(
     three per-metric score frames re-join the entity frame on the
     entity key (hash joins, AQE-eligible).
 
+    Caching: the entity aggregate and the three ranged frames from
+    :func:`with_global_rank` stay persisted (they are referenced by
+    the returned lazy plan, so they cannot be released here); after
+    materializing the result, callers in long-lived sessions should
+    release them via :func:`deltalake_spark.session.release_caches`.
+
     Output: one row per (r_score, f_score, m_score) with
     ``n_customers`` and ``total_cents``.
     """

@@ -320,9 +320,14 @@ def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
     is docs × 60 ints) — every bit sum is exact integer arithmetic a
     SQL engine replays, giving the gate query a value-level DuckDB
     twin. The prefix is taken from the top of the 60-bit space.
+
+    Rows with NULL ``text_col`` are EXCLUDED in both modes (same row
+    contract: previously the portable path dropped them via explode
+    while the native path kept a null-fingerprint row).
     """
     if hash_mode not in ("native", "portable"):
         raise ValueError("hash_mode must be 'native' or 'portable'")
+    df = df.filter(F.col(text_col).isNotNull())
     if hash_mode == "portable":
         bits = _PORTABLE_SIMHASH_BITS
         if not 0 < prefix_bits <= bits:

@@ -194,7 +194,10 @@ def interval_union(
     the key, island boundaries from a running ``max(end)`` over
     PRECEDING rows, island ids from a running sum of boundary flags —
     every step is a deterministic window over the key partition, so a
-    SQL engine replays it value-for-value.
+    SQL engine replays it value-for-value. ``start_col``/``end_col``
+    must therefore already be integral (e.g. long nanos) — fractional
+    types are rejected rather than silently truncated, since a
+    truncation toward zero can flip a touch-vs-gap decision.
 
     Scale shape: ONE key-partitioned window pass over the intervals +
     one (key, island) aggregate — both shuffles keyed by the entity,
@@ -203,6 +206,14 @@ def interval_union(
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
+    integral = ("byte", "short", "int", "integer", "long", "bigint")
+    dtypes = dict(df.dtypes)
+    for c in (start_col, end_col):
+        if dtypes.get(c) not in integral:
+            raise TypeError(
+                f"interval_union requires integral {c!r} (got "
+                f"{dtypes.get(c)}); cast explicitly — a silent "
+                "truncation could flip touch-vs-gap decisions")
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long")
     base = df.select(*key_cols, s.alias("__s"), e.alias("__e"))

@@ -841,7 +841,7 @@ def test_portable_minhash_boilerplate_cap_at_volume(spark):
         assert len(r["member_ids"]) == 1000
         assert r["member_ids"][0] == 0
     # unique docs contribute no mega-buckets beyond the planted one
-    assert groups.filter(F.col("group_size") > 50)
+    assert groups.filter(F.col("group_size") > 50).count() == 8
     spurious = groups.filter(
         (F.col("group_size") > 50) & (F.col("group_size") < hot)).count()
     assert spurious == 0
