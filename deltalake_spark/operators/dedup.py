@@ -36,6 +36,21 @@ _PRIME = 2_147_483_647
 _PORTABLE_SHINGLE_HEX = 7
 
 
+def spread_narrow_input(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow input up to the default parallelism.
+
+    A small/single-file table scans as 1-2 partitions, which runs a
+    CPU-bound expansion stage (shingle explode + per-shingle hashing)
+    single-threaded and caps every downstream stage until the first
+    shuffle — measured 2.3× on the sf0.1 simhash gate. At warehouse
+    scale the input already has more partitions than cores and this is
+    a NO-OP (never an extra shuffle of wide data)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def portable_hash60(c: Column) -> Column:
     """Cross-engine deterministic 60-bit string hash: the first 15 hex
     digits of md5, parsed as an integer. md5 is byte-identical in every
@@ -199,6 +214,7 @@ def minhash_lsh_candidates(
         raise ValueError("hash_mode must be 'native' or 'portable'")
     if hash_mode == "portable" and shingle_mode != "word":
         raise ValueError("portable hash_mode supports word shingles only")
+    df = spread_narrow_input(df)
     rows_per_band = num_hashes // bands
     params = _hash_params(num_hashes, seed)
 
@@ -327,7 +343,7 @@ def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
     """
     if hash_mode not in ("native", "portable"):
         raise ValueError("hash_mode must be 'native' or 'portable'")
-    df = df.filter(F.col(text_col).isNotNull())
+    df = spread_narrow_input(df.filter(F.col(text_col).isNotNull()))
     if hash_mode == "portable":
         bits = _PORTABLE_SIMHASH_BITS
         if not 0 < prefix_bits <= bits:
@@ -815,14 +831,7 @@ def prefix_jaccard_join(
         raise ValueError("threshold must be a fraction in (0, 1]")
     num, den = int(threshold_num), int(threshold_den)
 
-    # spread a narrow input first: a small/single-file table scans as
-    # 1-2 partitions, which would run the (expensive) tokenize+explode
-    # single-threaded and cap every downstream stage until the first
-    # shuffle. At warehouse scale the input already has thousands of
-    # partitions and this is a no-op.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = spread_narrow_input(df)
 
     tok = df.select(F.col(id_col).alias("did"),
                     F.explode(F.col(tokens_col)).alias("w")) \
@@ -947,9 +956,7 @@ def prefix_containment_join(
         raise ValueError("threshold must be a fraction in (0, 1]")
     num, den = int(threshold_num), int(threshold_den)
 
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = spread_narrow_input(df)
 
     tok = df.select(F.col(id_col).alias("did"),
                     F.explode(F.col(tokens_col)).alias("w")) \
