@@ -84,11 +84,15 @@ def train_bpe(
     num_merges: int = 50,
     min_freq: int = 2,
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the merge
     list in rank order. Stops early when the best pair's frequency drops
     below ``min_freq``. Deterministic: ties break to the lexicographically
-    smallest pair."""
+    smallest pair. ``checkpoint_dir`` switches the periodic lineage cut
+    to reliable checkpoints (see
+    :mod:`deltalake_spark.operators.iterative`)."""
+    from deltalake_spark.operators.iterative import cut_lineage
     syms = word_counts(df, text_col=text_col).select(
         F.split("word", "").alias("syms"), "cnt"
     )
@@ -108,7 +112,8 @@ def train_bpe(
         syms = syms.withColumn("syms", merge_pair("syms", a, b))
         if (it + 1) % checkpoint_every == 0:
             # flat lineage: each merge adds a fold on top of the last
-            syms = syms.localCheckpoint(eager=True)
+            syms = cut_lineage(syms, checkpoint_dir=checkpoint_dir,
+                               eager=True)
     return merges
 
 

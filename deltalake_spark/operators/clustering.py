@@ -247,6 +247,7 @@ def dbscan_2d(
     min_pts: int,
     scale: int = DEFAULT_SCALE,
     max_cc_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Grid-accelerated DBSCAN over two coordinate columns — density
     clustering to complement :func:`kmeans_fit` (finds arbitrary-shape
@@ -332,8 +333,9 @@ def dbscan_2d(
         .filter(F.col("pid") < F.col("pid_b"))
         .select(F.col("pid").alias("src"), F.col("pid_b").alias("dst"))
     )
-    labels = connected_components(cc_edges, max_iter=max_cc_iter) \
-        .withColumnRenamed("component", "cluster")
+    labels = connected_components(
+        cc_edges, max_iter=max_cc_iter, checkpoint_dir=checkpoint_dir,
+    ).withColumnRenamed("component", "cluster")
     # isolated cores (no core neighbor) are singleton clusters
     core_lab = cores.join(labels, cores.pid == labels.node, "left") \
         .select("pid", F.coalesce("cluster", F.col("pid"))

@@ -500,6 +500,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list → (node,
     component) with component = min node id in the component.
@@ -528,25 +529,33 @@ def connected_components(
 
     Self-loops are ignored for edges but their node still reports its
     own singleton component.
+
+    ``checkpoint_dir=None`` cuts per-round lineage with
+    ``localCheckpoint`` (executor-resident — right for local runs); a
+    path switches to reliable checkpoints there so a multi-executor
+    run survives executor loss mid-iteration (see
+    :mod:`deltalake_spark.operators.iterative`).
     """
+    from deltalake_spark.operators.iterative import cut_lineage
+
     a, b = F.col(src), F.col(dst)
     e0 = edges.select(a.alias("a"), b.alias("b"))
     # one canonical materialization: the input lineage may be expensive
     # (a pair self-join, an Arrow scorer like damerau_pairs) and every
     # round — plus the final verification — must read executor storage,
     # not recompute it
-    e_init = (
+    e_init = cut_lineage(
         e0.filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("hi"),
                 F.least("a", "b").alias("lo"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir=checkpoint_dir, eager=True,
     )
-    nodes = (
+    nodes = cut_lineage(
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir=checkpoint_dir, eager=True,
     )
 
     e = e_init
@@ -574,7 +583,7 @@ def connected_components(
         # row carrying the min emits the (hi, m) hook, every other row
         # re-hooks its lo
         sm = e.groupBy("hi").agg(F.min("lo").alias("m"))
-        e = (
+        e = cut_lineage(
             e.join(sm, "hi")
             .select(
                 F.when(F.col("lo") == F.col("m"), F.col("hi"))
@@ -582,10 +591,10 @@ def connected_components(
                 F.col("m").alias("lo"),
             )
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
+            .distinct(),
             # cut lineage growth; LAZY so the signature probe below
             # materializes the checkpoint in the same job
-            .localCheckpoint(eager=False)
+            checkpoint_dir=checkpoint_dir, eager=False,
         )
         # 31-bit folded hash: a raw xxhash64 sum overflows int64 under
         # ANSI; (count, sum of 2^31-bounded hashes) stays exact to

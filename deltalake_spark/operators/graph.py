@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deltalake_spark.operators.iterative import cut_lineage, materialize_round
+
 __all__ = ["canonical_edges", "degree_stats", "triangle_count",
            "pagerank_fixed_point", "hits_fixed_point",
            "label_propagation", "bfs_distances", "link_prediction",
@@ -105,6 +107,7 @@ def pagerank_fixed_point(
     scale: int = 10 ** 12,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a DIRECTED edge list: ``n_iter``
     power iterations in EXACT integer arithmetic.
@@ -180,13 +183,11 @@ def pagerank_fixed_point(
         # cut the iterative lineage: without this, iteration i's plan
         # nests and REPLAYS every earlier iteration's join+agg
         # (quadratic re-execution) — the same hazard the BPE trainer
-        # flattens with localCheckpoint
+        # flattens with localCheckpoint. checkpoint_dir switches to
+        # reliable checkpoints (executor-loss-safe on real clusters).
         if it < n_iter - 1:
-            ranks = ranks.persist()
-            ranks.count()  # materialize now so the next plan reads cache
-            if stale is not None:
-                stale.unpersist()
-            stale = ranks
+            ranks, stale = materialize_round(
+                ranks, stale, checkpoint_dir=checkpoint_dir)
     return ranks
 
 
@@ -197,6 +198,7 @@ def hits_fixed_point(
     scale: int = 10 ** 12,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-point HITS (hubs & authorities) over a DIRECTED edge
     list: ``n_iter`` mutual-reinforcement rounds in EXACT integer
@@ -234,7 +236,8 @@ def hits_fixed_point(
                      F.col(dst).alias("e_dst")).persist()
     hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
     auth = nodes.withColumn("a", F.lit(0).cast("long"))
-    stale: list[DataFrame] = []
+    stale_a: DataFrame | None = None
+    stale_h: DataFrame | None = None
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         mx = raw.agg(F.max(col)).collect()[0][0] or 0
@@ -258,8 +261,8 @@ def hits_fixed_point(
         )
         auth = nodes.join(araw, "node", "left").select(
             "node", F.coalesce("a", F.lit(0).cast("long")).alias("a"))
-        auth = _normalize(auth, "a").persist()
-        auth.count()
+        auth, stale_a = materialize_round(
+            _normalize(auth, "a"), stale_a, checkpoint_dir=checkpoint_dir)
         hraw = (
             e.join(auth.withColumnRenamed("node", "e_dst"), "e_dst")
             .groupBy(F.col("e_src").alias("node"))
@@ -267,12 +270,8 @@ def hits_fixed_point(
         )
         hub = nodes.join(hraw, "node", "left").select(
             "node", F.coalesce("h", F.lit(0).cast("long")).alias("h"))
-        hub = _normalize(hub, "h").persist()
-        hub.count()
-        stale += [auth, hub]
-        for old in stale[:-2]:
-            old.unpersist()
-        stale = stale[-2:]
+        hub, stale_h = materialize_round(
+            _normalize(hub, "h"), stale_h, checkpoint_dir=checkpoint_dir)
     return (
         hub.join(auth, "node")
         .select("node", F.col("h").alias("hub_scaled"),
@@ -286,6 +285,7 @@ def label_propagation(
     n_iter: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (Raghavan 2007) —
     community detection over an UNDIRECTED edge list, completing the
@@ -343,11 +343,8 @@ def label_propagation(
             .select("node", "label")
         )
         if it < n_iter - 1:
-            labels = labels.persist()
-            labels.count()  # materialize: next round reads cache
-            if stale is not None:
-                stale.unpersist()
-            stale = labels
+            labels, stale = materialize_round(
+                labels, stale, checkpoint_dir=checkpoint_dir)
     return labels.withColumnRenamed("label", "community")
 
 
@@ -358,6 +355,7 @@ def bfs_distances(
     max_hops: int = 3,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Bounded-hop BFS from a single source over a DIRECTED edge list
     (symmetrize first for undirected reachability) — "how far is
@@ -401,11 +399,8 @@ def bfs_distances(
             .select("node", F.least("hops", "via").alias("hops"))
         )
         if it < max_hops - 1:
-            dist = dist.persist()
-            dist.count()  # materialize: next round reads cache
-            if stale is not None:
-                stale.unpersist()
-            stale = dist
+            dist, stale = materialize_round(
+                dist, stale, checkpoint_dir=checkpoint_dir)
     return dist
 
 
@@ -486,6 +481,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     require_converged: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """k-core decomposition step: the maximal subgraph in which every
     vertex keeps degree >= k — the classic dense-community filter
@@ -537,11 +533,15 @@ def k_core(
         nxt = (
             cur.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
-            .persist()
         )
+        # lazy reliable checkpoint piggybacks on the distinct-count job
+        # below (no extra write job); default stays persist+materialize
+        nxt = (nxt.persist() if checkpoint_dir is None else
+               cut_lineage(nxt, checkpoint_dir=checkpoint_dir,
+                           eager=False))
         n_alive = nxt.select("a").distinct().count()  # materializes
         if stale is not None:
-            stale.unpersist()
+            stale.unpersist()  # no-op for checkpointed frames
         stale = nxt
         cur = nxt
         if prev_n is not None and n_alive == prev_n:

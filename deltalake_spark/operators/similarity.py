@@ -206,7 +206,10 @@ def train_centroids(
     side sample. Centroids are k×dim floats — KB-scale metadata even for a
     100 TB corpus, so training on a bounded sample on the driver is the
     right cost model (the full corpus is only ever touched by the
-    distributed assignment pass)."""
+    distributed assignment pass). No ``checkpoint_dir`` option, unlike
+    the other iterative ops: the Lloyd loop here is driver-local numpy
+    with zero executor state, so there is nothing executor loss can
+    take from it."""
     rows = df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(sample)
     X = np.array([list(r[0]) for r in rows.collect()], dtype=np.float64)
     if len(X) < k:
