@@ -2243,6 +2243,44 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
+def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN search (r8, operators/similarity.py
+    ivf_pq_topk_join) — the query path a production 100 TB ANN index
+    runs, composing the two halves that were previously graded
+    separately (ivf_ann_topk routes, pq_adc_topk_query scores ONE
+    query): seed coarse centroids (vec_id<8 on the micro-unit grid)
+    route every query to its nprobe=2 nearest buckets by EXACT BIGINT
+    squared distance; the corpus is PQ-encoded with the seed codebooks
+    (the pq_adc_topk_query books — 2 subspaces × 8 centroids);
+    candidates inside probed buckets score by asymmetric distance over
+    the 2-byte codes (round-6 per-subspace terms), never touching the
+    corpus vectors; top-5 per query (adc asc, id asc). The oracle
+    replays routing, encoding, the per-(query, centroid) LUT terms and
+    the ranking value-for-value."""
+    from deltalake_spark.operators.similarity import ivf_pq_topk_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {r[0]: list(r[1])
+            for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id").collect()}
+    seeds = [rows[i] for i in range(8)]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    # coarse centroids quantized by the SAME Spark round expression the
+    # routing applies to the data (never Python round — HALF_EVEN)
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_pq_topk_join(
+        queries, corpus, intc, books,
+        query_id="vec_id", corpus_id="corpus_id", k=5, nprobe=2,
+    ).orderBy("vec_id", "rank")
+
+
 def ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF kNN join probing EVERY bucket (nprobe == n_centroids): the
     bucket layout only changes the execution shape, so results equal
@@ -4324,6 +4362,46 @@ def ewma_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_quantile_user_values(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exact trailing rolling quantiles (r8, operators/timeseries.py
+    rolling_quantile): per-user rolling MEDIAN and P90 of event value
+    cents over the trailing 7 events in (ts, event_id) order — the
+    nearest-rank-lower order statistic (sorted-frame index
+    ``(n−1)·q_num // q_den``), pure integer index arithmetic over a
+    bounded sorted frame, so the whole screen replays bit-for-bit.
+    One user-keyed window pass per quantile (shared sort), per-user
+    rollup: events, final median, max p90, exact BIGINT sum of
+    medians. Top 50 users by (sum desc, user)."""
+    from deltalake_spark.operators.timeseries import rolling_quantile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+    med = rolling_quantile(
+        ev, group_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="cents", q_num=1, q_den=2, window_rows=7,
+        out_col="med7")
+    both = rolling_quantile(
+        med, group_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="cents", q_num=9, q_den=10, window_rows=7,
+        out_col="p90_7")
+    wlast = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        both.withColumn("__rn", F.row_number().over(wlast))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("__rn") == 1, F.col("med7")))
+            .alias("last_med7"),
+            F.max("p90_7").alias("max_p90_7"),
+            F.sum("med7").alias("sum_med7"),
+        )
+        .orderBy(F.desc("sum_med7"), "user_id").limit(50)
+    )
+
+
 def rolling_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day z-scores (operators/timeseries.py) over the daily
     rollup: trailing mean/sample-stddev window, standardized residual,
@@ -4541,6 +4619,28 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = collocation_pmi(docs, min_count=5)
     return scored.orderBy(F.desc("lift"), "w1", "w2").limit(25)
+
+
+def collocation_g2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² log-likelihood collocations (r8, operators/text.py
+    collocation_g2): the sparse-count-robust standard beside PMI —
+    PMI lift explodes for rare pairs; G² weights the evidence via the
+    2×2 bigram-event contingency table, so frequent collocations
+    outrank lucky singletons. Every cell count is an exact integer;
+    the four k·ln(k·N/(R·C)) terms evaluate in a FIXED op/cell order
+    and the score rounds to 6 (the proven cross-engine libm
+    contract). Same scale shape as PMI: narrow bigram projection, one
+    count shuffle, broadcast marginal joins, N as a literal. Top 25
+    by (g2 desc, words) with a count floor of 5."""
+    from deltalake_spark.operators.text import collocation_g2
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = collocation_g2(docs, min_count=5)
+    return (
+        scored.select("w1", "w2", "pair_count",
+                      F.round("g2", 6).alias("g2"))
+        .orderBy(F.desc("g2"), "w1", "w2").limit(25)
+    )
 
 
 def damerau_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5993,6 +6093,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_delta_sink": stream_delta_sink,
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
+    "ivf_pq_ann_topk": ivf_pq_ann_topk,
     "ivf_exhaustive_topk": ivf_exhaustive_topk,
     "language_id_dist": language_id_dist,
     "fingerprint_dedup_stats": fingerprint_dedup_stats,
@@ -6090,6 +6191,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "welch_ttest_events": welch_ttest_events,
     "winsorized_price_stats": winsorized_price_stats,
     "ewma_daily_values": ewma_daily_values,
+    "rolling_quantile_user_values": rolling_quantile_user_values,
     "rolling_zscore_days": rolling_zscore_days,
     "autocorr_daily_values": autocorr_daily_values,
     "markov_event_transitions": markov_event_transitions,
@@ -6098,6 +6200,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cluster_stats": kmeans_cluster_stats,
     "pagerank_copurchase_topk": pagerank_copurchase_topk,
     "collocation_pmi_topk": collocation_pmi_topk,
+    "collocation_g2_topk": collocation_g2_topk,
     "damerau_name_pairs": damerau_name_pairs,
     "auc_doclen_source": auc_doclen_source,
     "kappa_langid_source": kappa_langid_source,
@@ -6324,6 +6427,158 @@ def _minhash_oracle() -> str:
                CAST(COUNT(*) AS BIGINT) AS group_size
         FROM hashed GROUP BY 1, 2 HAVING COUNT(*) > 1
         ORDER BY band, band_hash
+    """
+
+
+def _g2_oracle() -> str:
+    """DuckDB twin of collocation_g2_topk: the same 2×2 bigram-event
+    contingency table, the same FIXED cell order (11, 12, 21, 22) and
+    per-term op order ``k · ln(((k·N)/R)/C)``, round-6 final."""
+    def term(k: str, row: str, col: str) -> str:
+        return (f"(CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE)"
+                f" * ln(CAST({k} AS DOUBLE) * CAST(n AS DOUBLE)"
+                f" / CAST({row} AS DOUBLE) / CAST({col} AS DOUBLE))"
+                f" ELSE 0.0 END)")
+
+    t11 = term("c_xy", "rr", "cc")
+    t12 = term("rr - c_xy", "rr", "n - cc")
+    t21 = term("cc - c_xy", "n - rr", "cc")
+    t22 = term("n - rr - cc + c_xy", "n - rr", "n - cc")
+    return f"""
+        WITH toks AS (
+          SELECT string_split(trim(text), ' ') AS t FROM documents
+        ), bi AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        ), bcnt AS (
+          SELECT w1, w2, COUNT(*) AS c_xy FROM bi
+          WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2
+        ), r1 AS (
+          SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS rr FROM bcnt
+          GROUP BY 1
+        ), c2 AS (
+          SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS cc FROM bcnt
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bcnt
+        ), cells AS (
+          SELECT b.w1, b.w2, b.c_xy, r1.rr, c2.cc, t.n
+          FROM bcnt b
+          JOIN r1 ON r1.w1 = b.w1
+          JOIN c2 ON c2.w2 = b.w2
+          CROSS JOIN tot t
+          WHERE b.c_xy >= 5
+        )
+        SELECT w1, w2, CAST(c_xy AS BIGINT) AS pair_count,
+               ROUND(2.0 * ({t11} + {t12} + {t21} + {t22}), 6) AS g2
+        FROM cells
+        ORDER BY g2 DESC, w1, w2 LIMIT 25
+    """
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin of ivf_pq_ann_topk: seed coarse centroids on the
+    micro-unit grid (vec_id<8) route corpus (argmin) and queries
+    (nprobe=2) by exact BIGINT squared distance; corpus PQ codes
+    replay the round-6 nearest-subcentroid rule (the pq_adc_topk_query
+    recipe); ADC terms are the per-(query, centroid) round-6 LUT; rank
+    top-5 per query ascending (adc, id)."""
+    return """
+        WITH q AS (
+          SELECT vec_id,
+                 generate_subscripts(embedding, 1) AS pos,
+                 CAST(ROUND(unnest(CAST(embedding AS DOUBLE[]))
+                            * 1000000) AS BIGINT) AS qe
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, pos, qe AS ce FROM q WHERE vec_id < 8
+        ), cq AS (
+          -- corpus: argmin coarse bucket
+          SELECT vec_id AS corpus_id, cid AS b FROM (
+            SELECT q.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                              c.cid) AS rn
+            FROM q JOIN c USING (pos)
+            GROUP BY q.vec_id, c.cid
+          ) WHERE rn = 1
+        ), qp AS (
+          -- queries: nprobe=2 nearest buckets
+          SELECT vec_id, cid AS b FROM (
+            SELECT q.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
+                              c.cid) AS rn
+            FROM q JOIN c USING (pos)
+            WHERE q.vec_id % 50 = 0
+            GROUP BY q.vec_id, c.cid
+          ) WHERE rn <= 2
+        ), s0 AS (
+          SELECT vec_id AS scid, (embedding[1:32])::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8
+        ), s1 AS (
+          SELECT vec_id AS scid, (embedding[33:64])::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8
+        ), e0 AS (
+          SELECT vec_id, (embedding[1:32])::DOUBLE[] AS v
+          FROM embeddings
+        ), e1 AS (
+          SELECT vec_id, (embedding[33:64])::DOUBLE[] AS v
+          FROM embeddings
+        ), a0 AS (
+          SELECT vec_id, scid AS c0 FROM (
+            SELECT e0.vec_id, s0.scid,
+                   ROW_NUMBER() OVER (PARTITION BY e0.vec_id ORDER BY
+                     ROUND(list_dot_product(v, v)
+                           - 2.0 * list_dot_product(v, cv)
+                           + list_dot_product(cv, cv), 6), scid) AS rn
+            FROM e0 CROSS JOIN s0
+          ) WHERE rn = 1
+        ), a1 AS (
+          SELECT vec_id, scid AS c1 FROM (
+            SELECT e1.vec_id, s1.scid,
+                   ROW_NUMBER() OVER (PARTITION BY e1.vec_id ORDER BY
+                     ROUND(list_dot_product(v, v)
+                           - 2.0 * list_dot_product(v, cv)
+                           + list_dot_product(cv, cv), 6), scid) AS rn
+            FROM e1 CROSS JOIN s1
+          ) WHERE rn = 1
+        ), qv0 AS (
+          SELECT vec_id AS qid, (embedding[1:32])::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), qv1 AS (
+          SELECT vec_id AS qid, (embedding[33:64])::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), t0 AS (
+          SELECT qid, scid,
+                 ROUND(list_dot_product(qv, qv)
+                       - 2.0 * list_dot_product(qv, cv)
+                       + list_dot_product(cv, cv), 6) AS d
+          FROM qv0 CROSS JOIN s0
+        ), t1 AS (
+          SELECT qid, scid,
+                 ROUND(list_dot_product(qv, qv)
+                       - 2.0 * list_dot_product(qv, cv)
+                       + list_dot_product(cv, cv), 6) AS d
+          FROM qv1 CROSS JOIN s1
+        ), scored AS (
+          SELECT qp.vec_id, cq.corpus_id,
+                 ROUND(t0.d + t1.d, 6) AS adc
+          FROM qp JOIN cq USING (b)
+          JOIN a0 ON a0.vec_id = cq.corpus_id
+          JOIN a1 ON a1.vec_id = cq.corpus_id
+          JOIN t0 ON t0.qid = qp.vec_id AND t0.scid = a0.c0
+          JOIN t1 ON t1.qid = qp.vec_id AND t1.scid = a1.c1
+        ), r AS (
+          SELECT vec_id, corpus_id, adc,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY adc, corpus_id) AS rank
+          FROM scored
+        )
+        SELECT vec_id, corpus_id, adc, rank
+        FROM r WHERE rank <= 5 ORDER BY vec_id, rank
     """
 
 
@@ -9649,6 +9904,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(r AS BIGINT) AS rank_scaled
             FROM r3 ORDER BY r DESC, node LIMIT 20
+        """,
+        "collocation_g2_topk": _g2_oracle(),
+        "ivf_pq_ann_topk": _ivf_pq_oracle(),
+        "rolling_quantile_user_values": """
+            WITH base AS (
+              SELECT user_id, ts, event_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), rq AS (
+              SELECT user_id, ts, event_id, cents,
+                list_sort(list(cents) OVER w)[
+                  CAST(((COUNT(*) OVER w) - 1) * 1 // 2 AS INT) + 1]
+                  AS med7,
+                list_sort(list(cents) OVER w)[
+                  CAST(((COUNT(*) OVER w) - 1) * 9 // 10 AS INT) + 1]
+                  AS p90_7,
+                ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MAX(CASE WHEN rn = 1 THEN med7 END) AS last_med7,
+                   MAX(p90_7) AS max_p90_7,
+                   CAST(SUM(med7) AS BIGINT) AS sum_med7
+            FROM rq GROUP BY 1
+            ORDER BY sum_med7 DESC, user_id LIMIT 50
         """,
         "collocation_pmi_topk": """
             -- PMI lift with the same exact factor order as the Spark

@@ -826,3 +826,140 @@ def pq_adc_topk(
         .limit(k)
         .select(id_col, "adc")
     )
+
+
+def _adc_expr(codebooks: list[list[list[float]]], qvec_sql: str,
+              code_col: str) -> Column:
+    """Asymmetric-distance expression for a BATCH of queries: per
+    subspace j, ``round(|q_j|² − 2·q_j·c(code_j) + |c(code_j)|², 6)``
+    with the centroid picked from the literal codebook by the
+    candidate's code — then ``round(Σ_j term_j, 6)``. Same per-term
+    arithmetic and rounding as :func:`pq_adc_topk`'s driver-built
+    tables, but the query subvector folds run in the row (sequential
+    ``aggregate``/``zip_with`` — the proven cross-engine contract), so
+    ONE expression scores every (query, candidate) pair of a join.
+
+    Built as one SQL string parsed JVM-side and memoized (the
+    :func:`_probe_expr` lesson: k·m·sub literals through py4j Column
+    calls cost seconds per plan build). ``qvec_sql`` must already be
+    ``array<double>``; each subspace slice is let-bound via
+    ``transform(array(...), s -> ...)[0]`` so it evaluates once."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    key = ("adc", tuple(tuple(tuple(c) for c in b) for b in codebooks),
+           qvec_sql, code_col)
+    cached = _PROBE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    terms = []
+    for j, book in enumerate(codebooks):
+        if any(len(c) != sub for c in book):
+            raise ValueError(f"codebook {j} width != {sub}")
+        arrays = ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in book)
+        # |c|² per centroid, driver-side sequential fold — the same
+        # left-to-right sum a SQL engine's list_dot_product(cv, cv)
+        # produces (the pq_adc_topk contract)
+        ccs = ",".join(
+            f"{float(sum(float(x) * float(x) for x in c))!r}D"
+            for c in book)
+        code = f"element_at(`{code_col}`, {j + 1}) + 1"
+        qsub = f"slice({qvec_sql}, {j * sub + 1}, {sub})"
+        terms.append(
+            f"transform(array({qsub}), s -> round("
+            f"aggregate(zip_with(s, s, (x, y) -> x * y),"
+            f" 0.0D, (a, x) -> a + x)"
+            f" - 2.0D * aggregate(zip_with(s,"
+            f" element_at(array({arrays}), {code}),"
+            f" (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+            f" + element_at(array({ccs}), {code}), 6))[0]"
+        )
+    col = F.expr(f"round({' + '.join(terms)}, 6)")
+    if len(_PROBE_CACHE) > 64:
+        _PROBE_CACHE.clear()
+    _PROBE_CACHE[key] = col
+    return col
+
+
+def ivf_pq_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    int_centroids: list[list[int]],
+    codebooks: list[list[list[float]]],
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ composed search — the query path a real 100 TB ANN
+    deployment runs (Jégou 2011; both halves existed separately:
+    :func:`ivf_topk_join_q` routes, :func:`pq_adc_topk` scores ONE
+    query): route each query to its ``nprobe`` nearest coarse buckets
+    (EXACT-integer squared L2 on the micro-unit grid — replayable),
+    equi-join on the bucket id against the PQ-ENCODED corpus, score
+    candidates by asymmetric distance over the m-byte codes (never
+    touching the corpus vectors), rank top-``k`` per query ascending.
+
+    Scale shape: corpus side is ONE map-only pass (coarse argmin +
+    :func:`pq_encode`, both literal-codebook expressions in
+    whole-stage codegen) — at deployment this pass is the index build,
+    amortized across queries; the per-batch work is queries × nprobe
+    bucket probes, a bucket equi-join (never a cross join), map-only
+    ADC over codes, one per-query ranked window. Codebooks are KB
+    metadata; candidate volume is bounded by bucket sizes × nprobe.
+
+    Determinism contract: routing is pure BIGINT arithmetic; ADC
+    terms round to 6 per subspace and the sum rounds to 6 (the
+    :func:`pq_adc_topk` recipe); ranking ties break on ascending
+    ``corpus_id`` — a SQL oracle replays encode, route, score, and
+    rank value-for-value.
+
+    Returns ``(query_id, corpus_id, adc, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    if query_id == corpus_id:
+        raise ValueError(
+            f"query_id and corpus_id must differ (both {query_id!r}); "
+            "alias one side before joining so output columns are unique"
+        )
+
+    def qv_sql(col: str) -> str:
+        return (f"transform(cast(`{col}` as array<double>),"
+                f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
+
+    c = pq_encode(
+        corpus.select(F.col(corpus_id).alias("__rid"),
+                      F.col(vec_col).alias("__rv")),
+        codebooks, vec_col="__rv", code_col="__code",
+    ).withColumn(
+        "__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0]
+    ).select("__rid", "__code", "__b")
+    q = (
+        queries.select(
+            F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")
+        )
+        .withColumn("__probes",
+                    _probe_expr_q(int_centroids, qv_sql("__lv"), nprobe))
+        .withColumn("__b", F.explode("__probes"))
+        .drop("__probes")
+    )
+    joined = q.join(c, "__b").withColumn(
+        "adc",
+        _adc_expr(codebooks, "cast(`__lv` as array<double>)", "__code"),
+    )
+    w = Window.partitionBy("__lid").orderBy(F.asc("adc"), F.asc("__rid"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__lid").alias(query_id),
+            F.col("__rid").alias(corpus_id),
+            "adc",
+            F.col("__rn").alias("rank"),
+        )
+    )

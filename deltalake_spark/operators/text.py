@@ -577,6 +577,92 @@ def collocation_pmi(
     return scored
 
 
+def collocation_g2(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Bigram collocations by Dunning's G² log-likelihood ratio
+    (Dunning 1993, "Accurate Methods for the Statistics of Surprise
+    and Coincidence") — the sparse-count-robust standard next to
+    :func:`collocation_pmi`: PMI lift explodes for rare pairs (a
+    hapax bigram of two hapax words gets the maximum score); G²
+    weights the evidence, so high-count collocations outrank lucky
+    singletons without any min-count heuristics doing the real work.
+
+    Contingency table over BIGRAM EVENTS (N = total bigrams):
+    ``k11 = c(w1 w2)``, ``k12 = c(w1 ·) − k11``,
+    ``k21 = c(· w2) − k11``, ``k22 = N − k11 − k12 − k21`` (row
+    sums: bigrams whose FIRST word is w1; column sums: whose SECOND
+    word is w2 — the strict bigram-event formulation, not unigram
+    totals). ``G² = 2·Σ k·ln(k·N/(R·C))`` over the non-zero cells,
+    with the FIXED evaluation order
+    ``k · ln(((k·N)/R)/C)`` and cell order 11,12,21,22 — every count
+    is an exact integer, the four ln terms are the only floats, so any
+    engine replays the double result to well past 6 decimals.
+
+    Scale shape: identical to :func:`collocation_pmi` — bigram
+    extraction is one narrow projection, one bigram hash-agg shuffle,
+    row/column totals are two aggregates of the bigram frame
+    broadcast-joined back (first/second-word marginals are
+    vocabulary-sized — KB..MB at any corpus scale), N is a 1-scalar
+    collect folded in as a literal.
+
+    Returns ``(w1, w2, pair_count, g2)`` unfiltered order; callers
+    rank with ``orderBy(desc("g2"), "w1", "w2")``.
+    """
+    toks = df.select(
+        F.split(F.trim(F.col(text_col)), " ").alias("t"))
+
+    n = F.size("t")
+    pairs = F.arrays_zip(
+        F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.expr("slice(t, 2, greatest(size(t) - 1, 0))").alias("w2"),
+    )
+    bi = (toks.select(F.explode(pairs).alias("p"))
+          .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+          .filter((F.col("w1") != "") & (F.col("w2") != ""))
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy")))
+    bi = bi.persist()  # marginals and the scored frame both replay it
+
+    n_bi = int(bi.agg(F.sum("c_xy")).collect()[0][0] or 0)
+    if n_bi == 0:
+        return bi.filter(F.lit(False)).select(
+            "w1", "w2", F.col("c_xy").alias("pair_count"),
+            F.lit(0.0).alias("g2"))
+
+    r1 = bi.groupBy("w1").agg(F.sum("c_xy").alias("r1"))
+    c2 = bi.groupBy("w2").agg(F.sum("c_xy").alias("c2"))
+
+    nd = F.lit(float(n_bi))
+
+    def term(k: Column, row: Column, col: Column) -> Column:
+        kd = k.cast("double")
+        return F.when(
+            k > 0,
+            kd * F.log(kd * nd / row.cast("double") / col.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("c_xy")
+    k12 = F.col("r1") - k11
+    k21 = F.col("c2") - k11
+    k22 = F.lit(n_bi) - F.col("r1") - F.col("c2") + k11
+    row1, row2 = F.col("r1"), F.lit(n_bi) - F.col("r1")
+    col1, col2 = F.col("c2"), F.lit(n_bi) - F.col("c2")
+    g2 = F.lit(2.0) * (
+        term(k11, row1, col1) + term(k12, row1, col2)
+        + term(k21, row2, col1) + term(k22, row2, col2)
+    )
+    return (
+        bi.filter(F.col("c_xy") >= int(min_count))
+        .join(F.broadcast(r1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select("w1", "w2", F.col("c_xy").alias("pair_count"),
+                g2.alias("g2"))
+    )
+
+
 def damerau_levenshtein(a: str, b: str) -> int:
     """TRUE Damerau–Levenshtein distance (Lowrance–Wagner, with the
     per-character last-occurrence table) — transpositions of ADJACENT

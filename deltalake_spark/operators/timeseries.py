@@ -50,6 +50,7 @@ __all__ = [
     "ohlc_vwap",
     "activity_streaks",
     "time_weighted_average",
+    "rolling_quantile",
 ]
 
 
@@ -854,3 +855,61 @@ def time_weighted_average(
                F.col("twa_num").cast("double") / span.cast("double"))
         .alias("twa"),
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    q_num: int,
+    q_den: int,
+    window_rows: int,
+    out_col: str = "rolling_q",
+) -> DataFrame:
+    """EXACT trailing rolling quantile per series — the one common
+    time-series screen the suite lacked (rolling median / p90 for
+    robust thresholds, SLO monitors, outlier-resistant baselines).
+
+    Definition (deterministic, integer-exact): over the frame of the
+    trailing ``window_rows`` rows (current inclusive; shorter at the
+    series head, standard SQL semantics), the NEAREST-RANK-LOWER order
+    statistic — the sorted frame's element at 0-based index
+    ``((n − 1) · q_num) // q_den`` where ``n`` is the frame size. The
+    index arithmetic is pure integers and the pick is an array index,
+    so for integral values the whole operator replays bit-for-bit on
+    any engine (no interpolation, whose ``(1−f)·a + f·b`` op order is
+    an IEEE hazard across engines). q = q_num/q_den, e.g. (1, 2) for
+    the median, (9, 10) for p90.
+
+    ``order_cols`` must be a TOTAL order within each group (append a
+    unique tiebreak) — otherwise frame membership at the window edge
+    depends on physical row order.
+
+    Scale shape: ONE group-keyed window pass; per row the frame's
+    ``window_rows`` values are collected and sorted — O(w log w) per
+    row, JVM-side, bounded by the window size, never by series length.
+    For very large windows (w in the tens of thousands) switch to a
+    sketch (GK/equi-depth merge); for the usual 7..1000-row trailing
+    screens the exact sort is the right cost.
+
+    Returns the input plus ``out_col`` (same type as ``value_col``).
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    if q_den <= 0 or not 0 <= q_num <= q_den:
+        raise ValueError("quantile q_num/q_den must be in [0, 1]")
+    if not group_cols or not order_cols:
+        raise ValueError("group_cols and order_cols must be non-empty")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    frame = F.sort_array(F.collect_list(value_col).over(w))
+    idx = F.expr(
+        f"(size({'__frame'}) - 1) * {int(q_num)}L div {int(q_den)}L")
+    return df.withColumn("__frame", frame).withColumn(
+        out_col, F.element_at(F.col("__frame"), (idx + 1).cast("int"))
+    ).drop("__frame")

@@ -204,6 +204,17 @@ BUDGETS = {
     # r5: bigram explode agg + unigram agg (persisted; textually
     # nested) + broadcast vocab joins + TakeOrdered head
     "collocation_pmi_topk": (5, False),
+    # r8: same shape as PMI but marginals come from the CACHED bigram
+    # frame (3 real exchanges: bigram agg + 2 marginal aggs; the
+    # static count sees the cached agg once per consumer branch),
+    # marginal joins broadcast, TakeOrdered head
+    "collocation_g2_topk": (8, False),
+    # r8: probe explode + bucket equi-join (broadcast at fixture
+    # scale) + ranked window; ADC is map-only literal-codebook math
+    "ivf_pq_ann_topk": (3, False),
+    # r8: ONE user-keyed exchange shared by all three window passes
+    # (both quantile frames + the last-row rank), user agg, TakeOrdered
+    "rolling_quantile_user_values": (2, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),
@@ -331,6 +342,11 @@ def test_bucketed_join_zero_shuffles(spark):
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_budget(spark, name):
     max_shuffles, need_pushdown = BUDGETS[name]
+    # isolate from cross-gate cache substitution: CacheManager swaps
+    # any logically-equal subplan for an earlier gate's persisted
+    # frame (e.g. PMI's bigram counts for G²'s), making the static
+    # shuffle count depend on which gates ran earlier in the session
+    spark.catalog.clearCache()
     df = entry_mod.queries()[name](spark, SF)
     assert_plan(
         df,

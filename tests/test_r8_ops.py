@@ -1,0 +1,214 @@
+"""r8 operators: rolling quantiles, Dunning G² collocations, and the
+IVF-PQ composed ANN search."""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- rolling
+
+def test_rolling_quantile_matches_python(spark):
+    from deltalake_spark.operators.timeseries import rolling_quantile
+
+    rng = random.Random(11)
+    rows = [("k%d" % (i % 3), i, rng.randrange(-50, 500))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    for q_num, q_den, w in ((1, 2, 7), (9, 10, 5), (0, 1, 4), (1, 1, 6)):
+        out = rolling_quantile(
+            df, group_cols=["k"], order_cols=["t"], value_col="x",
+            q_num=q_num, q_den=q_den, window_rows=w, out_col="rq")
+        got = {(r["k"], r["t"]): r["rq"] for r in out.collect()}
+        series = {}
+        for k, t, x in sorted(rows, key=lambda r: (r[0], r[1])):
+            series.setdefault(k, []).append((t, x))
+        for k, pts in series.items():
+            for i, (t, _) in enumerate(pts):
+                frame = sorted(x for _, x in pts[max(0, i - w + 1):i + 1])
+                idx = (len(frame) - 1) * q_num // q_den
+                assert got[(k, t)] == frame[idx], (k, t, q_num, q_den, w)
+
+
+def test_rolling_quantile_validation(spark):
+    from deltalake_spark.operators.timeseries import rolling_quantile
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, t int, x long")
+    with pytest.raises(ValueError, match="window_rows"):
+        rolling_quantile(df, group_cols=["k"], order_cols=["t"],
+                         value_col="x", q_num=1, q_den=2, window_rows=0)
+    with pytest.raises(ValueError, match="quantile"):
+        rolling_quantile(df, group_cols=["k"], order_cols=["t"],
+                         value_col="x", q_num=3, q_den=2, window_rows=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        rolling_quantile(df, group_cols=[], order_cols=["t"],
+                         value_col="x", q_num=1, q_den=2, window_rows=3)
+
+
+# ---------------------------------------------------------------- G²
+
+def test_collocation_g2_matches_reference(spark):
+    from deltalake_spark.operators.text import collocation_g2
+
+    corpus = [
+        "the new york times is here",
+        "new york city and new york state",
+        "the times are new",
+        "york is a city in england the new era",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["g2"])
+           for r in collocation_g2(df, min_count=1).collect()}
+
+    bigrams = []
+    for t in corpus:
+        ws = t.split(" ")
+        bigrams += list(zip(ws, ws[1:]))
+    c = Counter(bigrams)
+    n = len(bigrams)
+    r1 = Counter(w1 for w1, _ in bigrams)
+    c2 = Counter(w2 for _, w2 in bigrams)
+
+    def ref_g2(pair):
+        k11 = c[pair]
+        rr, cc = r1[pair[0]], c2[pair[1]]
+        cells = ((k11, rr, cc), (rr - k11, rr, n - cc),
+                 (cc - k11, n - rr, cc), (n - rr - cc + k11, n - rr, n - cc))
+        s = 0.0
+        for k, row, col in cells:
+            if k > 0:
+                s += k * math.log(k * float(n) / row / col)
+        return 2.0 * s
+
+    assert len(got) == len(c)
+    for pair, (cnt, val) in got.items():
+        assert cnt == c[pair]
+        assert val == pytest.approx(ref_g2(pair), abs=1e-9)
+    # the planted collocation dominates
+    top = max(got, key=lambda p: got[p][1])
+    assert top == ("new", "york")
+
+
+def test_collocation_g2_ranks_frequency_over_rarity(spark):
+    """The reason G² exists beside PMI: a pair seen once between two
+    hapax words maxes PMI lift but must NOT outrank a pair seen many
+    times between common words."""
+    from deltalake_spark.operators.text import collocation_g2
+    from deltalake_spark.operators.text import collocation_pmi
+
+    docs = [("strong coffee please",)] * 30 + [("zq xv",)] \
+        + [("strong tea please",)] * 10 + [("coffee is strong",)] * 10
+    df = spark.createDataFrame(docs, "text string")
+    g2 = {(r["w1"], r["w2"]): r["g2"]
+          for r in collocation_g2(df, min_count=1).collect()}
+    pmi = {(r["w1"], r["w2"]): r["lift"]
+           for r in collocation_pmi(df, min_count=1).collect()}
+    # PMI puts the hapax pair at the top; G² puts it strictly below
+    # the 30-count collocation
+    assert pmi[("zq", "xv")] == max(pmi.values())
+    assert g2[("strong", "coffee")] > g2[("zq", "xv")]
+
+
+def test_collocation_g2_empty_corpus(spark):
+    from deltalake_spark.operators.text import collocation_g2
+
+    df = spark.createDataFrame([("",), ("solo",)], "text string")
+    assert collocation_g2(df).count() == 0
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+@pytest.fixture(scope="module")
+def emb001(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").persist()
+
+
+def _seed_setup(spark, emb):
+    rows = {r[0]: list(r[1])
+            for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id").collect()}
+    seeds = [rows[i] for i in range(8)]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    return books, intc
+
+
+def test_ivf_pq_full_probe_equals_adc_scan(spark, emb001):
+    """nprobe = all buckets ⇒ per-query results equal the full-corpus
+    ADC scan (pq_adc_topk) for that query vector — the composition
+    adds routing, never changes the scoring."""
+    from deltalake_spark.operators.similarity import (
+        ivf_pq_topk_join, pq_adc_topk, pq_encode)
+
+    books, intc = _seed_setup(spark, emb001)
+    queries = emb001.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb001.select(F.col("vec_id").alias("corpus_id"),
+                           "embedding")
+    out = ivf_pq_topk_join(
+        queries, corpus, intc, books, query_id="vec_id",
+        corpus_id="corpus_id", k=4, nprobe=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["corpus_id"], r["adc"]))
+    enc = pq_encode(emb001.select("vec_id", "embedding"), books)
+    for qid, mine in by_q.items():
+        qvec = list(emb001.where(F.col("vec_id") == qid)
+                    .select("embedding").first()[0])
+        ref = [(i + 1, r["vec_id"], r["adc"]) for i, r in enumerate(
+            pq_adc_topk(enc, books, qvec, id_col="vec_id", k=4)
+            .collect())]
+        assert sorted(mine) == ref, qid
+
+
+def test_ivf_pq_partial_probe_subset_and_recall(spark, emb001):
+    """nprobe<all returns candidates ONLY from the query's probed
+    buckets (the routing actually constrains the join), per-query
+    ranks are consecutive from 1 with non-decreasing adc, and every
+    query answers."""
+    from deltalake_spark.operators.similarity import (
+        _probe_expr_q, ivf_pq_topk_join)
+
+    books, intc = _seed_setup(spark, emb001)
+    queries = emb001.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb001.select(F.col("vec_id").alias("corpus_id"),
+                           "embedding")
+    out = ivf_pq_topk_join(
+        queries, corpus, intc, books, query_id="vec_id",
+        corpus_id="corpus_id", k=3, nprobe=2).collect()
+    n_queries = queries.count()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    assert len(by_q) == n_queries
+    qv = ("transform(cast(`embedding` as array<double>),"
+          " x -> cast(round(x * 1000000.0D) as bigint))")
+    probes = {r["vec_id"]: set(r["p"]) for r in queries.select(
+        "vec_id", _probe_expr_q(intc, qv, 2).alias("p")).collect()}
+    buckets = {r["corpus_id"]: r["b"] for r in corpus.select(
+        "corpus_id", _probe_expr_q(intc, qv, 1)[0].alias("b")).collect()}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        adcs = [r["adc"] for r in rows]
+        assert adcs == sorted(adcs)
+        for r in rows:
+            assert buckets[r["corpus_id"]] in probes[qid], (qid, r)
+
+
+def test_ivf_pq_same_id_raises(spark, emb001):
+    from deltalake_spark.operators.similarity import ivf_pq_topk_join
+
+    books, intc = _seed_setup(spark, emb001)
+    with pytest.raises(ValueError, match="must differ"):
+        ivf_pq_topk_join(emb001, emb001, intc, books,
+                         query_id="vec_id", corpus_id="vec_id")
