@@ -99,6 +99,9 @@ EXTRA = [
     "silhouette_embedding_clusters",  # r6: cluster-quality eval
     "simhash_blocks",              # r7: portable 60-bit fingerprint
     "embedding_knn_join",          # r7: exact-integer sign-LSH kNN
+    "rolling_quantile_user_values",  # r8: exact trailing quantiles
+    "collocation_g2_topk",         # r8: Dunning G2 collocations
+    "ivf_pq_ann_topk",             # r8: IVF routing + PQ ADC composed
 ]
 
 

@@ -8,14 +8,21 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 Env:   ORACLE_JOBS=N  — run N queries concurrently (default 4; Spark
        schedules concurrent jobs from threads fine, DuckDB gets a cursor
        per worker). Streaming queries are serialized within a worker.
+       ORACLE_JSON=path — also write a per-query JSON artifact
+       {query: {status, seconds, rows, message}, ...} plus totals —
+       the committed per-round gate record (ORACLE_SF01_rN.json; the
+       r7 CC bug was caught only by a full sf0.1 value-level sweep,
+       so the sweep is now a standing artifact, not builder memory).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from decimal import Decimal
 
@@ -139,13 +146,19 @@ def main() -> None:
 
     lock = threading.Lock()
     counts = {"PASS": 0, "FAIL": 0, "WEAK": 0}
+    results: dict[str, dict] = {}
+    t_start = time.time()
 
     def run(item):
         name, fn = item
         con = base.cursor()
+        t0 = time.time()
         status, msg = check_one(spark, con, sf_dir, name, fn, oracles)
+        dt = round(time.time() - t0, 2)
         with lock:
             counts[status] += 1
+            results[name] = {"status": status, "seconds": dt,
+                             "message": msg}
             print(f"{status} {msg}", flush=True)
 
     if jobs > 1 and len(parallel) > 1:
@@ -159,6 +172,21 @@ def main() -> None:
 
     print(f"\n{counts['PASS']} pass, {counts['FAIL']} fail, "
           f"{counts['WEAK']} weak (rows-only)")
+    out_path = os.environ.get("ORACLE_JSON")
+    if out_path:
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "pass": counts["PASS"],
+            "fail": counts["FAIL"],
+            "weak": counts["WEAK"],
+            "wall_seconds": round(time.time() - t_start, 1),
+            "jobs": jobs,
+            "queries": dict(sorted(results.items())),
+        }
+        with open(out_path, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(f"wrote {out_path}")
     sys.exit(1 if counts["FAIL"] else 0)
 
 
