@@ -47,7 +47,9 @@ def asof_join(
     (same ``on`` keys) — ``direction='backward'`` (default) takes the
     most recent right row with ``right_time <= left_time``;
     ``direction='forward'`` takes the earliest right row with
-    ``right_time >= left_time`` (pandas ``merge_asof`` directions).
+    ``right_time >= left_time``; ``direction='nearest'`` takes the
+    right row minimizing ``|right_time − left_time|`` (all three
+    pandas ``merge_asof`` directions, tie rules included).
 
     Implementation: tag both sides, union them, and take a running
     ``last(..., ignorenulls=True)`` of the right-side payload over a
@@ -56,18 +58,23 @@ def asof_join(
     before left rows at equal timestamps either way so ties match,
     like DuckDB/pandas ``ASOF JOIN`` with ``>=``/``<=``. The payload
     travels as ONE struct so all attached columns come from the same
-    matched row.
+    matched row. ``nearest`` evaluates BOTH windows (they share the
+    key partition, so the plan is one exchange with two sorts) and
+    picks the closer match per row; equidistant ties prefer the
+    backward match (pandas parity, pinned by test).
 
     ``tolerance`` (same unit as the time columns, which must be numeric —
     e.g. epoch nanos) nulls out matches farther than ``tolerance`` from
-    ``left_time`` in the join direction.
+    ``left_time`` in the join direction (for ``nearest``: each side is
+    tolerance-filtered BEFORE the closer-of-two pick, like pandas).
 
     Scale: a single hash shuffle on ``on``; window is a linear scan per
     key. Skewed keys can be pre-salted by the caller (split the window
     per salt, then a second pass merges boundary state).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be 'backward', 'forward' or 'nearest'")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         # right_time is always attached as f"{right_time}{suffix}" from
@@ -94,20 +101,42 @@ def asof_join(
         F.lit(1).alias(_L),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
-    t_order = F.col(_T).asc() if direction == "backward" \
-        else F.col(_T).desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(t_order, F.col(_L).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn(_R, F.last(_R, ignorenulls=True).over(w))
-    out = matched.filter(F.col(_L) == 1)
-    m = F.col(_R)
-    if tolerance is not None:
+
+    def running(t_order: Column) -> Column:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(t_order, F.col(_L).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_R, ignorenulls=True).over(w)
+
+    def with_tol(m: Column, gap: Column) -> Column:
+        if tolerance is None:
+            return m
+        return F.when(gap <= F.lit(tolerance), m)
+
+    if direction == "nearest":
+        # both windows share the key partition: one exchange, two sorts
+        mb = unioned.withColumn("__rb", running(F.col(_T).asc())) \
+            .withColumn("__rf", running(F.col(_T).desc()))
+        out = mb.filter(F.col(_L) == 1)
+        gap_b = F.col(_T) - F.col("__rb")["__rt"]
+        gap_f = F.col("__rf")["__rt"] - F.col(_T)
+        b = with_tol(F.col("__rb"), gap_b)
+        fw = with_tol(F.col("__rf"), gap_f)
+        # closer side wins; equidistant (and exact-time) ties prefer
+        # backward — pandas merge_asof parity
+        m = F.when(b.isNull(), fw).when(fw.isNull(), b) \
+            .when(gap_b <= gap_f, b).otherwise(fw)
+    else:
+        t_order = F.col(_T).asc() if direction == "backward" \
+            else F.col(_T).desc()
+        out = unioned.withColumn(_R, running(t_order)) \
+            .filter(F.col(_L) == 1)
+        m = F.col(_R)
         gap = (F.col(_T) - m["__rt"]) if direction == "backward" \
             else (m["__rt"] - F.col(_T))
-        m = F.when(gap <= F.lit(tolerance), m)
+        m = with_tol(m, gap)
     cols = [F.col(c) for c in left.columns]
     cols.append(m["__rt"].alias(f"{right_time}{suffix}"))
     cols.extend(m[c].alias(f"{c}{suffix}") for c in right_cols)

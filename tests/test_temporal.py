@@ -246,6 +246,11 @@ class TestAsofForward:
         r = asof_join(left, right, on="k", left_time="t",
                       right_time="rt").collect()[0]
         assert r["rt_asof"] == 20
+        # r8: nearest is now a real direction; t=25 vs rt∈{20, 30} is
+        # the equidistant tie — backward wins (pandas parity)
+        n = asof_join(left, right, on="k", left_time="t",
+                      right_time="rt", direction="nearest").collect()[0]
+        assert n["rt_asof"] == 20
         with pytest.raises(ValueError, match="backward.*forward"):
             asof_join(left, right, on="k", left_time="t",
-                      right_time="rt", direction="nearest")
+                      right_time="rt", direction="sideways")
