@@ -865,16 +865,20 @@ def rolling_quantile(
     value_col: str,
     q_num: int,
     q_den: int,
-    window_rows: int,
+    window_rows: int | None = None,
+    range_interval: int | None = None,
     out_col: str = "rolling_q",
 ) -> DataFrame:
     """EXACT trailing rolling quantile per series — the one common
     time-series screen the suite lacked (rolling median / p90 for
     robust thresholds, SLO monitors, outlier-resistant baselines).
 
-    Definition (deterministic, integer-exact): over the frame of the
-    trailing ``window_rows`` rows (current inclusive; shorter at the
-    series head, standard SQL semantics), the NEAREST-RANK-LOWER order
+    Definition (deterministic, integer-exact): over the trailing
+    frame — ``window_rows`` rows (current inclusive; shorter at the
+    series head, standard SQL semantics) or, with ``range_interval``,
+    every row whose single numeric order value lies in
+    ``[current − range_interval, current]`` (SQL RANGE semantics:
+    equal-order peers share frames) — the NEAREST-RANK-LOWER order
     statistic — the sorted frame's element at 0-based index
     ``((n − 1) · q_num) // q_den`` where ``n`` is the frame size. The
     index arithmetic is pure integers and the pick is an array index,
@@ -896,17 +900,29 @@ def rolling_quantile(
 
     Returns the input plus ``out_col`` (same type as ``value_col``).
     """
-    if window_rows < 1:
+    if (window_rows is None) == (range_interval is None):
+        raise ValueError(
+            "exactly one of window_rows / range_interval must be set")
+    if window_rows is not None and window_rows < 1:
         raise ValueError("window_rows must be >= 1")
+    if range_interval is not None and range_interval < 0:
+        raise ValueError("range_interval must be >= 0")
     if q_den <= 0 or not 0 <= q_num <= q_den:
         raise ValueError("quantile q_num/q_den must be in [0, 1]")
     if not group_cols or not order_cols:
         raise ValueError("group_cols and order_cols must be non-empty")
-    w = (
-        Window.partitionBy(*group_cols)
-        .orderBy(*order_cols)
-        .rowsBetween(-(window_rows - 1), 0)
-    )
+    base = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    if window_rows is not None:
+        w = base.rowsBetween(-(window_rows - 1), 0)
+    else:
+        # time-based trailing window: all rows whose order value lies
+        # in [current − range_interval, current] — SQL RANGE semantics,
+        # so equal-order peers are always in each other's frame.
+        # Requires a single numeric order column (SQL RANGE rule).
+        if len(order_cols) != 1:
+            raise ValueError(
+                "range_interval requires exactly one numeric order col")
+        w = base.rangeBetween(-int(range_interval), 0)
     frame = F.sort_array(F.collect_list(value_col).over(w))
     idx = F.expr(
         f"(size({'__frame'}) - 1) * {int(q_num)}L div {int(q_den)}L")

@@ -212,3 +212,42 @@ def test_ivf_pq_same_id_raises(spark, emb001):
     with pytest.raises(ValueError, match="must differ"):
         ivf_pq_topk_join(emb001, emb001, intc, books,
                          query_id="vec_id", corpus_id="vec_id")
+
+
+def test_rolling_quantile_range_mode_matches_python(spark):
+    from deltalake_spark.operators.timeseries import rolling_quantile
+
+    rng = random.Random(5)
+    # duplicate order values on purpose: RANGE includes equal-t peers
+    rows = [("k%d" % (i % 2), rng.randrange(0, 40), rng.randrange(0, 99))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = rolling_quantile(
+        df, group_cols=["k"], order_cols=["t"], value_col="x",
+        q_num=1, q_den=2, range_interval=5, out_col="rq")
+    got = sorted((r["k"], r["t"], r["x"], r["rq"])
+                 for r in out.collect())
+    want = []
+    for k, t, x in rows:
+        frame = sorted(x2 for k2, t2, x2 in rows
+                       if k2 == k and t - 5 <= t2 <= t)
+        idx = (len(frame) - 1) * 1 // 2
+        want.append((k, t, x, frame[idx]))
+    assert got == sorted(want)
+
+
+def test_rolling_quantile_mode_validation(spark):
+    from deltalake_spark.operators.timeseries import rolling_quantile
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, t int, x long")
+    with pytest.raises(ValueError, match="exactly one"):
+        rolling_quantile(df, group_cols=["k"], order_cols=["t"],
+                         value_col="x", q_num=1, q_den=2)
+    with pytest.raises(ValueError, match="exactly one"):
+        rolling_quantile(df, group_cols=["k"], order_cols=["t"],
+                         value_col="x", q_num=1, q_den=2,
+                         window_rows=3, range_interval=5)
+    with pytest.raises(ValueError, match="one numeric order col"):
+        rolling_quantile(df, group_cols=["k"], order_cols=["t", "x"],
+                         value_col="x", q_num=1, q_den=2,
+                         range_interval=5)
