@@ -4402,6 +4402,51 @@ def rolling_quantile_user_values(spark: SparkSession,
     )
 
 
+def interval_overlap_attention(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (r8, operators/temporal.py
+    interval_overlap_join), composed with interval_union: per user,
+    'view' events open 30-min windows merged into islands, same for
+    'purchase'; the overlap join pairs view-islands with
+    purchase-islands on the user key (equi-key join, overlap as a
+    residual — never a nested loop) and reports exact-ns overlap per
+    pair. Rollup: overlapping pairs, total and max overlap ns; top 50
+    users by (total desc, user). Everything is integer ns arithmetic
+    end to end."""
+    from deltalake_spark.operators.temporal import (
+        interval_overlap_join,
+        interval_union,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    win_ns = 30 * 60 * 1_000_000_000
+
+    def islands(ev_type: str) -> DataFrame:
+        iv = ev.filter(F.col("event_type") == ev_type).select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.lit(win_ns)).alias("e"),
+        )
+        return interval_union(
+            iv, key_cols=["user_id"], start_col="s", end_col="e"
+        ).select("user_id", "start", "end")
+
+    ov = interval_overlap_join(
+        islands("view"), islands("purchase"), on="user_id",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+    )
+    return (
+        ov.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("overlap_len").alias("overlap_ns"),
+            F.max("overlap_len").alias("max_overlap_ns"),
+        )
+        .orderBy(F.desc("overlap_ns"), "user_id").limit(50)
+    )
+
+
 def rolling_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day z-scores (operators/timeseries.py) over the daily
     rollup: trailing mean/sample-stddev window, standardized residual,
@@ -6192,6 +6237,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_price_stats": winsorized_price_stats,
     "ewma_daily_values": ewma_daily_values,
     "rolling_quantile_user_values": rolling_quantile_user_values,
+    "interval_overlap_attention": interval_overlap_attention,
     "rolling_zscore_days": rolling_zscore_days,
     "autocorr_daily_values": autocorr_daily_values,
     "markov_event_transitions": markov_event_transitions,
@@ -9907,6 +9953,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collocation_g2_topk": _g2_oracle(),
         "ivf_pq_ann_topk": _ivf_pq_oracle(),
+        "interval_overlap_attention": """
+            WITH iv AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS s,
+                     epoch_ns(ts) + 1800000000000 AS e
+              FROM events WHERE event_type IN ('view', 'purchase')
+            ), flagged AS (
+              SELECT user_id, event_type, s, e,
+                     CASE WHEN MAX(e) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > MAX(e) OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ), isl AS (
+              SELECT user_id, event_type, s, e,
+                     SUM(new_island) OVER (
+                       PARTITION BY user_id, event_type ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+              FROM flagged
+            ), merged AS (
+              SELECT user_id, event_type, island,
+                     MIN(s) AS start, MAX(e) AS "end"
+              FROM isl GROUP BY 1, 2, 3
+            ), ov AS (
+              SELECT v.user_id,
+                     least(v."end", p."end")
+                       - greatest(v.start, p.start) AS olen
+              FROM merged v JOIN merged p ON p.user_id = v.user_id
+              WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+                AND least(v."end", p."end")
+                      - greatest(v.start, p.start) >= 1
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+                   CAST(SUM(olen) AS BIGINT) AS overlap_ns,
+                   CAST(MAX(olen) AS BIGINT) AS max_overlap_ns
+            FROM ov GROUP BY 1
+            ORDER BY overlap_ns DESC, user_id LIMIT 50
+        """,
         "rolling_quantile_user_values": """
             WITH base AS (
               SELECT user_id, ts, event_id,

@@ -23,8 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join", "interval_join", "interval_union",
-           "sessionize"]
+__all__ = ["asof_join", "interval_join", "interval_overlap_join",
+           "interval_union", "sessionize"]
 
 _L = "__asof_is_left"
 _T = "__asof_t"
@@ -171,6 +171,67 @@ def interval_join(
     for a, b in pairs:
         cond = (a == b) & cond
     return points.join(intervals, cond, how)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: list[str] | str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    suffix: str = "_r",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Interval × interval overlap join: pair every left interval
+    ``[left_start, left_end)`` with each same-key right interval
+    ``[right_start, right_end)`` it overlaps by at least
+    ``min_overlap`` units — the ad-exposure × outage-window /
+    shift × incident classic that :func:`interval_join` (point in
+    interval) and :func:`interval_union` (merge) don't cover.
+
+    Exact integer arithmetic: the overlap is
+    ``least(ends) − greatest(starts)`` and the join keeps pairs with
+    ``overlap >= min_overlap`` — half-open semantics, so touching
+    intervals overlap by 0 and are excluded at the default. Emitted
+    per pair: ``overlap_start``, ``overlap_end``, ``overlap_len``.
+
+    Scale shape: the equi-key is MANDATORY (same rule as
+    :func:`interval_join`) — Spark plans a shuffled hash/sort-merge
+    join on the keys with the overlap test as a residual filter; a
+    pure range-overlap condition would degrade to a nested loop. For
+    keys whose interval count is huge, pre-split long intervals into
+    bounded epochs (key, epoch) first — the standard banding fix.
+
+    Right's start/end (and any colliding column names) are suffixed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError(
+            "interval_overlap_join requires equi-keys; a pure overlap "
+            "condition degrades to a nested-loop join")
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1 (half-open "
+                         "intervals: touching spans overlap by 0)")
+    lcols = set(left.columns)
+    r = right
+    for c in right.columns:
+        if c in lcols and c not in keys:
+            r = r.withColumnRenamed(c, f"{c}{suffix}")
+    rs = f"{right_start}{suffix}" if right_start in lcols else right_start
+    re_ = f"{right_end}{suffix}" if right_end in lcols else right_end
+    joined = left.join(r, keys)
+    o_start = F.greatest(F.col(left_start), F.col(rs))
+    o_end = F.least(F.col(left_end), F.col(re_))
+    return (
+        joined.withColumn("overlap_start", o_start)
+        .withColumn("overlap_end", o_end)
+        .withColumn("overlap_len",
+                    F.col("overlap_end") - F.col("overlap_start"))
+        .filter(F.col("overlap_len") >= int(min_overlap))
+    )
 
 
 def sessionize(

@@ -215,6 +215,10 @@ BUDGETS = {
     # r8: ONE user-keyed exchange shared by all three window passes
     # (both quantile frames + the last-row rank), user agg, TakeOrdered
     "rolling_quantile_user_values": (2, False),
+    # r8: both island branches reuse the user-keyed exchange (4 window
+    # passes over it), overlap join broadcasts at fixture scale, user
+    # agg + TakeOrdered; the overlap test is a residual, never a loop
+    "interval_overlap_attention": (3, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),

@@ -251,3 +251,67 @@ def test_rolling_quantile_mode_validation(spark):
         rolling_quantile(df, group_cols=["k"], order_cols=["t", "x"],
                          value_col="x", q_num=1, q_den=2,
                          range_interval=5)
+
+
+# ------------------------------------------------------- interval overlap
+
+def test_interval_overlap_join_matches_python(spark):
+    from deltalake_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(3)
+    lrows = [("k%d" % (i % 2), s, s + rng.randrange(1, 15))
+             for i, s in enumerate(rng.sample(range(0, 200), 30))]
+    rrows = [("k%d" % (i % 2), s, s + rng.randrange(1, 15))
+             for i, s in enumerate(rng.sample(range(0, 200), 30))]
+    ldf = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(lrows)],
+        "k string, ls long, le long, lid long")
+    rdf = spark.createDataFrame(
+        [(k, s, e, i) for i, (k, s, e) in enumerate(rrows)],
+        "k string, rs long, re long, rid long")
+    got = sorted(
+        (r["lid"], r["rid"], r["overlap_start"], r["overlap_end"],
+         r["overlap_len"])
+        for r in interval_overlap_join(
+            ldf, rdf, on="k", left_start="ls", left_end="le",
+            right_start="rs", right_end="re", min_overlap=2).collect())
+    want = []
+    for li, (lk, ls, le) in enumerate(lrows):
+        for ri, (rk, rs, re) in enumerate(rrows):
+            if lk != rk:
+                continue
+            os_, oe = max(ls, rs), min(le, re)
+            if oe - os_ >= 2:
+                want.append((li, ri, os_, oe, oe - os_))
+    assert got == sorted(want)
+
+
+def test_interval_overlap_join_contracts(spark):
+    from deltalake_spark.operators.temporal import interval_overlap_join
+
+    ldf = spark.createDataFrame([("a", 0, 5)], "k string, s long, e long")
+    rdf = spark.createDataFrame([("a", 5, 9)], "k string, s long, e long")
+    # touching half-open intervals do NOT overlap
+    assert interval_overlap_join(
+        ldf, rdf, on="k", left_start="s", left_end="e",
+        right_start="s", right_end="e").count() == 0
+    with pytest.raises(ValueError, match="equi-keys"):
+        interval_overlap_join(
+            ldf, rdf, on=[], left_start="s", left_end="e",
+            right_start="s", right_end="e")
+    with pytest.raises(ValueError, match="min_overlap"):
+        interval_overlap_join(
+            ldf, rdf, on="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", min_overlap=0)
+    # colliding right columns get the suffix; join is equi-key (no
+    # cartesian in the plan)
+    out = interval_overlap_join(
+        spark.createDataFrame([("a", 0, 9)], "k string, s long, e long"),
+        spark.createDataFrame([("a", 3, 6)], "k string, s long, e long"),
+        on="k", left_start="s", left_end="e",
+        right_start="s", right_end="e")
+    assert {"s_r", "e_r"} <= set(out.columns)
+    row = out.collect()[0]
+    assert (row["overlap_start"], row["overlap_end"],
+            row["overlap_len"]) == (3, 6, 3)
+    assert "Cartesian" not in out._jdf.queryExecution().executedPlan().toString()
