@@ -898,7 +898,11 @@ def rolling_quantile(
     sketch (GK/equi-depth merge); for the usual 7..1000-row trailing
     screens the exact sort is the right cost.
 
-    Returns the input plus ``out_col`` (same type as ``value_col``).
+    NULL ``value_col`` rows are EXCLUDED from frames (Spark's
+    ``collect_list`` semantics, made explicit here because other
+    engines' list aggregates KEEP nulls); a row whose frame is all
+    null gets a NULL quantile. Returns the input plus ``out_col``
+    (same type as ``value_col``).
     """
     if (window_rows is None) == (range_interval is None):
         raise ValueError(
@@ -926,6 +930,12 @@ def rolling_quantile(
     frame = F.sort_array(F.collect_list(value_col).over(w))
     idx = F.expr(
         f"(size({'__frame'}) - 1) * {int(q_num)}L div {int(q_den)}L")
+    # empty frame (every value in the window NULL): element_at(arr, 0)
+    # is an ANSI error, not a null — guard explicitly
+    pick = F.when(
+        F.size("__frame") > 0,
+        F.element_at(F.col("__frame"), (idx + 1).cast("int")),
+    )
     return df.withColumn("__frame", frame).withColumn(
-        out_col, F.element_at(F.col("__frame"), (idx + 1).cast("int"))
+        out_col, pick
     ).drop("__frame")

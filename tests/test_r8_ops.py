@@ -315,3 +315,23 @@ def test_interval_overlap_join_contracts(spark):
     assert (row["overlap_start"], row["overlap_end"],
             row["overlap_len"]) == (3, 6, 3)
     assert "Cartesian" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rolling_quantile_null_values_excluded(spark):
+    """NULL values drop out of frames (collect_list semantics, now
+    explicit contract); an all-null frame yields NULL instead of the
+    ANSI element_at(arr, 0) error."""
+    from deltalake_spark.operators.timeseries import rolling_quantile
+
+    df = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 10), ("a", 2, None), ("a", 3, 30),
+         ("b", 0, None), ("b", 1, None)],
+        "k string, t int, x long")
+    out = {(r["k"], r["t"]): r["rq"] for r in rolling_quantile(
+        df, group_cols=["k"], order_cols=["t"], value_col="x",
+        q_num=1, q_den=2, window_rows=3, out_col="rq").collect()}
+    assert out[("a", 0)] is None          # empty frame -> NULL, no error
+    assert out[("a", 1)] == 10
+    assert out[("a", 2)] == 10            # frame {10}
+    assert out[("a", 3)] == 10            # frame {10, 30}, lower median
+    assert out[("b", 0)] is None and out[("b", 1)] is None
