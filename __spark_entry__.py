@@ -4447,6 +4447,38 @@ def interval_overlap_attention(spark: SparkSession,
     )
 
 
+def rolling_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median/MAD outlier screen (r8, operators/timeseries.py
+    rolling_mad): per user over the trailing 7 events, the frame's
+    lower median and the TRUE rolling MAD (median of |v − med| over
+    the same frame — both from one collected frame, let-bound median),
+    then the classic robust flag |x − med| > 5·MAD (guarded MAD > 0).
+    Exact integer arithmetic throughout. Per-user rollup: events,
+    outliers, max MAD, exact sum of medians; top 50 by (outliers
+    desc, user)."""
+    from deltalake_spark.operators.timeseries import rolling_mad
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+    st = rolling_mad(ev, group_cols=["user_id"],
+                     order_cols=["ts", "event_id"], value_col="cents",
+                     window_rows=7)
+    is_out = ((F.col("rolling_mad") > 0)
+              & (F.abs(F.col("cents") - F.col("rolling_med"))
+                 > F.lit(5) * F.col("rolling_mad")))
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.max("rolling_mad").alias("max_mad"),
+            F.sum("rolling_med").alias("sum_med"),
+        )
+        .orderBy(F.desc("n_outliers"), "user_id").limit(50)
+    )
+
+
 def rolling_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day z-scores (operators/timeseries.py) over the daily
     rollup: trailing mean/sample-stddev window, standardized residual,
@@ -4685,6 +4717,26 @@ def collocation_g2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("w1", "w2", "pair_count",
                       F.round("g2", 6).alias("g2"))
         .orderBy(F.desc("g2"), "w1", "w2").limit(25)
+    )
+
+
+def keyness_en_de_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning G² keyness (r8, operators/text.py keyness_g2): which
+    tokens characterize the English subcorpus against the German one —
+    the corpus-comparison keyword analysis behind source/domain
+    contrast reports. Same exact-count 2×2 / fixed-op-order / round-6
+    ln contract as collocation_g2_topk; direction via the exact
+    integer cross-product. One (token)-keyed count shuffle, totals as
+    literals. Top 25 by (g2 desc, token), count floor 5."""
+    from deltalake_spark.operators.text import keyness_g2
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = keyness_g2(docs, group_col="lang", group_a="en",
+                        group_b="de", min_count=5)
+    return (
+        scored.select("token", "count_a", "count_b",
+                      F.round("g2", 6).alias("g2"), "overuse_a")
+        .orderBy(F.desc("g2"), "token").limit(25)
     )
 
 
@@ -6237,6 +6289,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorized_price_stats": winsorized_price_stats,
     "ewma_daily_values": ewma_daily_values,
     "rolling_quantile_user_values": rolling_quantile_user_values,
+    "rolling_mad_outliers": rolling_mad_outliers,
     "interval_overlap_attention": interval_overlap_attention,
     "rolling_zscore_days": rolling_zscore_days,
     "autocorr_daily_values": autocorr_daily_values,
@@ -6247,6 +6300,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_copurchase_topk": pagerank_copurchase_topk,
     "collocation_pmi_topk": collocation_pmi_topk,
     "collocation_g2_topk": collocation_g2_topk,
+    "keyness_en_de_topk": keyness_en_de_topk,
     "damerau_name_pairs": damerau_name_pairs,
     "auc_doclen_source": auc_doclen_source,
     "kappa_langid_source": kappa_langid_source,
@@ -9998,6 +10052,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ov GROUP BY 1
             ORDER BY overlap_ns DESC, user_id LIMIT 50
         """,
+        "rolling_mad_outliers": """
+            WITH base AS (
+              SELECT user_id, ts, event_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), fr AS (
+              SELECT user_id, ts, event_id, cents,
+                     list_sort(list(cents) OVER w) AS f
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ), st AS (
+              SELECT user_id, cents,
+                     f[CAST((len(f) - 1) // 2 AS INT) + 1] AS med,
+                     list_sort(list_transform(f, v -> abs(v -
+                       f[CAST((len(f) - 1) // 2 AS INT) + 1])))[
+                       CAST((len(f) - 1) // 2 AS INT) + 1] AS mad
+              FROM fr
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN mad > 0
+                              AND abs(cents - med) > 5 * mad
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST(MAX(mad) AS BIGINT) AS max_mad,
+                   CAST(SUM(med) AS BIGINT) AS sum_med
+            FROM st GROUP BY 1
+            ORDER BY n_outliers DESC, user_id LIMIT 50
+        """,
         "rolling_quantile_user_values": """
             WITH base AS (
               SELECT user_id, ts, event_id,
@@ -10023,6 +10105,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(med7) AS BIGINT) AS sum_med7
             FROM rq GROUP BY 1
             ORDER BY sum_med7 DESC, user_id LIMIT 50
+        """,
+        "keyness_en_de_topk": """
+            WITH toks AS (
+              SELECT lang = 'en' AS a,
+                     UNNEST(string_split(trim(text), ' ')) AS token
+              FROM documents WHERE lang IN ('en', 'de')
+            ), counts AS (
+              SELECT token,
+                     CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                         AS count_a,
+                     CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT)
+                         AS count_b
+              FROM toks WHERE token <> '' GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(count_a) AS BIGINT) AS na,
+                     CAST(SUM(count_b) AS BIGINT) AS nb
+              FROM counts
+            ), cells AS (
+              SELECT token, count_a, count_b, na, nb,
+                     na + nb AS n, count_a + count_b AS cw
+              FROM counts CROSS JOIN tot
+              WHERE count_a + count_b >= 5
+            )
+            SELECT token, count_a, count_b,
+                   ROUND(2.0 * (
+                     (CASE WHEN count_a > 0 THEN CAST(count_a AS DOUBLE)
+                       * ln(CAST(count_a AS DOUBLE) * CAST(n AS DOUBLE)
+                         / CAST(na AS DOUBLE) / CAST(cw AS DOUBLE))
+                       ELSE 0.0 END)
+                     + (CASE WHEN na - count_a > 0
+                       THEN CAST(na - count_a AS DOUBLE)
+                       * ln(CAST(na - count_a AS DOUBLE)
+                         * CAST(n AS DOUBLE)
+                         / CAST(na AS DOUBLE) / CAST(n - cw AS DOUBLE))
+                       ELSE 0.0 END)
+                     + (CASE WHEN count_b > 0 THEN CAST(count_b AS DOUBLE)
+                       * ln(CAST(count_b AS DOUBLE) * CAST(n AS DOUBLE)
+                         / CAST(nb AS DOUBLE) / CAST(cw AS DOUBLE))
+                       ELSE 0.0 END)
+                     + (CASE WHEN nb - count_b > 0
+                       THEN CAST(nb - count_b AS DOUBLE)
+                       * ln(CAST(nb - count_b AS DOUBLE)
+                         * CAST(n AS DOUBLE)
+                         / CAST(nb AS DOUBLE) / CAST(n - cw AS DOUBLE))
+                       ELSE 0.0 END)
+                   ), 6) AS g2,
+                   count_a * nb > count_b * na AS overuse_a
+            FROM cells
+            ORDER BY g2 DESC, token LIMIT 25
         """,
         "collocation_pmi_topk": """
             -- PMI lift with the same exact factor order as the Spark

@@ -102,6 +102,9 @@ EXTRA = [
     "rolling_quantile_user_values",  # r8: exact trailing quantiles
     "collocation_g2_topk",         # r8: Dunning G2 collocations
     "ivf_pq_ann_topk",             # r8: IVF routing + PQ ADC composed
+    "interval_overlap_attention",  # r8: interval x interval overlap
+    "keyness_en_de_topk",          # r8: G2 corpus-contrast keywords
+    "rolling_mad_outliers",        # r8: rolling median/MAD screen
 ]
 
 

@@ -663,6 +663,75 @@ def collocation_g2(
     )
 
 
+def keyness_g2(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-token Dunning G² keyness between two subcorpora (Rayson &
+    Garside 2000 keyword analysis) — "which words characterize corpus
+    A against corpus B", the corpus-COMPARISON sibling of
+    :func:`collocation_g2`'s pair mining. The workhorse behind
+    source/domain contrast reports and drift investigations.
+
+    2×2 table per token over TOKEN EVENTS: ``k11 = c(w, A)``,
+    ``k12 = N_A − k11``, ``k21 = c(w, B)``, ``k22 = N_B − k21``
+    (rows = corpus totals, columns = token vs rest);
+    ``G² = 2·Σ k·ln(k·N/(R·C))`` with the same fixed cell order
+    (11, 12, 21, 22) and op order ``k · ln(((k·N)/R)/C)`` as
+    collocation_g2 — integer counts, four ln terms, replayable.
+    ``overuse_a`` marks the direction (true when A's relative
+    frequency exceeds B's — G² itself is symmetric), via the exact
+    integer cross-product ``k11·N_B > k21·N_A``.
+
+    Scale shape: one token-count shuffle keyed by (token, group); the
+    per-group totals are a 2-scalar collect folded in as literals; the
+    A/B frames re-join on the token (vocabulary-sized, broadcast).
+
+    Returns ``(token, count_a, count_b, g2, overuse_a)``.
+    """
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        (F.col(group_col) == group_a).alias("__a"),
+        F.explode(
+            F.split(F.trim(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = two.groupBy("token").agg(
+        F.sum(F.col("__a").cast("long")).alias("count_a"),
+        F.sum((~F.col("__a")).cast("long")).alias("count_b"),
+    ).persist()
+    tot = counts.agg(F.sum("count_a"), F.sum("count_b")).collect()[0]
+    n_a, n_b = int(tot[0] or 0), int(tot[1] or 0)
+    if n_a == 0 or n_b == 0:
+        return counts.filter(F.lit(False)).select(
+            "token", "count_a", "count_b",
+            F.lit(0.0).alias("g2"), F.lit(False).alias("overuse_a"))
+    n = n_a + n_b
+    nd = F.lit(float(n))
+
+    def term(k: Column, row: int, col: Column) -> Column:
+        kd = k.cast("double")
+        return F.when(
+            k > 0,
+            kd * F.log(kd * nd / F.lit(float(row)) / col.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    k11, k21 = F.col("count_a"), F.col("count_b")
+    cw = k11 + k21
+    g2 = F.lit(2.0) * (
+        term(k11, n_a, cw) + term(F.lit(n_a) - k11, n_a, F.lit(n) - cw)
+        + term(k21, n_b, cw)
+        + term(F.lit(n_b) - k21, n_b, F.lit(n) - cw)
+    )
+    return counts.filter(cw >= int(min_count)).select(
+        "token", "count_a", "count_b", g2.alias("g2"),
+        (k11 * F.lit(n_b) > k21 * F.lit(n_a)).alias("overuse_a"),
+    )
+
+
 def damerau_levenshtein(a: str, b: str) -> int:
     """TRUE Damerau–Levenshtein distance (Lowrance–Wagner, with the
     per-character last-occurrence table) — transpositions of ADJACENT

@@ -51,6 +51,7 @@ __all__ = [
     "activity_streaks",
     "time_weighted_average",
     "rolling_quantile",
+    "rolling_mad",
 ]
 
 
@@ -939,3 +940,74 @@ def rolling_quantile(
     return df.withColumn("__frame", frame).withColumn(
         out_col, pick
     ).drop("__frame")
+
+
+def rolling_mad(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int | None = None,
+    range_interval: int | None = None,
+    med_col: str = "rolling_med",
+    mad_col: str = "rolling_mad",
+) -> DataFrame:
+    """EXACT rolling median absolute deviation per series — the robust
+    complement to :func:`rolling_zscore` (mean/stddev break on one
+    outlier; median/MAD don't), the standard basis for outlier
+    screens on noisy operational series.
+
+    Per trailing frame (rows or range, same contract as
+    :func:`rolling_quantile`): ``med`` = the frame's lower median
+    (nearest-rank index ``(n−1)//2``), ``mad`` = the lower median of
+    ``|v − med|`` over the SAME frame — the true rolling MAD, not the
+    deviation-from-a-previous-median shortcut. For integral values
+    every step (sort, index, abs, sort) is exact integer/array
+    arithmetic, so any engine replays it bit-for-bit.
+
+    One group-keyed window pass; both statistics come from the one
+    collected frame via array expressions (the median is let-bound so
+    the deviation transform reads a value, not a re-computed
+    subexpression). NULL values are excluded from frames
+    (collect_list semantics); an all-null frame yields NULLs.
+
+    Returns the input plus ``med_col`` and ``mad_col``.
+    """
+    if (window_rows is None) == (range_interval is None):
+        raise ValueError(
+            "exactly one of window_rows / range_interval must be set")
+    if window_rows is not None and window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    if range_interval is not None and range_interval < 0:
+        raise ValueError("range_interval must be >= 0")
+    if not group_cols or not order_cols:
+        raise ValueError("group_cols and order_cols must be non-empty")
+    base = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    if window_rows is not None:
+        w = base.rowsBetween(-(window_rows - 1), 0)
+    else:
+        if len(order_cols) != 1:
+            raise ValueError(
+                "range_interval requires exactly one numeric order col")
+        w = base.rangeBetween(-int(range_interval), 0)
+    frame = F.sort_array(F.collect_list(value_col).over(w))
+    # med let-bound via transform-over-singleton so the deviation
+    # lambda reads a bound VALUE (project-collapse would otherwise
+    # inline the element_at(median) pick once per element)
+    stats = F.expr(
+        "transform(array(__frame), f -> if(size(f) = 0, null,"
+        " transform(array(element_at(f,"
+        "   cast((size(f) - 1) div 2 + 1 as int))), m -> named_struct("
+        "   'med', m,"
+        "   'mad', element_at("
+        "     array_sort(transform(f, v -> abs(v - m))),"
+        "     cast((size(f) - 1) div 2 + 1 as int))"
+        " ))[0]))[0]")
+    return (
+        df.withColumn("__frame", frame)
+        .withColumn("__st", stats)
+        .withColumn(med_col, F.col("__st.med"))
+        .withColumn(mad_col, F.col("__st.mad"))
+        .drop("__frame", "__st")
+    )

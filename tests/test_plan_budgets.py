@@ -219,6 +219,12 @@ BUDGETS = {
     # passes over it), overlap join broadcasts at fixture scale, user
     # agg + TakeOrdered; the overlap test is a residual, never a loop
     "interval_overlap_attention": (3, False),
+    # r8: one (token)-keyed count agg off the cached frame (+1 static
+    # replica for the totals branch), totals as literals, TakeOrdered
+    "keyness_en_de_topk": (3, False),
+    # r8: ONE user-keyed window (median and MAD both read the single
+    # collected frame), user agg, TakeOrdered
+    "rolling_mad_outliers": (2, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),

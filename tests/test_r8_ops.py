@@ -335,3 +335,87 @@ def test_rolling_quantile_null_values_excluded(spark):
     assert out[("a", 2)] == 10            # frame {10}
     assert out[("a", 3)] == 10            # frame {10, 30}, lower median
     assert out[("b", 0)] is None and out[("b", 1)] is None
+
+
+# ----------------------------------------------------------- rolling MAD
+
+def test_rolling_mad_matches_python(spark):
+    from deltalake_spark.operators.timeseries import rolling_mad
+
+    rng = random.Random(17)
+    rows = [("k%d" % (i % 2), i, rng.randrange(-30, 300))
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "k string, t int, x long")
+    for w in (3, 7):
+        out = {(r["k"], r["t"]): (r["rolling_med"], r["rolling_mad"])
+               for r in rolling_mad(
+                   df, group_cols=["k"], order_cols=["t"],
+                   value_col="x", window_rows=w).collect()}
+        series = {}
+        for k, t, x in sorted(rows):
+            series.setdefault(k, []).append((t, x))
+        for k, pts in series.items():
+            for i, (t, _) in enumerate(pts):
+                fr = sorted(x for _, x in pts[max(0, i - w + 1):i + 1])
+                med = fr[(len(fr) - 1) // 2]
+                mad = sorted(abs(v - med) for v in fr)[(len(fr) - 1) // 2]
+                assert out[(k, t)] == (med, mad), (k, t, w)
+
+
+def test_rolling_mad_robust_to_outlier_and_nulls(spark):
+    from deltalake_spark.operators.timeseries import rolling_mad
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 12), ("a", 2, 11), ("a", 3, 100000),
+         ("a", 4, 13), ("b", 0, None)],
+        "k string, t int, x long")
+    out = {(r["k"], r["t"]): (r["rolling_med"], r["rolling_mad"])
+           for r in rolling_mad(df, group_cols=["k"], order_cols=["t"],
+                                value_col="x", window_rows=5).collect()}
+    # the outlier barely moves median/MAD (the whole point vs stddev)
+    assert out[("a", 4)] == (12, 1)
+    assert out[("b", 0)] == (None, None)
+
+
+# --------------------------------------------------------------- keyness
+
+def test_keyness_g2_matches_reference(spark):
+    from deltalake_spark.operators.text import keyness_g2
+
+    docs_a = ["the quick brown fox", "the lazy dog sat", "fox and dog"]
+    docs_b = ["der schnelle fuchs", "the dog der hund", "hund und fuchs"]
+    rows = [(t, "en") for t in docs_a] + [(t, "de") for t in docs_b]
+    df = spark.createDataFrame(rows, "text string, lang string")
+    got = {r["token"]: (r["count_a"], r["count_b"], r["g2"],
+                        r["overuse_a"])
+           for r in keyness_g2(df, group_col="lang", group_a="en",
+                               group_b="de", min_count=1).collect()}
+    toks_a = [w for t in docs_a for w in t.split(" ")]
+    toks_b = [w for t in docs_b for w in t.split(" ")]
+    ca, cb = Counter(toks_a), Counter(toks_b)
+    na, nb = len(toks_a), len(toks_b)
+    n = na + nb
+    for tok in set(ca) | set(cb):
+        k11, k21 = ca[tok], cb[tok]
+        cw = k11 + k21
+        s = 0.0
+        for k, row, col in ((k11, na, cw), (na - k11, na, n - cw),
+                            (k21, nb, cw), (nb - k21, nb, n - cw)):
+            if k > 0:
+                s += k * math.log(k * float(n) / row / col)
+        want = 2.0 * s
+        assert got[tok][0] == k11 and got[tok][1] == k21
+        assert got[tok][2] == pytest.approx(want, abs=1e-9), tok
+        assert got[tok][3] == (k11 * nb > k21 * na)
+    # 'fuchs'/'hund' are German-only, 'fox'/'lazy' English-only
+    assert not got["fuchs"][3] and not got["hund"][3]
+    assert got["fox"][3] and got["lazy"][3]
+
+
+def test_keyness_g2_empty_side(spark):
+    from deltalake_spark.operators.text import keyness_g2
+
+    df = spark.createDataFrame([("hello world", "en")],
+                               "text string, lang string")
+    assert keyness_g2(df, group_col="lang", group_a="en",
+                      group_b="de").count() == 0
