@@ -4479,6 +4479,38 @@ def rolling_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_distinct_users(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type, one row per day
+    (r8, operators/sketches.py sliding_distinct) — the production
+    DAU/WAU pattern: per-day HLL sketches + exact per-day sets, ONE
+    calendar RANGE window per type merges both. The exact path is the
+    value-level twin; the sketch path surfaces as the 10%-tolerance
+    boolean (the sketch_distinct_users precedent — estimates are
+    deterministic per engine, booleans are portable; expected HLL
+    error at lg_k=12 is ~1.6%)."""
+    from deltalake_spark.operators.sketches import sliding_distinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.expr("ts div 86400000000000").alias("day"))
+    out = sliding_distinct(
+        ev, group_cols=["event_type"], order_col="day", col="user_id",
+        window_range=6, lg_k=12)
+    tol = (
+        F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+        <= F.lit(0.10) * F.col("exact_distinct")
+    )
+    return (
+        out.select(
+            "event_type", "day",
+            F.col("exact_distinct").alias("users_7d"),
+            tol.alias("hll_within_tol"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def rolling_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day z-scores (operators/timeseries.py) over the daily
     rollup: trailing mean/sample-stddev window, standardized residual,
@@ -6290,6 +6322,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_daily_values": ewma_daily_values,
     "rolling_quantile_user_values": rolling_quantile_user_values,
     "rolling_mad_outliers": rolling_mad_outliers,
+    "sliding_distinct_users": sliding_distinct_users,
     "interval_overlap_attention": interval_overlap_attention,
     "rolling_zscore_days": rolling_zscore_days,
     "autocorr_daily_values": autocorr_daily_values,
@@ -10051,6 +10084,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(olen) AS BIGINT) AS max_overlap_ns
             FROM ov GROUP BY 1
             ORDER BY overlap_ns DESC, user_id LIMIT 50
+        """,
+        "sliding_distinct_users": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     list(DISTINCT user_id) AS s
+              FROM events GROUP BY 1, 2
+            ), win AS (
+              SELECT event_type, day,
+                     CAST(len(list_distinct(flatten(list(s) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))))
+                       AS BIGINT) AS users_7d
+              FROM daily
+            )
+            SELECT event_type, day, users_7d, TRUE AS hll_within_tol
+            FROM win ORDER BY 1, 2
         """,
         "rolling_mad_outliers": """
             WITH base AS (

@@ -105,6 +105,7 @@ EXTRA = [
     "interval_overlap_attention",  # r8: interval x interval overlap
     "keyness_en_de_topk",          # r8: G2 corpus-contrast keywords
     "rolling_mad_outliers",        # r8: rolling median/MAD screen
+    "sliding_distinct_users",      # r8: windowed HLL-merge DAU
 ]
 
 

@@ -25,7 +25,7 @@ All functions are JVM-side built-ins — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -33,6 +33,7 @@ __all__ = [
     "hll_partition_sketches",
     "hll_merge",
     "approx_quantiles",
+    "sliding_distinct",
     "mg_frequent_items",
     "kmv_hash",
     "kmv_sketch",
@@ -102,6 +103,60 @@ def hll_merge(
         F.hll_sketch_estimate(
             F.hll_union_agg(F.col(sketch_col), F.lit(False))
         ).alias(out_col)
+    )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    col: str,
+    window_range: int,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct counts per series — the production
+    DAU/WAU pattern (distinct users over the trailing N days, one row
+    per day): per (group, period) build BOTH a mergeable HLL sketch
+    and the exact period set, then one RANGE window per group merges
+    the trailing ``window_range`` periods (calendar semantics — gaps
+    count, unlike a ROWS frame over observed periods only).
+
+    Two estimates per row, deliberately:
+
+    - ``exact_distinct`` — flatten + dedup of the trailing period
+      sets. Exact and replayable anywhere; its shuffle carries the
+      per-period DISTINCT value sets, so it scales with distinct
+      values per window — the verification path.
+    - ``hll_estimate`` — ``hll_union_agg`` over the same frame. The
+      shuffle carries ≤ 2^lg_k bytes per period regardless of
+      cardinality — the 100 TB path (this windowed sketch-merge is
+      exactly why mergeable sketches are persisted per ingest
+      partition).
+
+    ``order_col`` must be numeric (e.g. epoch days). One shuffle to
+    the (group, period) grain, one group-keyed window pass for both
+    columns.
+    """
+    if window_range < 0:
+        raise ValueError("window_range must be >= 0")
+    daily = df.groupBy(*group_cols, order_col).agg(
+        F.collect_set(col).alias("__set"),
+        F.hll_sketch_agg(F.col(col), F.lit(int(lg_k))).alias("__sk"),
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rangeBetween(-int(window_range), 0)
+    )
+    exact = F.size(
+        F.array_distinct(F.flatten(F.collect_list("__set").over(w))))
+    est = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col("__sk"), F.lit(False)).over(w))
+    return daily.select(
+        *group_cols, order_col,
+        exact.cast("long").alias("exact_distinct"),
+        est.cast("long").alias("hll_estimate"),
     )
 
 

@@ -225,6 +225,9 @@ BUDGETS = {
     # r8: ONE user-keyed window (median and MAD both read the single
     # collected frame), user agg, TakeOrdered
     "rolling_mad_outliers": (2, False),
+    # r8: (type, day) grain agg + one type-keyed calendar-RANGE window
+    # (sets and sketches merge in the same frame) + sort
+    "sliding_distinct_users": (3, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),

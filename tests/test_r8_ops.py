@@ -419,3 +419,47 @@ def test_keyness_g2_empty_side(spark):
                                "text string, lang string")
     assert keyness_g2(df, group_col="lang", group_a="en",
                       group_b="de").count() == 0
+
+
+# ------------------------------------------------------- sliding distinct
+
+def test_sliding_distinct_matches_python(spark):
+    from deltalake_spark.operators.sketches import sliding_distinct
+
+    rng = random.Random(23)
+    rows = [("g%d" % (i % 2), rng.randrange(0, 12), rng.randrange(0, 40))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, day long, uid long")
+    out = {(r["g"], r["day"]): (r["exact_distinct"], r["hll_estimate"])
+           for r in sliding_distinct(
+               df, group_cols=["g"], order_col="day", col="uid",
+               window_range=3).collect()}
+    days = {}
+    for g, d, u in rows:
+        days.setdefault((g, d), set()).add(u)
+    for (g, d), _ in days.items():
+        want = len(set().union(*[days.get((g, d2), set())
+                                 for d2 in range(d - 3, d + 1)]))
+        exact, est = out[(g, d)]
+        assert exact == want, (g, d)
+        # at these cardinalities the HLL sparse mode is near-exact
+        assert abs(est - exact) <= max(2, 0.1 * exact), (g, d)
+
+
+def test_sliding_distinct_calendar_gaps(spark):
+    """RANGE semantics: a missing day still ages values out (a ROWS
+    frame over observed days would keep them alive)."""
+    from deltalake_spark.operators.sketches import sliding_distinct
+
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 0, 2), ("g", 5, 3)],
+        "g string, day long, uid long")
+    out = {r["day"]: r["exact_distinct"] for r in sliding_distinct(
+        df, group_cols=["g"], order_col="day", col="uid",
+        window_range=2).collect()}
+    assert out[0] == 2
+    assert out[5] == 1  # days 3..5: the day-0 users aged out
+
+    with pytest.raises(ValueError, match="window_range"):
+        sliding_distinct(df, group_cols=["g"], order_col="day",
+                         col="uid", window_range=-1)
