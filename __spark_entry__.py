@@ -5621,6 +5621,30 @@ def attribution_user_purchases(spark: SparkSession,
                       "linear_units", "n_touches").orderBy("channel")
 
 
+def decay_attribution_purchases(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (r8, operators/analytics.py
+    time_decay_attribution) — the fourth classic credit model beside
+    attribution_user_purchases' first/last/linear: a touch's weight
+    halves per hour of distance from its journey's purchase,
+    EXACTLY — piecewise-constant buckets k = (conv−t) div 1h capped
+    at 20 halvings, weight 2^(20−k) (BIGINT), per-journey credit
+    floor(1e12·w/Σw). No float pow anywhere; same journey machinery
+    and shuffle keys as the linear gate."""
+    from deltalake_spark.operators.analytics import (
+        time_decay_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = time_decay_attribution(
+        ev, entity_col="user_id", order_col="ts",
+        channel_col="event_type",
+        conversion_pred=(F.col("event_type") == "purchase"),
+        halflife=3_600_000_000_000, max_halvings=20)
+    return out.select("channel", "decay_units", "n_touches") \
+        .orderBy("channel")
+
+
 def km_user_purchase_survival(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Kaplan–Meier time-to-purchase (r6, operators/analytics.py:
@@ -6371,6 +6395,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bmp_pixel_stats": bmp_pixel_stats,
     "readability_docs": readability_docs,
     "attribution_user_purchases": attribution_user_purchases,
+    "decay_attribution_purchases": decay_attribution_purchases,
     "km_user_purchase_survival": km_user_purchase_survival,
     "cuped_event_lift": cuped_event_lift,
     "kcore_copurchase": kcore_copurchase,
@@ -11540,6 +11565,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(fd < 30.0 AS BIGINT)) AS BIGINT)
                      AS n_hard
             FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "decay_attribution_purchases": """
+            -- same journey machinery as attribution_user_purchases;
+            -- weight 2^(20 - halvings), per-journey floor(1e12*w/W)
+            WITH ev AS (
+              SELECT user_id AS e, epoch_ns(ts) AS t,
+                     event_type AS ch,
+                     CAST(event_type = 'purchase' AS INTEGER) AS c
+              FROM events
+            ), marked AS (
+              SELECT *, SUM(c) OVER (PARTITION BY e ORDER BY t DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS j
+              FROM ev
+            ), touches AS (
+              SELECT m.e, m.t, m.ch, m.j, cv.t AS convt
+              FROM marked m
+              JOIN marked cv ON cv.e = m.e AND cv.c = 1 AND cv.j = m.j
+              WHERE m.c = 0 AND m.j >= 1
+            ), weighted AS (
+              SELECT ch, e, j,
+                     (CAST(1 AS BIGINT) << CAST(20 - least(
+                       (convt - t) // 3600000000000, 20) AS INT)) AS wt
+              FROM touches
+            ), norm AS (
+              SELECT ch, wt,
+                     CAST(SUM(wt) OVER (PARTITION BY e, j) AS BIGINT)
+                         AS wsum
+              FROM weighted
+            )
+            SELECT ch AS channel,
+                   CAST(SUM((1000000000000 * wt) // wsum) AS BIGINT)
+                       AS decay_units,
+                   CAST(COUNT(*) AS BIGINT) AS n_touches
+            FROM norm GROUP BY 1 ORDER BY 1
         """,
         "attribution_user_purchases": """
             -- journeys via reverse cumulative conversion count; the

@@ -106,6 +106,7 @@ EXTRA = [
     "keyness_en_de_topk",          # r8: G2 corpus-contrast keywords
     "rolling_mad_outliers",        # r8: rolling median/MAD screen
     "sliding_distinct_users",      # r8: windowed HLL-merge DAU
+    "decay_attribution_purchases", # r8: exact time-decay credit
 ]
 
 

@@ -208,6 +208,116 @@ def rfm_segments(
     )
 
 
+def _journey_touches(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    channel_col: str,
+    conversion_pred,
+    lookback: int | None,
+) -> DataFrame:
+    """Shared journey machinery for the attribution family: number
+    journeys by the reverse cumulative conversion count (touches
+    belong to the NEXT conversion; each touch credits ONE journey),
+    attach the journey's conversion time, apply the lookback. Returns
+    ``(__e, __t, __ch, __j, __convt)`` — non-conversion touches whose
+    journey converts."""
+    is_conv = conversion_pred.cast("int")
+    wrev = Window.partitionBy("__e").orderBy(
+        F.col("__t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    marked = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(order_col).alias("__t"),
+        F.col(channel_col).alias("__ch"),
+        is_conv.alias("__c"),
+    ).withColumn("__j", F.sum("__c").over(wrev))
+    # touches: non-conversion rows whose journey has a conversion
+    # (__j >= 1); the conversion row of journey j carries __j == j
+    conv_times = marked.filter(F.col("__c") == 1).select(
+        "__e", F.col("__j").alias("__cj"),
+        F.col("__t").alias("__convt")).alias("cv")
+    touches = (
+        marked.filter((F.col("__c") == 0) & (F.col("__j") >= 1))
+        .alias("m")
+        .join(conv_times,
+              (F.col("m.__e") == F.col("cv.__e"))
+              & (F.col("m.__j") == F.col("cv.__cj")), "inner")
+        .select("m.__e", "m.__t", "m.__ch", "m.__j", "cv.__convt")
+    )
+    if lookback is not None:
+        touches = touches.filter(
+            F.col("__convt") - F.col("__t") <= int(lookback))
+    return touches
+
+
+def time_decay_attribution(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    order_col: str,
+    channel_col: str,
+    conversion_pred,
+    halflife: int,
+    lookback: int | None = None,
+    max_halvings: int = 20,
+) -> DataFrame:
+    """Time-decay multi-touch attribution — the fourth classic credit
+    model beside :func:`touch_attribution`'s first/last/linear: a
+    touch's weight HALVES per ``halflife`` order-units of distance
+    from its journey's conversion, so recent touches dominate without
+    last-touch's winner-takes-all.
+
+    Exactness contract (no float pow anywhere): the decay is
+    piecewise-constant per halflife bucket —
+    ``k = min((conv_time − t) div halflife, max_halvings)`` and
+    ``w = 2^(max_halvings − k)`` (an exact BIGINT; distances past
+    ``max_halvings`` halvings all get weight 1). Per-journey credit
+    is ``floor(1e12·w / W)`` with ``W`` the journey's exact weight
+    sum — ``1e12 · 2^20 ≈ 1.05e18`` stays inside int64, every step is
+    integer arithmetic, and channel totals are order-independent
+    BIGINT sums a SQL engine replays value-for-value.
+
+    Scale shape: identical to :func:`touch_attribution` — one entity
+    window pass numbers journeys, one (entity, journey) window sums
+    weights, one channel aggregate; no new shuffle keys.
+
+    Output: ``(channel, decay_units, decay_credit, n_touches)`` with
+    ``decay_credit = decay_units / 1e12`` (one IEEE division).
+    """
+    if halflife < 1:
+        raise ValueError("halflife must be >= 1 order-unit")
+    if not 1 <= max_halvings <= 20:
+        # 1e12 * 2^21 would pass 2^63 / 4.4 — keep the exact-int proof
+        raise ValueError("max_halvings must be in 1..20")
+    touches = _journey_touches(df, entity_col, order_col, channel_col,
+                               conversion_pred, lookback)
+    # (convt - t) is >= 0 by journey construction; BIGINT div keeps
+    # the bucket index exact at any time scale
+    mh = int(max_halvings)
+    w = F.expr(
+        f"shiftleft(1L, cast({mh}L - least("
+        f"(__convt - __t) div {int(halflife)}L, {mh}L) as int))")
+    wj = Window.partitionBy("__e", "__j")
+    # N.B. names must differ by more than case: Spark resolves column
+    # names case-insensitively by default, so __w/__W would be ONE
+    # column (the second withColumn silently replacing the first)
+    weighted = touches.withColumn("__wt", w).withColumn(
+        "__wsum", F.sum("__wt").over(wj))
+    units = F.expr("cast(1000000000000L * __wt as long) div __wsum")
+    out = (
+        weighted.withColumn("__u", units)
+        .groupBy(F.col("__ch").alias("channel"))
+        .agg(
+            F.sum("__u").alias("decay_units"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+    )
+    return out.withColumn(
+        "decay_credit",
+        F.col("decay_units").cast("double") / F.lit(1e12))
+
+
 def touch_attribution(
     df: DataFrame,
     *,
@@ -240,34 +350,8 @@ def touch_attribution(
     Output: ``(channel, first_touch, last_touch, linear_credit,
     n_touches)``.
     """
-    is_conv = conversion_pred.cast("int")
-    # journeys: touches belong to the NEXT conversion; number journeys
-    # by counting conversions from the END (reverse cumulative sum)
-    wrev = Window.partitionBy("__e").orderBy(
-        F.col("__t").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    marked = df.select(
-        F.col(entity_col).alias("__e"),
-        F.col(order_col).alias("__t"),
-        F.col(channel_col).alias("__ch"),
-        is_conv.alias("__c"),
-    ).withColumn("__j", F.sum("__c").over(wrev))
-    # touches: non-conversion rows whose journey has a conversion
-    # (__j >= 1); the conversion row of journey j carries __j == j
-    conv_times = marked.filter(F.col("__c") == 1).select(
-        "__e", F.col("__j").alias("__cj"),
-        F.col("__t").alias("__convt")).alias("cv")
-    touches = (
-        marked.filter((F.col("__c") == 0) & (F.col("__j") >= 1))
-        .alias("m")
-        .join(conv_times,
-              (F.col("m.__e") == F.col("cv.__e"))
-              & (F.col("m.__j") == F.col("cv.__cj")), "inner")
-        .select("m.__e", "m.__t", "m.__ch", "m.__j", "cv.__convt")
-    )
-    if lookback is not None:
-        touches = touches.filter(
-            F.col("__convt") - F.col("__t") <= int(lookback))
+    touches = _journey_touches(df, entity_col, order_col, channel_col,
+                               conversion_pred, lookback)
     wj = Window.partitionBy("__e", "__j")
     enriched = touches.select(
         "__ch",

@@ -228,6 +228,10 @@ BUDGETS = {
     # r8: (type, day) grain agg + one type-keyed calendar-RANGE window
     # (sets and sketches merge in the same frame) + sort
     "sliding_distinct_users": (3, False),
+    # r8: entity journey window + self-join on (entity, journey) +
+    # journey-sum window + channel agg/sort (same shape as the
+    # linear-attribution gate)
+    "decay_attribution_purchases": (4, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),

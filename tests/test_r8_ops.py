@@ -463,3 +463,74 @@ def test_sliding_distinct_calendar_gaps(spark):
     with pytest.raises(ValueError, match="window_range"):
         sliding_distinct(df, group_cols=["g"], order_col="day",
                          col="uid", window_range=-1)
+
+
+# -------------------------------------------------------- time decay attr
+
+def test_time_decay_attribution_matches_python(spark):
+    from deltalake_spark.operators.analytics import time_decay_attribution
+
+    rng = random.Random(29)
+    rows = []
+    for uid in range(6):
+        t = 0
+        for _ in range(rng.randrange(4, 15)):
+            t += rng.randrange(1, 30)
+            ch = rng.choice(["view", "click", "email", "purchase"])
+            rows.append((uid, t, ch))
+    df = spark.createDataFrame(rows, "uid long, t long, ch string")
+    hl, mh = 7, 20
+    got = {r["channel"]: (r["decay_units"], r["n_touches"])
+           for r in time_decay_attribution(
+               df, entity_col="uid", order_col="t", channel_col="ch",
+               conversion_pred=(F.col("ch") == "purchase"),
+               halflife=hl, max_halvings=mh).collect()}
+
+    # reference: journeys = touches before the NEXT purchase
+    want_units, want_n = {}, {}
+    by_uid = {}
+    for uid, t, ch in sorted(rows):
+        by_uid.setdefault(uid, []).append((t, ch))
+    for uid, seq in by_uid.items():
+        journey = []
+        for t, ch in seq:
+            if ch == "purchase":
+                if journey:
+                    ws = [(c, 2 ** (mh - min((t - tt) // hl, mh)))
+                          for tt, c in journey]
+                    W = sum(w for _, w in ws)
+                    for c, w in ws:
+                        want_units[c] = want_units.get(c, 0) \
+                            + (10 ** 12 * w) // W
+                        want_n[c] = want_n.get(c, 0) + 1
+                journey = []
+            else:
+                journey.append((t, ch))
+    assert {c: u for c, (u, _) in got.items()} == want_units
+    assert {c: n for c, (_, n) in got.items()} == want_n
+
+
+def test_time_decay_recent_touch_dominates(spark):
+    from deltalake_spark.operators.analytics import time_decay_attribution
+
+    df = spark.createDataFrame(
+        [(1, 0, "old"), (1, 95, "recent"), (1, 100, "purchase")],
+        "uid long, t long, ch string")
+    got = {r["channel"]: r["decay_units"]
+           for r in time_decay_attribution(
+               df, entity_col="uid", order_col="t", channel_col="ch",
+               conversion_pred=(F.col("ch") == "purchase"),
+               halflife=10).collect()}
+    assert got["recent"] > 100 * got["old"]
+    # units conserve (floor loss < n_touches)
+    assert 10 ** 12 - 2 <= got["recent"] + got["old"] <= 10 ** 12
+
+    with pytest.raises(ValueError, match="halflife"):
+        time_decay_attribution(
+            df, entity_col="uid", order_col="t", channel_col="ch",
+            conversion_pred=(F.col("ch") == "purchase"), halflife=0)
+    with pytest.raises(ValueError, match="max_halvings"):
+        time_decay_attribution(
+            df, entity_col="uid", order_col="t", channel_col="ch",
+            conversion_pred=(F.col("ch") == "purchase"), halflife=5,
+            max_halvings=25)
