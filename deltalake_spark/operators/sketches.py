@@ -134,9 +134,11 @@ def sliding_distinct(
       exactly why mergeable sketches are persisted per ingest
       partition).
 
-    ``order_col`` must be numeric (e.g. epoch days). One shuffle to
-    the (group, period) grain, one group-keyed window pass for both
-    columns.
+    ``order_col`` must be numeric (e.g. epoch days). NULL values of
+    ``col`` are excluded from both counts (Spark ``collect_set``/HLL
+    semantics — note that some engines' list aggregates KEEP nulls).
+    One shuffle to the (group, period) grain, one group-keyed window
+    pass for both columns.
     """
     if window_range < 0:
         raise ValueError("window_range must be >= 0")

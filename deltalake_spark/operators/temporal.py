@@ -219,7 +219,13 @@ def interval_overlap_join(
     r = right
     for c in right.columns:
         if c in lcols and c not in keys:
-            r = r.withColumnRenamed(c, f"{c}{suffix}")
+            target = f"{c}{suffix}"
+            if target in lcols or target in right.columns:
+                raise ValueError(
+                    f"suffixing right column {c!r} to {target!r} "
+                    "collides with an existing column; pass a "
+                    "different suffix")
+            r = r.withColumnRenamed(c, target)
     rs = f"{right_start}{suffix}" if right_start in lcols else right_start
     re_ = f"{right_end}{suffix}" if right_end in lcols else right_end
     joined = left.join(r, keys)

@@ -609,6 +609,10 @@ def collocation_g2(
     vocabulary-sized — KB..MB at any corpus scale), N is a 1-scalar
     collect folded in as a literal.
 
+    Caching: the bigram-count frame stays persisted (three consumers
+    share it and the returned plan references it); long-lived sessions
+    release it via :func:`deltalake_spark.session.release_caches`.
+
     Returns ``(w1, w2, pair_count, g2)`` unfiltered order; callers
     rank with ``orderBy(desc("g2"), "w1", "w2")``.
     """
@@ -691,6 +695,10 @@ def keyness_g2(
     Scale shape: one token-count shuffle keyed by (token, group); the
     per-group totals are a 2-scalar collect folded in as literals; the
     A/B frames re-join on the token (vocabulary-sized, broadcast).
+
+    Caching: the token-count frame stays persisted (totals and the
+    scored frame share it); release via
+    :func:`deltalake_spark.session.release_caches`.
 
     Returns ``(token, count_a, count_b, g2, overuse_a)``.
     """

@@ -534,3 +534,27 @@ def test_time_decay_recent_touch_dominates(spark):
             df, entity_col="uid", order_col="t", channel_col="ch",
             conversion_pred=(F.col("ch") == "purchase"), halflife=5,
             max_halvings=25)
+
+
+def test_interval_overlap_suffix_collision_raises(spark):
+    from deltalake_spark.operators.temporal import interval_overlap_join
+
+    ldf = spark.createDataFrame([("a", 0, 5, 9)],
+                                "k string, s long, e long, s_r long")
+    rdf = spark.createDataFrame([("a", 3, 6)], "k string, s long, e long")
+    with pytest.raises(ValueError, match="collides"):
+        interval_overlap_join(ldf, rdf, on="k", left_start="s",
+                              left_end="e", right_start="s",
+                              right_end="e")
+
+
+def test_sliding_distinct_nulls_excluded(spark):
+    from deltalake_spark.operators.sketches import sliding_distinct
+
+    df = spark.createDataFrame(
+        [("g", 0, 1), ("g", 0, None), ("g", 1, None)],
+        "g string, day long, uid long")
+    out = {r["day"]: r["exact_distinct"] for r in sliding_distinct(
+        df, group_cols=["g"], order_col="day", col="uid",
+        window_range=1).collect()}
+    assert out[0] == 1 and out[1] == 1
