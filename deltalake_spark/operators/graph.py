@@ -386,7 +386,6 @@ def bfs_distances(
         "hops",
         F.when(F.col("node") == F.lit(source), F.lit(0).cast("long"))
         .otherwise(F.lit(None).cast("long")))
-    stale: DataFrame | None = None
     for it in range(max_hops):
         relaxed = (
             adj.join(dist.withColumnRenamed("node", "u"), "u")
@@ -399,8 +398,12 @@ def bfs_distances(
             .select("node", F.least("hops", "via").alias("hops"))
         )
         if it < max_hops - 1:
-            dist, stale = materialize_round(
-                dist, stale, checkpoint_dir=checkpoint_dir)
+            # TRUE plan cut, not persist: each round references the
+            # previous dist TWICE (relaxed derives from it and the
+            # merge joins it), so the logical tree would grow
+            # 2^max_hops (the k_core 3^rounds lesson)
+            dist = cut_lineage(dist, checkpoint_dir=checkpoint_dir,
+                               eager=True)
     return dist
 
 
@@ -498,8 +501,11 @@ def k_core(
 
     Scale shape: symmetrize+dedup once (persisted); each round is ONE
     degree aggregate + two semi-joins against the surviving vertex
-    frame, persist+materialize to cut the iterative lineage
-    (PageRank/BPE lesson), early-stop on a stable vertex count.
+    frame, with a lazy lineage CUT per round (the round plan
+    references the previous frame three times, so anything short of a
+    plan truncation grows the logical tree 3^rounds — the
+    connected_components recipe, not the persist-only PageRank one),
+    early-stop on a stable vertex count.
     Returns ``(node, degree)`` of the k-core subgraph.
 
     Bounded-round contract: with the default
@@ -524,7 +530,6 @@ def k_core(
         .persist()
     )
     cur = adj
-    stale: DataFrame | None = None
     prev_n: int | None = None
     converged = False
     for _ in range(n_rounds):
@@ -534,15 +539,17 @@ def k_core(
             cur.join(alive, "a", "left_semi")
             .join(alive.select(F.col("a").alias("b")), "b", "left_semi")
         )
-        # lazy reliable checkpoint piggybacks on the distinct-count job
-        # below (no extra write job); default stays persist+materialize
-        nxt = (nxt.persist() if checkpoint_dir is None else
-               cut_lineage(nxt, checkpoint_dir=checkpoint_dir,
-                           eager=False))
+        # the round plan references `cur` THREE times (deg -> alive on
+        # both join sides), so without a true plan cut the logical tree
+        # grows 3^rounds — persist caches data but never truncates the
+        # plan, and at n_rounds=10 merely STRINGIFYING the plan for the
+        # SQL listener OOMed a 16g driver (caught by the full suite
+        # r8). cut_lineage truncates to a leaf; LAZY so the
+        # materialization piggybacks on the distinct-count job below
+        # (the connected_components recipe).
+        nxt = cut_lineage(nxt, checkpoint_dir=checkpoint_dir,
+                          eager=False)
         n_alive = nxt.select("a").distinct().count()  # materializes
-        if stale is not None:
-            stale.unpersist()  # no-op for checkpointed frames
-        stale = nxt
         cur = nxt
         if prev_n is not None and n_alive == prev_n:
             converged = True

@@ -113,3 +113,25 @@ def test_bpe_and_dbscan_checkpointed_identical(spark, tmp_path):
                         checkpoint_dir=str(tmp_path / "db_ckpt")),
               "id", "role", "cluster")
     assert a == b
+
+
+def test_deep_round_plans_stay_flat(spark):
+    """k_core's round plan references the previous frame THREE times
+    (degree -> alive on both semi-join sides) and BFS's twice, so
+    persist-only rounds grow the logical tree 3^/2^rounds — at
+    n_rounds=10 merely stringifying the plan for the SQL listener
+    OOMed a 16g driver (full-suite r8 catch). The per-round lineage
+    CUT keeps the plan O(1)/O(rounds); pinned here by plan-string
+    size at deep round counts."""
+    from deltalake_spark.operators.graph import bfs_distances, k_core
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long")
+    kc = k_core(edges, k=2, n_rounds=12)
+    assert len(kc._jdf.queryExecution().toString()) < 20_000
+    bd = bfs_distances(edges, source=0, max_hops=14)
+    assert len(bd._jdf.queryExecution().toString()) < 60_000
+    # and the results are still right: 12 rounds peel 24 of 31 path
+    # nodes (documented partial peel); BFS reaches 15 nodes in 14 hops
+    assert kc.count() == 7
+    assert bd.filter("hops is not null").count() == 15
