@@ -5448,6 +5448,35 @@ def xcorr_event_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type", "lag")
 
 
+def loo_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out smoothed target encoding (r8, operators/stats.py
+    target_encode_loo) — the leakage-controlled featurization: encode
+    o_orderpriority against the fulfilled-status label with each row's
+    own label excluded (sum−y, n−1 exact integers per row; m-estimate
+    smoothing m=20 toward the exact-integer prior). One
+    category-keyed window pass over the detail rows. Rollup per
+    category: rows, exact BIGINT sum of round(enc·1e6), round-6
+    min/max — bounded output, value-level replayable."""
+    from deltalake_spark.operators.stats import target_encode_loo
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("long").alias("__y"))
+    enc = target_encode_loo(od, cat_col="o_orderpriority",
+                            label_col="__y", smoothing=20.0)
+    return (
+        enc.groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(round(encoded_loo * 1000000) as bigint)"))
+            .alias("enc_units"),
+            F.round(F.min("encoded_loo"), 6).alias("min_enc"),
+            F.round(F.max("encoded_loo"), 6).alias("max_enc"),
+        )
+        .orderBy("category")
+    )
+
+
 def gini_split_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact CART decision stump (r6, operators/stats.py:
     best_gini_split): the best single threshold on l_quantity and on
@@ -6389,6 +6418,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theilsen_daily_trend": theilsen_daily_trend,
     "xcorr_event_daily": xcorr_event_daily,
     "gini_split_lineitem": gini_split_lineitem,
+    "loo_encode_priority": loo_encode_priority,
     "qnorm_daily_event_values": qnorm_daily_event_values,
     "seq_patterns_events": seq_patterns_events,
     "wav_g711_stats": wav_g711_stats,
@@ -11350,6 +11380,34 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
                    END AS xcorr
             FROM m ORDER BY 1, 2
+        """,
+        "loo_encode_priority": """
+            -- leave-one-out m-estimate encode: (s - y + m*prior) /
+            -- (n - 1 + m), prior = one exact-integer division
+            WITH li AS (
+              SELECT o_orderpriority,
+                     CAST(o_orderstatus = 'F' AS BIGINT) AS y
+              FROM orders
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS na,
+                     CAST(SUM(y) AS BIGINT) AS ya
+              FROM li
+            ), enc AS (
+              SELECT o_orderpriority,
+                     (CAST(SUM(y) OVER (PARTITION BY o_orderpriority) - y
+                           AS DOUBLE)
+                      + 20.0 * (CAST(ya AS DOUBLE) / na))
+                     / (CAST(COUNT(*) OVER (PARTITION BY o_orderpriority)
+                             - 1 AS DOUBLE) + 20.0) AS e
+              FROM li CROSS JOIN tot
+            )
+            SELECT o_orderpriority AS category,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                        AS BIGINT) AS enc_units,
+                   ROUND(MIN(e), 6) AS min_enc,
+                   ROUND(MAX(e), 6) AS max_enc
+            FROM enc GROUP BY 1 ORDER BY 1
         """,
         "gini_split_lineitem": """
             -- identical integer recurrence on HUGEINT; // floors like

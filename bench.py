@@ -107,6 +107,7 @@ EXTRA = [
     "rolling_mad_outliers",        # r8: rolling median/MAD screen
     "sliding_distinct_users",      # r8: windowed HLL-merge DAU
     "decay_attribution_purchases", # r8: exact time-decay credit
+    "loo_encode_priority",         # r8: leave-one-out encoding
 ]
 
 

@@ -513,6 +513,54 @@ def target_encode(
     )
 
 
+def target_encode_loo(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 20.0,
+    out_col: str = "encoded_loo",
+) -> DataFrame:
+    """LEAVE-ONE-OUT smoothed target encoding — the leakage-controlled
+    variant of :func:`target_encode` used when the encoded feature
+    trains a model on the SAME rows: each row's encode excludes its
+    own label,
+
+        enc_i = (sum_y(c) − y_i + m·prior) / (n(c) − 1 + m)
+
+    so a row can never see itself (the classic target-leakage fix;
+    Micci-Barreca 2001 m-estimate with the LOO correction).
+
+    Determinism: with an integer 0/1 label, ``sum_y(c) − y_i`` and
+    ``n(c) − 1`` are exact integers per row, ``prior`` is one exact
+    integer division, and the encode is a FIXED chain of IEEE ops —
+    reproducible cross-engine. ``smoothing`` must be > 0 (it is also
+    what keeps singleton categories finite: their LOO denominator is
+    exactly ``m``).
+
+    Scale shape: ONE category-keyed window pass annotates every detail
+    row with its category totals (no separate agg + join-back), plus a
+    2-scalar collect for the prior folded in as a literal. Returns the
+    input plus ``out_col``.
+    """
+    if smoothing <= 0:
+        raise ValueError(
+            "smoothing must be > 0 (singleton categories divide by "
+            "n - 1 + smoothing)")
+    y = F.col(label_col).cast("long")
+    tot = df.agg(F.count(y).alias("n"), F.sum(y).alias("s")).first()
+    n_all, y_all = int(tot["n"] or 0), int(tot["s"] or 0)
+    if n_all == 0:
+        return df.withColumn(out_col, F.lit(None).cast("double"))
+    prior = y_all / n_all  # one exact-integer IEEE division
+    m = float(smoothing)
+    w = Window.partitionBy(cat_col)
+    enc = (
+        (F.sum(y).over(w) - y).cast("double") + F.lit(m * prior)
+    ) / ((F.count(y).over(w) - 1).cast("double") + F.lit(m))
+    return df.withColumn(out_col, enc)
+
+
 def distribution_drift(
     df: DataFrame,
     *,

@@ -232,6 +232,9 @@ BUDGETS = {
     # journey-sum window + channel agg/sort (same shape as the
     # linear-attribution gate)
     "decay_attribution_purchases": (4, False),
+    # r8: one category-keyed window over the detail rows + category
+    # agg + sort; prior is a 2-scalar collect folded as a literal
+    "loo_encode_priority": (2, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),

@@ -558,3 +558,47 @@ def test_sliding_distinct_nulls_excluded(spark):
         df, group_cols=["g"], order_col="day", col="uid",
         window_range=1).collect()}
     assert out[0] == 1 and out[1] == 1
+
+
+# -------------------------------------------------------- LOO encoding
+
+def test_target_encode_loo_matches_python(spark):
+    from deltalake_spark.operators.stats import target_encode_loo
+
+    rng = random.Random(31)
+    rows = [(rng.choice("abc"), rng.randrange(2)) for _ in range(200)]
+    df = spark.createDataFrame(rows, "cat string, y long")
+    got = [(r["cat"], r["y"], r["encoded_loo"]) for r in
+           target_encode_loo(df, cat_col="cat", label_col="y",
+                             smoothing=7.0).collect()]
+    n_all = len(rows)
+    y_all = sum(y for _, y in rows)
+    prior = y_all / n_all
+    sums = {}
+    cnts = {}
+    for c, y in rows:
+        sums[c] = sums.get(c, 0) + y
+        cnts[c] = cnts.get(c, 0) + 1
+    for c, y, e in got:
+        want = (sums[c] - y + 7.0 * prior) / (cnts[c] - 1 + 7.0)
+        assert e == want, (c, y)  # bit-identical, not approx
+
+
+def test_target_encode_loo_leakage_and_singleton(spark):
+    from deltalake_spark.operators.stats import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 0), ("solo", 1)], "cat string, y long")
+    out = {(r["cat"], r["y"]): r["encoded_loo"] for r in
+           target_encode_loo(df, cat_col="cat", label_col="y",
+                             smoothing=2.0).collect()}
+    prior = 2 / 3
+    # the row's own label is excluded: y=1 sees sum 0, y=0 sees sum 1
+    assert out[("a", 1)] == (0 + 2.0 * prior) / (1 + 2.0)
+    assert out[("a", 0)] == (1 + 2.0 * prior) / (1 + 2.0)
+    # singleton: denominator is exactly m — finite because m > 0
+    assert out[("solo", 1)] == (0 + 2.0 * prior) / 2.0
+
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode_loo(df, cat_col="cat", label_col="y",
+                          smoothing=0.0)
