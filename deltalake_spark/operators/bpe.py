@@ -92,7 +92,8 @@ def train_bpe(
     smallest pair. ``checkpoint_dir`` switches the periodic lineage cut
     to reliable checkpoints (see
     :mod:`deltalake_spark.operators.iterative`)."""
-    from deltalake_spark.operators.iterative import cut_lineage
+    from deltalake_spark.operators.iterative import RoundCutter
+    cutter = RoundCutter(df.sparkSession, checkpoint_dir, "bpe")
     syms = word_counts(df, text_col=text_col).select(
         F.split("word", "").alias("syms"), "cnt"
     )
@@ -112,8 +113,7 @@ def train_bpe(
         syms = syms.withColumn("syms", merge_pair("syms", a, b))
         if (it + 1) % checkpoint_every == 0:
             # flat lineage: each merge adds a fold on top of the last
-            syms = cut_lineage(syms, checkpoint_dir=checkpoint_dir,
-                               eager=True)
+            syms = cutter.cut(syms, eager=True)
     return merges
 
 

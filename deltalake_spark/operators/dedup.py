@@ -532,30 +532,33 @@ def connected_components(
 
     ``checkpoint_dir=None`` cuts per-round lineage with
     ``localCheckpoint`` (executor-resident — right for local runs); a
-    path switches to reliable checkpoints there so a multi-executor
-    run survives executor loss mid-iteration (see
-    :mod:`deltalake_spark.operators.iterative`).
+    path switches to reliable round files there so a multi-executor
+    run survives executor loss mid-iteration; both modes release
+    out-of-grace prior rounds so storage stays bounded at any round
+    count (see :mod:`deltalake_spark.operators.iterative`).
     """
-    from deltalake_spark.operators.iterative import cut_lineage
+    from deltalake_spark.operators.iterative import RoundCutter
 
+    cutter = RoundCutter(edges.sparkSession, checkpoint_dir, "cc")
     a, b = F.col(src), F.col(dst)
     e0 = edges.select(a.alias("a"), b.alias("b"))
-    # one canonical materialization: the input lineage may be expensive
-    # (a pair self-join, an Arrow scorer like damerau_pairs) and every
-    # round — plus the final verification — must read executor storage,
-    # not recompute it
-    e_init = cut_lineage(
+    # one canonical materialization (keep=True: read by the final
+    # verification after ALL rounds, so exempt from round rotation):
+    # the input lineage may be expensive (a pair self-join, an Arrow
+    # scorer like damerau_pairs) and every round — plus the final
+    # verification — must read storage, not recompute it
+    e_init = cutter.cut(
         e0.filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("hi"),
                 F.least("a", "b").alias("lo"))
         .distinct(),
-        checkpoint_dir=checkpoint_dir, eager=True,
+        eager=True, keep=True,
     )
-    nodes = cut_lineage(
+    nodes = cutter.cut(
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
         .distinct(),
-        checkpoint_dir=checkpoint_dir, eager=True,
+        eager=True, keep=True,
     )
 
     e = e_init
@@ -583,7 +586,7 @@ def connected_components(
         # row carrying the min emits the (hi, m) hook, every other row
         # re-hooks its lo
         sm = e.groupBy("hi").agg(F.min("lo").alias("m"))
-        e = cut_lineage(
+        e = cutter.cut(
             e.join(sm, "hi")
             .select(
                 F.when(F.col("lo") == F.col("m"), F.col("hi"))
@@ -593,8 +596,8 @@ def connected_components(
             .filter(F.col("hi") != F.col("lo"))
             .distinct(),
             # cut lineage growth; LAZY so the signature probe below
-            # materializes the checkpoint in the same job
-            checkpoint_dir=checkpoint_dir, eager=False,
+            # materializes the cut in the same job
+            eager=False,
         )
         # 31-bit folded hash: a raw xxhash64 sum overflows int64 under
         # ANSI; (count, sum of 2^31-bounded hashes) stays exact to

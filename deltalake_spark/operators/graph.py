@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from deltalake_spark.operators.iterative import cut_lineage, materialize_round
+from deltalake_spark.operators.iterative import RoundCutter
 
 __all__ = ["canonical_edges", "degree_stats", "triangle_count",
            "pagerank_fixed_point", "hits_fixed_point",
@@ -162,7 +162,7 @@ def pagerank_fixed_point(
     base = ((100 - damping_pct) * scale) // (100 * n)
     ranks = nodes.withColumn(
         "rank_scaled", F.lit(int(scale // n)).cast("long"))
-    stale: DataFrame | None = None
+    cutter = RoundCutter(edges.sparkSession, checkpoint_dir, "pagerank")
     for it in range(n_iter):
         contribs = (
             deg_edges.join(ranks.withColumnRenamed("node", "e_src"), "e_src")
@@ -184,10 +184,10 @@ def pagerank_fixed_point(
         # nests and REPLAYS every earlier iteration's join+agg
         # (quadratic re-execution) — the same hazard the BPE trainer
         # flattens with localCheckpoint. checkpoint_dir switches to
-        # reliable checkpoints (executor-loss-safe on real clusters).
+        # reliable round files (executor-loss-safe on real clusters);
+        # either way the cutter releases out-of-grace prior rounds.
         if it < n_iter - 1:
-            ranks, stale = materialize_round(
-                ranks, stale, checkpoint_dir=checkpoint_dir)
+            ranks = cutter.materialize(ranks)
     return ranks
 
 
@@ -236,8 +236,10 @@ def hits_fixed_point(
                      F.col(dst).alias("e_dst")).persist()
     hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
     auth = nodes.withColumn("a", F.lit(0).cast("long"))
-    stale_a: DataFrame | None = None
-    stale_h: DataFrame | None = None
+    # two chains, two cutters: hub and auth alternate, so each chain's
+    # previous frame is still live when the other one cuts
+    cut_a = RoundCutter(edges.sparkSession, checkpoint_dir, "hits-auth")
+    cut_h = RoundCutter(edges.sparkSession, checkpoint_dir, "hits-hub")
 
     def _normalize(raw: DataFrame, col: str) -> DataFrame:
         mx = raw.agg(F.max(col)).collect()[0][0] or 0
@@ -261,8 +263,7 @@ def hits_fixed_point(
         )
         auth = nodes.join(araw, "node", "left").select(
             "node", F.coalesce("a", F.lit(0).cast("long")).alias("a"))
-        auth, stale_a = materialize_round(
-            _normalize(auth, "a"), stale_a, checkpoint_dir=checkpoint_dir)
+        auth = cut_a.materialize(_normalize(auth, "a"))
         hraw = (
             e.join(auth.withColumnRenamed("node", "e_dst"), "e_dst")
             .groupBy(F.col("e_src").alias("node"))
@@ -270,8 +271,7 @@ def hits_fixed_point(
         )
         hub = nodes.join(hraw, "node", "left").select(
             "node", F.coalesce("h", F.lit(0).cast("long")).alias("h"))
-        hub, stale_h = materialize_round(
-            _normalize(hub, "h"), stale_h, checkpoint_dir=checkpoint_dir)
+        hub = cut_h.materialize(_normalize(hub, "h"))
     return (
         hub.join(auth, "node")
         .select("node", F.col("h").alias("hub_scaled"),
@@ -330,7 +330,7 @@ def label_propagation(
         "label", F.col("node"))
     win = Window.partitionBy("node").orderBy(
         F.desc("c"), F.asc("label"))
-    stale: DataFrame | None = None
+    cutter = RoundCutter(edges.sparkSession, checkpoint_dir, "lpa")
     for it in range(n_iter):
         votes = (
             adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -343,8 +343,7 @@ def label_propagation(
             .select("node", "label")
         )
         if it < n_iter - 1:
-            labels, stale = materialize_round(
-                labels, stale, checkpoint_dir=checkpoint_dir)
+            labels = cutter.materialize(labels)
     return labels.withColumnRenamed("label", "community")
 
 
@@ -386,6 +385,7 @@ def bfs_distances(
         "hops",
         F.when(F.col("node") == F.lit(source), F.lit(0).cast("long"))
         .otherwise(F.lit(None).cast("long")))
+    cutter = RoundCutter(edges.sparkSession, checkpoint_dir, "bfs")
     for it in range(max_hops):
         relaxed = (
             adj.join(dist.withColumnRenamed("node", "u"), "u")
@@ -401,9 +401,10 @@ def bfs_distances(
             # TRUE plan cut, not persist: each round references the
             # previous dist TWICE (relaxed derives from it and the
             # merge joins it), so the logical tree would grow
-            # 2^max_hops (the k_core 3^rounds lesson)
-            dist = cut_lineage(dist, checkpoint_dir=checkpoint_dir,
-                               eager=True)
+            # 2^max_hops (the k_core 3^rounds lesson). The cutter also
+            # releases round N-2's blocks (eager cut: round N-1's
+            # blocks are read during THIS cut's materialization).
+            dist = cutter.cut(dist, eager=True)
     return dist
 
 
@@ -532,6 +533,7 @@ def k_core(
     cur = adj
     prev_n: int | None = None
     converged = False
+    cutter = RoundCutter(edges.sparkSession, checkpoint_dir, "kcore")
     for _ in range(n_rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
         alive = deg.filter(F.col("d") >= int(k)).select("a")
@@ -544,11 +546,12 @@ def k_core(
         # grows 3^rounds — persist caches data but never truncates the
         # plan, and at n_rounds=10 merely STRINGIFYING the plan for the
         # SQL listener OOMed a 16g driver (caught by the full suite
-        # r8). cut_lineage truncates to a leaf; LAZY so the
+        # r8). The cut truncates to a leaf; LAZY so the
         # materialization piggybacks on the distinct-count job below
-        # (the connected_components recipe).
-        nxt = cut_lineage(nxt, checkpoint_dir=checkpoint_dir,
-                          eager=False)
+        # (the connected_components recipe). The cutter's 2-round
+        # grace covers the lazy window, then prior rounds' blocks are
+        # released instead of lingering until GC (r8 ADVICE).
+        nxt = cutter.cut(nxt, eager=False)
         n_alive = nxt.select("a").distinct().count()  # materializes
         cur = nxt
         if prev_n is not None and n_alive == prev_n:

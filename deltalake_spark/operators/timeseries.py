@@ -869,6 +869,7 @@ def rolling_quantile(
     window_rows: int | None = None,
     range_interval: int | None = None,
     out_col: str = "rolling_q",
+    max_frame: int | None = 10_000,
 ) -> DataFrame:
     """EXACT trailing rolling quantile per series — the one common
     time-series screen the suite lacked (rolling median / p90 for
@@ -904,6 +905,15 @@ def rolling_quantile(
     engines' list aggregates KEEP nulls); a row whose frame is all
     null gets a NULL quantile. Returns the input plus ``out_col``
     (same type as ``value_col``).
+
+    ``max_frame`` (default 10k) makes the 100x-scale misuse fail LOUD
+    instead of silently running O(w log w)/row with a fat per-task
+    window state: ``window_rows`` beyond it raises here, and in RANGE
+    mode — where the frame size is data-density-dependent and
+    unbounded — a runtime guard raises from the executor the moment
+    any row's frame exceeds it. For genuinely huge windows switch to
+    a mergeable sketch (GK / equi-depth, ``operators/sketches.py``);
+    ``max_frame=None`` disables the guard if you really mean it.
     """
     if (window_rows is None) == (range_interval is None):
         raise ValueError(
@@ -916,6 +926,14 @@ def rolling_quantile(
         raise ValueError("quantile q_num/q_den must be in [0, 1]")
     if not group_cols or not order_cols:
         raise ValueError("group_cols and order_cols must be non-empty")
+    if (max_frame is not None and window_rows is not None
+            and window_rows > max_frame):
+        raise ValueError(
+            f"window_rows={window_rows} exceeds max_frame={max_frame}: "
+            f"the exact rolling family collects and sorts the whole "
+            f"frame per row — use a mergeable sketch (GK/equi-depth) "
+            f"for windows this large, or pass max_frame=None/larger "
+            f"to accept the O(w log w)/row cost")
     base = Window.partitionBy(*group_cols).orderBy(*order_cols)
     if window_rows is not None:
         w = base.rowsBetween(-(window_rows - 1), 0)
@@ -932,11 +950,23 @@ def rolling_quantile(
     idx = F.expr(
         f"(size({'__frame'}) - 1) * {int(q_num)}L div {int(q_den)}L")
     # empty frame (every value in the window NULL): element_at(arr, 0)
-    # is an ANSI error, not a null — guard explicitly
+    # is an ANSI error, not a null — guard explicitly. In RANGE mode
+    # the frame size is data-density-dependent, so the max_frame guard
+    # must run per row ON THE EXECUTOR: the raise_error branch sits
+    # FIRST in the when-chain and fires before any sort/pick work.
     pick = F.when(
         F.size("__frame") > 0,
         F.element_at(F.col("__frame"), (idx + 1).cast("int")),
     )
+    if max_frame is not None and range_interval is not None:
+        pick = F.when(
+            F.size("__frame") > int(max_frame),
+            F.raise_error(F.lit(
+                f"rolling_quantile: a RANGE frame exceeded "
+                f"max_frame={max_frame} rows — dense series + wide "
+                f"range_interval; switch to a mergeable sketch "
+                f"(GK/equi-depth) or pass max_frame=None/larger")),
+        ).otherwise(pick)
     return df.withColumn("__frame", frame).withColumn(
         out_col, pick
     ).drop("__frame")
@@ -952,6 +982,7 @@ def rolling_mad(
     range_interval: int | None = None,
     med_col: str = "rolling_med",
     mad_col: str = "rolling_mad",
+    max_frame: int | None = 10_000,
 ) -> DataFrame:
     """EXACT rolling median absolute deviation per series — the robust
     complement to :func:`rolling_zscore` (mean/stddev break on one
@@ -972,6 +1003,11 @@ def rolling_mad(
     subexpression). NULL values are excluded from frames
     (collect_list semantics); an all-null frame yields NULLs.
 
+    ``max_frame`` has the :func:`rolling_quantile` contract: oversize
+    ``window_rows`` raises at call time, an oversize RANGE frame
+    raises at runtime (frame size there is data-density-dependent);
+    switch to a mergeable sketch for genuinely huge windows.
+
     Returns the input plus ``med_col`` and ``mad_col``.
     """
     if (window_rows is None) == (range_interval is None):
@@ -983,6 +1019,14 @@ def rolling_mad(
         raise ValueError("range_interval must be >= 0")
     if not group_cols or not order_cols:
         raise ValueError("group_cols and order_cols must be non-empty")
+    if (max_frame is not None and window_rows is not None
+            and window_rows > max_frame):
+        raise ValueError(
+            f"window_rows={window_rows} exceeds max_frame={max_frame}: "
+            f"the exact rolling family collects and sorts the whole "
+            f"frame per row — use a mergeable sketch (GK/equi-depth) "
+            f"for windows this large, or pass max_frame=None/larger "
+            f"to accept the O(w log w)/row cost")
     base = Window.partitionBy(*group_cols).orderBy(*order_cols)
     if window_rows is not None:
         w = base.rowsBetween(-(window_rows - 1), 0)
@@ -1004,6 +1048,17 @@ def rolling_mad(
         "     array_sort(transform(f, v -> abs(v - m))),"
         "     cast((size(f) - 1) div 2 + 1 as int))"
         " ))[0]))[0]")
+    if max_frame is not None and range_interval is not None:
+        # RANGE frames are data-density-dependent: guard per row on
+        # the executor, firing before the double sort
+        stats = F.when(
+            F.size("__frame") > int(max_frame),
+            F.raise_error(F.lit(
+                f"rolling_mad: a RANGE frame exceeded "
+                f"max_frame={max_frame} rows — dense series + wide "
+                f"range_interval; switch to a mergeable sketch "
+                f"(GK/equi-depth) or pass max_frame=None/larger")),
+        ).otherwise(stats)
     return (
         df.withColumn("__frame", frame)
         .withColumn("__st", stats)
