@@ -529,6 +529,37 @@ def minhash_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_incremental_dedup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup against a PERSISTED fingerprint index (r9
+    verdict ask #3). Production pipelines never dedup a corpus against
+    itself — they dedup a new batch against signatures of everything
+    ALREADY ingested. Corpus docs (doc_id % 10 != 7) write their
+    (doc_id, band, band_hash) LSH keys to a Delta table partitioned by
+    band (``minhash_index_write``); batch docs (doc_id % 10 = 7)
+    compute THEIR signatures only and band-equi-join the index SCAN
+    (``minhash_dedup_incremental`` — plan-asserted to do no index-side
+    signature work in tests/test_minhash_index.py). Both sides bucket
+    through the same ``minhash_band_keys``, and hash_mode='portable'
+    derives every hash from md5 arithmetic, so the oracle replays
+    corpus keys, batch keys, the boilerplate-bucket cap, and the
+    deterministic argmax match value-for-value. See
+    deltalake_spark.operators.dedup."""
+    from deltalake_spark.operators.dedup import (
+        minhash_dedup_incremental,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+              hash_mode="portable")
+    t = _fresh_table(spark, "mhidx")
+    minhash_index_write(docs.filter(F.col("doc_id") % 10 != 7), t, **kw)
+    return minhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 10 == 7), t, **kw
+    ).orderBy("doc_id")
+
+
 def simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash prefix blocking (r7: value-level DuckDB twin).
     hash_mode='portable' builds a 60-bit fingerprint from md5-derived
@@ -6340,6 +6371,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": similarity_topk,
     "embedding_norm_stats": embedding_norm_stats,
     "minhash_neardup_groups": minhash_neardup_groups,
+    "minhash_incremental_dedup": minhash_incremental_dedup,
     "simhash_blocks": simhash_blocks,
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
@@ -6615,6 +6647,93 @@ def _minhash_oracle() -> str:
                CAST(COUNT(*) AS BIGINT) AS group_size
         FROM hashed GROUP BY 1, 2 HAVING COUNT(*) > 1
         ORDER BY band, band_hash
+    """
+
+
+def _minhash_incremental_oracle() -> str:
+    """DuckDB twin of minhash_incremental_dedup: the same portable
+    band-key recursion as _minhash_oracle computed once for ALL docs
+    (signatures are per-doc, so split-after is identical to
+    split-before), split into corpus/batch key sets, the corpus-side
+    boilerplate-bucket cap (count <= 1000), the band equi-join, and
+    the deterministic best-match argmax (most shared bands, ties to
+    smallest candidate id)."""
+    from deltalake_spark.operators.dedup import (
+        _PORTABLE_SHINGLE_HEX,
+        _PRIME,
+        _hash_params,
+    )
+
+    params = _hash_params(32)
+    mins = ",\n                     ".join(
+        f"MIN((h * {a} + {b}) % {_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    band_rows = "\n              UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, m{i0}||'|'||m{i1}||'|'||m{i2}"
+        "||'|'||m{i3} AS bkey FROM sig".format(
+            b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
+        for b in range(8))
+    return f"""
+        WITH wt AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> w[i] || ' ' || COALESCE(w[i + 1], '')
+                        || ' ' || COALESCE(w[i + 2], ''))) AS shs
+          FROM wt
+        ), e AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(shs,
+                   s -> CAST(('0x' || substr(md5(s), 1,
+                              {_PORTABLE_SHINGLE_HEX})) AS BIGINT)))
+                     AS h
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+                     {mins}
+          FROM e GROUP BY doc_id
+        ), bands AS (
+              {band_rows}
+        ), keys AS (
+          SELECT doc_id, band,
+                 CAST(('0x' || substr(md5(bkey), 1, 15)) AS BIGINT)
+                     AS band_hash
+          FROM bands
+        ), ck AS (
+          SELECT * FROM keys WHERE doc_id % 10 <> 7
+        ), bk AS (
+          SELECT * FROM keys WHERE doc_id % 10 = 7
+        ), ok AS (
+          SELECT band, band_hash FROM ck
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+        ), ckf AS (
+          SELECT ck.* FROM ck JOIN ok USING (band, band_hash)
+        ), pairs AS (
+          SELECT bk.doc_id AS bid, ckf.doc_id AS cand,
+                 COUNT(*) AS shared
+          FROM bk JOIN ckf USING (band, band_hash)
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT bid,
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 (list(cand ORDER BY shared DESC, cand ASC))[1]
+                     AS match_id,
+                 CAST((list(shared ORDER BY shared DESC, cand ASC))[1]
+                      AS BIGINT) AS match_bands
+          FROM pairs GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(b.n_candidates, 0) AS n_candidates,
+               b.match_id AS match_id,
+               COALESCE(b.match_bands, 0) AS match_bands,
+               b.bid IS NULL AS is_new
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        LEFT JOIN best b ON b.bid = d.doc_id
+        ORDER BY doc_id
     """
 
 
@@ -12219,6 +12338,7 @@ def oracle_sql() -> dict[str, str]:
         # (generator functions — literal parameters shared with the
         # Spark expressions):
         "minhash_neardup_groups": _minhash_oracle(),
+        "minhash_incremental_dedup": _minhash_incremental_oracle(),
         "simhash_blocks": _simhash_oracle(),
         "embedding_knn_join": _knn_join_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),

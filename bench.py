@@ -108,6 +108,7 @@ EXTRA = [
     "sliding_distinct_users",      # r8: windowed HLL-merge DAU
     "decay_attribution_purchases", # r8: exact time-decay credit
     "loo_encode_priority",         # r8: leave-one-out encoding
+    "minhash_incremental_dedup",   # r9: batch-vs-persisted-index dedup
 ]
 
 

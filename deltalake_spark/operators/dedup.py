@@ -209,6 +209,51 @@ def minhash_lsh_candidates(
     the gate query's DuckDB twin. Identical plan shape and recall
     family; one md5 per distinct shingle + one per band.
     """
+    exploded = minhash_band_keys(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, seed=seed,
+        shingle_mode=shingle_mode, hash_mode=hash_mode,
+    ).withColumnRenamed(id_col, "__id")
+    return (
+        exploded.groupBy("band", "band_hash")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("__id")), 1, max_bucket)
+            .alias("member_ids"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("band", "band_hash")
+    )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_mode: str = "native",
+) -> DataFrame:
+    """Per-document LSH band keys: ``(id_col, band, band_hash)``, one
+    row per (doc, band) — the shared derivation under
+    :func:`minhash_lsh_candidates` (self-corpus dedup) and the
+    persisted-index pair :func:`minhash_index_write` /
+    :func:`minhash_dedup_incremental` (nightly-ingest dedup). Factoring
+    it guarantees the incremental path buckets IDENTICALLY to the
+    batch path — an index written today matches candidates tomorrow's
+    batch derivation would find.
+
+    shingle → hash → per-permutation ``(a·h+b) mod p`` minima via one
+    explode + vectorized hash-aggregate (map-side partial, the shuffle
+    carries num_docs x num_hashes longs) → per-band key hash, exploded
+    to (doc, band) rows. ``hash_mode='portable'`` swaps both hash
+    sites for md5 arithmetic so any SQL engine replays the keys
+    value-for-value (the DuckDB-twin path).
+    """
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     if hash_mode not in ("native", "portable"):
         raise ValueError("hash_mode must be 'native' or 'portable'")
@@ -262,18 +307,201 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     ])
-    exploded = with_sig.select(
+    return with_sig.select(
         "__id", F.explode(band_structs).alias("bb")
-    ).select("__id", "bb.band", "bb.band_hash")
-    return (
-        exploded.groupBy("band", "band_hash")
-        .agg(
-            F.slice(F.array_sort(F.collect_set("__id")), 1, max_bucket)
-            .alias("member_ids"),
-            F.count(F.lit(1)).alias("group_size"),
+    ).select(F.col("__id").alias(id_col), "bb.band", "bb.band_hash")
+
+
+_MINHASH_INDEX_CONF = "deltalake.minhashIndex.params"
+
+
+def _minhash_index_params(**kw) -> str:
+    import json
+
+    return json.dumps(kw, sort_keys=True)
+
+
+def minhash_index_write(
+    df: DataFrame,
+    table,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_mode: str = "native",
+    mode: str = "append",
+) -> int:
+    """Persist a corpus' MinHash/LSH fingerprints as a Delta table —
+    the index side of nightly-ingest dedup.
+
+    Production pipelines don't dedup a corpus against itself: they
+    dedup a NEW batch against signatures of everything ALREADY
+    ingested (100 TB of text reduces to num_docs x bands key rows of
+    three longs — the only thing the nightly job should ever touch).
+    This writes ``(id_col, band, band_hash)`` from
+    :func:`minhash_band_keys`, partitioned by ``band``, so the
+    incremental probe's band equi-join prunes to matching band
+    partitions and NEVER recomputes a corpus signature.
+
+    The full parameter set is pinned in the table configuration
+    (``deltalake.minhashIndex.params``): signatures are only
+    comparable under identical (num_hashes, bands, seed, shingles,
+    hash_mode), so :func:`minhash_dedup_incremental` validates its
+    parameters against the stored ones and an append with different
+    parameters fails LOUD here instead of silently mixing
+    incomparable fingerprints.
+
+    ``mode='append'`` is the nightly pattern: after deduping a batch,
+    append the KEPT docs' keys so tomorrow's batch dedups against
+    today's too. Returns the committed Delta version.
+    """
+    params = _minhash_index_params(
+        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+        seed=seed, shingle_mode=shingle_mode, hash_mode=hash_mode,
+        id_col=id_col,
+    )
+    if table.exists():
+        stored = (table.snapshot().configuration or {}).get(
+            _MINHASH_INDEX_CONF)
+        if mode != "overwrite" and stored is not None and stored != params:
+            raise ValueError(
+                f"minhash_index_write: index at {table.path} was built "
+                f"with {stored}, incompatible with {params} — signatures "
+                f"under different parameters are not comparable; use "
+                f"mode='overwrite' to rebuild")
+    keys = minhash_band_keys(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, seed=seed,
+        shingle_mode=shingle_mode, hash_mode=hash_mode,
+    )
+    existed = table.exists()
+    version = table.write(
+        keys, mode=mode, partition_by=["band"],
+        configuration={_MINHASH_INDEX_CONF: params},
+    )
+    if existed:
+        # write() pins configuration only at table creation; a rebuild
+        # (mode='overwrite' on an existing table) must re-pin so the
+        # stored params always describe the CURRENT signatures
+        stored = (table.snapshot().configuration or {}).get(
+            _MINHASH_INDEX_CONF)
+        if stored != params:
+            version = table.update_metadata({_MINHASH_INDEX_CONF: params})
+    return version
+
+
+def minhash_dedup_incremental(
+    batch: DataFrame,
+    index,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_mode: str = "native",
+    max_bucket: int = 1000,
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Dedup a new batch against a PERSISTED fingerprint index — the
+    nightly-ingest shape: signatures are computed for the BATCH ONLY;
+    the index side is a scan of ``(id, band, band_hash)`` rows written
+    by :func:`minhash_index_write` (or any DataFrame with those
+    columns), joined on the exact band keys.
+
+    Per batch document, over index docs sharing >= ``min_shared_bands``
+    LSH buckets:
+
+    - ``n_candidates`` — how many distinct index docs collide;
+    - ``match_id`` / ``match_bands`` — the strongest candidate (most
+      shared bands, ties to the smallest id — deterministic) and its
+      shared-band count; NULL / 0 when none;
+    - ``is_new`` — no candidate: safe to ingest (and append to the
+      index).
+
+    ``max_bucket`` drops index buckets with more members than the cap
+    before the probe join — boilerplate buckets are where LSH skew
+    lives, and a single hot ``(band, band_hash)`` would fan one batch
+    row into millions of pairs. Dropping (not truncating) keeps the
+    result a pure function of (batch, index, params) that a SQL twin
+    replays exactly; the cap is visible in the signature the docstring
+    pins. At 100 TB the probe is: batch-sized signature derivation
+    (map + one partial-agg shuffle), one KB-per-bucket count agg over
+    the index keys, and a band-key equi-join whose index side pruned
+    to the batch's band partitions — never a corpus text re-read.
+
+    ``index`` may be a DeltaTable (parameters are validated against
+    the pinned ones — mismatched signatures fail loud) or a raw
+    DataFrame of keys (caller owns compatibility).
+    """
+    idx_df = index
+    if hasattr(index, "to_df"):  # DeltaTable duck-type
+        stored = (index.snapshot().configuration or {}).get(
+            _MINHASH_INDEX_CONF)
+        params = _minhash_index_params(
+            num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+            seed=seed, shingle_mode=shingle_mode, hash_mode=hash_mode,
+            id_col=id_col,
         )
-        .filter(F.col("group_size") > 1)
-        .orderBy("band", "band_hash")
+        if stored is not None and stored != params:
+            raise ValueError(
+                f"minhash_dedup_incremental: index was built with "
+                f"{stored}, probe requested {params} — signatures under "
+                f"different parameters are not comparable")
+        idx_df = index.to_df()
+    idx_keys = idx_df.select(
+        F.col(id_col).alias("__cand"), "band", "band_hash")
+    # skew guard: drop boilerplate buckets BEFORE the probe join. The
+    # count agg touches only index KEY rows (bands x docs x 3 longs).
+    ok_buckets = (
+        idx_keys.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") <= int(max_bucket))
+        .select("band", "band_hash")
+    )
+    idx_keys = idx_keys.join(ok_buckets, ["band", "band_hash"], "left_semi")
+    bkeys = minhash_band_keys(
+        batch, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, seed=seed,
+        shingle_mode=shingle_mode, hash_mode=hash_mode,
+    ).withColumnRenamed(id_col, "__bid")
+    pairs = (
+        bkeys.join(idx_keys, ["band", "band_hash"])
+        .groupBy("__bid", "__cand")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .filter(F.col("__shared") >= int(min_shared_bands))
+    )
+    win = Window.partitionBy("__bid").orderBy(
+        F.desc("__shared"), F.asc("__cand"))
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(win))
+        .groupBy("__bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__cand")))
+            .alias("match_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__shared")))
+            .alias("match_bands"),
+        )
+    )
+    return (
+        batch.select(F.col(id_col).alias("__bid"))
+        .join(best, "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0).cast("long"))
+            .alias("n_candidates"),
+            "match_id",
+            F.coalesce("match_bands", F.lit(0).cast("long"))
+            .alias("match_bands"),
+            F.col("n_candidates").isNull().alias("is_new"),
+        )
     )
 
 

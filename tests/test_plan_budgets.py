@@ -235,6 +235,12 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: batch-only signature derivation (spread + sig agg + band
+    # explode, textually repeated for the probe and final-join
+    # branches) + index bucket-cap agg + band equi-join + pair agg +
+    # argmax window + left join + sort; the INDEX side is scan+join
+    # only (pinned harder in tests/test_minhash_index.py)
+    "minhash_incremental_dedup": (14, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),
