@@ -2312,6 +2312,39 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ path vs exact ground truth (r9 verdict
+    ask #4) — the quality number a deployment tunes nprobe/codebooks
+    against; the determinism gate (ivf_pq_ann_topk) can't see a recall
+    regression. Same index setup as that gate (seed centroids vec_id<8,
+    2x8 codebooks, nprobe=2, k=5); ground truth is exhaustive round-6
+    squared-L2 top-5 through the SAME bucket equi-join machinery at
+    nprobe=all (operators/similarity.py ivf_pq_recall_join /
+    exact_sqdist_topk_join — never a cartesian node). Both rankings
+    tie-break ascending on corpus id, so per-query hits and recall
+    replay exactly in SQL."""
+    from deltalake_spark.operators.similarity import ivf_pq_recall_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {r[0]: list(r[1])
+            for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id").collect()}
+    seeds = [rows[i] for i in range(8)]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_pq_recall_join(
+        queries, corpus, intc, books,
+        query_id="vec_id", corpus_id="corpus_id", k=5, nprobe=2,
+    ).orderBy("vec_id")
+
+
 def ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF kNN join probing EVERY bucket (nprobe == n_centroids): the
     bucket layout only changes the execution shape, so results equal
@@ -6307,6 +6340,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessionize_stateful": stream_sessionize_stateful,
     "ivf_ann_topk": ivf_ann_topk,
     "ivf_pq_ann_topk": ivf_pq_ann_topk,
+    "ann_recall_ivfpq": ann_recall_ivfpq,
     "ivf_exhaustive_topk": ivf_exhaustive_topk,
     "language_id_dist": language_id_dist,
     "fingerprint_dedup_stats": fingerprint_dedup_stats,
@@ -6783,15 +6817,11 @@ def _g2_oracle() -> str:
     """
 
 
-def _ivf_pq_oracle() -> str:
-    """DuckDB twin of ivf_pq_ann_topk: seed coarse centroids on the
-    micro-unit grid (vec_id<8) route corpus (argmin) and queries
-    (nprobe=2) by exact BIGINT squared distance; corpus PQ codes
-    replay the round-6 nearest-subcentroid rule (the pq_adc_topk_query
-    recipe); ADC terms are the per-(query, centroid) round-6 LUT; rank
-    top-5 per query ascending (adc, id)."""
-    return """
-        WITH q AS (
+def _ivf_pq_ctes() -> str:
+    """Shared CTE chain (through ``r`` = approx ranks) for the IVF-PQ
+    twin pair: _ivf_pq_oracle reads the ranks directly;
+    _ann_recall_oracle intersects them with exact ground truth."""
+    return """q AS (
           SELECT vec_id,
                  generate_subscripts(embedding, 1) AS pos,
                  CAST(ROUND(unnest(CAST(embedding AS DOUBLE[]))
@@ -6883,9 +6913,59 @@ def _ivf_pq_oracle() -> str:
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                      ORDER BY adc, corpus_id) AS rank
           FROM scored
-        )
+        )"""
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin of ivf_pq_ann_topk: seed coarse centroids on the
+    micro-unit grid (vec_id<8) route corpus (argmin) and queries
+    (nprobe=2) by exact BIGINT squared distance; corpus PQ codes
+    replay the round-6 nearest-subcentroid rule (the pq_adc_topk_query
+    recipe); ADC terms are the per-(query, centroid) round-6 LUT; rank
+    top-5 per query ascending (adc, id)."""
+    return f"""
+        WITH {_ivf_pq_ctes()}
         SELECT vec_id, corpus_id, adc, rank
         FROM r WHERE rank <= 5 ORDER BY vec_id, rank
+    """
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB twin of ann_recall_ivfpq: the full _ivf_pq_ctes approx
+    ranking, intersected per query with EXACT round-6 squared-L2
+    top-5 (same |q|²−2qc+|c|² expansion, ties ascending corpus id),
+    recall = hits/5 rounded to 4."""
+    return f"""
+        WITH {_ivf_pq_ctes()}, qfull AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cfull AS (
+          SELECT vec_id AS cid2, CAST(embedding AS DOUBLE[]) AS cv2
+          FROM embeddings
+        ), ex AS (
+          SELECT qid, cid2 FROM (
+            SELECT qid, cid2,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                     ROUND(list_dot_product(qv, qv)
+                           - 2.0 * list_dot_product(qv, cv2)
+                           + list_dot_product(cv2, cv2), 6),
+                     cid2) AS rn
+            FROM qfull CROSS JOIN cfull
+          ) WHERE rn <= 5
+        ), hits AS (
+          SELECT r.vec_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM r JOIN ex
+            ON ex.qid = r.vec_id AND ex.cid2 = r.corpus_id
+          WHERE r.rank <= 5
+          GROUP BY 1
+        )
+        SELECT qf.qid AS vec_id,
+               COALESCE(h.hits, 0) AS hits,
+               CAST(5 AS BIGINT) AS k,
+               ROUND(COALESCE(h.hits, 0) / 5.0, 4) AS recall_at_k
+        FROM (SELECT DISTINCT qid FROM qfull) qf
+        LEFT JOIN hits h ON h.vec_id = qf.qid
+        ORDER BY vec_id
     """
 
 
@@ -10214,6 +10294,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collocation_g2_topk": _g2_oracle(),
         "ivf_pq_ann_topk": _ivf_pq_oracle(),
+        "ann_recall_ivfpq": _ann_recall_oracle(),
         "interval_overlap_attention": """
             WITH iv AS (
               SELECT user_id, event_type, epoch_ns(ts) AS s,

@@ -109,6 +109,7 @@ EXTRA = [
     "decay_attribution_purchases", # r8: exact time-decay credit
     "loo_encode_priority",         # r8: leave-one-out encoding
     "minhash_incremental_dedup",   # r9: batch-vs-persisted-index dedup
+    "ann_recall_ivfpq",            # r9: IVF-PQ recall@5 vs exact truth
 ]
 
 

@@ -963,3 +963,134 @@ def ivf_pq_topk_join(
             F.col("__rn").alias("rank"),
         )
     )
+
+
+def exact_sqdist_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    int_centroids: list[list[int]],
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """EXACT squared-L2 top-k join — the ground truth an ANN deployment
+    evaluates against. Exhaustive by construction: every query probes
+    ALL coarse buckets (``nprobe = n_centroids``), so each (query,
+    corpus) pair is scored exactly once through the SAME bucket
+    equi-join shape as the approximate path — a hash join the planner
+    spreads by bucket, never a CartesianProduct node. The |Q|·|C| work
+    is irreducible for exact truth; run it on a bounded QUERY SAMPLE
+    (recall evaluation), not the full query log.
+
+    Distance = ``round(|q|² − 2·q·c + |c|², 6)`` with sequential
+    double folds — the :func:`pq_adc_topk` expansion, so a SQL oracle
+    (``list_dot_product``) replays scores value-for-value; ranking
+    ties break ascending on ``corpus_id``. Returns ``(query_id,
+    corpus_id, sqdist, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    if query_id == corpus_id:
+        raise ValueError(
+            f"query_id and corpus_id must differ (both {query_id!r}); "
+            "alias one side before joining so output columns are unique"
+        )
+
+    def qv_sql(col: str) -> str:
+        return (f"transform(cast(`{col}` as array<double>),"
+                f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__rid"), F.col(vec_col).alias("__rv")
+    ).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0])
+    q = (
+        queries.select(
+            F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv"))
+        .withColumn(
+            "__probes",
+            _probe_expr_q(int_centroids, qv_sql("__lv"),
+                          len(int_centroids)))
+        .withColumn("__b", F.explode("__probes"))
+        .drop("__probes")
+    )
+    lv, rv = F.col("__lv"), F.col("__rv")
+    sqd = F.round(
+        dot_expr(lv, lv) - 2.0 * dot_expr(lv, rv) + dot_expr(rv, rv), 6)
+    joined = q.join(c, "__b").withColumn("sqdist", sqd)
+    w = Window.partitionBy("__lid").orderBy(F.asc("sqdist"), F.asc("__rid"))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__lid").alias(query_id),
+            F.col("__rid").alias(corpus_id),
+            "sqdist",
+            F.col("__rn").alias("rank"),
+        )
+    )
+
+
+def ivf_pq_recall_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    int_centroids: list[list[int]],
+    codebooks: list[list[list[float]]],
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Recall@k of the IVF-PQ path against exact squared-L2 ground
+    truth — the quality number a real deployment tunes (nprobe,
+    codebook size) against; determinism gates alone can't see a
+    recall regression (r8 verdict ask #4).
+
+    Composes the two existing halves: :func:`ivf_pq_topk_join`
+    (approximate top-k over PQ codes) and
+    :func:`exact_sqdist_topk_join` (exhaustive exact top-k via the
+    same bucket machinery at ``nprobe = all``). Per query:
+    ``hits`` = |approx top-k ∩ exact top-k|, ``recall_at_k`` =
+    ``round(hits / k, 4)``. Both rankings break ties ascending on
+    ``corpus_id``, so the intersection — and therefore the recall —
+    is a pure function of (queries, corpus, centroids, codebooks,
+    k, nprobe) that a SQL oracle replays exactly.
+
+    Scale shape: the approximate side is the production probe (bucket
+    equi-join over codes); the exact side is |Q|·|C| — bounded by the
+    evaluation SAMPLE of queries, the standard recall-eval cost.
+    Returns ``(query_id, hits, k, recall_at_k)``, one row per query
+    (0-hit queries included).
+    """
+    approx = ivf_pq_topk_join(
+        queries, corpus, int_centroids, codebooks,
+        query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+        k=k, nprobe=nprobe, scale=scale,
+    ).select(query_id, corpus_id)
+    exact = exact_sqdist_topk_join(
+        queries, corpus, int_centroids,
+        query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+        k=k, scale=scale,
+    ).select(query_id, corpus_id)
+    hits = (
+        approx.join(exact, [query_id, corpus_id], "left_semi")
+        .groupBy(query_id)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        queries.select(query_id).distinct()
+        .join(hits, query_id, "left")
+        .select(
+            query_id,
+            F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.round(
+                F.coalesce("hits", F.lit(0).cast("long"))
+                / F.lit(float(k)), 4).alias("recall_at_k"),
+        )
+    )

@@ -235,6 +235,10 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: approx side = the ivf_pq bucket-join shape; exact side = the
+    # same bucket machinery at nprobe=all + per-query window; semi-join
+    # intersection + query agg + left join + sort
+    "ann_recall_ivfpq": (7, False),
     # r9: batch-only signature derivation (spread + sig agg + band
     # explode, textually repeated for the probe and final-join
     # branches) + index bucket-cap agg + band equi-join + pair agg +
