@@ -560,6 +560,27 @@ def minhash_incremental_dedup(spark: SparkSession,
     ).orderBy("doc_id")
 
 
+def longest_dup_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest duplicated token span per doc pair (r9 verdict ask
+    #6; Lee et al. 2022 exact-substring dedup, suffix-array-free):
+    stride-1 10-token seed windows, md5-hashed (portable), cross-doc
+    matches grouped by DIAGONAL (pos_b − pos_a) — a maximal run of r
+    consecutive matches on one diagonal IS a duplicated region of
+    exactly 10 + r − 1 tokens, so the report is the true maximal
+    overlap, not span_dedup's fixed-cell granularity. Stop-span
+    buckets (>200 occurrences) drop deterministically. Top-50 pairs by
+    (longest desc, ids) — the ordering is total, so the head is
+    stable. operators/curation.py longest_dup_span_pairs."""
+    from deltalake_spark.operators.curation import longest_dup_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = longest_dup_span_pairs(
+        docs, id_col="doc_id", text_col="text", min_tokens=10,
+        max_bucket=200, hash_mode="portable")
+    return out.orderBy(
+        F.desc("longest_tokens"), "id_a", "id_b").limit(50)
+
+
 def simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash prefix blocking (r7: value-level DuckDB twin).
     hash_mode='portable' builds a 60-bit fingerprint from md5-derived
@@ -6407,6 +6428,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_neardup_groups": minhash_neardup_groups,
     "minhash_incremental_dedup": minhash_incremental_dedup,
     "simhash_blocks": simhash_blocks,
+    "longest_dup_span_topk": longest_dup_span_topk,
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
     "events_windowed": events_windowed,
@@ -6768,6 +6790,61 @@ def _minhash_incremental_oracle() -> str:
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
         LEFT JOIN best b ON b.bid = d.doc_id
         ORDER BY doc_id
+    """
+
+
+def _longest_dup_span_oracle() -> str:
+    """DuckDB twin of longest_dup_span_topk: the same 10-token stride-1
+    window strings (space-joined), md5 60-bit hashes, the <=200
+    stop-span cap, diagonal islands (pos − row_number), and
+    longest = 10 + max_run − 1. Positions are 1-based here vs Spark's
+    0-based posexplode — diagonals and run consecutiveness are
+    shift-invariant, so every derived value matches."""
+    return """
+        WITH wt AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents
+        ), flt AS (
+          SELECT doc_id, w FROM wt
+          WHERE len(list_filter(w, t -> t <> '')) >= 10
+        ), occ AS (
+          SELECT doc_id,
+                 UNNEST(range(1, len(w) - 8)) AS pos,
+                 UNNEST(list_transform(range(1, len(w) - 8),
+                   i -> CAST(('0x' || substr(md5(
+                          array_to_string(w[i:i+9], ' ')), 1, 15))
+                        AS BIGINT))) AS h
+          FROM flt
+        ), ok AS (
+          SELECT h FROM occ GROUP BY h HAVING COUNT(*) <= 200
+        ), occ2 AS (
+          SELECT occ.* FROM occ JOIN ok USING (h)
+        ), m AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.pos AS pa, b.pos - a.pos AS diag
+          FROM occ2 a JOIN occ2 b USING (h)
+          WHERE a.doc_id < b.doc_id
+        ), runs AS (
+          SELECT id_a, id_b, diag,
+                 pa - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, diag ORDER BY pa)
+                     AS island
+          FROM m
+        ), rl AS (
+          SELECT id_a, id_b, diag, island,
+                 CAST(COUNT(*) AS BIGINT) AS run
+          FROM runs GROUP BY 1, 2, 3, 4
+        ), agg AS (
+          SELECT id_a, id_b,
+                 CAST(10 + MAX(run) - 1 AS BIGINT) AS longest_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_regions
+          FROM rl GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, longest_tokens, n_regions
+        FROM agg
+        ORDER BY longest_tokens DESC, id_a, id_b
+        LIMIT 50
     """
 
 
@@ -12420,6 +12497,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark expressions):
         "minhash_neardup_groups": _minhash_oracle(),
         "minhash_incremental_dedup": _minhash_incremental_oracle(),
+        "longest_dup_span_topk": _longest_dup_span_oracle(),
         "simhash_blocks": _simhash_oracle(),
         "embedding_knn_join": _knn_join_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),

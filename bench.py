@@ -110,6 +110,7 @@ EXTRA = [
     "loo_encode_priority",         # r8: leave-one-out encoding
     "minhash_incremental_dedup",   # r9: batch-vs-persisted-index dedup
     "ann_recall_ivfpq",            # r9: IVF-PQ recall@5 vs exact truth
+    "longest_dup_span_topk",       # r9: exact longest-duplicated-span
 ]
 
 

@@ -170,3 +170,61 @@ def test_url_dedup_stats_collapse(spark):
     assert out["a.com"]["n_canonical"] == 2  # /x variants collapse
     assert out["b.com"]["n_canonical"] == 1
     assert float(out["b.com"]["collapse_ratio"]) == 2.0
+
+
+def _span_words(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def test_longest_dup_span_exact_lengths(spark):
+    """Seed-and-extend recovers the TRUE maximal overlap: a planted
+    25-token lift scores exactly 25 (not a 10-token cell count), two
+    disjoint lifts count as two regions, and sub-threshold overlap
+    (9 < min_tokens) reports nothing."""
+    from deltalake_spark.operators.curation import longest_dup_span_pairs
+
+    shared = " ".join(_span_words("s", 25))
+    shared2 = " ".join(_span_words("z", 14))
+    small = " ".join(_span_words("q", 9))
+    a = " ".join(_span_words("a", 30)) + f" {shared} " + \
+        " ".join(_span_words("b", 10)) + f" {shared2}"
+    b = " ".join(_span_words("c", 5)) + f" {shared} " + \
+        " ".join(_span_words("d", 40)) + f" {shared2}"
+    c = " ".join(_span_words("e", 30)) + f" {small}"
+    d = " ".join(_span_words("f", 30)) + f" {small}"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string")
+    for mode in ("portable", "native"):
+        rows = longest_dup_span_pairs(
+            df, min_tokens=10, hash_mode=mode).collect()
+        got = sorted((r["id_a"], r["id_b"], r["longest_tokens"],
+                      r["n_regions"]) for r in rows)
+        assert got == [(1, 2, 25, 2)], (mode, got)
+
+
+def test_longest_dup_span_short_and_null_docs_drop(spark):
+    from deltalake_spark.operators.curation import longest_dup_span_pairs
+
+    text = " ".join(_span_words("s", 12))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "tiny doc"), (4, None)],
+        "doc_id long, text string")
+    rows = longest_dup_span_pairs(df, min_tokens=10).collect()
+    assert [(r["id_a"], r["id_b"], r["longest_tokens"]) for r in rows] \
+        == [(1, 2, 12)]
+
+
+def test_longest_dup_span_stop_span_cap(spark):
+    """Boilerplate present in more docs than max_bucket occurrences is
+    dropped deterministically — no pair explosion from hot spans."""
+    from deltalake_spark.operators.curation import longest_dup_span_pairs
+
+    boiler = " ".join(_span_words("s", 10))
+    rows = [(i, " ".join(_span_words(f"u{i}x", 15)) + f" {boiler}")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # every doc carries the 10-token boilerplate once -> 30 occurrences
+    assert longest_dup_span_pairs(
+        df, min_tokens=10, max_bucket=10).count() == 0
+    assert longest_dup_span_pairs(
+        df, min_tokens=10, max_bucket=1000).count() == 30 * 29 // 2

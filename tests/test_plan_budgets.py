@@ -235,6 +235,10 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: window-hash explode + stop-span cap agg + hash equi-join
+    # (never all-pairs) + diagonal-island window + run agg + pair agg,
+    # TakeOrdered head
+    "longest_dup_span_topk": (4, False),
     # r9: approx side = the ivf_pq bucket-join shape; exact side = the
     # same bucket machinery at nprobe=all + per-query window; semi-join
     # intersection + query agg + left join + sort
