@@ -3122,6 +3122,68 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
+def stream_sliding_distinct(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Streaming twin of sliding_distinct_users (r9 verdict ask #7) —
+    the canonical DAU/WAU deployment: the STREAM maintains one HLL
+    sketch + exact set per (event_type, 1-day window) in watermarked
+    state (sketches merge incrementally across micro-batches — the
+    mergeability that makes per-day sketches the persisted unit at
+    100 TB); the trailing-7-day RANGE merge runs at READ TIME over the
+    drained per-day state, exactly how a dashboard queries the sketch
+    store. Drained daily state is identical to the batch daily grain,
+    so the final counts must equal operators/sketches.sliding_distinct
+    row-for-row (pinned in tests/test_streaming_windowed.py) and the
+    batch gate's oracle carries over."""
+    from pyspark.sql import Window
+
+    from deltalake_spark.streaming.windowed import (
+        read_parquet_stream,
+        run_available_now,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_parquet_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).withColumn(
+        "event_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    daily = (
+        stream.withWatermark("event_ts", "48 hours")
+        .groupBy(F.window("event_ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.collect_set("user_id").alias("__set"),
+            F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("__sk"),
+        )
+    )
+    drained = run_available_now(
+        daily.select(
+            F.expr("unix_micros(w.start) div 86400000000").alias("day"),
+            "event_type", "__set", "__sk",
+        ),
+        output_mode="complete",
+        shuffle_partitions=8,
+        no_data_batch=False,
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    exact = F.size(
+        F.array_distinct(F.flatten(F.collect_list("__set").over(w))))
+    est = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col("__sk"), F.lit(False)).over(w))
+    tol = F.abs(est - exact) <= F.lit(0.10) * exact
+    return (
+        drained.select(
+            "event_type", "day",
+            exact.cast("long").alias("users_7d"),
+            tol.alias("hll_within_tol"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming dedup under at-least-once delivery: the
     events stream unioned with a full replay of itself (every row
@@ -6355,6 +6417,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "agg_rollup": agg_rollup,
     "stream_windowed_counts": stream_windowed_counts,
+    "stream_sliding_distinct": stream_sliding_distinct,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_session_window": stream_session_window,
     "stream_delta_sink": stream_delta_sink,
@@ -10416,6 +10479,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(olen) AS BIGINT) AS max_overlap_ns
             FROM ov GROUP BY 1
             ORDER BY overlap_ns DESC, user_id LIMIT 50
+        """,
+        # streaming twin: the drained per-day state equals the batch
+        # daily grain, so the SAME oracle grades both gates
+        "stream_sliding_distinct": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     list(DISTINCT user_id) AS s
+              FROM events GROUP BY 1, 2
+            ), win AS (
+              SELECT event_type, day,
+                     CAST(len(list_distinct(flatten(list(s) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))))
+                       AS BIGINT) AS users_7d
+              FROM daily
+            )
+            SELECT event_type, day, users_7d, TRUE AS hll_within_tol
+            FROM win ORDER BY 1, 2
         """,
         "sliding_distinct_users": """
             WITH daily AS (

@@ -111,6 +111,7 @@ EXTRA = [
     "minhash_incremental_dedup",   # r9: batch-vs-persisted-index dedup
     "ann_recall_ivfpq",            # r9: IVF-PQ recall@5 vs exact truth
     "longest_dup_span_topk",       # r9: exact longest-duplicated-span
+    "stream_sliding_distinct",     # r9: streaming DAU/WAU sketch state
 ]
 
 

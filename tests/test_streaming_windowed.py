@@ -311,3 +311,18 @@ def test_stateful_cusum_matches_batch_closed_form(spark, tmp_path):
             alarmed = False
     assert got == want
     assert len(want) >= 3   # the sawtooth really re-arms
+
+
+def test_stream_sliding_distinct_identical_to_batch(spark, sf_dir):
+    """r9: the streaming DAU/WAU twin must equal the batch operator
+    row-for-row — the stream maintains per-day state; the trailing
+    RANGE merge over drained state is the same arithmetic as
+    operators/sketches.sliding_distinct over the batch daily grain."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    s = sorted(map(tuple, qs["stream_sliding_distinct"](
+        spark, sf_dir).collect()))
+    b = sorted(map(tuple, qs["sliding_distinct_users"](
+        spark, sf_dir).collect()))
+    assert s == b
