@@ -4658,6 +4658,31 @@ def sliding_distinct_users(spark: SparkSession,
     )
 
 
+def sliding_p90_digest_values(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Trailing-7-day p90 of event values from MERGEABLE per-day
+    equi-depth digests (r9, operators/sketches.py
+    sliding_quantile_digest) — the scale path rolling_quantile's new
+    max_frame guard points huge-window callers at: the shuffle
+    carries 17 points per (type, day) regardless of day size, and the
+    same persisted digests answer any window/quantile. The
+    approximation is DETERMINISTIC (integer order-statistic picks +
+    a weighted nearest-rank fold over value-sorted points), so the
+    oracle replays the digest build, the merge, and the pick
+    value-for-value — approximation without grading tolerance."""
+    from deltalake_spark.operators.sketches import sliding_quantile_digest
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts div 86400000000000").alias("day"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"))
+    return sliding_quantile_digest(
+        ev, group_cols=["event_type"], order_col="day",
+        value_col="cents", window_range=6, q_num=9, q_den=10,
+        points=16, out_col="p90_cents",
+    ).orderBy("event_type", "day")
+
+
 def rolling_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day z-scores (operators/timeseries.py) over the daily
     rollup: trailing mean/sample-stddev window, standardized residual,
@@ -6527,6 +6552,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_quantile_user_values": rolling_quantile_user_values,
     "rolling_mad_outliers": rolling_mad_outliers,
     "sliding_distinct_users": sliding_distinct_users,
+    "sliding_p90_digest_values": sliding_p90_digest_values,
     "interval_overlap_attention": interval_overlap_attention,
     "rolling_zscore_days": rolling_zscore_days,
     "autocorr_daily_values": autocorr_daily_values,
@@ -10479,6 +10505,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(olen) AS BIGINT) AS max_overlap_ns
             FROM ov GROUP BY 1
             ORDER BY overlap_ns DESC, user_id LIMIT 50
+        """,
+        "sliding_p90_digest_values": """
+            WITH base AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     CAST(ROUND(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), daily AS (
+              SELECT event_type, day,
+                     list_sort(list(cents)) AS vals,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM base GROUP BY 1, 2
+            ), pts AS (
+              SELECT event_type, day AS pday, n,
+                     UNNEST(list_transform(range(0, 17),
+                       i -> vals[CAST(i * (n - 1) // 16 AS INT) + 1]))
+                         AS v
+              FROM daily
+            ), days AS (
+              SELECT event_type, day FROM daily
+            ), nw AS (
+              SELECT d.event_type, d.day,
+                     CAST(SUM(dd.n) AS BIGINT) AS n_window
+              FROM days d JOIN daily dd
+                ON dd.event_type = d.event_type
+               AND dd.day BETWEEN d.day - 6 AND d.day
+              GROUP BY 1, 2
+            ), merged AS (
+              SELECT d.event_type, d.day, p.v, p.n AS w
+              FROM days d JOIN pts p
+                ON p.event_type = d.event_type
+               AND p.pday BETWEEN d.day - 6 AND d.day
+            ), ranked AS (
+              SELECT event_type, day, v,
+                     SUM(w) OVER (PARTITION BY event_type, day
+                                  ORDER BY v) AS cum,
+                     SUM(w) OVER (PARTITION BY event_type, day) AS tw
+              FROM merged
+            ), hit AS (
+              SELECT event_type, day, MIN(v) AS p90_cents
+              FROM ranked WHERE cum > (tw - 1) * 9 // 10
+              GROUP BY 1, 2
+            )
+            SELECT h.event_type, h.day, nw.n_window, h.p90_cents
+            FROM hit h JOIN nw USING (event_type, day)
+            ORDER BY 1, 2
         """,
         # streaming twin: the drained per-day state equals the batch
         # daily grain, so the SAME oracle grades both gates

@@ -112,6 +112,7 @@ EXTRA = [
     "ann_recall_ivfpq",            # r9: IVF-PQ recall@5 vs exact truth
     "longest_dup_span_topk",       # r9: exact longest-duplicated-span
     "stream_sliding_distinct",     # r9: streaming DAU/WAU sketch state
+    "sliding_p90_digest_values",   # r9: mergeable windowed quantile digest
 ]
 
 

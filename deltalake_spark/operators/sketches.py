@@ -34,6 +34,7 @@ __all__ = [
     "hll_merge",
     "approx_quantiles",
     "sliding_distinct",
+    "sliding_quantile_digest",
     "mg_frequent_items",
     "kmv_hash",
     "kmv_sketch",
@@ -160,6 +161,104 @@ def sliding_distinct(
         exact.cast("long").alias("exact_distinct"),
         est.cast("long").alias("hll_estimate"),
     )
+
+
+def sliding_quantile_digest(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_range: int,
+    q_num: int,
+    q_den: int,
+    points: int = 32,
+    out_col: str = "digest_q",
+) -> DataFrame:
+    """Trailing-window quantiles from MERGEABLE per-period digests —
+    the scale path :func:`operators.timeseries.rolling_quantile`'s
+    ``max_frame`` guard points huge-window callers at: instead of
+    collecting the whole trailing frame per row (O(frame) state), each
+    (group, period) reduces once to an equi-depth digest — its count
+    plus ``points + 1`` evenly spaced order statistics — and one
+    calendar RANGE window merges the trailing ``window_range``
+    periods' digests. The shuffle carries ``points + 1`` values per
+    period regardless of period size; the same persisted digests
+    answer ANY window and ANY quantile (the sliding_distinct HLL
+    recipe, for ranks).
+
+    DETERMINISTIC approximation — so unlike GK it is fully
+    SQL-twin-able value-for-value, not just tolerance-checked:
+
+    - digest: ``pts[i] = sorted_vals[(i·(n−1)) // points]`` for
+      i in 0..points (nearest-rank-lower, pure integer index math);
+    - merge: every point of period p carries integer weight ``n_p``;
+      points sort by value and the answer is the first value whose
+      cumulative weight exceeds ``((W−1)·q_num) // q_den`` of the
+      total ``W = Σ (points+1)·n_p`` — a left-to-right fold over a
+      sorted array, exact on any engine.
+
+    Rank error is bounded by the per-digest segment mass, ≤
+    ``Σ n_p / points`` of the window — 3% of the frame at the default
+    32 points, independent of frame SIZE. NULL values are excluded
+    (collect_list semantics). ``order_col`` must be numeric (e.g.
+    epoch days). Returns the (group, period) grain plus ``n_window``
+    (exact trailing row count) and ``out_col``.
+    """
+    if window_range < 0:
+        raise ValueError("window_range must be >= 0")
+    if points < 1:
+        raise ValueError("points must be >= 1")
+    if q_den <= 0 or not 0 <= q_num <= q_den:
+        raise ValueError("quantile q_num/q_den must be in [0, 1]")
+    b = int(points)
+    vt = dict(df.dtypes)[value_col]
+    daily = df.groupBy(*group_cols, order_col).agg(
+        F.sort_array(
+            F.collect_list(F.col(value_col).alias("v"))).alias("__vals"),
+    ).select(
+        *group_cols, order_col,
+        F.size("__vals").cast("long").alias("__n"),
+        F.expr(
+            # [] is 0-based in Spark SQL (element_at is the 1-based one)
+            f"transform(sequence(0, {b}), i ->"
+            f" __vals[cast(i * (size(__vals) - 1) div {b} as int)])"
+        ).alias("__pts"),
+    ).filter(F.col("__n") > 0)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rangeBetween(-int(window_range), 0)
+    )
+    with_ds = daily.select(
+        *group_cols, order_col,
+        F.sum("__n").over(w).alias("n_window"),
+        F.collect_list(
+            F.struct(F.col("__n").alias("n"),
+                     F.col("__pts").alias("pts"))).over(w).alias("__ds"),
+    )
+    # weighted nearest-rank over the value-sorted union of digest
+    # points: flatten + sort + one left-to-right fold, all JVM array
+    # exprs. Total weight is (points+1) per digest point x its period
+    # count; the target rank is let-bound via the transform-singleton
+    # trick so the fold's lambda reads a VALUE.
+    pick = F.expr(
+        f"""transform(array(
+              (({b + 1}L * n_window - 1L) * {int(q_num)}L)
+                div {int(q_den)}L),
+            tgt -> aggregate(
+              array_sort(flatten(transform(__ds, d ->
+                transform(d.pts, p ->
+                  named_struct('v', p, 'w', d.n))))),
+              named_struct('cum', 0L, 'ans', cast(null as {vt})),
+              (acc, pt) -> named_struct(
+                'cum', acc.cum + pt.w,
+                'ans', coalesce(acc.ans,
+                  if(acc.cum + pt.w > tgt, pt.v,
+                     cast(null as {vt}))))
+            ).ans)[0]""")
+    return with_ds.select(
+        *group_cols, order_col, "n_window", pick.alias(out_col))
 
 
 def approx_quantiles(

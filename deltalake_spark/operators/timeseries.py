@@ -896,8 +896,9 @@ def rolling_quantile(
     Scale shape: ONE group-keyed window pass; per row the frame's
     ``window_rows`` values are collected and sorted — O(w log w) per
     row, JVM-side, bounded by the window size, never by series length.
-    For very large windows (w in the tens of thousands) switch to a
-    sketch (GK/equi-depth merge); for the usual 7..1000-row trailing
+    For very large windows (w in the tens of thousands) switch to
+    :func:`operators.sketches.sliding_quantile_digest` (mergeable
+    per-period digests); for the usual 7..1000-row trailing
     screens the exact sort is the right cost.
 
     NULL ``value_col`` rows are EXCLUDED from frames (Spark's
@@ -931,7 +932,8 @@ def rolling_quantile(
         raise ValueError(
             f"window_rows={window_rows} exceeds max_frame={max_frame}: "
             f"the exact rolling family collects and sorts the whole "
-            f"frame per row — use a mergeable sketch (GK/equi-depth) "
+            f"frame per row — use a mergeable digest "
+            f"(operators/sketches.py sliding_quantile_digest) "
             f"for windows this large, or pass max_frame=None/larger "
             f"to accept the O(w log w)/row cost")
     base = Window.partitionBy(*group_cols).orderBy(*order_cols)
@@ -964,8 +966,8 @@ def rolling_quantile(
             F.raise_error(F.lit(
                 f"rolling_quantile: a RANGE frame exceeded "
                 f"max_frame={max_frame} rows — dense series + wide "
-                f"range_interval; switch to a mergeable sketch "
-                f"(GK/equi-depth) or pass max_frame=None/larger")),
+                f"range_interval; switch to sketches.sliding_quantile_digest "
+                f"(mergeable digests) or pass max_frame=None/larger")),
         ).otherwise(pick)
     return df.withColumn("__frame", frame).withColumn(
         out_col, pick
@@ -1006,7 +1008,8 @@ def rolling_mad(
     ``max_frame`` has the :func:`rolling_quantile` contract: oversize
     ``window_rows`` raises at call time, an oversize RANGE frame
     raises at runtime (frame size there is data-density-dependent);
-    switch to a mergeable sketch for genuinely huge windows.
+    switch to :func:`operators.sketches.sliding_quantile_digest` for
+    genuinely huge windows.
 
     Returns the input plus ``med_col`` and ``mad_col``.
     """
@@ -1024,7 +1027,8 @@ def rolling_mad(
         raise ValueError(
             f"window_rows={window_rows} exceeds max_frame={max_frame}: "
             f"the exact rolling family collects and sorts the whole "
-            f"frame per row — use a mergeable sketch (GK/equi-depth) "
+            f"frame per row — use a mergeable digest "
+            f"(operators/sketches.py sliding_quantile_digest) "
             f"for windows this large, or pass max_frame=None/larger "
             f"to accept the O(w log w)/row cost")
     base = Window.partitionBy(*group_cols).orderBy(*order_cols)
@@ -1056,8 +1060,8 @@ def rolling_mad(
             F.raise_error(F.lit(
                 f"rolling_mad: a RANGE frame exceeded "
                 f"max_frame={max_frame} rows — dense series + wide "
-                f"range_interval; switch to a mergeable sketch "
-                f"(GK/equi-depth) or pass max_frame=None/larger")),
+                f"range_interval; switch to sketches.sliding_quantile_digest "
+                f"(mergeable digests) or pass max_frame=None/larger")),
         ).otherwise(stats)
     return (
         df.withColumn("__frame", frame)

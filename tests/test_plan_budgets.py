@@ -235,6 +235,9 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: (type, day) grain agg + one calendar-RANGE window merging
+    # the 17-point digests + sort; no joins
+    "sliding_p90_digest_values": (3, False),
     # r9: window-hash explode + stop-span cap agg + hash equi-join
     # (never all-pairs) + diagonal-island window + run agg + pair agg,
     # TakeOrdered head

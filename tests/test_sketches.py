@@ -291,3 +291,63 @@ class TestCountMinSketch:
         b = sorted(map(tuple, cms_build(df.repartition(13), key_col="k")
                        .collect()))
         assert a == b
+
+
+def test_sliding_quantile_digest_rank_error_bound(spark):
+    """r9: the digest pick must land within the documented rank-error
+    bound (sum of per-digest segment mass = window_rows/points per
+    period) of the true windowed quantile — and be bit-stable (a pure
+    function of the data, replayed by the DuckDB twin)."""
+    import random
+
+    from deltalake_spark.operators.sketches import sliding_quantile_digest
+
+    rng = random.Random(3)
+    rows = [("a", d, rng.randrange(0, 10_000))
+            for d in range(10) for _ in range(60)]
+    df = spark.createDataFrame(rows, "k string, day long, v long")
+    out = {r["day"]: (r["n_window"], r["digest_q"])
+           for r in sliding_quantile_digest(
+               df, group_cols=["k"], order_col="day", value_col="v",
+               window_range=6, q_num=1, q_den=2, points=16).collect()}
+    byday = {}
+    for _, d, v in rows:
+        byday.setdefault(d, []).append(v)
+    for d in range(10):
+        vals = sorted(sum((byday[x]
+                           for x in range(max(0, d - 6), d + 1)), []))
+        nw, got = out[d]
+        assert nw == len(vals)
+        true_rank = (len(vals) - 1) // 2
+        got_rank = vals.index(got)  # every pick IS a data value
+        n_periods = min(d, 6) + 1
+        bound = n_periods * (60 // 16 + 1)
+        assert abs(got_rank - true_rank) <= bound, (d, got_rank,
+                                                    true_rank, bound)
+
+
+def test_sliding_quantile_digest_tight_when_points_cover(spark):
+    """points >= period size makes every digest lossless (every value
+    is a point), so the pick must land within one rank PER MERGED
+    PERIOD of the exact quantile — the only residual is the floor
+    unevenness in how the points+1 picks repeat n values."""
+    from deltalake_spark.operators.sketches import sliding_quantile_digest
+
+    rows = [("a", d, (d * 7 + i * 13) % 50)
+            for d in range(6) for i in range(8)]
+    df = spark.createDataFrame(rows, "k string, day long, v long")
+    out = {r["day"]: r["digest_q"]
+           for r in sliding_quantile_digest(
+               df, group_cols=["k"], order_col="day", value_col="v",
+               window_range=3, q_num=1, q_den=2, points=64).collect()}
+    byday = {}
+    for _, d, v in rows:
+        byday.setdefault(d, []).append(v)
+    for d in range(6):
+        vals = sorted(sum((byday[x]
+                           for x in range(max(0, d - 3), d + 1)), []))
+        true_rank = (len(vals) - 1) // 2
+        got_rank = vals.index(out[d])
+        n_periods = min(d, 3) + 1
+        assert abs(got_rank - true_rank) <= n_periods, (
+            d, out[d], vals)
