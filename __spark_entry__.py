@@ -2430,6 +2430,56 @@ def fingerprint_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """TRUE winnowing fingerprint selection (Schleimer et al. SIGMOD
+    2003; operators/text.py winnow_fingerprints, r9): 8-char gram
+    md5 hashes at stride 1, per-16-window minimum with the paper's
+    rightmost tie rule, distinct (pos, hash) selections — zero
+    shuffle, all per-row array expressions. Guarantees every >= 23
+    char verbatim match shares a fingerprint at ~2/17 density, which
+    the fixed-stride sampler (fingerprint_dedup_stats) cannot
+    promise. Per lang: docs fingerprinted, gram count, selections,
+    density, and hash values selected in >= 2 docs (the plagiarism
+    candidate signal). Oracle replays selection exactly via a packed
+    HUGEINT (h·2^21 + (2^20 − pos)) window minimum."""
+    from deltalake_spark.operators.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(
+        docs, id_col="doc_id", text_col="text", k=8, window=16,
+        hash_mode="portable")
+    j = fps.join(docs.select("doc_id", "lang"), "doc_id")
+    per_lang = j.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_fps"),
+    )
+    grams = (
+        docs.filter(F.length("text") >= 23)
+        .groupBy("lang")
+        .agg(F.sum(F.length("text") - 7).alias("n_grams"))
+    )
+    shared = (
+        j.groupBy("lang", "fp")
+        .agg(F.countDistinct("doc_id").alias("__d"))
+        .filter(F.col("__d") >= 2)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+    return (
+        per_lang.join(grams, "lang")
+        .join(shared, "lang", "left")
+        .select(
+            "lang", "n_docs", "n_grams", "n_fps",
+            F.round(F.col("n_fps") / F.col("n_grams"), 6)
+            .alias("density"),
+            F.coalesce("n_shared_fps", F.lit(0).cast("long"))
+            .alias("n_shared_fps"),
+        )
+        .orderBy("lang")
+    )
+
+
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard near-dup pairs over language-blocked
     candidates (deterministic blocking so the DuckDB oracle can reproduce
@@ -6517,6 +6567,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_incremental_dedup": minhash_incremental_dedup,
     "simhash_blocks": simhash_blocks,
     "longest_dup_span_topk": longest_dup_span_topk,
+    "winnow_fingerprint_stats": winnow_fingerprint_stats,
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
     "events_windowed": events_windowed,
@@ -12652,6 +12703,65 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_groups": _minhash_oracle(),
         "minhash_incremental_dedup": _minhash_incremental_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
+        "winnow_fingerprint_stats": """
+            -- winnowing selection replayed via a packed HUGEINT key:
+            -- min(h * 2^21 + (2^20 - pos)) over each 16-gram window
+            -- IS (min hash, rightmost pos) because pos < 2^20 on the
+            -- fixture; decode back and dedupe selections
+            WITH d AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE length(text) >= 23
+            ), occ AS (
+              SELECT doc_id, lang,
+                     UNNEST(range(1, length(text) - 6)) AS p,
+                     UNNEST(list_transform(range(1, length(text) - 6),
+                       i -> CAST(('0x' || substr(md5(
+                              substr(text, CAST(i AS INT), 8)),
+                              1, 15)) AS BIGINT))) AS h
+              FROM d
+            ), keyd AS (
+              SELECT doc_id, lang, p,
+                     CAST(h AS HUGEINT) * 2097152
+                       + (1048576 - p) AS kk
+              FROM occ
+            ), wm AS (
+              SELECT doc_id, lang,
+                     MIN(kk) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                         AS mk,
+                     COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                         AS cnt
+              FROM keyd
+            ), sel AS (
+              SELECT DISTINCT doc_id, lang,
+                     CAST(mk // 2097152 AS BIGINT) AS fp,
+                     CAST(1048576 - (mk % 2097152) AS BIGINT) AS pos
+              FROM wm WHERE cnt = 16
+            ), per_lang AS (
+              SELECT lang,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_fps
+              FROM sel GROUP BY 1
+            ), grams AS (
+              SELECT lang,
+                     CAST(SUM(length(text) - 7) AS BIGINT) AS n_grams
+              FROM d GROUP BY 1
+            ), shared AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+              FROM (
+                SELECT lang, fp FROM sel
+                GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+              ) GROUP BY 1
+            )
+            SELECT p.lang, p.n_docs, g.n_grams, p.n_fps,
+                   ROUND(p.n_fps / g.n_grams, 6) AS density,
+                   COALESCE(s.n_shared_fps, 0) AS n_shared_fps
+            FROM per_lang p
+            JOIN grams g USING (lang)
+            LEFT JOIN shared s USING (lang)
+            ORDER BY lang
+        """,
         "simhash_blocks": _simhash_oracle(),
         "embedding_knn_join": _knn_join_oracle(),
         "ivf_ann_topk": _ivf_ann_oracle(),

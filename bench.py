@@ -113,6 +113,7 @@ EXTRA = [
     "longest_dup_span_topk",       # r9: exact longest-duplicated-span
     "stream_sliding_distinct",     # r9: streaming DAU/WAU sketch state
     "sliding_p90_digest_values",   # r9: mergeable windowed quantile digest
+    "winnow_fingerprint_stats",    # r9: true winnowing selection (MOSS)
 ]
 
 

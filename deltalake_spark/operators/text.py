@@ -144,6 +144,87 @@ def doc_fingerprint(text_col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """TRUE winnowing fingerprint selection (Schleimer, Wilkerson &
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003) — the plagiarism/MOSS-style selection rule
+    :func:`rolling_hashes` (fixed-stride sampling) approximates:
+
+    - k-char gram hashes at stride 1;
+    - from every window of ``window`` consecutive gram hashes select
+      the MINIMUM, rightmost position on ties (the paper's
+      deterministic tie rule);
+    - the document's fingerprint set is the distinct selected
+      (position, hash) pairs.
+
+    The winnowing guarantee: any substring match of length >=
+    ``window + k − 1`` chars contributes at least one SHARED selected
+    fingerprint, while expected density is only ``2/(window+1)`` of
+    the grams — sampling with a detection floor, which fixed-stride
+    sampling cannot promise (two copies of the same text at different
+    offsets sample different grams).
+
+    Scale shape: ZERO shuffle — gram hashing and the window-min scan
+    are per-row array expressions (O(n·window) JVM work per doc);
+    the output explodes only the selected ~2n/window fingerprints.
+    ``hash_mode='portable'`` hashes grams md5/60-bit so a SQL engine
+    replays selection exactly (the twin path); ``'native'`` uses
+    xxhash64. Returns ``(id_col, pos, fp)`` — pos is the 1-based gram
+    position of each selected fingerprint.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if hash_mode not in ("portable", "native"):
+        raise ValueError("hash_mode must be 'portable' or 'native'")
+    t = F.col(text_col)
+    n = F.length(t)
+    gram = (lambda i: F.conv(F.substring(F.md5(t.substr(i, F.lit(k))),
+                                         1, 15), 16, 10).cast("long")) \
+        if hash_mode == "portable" else \
+        (lambda i: F.xxhash64(t.substr(i, F.lit(k))))
+    w = int(window)
+    # sequence(1, x<1) counts DOWN in Spark (the span_dedup trap), and
+    # Catalyst's inferred-from-Generate predicate can evaluate these
+    # expressions BEFORE the row filter below — every array expr must
+    # be total over short docs, not rely on the filter
+    hashes = F.when(
+        n >= k + w - 1,
+        F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: gram(i)),
+    ).otherwise(F.expr("cast(array() as array<bigint>)"))
+    # let-bind the gram-hash array, then per window start j pick the
+    # (hash, -pos)-minimum struct = min hash, RIGHTMOST position on
+    # ties; distinct collapses adjacent windows selecting the same gram
+    picks = F.expr(
+        f"""transform(array(__gh), hs -> if(size(hs) < {w},
+              cast(array() as array<struct<h: bigint, np: int>>),
+              array_distinct(
+                transform(sequence(1, size(hs) - {w - 1}), j ->
+                  array_min(transform(sequence(j, j + {w - 1}), p ->
+                    named_struct('h', hs[p - 1], 'np', -p)))))))[0]""")
+    base = df.filter(n >= k + w - 1).select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias(text_col))
+    return (
+        base.withColumn("__gh", hashes)
+        .withColumn("__fp", picks)
+        .select("__id", F.explode("__fp").alias("__s"))
+        .select(
+            F.col("__id").alias(id_col),
+            (-F.col("__s.np")).cast("long").alias("pos"),
+            F.col("__s.h").alias("fp"),
+        )
+    )
+
+
 def rolling_hashes(text_col: Column, *, window: int = 16) -> Column:
     """Array of rolling window hashes (winnowing-style fingerprints) for
     substring-level duplicate detection, computed JVM-side."""

@@ -228,3 +228,62 @@ def test_longest_dup_span_stop_span_cap(spark):
         df, min_tokens=10, max_bucket=10).count() == 0
     assert longest_dup_span_pairs(
         df, min_tokens=10, max_bucket=1000).count() == 30 * 29 // 2
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    """r9: the array-expression winnowing selection equals a direct
+    Python implementation of Schleimer 2003 — including the rightmost
+    tie rule on pathological all-equal-hash inputs — and short docs
+    (< window + k - 1 chars) emit nothing."""
+    import hashlib
+
+    from deltalake_spark.operators.text import winnow_fingerprints
+
+    def ref(text, k=8, w=16):
+        n = len(text)
+        if n < k + w - 1:
+            return set()
+        hs = [int(hashlib.md5(text[i:i + k].encode())
+                  .hexdigest()[:15], 16) for i in range(n - k + 1)]
+        sel = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            pos = j + max(i for i, h in enumerate(win) if h == m)
+            sel.add((pos + 1, m))
+        return sel
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog repeatedly "
+            "and often"),
+        (2, "abcabcabcabcabcabcabcabcabcabcabc"),   # periodic ties
+        (3, "short"),                               # below threshold
+        (4, "x" * 40),                              # ALL hashes equal
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=8, window=16).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, t in texts:
+        assert got.get(i, set()) == ref(t), i
+    # density sanity: expected ~2/(w+1) of grams on random-ish text
+    n_grams = len(texts[0][1]) - 7
+    assert len(got[1]) <= n_grams
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    """The winnowing guarantee: any verbatim match of length >=
+    window + k - 1 chars yields at least one SHARED fingerprint,
+    regardless of offset — the property fixed-stride sampling lacks."""
+    from deltalake_spark.operators.text import winnow_fingerprints
+
+    lift = "zqwxv jkmtr plgdh snbcy feuoa"  # 29 chars > 23
+    a = "A" * 17 + lift + "B" * 30
+    b = "C" * 4 + lift + "D" * 40  # different offset
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=8, window=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "no shared fingerprint on a 29-char lift"

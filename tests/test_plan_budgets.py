@@ -235,6 +235,9 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: selection is map-only array exprs (zero shuffle); the stats
+    # are lang-join + three aggregates (fps, grams, shared) + sort
+    "winnow_fingerprint_stats": (7, False),
     # r9: (type, day) grain agg + one calendar-RANGE window merging
     # the 17-point digests + sort; no joins
     "sliding_p90_digest_values": (3, False),
