@@ -2366,6 +2366,37 @@ def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def bitext_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL 2019;
+    operators/similarity.py margin_bitext_pairs, r9) — harvesting
+    parallel training pairs from two embedding spaces, the standard
+    pretraining-data task. Even/odd vec_id halves stand in for the
+    two languages; one exhaustive bucket-join pass scores all pairs,
+    two windows give forward/backward kNN ranks and BIGINT kNN sums,
+    candidates are forward NNs scored by the integer ratio margin
+    (ppm) with the mutual-NN precision flag. All arithmetic after the
+    one cosine quantization (micros — the cents recipe) is exact
+    integers, so the oracle replays every value. Top-25 by (margin
+    desc, src_id) — src_id is unique among candidates, so the head is
+    stable."""
+    from deltalake_spark.operators.similarity import margin_bitext_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "embedding")
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "embedding")
+    out = margin_bitext_pairs(
+        src, tgt, intc, src_id="src_id", tgt_id="tgt_id", k=4)
+    return out.orderBy(F.desc("margin_ppm"), "src_id").limit(25)
+
+
 def ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF kNN join probing EVERY bucket (nprobe == n_centroids): the
     bucket layout only changes the execution shape, so results equal
@@ -6500,6 +6531,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": ivf_ann_topk,
     "ivf_pq_ann_topk": ivf_pq_ann_topk,
     "ann_recall_ivfpq": ann_recall_ivfpq,
+    "bitext_margin_topk": bitext_margin_topk,
     "ivf_exhaustive_topk": ivf_exhaustive_topk,
     "language_id_dist": language_id_dist,
     "fingerprint_dedup_stats": fingerprint_dedup_stats,
@@ -10512,6 +10544,51 @@ def oracle_sql() -> dict[str, str]:
         "collocation_g2_topk": _g2_oracle(),
         "ivf_pq_ann_topk": _ivf_pq_oracle(),
         "ann_recall_ivfpq": _ann_recall_oracle(),
+        "bitext_margin_topk": """
+            WITH x AS (
+              SELECT vec_id AS src_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), a -> a * a))) AS nv
+              FROM embeddings WHERE vec_id % 2 = 0
+            ), y AS (
+              SELECT vec_id AS tgt_id,
+                     CAST(embedding AS DOUBLE[]) AS w,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), a -> a * a))) AS nw
+              FROM embeddings WHERE vec_id % 2 = 1
+            ), p AS (
+              SELECT src_id, tgt_id,
+                     CAST(ROUND(list_dot_product(v, w) / (nv * nw)
+                                * 1000000) AS BIGINT) AS c
+              FROM x CROSS JOIN y
+            ), r AS (
+              SELECT src_id, tgt_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                       ORDER BY c DESC, tgt_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY tgt_id
+                       ORDER BY c DESC, src_id) AS rb
+              FROM p
+            ), sf AS (
+              SELECT src_id, CAST(SUM(c) AS BIGINT) AS sumf
+              FROM r WHERE rf <= 4 GROUP BY 1
+            ), sb AS (
+              SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS sumb
+              FROM r WHERE rb <= 4 GROUP BY 1
+            ), cand AS (
+              SELECT r.src_id, r.tgt_id, r.c AS cos_micro,
+                     CAST(r.c * 8000000 // (sf.sumf + sb.sumb)
+                          AS BIGINT) AS margin_ppm,
+                     r.rb = 1 AS is_mutual
+              FROM r
+              JOIN sf USING (src_id)
+              JOIN sb USING (tgt_id)
+              WHERE r.rf = 1 AND r.c > 0
+                AND sf.sumf + sb.sumb > 0
+            )
+            SELECT src_id, tgt_id, cos_micro, margin_ppm, is_mutual
+            FROM cand ORDER BY margin_ppm DESC, src_id LIMIT 25
+        """,
         "interval_overlap_attention": """
             WITH iv AS (
               SELECT user_id, event_type, epoch_ns(ts) AS s,

@@ -114,6 +114,7 @@ EXTRA = [
     "stream_sliding_distinct",     # r9: streaming DAU/WAU sketch state
     "sliding_p90_digest_values",   # r9: mergeable windowed quantile digest
     "winnow_fingerprint_stats",    # r9: true winnowing selection (MOSS)
+    "bitext_margin_topk",          # r9: margin-based bitext mining
 ]
 
 

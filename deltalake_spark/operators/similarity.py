@@ -1094,3 +1094,107 @@ def ivf_pq_recall_join(
                 / F.lit(float(k)), 4).alias("recall_at_k"),
         )
     )
+
+
+def margin_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    int_centroids: list[list[int]],
+    *,
+    src_id: str,
+    tgt_id: str,
+    vec_col: str = "embedding",
+    k: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    ACL 2019) — the standard method for harvesting parallel training
+    pairs from two monolingual embedding spaces, and a core
+    pretraining-data pipeline task.
+
+    Ratio margin: ``margin(x, y) = cos(x, y) / ((mean of x's k-NN
+    cosines into tgt + mean of y's k-NN cosines into src) / 2)`` —
+    normalizing by local neighborhood density kills the hubness false
+    positives a raw cosine threshold admits. Candidates are each
+    src row's FORWARD nearest neighbor; ``is_mutual`` marks pairs that
+    are also the tgt row's backward nearest neighbor (the
+    high-precision intersection filter).
+
+    Determinism contract: cosines quantize once to integer micros
+    (``round(cos·1e6)`` — the cents recipe), kNN sums are BIGINT, and
+    the margin is pure integer arithmetic ``(c · 2k·1e6) div
+    (sum_fwd + sum_bwd)`` in parts-per-million — no float summation
+    order anywhere, so a SQL engine replays every value. Pairs with
+    non-positive cosine or non-positive denominator are dropped
+    (deterministic; mining wants positive-similarity pairs only).
+
+    Scale shape: ONE exhaustive bucket equi-join pass scores all
+    (src, tgt) pairs — |X|·|Y| work, the exact-mining cost; run it on
+    bounded shards (the published pipelines mine per language-pair
+    shard). Both directions' rankings and kNN sums derive from the
+    SAME pair frame via two windows — no second join pass. For
+    web-scale |Y|, swap the exhaustive pass for ivf_pq_topk_join
+    candidates and keep everything downstream unchanged.
+
+    Returns ``(src_id, tgt_id, cos_micro, margin_ppm, is_mutual)``,
+    one row per src with a valid forward NN.
+    """
+    from pyspark.sql.window import Window
+
+    if src_id == tgt_id:
+        raise ValueError("src_id and tgt_id must differ")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def qv_sql(col: str) -> str:
+        return (f"transform(cast(`{col}` as array<double>),"
+                f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
+
+    y = tgt.select(
+        F.col(tgt_id).alias("__tid"), F.col(vec_col).alias("__tv")
+    ).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__tv"), 1)[0])
+    x = (
+        src.select(F.col(src_id).alias("__sid"),
+                   F.col(vec_col).alias("__sv"))
+        .withColumn("__probes",
+                    _probe_expr_q(int_centroids, qv_sql("__sv"),
+                                  len(int_centroids)))
+        .withColumn("__b", F.explode("__probes"))
+        .drop("__probes")
+    )
+    pairs = x.join(y, "__b").select(
+        "__sid", "__tid",
+        F.round(cosine_expr(F.col("__sv"), F.col("__tv"))
+                * F.lit(float(scale)), 0)
+        .cast("long").alias("c"),
+    )
+    wf = Window.partitionBy("__sid").orderBy(F.desc("c"), F.asc("__tid"))
+    wb = Window.partitionBy("__tid").orderBy(F.desc("c"), F.asc("__sid"))
+    ranked = pairs.select(
+        "__sid", "__tid", "c",
+        F.row_number().over(wf).alias("__rf"),
+        F.row_number().over(wb).alias("__rb"),
+    )
+    sum_f = (
+        ranked.filter(F.col("__rf") <= k)
+        .groupBy("__sid").agg(F.sum("c").alias("__sumf"))
+    )
+    sum_b = (
+        ranked.filter(F.col("__rb") <= k)
+        .groupBy("__tid").agg(F.sum("c").alias("__sumb"))
+    )
+    cand = (
+        ranked.filter((F.col("__rf") == 1) & (F.col("c") > 0))
+        .join(sum_f, "__sid")
+        .join(sum_b, "__tid")
+        .filter(F.col("__sumf") + F.col("__sumb") > 0)
+    )
+    return cand.select(
+        F.col("__sid").alias(src_id),
+        F.col("__tid").alias(tgt_id),
+        F.col("c").alias("cos_micro"),
+        F.expr(f"c * {2 * int(k) * int(scale)}L"
+               f" div (__sumf + __sumb)").alias("margin_ppm"),
+        (F.col("__rb") == 1).alias("is_mutual"),
+    )

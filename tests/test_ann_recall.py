@@ -117,3 +117,61 @@ def test_recall_plan_has_no_cartesian(spark, sf_dir):
 
     df = entry_mod.queries()["ann_recall_ivfpq"](spark, sf_dir)
     assert_plan(df, forbid_nested_loop=True, forbid_cartesian=True)
+
+
+def test_margin_bitext_matches_numpy_reference(spark):
+    """r9: margin_bitext_pairs equals a direct numpy implementation of
+    Artetxe & Schwenk's ratio margin (quantized to the same integer
+    micros/ppm), including forward/backward tie rules, the mutual
+    flag, and the planted-pair case."""
+    import numpy as np
+
+    from deltalake_spark.operators.similarity import margin_bitext_pairs
+
+    rng = np.random.RandomState(7)
+    xs = [(2 * i, rng.randn(8)) for i in range(12)]
+    # planted parallel pair: y for x0 is x0 plus tiny noise
+    ys = [(1, xs[0][1] + 0.01 * rng.randn(8))]
+    ys += [(2 * i + 1, rng.randn(8)) for i in range(1, 10)]
+    sdf = _vecs(spark, xs, "src_id")
+    tdf = _vecs(spark, ys, "tgt_id")
+    intc = _intc([v for _, v in xs[:4]])
+    got = {r["src_id"]: (r["tgt_id"], r["cos_micro"], r["margin_ppm"],
+                         r["is_mutual"])
+           for r in margin_bitext_pairs(
+               sdf, tdf, intc, src_id="src_id", tgt_id="tgt_id",
+               k=4).collect()}
+
+    # numpy reference (float32 ingestion, then float64 math — the
+    # array<float> column round-trip)
+    def f64(v):
+        return np.array(v, dtype=np.float32).astype(np.float64)
+
+    c = {}
+    for sid, xv in xs:
+        for tid, yv in ys:
+            a, b = f64(xv), f64(yv)
+            c[(sid, tid)] = int(round(
+                float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+                * 1_000_000))
+    want = {}
+    for sid, _ in xs:
+        fwd = sorted(((-c[(sid, t)], t) for t, _ in ys))
+        nn_c, nn_t = -fwd[0][0], fwd[0][1]
+        if nn_c <= 0:
+            continue
+        sumf = sum(-v for v, _ in fwd[:4])
+        bwd = sorted(((-c[(s, nn_t)], s) for s, _ in xs))
+        sumb = sum(-v for v, _ in bwd[:4])
+        if sumf + sumb <= 0:
+            continue
+        mutual = bwd[0][1] == sid
+        want[sid] = (nn_t, nn_c,
+                     (nn_c * 8_000_000) // (sumf + sumb), mutual)
+    assert got == want
+    # the planted pair is mined and mutual. (It need NOT have the
+    # maximal margin — margin is neighborhood-RELATIVE by design, so
+    # a random vector in a sparse neighborhood can out-margin it;
+    # asserting dominance here failed on first run, correctly.)
+    assert got[0][0] == 1 and got[0][3] is True
+    assert got[0][2] > 1_000_000  # above its neighborhood average

@@ -235,6 +235,9 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: one bucket-cover equi-join scores all pairs; two windows
+    # (fwd/bwd ranks) + two kNN-sum aggs + candidate joins, TakeOrdered
+    "bitext_margin_topk": (6, False),
     # r9: selection is map-only array exprs (zero shuffle); the stats
     # are lang-join + three aggregates (fps, grams, shared) + sort
     "winnow_fingerprint_stats": (7, False),
