@@ -581,6 +581,34 @@ def longest_dup_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("longest_tokens"), "id_a", "id_b").limit(50)
 
 
+def simhash_incremental_dedup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup against a persisted SimHash index (r9) —
+    the Hamming-distance sibling of minhash_incremental_dedup: corpus
+    docs (doc_id % 10 != 3) write banded 60-bit portable fingerprints
+    to a Delta table partitioned by band (4x15-bit slices — pigeonhole
+    guarantees any pair within Hamming distance 3 shares a band);
+    batch docs (doc_id % 10 = 3) fingerprint THEMSELVES only, band
+    equi-join the index scan, and verify with exact bit_count(xor).
+    Closest match, candidate count, is_new per batch doc — every
+    value replayed by the shared 60-bit fingerprint twin. See
+    deltalake_spark.operators.dedup simhash_index_write /
+    simhash_dedup_incremental."""
+    from deltalake_spark.operators.dedup import (
+        simhash_dedup_incremental,
+        simhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(id_col="doc_id", text_col="text", bands=4,
+              hash_mode="portable")
+    t = _fresh_table(spark, "shidx")
+    simhash_index_write(docs.filter(F.col("doc_id") % 10 != 3), t, **kw)
+    return simhash_dedup_incremental(
+        docs.filter(F.col("doc_id") % 10 == 3), t, **kw
+    ).orderBy("doc_id")
+
+
 def simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash prefix blocking (r7: value-level DuckDB twin).
     hash_mode='portable' builds a 60-bit fingerprint from md5-derived
@@ -6597,6 +6625,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": embedding_norm_stats,
     "minhash_neardup_groups": minhash_neardup_groups,
     "minhash_incremental_dedup": minhash_incremental_dedup,
+    "simhash_incremental_dedup": simhash_incremental_dedup,
     "simhash_blocks": simhash_blocks,
     "longest_dup_span_topk": longest_dup_span_topk,
     "winnow_fingerprint_stats": winnow_fingerprint_stats,
@@ -7218,11 +7247,10 @@ def _ann_recall_oracle() -> str:
     """
 
 
-def _simhash_oracle() -> str:
-    """DuckDB twin of simhash_blocks: replays the portable 60-bit
-    SimHash — md5 4-char-shingle hashes, per-bit exact-integer ±1
-    sums, fingerprint reassembly from strictly-positive bits, 12-bit
-    top-prefix blocking — bit-for-bit."""
+def _simhash_fp_ctes() -> str:
+    """Shared CTE chain computing every doc's portable 60-bit SimHash
+    (``fp`` = (doc_id, simhash)) — used by the blocking twin and the
+    incremental-index twin."""
     bits = 60
     bit_sums = ",\n                 ".join(
         f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -7230,8 +7258,7 @@ def _simhash_oracle() -> str:
     fp = "\n                 + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(bits))
-    return f"""
-        WITH sh AS (
+    return f"""sh AS (
           SELECT doc_id,
                  UNNEST(list_transform(
                    range(1, greatest(len(text) - 3, 1) + 1),
@@ -7247,13 +7274,74 @@ def _simhash_oracle() -> str:
           SELECT doc_id,
                  {fp} AS simhash
           FROM bits
-        )
+        )"""
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_blocks: replays the portable 60-bit
+    SimHash — md5 4-char-shingle hashes, per-bit exact-integer ±1
+    sums, fingerprint reassembly from strictly-positive bits, 12-bit
+    top-prefix blocking — bit-for-bit."""
+    bits = 60
+    return f"""
+        WITH {_simhash_fp_ctes()}
         SELECT simhash >> {bits - 12} AS block,
                array_to_string(list_sort(list(doc_id)), ',')
                    AS member_ids,
                CAST(COUNT(*) AS BIGINT) AS group_size
         FROM fp GROUP BY 1 HAVING COUNT(*) > 1
         ORDER BY block
+    """
+
+
+def _simhash_incremental_oracle() -> str:
+    """DuckDB twin of simhash_incremental_dedup: the shared 60-bit
+    fingerprint chain split into corpus/batch, 4x15-bit band slices,
+    the corpus-side bucket cap, band equi-join, exact
+    bit_count(xor) <= 3 verify, and the deterministic closest-match
+    argmin (min hamming, ties to smallest id)."""
+    return f"""
+        WITH {_simhash_fp_ctes()}, bandix AS (
+          SELECT UNNEST(range(0, 4)) AS band
+        ), ck AS (
+          SELECT f.doc_id, f.simhash, b.band,
+                 (f.simhash >> (b.band * 15)) & 32767 AS band_bits
+          FROM fp f CROSS JOIN bandix b
+          WHERE f.doc_id % 10 <> 3
+        ), bk AS (
+          SELECT f.doc_id, f.simhash, b.band,
+                 (f.simhash >> (b.band * 15)) & 32767 AS band_bits
+          FROM fp f CROSS JOIN bandix b
+          WHERE f.doc_id % 10 = 3
+        ), ok AS (
+          SELECT band, band_bits FROM ck
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+        ), ckf AS (
+          SELECT ck.* FROM ck JOIN ok USING (band, band_bits)
+        ), verified AS (
+          SELECT b.doc_id AS bid, c.doc_id AS cand,
+                 MIN(bit_count(xor(b.simhash, c.simhash))) AS ham
+          FROM bk b JOIN ckf c USING (band, band_bits)
+          WHERE bit_count(xor(b.simhash, c.simhash)) <= 3
+          GROUP BY 1, 2
+        ), best AS (
+          SELECT bid,
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 (list(cand ORDER BY ham ASC, cand ASC))[1]
+                     AS match_id,
+                 CAST((list(ham ORDER BY ham ASC, cand ASC))[1]
+                      AS BIGINT) AS match_hamming
+          FROM verified GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(b.n_candidates, 0) AS n_candidates,
+               b.match_id AS match_id,
+               COALESCE(b.match_hamming, -1) AS match_hamming,
+               b.bid IS NULL AS is_new
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % 10 = 3 AND text IS NOT NULL) d
+        LEFT JOIN best b ON b.bid = d.doc_id
+        ORDER BY doc_id
     """
 
 
@@ -12779,6 +12867,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark expressions):
         "minhash_neardup_groups": _minhash_oracle(),
         "minhash_incremental_dedup": _minhash_incremental_oracle(),
+        "simhash_incremental_dedup": _simhash_incremental_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
         "winnow_fingerprint_stats": """
             -- winnowing selection replayed via a packed HUGEINT key:

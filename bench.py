@@ -115,6 +115,7 @@ EXTRA = [
     "sliding_p90_digest_values",   # r9: mergeable windowed quantile digest
     "winnow_fingerprint_stats",    # r9: true winnowing selection (MOSS)
     "bitext_margin_topk",          # r9: margin-based bitext mining
+    "simhash_incremental_dedup",   # r9: Hamming-index nightly dedup
 ]
 
 

@@ -505,6 +505,185 @@ def minhash_dedup_incremental(
     )
 
 
+_SIMHASH_INDEX_CONF = "deltalake.simhashIndex.params"
+
+
+def simhash_index_write(
+    df: DataFrame,
+    table,
+    *,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    shingle_size: int = 4,
+    hash_mode: str = "native",
+    mode: str = "append",
+) -> int:
+    """Persist SimHash fingerprints as a banded Delta index — the
+    Hamming-distance sibling of :func:`minhash_index_write` (Jaccard).
+    Each doc stores its fingerprint once per band: ``(id, simhash,
+    band, band_bits)``, partitioned by ``band``, where ``band_bits``
+    is the band's bit slice. By pigeonhole, any fingerprint within
+    Hamming distance < ``bands`` of an indexed one agrees exactly on
+    at least one band — so the incremental probe's band equi-join has
+    a RECALL GUARANTEE at radius ``bands − 1``, unlike prefix
+    blocking. Parameters pin to table config; incompatible
+    append/probe fails loud (the minhash-index contract). Returns the
+    committed version."""
+    bits = _PORTABLE_SIMHASH_BITS if hash_mode == "portable" else 64
+    if bits % bands:
+        raise ValueError(f"bands must divide {bits}, got {bands}")
+    params = _minhash_index_params(
+        kind="simhash", bands=bands, shingle_size=shingle_size,
+        hash_mode=hash_mode, id_col=id_col)
+    if table.exists():
+        stored = (table.snapshot().configuration or {}).get(
+            _SIMHASH_INDEX_CONF)
+        if mode != "overwrite" and stored is not None and stored != params:
+            raise ValueError(
+                f"simhash_index_write: index at {table.path} was built "
+                f"with {stored}, incompatible with {params} — "
+                f"fingerprints under different parameters are not "
+                f"comparable; use mode='overwrite' to rebuild")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash_fingerprints(
+        df, id_col=id_col, text_col=text_col,
+        shingle_size=shingle_size, hash_mode=hash_mode)
+    keys = fp.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * width)
+                .bitwiseAND(F.lit(mask).cast("long")).alias("band_bits"),
+            ) for b in range(bands)
+        ])).alias("__bb"),
+    ).select(id_col, "simhash", "__bb.band", "__bb.band_bits")
+    existed = table.exists()
+    version = table.write(
+        keys, mode=mode, partition_by=["band"],
+        configuration={_SIMHASH_INDEX_CONF: params},
+    )
+    if existed:
+        stored = (table.snapshot().configuration or {}).get(
+            _SIMHASH_INDEX_CONF)
+        if stored != params:
+            version = table.update_metadata({_SIMHASH_INDEX_CONF: params})
+    return version
+
+
+def simhash_dedup_incremental(
+    batch: DataFrame,
+    index,
+    *,
+    id_col: str,
+    text_col: str,
+    bands: int = 4,
+    shingle_size: int = 4,
+    hash_mode: str = "native",
+    max_hamming: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Dedup a new batch against a persisted SimHash index: batch-only
+    fingerprint derivation, band equi-join against the index SCAN
+    (never recomputing a corpus fingerprint), exact
+    ``bit_count(a XOR b)`` Hamming verify on collided pairs.
+
+    ``max_hamming`` defaults to ``bands − 1`` — the radius the banded
+    layout GUARANTEES (any pair within it shares a band); a larger
+    radius still verifies exactly but recall beyond the guarantee is
+    best-effort. ``max_bucket`` drops degenerate buckets (e.g. the
+    all-zero band every near-empty doc hashes to) before the probe —
+    the boilerplate skew guard, deterministic and twin-replayable.
+
+    Per batch doc: ``n_candidates`` (distinct index docs within
+    radius), ``match_id``/``match_hamming`` (closest, ties to the
+    smallest id), ``is_new``. ``index`` is a DeltaTable (params
+    validated against the pinned config) or a DataFrame of
+    ``(id, simhash, band, band_bits)`` rows.
+    """
+    bits = _PORTABLE_SIMHASH_BITS if hash_mode == "portable" else 64
+    if bits % bands:
+        raise ValueError(f"bands must divide {bits}, got {bands}")
+    if max_hamming is None:
+        max_hamming = bands - 1
+    idx_df = index
+    if hasattr(index, "to_df"):
+        stored = (index.snapshot().configuration or {}).get(
+            _SIMHASH_INDEX_CONF)
+        params = _minhash_index_params(
+            kind="simhash", bands=bands, shingle_size=shingle_size,
+            hash_mode=hash_mode, id_col=id_col)
+        if stored is not None and stored != params:
+            raise ValueError(
+                f"simhash_dedup_incremental: index was built with "
+                f"{stored}, probe requested {params} — fingerprints "
+                f"under different parameters are not comparable")
+        idx_df = index.to_df()
+    idx = idx_df.select(
+        F.col(id_col).alias("__cand"), F.col("simhash").alias("__cfp"),
+        "band", "band_bits")
+    ok = (idx.groupBy("band", "band_bits")
+          .agg(F.count(F.lit(1)).alias("__bc"))
+          .filter(F.col("__bc") <= int(max_bucket))
+          .select("band", "band_bits"))
+    idx = idx.join(ok, ["band", "band_bits"], "left_semi")
+    width = bits // bands
+    mask = (1 << width) - 1
+    bfp = simhash_fingerprints(
+        batch, id_col=id_col, text_col=text_col,
+        shingle_size=shingle_size, hash_mode=hash_mode,
+    ).select(F.col(id_col).alias("__bid"), F.col("simhash").alias("__bfp"))
+    bkeys = bfp.select(
+        "__bid", "__bfp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("__bfp", b * width)
+                .bitwiseAND(F.lit(mask).cast("long")).alias("band_bits"),
+            ) for b in range(bands)
+        ])).alias("__bb"),
+    ).select("__bid", "__bfp", "__bb.band", "__bb.band_bits")
+    verified = (
+        bkeys.join(idx, ["band", "band_bits"])
+        .select("__bid", "__cand",
+                F.bit_count(F.col("__bfp").bitwiseXOR(F.col("__cfp")))
+                .cast("long").alias("__ham"))
+        .filter(F.col("__ham") <= int(max_hamming))
+        # a pair can collide on several bands — dedupe before counting
+        .groupBy("__bid", "__cand")
+        .agg(F.min("__ham").alias("__ham"))
+    )
+    win = Window.partitionBy("__bid").orderBy(
+        F.asc("__ham"), F.asc("__cand"))
+    best = (
+        verified.withColumn("__rn", F.row_number().over(win))
+        .groupBy("__bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__cand")))
+            .alias("match_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("__ham")))
+            .alias("match_hamming"),
+        )
+    )
+    return (
+        batch.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__bid"))
+        .join(best, "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.coalesce("n_candidates", F.lit(0).cast("long"))
+            .alias("n_candidates"),
+            "match_id",
+            F.coalesce("match_hamming", F.lit(-1).cast("long"))
+            .alias("match_hamming"),
+            F.col("n_candidates").isNull().alias("is_new"),
+        )
+    )
+
+
 def simhash64(text_col: Column, *, shingle_size: int = 4) -> Column:
     """64-bit SimHash fingerprint, pure column expressions.
 
@@ -547,6 +726,46 @@ def simhash64(text_col: Column, *, shingle_size: int = 4) -> Column:
 _PORTABLE_SIMHASH_BITS = 60
 
 
+def simhash_fingerprints(df: DataFrame, *, id_col: str, text_col: str,
+                         shingle_size: int = 4,
+                         hash_mode: str = "native") -> DataFrame:
+    """Per-document SimHash fingerprint — the shared derivation under
+    :func:`simhash_candidates` / :func:`simhash_near_pairs` blocking
+    and the persisted-index pair :func:`simhash_index_write` /
+    :func:`simhash_dedup_incremental`. ``'native'``: 64-bit xxhash64
+    fold (:func:`simhash64`). ``'portable'``: 60-bit md5-derived
+    fingerprint via explode → per-bit exact ±1 hash-aggregate — SQL
+    engines replay it bit-for-bit (the twin path). NULL-text rows are
+    excluded in BOTH modes (the r7 row contract). Returns
+    ``(id_col, simhash)``."""
+    if hash_mode not in ("native", "portable"):
+        raise ValueError("hash_mode must be 'native' or 'portable'")
+    df = spread_narrow_input(df.filter(F.col(text_col).isNotNull()))
+    if hash_mode == "portable":
+        bits = _PORTABLE_SIMHASH_BITS
+        exploded = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(char_shingles(F.col(text_col), shingle_size))
+            .alias("__s"),
+        ).select("__id", portable_hash60(F.col("__s")).alias("__h"))
+        sums = exploded.groupBy("__id").agg(*[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(1) == 1,
+                       1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ])
+        fp = F.lit(0).cast("long")
+        for i in range(bits):
+            fp = fp + F.when(F.col(f"__b{i}") > 0,
+                             F.lit(1 << i).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        return sums.select(F.col("__id").alias(id_col),
+                           fp.alias("simhash"))
+    fp64 = simhash64(F.col(text_col), shingle_size=shingle_size)
+    return df.select(F.col(id_col).alias(id_col), fp64.alias("simhash"))
+
+
 def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
                        prefix_bits: int = 16,
                        shingle_size: int = 4,
@@ -569,39 +788,15 @@ def simhash_candidates(df: DataFrame, *, id_col: str, text_col: str,
     contract: previously the portable path dropped them via explode
     while the native path kept a null-fingerprint row).
     """
-    if hash_mode not in ("native", "portable"):
-        raise ValueError("hash_mode must be 'native' or 'portable'")
-    df = spread_narrow_input(df.filter(F.col(text_col).isNotNull()))
-    if hash_mode == "portable":
-        bits = _PORTABLE_SIMHASH_BITS
-        if not 0 < prefix_bits <= bits:
-            raise ValueError(f"prefix_bits must be in 1..{bits}")
-        exploded = df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(char_shingles(F.col(text_col), shingle_size))
-            .alias("__s"),
-        ).select("__id", portable_hash60(F.col("__s")).alias("__h"))
-        sums = exploded.groupBy("__id").agg(*[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(1) == 1,
-                       1).otherwise(-1)
-            ).alias(f"__b{i}")
-            for i in range(bits)
-        ])
-        fp = F.lit(0).cast("long")
-        for i in range(bits):
-            fp = fp + F.when(F.col(f"__b{i}") > 0,
-                             F.lit(1 << i).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
-        with_fp = sums.select(
-            "__id", fp.alias("simhash"),
-        ).withColumn("block", F.shiftright("simhash", bits - prefix_bits))
-    else:
-        fp64 = simhash64(F.col(text_col), shingle_size=shingle_size)
-        with_fp = df.select(
-            F.col(id_col).alias("__id"),
-            fp64.alias("simhash"),
-        ).withColumn("block", F.shiftright("simhash", 64 - prefix_bits))
+    bits = _PORTABLE_SIMHASH_BITS if hash_mode == "portable" else 64
+    if not 0 < prefix_bits <= bits:
+        raise ValueError(f"prefix_bits must be in 1..{bits}")
+    with_fp = simhash_fingerprints(
+        df, id_col=id_col, text_col=text_col, shingle_size=shingle_size,
+        hash_mode=hash_mode,
+    ).select(
+        F.col(id_col).alias("__id"), "simhash",
+    ).withColumn("block", F.shiftright("simhash", bits - prefix_bits))
     return (
         with_fp.groupBy("block")
         .agg(

@@ -175,3 +175,64 @@ def test_probe_plan_has_no_index_side_signature_work(spark, corpus):
     assert s.text.count("Generate explode") <= 4, s.text
     # and the index keys come from a real file scan
     assert s.scans >= 1
+
+
+def test_simhash_index_guarantee_and_nightly_loop(spark):
+    """r9: the banded SimHash index carries the pigeonhole guarantee —
+    any batch doc within Hamming distance bands-1 of an indexed doc
+    MUST be found (they share a band) — plus the same nightly append
+    and param-pinning contracts as the MinHash index."""
+    from deltalake_spark.operators.dedup import (
+        simhash_dedup_incremental,
+        simhash_fingerprints,
+        simhash_index_write,
+    )
+
+    corpus = _docs(spark, [(i, _family_text(i % 10)) for i in range(30)])
+    kw = dict(id_col="doc_id", text_col="text", bands=4)
+    t = _fresh(spark, "sh")
+    simhash_index_write(corpus, t, **kw)
+    # near-copy of family 3 (one token tweaked), one novel doc, a null
+    batch = _docs(spark, [
+        (100, _family_text(3).replace("tok3x7", "tok3x7z")),
+        (101, "completely different text about engines and volcanoes "
+              "and violins and warehouses and scale"),
+        (102, None),
+    ])
+    got = {r["doc_id"]: r for r in
+           simhash_dedup_incremental(batch, t, **kw).collect()}
+    assert set(got) == {100, 101}  # null-text row drops (row contract)
+    assert got[100]["is_new"] is False
+    assert got[100]["match_id"] == 3
+    assert 0 <= got[100]["match_hamming"] <= 3
+    assert got[101]["is_new"] is True
+    assert got[101]["match_hamming"] == -1
+
+    # hamming-3 guarantee cross-check vs direct fingerprints
+    fa = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(
+        corpus, id_col="doc_id", text_col="text").collect()}
+    fb = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(
+        batch, id_col="doc_id", text_col="text").collect()}
+    ham = bin(fa[3] ^ fb[100]).count("1")
+    assert got[100]["match_hamming"] <= ham
+
+    # param mismatch fails loud both directions
+    with pytest.raises(ValueError, match="not comparable"):
+        simhash_dedup_incremental(
+            batch, t, id_col="doc_id", text_col="text", bands=8)
+    with pytest.raises(ValueError, match="not comparable"):
+        simhash_index_write(
+            corpus, t, id_col="doc_id", text_col="text", bands=8)
+
+    # nightly append: today's kept docs match tomorrow's replays.
+    # (Replay the NOVEL doc — a replay of the tweaked family-3 text
+    # would tie at hamming 0 with doc 3 as well, and ties go to the
+    # smallest id: SimHash absorbing a one-token tweak is the
+    # operator working, first run caught exactly that.)
+    simhash_index_write(
+        batch.filter("text is not null"), t, mode="append", **kw)
+    day2 = _docs(spark, [(200, "completely different text about "
+                          "engines and volcanoes and violins and "
+                          "warehouses and scale")])
+    got2 = simhash_dedup_incremental(day2, t, **kw).collect()[0]
+    assert got2["match_id"] == 101 and got2["match_hamming"] == 0

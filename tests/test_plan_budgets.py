@@ -235,6 +235,10 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: batch-only fingerprint (explode + 60-bit-sum agg) + bucket
+    # cap agg + band equi-join + pair-dedup agg + argmin window +
+    # left join + sort; index side is scan+join only
+    "simhash_incremental_dedup": (7, False),
     # r9: one bucket-cover equi-join scores all pairs; two windows
     # (fwd/bwd ranks) + two kNN-sum aggs + candidate joins, TakeOrdered
     "bitext_margin_topk": (6, False),
