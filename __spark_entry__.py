@@ -2425,6 +2425,34 @@ def bitext_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("margin_ppm"), "src_id").limit(25)
 
 
+def hard_negative_triplets(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Hard-negative / triplet mining for embedding training data (r9;
+    operators/similarity.py hard_triplet_mine): per anchor (vec_id %
+    25 == 0) the hardest same-label positive, the hardest other-label
+    negative, the triplet margin, and the count of ACTIVE negatives
+    (cosine >= positive — the pairs that produce gradient). One
+    cosine quantization to micros, then exact integer ranks and
+    comparisons — fully SQL-replayable."""
+    from deltalake_spark.operators.similarity import hard_triplet_mine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    anchors = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("anchor_id"), "label", "embedding")
+    corpus = emb.select(
+        F.col("vec_id").alias("cand_id"), "label", "embedding")
+    return hard_triplet_mine(
+        anchors, corpus, intc, anchor_id="anchor_id",
+        corpus_id="cand_id",
+    ).orderBy("anchor_id")
+
+
 def ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF kNN join probing EVERY bucket (nprobe == n_centroids): the
     bucket layout only changes the execution shape, so results equal
@@ -6560,6 +6588,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_ann_topk": ivf_pq_ann_topk,
     "ann_recall_ivfpq": ann_recall_ivfpq,
     "bitext_margin_topk": bitext_margin_topk,
+    "hard_negative_triplets": hard_negative_triplets,
     "ivf_exhaustive_topk": ivf_exhaustive_topk,
     "language_id_dist": language_id_dist,
     "fingerprint_dedup_stats": fingerprint_dedup_stats,
@@ -10632,6 +10661,51 @@ def oracle_sql() -> dict[str, str]:
         "collocation_g2_topk": _g2_oracle(),
         "ivf_pq_ann_topk": _ivf_pq_oracle(),
         "ann_recall_ivfpq": _ann_recall_oracle(),
+        "hard_negative_triplets": """
+            WITH a AS (
+              SELECT vec_id AS aid, label AS alb,
+                     CAST(embedding AS DOUBLE[]) AS av,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) AS na
+              FROM embeddings WHERE vec_id % 25 = 0
+            ), c AS (
+              SELECT vec_id AS cid, label AS clb,
+                     CAST(embedding AS DOUBLE[]) AS cv,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) AS nc
+              FROM embeddings
+            ), p AS (
+              SELECT aid, alb, cid, clb = alb AS same,
+                     CAST(ROUND(list_dot_product(av, cv) / (na * nc)
+                                * 1000000) AS BIGINT) AS cc
+              FROM a CROSS JOIN c WHERE aid <> cid
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY aid, same
+                       ORDER BY cc DESC, cid) AS rn
+              FROM p
+            ), pos AS (
+              SELECT aid, cid AS pos_id, cc AS pos_cos
+              FROM r WHERE same AND rn = 1
+            ), neg AS (
+              SELECT aid, cid AS neg_id, cc AS neg_cos
+              FROM r WHERE NOT same AND rn = 1
+            ), act AS (
+              SELECT p.aid, CAST(COUNT(*) AS BIGINT)
+                       AS n_active_negatives
+              FROM p JOIN pos ON pos.aid = p.aid
+              WHERE NOT p.same AND p.cc >= pos.pos_cos
+              GROUP BY 1
+            )
+            SELECT pos.aid AS anchor_id, pos_id, pos_cos,
+                   neg_id, neg_cos,
+                   pos_cos - neg_cos AS margin_micro,
+                   COALESCE(act.n_active_negatives, 0)
+                     AS n_active_negatives
+            FROM pos
+            JOIN neg USING (aid)
+            LEFT JOIN act USING (aid)
+            ORDER BY anchor_id
+        """,
         "bitext_margin_topk": """
             WITH x AS (
               SELECT vec_id AS src_id,

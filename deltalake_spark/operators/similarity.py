@@ -1198,3 +1198,103 @@ def margin_bitext_pairs(
                f" div (__sumf + __sumb)").alias("margin_ppm"),
         (F.col("__rb") == 1).alias("is_mutual"),
     )
+
+
+def hard_triplet_mine(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    int_centroids: list[list[int]],
+    *,
+    anchor_id: str,
+    corpus_id: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hard-negative / triplet mining for embedding-model training
+    data (the FaceNet/SBERT curation step): per anchor, the most
+    similar SAME-label item (hardest positive anchor pairing), the
+    most similar DIFFERENT-label item (hardest negative), the triplet
+    margin between them, and how many negatives are ACTIVE (cosine >=
+    the positive's — the pairs that actually produce gradient).
+    Corpora train faster on mined hard triplets than on random pairs;
+    this is the query that builds that training set.
+
+    Determinism: cosines quantize once to integer micros (the cents
+    recipe); per-class argmax ranks break ties ascending on the
+    corpus id; everything downstream is exact integer comparison — a
+    SQL oracle replays every value.
+
+    Scale shape: one exhaustive bucket-cover equi-join scores anchor
+    x corpus (run on a bounded anchor sample — mining batches, not
+    the full corpus; swap in ivf_pq_topk_join candidates for web-scale
+    corpora); two (anchor, same-label?) windows rank positives and
+    negatives from the SAME pair frame; the active-negative count is
+    one join of pairs against the KB-scale positives frame. Anchors
+    score against every OTHER row (self-pairs excluded by id).
+
+    Returns ``(anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+    margin_micro, n_active_negatives)`` — anchors lacking a positive
+    or negative candidate are dropped (deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    if anchor_id == corpus_id:
+        raise ValueError("anchor_id and corpus_id must differ")
+
+    def qv_sql(col: str) -> str:
+        return (f"transform(cast(`{col}` as array<double>),"
+                f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(label_col).alias("__clb"),
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__cv"), 1)[0])
+    a = (
+        anchors.select(
+            F.col(anchor_id).alias("__aid"),
+            F.col(label_col).alias("__alb"),
+            F.col(vec_col).alias("__av"))
+        .withColumn("__probes",
+                    _probe_expr_q(int_centroids, qv_sql("__av"),
+                                  len(int_centroids)))
+        .withColumn("__b", F.explode("__probes"))
+        .drop("__probes")
+    )
+    pairs = (
+        a.join(c, "__b")
+        .filter(F.col("__aid") != F.col("__cid"))
+        .select(
+            "__aid", "__alb", "__cid",
+            (F.col("__clb") == F.col("__alb")).alias("__same"),
+            F.round(cosine_expr(F.col("__av"), F.col("__cv"))
+                    * F.lit(float(scale)), 0).cast("long").alias("c"),
+        )
+    )
+    w = Window.partitionBy("__aid", "__same").orderBy(
+        F.desc("c"), F.asc("__cid"))
+    ranked = pairs.withColumn("__rn", F.row_number().over(w))
+    pos = ranked.filter(F.col("__same") & (F.col("__rn") == 1)).select(
+        "__aid", F.col("__cid").alias("pos_id"),
+        F.col("c").alias("pos_cos"))
+    neg = ranked.filter(~F.col("__same") & (F.col("__rn") == 1)).select(
+        "__aid", F.col("__cid").alias("neg_id"),
+        F.col("c").alias("neg_cos"))
+    active = (
+        pairs.filter(~F.col("__same"))
+        .join(pos.select("__aid", "pos_cos"), "__aid")
+        .filter(F.col("c") >= F.col("pos_cos"))
+        .groupBy("__aid")
+        .agg(F.count(F.lit(1)).alias("n_active_negatives"))
+    )
+    return (
+        pos.join(neg, "__aid")
+        .join(active, "__aid", "left")
+        .select(
+            F.col("__aid").alias(anchor_id),
+            "pos_id", "pos_cos", "neg_id", "neg_cos",
+            (F.col("pos_cos") - F.col("neg_cos")).alias("margin_micro"),
+            F.coalesce("n_active_negatives", F.lit(0).cast("long"))
+            .alias("n_active_negatives"),
+        )
+    )

@@ -175,3 +175,57 @@ def test_margin_bitext_matches_numpy_reference(spark):
     # asserting dominance here failed on first run, correctly.)
     assert got[0][0] == 1 and got[0][3] is True
     assert got[0][2] > 1_000_000  # above its neighborhood average
+
+
+def test_hard_triplet_mine_semantics(spark):
+    """r9: planted clusters — the hardest positive is the nearest
+    same-label vector, the hardest negative the nearest other-label
+    one, active negatives counted exactly, and an anchor whose class
+    has no other member is dropped."""
+    import numpy as np
+
+    from deltalake_spark.operators.similarity import hard_triplet_mine
+
+    base = np.eye(4, dtype=np.float64)
+    rows = []
+    # class 0: three vectors near e0; class 1: three near e1;
+    # class 2: ONE vector (no positive available)
+    for i, eps in enumerate((0.0, 0.05, 0.4)):
+        v = base[0].copy(); v[3] = eps
+        rows.append((10 + i, 0, v))
+    for i, eps in enumerate((0.0, 0.1, 0.2)):
+        v = base[1].copy(); v[3] = eps
+        rows.append((20 + i, 1, v))
+    rows.append((30, 2, base[2]))
+    df = spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id long, label long, embedding array<float>")
+    intc = [[int(round(x * 1e6)) for x in v] for _, _, v in rows[:4]]
+    anchors = df.selectExpr("vec_id as anchor_id", "label", "embedding")
+    corpus = df.selectExpr("vec_id as cand_id", "label", "embedding")
+    got = {r["anchor_id"]: r for r in hard_triplet_mine(
+        anchors, corpus, intc, anchor_id="anchor_id",
+        corpus_id="cand_id").collect()}
+    # anchor 10 (pure e0): hardest positive is 11 (eps .05 closer
+    # than .4); hardest negative is some class-1/2 vector; margin
+    # positive and no active negatives (classes are orthogonal)
+    assert got[10]["pos_id"] == 11
+    assert got[10]["margin_micro"] > 0
+    assert got[10]["n_active_negatives"] == 0
+    # the singleton class-2 anchor has no positive -> dropped
+    assert 30 not in got
+    # class-1 anchors exist with exact symmetric structure
+    assert got[20]["pos_id"] == 21
+    # plant an ACTIVE negative: a class-9 vector almost identical to
+    # anchor 10 must out-rank its positive and be counted
+    v = base[0].copy(); v[3] = 0.01
+    df2 = df.unionByName(spark.createDataFrame(
+        [(99, 9, [float(x) for x in v])],
+        "vec_id long, label long, embedding array<float>"))
+    got2 = {r["anchor_id"]: r for r in hard_triplet_mine(
+        anchors, df2.selectExpr("vec_id as cand_id", "label",
+                                "embedding"),
+        intc, anchor_id="anchor_id", corpus_id="cand_id").collect()}
+    assert got2[10]["neg_id"] == 99
+    assert got2[10]["margin_micro"] < 0
+    assert got2[10]["n_active_negatives"] == 1

@@ -235,6 +235,9 @@ BUDGETS = {
     # r8: one category-keyed window over the detail rows + category
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
+    # r9: bucket-cover pair scoring + one (anchor, same?) window +
+    # pos/neg splits + active-negative join/agg + final joins + sort
+    "hard_negative_triplets": (8, False),
     # r9: batch-only fingerprint (explode + 60-bit-sum agg) + bucket
     # cap agg + band equi-join + pair-dedup agg + argmin window +
     # left join + sort; index side is scan+join only
