@@ -3963,6 +3963,41 @@ def nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_margin_calibration(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Classifier confidence calibration by top-1/top-2 margin (r9;
+    operators/classify.py score_naive_bayes_margin): bin documents by
+    the NB log-posterior GAP (0.2-log-unit bins, capped at 9) and
+    report per-bin count, correct count, accuracy, and exact margin
+    mass — the curve that justifies a keep/drop/route-by-confidence
+    threshold in a curation pipeline. Accuracy should rise with the
+    margin bin; a flat curve means the classifier's confidence is
+    uninformative. Margins live in integer micros, so every aggregate
+    is exact."""
+    from deltalake_spark.operators.classify import (
+        score_naive_bayes_margin,
+        train_naive_bayes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    model = train_naive_bayes(docs, text_col="text", label_col="lang")
+    m = score_naive_bayes_margin(
+        docs, model, id_col="doc_id", text_col="text", label_col="lang")
+    return (
+        m.withColumn(
+            "bin", F.expr("least(margin_micro div 200000, 9L)"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("correct").cast("long")).alias("n_correct"),
+            F.round(F.sum(F.col("correct").cast("long"))
+                    / F.count(F.lit(1)), 4).alias("acc"),
+            F.sum("margin_micro").alias("sum_margin_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
 def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weighting toward the English slice: two unigram
     LMs (aggregations), broadcast-joined log-ratios, one doc-keyed avg.
@@ -6536,6 +6571,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_expr_arrays": pipeline_expr_arrays,
     "bm25_topk_docs": bm25_topk_docs,
     "nb_language_confusion": nb_language_confusion,
+    "nb_margin_calibration": nb_margin_calibration,
     "deterministic_split_stats": deterministic_split_stats,
     "dsir_importance_topk": dsir_importance_topk,
     "frequent_tokens_sketch": frequent_tokens_sketch,
@@ -7674,6 +7710,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, predicted, count(*) AS n
             FROM pred WHERE rn = 1
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "nb_margin_calibration": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(CASE WHEN len(l) = 0 THEN [NULL]
+                            ELSE l END) AS token
+              FROM (SELECT doc_id, lang,
+                           list_filter(
+                             regexp_split_to_array(lower(text),
+                                                   '[^a-z]+'),
+                             t -> t <> '') AS l
+                    FROM documents)
+            ),
+            counts AS (
+              SELECT lang AS label, token, count(*)::DOUBLE AS c
+              FROM toks WHERE token IS NOT NULL GROUP BY 1, 2
+            ),
+            totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT token)::DOUBLE AS v FROM counts),
+            priors AS (
+              SELECT lang AS label,
+                     ln(count(*) / (SELECT count(*)::DOUBLE FROM documents))
+                       AS log_prior
+              FROM documents GROUP BY 1
+            ),
+            pairs AS (
+              SELECT tk.doc_id, tk.lang, p.label, p.log_prior, tk.token
+              FROM toks tk CROSS JOIN priors p
+            ),
+            scored AS (
+              SELECT pr.doc_id, pr.lang, pr.label,
+                     round(pr.log_prior + sum(
+                       CASE WHEN pr.token IS NULL THEN 0
+                            ELSE ln((coalesce(c.c, 0) + 1.0)
+                                    / (tt.t + (SELECT v FROM vocab)))
+                       END), 6) AS score
+              FROM pairs pr
+              LEFT JOIN counts c
+                ON c.label = pr.label AND c.token = pr.token
+              JOIN totals tt ON tt.label = pr.label
+              GROUP BY pr.doc_id, pr.lang, pr.label, pr.log_prior
+            ),
+            pred AS (
+              SELECT doc_id, lang, label, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+              FROM scored
+            ),
+            top2 AS (
+              SELECT doc_id, lang,
+                     max(CASE WHEN rn = 1 THEN label END) AS predicted,
+                     max(CASE WHEN rn = 1 THEN score END) AS s1,
+                     max(CASE WHEN rn = 2 THEN score END) AS s2
+              FROM pred WHERE rn <= 2 GROUP BY 1, 2
+            ),
+            m AS (
+              SELECT predicted = lang AS correct,
+                     CAST(ROUND((s1 - s2) * 1000000) AS BIGINT) AS mm
+              FROM top2 WHERE s2 IS NOT NULL
+            )
+            SELECT LEAST(mm // 200000, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   ROUND(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
+                         / COUNT(*), 4) AS acc,
+                   CAST(SUM(mm) AS BIGINT) AS sum_margin_micro
+            FROM m GROUP BY 1 ORDER BY 1
         """,
         "deterministic_split_stats": """
             WITH pri AS (

@@ -117,6 +117,7 @@ EXTRA = [
     "bitext_margin_topk",          # r9: margin-based bitext mining
     "simhash_incremental_dedup",   # r9: Hamming-index nightly dedup
     "hard_negative_triplets",      # r9: triplet mining for embeddings
+    "nb_margin_calibration",       # r9: confidence calibration bins
 ]
 
 

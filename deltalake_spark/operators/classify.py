@@ -112,6 +112,98 @@ def train_naive_bayes(
     return NaiveBayesModel(priors, likelihoods, totals, vocab_size)
 
 
+def _nb_scored(
+    df: DataFrame,
+    model: "NaiveBayesModel",
+    *,
+    id_col: str,
+    text_col: str,
+    keep_cols: list[str],
+    round_digits: int,
+) -> DataFrame:
+    """Shared (doc, keep_cols, label, score) frame under
+    :func:`score_naive_bayes` (argmax) and
+    :func:`score_naive_bayes_margin` (top-2 confidence)."""
+    # explode_outer keeps empty-token docs as a single null-token row;
+    # each doc token occurrence × each label, then model left-join:
+    # unseen (label, token) cells coalesce to c=0 and get pure smoothing
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        *[F.col(c) for c in keep_cols],
+        F.explode_outer(tokenize_ascii(F.col(text_col))).alias("token"),
+    )
+    labeled = toks.crossJoin(
+        F.broadcast(model.priors.select("label", "log_prior"))
+    )
+    joined = labeled.join(
+        F.broadcast(model.likelihoods), ["label", "token"], "left"
+    ).join(F.broadcast(model.totals), ["label"], "left")
+    v = float(model.vocab_size)
+    tok_ll = F.when(F.col("token").isNull(), F.lit(0.0)).otherwise(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+            / (F.col("t") + F.lit(v))
+        )
+    )
+    scored = joined.groupBy(
+        "__doc", *keep_cols, "label", "log_prior"
+    ).agg(F.sum(tok_ll).alias("__ll"))
+    return scored.withColumn(
+        "score", F.round(F.col("log_prior") + F.col("__ll"), round_digits)
+    )
+
+
+def score_naive_bayes_margin(
+    df: DataFrame,
+    model: "NaiveBayesModel",
+    *,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-2 NB scores → the CONFIDENCE MARGIN, the
+    input every classifier-thresholding decision in a curation
+    pipeline actually needs (keep/drop/route-to-human by confidence),
+    and what a margin-calibration curve is built from. The winning
+    rounded log-posterior alone (:func:`score_naive_bayes`) can't
+    rank confidence — it scales with document length; the top-1/top-2
+    GAP is the standard length-robust proxy.
+
+    Returns one row per doc: ``predicted``, ``correct`` (vs
+    ``label_col``), and ``margin_micro`` — ``round((s1 − s2)·1e6)``
+    as BIGINT, so downstream bin/aggregate arithmetic is exact
+    integers (no float summation order). Docs are dropped only if the
+    model has a single class (no runner-up exists).
+    """
+    scored = _nb_scored(df, model, id_col=id_col, text_col=text_col,
+                        keep_cols=[label_col], round_digits=round_digits)
+    w = Window.partitionBy("__doc").orderBy(
+        F.desc("score"), F.asc("label"))
+    top2 = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= 2)
+    return (
+        top2.groupBy("__doc", label_col)
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("label")))
+            .alias("predicted"),
+            F.max(F.when(F.col("__rn") == 1, F.col("score")))
+            .alias("__s1"),
+            F.max(F.when(F.col("__rn") == 2, F.col("score")))
+            .alias("__s2"),
+        )
+        .filter(F.col("__s2").isNotNull())
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col(label_col),
+            "predicted",
+            (F.col("predicted") == F.col(label_col)).alias("correct"),
+            F.expr(f"cast(round((__s1 - __s2) * {10**6}D) as bigint)")
+            .alias("margin_micro"),
+        )
+    )
+
+
 def score_naive_bayes(
     df: DataFrame,
     model: NaiveBayesModel,
@@ -141,33 +233,8 @@ def score_naive_bayes(
     silently discarding every such document.
     """
     keep_cols = keep_cols or []
-    # explode_outer keeps empty-token docs as a single null-token row;
-    # each doc token occurrence × each label, then model left-join:
-    # unseen (label, token) cells coalesce to c=0 and get pure smoothing
-    toks = df.select(
-        F.col(id_col).alias("__doc"),
-        *[F.col(c) for c in keep_cols],
-        F.explode_outer(tokenize_ascii(F.col(text_col))).alias("token"),
-    )
-    labeled = toks.crossJoin(
-        F.broadcast(model.priors.select("label", "log_prior"))
-    )
-    joined = labeled.join(
-        F.broadcast(model.likelihoods), ["label", "token"], "left"
-    ).join(F.broadcast(model.totals), ["label"], "left")
-    v = float(model.vocab_size)
-    tok_ll = F.when(F.col("token").isNull(), F.lit(0.0)).otherwise(
-        F.log(
-            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-            / (F.col("t") + F.lit(v))
-        )
-    )
-    scored = joined.groupBy(
-        "__doc", *keep_cols, "label", "log_prior"
-    ).agg(F.sum(tok_ll).alias("__ll"))
-    scored = scored.withColumn(
-        "score", F.round(F.col("log_prior") + F.col("__ll"), round_digits)
-    )
+    scored = _nb_scored(df, model, id_col=id_col, text_col=text_col,
+                        keep_cols=keep_cols, round_digits=round_digits)
     w = Window.partitionBy("__doc").orderBy(
         F.desc("score"), F.asc("label")
     )

@@ -305,3 +305,38 @@ class TestNgramNovelty:
             # one-sided: bloom FPs mark grams as seen → est <= exact
             assert est[d] <= exact[d], d
             assert est[d] >= exact[d] - 3  # FP slack at this m/n
+
+
+def test_score_margin_consistent_with_argmax(spark):
+    """r9: score_naive_bayes_margin's predicted label equals
+    score_naive_bayes's argmax on every doc, margins are non-negative
+    integers, and a perfectly separable corpus puts every correct doc
+    in a positive-margin bin."""
+    from deltalake_spark.operators.classify import (
+        score_naive_bayes,
+        score_naive_bayes_margin,
+        train_naive_bayes,
+    )
+
+    rows = [(i, "en", "the cat and the dog sat") for i in range(6)]
+    rows += [(10 + i, "de", "der hund und die katze sass")
+             for i in range(6)]
+    rows += [(20, "en", "der the mixed katze cat")]  # ambiguous-ish
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    model = train_naive_bayes(df, text_col="text", label_col="lang")
+    am = {r["doc_id"]: r["predicted"] for r in score_naive_bayes(
+        df, model, id_col="doc_id", text_col="text").collect()}
+    mg = {r["doc_id"]: r for r in score_naive_bayes_margin(
+        df, model, id_col="doc_id", text_col="text",
+        label_col="lang").collect()}
+    assert set(am) == set(mg)
+    for d, r in mg.items():
+        assert r["predicted"] == am[d]
+        assert r["margin_micro"] >= 0
+        assert r["correct"] == (r["predicted"] == r["lang"])
+    # the clean docs are all correct with fat margins; the mixed doc's
+    # margin is strictly smaller than any clean doc's
+    clean = [mg[i]["margin_micro"] for i in list(range(6))
+             + list(range(10, 16))]
+    assert all(mg[i]["correct"] for i in range(6))
+    assert mg[20]["margin_micro"] < min(clean)

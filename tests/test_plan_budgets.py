@@ -439,6 +439,18 @@ def test_nb_confusion_plan(spark):
     assert s.shuffles <= 8
 
 
+def test_nb_margin_calibration_plan(spark):
+    """r9: same scoring chain as nb_language_confusion (priors
+    cross-attach sanctioned, V×L model broadcast) plus one doc window
+    and the bin aggregate — the corpus never shuffles for the model."""
+    df = entry_mod.queries()["nb_margin_calibration"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins <= 1  # priors cross-attach only
+    assert s.broadcast_joins >= 2   # likelihoods + totals
+    assert s.shuffles <= 8
+
+
 def test_semantic_decontam_plan(spark):
     """Eval-set attach is the one sanctioned broadcast nested-loop; the
     corpus side must never shuffle for the similarity pass."""
