@@ -3321,6 +3321,50 @@ def stream_sliding_distinct(spark: SparkSession,
     )
 
 
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup against a persisted MinHash index (r9;
+    streaming/sink.py minhash_stream_dedup_sink) — the full production
+    composition: the corpus (doc_id % 10 < 7) seeds the index; the
+    remaining docs arrive as THREE micro-batches (split by doc_id % 3,
+    one staged file per batch with forced mtime order,
+    maxFilesPerTrigger=1); each batch probes the index, decisions land
+    in a Delta table with a SetTransaction watermark, and the KEPT
+    docs' band keys append to the index — so batch 2 dedups against
+    batch 0/1's survivors without reprocessing. The oracle unrolls the
+    three sequential stages over the shared portable key CTE."""
+    import tempfile
+
+    from deltalake_spark.operators.dedup import minhash_index_write
+    from deltalake_spark.streaming.sink import minhash_stream_dedup_sink
+    from deltalake_spark.streaming.windowed import read_parquet_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+              hash_mode="portable")
+    idx = _fresh_table(spark, "stridx")
+    minhash_index_write(docs.filter(F.col("doc_id") % 10 < 7), idx, **kw)
+    dec = _fresh_table(spark, "strdec")
+    d = tempfile.mkdtemp(prefix="stream_docs_")
+    for b in range(3):
+        pdf = (docs.filter((F.col("doc_id") % 10 >= 7)
+                           & (F.col("doc_id") % 3 == b))
+               .orderBy("doc_id").toPandas())
+        path = os.path.join(d, f"b{b}.parquet")
+        pdf.to_parquet(path)
+        # deterministic micro-batch order: FileStreamSource takes
+        # files by modification time
+        os.utime(path, (1_600_000_000 + b, 1_600_000_000 + b))
+    stream = read_parquet_stream(spark, d, max_files_per_trigger=1)
+    minhash_stream_dedup_sink(
+        stream, idx, dec, app_id="gate-stream-dedup", **kw)
+    return (
+        dec.to_df()
+        .select("doc_id", "n_candidates", "match_id", "match_bands",
+                "is_new")
+        .orderBy("doc_id")
+    )
+
+
 def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming dedup under at-least-once delivery: the
     events stream unioned with a full replay of itself (every row
@@ -6616,6 +6660,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup": agg_rollup,
     "stream_windowed_counts": stream_windowed_counts,
     "stream_sliding_distinct": stream_sliding_distinct,
+    "stream_ingest_dedup": stream_ingest_dedup,
     "stream_dedup_replay": stream_dedup_replay,
     "stream_session_window": stream_session_window,
     "stream_delta_sink": stream_delta_sink,
@@ -6972,14 +7017,10 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_incremental_oracle() -> str:
-    """DuckDB twin of minhash_incremental_dedup: the same portable
-    band-key recursion as _minhash_oracle computed once for ALL docs
-    (signatures are per-doc, so split-after is identical to
-    split-before), split into corpus/batch key sets, the corpus-side
-    boilerplate-bucket cap (count <= 1000), the band equi-join, and
-    the deterministic best-match argmax (most shared bands, ties to
-    smallest candidate id)."""
+def _minhash_keys_cte() -> str:
+    """Shared CTE chain computing every doc's portable (doc_id, band,
+    band_hash) LSH keys (``keys``) — used by the incremental-index
+    twin and the streaming-ingest twin."""
     from deltalake_spark.operators.dedup import (
         _PORTABLE_SHINGLE_HEX,
         _PRIME,
@@ -6995,8 +7036,7 @@ def _minhash_incremental_oracle() -> str:
         "||'|'||m{i3} AS bkey FROM sig".format(
             b=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
         for b in range(8))
-    return f"""
-        WITH wt AS (
+    return f"""wt AS (
           SELECT doc_id,
                  regexp_split_to_array(trim(text), '\\s+') AS w
           FROM documents
@@ -7025,7 +7065,19 @@ def _minhash_incremental_oracle() -> str:
                  CAST(('0x' || substr(md5(bkey), 1, 15)) AS BIGINT)
                      AS band_hash
           FROM bands
-        ), ck AS (
+        )"""
+
+
+def _minhash_incremental_oracle() -> str:
+    """DuckDB twin of minhash_incremental_dedup: the same portable
+    band-key recursion as _minhash_oracle computed once for ALL docs
+    (signatures are per-doc, so split-after is identical to
+    split-before), split into corpus/batch key sets, the corpus-side
+    boilerplate-bucket cap (count <= 1000), the band equi-join, and
+    the deterministic best-match argmax (most shared bands, ties to
+    smallest candidate id)."""
+    return f"""
+        WITH {_minhash_keys_cte()}, ck AS (
           SELECT * FROM keys WHERE doc_id % 10 <> 7
         ), bk AS (
           SELECT * FROM keys WHERE doc_id % 10 = 7
@@ -7112,6 +7164,60 @@ def _longest_dup_span_oracle() -> str:
         ORDER BY longest_tokens DESC, id_a, id_b
         LIMIT 50
     """
+
+
+def _stream_ingest_oracle() -> str:
+    """DuckDB twin of stream_ingest_dedup: the three micro-batch
+    stages unrolled over the shared portable key CTE — stage i probes
+    corpus keys plus every EARLIER stage's kept (is_new) keys, with
+    the per-stage bucket cap, then contributes its own kept keys to
+    stage i+1's index."""
+    parts = [f"WITH {_minhash_keys_cte()}"]
+    parts.append(""", idx0 AS (
+          SELECT doc_id, band, band_hash FROM keys
+          WHERE doc_id % 10 < 7
+        )""")
+    res_names = []
+    for i in range(3):
+        b = f"doc_id % 10 >= 7 AND doc_id % 3 = {i}"
+        parts.append(f""", ok{i} AS (
+          SELECT band, band_hash FROM idx{i}
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+        ), p{i} AS (
+          SELECT bk.doc_id AS bid, cf.doc_id AS cand,
+                 COUNT(*) AS shared
+          FROM (SELECT * FROM keys WHERE {b}) bk
+          JOIN (SELECT ix.* FROM idx{i} ix
+                JOIN ok{i} USING (band, band_hash)) cf
+            USING (band, band_hash)
+          GROUP BY 1, 2
+        ), best{i} AS (
+          SELECT bid,
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 (list(cand ORDER BY shared DESC, cand ASC))[1]
+                     AS match_id,
+                 CAST((list(shared ORDER BY shared DESC, cand ASC))[1]
+                      AS BIGINT) AS match_bands
+          FROM p{i} GROUP BY 1
+        ), res{i} AS (
+          SELECT d.doc_id,
+                 COALESCE(bb.n_candidates, 0) AS n_candidates,
+                 bb.match_id AS match_id,
+                 COALESCE(bb.match_bands, 0) AS match_bands,
+                 bb.bid IS NULL AS is_new
+          FROM (SELECT doc_id FROM documents WHERE {b}) d
+          LEFT JOIN best{i} bb ON bb.bid = d.doc_id
+        ), idx{i + 1} AS (
+          SELECT * FROM idx{i}
+          UNION ALL
+          SELECT k.doc_id, k.band, k.band_hash
+          FROM keys k JOIN res{i} r
+            ON r.doc_id = k.doc_id AND r.is_new
+        )""")
+        res_names.append(f"SELECT * FROM res{i}")
+    parts.append("\n        " + "\n        UNION ALL ".join(res_names))
+    parts.append("\n        ORDER BY doc_id")
+    return "".join(parts)
 
 
 def _g2_oracle() -> str:
@@ -13046,6 +13152,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_groups": _minhash_oracle(),
         "minhash_incremental_dedup": _minhash_incremental_oracle(),
         "simhash_incremental_dedup": _simhash_incremental_oracle(),
+        "stream_ingest_dedup": _stream_ingest_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
         "winnow_fingerprint_stats": """
             -- winnowing selection replayed via a packed HUGEINT key:

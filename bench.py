@@ -118,6 +118,7 @@ EXTRA = [
     "simhash_incremental_dedup",   # r9: Hamming-index nightly dedup
     "hard_negative_triplets",      # r9: triplet mining for embeddings
     "nb_margin_calibration",       # r9: confidence calibration bins
+    "stream_ingest_dedup",         # r9: streaming dedup vs the index
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 if TYPE_CHECKING:  # pragma: no cover
     from deltalake_spark.delta.table import DeltaTable
 
-__all__ = ["delta_stream_sink"]
+__all__ = ["delta_stream_sink", "minhash_stream_dedup_sink"]
 
 
 def delta_stream_sink(
@@ -87,4 +87,101 @@ def delta_stream_sink(
     q = writer.start()
     if await_termination and available_now:
         q.awaitTermination()
+    return q
+
+
+def minhash_stream_dedup_sink(
+    stream: DataFrame,
+    index: "DeltaTable",
+    decisions: "DeltaTable",
+    *,
+    id_col: str,
+    text_col: str,
+    app_id: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    seed: int = 42,
+    shingle_mode: str = "word",
+    hash_mode: str = "native",
+    max_bucket: int = 1000,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming ingest dedup against a persisted MinHash index — the
+    full production composition: documents arrive as micro-batches;
+    each batch probes the index (batch-only signature work), its
+    keep/drop decisions land in ``decisions``, and the KEPT (is_new)
+    docs' band keys append to ``index`` — so batch N+1 dedups against
+    batch N without any reprocessing. This is what
+    ``minhash_dedup_incremental`` (one nightly batch) becomes when the
+    ingest is continuous.
+
+    Exactly-once across TWO tables: each table carries its own
+    SetTransaction watermark under ``app_id`` (index appends under
+    ``app_id + \"-index\"``), and the probe EXCLUDES index entries
+    whose id is in the current batch — so a crash between the index
+    append and the decisions write replays to identical decisions
+    (the batch's own just-appended keys can never match themselves).
+    Within-batch duplicates are both admitted by design: intra-batch
+    dedup is ``minhash_lsh_candidates``' job upstream; this operator
+    owns batch-vs-history.
+
+    Probe parameters must match the index's pinned config (fails loud
+    otherwise, the ``minhash_index_write`` contract).
+    """
+    from pyspark.sql import functions as F
+
+    from deltalake_spark.operators.dedup import (
+        _MINHASH_INDEX_CONF,
+        _minhash_index_params,
+        minhash_band_keys,
+        minhash_dedup_incremental,
+    )
+
+    params = _minhash_index_params(
+        num_hashes=num_hashes, bands=bands, shingle_size=shingle_size,
+        seed=seed, shingle_mode=shingle_mode, hash_mode=hash_mode,
+        id_col=id_col,
+    )
+    stored = (index.snapshot().configuration or {}).get(
+        _MINHASH_INDEX_CONF)
+    if stored is not None and stored != params:
+        raise ValueError(
+            f"minhash_stream_dedup_sink: index was built with {stored}, "
+            f"stream configured {params} — signatures under different "
+            f"parameters are not comparable")
+    kw = dict(id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+              bands=bands, shingle_size=shingle_size, seed=seed,
+              shingle_mode=shingle_mode, hash_mode=hash_mode)
+    index_app = app_id + "-index"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ids = batch_df.select(F.col(id_col))
+        idx_df = index.to_df().join(ids, id_col, "left_anti")
+        res = minhash_dedup_incremental(
+            batch_df, idx_df, max_bucket=max_bucket, **kw,
+        ).localCheckpoint(eager=True)  # pin: written twice below
+        if batch_id > index.last_txn_version(index_app):
+            kept = batch_df.join(
+                res.filter("is_new").select(id_col), id_col, "left_semi")
+            index.write(
+                minhash_band_keys(kept, **kw),
+                partition_by=["band"],
+                _extra_actions=[{
+                    "txn": {"appId": index_app, "version": int(batch_id)}
+                }],
+            )
+        if batch_id > decisions.last_txn_version(app_id):
+            decisions.write(
+                res,
+                _extra_actions=[{
+                    "txn": {"appId": app_id, "version": int(batch_id)}
+                }],
+            )
+
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
     return q
