@@ -2567,6 +2567,31 @@ def winnow_fingerprint_stats(spark: SparkSession,
     )
 
 
+def gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rules (Rae et al. 2021; r9,
+    operators/curation.py gopher_quality_flags) as per-lang pass
+    counts — word-count bounds, mean word length, symbol ratio,
+    alphabetic-word fraction, stop-word presence, and the full
+    conjunction. Map-only flags + one agg; every ratio rounds to 6 so
+    the oracle replays flags exactly."""
+    from deltalake_spark.operators.curation import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, text_col="text")
+    c = (lambda col: F.sum(F.col(col).cast("long")).alias(col))
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            c("ok_word_count"), c("ok_mean_word_len"),
+            c("ok_symbol_ratio"), c("ok_alpha_frac"),
+            c("ok_stopwords"), c("pass_all"),
+        )
+        .orderBy("lang")
+    )
+
+
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard near-dup pairs over language-blocked
     candidates (deterministic blocking so the DuckDB oracle can reproduce
@@ -6739,6 +6764,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_blocks": simhash_blocks,
     "longest_dup_span_topk": longest_dup_span_topk,
     "winnow_fingerprint_stats": winnow_fingerprint_stats,
+    "gopher_rule_stats": gopher_rule_stats,
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
     "events_windowed": events_windowed,
@@ -13154,6 +13180,61 @@ def oracle_sql() -> dict[str, str]:
         "simhash_incremental_dedup": _simhash_incremental_oracle(),
         "stream_ingest_dedup": _stream_ingest_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
+        "gopher_rule_stats": """
+            WITH w AS (
+              SELECT lang, text,
+                     list_filter(regexp_split_to_array(trim(text),
+                                                       '\\s+'),
+                                 t -> t <> '') AS ws
+              FROM documents
+            ), f AS (
+              SELECT lang,
+                     len(ws) AS n,
+                     ROUND(list_sum(list_transform(ws,
+                             x -> CAST(length(x) AS BIGINT)))
+                           / CAST(len(ws) AS DOUBLE), 6) AS mwl,
+                     ROUND((length(text)
+                            - length(replace(text, '#', ''))
+                            + (length(text)
+                               - length(replace(text, '...', ''))) / 3)
+                           / CAST(len(ws) AS DOUBLE), 6) AS sym,
+                     ROUND(len(list_filter(ws,
+                             x -> regexp_matches(x, '[a-zA-Z]')))
+                           / CAST(len(ws) AS DOUBLE), 6) AS alpha,
+                     len(list_filter(ws, x -> lower(x) IN
+                       ('the','be','to','of','and','that','have',
+                        'with'))) AS stops
+              FROM w
+            ), flags AS (
+              SELECT lang, GREATEST(n, 0) AS n_words,
+                     COALESCE(n >= 50 AND n <= 100000, FALSE)
+                       AS ok_word_count,
+                     COALESCE(mwl >= 3.0 AND mwl <= 10.0, FALSE)
+                       AS ok_mean_word_len,
+                     COALESCE(sym <= 0.1, FALSE) AS ok_symbol_ratio,
+                     COALESCE(alpha >= 0.80, FALSE) AS ok_alpha_frac,
+                     COALESCE(stops >= 2, FALSE) AS ok_stopwords
+              FROM f
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(ok_word_count::INT) AS BIGINT)
+                     AS ok_word_count,
+                   CAST(SUM(ok_mean_word_len::INT) AS BIGINT)
+                     AS ok_mean_word_len,
+                   CAST(SUM(ok_symbol_ratio::INT) AS BIGINT)
+                     AS ok_symbol_ratio,
+                   CAST(SUM(ok_alpha_frac::INT) AS BIGINT)
+                     AS ok_alpha_frac,
+                   CAST(SUM(ok_stopwords::INT) AS BIGINT)
+                     AS ok_stopwords,
+                   CAST(SUM((ok_word_count AND ok_mean_word_len
+                             AND ok_symbol_ratio AND ok_alpha_frac
+                             AND ok_stopwords)::INT) AS BIGINT)
+                     AS pass_all
+            FROM flags GROUP BY 1 ORDER BY 1
+        """,
         "winnow_fingerprint_stats": """
             -- winnowing selection replayed via a packed HUGEINT key:
             -- min(h * 2^21 + (2^20 - pos)) over each 16-gram window

@@ -119,6 +119,7 @@ EXTRA = [
     "hard_negative_triplets",      # r9: triplet mining for embeddings
     "nb_margin_calibration",       # r9: confidence calibration bins
     "stream_ingest_dedup",         # r9: streaming dedup vs the index
+    "gopher_rule_stats",           # r9: published Gopher quality rules
 ]
 
 

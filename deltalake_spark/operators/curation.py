@@ -359,6 +359,78 @@ def longest_dup_span_pairs(
     )
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) as per-document
+    boolean flags — the named rule set web-corpus pipelines cite,
+    complementing the engine's generic :func:`text.quality_score`:
+
+    - ``ok_word_count``   — word count in [min_words, max_words];
+    - ``ok_mean_word_len``— mean word length in [3, 10];
+    - ``ok_symbol_ratio`` — (# + ellipsis) per word <= 0.1;
+    - ``ok_alpha_frac``   — >= 80% of words contain a letter;
+    - ``ok_stopwords``    — >= 2 of the 8 Gopher stop words;
+    - ``pass_all``        — conjunction.
+
+    (The line-based rules — duplicate/bullet/ellipsis LINE fractions —
+    need line structure this corpus model doesn't carry; the span/
+    repetition family in this module covers that axis.)
+
+    All pure column expressions in one map-only pass; ratios round to
+    6 so flags replay exactly in SQL. NULL text fails every rule.
+    Appends the flags plus ``n_words``.
+    """
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                     lambda w: w != F.lit(""))
+    n = F.size(words)
+    mean_wl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w)).cast("double")
+        / n, 6)
+    t = F.col(text_col)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (F.length(t)
+             - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = F.round((n_hash + n_ell) / n, 6)
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_frac = F.round(alpha / n, 6)
+    stops = F.size(F.filter(
+        words, lambda w: F.lower(w).isin(*_GOPHER_STOPWORDS)))
+    ok_wc = (n >= min_words) & (n <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & \
+        (mean_wl <= max_mean_word_len)
+    ok_sym = sym_ratio <= max_symbol_ratio
+    ok_alpha = alpha_frac >= min_alpha_frac
+    ok_stop = stops >= min_stopwords
+    coalesce = (lambda c: F.coalesce(c, F.lit(False)))
+    return df.select(
+        "*",
+        F.greatest(n, F.lit(0)).cast("long").alias("n_words"),
+        coalesce(ok_wc).alias("ok_word_count"),
+        coalesce(ok_mwl).alias("ok_mean_word_len"),
+        coalesce(ok_sym).alias("ok_symbol_ratio"),
+        coalesce(ok_alpha).alias("ok_alpha_frac"),
+        coalesce(ok_stop).alias("ok_stopwords"),
+        coalesce(ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop)
+        .alias("pass_all"),
+    )
+
+
 def redact_pii(
     df: DataFrame, *, text_col: str = "text",
     kinds: "tuple[str, ...]" = PII_ORDER,

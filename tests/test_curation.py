@@ -287,3 +287,37 @@ def test_winnow_guarantee_shared_fingerprint(spark):
     for r in rows:
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "no shared fingerprint on a 29-char lift"
+
+
+def test_gopher_quality_flags_rules(spark):
+    """r9: each published Gopher rule fires on its canonical violation
+    and NULL text fails everything."""
+    from deltalake_spark.operators.curation import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests by the barn with a happy grin on its face while "
+            "birds of every feather sing songs that have no end and "
+            "clouds drift to the west in a sky so wide it seems to "
+            "hold all of the world in one long breath of light")
+    rows = [
+        (1, good),                                   # passes all
+        (2, "too short to count"),                   # word count
+        (3, " ".join(["a"] * 60)),                   # mean word len < 3
+        (4, good + " " + " ".join(["#"] * 30)),      # symbol ratio
+        (5, " ".join(["123"] * 30) + " " + good),    # alpha frac < .8
+        (6, " ".join(f"w{i}" for i in range(60))),   # no stopwords
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           gopher_quality_flags(df).collect()}
+    assert got[1]["pass_all"] is True
+    assert got[2]["ok_word_count"] is False
+    assert got[3]["ok_mean_word_len"] is False
+    assert got[4]["ok_symbol_ratio"] is False and \
+        got[4]["ok_word_count"] is True
+    assert got[5]["ok_alpha_frac"] is False
+    assert got[6]["ok_stopwords"] is False
+    assert got[7]["pass_all"] is False and got[7]["n_words"] == 0
+    for d in (2, 3, 4, 5, 6, 7):
+        assert got[d]["pass_all"] is False

@@ -245,6 +245,8 @@ BUDGETS = {
     # r9: one bucket-cover equi-join scores all pairs; two windows
     # (fwd/bwd ranks) + two kNN-sum aggs + candidate joins, TakeOrdered
     "bitext_margin_topk": (6, False),
+    # r9: map-only flag expressions + one lang agg + sort
+    "gopher_rule_stats": (2, False),
     # r9: selection is map-only array exprs (zero shuffle); the stats
     # are lang-join + three aggregates (fps, grams, shared) + sort
     "winnow_fingerprint_stats": (7, False),
