@@ -2567,6 +2567,36 @@ def winnow_fingerprint_stats(spark: SparkSession,
     )
 
 
+def winnow_decontam_stats(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """CHAR-level eval-overlap decontamination via winnowing (r9;
+    operators/curation.py winnow_decontaminate): docs with doc_id %
+    100 = 0 play the benchmark suite; the rest is the corpus. Any
+    >= 23-char verbatim overlap with the eval set GUARANTEES a shared
+    selected fingerprint (the MOSS theorem), and the broadcast side
+    carries only the eval set's selected fingerprints — ~2/17 of its
+    grams, vs every n-gram in the token-level decontaminate. Per
+    lang: corpus docs, contaminated count, total shared
+    fingerprints."""
+    from deltalake_spark.operators.curation import winnow_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_decontaminate(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        id_col="doc_id", text_col="text", mark_only=True)
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long"))
+            .alias("n_contaminated"),
+            F.sum("n_shared_fps").alias("total_shared_fps"),
+        )
+        .orderBy("lang")
+    )
+
+
 def gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The published Gopher quality rules (Rae et al. 2021; r9,
     operators/curation.py gopher_quality_flags) as per-lang pass
@@ -6765,6 +6795,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "longest_dup_span_topk": longest_dup_span_topk,
     "winnow_fingerprint_stats": winnow_fingerprint_stats,
     "gopher_rule_stats": gopher_rule_stats,
+    "winnow_decontam_stats": winnow_decontam_stats,
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
     "events_windowed": events_windowed,
@@ -7244,6 +7275,74 @@ def _stream_ingest_oracle() -> str:
     parts.append("\n        " + "\n        UNION ALL ".join(res_names))
     parts.append("\n        ORDER BY doc_id")
     return "".join(parts)
+
+
+def _winnow_sel_cte() -> str:
+    """Shared winnowing-selection CTE chain (``sel`` = (doc_id, lang,
+    fp, pos)) — replayed via a packed HUGEINT key:
+    min(h·2^21 + (2^20 − pos)) over each 16-gram window IS (min hash,
+    rightmost pos) because pos < 2^20 on the fixture. Used by the
+    fingerprint-stats twin and the winnow-decontam twin."""
+    return """d AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE length(text) >= 23
+            ), occ AS (
+              SELECT doc_id, lang,
+                     UNNEST(range(1, length(text) - 6)) AS p,
+                     UNNEST(list_transform(range(1, length(text) - 6),
+                       i -> CAST(('0x' || substr(md5(
+                              substr(text, CAST(i AS INT), 8)),
+                              1, 15)) AS BIGINT))) AS h
+              FROM d
+            ), keyd AS (
+              SELECT doc_id, lang, p,
+                     CAST(h AS HUGEINT) * 2097152
+                       + (1048576 - p) AS kk
+              FROM occ
+            ), wm AS (
+              SELECT doc_id, lang,
+                     MIN(kk) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                         AS mk,
+                     COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+                         AS cnt
+              FROM keyd
+            ), sel AS (
+              SELECT DISTINCT doc_id, lang,
+                     CAST(mk // 2097152 AS BIGINT) AS fp,
+                     CAST(1048576 - (mk % 2097152) AS BIGINT) AS pos
+              FROM wm WHERE cnt = 16
+            )"""
+
+
+def _winnow_decontam_oracle() -> str:
+    """DuckDB twin of winnow_decontam_stats: the shared winnowing
+    selection split into eval (doc_id % 100 = 0) and corpus halves,
+    distinct-hash intersection, per-doc shared-fp counts, per-lang
+    rollup over ALL corpus docs (including sub-threshold ones)."""
+    return f"""
+        WITH {_winnow_sel_cte()}, ev AS (
+          SELECT DISTINCT fp FROM sel WHERE doc_id % 100 = 0
+        ), cs AS (
+          SELECT doc_id, lang, fp FROM sel WHERE doc_id % 100 <> 0
+        ), hits AS (
+          SELECT cs.doc_id, CAST(COUNT(DISTINCT cs.fp) AS BIGINT)
+                   AS n_shared
+          FROM cs JOIN ev USING (fp) GROUP BY 1
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN COALESCE(h.n_shared, 0) >= 1
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contaminated,
+               CAST(SUM(COALESCE(h.n_shared, 0)) AS BIGINT)
+                 AS total_shared_fps
+        FROM (SELECT doc_id, lang FROM documents
+              WHERE doc_id % 100 <> 0) d
+        LEFT JOIN hits h ON h.doc_id = d.doc_id
+        GROUP BY 1 ORDER BY 1
+    """
 
 
 def _g2_oracle() -> str:
@@ -13180,6 +13279,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_incremental_dedup": _simhash_incremental_oracle(),
         "stream_ingest_dedup": _stream_ingest_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
+        "winnow_decontam_stats": _winnow_decontam_oracle(),
         "gopher_rule_stats": """
             WITH w AS (
               SELECT lang, text,
@@ -13235,42 +13335,8 @@ def oracle_sql() -> dict[str, str]:
                      AS pass_all
             FROM flags GROUP BY 1 ORDER BY 1
         """,
-        "winnow_fingerprint_stats": """
-            -- winnowing selection replayed via a packed HUGEINT key:
-            -- min(h * 2^21 + (2^20 - pos)) over each 16-gram window
-            -- IS (min hash, rightmost pos) because pos < 2^20 on the
-            -- fixture; decode back and dedupe selections
-            WITH d AS (
-              SELECT doc_id, lang, text FROM documents
-              WHERE length(text) >= 23
-            ), occ AS (
-              SELECT doc_id, lang,
-                     UNNEST(range(1, length(text) - 6)) AS p,
-                     UNNEST(list_transform(range(1, length(text) - 6),
-                       i -> CAST(('0x' || substr(md5(
-                              substr(text, CAST(i AS INT), 8)),
-                              1, 15)) AS BIGINT))) AS h
-              FROM d
-            ), keyd AS (
-              SELECT doc_id, lang, p,
-                     CAST(h AS HUGEINT) * 2097152
-                       + (1048576 - p) AS kk
-              FROM occ
-            ), wm AS (
-              SELECT doc_id, lang,
-                     MIN(kk) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
-                         AS mk,
-                     COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
-                         AS cnt
-              FROM keyd
-            ), sel AS (
-              SELECT DISTINCT doc_id, lang,
-                     CAST(mk // 2097152 AS BIGINT) AS fp,
-                     CAST(1048576 - (mk % 2097152) AS BIGINT) AS pos
-              FROM wm WHERE cnt = 16
-            ), per_lang AS (
+        "winnow_fingerprint_stats": f"""
+            WITH {_winnow_sel_cte()}, per_lang AS (
               SELECT lang,
                      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                      CAST(COUNT(*) AS BIGINT) AS n_fps

@@ -120,6 +120,7 @@ EXTRA = [
     "nb_margin_calibration",       # r9: confidence calibration bins
     "stream_ingest_dedup",         # r9: streaming dedup vs the index
     "gopher_rule_stats",           # r9: published Gopher quality rules
+    "winnow_decontam_stats",       # r9: char-level winnow decontam
 ]
 
 

@@ -359,6 +359,67 @@ def longest_dup_span_pairs(
     )
 
 
+def winnow_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    min_shared: int = 1,
+    hash_mode: str = "portable",
+    mark_only: bool = False,
+) -> DataFrame:
+    """CHAR-level decontamination via winnowing fingerprints — the
+    MOSS guarantee applied to eval-set overlap: both sides select
+    fingerprints with :func:`text.winnow_fingerprints`, and any
+    verbatim overlap of >= ``window + k − 1`` characters between a
+    corpus doc and the eval suite GUARANTEES a shared selected
+    fingerprint (a shared region that long contains a full gram
+    window, whose rightmost-minimum is the same gram in both texts).
+
+    Versus token-n-gram :func:`decontaminate`: character-level (no
+    tokenizer alignment — catches overlaps token boundaries split),
+    and the broadcast side carries only the eval set's SELECTED
+    fingerprints (~2/(window+1) of its grams) instead of every
+    n-gram. The corpus side is the same map-only selection; the only
+    shuffle is the per-doc hit count.
+
+    Returns the corpus plus ``n_shared_fps`` and ``contaminated``
+    (>= ``min_shared`` shared fingerprint hashes), or drops flagged
+    rows when ``mark_only=False``.
+    """
+    from deltalake_spark.operators.text import winnow_fingerprints
+
+    eval_fps = (
+        winnow_fingerprints(
+            eval_df, id_col=id_col, text_col=text_col, k=k,
+            window=window, hash_mode=hash_mode)
+        .select("fp").distinct()
+    )
+    corpus_fps = winnow_fingerprints(
+        corpus, id_col=id_col, text_col=text_col, k=k, window=window,
+        hash_mode=hash_mode)
+    hits = (
+        corpus_fps.join(F.broadcast(eval_fps), "fp")
+        .groupBy(id_col)
+        .agg(F.countDistinct("fp").alias("n_shared_fps"))
+    )
+    out = (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "n_shared_fps",
+            F.coalesce("n_shared_fps", F.lit(0).cast("long")))
+        .withColumn(
+            "contaminated", F.col("n_shared_fps") >= int(min_shared))
+    )
+    if mark_only:
+        return out
+    return out.filter(~F.col("contaminated")).drop(
+        "contaminated", "n_shared_fps")
+
+
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                      "with")
 

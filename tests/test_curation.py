@@ -321,3 +321,30 @@ def test_gopher_quality_flags_rules(spark):
     assert got[7]["pass_all"] is False and got[7]["n_words"] == 0
     for d in (2, 3, 4, 5, 6, 7):
         assert got[d]["pass_all"] is False
+
+
+def test_winnow_decontaminate_guarantee_and_miss(spark):
+    """r9: a corpus doc lifting >= window+k-1 = 23 chars verbatim from
+    the eval set is flagged (MOSS guarantee, any offset); a doc with
+    only a short (< 23 char) overlap may legitimately pass; clean docs
+    keep n_shared_fps = 0; drop mode removes flagged rows."""
+    from deltalake_spark.operators.curation import winnow_decontaminate
+
+    lift = "zq1wx2v jk3mt4r pl5gd6h snb7cy8"  # 31 chars
+    ev = spark.createDataFrame(
+        [(1000, "EVAL prefix " + lift + " eval suffix text here")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "A" * 10 + lift + "B" * 30),            # verbatim lift
+         (2, "totally unrelated corpus document about volcanoes "
+             "and violins with no overlap at all"),
+         (3, "C" * 30 + " zq1wx2v jk" + "D" * 30)],  # 10-char overlap
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in winnow_decontaminate(
+        corpus, ev, mark_only=True).collect()}
+    assert out[1]["contaminated"] is True and out[1]["n_shared_fps"] >= 1
+    assert out[2]["contaminated"] is False
+    assert out[2]["n_shared_fps"] == 0
+    assert out[3]["contaminated"] is False  # below the guarantee floor
+    kept = winnow_decontaminate(corpus, ev).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [2, 3]
