@@ -670,6 +670,39 @@ def quality_score_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adaptive_quality_topfrac(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-domain adaptive quality threshold (r9; operators/mixing.py
+    group_topfrac_filter): keep each language's top 30% by
+    quality_score — ceil(n·3/10) in pure integers, ranked (score
+    DESC, doc_id ASC) so the boundary is a total order the oracle
+    replays exactly. Per lang: totals, kept count, the kept minimum
+    score (the ADAPTIVE threshold the rule discovered), and a doc-id
+    checksum pinning exact membership."""
+    from deltalake_spark.operators.mixing import group_topfrac_filter
+    from deltalake_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    kept = group_topfrac_filter(
+        scored, group_cols=["lang"], score_col="quality_score",
+        tiebreak_col="doc_id", keep_num=3, keep_den=10)
+    totals = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.min("quality_score"), 4).alias("threshold_q"),
+            F.sum("doc_id").alias("kept_id_checksum"),
+        )
+        .join(totals, "lang")
+        .select("lang", "n_docs", "n_kept", "threshold_q",
+                "kept_id_checksum")
+        .orderBy("lang")
+    )
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over the event stream table
     (ts is raw nanos; bucket arithmetic stays JVM-side)."""
@@ -6798,6 +6831,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_decontam_stats": winnow_decontam_stats,
     "embedding_knn_join": embedding_knn_join,
     "quality_score_dist": quality_score_dist,
+    "adaptive_quality_topfrac": adaptive_quality_topfrac,
     "events_windowed": events_windowed,
     "variant_shred_stats": variant_shred_stats,
     "variant_binary_roundtrip": variant_binary_roundtrip,
@@ -8600,6 +8634,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(q), 2) AS min_q,
                    ROUND(MAX(q), 2) AS max_q
             FROM s GROUP BY lang ORDER BY lang
+        """,
+        "adaptive_quality_topfrac": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(string_split(trim(text), ' ')) AS n_tok,
+                       len(list_distinct(string_split(trim(text), ' ')))
+                           AS n_uniq
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       ROUND(
+                         0.4 * (CASE WHEN n_tok BETWEEN 10 AND 100000
+                                     THEN 1.0 ELSE 0.3 END)
+                         + 0.3 * LEAST(n_uniq * 2.0 / n_tok, 1.0)
+                         + 0.3 * 1.0, 4) AS q
+                FROM t
+            ), r AS (
+                SELECT doc_id, lang, q,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY q DESC, doc_id) AS rk,
+                       COUNT(*) OVER (PARTITION BY lang) AS n
+                FROM s
+            ), kept AS (
+                SELECT * FROM r WHERE rk <= (n * 3 + 9) // 10
+            ), tot AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            )
+            SELECT k.lang, tot.n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   ROUND(MIN(q), 4) AS threshold_q,
+                   CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
+            FROM kept k JOIN tot ON tot.lang = k.lang
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "events_windowed": """
             SELECT CAST(FLOOR(epoch_ns(ts) / 3600000000000.0) AS BIGINT)

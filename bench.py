@@ -121,6 +121,7 @@ EXTRA = [
     "stream_ingest_dedup",         # r9: streaming dedup vs the index
     "gopher_rule_stats",           # r9: published Gopher quality rules
     "winnow_decontam_stats",       # r9: char-level winnow decontam
+    "adaptive_quality_topfrac",    # r9: per-domain quality threshold
 ]
 
 

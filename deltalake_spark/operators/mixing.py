@@ -353,3 +353,45 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= k)
         .drop("__pri")
     )
+
+
+def group_topfrac_filter(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    score_col: str,
+    tiebreak_col: str,
+    keep_num: int,
+    keep_den: int,
+) -> DataFrame:
+    """Per-group adaptive quality threshold: keep each group's top
+    ``keep_num/keep_den`` fraction by ``score_col`` — the "top 30% by
+    quality PER DOMAIN" curation rule. A single global threshold
+    over-prunes clean domains and under-prunes noisy ones; ranking
+    within the group adapts the cut to each domain's own score
+    distribution.
+
+    Exact-integer contract: the kept count is
+    ``ceil(n · keep_num / keep_den)`` via pure integer arithmetic
+    (``(n·num + den − 1) div den`` — at least one doc survives per
+    non-empty group), and the rank orders by (score DESC,
+    ``tiebreak_col`` ASC) — a TOTAL order, so the boundary is
+    deterministic and a SQL engine replays membership exactly.
+
+    One group-keyed window pass (rank and the group count share the
+    same exchange). Returns the kept rows with ``__rank`` dropped.
+    """
+    from pyspark.sql import Window
+
+    if keep_den <= 0 or not 0 < keep_num <= keep_den:
+        raise ValueError("keep_num/keep_den must be in (0, 1]")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(score_col), F.asc(tiebreak_col))
+    wc = Window.partitionBy(*group_cols)
+    ranked = df.withColumn("__rank", F.row_number().over(w)) \
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+    kept = ranked.filter(
+        F.col("__rank") <= F.expr(
+            f"(__n * {int(keep_num)}L + {int(keep_den) - 1}L)"
+            f" div {int(keep_den)}L"))
+    return kept.drop("__rank", "__n")

@@ -357,3 +357,32 @@ class TestWeightedSample:
             df.repartition(13), id_col="doc_id", weight_col="w",
             k=25).collect()}
         assert a == b and len(a) == 25
+
+
+def test_group_topfrac_filter_exact_ceil_and_ties(spark):
+    """r9: kept count is ceil(n * num/den) per group; the boundary tie
+    breaks on the tiebreak column (total order); every non-empty group
+    keeps at least one row."""
+    from deltalake_spark.operators.mixing import group_topfrac_filter
+
+    rows = [("a", i, 10 - (i % 3)) for i in range(10)]   # ties in score
+    rows += [("b", 100 + i, 5) for i in range(4)]        # ALL tied
+    rows += [("c", 200, 1)]                              # singleton
+    df = spark.createDataFrame(rows, "g string, id long, s long")
+    kept = group_topfrac_filter(
+        df, group_cols=["g"], score_col="s", tiebreak_col="id",
+        keep_num=3, keep_den=10)
+    got = {}
+    for r in kept.collect():
+        got.setdefault(r["g"], []).append(r["id"])
+    # a: ceil(10*0.3)=3 -> the three score-10 rows (ids 0,3,6)
+    assert sorted(got["a"]) == [0, 3, 6]
+    # b: ceil(4*0.3)=2 -> all tied, smallest ids win
+    assert sorted(got["b"]) == [100, 101]
+    # c: ceil(1*0.3)=1 -> singleton survives
+    assert got["c"] == [200]
+    import pytest
+
+    with pytest.raises(ValueError):
+        group_topfrac_filter(df, group_cols=["g"], score_col="s",
+                             tiebreak_col="id", keep_num=0, keep_den=10)

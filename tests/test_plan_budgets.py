@@ -247,6 +247,9 @@ BUDGETS = {
     "bitext_margin_topk": (6, False),
     # r9: map-only flag expressions + one lang agg + sort
     "gopher_rule_stats": (2, False),
+    # r9: one lang-keyed window (rank + count share the exchange) +
+    # kept agg + totals agg + broadcast join + sort
+    "adaptive_quality_topfrac": (3, False),
     # r9: map-only selections both sides, eval fps broadcast, per-doc
     # hit agg + left join + lang agg + sort
     "winnow_decontam_stats": (5, False),
