@@ -5856,6 +5856,44 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def mannwhitney_doclen_langs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (r9, operators/stats.py:
+    mannwhitney_u) comparing en vs fr document lengths — the
+    nonparametric sibling of welch_ttest_events for heavy-tailed
+    metrics. Core quantities are exact integers (doubled-rank sums
+    over the tied n_chars blocks, Σ(t³−t) tie term); the z statistic
+    is a handful of trailing flops both engines perform on identical
+    operands. One value-frame pass, no joins."""
+    from deltalake_spark.operators.stats import mannwhitney_u
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = mannwhitney_u(docs, group_col="lang", value_col="n_chars",
+                        group_a="en", group_b="fr")
+    return out.select(
+        "n_a", "n_b", "u_a", "u_mean", "tie_term",
+        F.round("z_stat", 6).alias("z_stat"))
+
+
+def kruskal_doclen_langs(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test (r9, operators/stats.py:kruskal_wallis)
+    of document length across ALL languages — one-way ANOVA on ranks
+    with the Σ(t³−t)/(N³−N) tie correction. Doubled-rank sums keep the
+    per-group core exact-integer; H is assembled from those integers
+    in a few flops. One (value,lang) hash agg over documents, then
+    value-frame-sized windows and a G-row reduce."""
+    from deltalake_spark.operators.stats import kruskal_wallis
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    out = kruskal_wallis(docs, group_col="lang", value_col="n_chars")
+    return out.select(
+        "n_total", "n_groups", "tie_term",
+        F.round("h_stat", 6).alias("h_stat"),
+        F.round("h_corrected", 6).alias("h_corrected"),
+        "dof")
+
+
 def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared r6 grain: per-type daily value totals in EXACT integer
     cents (sum of per-event rounded cents — no float summation order)."""
@@ -6904,6 +6942,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "rfm_customer_segments": rfm_customer_segments,
     "ks_doclen_sources": ks_doclen_sources,
+    "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
+    "kruskal_doclen_langs": kruskal_doclen_langs,
     "changepoint_daily_events": changepoint_daily_events,
     "theilsen_daily_trend": theilsen_daily_trend,
     "xcorr_event_daily": xcorr_event_daily,
@@ -12359,6 +12399,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) AS BIGINT) AS total_cents
             FROM scored GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
+        """,
+        "mannwhitney_doclen_langs": """
+            WITH vals AS (
+              SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t,
+                     CAST(COUNT(*) FILTER (WHERE lang = 'en')
+                          AS BIGINT) AS ta
+              FROM documents WHERE lang IN ('en', 'fr') GROUP BY 1
+            ), ranked AS (
+              SELECT t, ta,
+                     CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS c
+              FROM vals
+            ), agg AS (
+              SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
+                     CAST(SUM(t - ta) AS BIGINT) AS n_b,
+                     CAST(SUM(ta * (2 * c + t + 1)) AS BIGINT) AS r2a,
+                     CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+              FROM ranked
+            ), f AS (
+              SELECT n_a, n_b, r2a, tie_term,
+                     CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                     CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+                     CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a
+              FROM agg
+            )
+            SELECT n_a, n_b, u_a,
+                   na * nb / 2.0 AS u_mean, tie_term,
+                   ROUND((u_a - na * nb / 2.0)
+                     / SQRT(na * nb / 12.0
+                       * ((n + 1) - CAST(tie_term AS DOUBLE)
+                          / (n * (n - 1)))), 6) AS z_stat
+            FROM f
+        """,
+        "kruskal_doclen_langs": """
+            WITH cells AS (
+              SELECT n_chars AS v, lang AS g,
+                     CAST(COUNT(*) AS BIGINT) AS tg
+              FROM documents GROUP BY 1, 2
+            ), vals AS (
+              SELECT v, CAST(SUM(tg) AS BIGINT) AS t
+              FROM cells GROUP BY 1
+            ), ranked AS (
+              SELECT v, t,
+                     CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS c
+              FROM vals
+            ), j AS (
+              SELECT cells.g, cells.tg,
+                     (2 * ranked.c + ranked.t + 1) AS r2, ranked.t
+              FROM cells JOIN ranked ON cells.v = ranked.v
+            ), groups AS (
+              SELECT g, CAST(SUM(tg) AS BIGINT) AS ng,
+                     CAST(SUM(tg * r2) AS BIGINT) AS r2g,
+                     CAST(SUM(tg * (t * t - 1)) AS BIGINT) AS tie_g
+              FROM j GROUP BY 1
+            ), agg AS (
+              SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     SUM(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                         / (4.0 * CAST(ng AS DOUBLE))) AS s,
+                     CAST(SUM(tie_g) AS BIGINT) AS tie_term
+              FROM groups
+            ), f AS (
+              SELECT n_total, n_groups, s, tie_term,
+                     CAST(n_total AS DOUBLE) AS n
+              FROM agg
+            )
+            SELECT n_total, n_groups, tie_term,
+                   ROUND(12.0 / (n * (n + 1)) * s - 3 * (n + 1), 6)
+                       AS h_stat,
+                   ROUND((12.0 / (n * (n + 1)) * s - 3 * (n + 1))
+                     / (1.0 - CAST(tie_term AS DOUBLE)
+                        / (n * n * n - n)), 6) AS h_corrected,
+                   CAST(n_groups - 1 AS BIGINT) AS dof
+            FROM f
         """,
         "ks_doclen_sources": """
             WITH counts AS (

@@ -505,6 +505,101 @@ def minhash_dedup_incremental(
     )
 
 
+def lsh_candidate_quality(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1000,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Candidate-quality evaluation for MinHash+LSH banding: PRECISION
+    and RECALL of the banded candidate pairs against exact-Jaccard
+    ground truth at ``threshold_num/threshold_den`` — the number a real
+    deployment tunes (num_hashes, bands) against, the dedup analog of
+    the ANN ``ivf_pq_recall_join`` gate. A banding change that silently
+    drops recall is invisible to every determinism gate; this is the
+    quality regression harness.
+
+    Both halves measure the SAME set: ground truth is the exact Jaccard
+    over the per-doc DISTINCT shingle-hash sets that the MinHash
+    signatures approximate (not raw shingle strings — under the finite
+    hash width the signature estimates J of the hash sets, so that is
+    the well-defined target). Truth pairs come from
+    :func:`prefix_jaccard_join` — provably complete prefix-filtered
+    exact join, never all-pairs; candidates from
+    :func:`minhash_lsh_candidates` with identical shingle/seed/band
+    parameters, bucket-capped at ``max_bucket`` exactly like the
+    production path.
+
+    Scale shape: the truth side is the PPJoin plan (rarest-first prefix
+    equi-join); the candidate side is the banded bucket plan; the
+    comparison is one full-outer pair join + a scalar aggregate. The
+    only floats are the two final divisions. Output one row:
+    ``(n_true, n_cand, n_hit, precision, recall)``.
+
+    ``hash_mode='portable'`` (default) uses the md5-derived 28-bit
+    shingle hashes so a SQL oracle replays truth AND candidates
+    value-for-value; ``'native'`` swaps both sides to Spark Murmur3
+    (faster, unreplayable outside the JVM — same estimator family).
+    """
+    if hash_mode not in ("native", "portable"):
+        raise ValueError("hash_mode must be 'native' or 'portable'")
+    sh = portable_word_shingles(F.col(text_col), 3)
+    if hash_mode == "portable":
+        hexpr = F.conv(
+            F.substring(F.md5("__s"), 1, _PORTABLE_SHINGLE_HEX),
+            16, 10).cast("long")
+    else:
+        hexpr = F.abs(F.hash("__s")).cast("long")
+    toks = (
+        spread_narrow_input(df)
+        .select(F.col(id_col).alias("__tid"),
+                F.explode(F.array_distinct(sh)).alias("__s"))
+        .select("__tid", hexpr.alias("__h"))
+        .groupBy("__tid")
+        .agg(F.collect_set("__h").alias("__toks"))
+    )
+    truth = prefix_jaccard_join(
+        toks, id_col="__tid", tokens_col="__toks",
+        threshold_num=threshold_num, threshold_den=threshold_den,
+    ).select("id_a", "id_b", F.lit(1).alias("__true"))
+    buckets = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, seed=seed, max_bucket=max_bucket,
+        shingle_mode="word", hash_mode=hash_mode,
+    )
+    cand = (
+        buckets.select(F.explode("member_ids").alias("id_a"),
+                       "member_ids")
+        .select("id_a", F.explode("member_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .select("id_a", "id_b", F.lit(1).alias("__cand"))
+    )
+    both = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = both.groupBy().agg(
+        F.sum(F.coalesce("__true", F.lit(0))).alias("n_true"),
+        F.sum(F.coalesce("__cand", F.lit(0))).alias("n_cand"),
+        F.sum(F.coalesce("__true", F.lit(0))
+              * F.coalesce("__cand", F.lit(0))).alias("n_hit"),
+    )
+    return agg.select(
+        "n_true", "n_cand", "n_hit",
+        F.when(F.col("n_cand") > 0,
+               F.col("n_hit").cast("double") / F.col("n_cand"))
+        .otherwise(F.lit(None).cast("double")).alias("precision"),
+        F.when(F.col("n_true") > 0,
+               F.col("n_hit").cast("double") / F.col("n_true"))
+        .otherwise(F.lit(None).cast("double")).alias("recall"),
+    )
+
+
 _SIMHASH_INDEX_CONF = "deltalake.simhashIndex.params"
 
 

@@ -59,6 +59,8 @@ __all__ = [
     "proportion_ztest",
     "mad_outliers",
     "ks_two_sample",
+    "mannwhitney_u",
+    "kruskal_wallis",
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
@@ -867,6 +869,150 @@ def ks_two_sample(
                 6,
             ).alias("d"),
         )
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U test (Wilcoxon rank-sum) between two levels of
+    ``group_col``, with the normal approximation and the standard tie
+    correction — the nonparametric counterpart of :func:`welch_ttest`
+    for ordinal / heavy-tailed metrics (doc lengths, latencies).
+
+    Exact-integer core: average ranks of tied blocks are half-integers,
+    so everything is carried as DOUBLED ranks — for a tied block of
+    size ``t`` starting after ``c`` earlier rows the doubled average
+    rank is ``2c + t + 1`` (an integer). The doubled rank sum ``R2_a``
+    and tie term ``Σ(t³−t)`` are exact BIGINTs on both engines; the
+    only floats are the final half-dozen flops assembling
+    ``z = (U − μ)/σ`` from those integers, which both engines perform
+    on identical operands.
+
+    Plan shape (T distinct values): one (value) hash aggregate with
+    conditional counts over the detail rows — the ONLY pass over raw
+    data; one cumulative window over the T-row value frame; one scalar
+    aggregate. No joins. Output one row:
+    ``(n_a, n_b, u_a, u_mean, tie_term, z_stat)``.
+    """
+    in_a = F.col(group_col) == group_a
+    in_b = F.col(group_col) == group_b
+    vals = (
+        df.where(in_a | in_b)
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.count(F.when(in_a, 1)).alias("__ta"),
+        )
+    )
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "__c", F.coalesce(F.sum("__t").over(wcum), F.lit(0)))
+    # doubled average rank of the tied block: 2c + t + 1
+    rank2 = 2 * F.col("__c") + F.col("__t") + F.lit(1)
+    agg = ranked.groupBy().agg(
+        F.sum("__ta").alias("n_a"),
+        F.sum(F.col("__t") - F.col("__ta")).alias("n_b"),
+        F.sum(F.col("__ta") * rank2).alias("__r2a"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("tie_term"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    # U_a = R_a − n_a(n_a+1)/2, carried doubled then halved once.
+    u2 = F.col("__r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    u_a = u2.cast("double") / F.lit(2.0)
+    u_mean = n_a * n_b / F.lit(2.0)
+    sigma2 = (
+        n_a * n_b / F.lit(12.0)
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        u_mean.alias("u_mean"),
+        "tie_term",
+        ((u_a - u_mean) / F.sqrt(sigma2)).alias("z_stat"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    *,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test across ALL levels of ``group_col`` — the
+    k-sample extension of :func:`mannwhitney_u` (one-way ANOVA on
+    ranks), with the standard tie correction
+    ``C = 1 − Σ(t³−t)/(N³−N)``.
+
+    Same doubled-rank integer core as :func:`mannwhitney_u`: per-group
+    doubled rank sums ``R2_g`` and the tie term are exact BIGINTs; H
+    is assembled from them in a handful of trailing flops
+    (``H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)``, with ``R_g = R2_g/2``).
+
+    Plan shape (T distinct values, G groups): one (value, group) hash
+    aggregate over the detail rows — the only raw-data pass (the cell
+    frame stays persisted: the rank window, the tie term, and the
+    per-group sums all replay it; long-lived sessions release it via
+    :func:`deltalake_spark.session.release_caches`); a value-frame
+    cumulative window (T rows) derived from it by a second tiny
+    aggregate, joined back on value (both sides value-frame scale);
+    one G-row aggregate, one scalar reduce. Output one row:
+    ``(n_total, n_groups, tie_term, h_stat, h_corrected, dof)``.
+    """
+    cells = df.groupBy(
+        F.col(value_col).alias("__v"),
+        F.col(group_col).alias("__g"),
+    ).agg(F.count(F.lit(1)).alias("__tg"))
+    cells = cells.persist()  # 3 consumers replay the only raw-data pass
+    vals = cells.groupBy("__v").agg(F.sum("__tg").alias("__t"))
+    wcum = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "__c", F.coalesce(F.sum("__t").over(wcum), F.lit(0)))
+    rank2 = 2 * F.col("__c") + F.col("__t") + F.lit(1)
+    joined = cells.join(
+        ranked.select("__v", rank2.alias("__r2"), "__t"), "__v")
+    # tie term folded into the same pass: Σ_v t(t²−1) = Σ_{(v,g)} t_g(t²−1)
+    groups = joined.groupBy("__g").agg(
+        F.sum("__tg").alias("__ng"),
+        F.sum(F.col("__tg") * F.col("__r2")).alias("__r2g"),
+        F.sum(
+            F.col("__tg") * (F.col("__t") * F.col("__t") - F.lit(1))
+        ).alias("__tie_g"),
+    )
+    # Σ R_g²/n_g with R_g = R2_g/2 → Σ R2_g²/(4·n_g)
+    term = (
+        F.col("__r2g").cast("double") * F.col("__r2g").cast("double")
+        / (F.lit(4.0) * F.col("__ng").cast("double"))
+    )
+    agg = groups.groupBy().agg(
+        F.sum("__ng").alias("n_total"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(term).alias("__s"),
+        F.sum("__tie_g").alias("tie_term"),
+    )
+    n = F.col("n_total").cast("double")
+    h = F.lit(12.0) / (n * (n + 1)) * F.col("__s") - 3 * (n + 1)
+    c = F.lit(1.0) - F.col("tie_term").cast("double") / (n * n * n - n)
+    return agg.select(
+        "n_total",
+        "n_groups",
+        "tie_term",
+        h.alias("h_stat"),
+        (h / c).alias("h_corrected"),
+        (F.col("n_groups") - 1).cast("long").alias("dof"),
     )
 
 

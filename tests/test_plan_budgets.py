@@ -273,6 +273,13 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: one value-keyed agg (the ONLY raw-data pass; lang IN-filter
+    # must reach the scan) + single-partition rank window + scalar agg
+    "mannwhitney_doclen_langs": (1, True),
+    # r9: persisted (value,lang) cell frame replayed by the rank
+    # window, tie term, and group sums (textually nested 3x); value
+    # join broadcasts; scalar tails cross-join 1-row frames
+    "kruskal_doclen_langs": (6, False),
     # r5: blocked DL join (broadcast at fixture scale, equi-join at
     # 100 TB) + Arrow scorer + nation rollup — same shape as jw/fuzzy
     "damerau_name_pairs": (3, False),

@@ -1,0 +1,121 @@
+"""Rank-based nonparametric tests: Mann-Whitney U and Kruskal-Wallis,
+pinned against a pure-numpy average-rank reference (the scipy
+definitions, re-derived here so the suite has no scipy dependency)."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from deltalake_spark.operators.stats import kruskal_wallis, mannwhitney_u
+
+
+def _avg_ranks(x: np.ndarray) -> np.ndarray:
+    """scipy.stats.rankdata(method='average') re-derivation."""
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), dtype=float)
+    sx = x[order]
+    i = 0
+    while i < len(sx):
+        j = i
+        while j + 1 < len(sx) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def _ref_mannwhitney(a: np.ndarray, b: np.ndarray):
+    x = np.concatenate([a, b])
+    r = _avg_ranks(x)
+    n_a, n_b = len(a), len(b)
+    n = n_a + n_b
+    r_a = r[:n_a].sum()
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    _, counts = np.unique(x, return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    mu = n_a * n_b / 2.0
+    sigma2 = n_a * n_b / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    return u_a, (u_a - mu) / math.sqrt(sigma2), tie
+
+
+def _ref_kruskal(groups: list[np.ndarray]):
+    x = np.concatenate(groups)
+    r = _avg_ranks(x)
+    n = len(x)
+    h = 0.0
+    off = 0
+    for g in groups:
+        rg = r[off:off + len(g)].sum()
+        h += rg * rg / len(g)
+        off += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(x, return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    c = 1.0 - tie / (n ** 3 - n)
+    return h, h / c
+
+
+@pytest.fixture(scope="module")
+def rank_df(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    # integer values with heavy ties across three groups
+    for g, loc, n in (("a", 10, 120), ("b", 13, 90), ("c", 11, 75)):
+        for v in rng.poisson(loc, size=n):
+            rows.append((g, int(v)))
+    return spark.createDataFrame(rows, "g string, v long"), rows
+
+
+def test_mannwhitney_matches_reference(rank_df):
+    df, rows = rank_df
+    a = np.array([v for g, v in rows if g == "a"], dtype=float)
+    b = np.array([v for g, v in rows if g == "b"], dtype=float)
+    got = mannwhitney_u(
+        df, group_col="g", value_col="v", group_a="a", group_b="b"
+    ).collect()[0]
+    u_ref, z_ref, tie_ref = _ref_mannwhitney(a, b)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["u_a"] == pytest.approx(u_ref, abs=1e-9)
+    assert got["tie_term"] == int(tie_ref)
+    assert got["z_stat"] == pytest.approx(z_ref, rel=1e-12)
+
+
+def test_mannwhitney_no_ties_exact_u(spark):
+    # distinct values: U_a counts exactly the a-over-b wins
+    rows = [("a", v) for v in (1, 4, 6)] + [("b", v) for v in (2, 3, 5)]
+    got = mannwhitney_u(
+        spark.createDataFrame(rows, "g string, v long"),
+        group_col="g", value_col="v", group_a="a", group_b="b",
+    ).collect()[0]
+    # wins: 1 beats none; 4 beats {2,3}; 6 beats {2,3,5} -> U_a = 5
+    assert got["u_a"] == 5.0
+    assert got["tie_term"] == 0
+
+
+def test_kruskal_matches_reference(rank_df):
+    df, rows = rank_df
+    groups = [
+        np.array([v for g, v in rows if g == k], dtype=float)
+        for k in ("a", "b", "c")
+    ]
+    got = kruskal_wallis(df, group_col="g", value_col="v").collect()[0]
+    h_ref, hc_ref = _ref_kruskal(groups)
+    assert got["n_total"] == sum(len(g) for g in groups)
+    assert got["n_groups"] == 3
+    assert got["dof"] == 2
+    assert got["h_stat"] == pytest.approx(h_ref, rel=1e-12)
+    assert got["h_corrected"] == pytest.approx(hc_ref, rel=1e-12)
+
+
+def test_kruskal_two_groups_equals_mw_z_squared(rank_df):
+    # classic identity: for k=2, H (tie-corrected) == z² from MW
+    df, _ = rank_df
+    two = df.where(df.g != "c")
+    h = kruskal_wallis(two, group_col="g", value_col="v") \
+        .collect()[0]["h_corrected"]
+    z = mannwhitney_u(
+        two, group_col="g", value_col="v", group_a="a", group_b="b"
+    ).collect()[0]["z_stat"]
+    assert h == pytest.approx(z * z, rel=1e-9)
