@@ -2655,6 +2655,33 @@ def gopher_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality harness for MinHash+LSH banding (r9,
+    operators/dedup.py:lsh_candidate_quality): precision/recall of the
+    banded candidate pairs against exact-Jaccard ground truth at
+    J >= 1/2 over the SAME portable 28-bit shingle-hash sets the
+    signatures approximate — the dedup analog of ann_recall_ivfpq, and
+    the number a deployment tunes (num_hashes, bands) against. Truth
+    comes from the complete prefix-filtered PPJoin (never all-pairs);
+    candidates from the production banding path at the
+    minhash_neardup_groups parameters (32 hashes, 8 bands, capped
+    buckets). Pinned vs a full Python re-derivation in
+    tests/test_lsh_quality.py."""
+    from deltalake_spark.operators.dedup import lsh_candidate_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lsh_candidate_quality(
+        docs, id_col="doc_id", text_col="text",
+        threshold_num=1, threshold_den=2,
+        num_hashes=32, bands=8, hash_mode="portable",
+    )
+    return out.select(
+        "n_true", "n_cand", "n_hit",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard near-dup pairs over language-blocked
     candidates (deterministic blocking so the DuckDB oracle can reproduce
@@ -6800,6 +6827,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id_dist": language_id_dist,
     "fingerprint_dedup_stats": fingerprint_dedup_stats,
     "jaccard_neardup_pairs": jaccard_neardup_pairs,
+    "lsh_quality_eval": lsh_quality_eval,
     "audio_meta_extract": audio_meta_extract,
     "mp3_meta_stats": mp3_meta_stats,
     "jl_projection_stats": jl_projection_stats,
@@ -7197,6 +7225,59 @@ def _minhash_keys_cte() -> str:
                      AS band_hash
           FROM bands
         )"""
+
+
+def _lsh_quality_oracle() -> str:
+    """DuckDB twin of lsh_quality_eval: replays BOTH halves from the
+    shared portable shingle-hash CTEs — ground truth as the exact
+    Jaccard over each doc's distinct 28-bit shingle-hash set (shared-
+    hash pair join + integer threshold test, the same definition the
+    MinHash signatures approximate), candidates as the banded bucket
+    pairs with the identical sorted/capped member lists — then the
+    scalar precision/recall row."""
+    return f"""
+        WITH {_minhash_keys_cte()}, buck AS (
+          SELECT list_sort(list(DISTINCT doc_id))[1:1000] AS ml
+          FROM keys GROUP BY band, band_hash HAVING COUNT(*) > 1
+        ), cand AS (
+          SELECT DISTINCT ua.m AS id_a, ub.m AS id_b
+          FROM buck, UNNEST(ml) AS ua(m), UNNEST(ml) AS ub(m)
+          WHERE ua.m < ub.m
+        ), tok AS (
+          SELECT DISTINCT doc_id, h FROM e
+        ), sz AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY 1
+        ), shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM tok a JOIN tok b
+            ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT s.id_a, s.id_b
+          FROM shared s
+          JOIN sz sa ON sa.doc_id = s.id_a
+          JOIN sz sb ON sb.doc_id = s.id_b
+          WHERE 2 * s.inter >= 1 * (sa.n + sb.n - s.inter)
+        ), m AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+                     AS n_true,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+                     AS n_cand,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+                    JOIN cand c ON t.id_a = c.id_a
+                               AND t.id_b = c.id_b) AS n_hit
+        )
+        SELECT n_true, n_cand, n_hit,
+               ROUND(CASE WHEN n_cand > 0
+                     THEN CAST(n_hit AS DOUBLE) / n_cand END, 6)
+                   AS precision,
+               ROUND(CASE WHEN n_true > 0
+                     THEN CAST(n_hit AS DOUBLE) / n_true END, 6)
+                   AS recall
+        FROM m
+    """
 
 
 def _minhash_incremental_oracle() -> str:
@@ -10091,6 +10172,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_windows
             FROM w GROUP BY lang ORDER BY lang
         """,
+        "lsh_quality_eval": _lsh_quality_oracle(),
         "jaccard_neardup_pairs": """
             WITH g AS (
               SELECT doc_id, lang,

@@ -122,6 +122,9 @@ EXTRA = [
     "gopher_rule_stats",           # r9: published Gopher quality rules
     "winnow_decontam_stats",       # r9: char-level winnow decontam
     "adaptive_quality_topfrac",    # r9: per-domain quality threshold
+    "lsh_quality_eval",            # r9: LSH precision/recall harness
+    "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
+    "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]
 
 

@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: truth side is the PPJoin shape (persisted tok/size frames,
+    # prefix equi-join, positional filters), candidate side the banded
+    # bucket shape; full-outer pair join + scalar agg — never all-pairs
+    "lsh_quality_eval": (28, False),
     # r9: one value-keyed agg (the ONLY raw-data pass; lang IN-filter
     # must reach the scan) + single-partition rank window + scalar agg
     "mannwhitney_doclen_langs": (1, True),
