@@ -2394,6 +2394,39 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "rank")
 
 
+def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact re-ranking (r9, operators/similarity.py
+    ivf_pq_rerank_join — IVFADC+R, Jégou 2011): the PQ code path
+    over-fetches a 20-candidate pool per query (same index setup as
+    ivf_pq_ann_topk: seed centroids vec_id<8, 2x8 codebooks,
+    nprobe=2), then exact round-6 squared L2 is computed for ONLY the
+    pool rows (vectors fetched by id equi-join, never scanned) and the
+    final top-5 re-ranks on it — the standard recall-recovery step a
+    production deployment runs between pure-ADC and exhaustive truth.
+    Pool, refine distance, and ranking all replay exactly in SQL."""
+    from deltalake_spark.operators.similarity import ivf_pq_rerank_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {r[0]: list(r[1])
+            for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id").collect()}
+    seeds = [rows[i] for i in range(8)]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.select(F.col("vec_id").alias("corpus_id"), "embedding")
+    return ivf_pq_rerank_join(
+        queries, corpus, intc, books,
+        query_id="vec_id", corpus_id="corpus_id",
+        k=5, k_pool=20, nprobe=2,
+    ).orderBy("vec_id", "rank")
+
+
 def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF-PQ path vs exact ground truth (r9 verdict
     ask #4) — the quality number a deployment tunes nprobe/codebooks
@@ -6821,6 +6854,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": ivf_ann_topk,
     "ivf_pq_ann_topk": ivf_pq_ann_topk,
     "ann_recall_ivfpq": ann_recall_ivfpq,
+    "ivf_pq_rerank_topk": ivf_pq_rerank_topk,
     "bitext_margin_topk": bitext_margin_topk,
     "hard_negative_triplets": hard_negative_triplets,
     "ivf_exhaustive_topk": ivf_exhaustive_topk,
@@ -7656,6 +7690,39 @@ def _ivf_pq_oracle() -> str:
         WITH {_ivf_pq_ctes()}
         SELECT vec_id, corpus_id, adc, rank
         FROM r WHERE rank <= 5 ORDER BY vec_id, rank
+    """
+
+
+def _ivf_pq_rerank_oracle() -> str:
+    """DuckDB twin of ivf_pq_rerank_topk: the full _ivf_pq_ctes approx
+    ranking over-fetched to rank<=20 (the pool), exact round-6
+    squared-L2 recomputed for ONLY the pool pairs, re-ranked top-5
+    (ties ascending corpus id)."""
+    return f"""
+        WITH {_ivf_pq_ctes()}, pool AS (
+          SELECT vec_id, corpus_id FROM r WHERE rank <= 20
+        ), qfull AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cfull AS (
+          SELECT vec_id AS cid2, CAST(embedding AS DOUBLE[]) AS cv2
+          FROM embeddings
+        ), rer AS (
+          SELECT p.vec_id, p.corpus_id,
+                 ROUND(list_dot_product(qv, qv)
+                       - 2.0 * list_dot_product(qv, cv2)
+                       + list_dot_product(cv2, cv2), 6) AS sqdist
+          FROM pool p
+          JOIN qfull ON qfull.qid = p.vec_id
+          JOIN cfull ON cfull.cid2 = p.corpus_id
+        ), rk AS (
+          SELECT vec_id, corpus_id, sqdist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY sqdist, corpus_id) AS rank
+          FROM rer
+        )
+        SELECT vec_id, corpus_id, sqdist, rank
+        FROM rk WHERE rank <= 5 ORDER BY vec_id, rank
     """
 
 
@@ -11186,6 +11253,7 @@ def oracle_sql() -> dict[str, str]:
         "collocation_g2_topk": _g2_oracle(),
         "ivf_pq_ann_topk": _ivf_pq_oracle(),
         "ann_recall_ivfpq": _ann_recall_oracle(),
+        "ivf_pq_rerank_topk": _ivf_pq_rerank_oracle(),
         "hard_negative_triplets": """
             WITH a AS (
               SELECT vec_id AS aid, label AS alb,

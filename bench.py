@@ -123,6 +123,7 @@ EXTRA = [
     "winnow_decontam_stats",       # r9: char-level winnow decontam
     "adaptive_quality_topfrac",    # r9: per-domain quality threshold
     "lsh_quality_eval",            # r9: LSH precision/recall harness
+    "ivf_pq_rerank_topk",          # r9: IVFADC+R exact refine step
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

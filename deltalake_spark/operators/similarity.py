@@ -1096,6 +1096,76 @@ def ivf_pq_recall_join(
     )
 
 
+def ivf_pq_rerank_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    int_centroids: list[list[int]],
+    codebooks: list[list[list[float]]],
+    *,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    k_pool: int = 20,
+    nprobe: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ search with EXACT re-ranking (IVFADC+R, Jégou 2011) —
+    the standard deployment refine step between the pure code-domain
+    path (:func:`ivf_pq_topk_join`) and exhaustive truth
+    (:func:`exact_sqdist_topk_join`): the PQ path over-fetches a
+    candidate POOL of ``k_pool`` per query cheaply (codes only, never
+    corpus vectors), then exact round-6 squared L2 is computed for
+    ONLY those pool rows and the final top-``k`` re-ranks on it. This
+    recovers most of the recall PQ quantization loses at the cost of
+    fetching ``k_pool`` raw vectors per query instead of zero — and
+    orders of magnitude fewer than the exhaustive |Q|·|C|.
+
+    Scale shape: the pool stage is the production bucket equi-join;
+    the refine stage joins the (queries × k_pool)-row pool — the SMALL
+    side, broadcast at any realistic query-batch size — against the
+    corpus on id, so raw vectors are fetched by key, never scanned per
+    query. One per-query ranked window over ≤ k_pool rows closes it.
+
+    Determinism contract: the pool is the :func:`ivf_pq_topk_join`
+    ranking (round-6 ADC, ties ascending id); the refine distance is
+    the same ``round(|q|²−2qc+|c|², 6)`` sequential-fold expansion as
+    the exact path; final ties break ascending on ``corpus_id`` — a
+    SQL oracle replays pool, refine, and rank value-for-value.
+
+    Returns ``(query_id, corpus_id, sqdist, rank)``, ``rank <= k``.
+    """
+    from pyspark.sql.window import Window
+
+    if k_pool < k:
+        raise ValueError(f"k_pool ({k_pool}) must be >= k ({k})")
+    pool = ivf_pq_topk_join(
+        queries, corpus, int_centroids, codebooks,
+        query_id=query_id, corpus_id=corpus_id, vec_col=vec_col,
+        k=k_pool, nprobe=nprobe, scale=scale,
+    ).select(query_id, corpus_id)
+    qv = queries.select(F.col(query_id),
+                        F.col(vec_col).alias("__lv"))
+    cv = corpus.select(F.col(corpus_id),
+                       F.col(vec_col).alias("__rv"))
+    lv, rv = F.col("__lv"), F.col("__rv")
+    sqd = F.round(
+        dot_expr(lv, lv) - 2.0 * dot_expr(lv, rv) + dot_expr(rv, rv), 6)
+    joined = (
+        pool.join(qv, query_id)
+        .join(cv, corpus_id)
+        .withColumn("sqdist", sqd)
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.asc("sqdist"), F.asc(corpus_id))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id, corpus_id, "sqdist",
+                F.col("__rn").alias("rank"))
+    )
+
+
 def margin_bitext_pairs(
     src: DataFrame,
     tgt: DataFrame,

@@ -229,3 +229,86 @@ def test_hard_triplet_mine_semantics(spark):
     assert got2[10]["neg_id"] == 99
     assert got2[10]["margin_micro"] < 0
     assert got2[10]["n_active_negatives"] == 1
+
+
+def test_rerank_with_full_pool_equals_exact(spark, synth):
+    """r9: IVFADC+R refine — with nprobe=all and a pool covering the
+    whole corpus, the re-ranked top-k must equal exhaustive exact
+    truth exactly (same round-6 distances, same tie rule), regardless
+    of how lossy the PQ codebooks are."""
+    from deltalake_spark.operators.similarity import (
+        exact_sqdist_topk_join,
+        ivf_pq_rerank_join,
+    )
+
+    corpus, queries = synth
+    cdf = _vecs(spark, corpus, "corpus_id")
+    qdf = _vecs(spark, queries)
+    intc = _intc([v for _, v in corpus[:4]])
+    # deliberately crude codebooks: 2 subspaces of dim 4, centroids
+    # from the first 3 corpus vectors — heavy quantization error
+    books = [[list(map(float, v[:4])) for _, v in corpus[:3]],
+             [list(map(float, v[4:])) for _, v in corpus[:3]]]
+    got = ivf_pq_rerank_join(
+        qdf, cdf, intc, books, query_id="vec_id",
+        corpus_id="corpus_id", k=3, k_pool=len(corpus),
+        nprobe=len(intc)).collect()
+    want = exact_sqdist_topk_join(
+        qdf, cdf, intc, query_id="vec_id", corpus_id="corpus_id",
+        k=3).collect()
+    key = lambda r: (r["vec_id"], r["rank"])
+    got_t = [(r["vec_id"], r["corpus_id"], r["sqdist"], r["rank"])
+             for r in sorted(got, key=key)]
+    want_t = [(r["vec_id"], r["corpus_id"], r["sqdist"], r["rank"])
+              for r in sorted(want, key=key)]
+    assert got_t == want_t
+
+
+def test_rerank_orders_pool_by_exact_distance(spark, synth):
+    """The refine stage must re-order the PQ pool by EXACT distance:
+    every returned sqdist matches the numpy exact value and ranks
+    ascend with the ascending-id tie rule."""
+    import numpy as np
+
+    from deltalake_spark.operators.similarity import ivf_pq_rerank_join
+
+    corpus, queries = synth
+    cdf = _vecs(spark, corpus, "corpus_id")
+    qdf = _vecs(spark, queries)
+    intc = _intc([v for _, v in corpus[:4]])
+    books = [[list(map(float, v[:4])) for _, v in corpus[:3]],
+             [list(map(float, v[4:])) for _, v in corpus[:3]]]
+    got = ivf_pq_rerank_join(
+        qdf, cdf, intc, books, query_id="vec_id",
+        corpus_id="corpus_id", k=4, k_pool=10, nprobe=2).collect()
+    cvec = {i: np.array(v, dtype=np.float32).astype(np.float64)
+            for i, v in corpus}
+    qvec = {i: np.array(v, dtype=np.float32).astype(np.float64)
+            for i, v in queries}
+    by_q = {}
+    for r in got:
+        qv, cv = qvec[r["vec_id"]], cvec[r["corpus_id"]]
+        want = round(float(qv @ qv - 2 * (qv @ cv) + cv @ cv), 6)
+        assert r["sqdist"] == pytest.approx(want, abs=1e-9)
+        by_q.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["sqdist"], r["corpus_id"]))
+    for rows in by_q.values():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert rows == sorted(rows, key=lambda r: (r[1], r[2]),
+                              )  # ties ascend on id
+
+
+def test_rerank_pool_smaller_than_k_raises(spark, synth):
+    from deltalake_spark.operators.similarity import ivf_pq_rerank_join
+
+    corpus, queries = synth
+    cdf = _vecs(spark, corpus, "corpus_id")
+    qdf = _vecs(spark, queries)
+    intc = _intc([v for _, v in corpus[:4]])
+    books = [[list(map(float, v[:4])) for _, v in corpus[:3]],
+             [list(map(float, v[4:])) for _, v in corpus[:3]]]
+    with pytest.raises(ValueError):
+        ivf_pq_rerank_join(
+            qdf, cdf, intc, books, query_id="vec_id",
+            corpus_id="corpus_id", k=5, k_pool=3)

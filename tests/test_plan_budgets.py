@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: pool = the ivf_pq bucket-join shape; refine joins the tiny
+    # pool to corpus vectors BY ID (broadcast at fixture scale) + one
+    # per-query window over <=k_pool rows + sort
+    "ivf_pq_rerank_topk": (4, False),
     # r9: truth side is the PPJoin shape (persisted tok/size frames,
     # prefix equi-join, positional filters), candidate side the banded
     # bucket shape; full-outer pair join + scalar agg — never all-pairs
