@@ -5916,6 +5916,30 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def bootstrap_ci_totalprice(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Deterministic distributed Poisson bootstrap (r9,
+    operators/stats.py:bootstrap_mean_ci): 95% CI for mean order
+    totalprice from 64 single-pass replicates — each row gets an
+    independent Poisson(1) multiplicity per replicate via the portable
+    Knuth hash and an EXACT integer inverse-CDF threshold ladder, so
+    no row is ever copied through a shuffle (the replicate explode
+    pipelines into one map-side-combined hash agg) and every
+    multiplicity, replicate mean (integer-cent sums, one IEEE
+    division), and nearest-rank CI bound replays in SQL."""
+    from deltalake_spark.operators.stats import bootstrap_mean_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    out = bootstrap_mean_ci(
+        orders, id_col="o_orderkey", value_col="o_totalprice",
+        n_resamples=64, seed=7)
+    return out.select(
+        "n_resamples", "n_rows",
+        F.round("mean_full", 6).alias("mean_full"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"))
+
+
 def mannwhitney_doclen_langs(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Mann–Whitney U rank-sum test (r9, operators/stats.py:
@@ -7004,6 +7028,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "rfm_customer_segments": rfm_customer_segments,
     "ks_doclen_sources": ks_doclen_sources,
+    "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
     "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
     "kruskal_doclen_langs": kruskal_doclen_langs,
     "changepoint_daily_events": changepoint_daily_events,
@@ -7259,6 +7284,57 @@ def _minhash_keys_cte() -> str:
                      AS band_hash
           FROM bands
         )"""
+
+
+def _bootstrap_ci_oracle() -> str:
+    """DuckDB twin of bootstrap_ci_totalprice: the same Knuth-hash
+    uniforms, the same exact Poisson(1) integer threshold ladder
+    (generated from the SAME _poisson1_thresholds call), integer-cent
+    replicate sums, one-division means, and nearest-rank order
+    statistics (rank 2 and 63 of 64, ties by replicate index)."""
+    from deltalake_spark.operators.stats import _poisson1_thresholds
+
+    th = _poisson1_thresholds()
+    ladder = "\n                 ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(th))
+    return f"""
+        WITH raw AS (
+          SELECT o_orderkey AS id,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        ), rep AS (
+          SELECT id, c, b,
+                 ((id * 64 + b + 7) * 2654435761) % 4294967296 AS u
+          FROM raw, UNNEST(range(-1, 64)) AS t(b)
+        ), wt AS (
+          SELECT b, c,
+            CASE WHEN b = -1 THEN 1
+                 {ladder}
+                 ELSE {len(th)} END AS w
+          FROM rep
+        ), per_b AS (
+          SELECT b, CAST(SUM(w * c) AS BIGINT) AS swc,
+                 CAST(SUM(w) AS BIGINT) AS sw
+          FROM wt GROUP BY 1
+        ), m AS (
+          SELECT b, sw,
+                 CAST(swc AS DOUBLE) / (100.0 * sw) AS mean
+          FROM per_b
+        ), rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY (b >= 0)
+                        ORDER BY mean, b) AS rn
+          FROM m
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE b >= 0) AS BIGINT)
+                   AS n_resamples,
+               CAST(MIN(sw) FILTER (WHERE b = -1) AS BIGINT) AS n_rows,
+               ROUND(MIN(mean) FILTER (WHERE b = -1), 6) AS mean_full,
+               ROUND(MIN(mean) FILTER (WHERE b >= 0 AND rn = 2), 6)
+                   AS ci_lo,
+               ROUND(MIN(mean) FILTER (WHERE b >= 0 AND rn = 63), 6)
+                   AS ci_hi
+        FROM rk
+    """
 
 
 def _lsh_quality_oracle() -> str:
@@ -12550,6 +12626,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3
         """,
+        "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
         "mannwhitney_doclen_langs": """
             WITH vals AS (
               SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t,

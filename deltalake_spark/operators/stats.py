@@ -61,6 +61,7 @@ __all__ = [
     "ks_two_sample",
     "mannwhitney_u",
     "kruskal_wallis",
+    "bootstrap_mean_ci",
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
@@ -1013,6 +1014,112 @@ def kruskal_wallis(
         h.alias("h_stat"),
         (h / c).alias("h_corrected"),
         (F.col("n_groups") - 1).cast("long").alias("dof"),
+    )
+
+
+def _poisson1_thresholds(max_k: int = 8) -> list[int]:
+    """Exact integer thresholds for inverse-CDF sampling of Poisson(1)
+    from a 32-bit uniform: ``floor(CDF(k) · 2³²)`` for k = 0..max_k−1
+    (draws above the last threshold truncate to ``max_k`` — CDF(7) ≈
+    0.99999, so truncation to 8 is one draw in ~10⁵ and part of the
+    definition both engines replay)."""
+    import math
+
+    e1 = math.exp(-1.0)
+    cum, out, term = 0.0, [], e1
+    for k in range(max_k):
+        cum += term
+        out.append(int(cum * 4294967296.0))
+        term /= (k + 1)
+    return out
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    *,
+    id_col: str,
+    value_col: str,
+    n_resamples: int = 64,
+    seed: int = 7,
+    lo: tuple[int, int] = (1, 40),
+    hi: tuple[int, int] = (39, 40),
+) -> DataFrame:
+    """Distributed POISSON BOOTSTRAP confidence interval for the mean —
+    the classic single-pass resampling scheme for data too large to
+    permute (each bootstrap replicate gives every row an independent
+    Poisson(1) multiplicity; Hanley & MacGibbon 2006, and the engine
+    trick behind BLB-style CIs at scale): no row is ever copied B
+    times through a shuffle, no driver-side resampling loop.
+
+    Fully deterministic: the (row, replicate) uniform is the portable
+    Knuth hash ``((id·B + b + seed) · 2654435761) mod 2³²`` and the
+    Poisson draw is an inverse-CDF threshold ladder of EXACT integer
+    constants (:func:`_poisson1_thresholds`), so any SQL engine
+    replays every multiplicity. Values aggregate as integer cents
+    (``round(value·100)``) — replicate sums are exact BIGINTs and each
+    replicate mean is one IEEE division. CI bounds are nearest-rank
+    order statistics of the B replicate means (rank ``⌈q·B⌉`` in pure
+    integers, ties broken by replicate index) — no interpolation
+    ambiguity. Caller contract: ``id·B + seed`` must stay below 2³¹·B
+    (products then fit int64 on both engines).
+
+    Plan shape: ONE pass over the detail rows — the replicate explode
+    is pipelined into a hash aggregate keyed by replicate (map-side
+    combine means the shuffle carries partitions × B rows, never
+    rows × B); the full-data mean rides the same aggregate as the
+    b = -1 replicate with multiplicity 1. A B-row window picks the
+    order statistics. Output one row:
+    ``(n_resamples, n_rows, mean_full, ci_lo, ci_hi)``.
+    """
+    b_count = int(n_resamples)
+    if b_count < 4:
+        raise ValueError("n_resamples must be >= 4")
+    thresholds = _poisson1_thresholds()
+    cents = F.round(F.col(value_col).cast("double") * 100).cast("long")
+    rows = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        cents.alias("__c"),
+        F.explode(
+            F.sequence(F.lit(-1), F.lit(b_count - 1))).alias("__b"),
+    )
+    u = (
+        (F.col("__id") * b_count + F.col("__b") + F.lit(int(seed)))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    w = F.when(F.col("__b") == -1, F.lit(1))
+    for k, t in enumerate(thresholds):
+        w = w.when(u < t, F.lit(k))
+    w = w.otherwise(F.lit(len(thresholds)))
+    per_b = (
+        rows.select("__b", "__c", w.alias("__w"))
+        .groupBy("__b")
+        .agg(
+            F.sum(F.col("__w") * F.col("__c")).alias("__swc"),
+            F.sum("__w").alias("__sw"),
+        )
+        .select(
+            "__b",
+            (F.col("__swc").cast("double")
+             / (F.lit(100.0) * F.col("__sw"))).alias("__mean"),
+            "__sw",
+        )
+    )
+    # rank replicates within the is-replicate partition (the b = -1
+    # full-data row sits alone in the other partition) so one scalar
+    # aggregate closes everything — no 1-row cross join in the plan
+    is_rep = F.col("__b") >= 0
+    wrank = Window.partitionBy(is_rep).orderBy("__mean", "__b")
+    ranked = per_b.withColumn("__rn", F.row_number().over(wrank))
+    lo_rank = (lo[0] * b_count + lo[1] - 1) // lo[1]
+    hi_rank = (hi[0] * b_count + hi[1] - 1) // hi[1]
+    return ranked.groupBy().agg(
+        F.count(F.when(is_rep, 1)).alias("n_resamples"),
+        F.min(F.when(~is_rep, F.col("__sw"))).alias("n_rows"),
+        F.min(F.when(~is_rep, F.col("__mean"))).alias("mean_full"),
+        F.min(F.when(is_rep & (F.col("__rn") == lo_rank),
+                     F.col("__mean"))).alias("ci_lo"),
+        F.min(F.when(is_rep & (F.col("__rn") == hi_rank),
+                     F.col("__mean"))).alias("ci_hi"),
     )
 
 

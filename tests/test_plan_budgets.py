@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: one scan; the 65-way replicate explode pipelines into one
+    # map-side-combined hash agg (B-row output), B-row rank window +
+    # scalar agg — no joins at all
+    "bootstrap_ci_totalprice": (2, False),
     # r9: pool = the ivf_pq bucket-join shape; refine joins the tiny
     # pool to corpus vectors BY ID (broadcast at fixture scale) + one
     # per-query window over <=k_pool rows + sort
