@@ -5916,6 +5916,38 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def mattr_diversity_langs(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """MATTR lexical diversity per language (r9, operators/text.py:
+    lexical_diversity — Covington & McFall 2010): the length-robust
+    type-token ratio every data-quality screen wants where raw TTR
+    misleads. Per-doc window-distinct counts stay INTEGER; the gate
+    POOLS the integer numerators/denominators across docs and divides
+    once per lang (no float-sum ordering anywhere), alongside the
+    pooled plain TTR. One map-only pass + one lang agg + sort."""
+    from deltalake_spark.operators.text import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    d = lexical_diversity(docs, window=25)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("mattr_windows") > 0).cast("long"))
+            .alias("n_scored"),
+            F.sum("mattr_distinct_sum").alias("pool_distinct"),
+            F.sum("mattr_windows").alias("pool_windows"),
+            F.round(
+                F.sum("mattr_distinct_sum")
+                / (F.sum("mattr_windows") * F.lit(25.0)), 6)
+            .alias("pooled_mattr"),
+            F.round(F.sum("n_types") / F.sum("n_tokens"), 6)
+            .alias("pooled_ttr"),
+        )
+        .orderBy("lang")
+    )
+
+
 def bootstrap_ci_totalprice(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Deterministic distributed Poisson bootstrap (r9,
@@ -7029,6 +7061,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_customer_segments": rfm_customer_segments,
     "ks_doclen_sources": ks_doclen_sources,
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
+    "mattr_diversity_langs": mattr_diversity_langs,
     "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
     "kruskal_doclen_langs": kruskal_doclen_langs,
     "changepoint_daily_events": changepoint_daily_events,
@@ -12627,6 +12660,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2, 3
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
+        "mattr_diversity_langs": """
+            WITH t AS (
+              SELECT lang,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> w <> '') AS toks
+              FROM documents
+            ), d AS (
+              SELECT lang,
+                     CAST(len(toks) AS BIGINT) AS n,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                     CASE WHEN len(toks) >= 25
+                          THEN CAST(len(toks) - 24 AS BIGINT)
+                          ELSE 0 END AS wins,
+                     CASE WHEN len(toks) >= 25 THEN
+                       CAST(list_sum(list_transform(
+                         range(1, len(toks) - 24 + 1),
+                         i -> len(list_distinct(toks[i:i+24]))))
+                            AS BIGINT)
+                     ELSE 0 END AS dsum
+              FROM t
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN wins > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_scored,
+                   CAST(SUM(dsum) AS BIGINT) AS pool_distinct,
+                   CAST(SUM(wins) AS BIGINT) AS pool_windows,
+                   ROUND(CAST(SUM(dsum) AS BIGINT)
+                         / (CAST(SUM(wins) AS BIGINT) * 25.0), 6)
+                       AS pooled_mattr,
+                   ROUND(CAST(SUM(n_types) AS BIGINT)
+                         / CAST(SUM(n) AS BIGINT), 6) AS pooled_ttr
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
         "mannwhitney_doclen_langs": """
             WITH vals AS (
               SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS t,

@@ -125,6 +125,7 @@ EXTRA = [
     "lsh_quality_eval",            # r9: LSH precision/recall harness
     "ivf_pq_rerank_topk",          # r9: IVFADC+R exact refine step
     "bootstrap_ci_totalprice",     # r9: Poisson bootstrap 95% CI
+    "mattr_diversity_langs",       # r9: pooled MATTR lexical diversity
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

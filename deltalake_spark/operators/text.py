@@ -1040,6 +1040,65 @@ def readability_stats(
     )
 
 
+def lexical_diversity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    window: int = 25,
+) -> DataFrame:
+    """Per-document lexical-diversity measures: plain type-token ratio
+    and MATTR — the Moving-Average Type-Token Ratio (Covington &
+    McFall 2010, JQL), the standard length-robust diversity metric
+    (raw TTR falls with document length, so it can't compare docs of
+    different sizes; MATTR averages the TTR of every ``window``-token
+    sliding window instead).
+
+    Exactness contract: everything numeric is INTEGER until one final
+    division — per-window distinct counts come from
+    ``array_distinct(slice(...))``, and the appended columns keep the
+    raw numerator/denominator (``mattr_distinct_sum``,
+    ``mattr_windows``) so corpus-level aggregation can pool the
+    integers across documents and divide ONCE (the gate recipe; no
+    float-sum ordering anywhere). ``mattr`` is NULL for documents
+    shorter than ``window`` (undefined per the paper — callers fall
+    back to ``ttr``).
+
+    Scale shape: one map-only pass; per-row cost O(n_tokens · window)
+    inside codegen — no explode, no shuffle, no UDF. Appends
+    ``n_tokens, n_types, ttr, mattr_distinct_sum, mattr_windows,
+    mattr``.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda w: w != F.lit(""))
+    n = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    wins = n - F.lit(window - 1)
+    win_distinct = F.transform(
+        F.sequence(F.lit(1), F.greatest(wins, F.lit(1))),
+        lambda i: F.size(F.array_distinct(
+            F.slice(toks, i, window))).cast("long"),
+    )
+    dist_sum = F.aggregate(
+        win_distinct, F.lit(0).cast("long"), lambda a, x: a + x)
+    has_win = wins >= 1
+    return df.select(
+        "*",
+        F.greatest(n, F.lit(0)).cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        F.when(n > 0, F.round(n_types / n, 6)).alias("ttr"),
+        F.when(has_win, dist_sum).otherwise(F.lit(0).cast("long"))
+        .alias("mattr_distinct_sum"),
+        F.when(has_win, wins.cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("mattr_windows"),
+        F.when(
+            has_win,
+            F.round(dist_sum / (wins.cast("double") * window), 6),
+        ).alias("mattr"),
+    )
+
+
 def vocab_growth(
     df: DataFrame,
     *,

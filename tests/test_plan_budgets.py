@@ -273,6 +273,9 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: map-only in-row window-distinct folds (no explode, no UDF)
+    # + one lang agg + sort
+    "mattr_diversity_langs": (2, False),
     # r9: one scan; the 65-way replicate explode pipelines into one
     # map-side-combined hash agg (B-row output), B-row rank window +
     # scalar agg — no joins at all
