@@ -5916,6 +5916,33 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def conformal_coverage_lineitem(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (r9, operators/stats.py:
+    split_conformal_interval — Papadopoulos 2002 / Lei et al. 2018):
+    distribution-free 90% intervals around the extendedprice~quantity
+    OLS fit, with the held-out coverage check. Deterministic end to
+    end: Knuth-hash 1/2-1/4-1/4 split, EXACT integer cents-domain
+    moments (slope/intercept are fixed IEEE ops on exact integers),
+    nearest-rank calibration quantile with id tie-breaks — the oracle
+    replays split, fit, q_hat, and the coverage count value-for-value
+    through HUGEINT->DOUBLE casts of the same integers."""
+    from deltalake_spark.operators.stats import split_conformal_interval
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "__rid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    out = split_conformal_interval(
+        li, id_col="__rid", x_col="l_quantity",
+        y_col="l_extendedprice", alpha=(1, 10), seed=11)
+    return out.select(
+        "n_train", "n_cal", "n_test",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("q_hat_cents", 6).alias("q_hat_cents"),
+        "n_covered",
+        F.round("coverage", 6).alias("coverage"))
+
+
 def mattr_diversity_langs(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """MATTR lexical diversity per language (r9, operators/text.py:
@@ -7061,6 +7088,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_customer_segments": rfm_customer_segments,
     "ks_doclen_sources": ks_doclen_sources,
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
+    "conformal_coverage_lineitem": conformal_coverage_lineitem,
     "mattr_diversity_langs": mattr_diversity_langs,
     "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
     "kruskal_doclen_langs": kruskal_doclen_langs,
@@ -12660,6 +12688,77 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2, 3
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
+        "conformal_coverage_lineitem": """
+            WITH base AS (
+              SELECT l_orderkey * 8 + l_linenumber AS id,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
+                     ((l_orderkey * 8 + l_linenumber + 11)
+                      * 2654435761) % 4294967296 AS u
+              FROM lineitem
+            ), s AS (
+              SELECT id, x, y,
+                     CASE WHEN u < 2147483648 THEN 'train'
+                          WHEN u < 3221225472 THEN 'cal'
+                          ELSE 'test' END AS sp
+              FROM base
+            ), m AS (
+              SELECT
+                CAST(COUNT(*) FILTER (WHERE sp = 'train') AS BIGINT)
+                    AS n_train,
+                CAST(COUNT(*) FILTER (WHERE sp = 'cal') AS BIGINT)
+                    AS n_cal,
+                CAST(COUNT(*) FILTER (WHERE sp = 'test') AS BIGINT)
+                    AS n_test,
+                CAST(SUM(x) FILTER (WHERE sp = 'train') AS HUGEINT)
+                    AS sx,
+                CAST(SUM(y) FILTER (WHERE sp = 'train') AS HUGEINT)
+                    AS sy,
+                CAST(SUM(x * x) FILTER (WHERE sp = 'train') AS HUGEINT)
+                    AS sxx,
+                CAST(SUM(x * y) FILTER (WHERE sp = 'train') AS HUGEINT)
+                    AS sxy
+              FROM s
+            ), fit AS (
+              SELECT n_train, n_cal, n_test,
+                     CAST(n_train * sxy - sx * sy AS DOUBLE)
+                       / CAST(n_train * sxx - sx * sx AS DOUBLE)
+                         AS slope,
+                     sx, sy
+              FROM m
+            ), fit2 AS (
+              SELECT n_train, n_cal, n_test, slope,
+                     (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n_train AS DOUBLE) AS intercept,
+                     LEAST(((n_cal + 1) * 9 + 9) // 10, n_cal) AS rk
+              FROM fit
+            ), r AS (
+              SELECT s.id, s.sp,
+                     ABS(CAST(s.y AS DOUBLE)
+                         - (f.intercept
+                            + f.slope * CAST(s.x AS DOUBLE))) AS resid
+              FROM s CROSS JOIN fit2 f
+            ), q AS (
+              SELECT resid AS q_hat FROM (
+                SELECT resid,
+                       ROW_NUMBER() OVER (ORDER BY resid, id) AS rn
+                FROM r WHERE sp = 'cal'
+              ) JOIN fit2 ON rn = fit2.rk
+            ), cov AS (
+              SELECT CAST(SUM(CASE WHEN resid <= q.q_hat
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_covered
+              FROM r CROSS JOIN q WHERE sp = 'test'
+            )
+            SELECT f.n_train, f.n_cal, f.n_test,
+                   ROUND(f.slope, 6) AS slope,
+                   ROUND(f.intercept, 6) AS intercept,
+                   ROUND(q.q_hat, 6) AS q_hat_cents,
+                   cov.n_covered,
+                   ROUND(CAST(cov.n_covered AS DOUBLE)
+                         / CAST(f.n_test AS DOUBLE), 6) AS coverage
+            FROM fit2 f CROSS JOIN q CROSS JOIN cov
+        """,
         "mattr_diversity_langs": """
             WITH t AS (
               SELECT lang,

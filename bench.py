@@ -126,6 +126,7 @@ EXTRA = [
     "ivf_pq_rerank_topk",          # r9: IVFADC+R exact refine step
     "bootstrap_ci_totalprice",     # r9: Poisson bootstrap 95% CI
     "mattr_diversity_langs",       # r9: pooled MATTR lexical diversity
+    "conformal_coverage_lineitem", # r9: split-conformal intervals
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

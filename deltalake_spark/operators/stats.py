@@ -62,6 +62,7 @@ __all__ = [
     "mannwhitney_u",
     "kruskal_wallis",
     "bootstrap_mean_ci",
+    "split_conformal_interval",
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
@@ -1120,6 +1121,113 @@ def bootstrap_mean_ci(
                      F.col("__mean"))).alias("ci_lo"),
         F.min(F.when(is_rep & (F.col("__rn") == hi_rank),
                      F.col("__mean"))).alias("ci_hi"),
+    )
+
+
+def split_conformal_interval(
+    df: DataFrame,
+    *,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    alpha: tuple[int, int] = (1, 10),
+    seed: int = 11,
+) -> DataFrame:
+    """SPLIT CONFORMAL prediction intervals (Papadopoulos et al. 2002;
+    Lei et al. 2018) around a simple OLS fit — the
+    distribution-free uncertainty wrapper modern ML pipelines attach
+    to any point predictor: split the data, fit on train, take the
+    ⌈(n_cal+1)(1−α)⌉-th smallest absolute calibration residual as the
+    interval half-width ``q_hat``, and the marginal coverage guarantee
+    P(|y−ŷ| ≤ q_hat) ≥ 1−α holds with NO distributional assumptions.
+    The held-out test split empirically checks that guarantee.
+
+    Fully deterministic end to end: the 1/2–1/4–1/4
+    train/calibration/test split is the portable Knuth hash; the OLS
+    fit uses EXACT integer moments in the cents domain (x as integer
+    units, y as ``round(y·100)`` cents; the one decimal(38,0)
+    product guards ``n·Sxy`` overflow) so slope/intercept are a fixed
+    sequence of IEEE ops on exact integers; residuals are then
+    identical doubles in any engine, making the nearest-rank
+    ``q_hat`` (ties broken by id) and the coverage count exact
+    replays. α is the rational ``alpha[0]/alpha[1]``.
+
+    Plan/scale shape: one conditional-aggregate pass collects ALL
+    split counts and train moments (5-scalar collect folded back as
+    literals — the train_centroids contract); the calibration
+    order statistic is one ranked window over the cal split (exact
+    select-k; at extreme scale swap a two-pass quantile prune in
+    front — documented, same contract as winsorized_stats); one
+    aggregate over the test split closes coverage. Output one row:
+    ``(n_train, n_cal, n_test, slope, intercept, q_hat_cents,
+    n_covered, coverage)``.
+    """
+    a_num, a_den = int(alpha[0]), int(alpha[1])
+    if not 0 < a_num < a_den:
+        raise ValueError("alpha must be a fraction in (0, 1)")
+    u = (
+        (F.col(id_col).cast("long") + F.lit(int(seed)))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    x = F.round(F.col(x_col).cast("double")).cast("long")
+    y_c = F.round(F.col(y_col).cast("double") * 100).cast("long")
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        x.alias("__x"), y_c.alias("__y"),
+        F.when(u < 2147483648, F.lit("train"))
+        .when(u < 3221225472, F.lit("cal"))
+        .otherwise(F.lit("test")).alias("__s"),
+    )
+    spark = df.sparkSession
+    in_t = F.col("__s") == "train"
+    m = base.groupBy().agg(
+        F.count(F.when(in_t, 1)).alias("n_train"),
+        F.count(F.when(F.col("__s") == "cal", 1)).alias("n_cal"),
+        F.count(F.when(F.col("__s") == "test", 1)).alias("n_test"),
+        F.sum(F.when(in_t, F.col("__x"))).alias("sx"),
+        F.sum(F.when(in_t, F.col("__y"))).alias("sy"),
+        F.sum(F.when(in_t, F.col("__x") * F.col("__x"))).alias("sxx"),
+        F.sum(F.when(in_t, F.col("__x") * F.col("__y"))).alias("sxy"),
+    ).collect()[0]
+    n_tr, n_cal, n_te = m["n_train"], m["n_cal"], m["n_test"]
+    if n_tr < 2 or n_cal < 1 or n_te < 1:
+        raise ValueError("every split needs rows "
+                         f"(train={n_tr}, cal={n_cal}, test={n_te})")
+    # exact integers in Python (unbounded ints — the decimal guard);
+    # the final divisions are the only floats, identical IEEE ops to
+    # the SQL twin's HUGEINT->DOUBLE route
+    num = n_tr * int(m["sxy"]) - int(m["sx"]) * int(m["sy"])
+    den = n_tr * int(m["sxx"]) - int(m["sx"]) * int(m["sx"])
+    if den == 0:
+        raise ValueError("degenerate train split: var(x) == 0")
+    slope = float(num) / float(den)
+    intercept = (float(m["sy"]) - slope * float(m["sx"])) / float(n_tr)
+    resid = F.abs(
+        F.col("__y").cast("double")
+        - (F.lit(intercept) + F.lit(slope)
+           * F.col("__x").cast("double")))
+    rank = min(((n_cal + 1) * (a_den - a_num) + a_den - 1) // a_den,
+               n_cal)
+    wr = Window.orderBy("__r", "__id")
+    q_hat = (
+        base.filter(F.col("__s") == "cal")
+        .select("__id", resid.alias("__r"))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == rank)
+        .collect()[0]["__r"]
+    )
+    cov = base.filter(F.col("__s") == "test").groupBy().agg(
+        F.sum((resid <= q_hat).cast("long")).alias("n_covered"))
+    return cov.select(
+        F.lit(n_tr).cast("long").alias("n_train"),
+        F.lit(n_cal).cast("long").alias("n_cal"),
+        F.lit(n_te).cast("long").alias("n_test"),
+        F.lit(slope).alias("slope"),
+        F.lit(intercept).alias("intercept"),
+        F.lit(float(q_hat)).alias("q_hat_cents"),
+        F.col("n_covered"),
+        (F.col("n_covered").cast("double") / F.lit(float(n_te)))
+        .alias("coverage"),
     )
 
 

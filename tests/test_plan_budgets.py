@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: returned plan is the test-split coverage agg (fit + q_hat
+    # are scalar collects folded as literals); split filter is a
+    # map-only hash expression
+    "conformal_coverage_lineitem": (1, False),
     # r9: map-only in-row window-distinct folds (no explode, no UDF)
     # + one lang agg + sort
     "mattr_diversity_langs": (2, False),
