@@ -5916,6 +5916,45 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def negative_sample_stats(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    data (r9, operators/recommend.py:negative_sample_interactions —
+    the BPR / word2vec companion step): for every customer with
+    purchases, draw 4 parts they never bought, uniformly over the
+    dense part catalog via the portable Knuth hash, oversampled 2x and
+    anti-joined against true positives, first-k-in-draw-order kept.
+    The catalog size is max(p_partkey) — a 1-scalar collect folded as
+    a literal; the oracle recomputes it in SQL, then replays draws,
+    collisions, and keep-order value-for-value. Output is the per-
+    draw-index survivor census (counts + checksums), bounded at k
+    rows."""
+    from deltalake_spark.operators.recommend import (
+        negative_sample_interactions,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey",
+                                                "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select("o_custkey", "l_partkey")
+    n_items = int(_t(spark, sf_dir, "part")
+                  .agg(F.max("p_partkey")).collect()[0][0])
+    neg = negative_sample_interactions(
+        pos, user_col="o_custkey", item_col="l_partkey",
+        n_items=n_items, k=4, oversample=2, seed=19)
+    return (
+        neg.groupBy("draw_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("neg_item").alias("item_checksum"),
+            F.countDistinct("neg_item").alias("n_distinct_items"),
+        )
+        .orderBy("draw_index")
+    )
+
+
 def conformal_coverage_lineitem(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Split-conformal prediction intervals (r9, operators/stats.py:
@@ -7089,6 +7128,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_doclen_sources": ks_doclen_sources,
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
     "conformal_coverage_lineitem": conformal_coverage_lineitem,
+    "negative_sample_stats": negative_sample_stats,
     "mattr_diversity_langs": mattr_diversity_langs,
     "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
     "kruskal_doclen_langs": kruskal_doclen_langs,
@@ -12688,6 +12728,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2, 3
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
+        "negative_sample_stats": """
+            WITH pmax AS (
+              SELECT MAX(p_partkey) AS p FROM part
+            ), pos AS (
+              SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+              FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ), users AS (
+              SELECT DISTINCT u FROM pos
+            ), draws AS (
+              SELECT u, j FROM users, UNNEST(range(0, 8)) AS t(j)
+            ), cand AS (
+              SELECT u, j,
+                     1 + (((u * 8 + j + 19) * 2654435761)
+                          % 4294967296) % pmax.p AS i
+              FROM draws CROSS JOIN pmax
+            ), surv AS (
+              SELECT c.u, c.j, c.i
+              FROM cand c ANTI JOIN pos
+                ON pos.u = c.u AND pos.i = c.i
+            ), kept AS (
+              SELECT u, i,
+                     ROW_NUMBER() OVER (PARTITION BY u ORDER BY j) - 1
+                         AS draw_index
+              FROM surv
+            )
+            SELECT draw_index,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(i) AS BIGINT) AS item_checksum,
+                   CAST(COUNT(DISTINCT i) AS BIGINT) AS n_distinct_items
+            FROM kept WHERE draw_index < 4
+            GROUP BY 1 ORDER BY 1
+        """,
         "conformal_coverage_lineitem": """
             WITH base AS (
               SELECT l_orderkey * 8 + l_linenumber AS id,

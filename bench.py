@@ -127,6 +127,7 @@ EXTRA = [
     "bootstrap_ci_totalprice",     # r9: Poisson bootstrap 95% CI
     "mattr_diversity_langs",       # r9: pooled MATTR lexical diversity
     "conformal_coverage_lineitem", # r9: split-conformal intervals
+    "negative_sample_stats",       # r9: BPR-style negative sampling
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

@@ -24,10 +24,10 @@ the per-basket blow-up at max_basket². Item-frequency joins broadcast
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cooccurrence_similarity"]
+__all__ = ["cooccurrence_similarity", "negative_sample_interactions"]
 
 
 def cooccurrence_similarity(
@@ -78,5 +78,76 @@ def cooccurrence_similarity(
             (F.col("n_both").cast("double")
              / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double")))
             .alias("cosine"),
+        )
+    )
+
+
+def negative_sample_interactions(
+    positives: DataFrame,
+    *,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 4,
+    oversample: int = 2,
+    seed: int = 19,
+) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for implicit-feedback training
+    data — the standard companion step to every matrix-factorization /
+    two-tower recommender (BPR, Rendle et al. 2009; word2vec-style
+    negative sampling, Mikolov et al. 2013): for each user, draw ``k``
+    items the user did NOT interact with, uniformly over the dense
+    item universe ``1..n_items``.
+
+    Deterministic and engine-replayable: draw ``j`` for a user is the
+    portable Knuth hash ``((user·J + j + seed)·2654435761) mod 2³²``
+    mapped to ``1 + (u mod n_items)`` (J = k·oversample total draws).
+    Draws that collide with a TRUE positive of that user are removed
+    by an anti-join; the first ``k`` survivors IN DRAW ORDER are kept,
+    so the output is a pure function of (positives, n_items, k, seed).
+    Oversampling bounds the miss probability: a user with p positives
+    loses a draw with chance p/n_items, so k·oversample draws keep k
+    survivors unless the user has interacted with most of the catalog
+    (power users may emit fewer than k — visible in ``n_drawn``;
+    raise ``oversample`` for dense-interaction domains).
+
+    Plan shape: one distinct-pair pass over positives; the draw
+    explode is a map-only sequence (J rows per user, pipelined); one
+    anti-join on (user, item) — an equi-join against the positives,
+    never a cross; one per-user ranked window over ≤ J rows. Output
+    ``(user_col, draw_index, neg_item)``, ``draw_index`` = 0-based
+    order among this user's k kept negatives.
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    if n_items < 2:
+        raise ValueError("n_items must be >= 2")
+    total = k * int(oversample)
+    pos = positives.select(
+        F.col(user_col).cast("long").alias("__u"),
+        F.col(item_col).cast("long").alias("__i"),
+    ).distinct()
+    users = pos.select("__u").distinct()
+    draws = users.select(
+        "__u",
+        F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("__j"),
+    )
+    u_hash = (
+        (F.col("__u") * total + F.col("__j") + F.lit(int(seed)))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    cand = draws.select(
+        "__u", "__j",
+        (F.lit(1) + (u_hash % F.lit(int(n_items)))).alias("__i"),
+    )
+    survivors = cand.join(pos, ["__u", "__i"], "left_anti")
+    w = Window.partitionBy("__u").orderBy("__j")
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("__u").alias(user_col),
+            (F.col("__rn") - 1).cast("long").alias("draw_index"),
+            F.col("__i").alias("neg_item"),
         )
     )

@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: positives equi-join + distinct, user distinct, pipelined
+    # draw explode, (user,item) anti-join, per-user window over <=8
+    # rows, draw-index agg + sort — never a cross join over the catalog
+    "negative_sample_stats": (8, False),
     # r9: returned plan is the test-split coverage agg (fit + q_hat
     # are scalar collects folded as literals); split filter is a
     # map-only hash expression
