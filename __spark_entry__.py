@@ -3513,6 +3513,61 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (r9, streaming/sink.py:
+    mg_stream_summary_sink + operators/sketches.mg_merge_summaries —
+    Agarwal et al. PODS'12): the trending-terms monitor. Document
+    tokens arrive as THREE deterministic micro-batches (doc_id % 3,
+    staged files in forced mtime order, maxFilesPerTrigger=1); each
+    batch's exact counts merge into ONE persisted ≤16-counter summary
+    (read-merge-overwrite with a SetTransaction watermark). The final
+    summary is a pure function of the batch sequence, so the oracle
+    replays the merge-compress chain batch-for-batch; the output joins
+    exact corpus counts and checks the classic MG bound
+    (exact − mg)·(cap+1) ≤ N per reported token."""
+    import tempfile
+
+    from deltalake_spark.streaming.sink import mg_stream_summary_sink
+    from deltalake_spark.streaming.windowed import read_parquet_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="mgstream_docs_")
+    for b in range(3):
+        pdf = (docs.filter(F.col("doc_id") % 3 == b)
+               .orderBy("doc_id").toPandas())
+        path = os.path.join(d, f"b{b}.parquet")
+        pdf.to_parquet(path)
+        os.utime(path, (1_600_000_000 + b, 1_600_000_000 + b))
+    toks_expr = F.explode(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                 lambda w: w != F.lit(""))).alias("tok")
+    stream = read_parquet_stream(
+        spark, d, max_files_per_trigger=1, nanos_cols=())
+    table = _fresh_table(spark, "mgsum")
+    mg_stream_summary_sink(
+        stream.select(toks_expr), table, col="tok", capacity=16,
+        app_id="gate-mg-stream")
+    exact = (
+        docs.select(toks_expr)
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    n_total = int(docs.select(toks_expr).count())
+    top = (
+        table.to_df()
+        .orderBy(F.desc("mg_count"), "tok")
+        .limit(10)
+    )
+    return (
+        top.join(exact, "tok")
+        .select(
+            "tok", "mg_count", "exact_count",
+            ((F.col("exact_count") - F.col("mg_count")) * 17
+             <= F.lit(n_total)).alias("bound_ok"),
+        )
+        .orderBy(F.desc("mg_count"), "tok")
+    )
+
+
 def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming dedup under at-least-once delivery: the
     events stream unioned with a full replay of itself (every row
@@ -6970,6 +7025,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_distinct": stream_sliding_distinct,
     "stream_ingest_dedup": stream_ingest_dedup,
     "stream_dedup_replay": stream_dedup_replay,
+    "stream_mg_topk": stream_mg_topk,
     "stream_session_window": stream_session_window,
     "stream_delta_sink": stream_delta_sink,
     "stream_sessionize_stateful": stream_sessionize_stateful,
@@ -7385,6 +7441,71 @@ def _minhash_keys_cte() -> str:
                      AS band_hash
           FROM bands
         )"""
+
+
+def _mg_compress_sql(src: str, capacity: int) -> str:
+    """One Misra-Gries compress step over CTE ``src(tok, c)``:
+    subtract the (capacity+1)-th largest count, drop non-positives."""
+    return f"""
+              SELECT tok, c - thr AS c FROM (
+                SELECT tok, c,
+                       COALESCE(MAX(CASE WHEN rn = {capacity + 1}
+                                    THEN c END) OVER (), 0) AS thr
+                FROM (SELECT tok, c,
+                             ROW_NUMBER() OVER (ORDER BY c DESC, tok)
+                                 AS rn
+                      FROM {src})
+              ) WHERE c - thr > 0"""
+
+
+def _stream_mg_oracle() -> str:
+    """DuckDB twin of stream_mg_topk: the 3-batch merge-compress chain
+    (batch order = doc_id % 3 = 0,1,2 — the staged-file mtime order),
+    capacity 16, then top-10 joined to exact counts with the MG bound
+    test."""
+    cap = 16
+    return f"""
+        WITH toks AS (
+          SELECT doc_id % 3 AS b,
+                 unnest(list_filter(
+                   regexp_split_to_array(trim(text), '\\s+'),
+                   t -> t <> '')) AS tok
+          FROM documents
+        ), c0 AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE b = 0 GROUP BY 1
+        ), s0 AS ({_mg_compress_sql('c0', cap)}
+        ), c1 AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE b = 1 GROUP BY 1
+        ), m1 AS (
+          SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM (
+            SELECT * FROM s0 UNION ALL SELECT * FROM c1
+          ) GROUP BY 1
+        ), s1 AS ({_mg_compress_sql('m1', cap)}
+        ), c2 AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+          FROM toks WHERE b = 2 GROUP BY 1
+        ), m2 AS (
+          SELECT tok, CAST(SUM(c) AS BIGINT) AS c FROM (
+            SELECT * FROM s1 UNION ALL SELECT * FROM c2
+          ) GROUP BY 1
+        ), s2 AS ({_mg_compress_sql('m2', cap)}
+        ), exact AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM toks GROUP BY 1
+        ), n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+        ), top AS (
+          SELECT tok, CAST(c AS BIGINT) AS mg_count FROM s2
+          ORDER BY c DESC, tok LIMIT 10
+        )
+        SELECT t.tok, t.mg_count, e.exact_count,
+               (e.exact_count - t.mg_count) * {cap + 1} <= n.n_total
+                   AS bound_ok
+        FROM top t JOIN exact e ON e.tok = t.tok CROSS JOIN n
+        ORDER BY t.mg_count DESC, t.tok
+    """
 
 
 def _bootstrap_ci_oracle() -> str:
@@ -12728,6 +12849,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2, 3
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
+        "stream_mg_topk": _stream_mg_oracle(),
         "negative_sample_stats": """
             WITH pmax AS (
               SELECT MAX(p_partkey) AS p FROM part

@@ -128,6 +128,7 @@ EXTRA = [
     "mattr_diversity_langs",       # r9: pooled MATTR lexical diversity
     "conformal_coverage_lineitem", # r9: split-conformal intervals
     "negative_sample_stats",       # r9: BPR-style negative sampling
+    "stream_mg_topk",              # r9: streaming Misra-Gries monitor
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

@@ -36,6 +36,7 @@ __all__ = [
     "sliding_distinct",
     "sliding_quantile_digest",
     "mg_frequent_items",
+    "mg_merge_summaries",
     "kmv_hash",
     "kmv_sketch",
     "kmv_estimate",
@@ -355,6 +356,50 @@ def mg_frequent_items(
 
     sketches = df.select(col).mapInPandas(build, out_schema)
     return sketches.groupBy(col).agg(F.sum(count_col).alias(count_col))
+
+
+def mg_merge_summaries(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    col: str,
+    count_col: str = "mg_count",
+    capacity: int = 256,
+) -> DataFrame:
+    """Merge two Misra-Gries summaries (or a summary and a batch's
+    exact counts) into one summary of ≤ ``capacity`` counters — the
+    mergeable-summaries rule of Agarwal et al. (PODS'12): sum counts
+    per item, then subtract the (capacity+1)-th LARGEST count from
+    every item and drop the non-positives. The subtraction preserves
+    the classic MG guarantee (``true − N/(capacity+1) ≤ reported ≤
+    true`` over everything merged so far) and the result is a pure
+    function of the two count multisets — no tie-order dependence,
+    since all items at the threshold count drop together.
+
+    Plan shape: one token-keyed sum over the two KB-scale summaries,
+    two windows over that summary frame (rank to locate the threshold,
+    a full-frame max to broadcast it in-plan), one filter. Everything
+    is summary-sized; nothing touches raw data.
+    """
+    merged = (
+        a.select(col, count_col)
+        .unionByName(b.select(col, count_col))
+        .groupBy(col)
+        .agg(F.sum(count_col).alias(count_col))
+    )
+    wr = Window.orderBy(F.desc(count_col), col)
+    wall = Window.partitionBy()
+    ranked = merged.withColumn("__rn", F.row_number().over(wr))
+    thr = F.coalesce(
+        F.max(F.when(F.col("__rn") == capacity + 1,
+                     F.col(count_col))).over(wall),
+        F.lit(0).cast("long"),
+    )
+    return (
+        ranked.withColumn("__new", F.col(count_col) - thr)
+        .filter(F.col("__new") > 0)
+        .select(col, F.col("__new").alias(count_col))
+    )
 
 
 # --- KMV (k-minimum-values) sketches: distinct + set intersection -----------

@@ -30,7 +30,8 @@ from pyspark.sql.streaming import StreamingQuery
 if TYPE_CHECKING:  # pragma: no cover
     from deltalake_spark.delta.table import DeltaTable
 
-__all__ = ["delta_stream_sink", "minhash_stream_dedup_sink"]
+__all__ = ["delta_stream_sink", "minhash_stream_dedup_sink",
+           "mg_stream_summary_sink"]
 
 
 def delta_stream_sink(
@@ -178,6 +179,72 @@ def minhash_stream_dedup_sink(
                     "txn": {"appId": app_id, "version": int(batch_id)}
                 }],
             )
+
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
+
+
+def mg_stream_summary_sink(
+    stream: DataFrame,
+    summary: "DeltaTable",
+    *,
+    col: str,
+    count_col: str = "mg_count",
+    capacity: int = 256,
+    app_id: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming Misra-Gries heavy hitters: maintain ONE bounded
+    (≤ capacity counters) frequency summary across micro-batches — the
+    trending-terms / hot-keys monitor that runs unbounded where exact
+    streaming counts grow state with the vocabulary. Each batch's
+    exact counts merge into the persisted summary via
+    :func:`operators.sketches.mg_merge_summaries` (Agarwal et al.
+    PODS'12 mergeable-summaries rule), preserving the classic MG
+    guarantee over EVERYTHING streamed so far:
+    ``true − N/(capacity+1) ≤ reported ≤ true``.
+
+    Exactly-once: the summary table is read-merge-OVERWRITTEN per
+    batch with a SetTransaction watermark, so a replayed batch id is
+    skipped — and because the merge input is materialized (KB-sized
+    collect) before the overwrite commits, a crash mid-batch replays
+    to the identical summary. State is capacity rows regardless of
+    stream length; per batch the raw data is touched once (the
+    batch-count aggregate).
+    """
+    from pyspark.sql import functions as F
+
+    from deltalake_spark.operators.sketches import mg_merge_summaries
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= summary.last_txn_version(app_id):
+            return  # replayed batch — already merged atomically
+        spark = batch_df.sparkSession
+        counts = batch_df.groupBy(col).agg(
+            F.count(F.lit(1)).alias(count_col))
+        schema = f"`{col}` string, `{count_col}` long"
+        if summary.exists():
+            prev = summary.to_df().select(col, count_col)
+        else:
+            prev = spark.createDataFrame([], schema)
+        merged = mg_merge_summaries(
+            prev, counts, col=col, count_col=count_col,
+            capacity=capacity)
+        # materialize (<= capacity rows) BEFORE overwriting the table
+        # the plan reads from
+        rows = merged.collect()
+        out = spark.createDataFrame(rows, schema) if rows else \
+            spark.createDataFrame([], schema)
+        summary.write(
+            out, mode="overwrite",
+            _extra_actions=[{
+                "txn": {"appId": app_id, "version": int(batch_id)}
+            }],
+        )
 
     writer = stream.writeStream.foreachBatch(process)
     if checkpoint_dir:
