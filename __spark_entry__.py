@@ -5971,6 +5971,34 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def bh_fdr_urgent_nations(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR screening (r9, operators/stats.py:
+    bh_fdr_ztests — Benjamini & Hochberg 1995): one proportion z-test
+    per customer nation (share of URGENT orders vs the pooled rate),
+    two-sided p-values via the A&S 7.1.26 erf approximation
+    (normal_sf_expr — a fixed IEEE sequence neither engine has a
+    native erf for), then the step-up rule at α=0.05 as the integer
+    cross-multiplication p·m·20 ≤ i. One detail aggregate; everything
+    after is m-row-frame windows. The oracle replays counts, the erf
+    polynomial, ranks, and the cutoff exactly."""
+    from deltalake_spark.operators.stats import bh_fdr_ztests
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_nationkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        .alias("urgent"),
+    )
+    return bh_fdr_ztests(
+        j, group_col="c_nationkey", success_col="urgent",
+        alpha=(1, 20),
+    ).orderBy("p_rank")
+
+
 def negative_sample_stats(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Deterministic negative sampling for implicit-feedback training
@@ -7184,6 +7212,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_doclen_sources": ks_doclen_sources,
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
     "conformal_coverage_lineitem": conformal_coverage_lineitem,
+    "bh_fdr_urgent_nations": bh_fdr_urgent_nations,
     "negative_sample_stats": negative_sample_stats,
     "mattr_diversity_langs": mattr_diversity_langs,
     "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
@@ -12850,6 +12879,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
         "stream_mg_topk": _stream_mg_oracle(),
+        "bh_fdr_urgent_nations": """
+            WITH j AS (
+              SELECT c.c_nationkey AS g,
+                     CASE WHEN o.o_orderpriority = '1-URGENT'
+                          THEN 1 ELSE 0 END AS s
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), cells AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(s) AS BIGINT) AS k
+              FROM j GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                     CAST(SUM(k) AS BIGINT) AS kt,
+                     CAST(COUNT(*) AS BIGINT) AS m
+              FROM cells
+            ), zc AS (
+              SELECT g, n, k, m,
+                     CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+                     (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE))
+                     / SQRT(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)
+                            * (1.0 - CAST(kt AS DOUBLE)
+                                     / CAST(nt AS DOUBLE))
+                            / CAST(n AS DOUBLE)) AS z
+              FROM cells CROSS JOIN tot
+            ), pv AS (
+              SELECT g, n, k, m, rate, z,
+                     2.0 * ((1.0 - (1.0 - tt * (0.254829592
+                       + tt * (-0.284496736 + tt * (1.421413741
+                       + tt * (-1.453152027 + tt * 1.061405429))))
+                       * EXP(-(ABS(z) / 1.4142135623730951)
+                             * (ABS(z) / 1.4142135623730951))))
+                       / 2.0) AS p
+              FROM (SELECT *,
+                           1.0 / (1.0 + 0.3275911
+                                  * (ABS(z) / 1.4142135623730951))
+                               AS tt
+                    FROM zc)
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (ORDER BY p, g) AS i
+              FROM pv
+            ), cut AS (
+              SELECT *,
+                     COALESCE(MAX(CASE WHEN p * m * 20 <= i
+                                  THEN i END) OVER (), 0) AS c
+              FROM ranked
+            )
+            SELECT g AS c_nationkey, n, k AS successes,
+                   ROUND(rate, 6) AS rate,
+                   ROUND(z, 6) AS z,
+                   ROUND(p, 8) AS p_value,
+                   CAST(i AS BIGINT) AS p_rank,
+                   CAST(c AS BIGINT) AS bh_cutoff_rank,
+                   i <= c AS rejected
+            FROM cut ORDER BY p_rank
+        """,
         "negative_sample_stats": """
             WITH pmax AS (
               SELECT MAX(p_partkey) AS p FROM part

@@ -129,6 +129,7 @@ EXTRA = [
     "conformal_coverage_lineitem", # r9: split-conformal intervals
     "negative_sample_stats",       # r9: BPR-style negative sampling
     "stream_mg_topk",              # r9: streaming Misra-Gries monitor
+    "bh_fdr_urgent_nations",       # r9: BH-FDR multiple testing
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

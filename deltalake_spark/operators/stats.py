@@ -63,6 +63,8 @@ __all__ = [
     "kruskal_wallis",
     "bootstrap_mean_ci",
     "split_conformal_interval",
+    "normal_sf_expr",
+    "bh_fdr_ztests",
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
@@ -1228,6 +1230,106 @@ def split_conformal_interval(
         F.col("n_covered"),
         (F.col("n_covered").cast("double") / F.lit(float(n_te)))
         .alias("coverage"),
+    )
+
+
+def normal_sf_expr(z: "F.Column") -> "F.Column":
+    """Standard-normal survival function P(Z > z) for z >= 0, via the
+    Abramowitz & Stegun 7.1.26 erf approximation (|error| < 1.5e-7 —
+    plenty for p-value screening). A fixed sequence of IEEE ops
+    (one division, a 5-term Horner polynomial, one exp), so any SQL
+    engine replays it bit-for-bit — the reason to use this instead of
+    an engine-native erf neither Spark nor DuckDB exposes."""
+    x = z / F.lit(1.4142135623730951)  # z / sqrt(2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t * (
+            F.lit(-0.284496736)
+            + t * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    return (F.lit(1.0) - erf) / F.lit(2.0)
+
+
+def bh_fdr_ztests(
+    df: DataFrame,
+    *,
+    group_col: str,
+    success_col: str,
+    alpha: tuple[int, int] = (1, 20),
+) -> DataFrame:
+    """Per-group two-sided proportion z-tests against the pooled rate,
+    with BENJAMINI–HOCHBERG false-discovery-rate correction (Benjamini
+    & Hochberg 1995) — the standard answer to "we ran one test per
+    segment, which segments are REALLY different?" that naive
+    per-test α gets wrong at any realistic segment count.
+
+    Per group g: ``z = (p_g − p0) / sqrt(p0(1−p0)/n_g)`` with the
+    pooled ``p0``; two-sided ``p = 2·Φ̄(|z|)`` via
+    :func:`normal_sf_expr`. BH step-up: sort the m p-values ascending,
+    find the LARGEST rank i with ``p_(i) ≤ i·α/m`` (as pure integer
+    cross-multiplication ``p·m·a_den ≤ i·a_num`` on the float p —
+    one comparison, no division), and reject hypotheses 1..i.
+
+    Determinism: counts are exact integers; p0, z, and p are fixed
+    IEEE sequences on those integers; the BH rank is a window over the
+    m-row group frame (ties broken by group key); the rejection
+    cutoff propagates as a full-frame window max. Everything after
+    the one detail-row aggregate is m-row-frame work.
+
+    Output per group: ``(group, n, successes, rate, z, p_value,
+    p_rank, bh_cutoff_rank, rejected)``.
+    """
+    a_num, a_den = int(alpha[0]), int(alpha[1])
+    if not 0 < a_num < a_den:
+        raise ValueError("alpha must be a fraction in (0, 1)")
+    s = F.col(success_col).cast("long")
+    cells = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(s).alias("k"),
+    )
+    wall = Window.partitionBy()
+    cells = cells.withColumn(
+        "__nt", F.sum("n").over(wall)
+    ).withColumn("__kt", F.sum("k").over(wall))
+    p0 = F.col("__kt").cast("double") / F.col("__nt").cast("double")
+    rate = F.col("k").cast("double") / F.col("n").cast("double")
+    z = (rate - p0) / F.sqrt(
+        p0 * (F.lit(1.0) - p0) / F.col("n").cast("double"))
+    scored = cells.select(
+        "g", "n", "k",
+        rate.alias("__rate"),
+        z.alias("__z"),
+        (F.lit(2.0) * normal_sf_expr(F.abs(z))).alias("__p"),
+    )
+    wrank = Window.orderBy("__p", "g")
+    m = F.count(F.lit(1)).over(wall)
+    ranked = scored.withColumn(
+        "__i", F.row_number().over(wrank)
+    ).withColumn("__m", m)
+    # BH step-up: largest i with p_(i)·m·a_den <= i·a_num
+    hit = F.when(
+        F.col("__p") * F.col("__m") * a_den
+        <= F.col("__i") * a_num, F.col("__i"))
+    cutoff = F.coalesce(F.max(hit).over(wall), F.lit(0))
+    return (
+        ranked.withColumn("__cut", cutoff)
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            F.col("k").alias("successes"),
+            F.round("__rate", 6).alias("rate"),
+            F.round("__z", 6).alias("z"),
+            F.round("__p", 8).alias("p_value"),
+            F.col("__i").cast("long").alias("p_rank"),
+            F.col("__cut").cast("long").alias("bh_cutoff_rank"),
+            (F.col("__i") <= F.col("__cut")).alias("rejected"),
+        )
     )
 
 

@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: orders-customer equi-join + nation cell agg (the only
+    # detail work); totals/rank/cutoff are full-frame windows over the
+    # 25-row cell frame; erf polynomial is in-row codegen
+    "bh_fdr_urgent_nations": (5, False),
     # r9: positives equi-join + distinct, user distinct, pipelined
     # draw explode, (user,item) anti-join, per-user window over <=8
     # rows, draw-index agg + sort — never a cross join over the catalog
