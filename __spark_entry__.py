@@ -5971,6 +5971,29 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def robust_seasonal_events(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Robust (median-based) weekly decomposition of daily event
+    revenue (r9, operators/timeseries.py:robust_seasonal_decompose —
+    the STL-robustness idea, Cleveland et al. 1990): centered rolling
+    MEDIAN trend, per-calendar-phase MEDIAN seasonal, integer
+    remainder diagnostics. EVERY step is an exact BIGINT (nearest-rank
+    median picks from sorted arrays, no division anywhere), so a
+    revenue spike moves only its own remainder, never the seasonal —
+    and the oracle replays the whole decomposition bit-for-bit. One
+    grain rollup + one series window + phase-frame aggregates."""
+    from deltalake_spark.operators.timeseries import (
+        robust_seasonal_decompose,
+    )
+
+    return robust_seasonal_decompose(
+        _daily_cents(spark, sf_dir),
+        group_cols=["event_type"], order_col="d", value_col="cents",
+        season_length=7, window=7,
+    ).select("event_type", "phase", "n_obs", "seasonal",
+             "remainder_abs_sum")
+
+
 def bh_fdr_urgent_nations(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Benjamini–Hochberg FDR screening (r9, operators/stats.py:
@@ -7213,6 +7236,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
     "conformal_coverage_lineitem": conformal_coverage_lineitem,
     "bh_fdr_urgent_nations": bh_fdr_urgent_nations,
+    "robust_seasonal_events": robust_seasonal_events,
     "negative_sample_stats": negative_sample_stats,
     "mattr_diversity_langs": mattr_diversity_langs,
     "mannwhitney_doclen_langs": mannwhitney_doclen_langs,
@@ -12879,6 +12903,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
         "stream_mg_topk": _stream_mg_oracle(),
+        "robust_seasonal_events": """
+            WITH daily AS (
+              SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS d,
+                     CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                          AS BIGINT) AS cents
+              FROM events GROUP BY 1, 2
+            ), fr AS (
+              SELECT event_type, d, cents,
+                     list_sort(list(cents) OVER (
+                       PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+                         AS frame
+              FROM daily
+            ), det AS (
+              SELECT event_type, d % 7 AS phase,
+                     cents - frame[4] AS detrend
+              FROM fr WHERE len(frame) = 7
+            ), seas AS (
+              SELECT event_type, phase,
+                     CAST(list_sort(list(detrend))
+                          [(len(list(detrend)) + 1) // 2]
+                          AS BIGINT) AS seasonal
+              FROM det GROUP BY 1, 2
+            )
+            SELECT det.event_type, det.phase,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   seas.seasonal,
+                   CAST(SUM(ABS(detrend - seas.seasonal)) AS BIGINT)
+                       AS remainder_abs_sum
+            FROM det JOIN seas
+              ON seas.event_type = det.event_type
+             AND seas.phase = det.phase
+            GROUP BY 1, 2, seas.seasonal
+            ORDER BY 1, 2
+        """,
         "bh_fdr_urgent_nations": """
             WITH j AS (
               SELECT c.c_nationkey AS g,

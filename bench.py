@@ -130,6 +130,7 @@ EXTRA = [
     "negative_sample_stats",       # r9: BPR-style negative sampling
     "stream_mg_topk",              # r9: streaming Misra-Gries monitor
     "bh_fdr_urgent_nations",       # r9: BH-FDR multiple testing
+    "robust_seasonal_events",      # r9: median-robust decomposition
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

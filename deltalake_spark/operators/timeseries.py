@@ -42,6 +42,7 @@ __all__ = [
     "markov_transitions",
     "cusum_changepoint",
     "seasonal_decompose",
+    "robust_seasonal_decompose",
     "holt_forecast",
     "sse_changepoint",
     "theil_sen",
@@ -339,6 +340,88 @@ def seasonal_decompose(
         .withColumn(
             "seasonal",
             F.col("sum_detrend_k") / (F.lit(k) * F.col("n_obs")))
+        .orderBy(*group_cols, "phase")
+    )
+
+
+def robust_seasonal_decompose(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    season_length: int,
+    window: int,
+) -> DataFrame:
+    """ROBUST additive seasonal decomposition — the median-based
+    sibling of :func:`seasonal_decompose` (the reason STL uses robust
+    smoothers, Cleveland et al. 1990: one promo-day spike drags a
+    moving-AVERAGE trend and leaks into every phase's seasonal; medians
+    shrug it off):
+
+        trend(t)    = centered rolling MEDIAN over ``window`` rows
+        detrend(t)  = x(t) − trend(t)
+        seasonal(φ) = MEDIAN of detrend over phase φ
+        remainder   = detrend − seasonal
+
+    Every step is an exact INTEGER: medians are nearest-rank-lower
+    picks from sorted arrays (odd ``window`` makes the trend median
+    the true middle; phase medians use sorted index ``(n+1) div 2``,
+    1-based), so the whole decomposition — including the remainder
+    diagnostics — replays bit-for-bit on any engine with NO division
+    anywhere. Phase is the CALENDAR position ``order mod
+    season_length`` (gaps keep their phase — unlike
+    :func:`seasonal_decompose`'s row-position phase).
+
+    Scale shape: one group-keyed sort shared by the centered window;
+    only full windows contribute (standard edge rule); phase medians
+    aggregate per-(group, phase) arrays bounded by the series length —
+    for multi-year daily series that is hundreds of values, KBs. One
+    broadcast join carries seasonal back. Output per (group, phase):
+    ``(group..., phase, n_obs, seasonal, remainder_abs_sum)``.
+    """
+    k = int(window)
+    m = int(season_length)
+    if k < 3 or k % 2 == 0:
+        raise ValueError("window must be odd and >= 3")
+    if m < 2:
+        raise ValueError("season_length must be >= 2")
+    h = k // 2
+    w_cent = (
+        Window.partitionBy(*group_cols).orderBy(order_col)
+        .rowsBetween(-h, h)
+    )
+    x = F.col(value_col).cast("long")
+    frame = F.array_sort(F.collect_list(x).over(w_cent))
+    staged = df.select(
+        *group_cols,
+        x.alias("__x"),
+        (F.col(order_col).cast("long") % m).alias("phase"),
+        frame.alias("__fr"),
+    ).withColumn("__wn", F.size("__fr"))
+    full = staged.filter(F.col("__wn") == k).withColumn(
+        "__detrend",
+        F.col("__x") - F.element_at("__fr", (k + 1) // 2))
+    seas = (
+        full.groupBy(*group_cols, "phase")
+        .agg(F.array_sort(F.collect_list("__detrend")).alias("__ds"))
+        .select(
+            *group_cols, "phase",
+            F.element_at(
+                F.col("__ds"),
+                F.expr("(size(__ds) + 1) div 2").cast("int"),
+            ).cast("long").alias("seasonal"),
+        )
+    )
+    joined = full.join(F.broadcast(seas), [*group_cols, "phase"])
+    return (
+        joined.groupBy(*group_cols, "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.first("seasonal").alias("seasonal"),
+            F.sum(F.abs(F.col("__detrend") - F.col("seasonal")))
+            .alias("remainder_abs_sum"),
+        )
         .orderBy(*group_cols, "phase")
     )
 

@@ -273,6 +273,10 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: one grain rollup (the only detail pass) + the shared
+    # (type, day) sort for the centered-median window + phase-median
+    # agg broadcast back + final agg/sort
+    "robust_seasonal_events": (5, False),
     # r9: orders-customer equi-join + nation cell agg (the only
     # detail work); totals/rank/cutoff are full-frame windows over the
     # 25-row cell frame; erf polynomial is in-row codegen
