@@ -5971,6 +5971,39 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def cmh_building_urgent(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified association (r9,
+    operators/stats.py:cmh_test — Mantel & Haenszel 1959): does the
+    BUILDING market segment order URGENT more often, controlling for
+    order YEAR? The Simpson's-paradox-aware readout a pooled 2×2
+    silently gets wrong when year mix and base rates drift. All 2×2
+    cells are exact integers from one conditional aggregate per year;
+    E/V/odds terms are fixed IEEE sequences summed in SORTED stratum
+    order via an in-plan fold (not a shuffle-ordered SUM), so the
+    oracle replays χ²_CMH and the MH odds ratio exactly via
+    list_reduce over the same sorted terms."""
+    from deltalake_spark.operators.stats import cmh_test
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.col("c_mktsegment") == "BUILDING").alias("exposed"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+    )
+    out = cmh_test(j, stratum_col="yr", exposure_col="exposed",
+                   outcome_col="urgent")
+    return out.select(
+        "n_strata", "sum_a",
+        F.round("sum_e", 6).alias("sum_e"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("chi2_cmh", 6).alias("chi2_cmh"),
+        F.round("or_mh", 6).alias("or_mh"))
+
+
 def robust_seasonal_events(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Robust (median-based) weekly decomposition of daily event
@@ -7236,6 +7269,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
     "conformal_coverage_lineitem": conformal_coverage_lineitem,
     "bh_fdr_urgent_nations": bh_fdr_urgent_nations,
+    "cmh_building_urgent": cmh_building_urgent,
     "robust_seasonal_events": robust_seasonal_events,
     "negative_sample_stats": negative_sample_stats,
     "mattr_diversity_langs": mattr_diversity_langs,
@@ -12903,6 +12937,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
         "stream_mg_topk": _stream_mg_oracle(),
+        "cmh_building_urgent": """
+            WITH j AS (
+              SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                         AS s,
+                     c.c_mktsegment = 'BUILDING' AS e,
+                     o.o_orderpriority = '1-URGENT' AS o
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), cells AS (
+              SELECT s,
+                CAST(COUNT(*) FILTER (WHERE e AND o) AS BIGINT) AS a,
+                CAST(COUNT(*) FILTER (WHERE e AND NOT o) AS BIGINT)
+                    AS b,
+                CAST(COUNT(*) FILTER (WHERE NOT e AND o) AS BIGINT)
+                    AS c,
+                CAST(COUNT(*) FILTER (WHERE NOT e AND NOT o)
+                     AS BIGINT) AS d
+              FROM j GROUP BY 1
+            ), per AS (
+              SELECT s, a,
+                CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE) AS ek,
+                CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                  * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                  / (CAST(a + b + c + d AS DOUBLE)
+                     * CAST(a + b + c + d AS DOUBLE)
+                     * (CAST(a + b + c + d AS DOUBLE) - 1)) AS vk,
+                CAST(a AS DOUBLE) * d
+                  / CAST(a + b + c + d AS DOUBLE) AS ad,
+                CAST(b AS DOUBLE) * c
+                  / CAST(a + b + c + d AS DOUBLE) AS bc
+              FROM cells
+              WHERE a + b + c + d >= 2 AND a + b > 0 AND c + d > 0
+                AND a + c > 0 AND b + d > 0
+            ), folds AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                CAST(list_reduce(list(CAST(a AS DOUBLE) ORDER BY s),
+                     (x, y) -> x + y) AS DOUBLE) AS sum_a,
+                CAST(list_reduce(list(ek ORDER BY s),
+                     (x, y) -> x + y) AS DOUBLE) AS sum_e,
+                CAST(list_reduce(list(vk ORDER BY s),
+                     (x, y) -> x + y) AS DOUBLE) AS sum_v,
+                CAST(list_reduce(list(ad ORDER BY s),
+                     (x, y) -> x + y) AS DOUBLE) AS sum_ad,
+                CAST(list_reduce(list(bc ORDER BY s),
+                     (x, y) -> x + y) AS DOUBLE) AS sum_bc
+              FROM per
+            )
+            SELECT n_strata, CAST(sum_a AS BIGINT) AS sum_a,
+                   ROUND(sum_e, 6) AS sum_e,
+                   ROUND(sum_v, 6) AS sum_v,
+                   ROUND((ABS(sum_a - sum_e) - 0.5)
+                         * (ABS(sum_a - sum_e) - 0.5) / sum_v, 6)
+                       AS chi2_cmh,
+                   ROUND(sum_ad / sum_bc, 6) AS or_mh
+            FROM folds
+        """,
         "robust_seasonal_events": """
             WITH daily AS (
               SELECT event_type,

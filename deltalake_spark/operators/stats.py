@@ -65,6 +65,7 @@ __all__ = [
     "split_conformal_interval",
     "normal_sf_expr",
     "bh_fdr_ztests",
+    "cmh_test",
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
@@ -1330,6 +1331,93 @@ def bh_fdr_ztests(
             F.col("__cut").cast("long").alias("bh_cutoff_rank"),
             (F.col("__i") <= F.col("__cut")).alias("rejected"),
         )
+    )
+
+
+def cmh_test(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of exposure→outcome association
+    ACROSS strata (Mantel & Haenszel 1959) — the Simpson's-paradox-
+    aware A/B readout: a pooled 2×2 test can reverse sign when strata
+    (cohort, region, year) differ in both mix and base rate; CMH
+    combines the per-stratum evidence instead.
+
+    Per stratum k with 2×2 cells (a=exposed·success, b=exposed·fail,
+    c=unexposed·success, d=unexposed·fail, n=a+b+c+d):
+    ``E_k = (a+b)(a+c)/n``, ``V_k = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))``,
+    ``χ² = (|Σa − ΣE| − 1/2)² / ΣV`` (continuity-corrected), plus the
+    Mantel–Haenszel common odds ratio ``Σ(a·d/n) / Σ(b·c/n)``.
+
+    Determinism: all cells are exact integers from ONE conditional
+    aggregate per stratum; E_k/V_k/odds terms are fixed IEEE
+    sequences on those integers summed over the STRATA FRAME (tens of
+    rows — float order is pinned by a sorted in-plan fold, not a
+    shuffle-ordered SUM). Single detail pass; everything downstream is
+    strata-frame-sized. Output one row:
+    ``(n_strata, sum_a, sum_e, sum_v, chi2_cmh, or_mh)``.
+
+    Degenerate strata (n < 2, or an empty margin making V_k = 0)
+    contribute zero evidence and are EXCLUDED — the standard rule.
+    """
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    cells = df.groupBy(F.col(stratum_col).alias("__s")).agg(
+        F.count(F.when(e & o, 1)).alias("a"),
+        F.count(F.when(e & ~o, 1)).alias("b"),
+        F.count(F.when(~e & o, 1)).alias("c"),
+        F.count(F.when(~e & ~o, 1)).alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    r2 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    c2 = (F.col("b") + F.col("d")).cast("double")
+    nd = n.cast("double")
+    ek = r1 * c1 / nd
+    vk = r1 * r2 * c1 * c2 / (nd * nd * (nd - 1))
+    ok_row = (n >= 2) & (r1 > 0) & (r2 > 0) & (c1 > 0) & (c2 > 0)
+    per = cells.where(ok_row).select(
+        "__s", "a",
+        ek.alias("__e"), vk.alias("__v"),
+        (F.col("a").cast("double") * F.col("d") / nd).alias("__ad"),
+        (F.col("b").cast("double") * F.col("c") / nd).alias("__bc"),
+    )
+    # strata-frame float sums folded in SORTED stratum order so both
+    # engines add in the same sequence (a shuffle-ordered SUM is not
+    # replayable; the frame is tens of rows, the fold is free)
+    packed = per.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("__s").alias("s"), F.col("a").alias("a"),
+                F.col("__e").alias("e"), F.col("__v").alias("v"),
+                F.col("__ad").alias("ad"), F.col("__bc").alias("bc"),
+            ))
+        ).alias("__rows"))
+
+    def fold(field: str) -> "F.Column":
+        return F.aggregate(
+            F.col("__rows"), F.lit(0.0),
+            lambda acc, r: acc + r[field].cast("double"))
+
+    sum_a = fold("a")
+    sum_e = fold("e")
+    sum_v = fold("v")
+    chi2 = (
+        (F.abs(sum_a - sum_e) - F.lit(0.5))
+        * (F.abs(sum_a - sum_e) - F.lit(0.5)) / sum_v
+    )
+    return packed.select(
+        F.size("__rows").cast("long").alias("n_strata"),
+        sum_a.cast("long").alias("sum_a"),
+        sum_e.alias("sum_e"),
+        sum_v.alias("sum_v"),
+        chi2.alias("chi2_cmh"),
+        (fold("ad") / fold("bc")).alias("or_mh"),
     )
 
 

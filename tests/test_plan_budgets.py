@@ -273,6 +273,9 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: orders-customer equi-join + per-year conditional cell agg
+    # (the only detail pass) + scalar fold over the sorted strata array
+    "cmh_building_urgent": (4, False),
     # r9: one grain rollup (the only detail pass) + the shared
     # (type, day) sort for the centered-median window + phase-median
     # agg broadcast back + final agg/sort
