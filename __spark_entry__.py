@@ -5971,6 +5971,34 @@ def ks_doclen_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").desc(), "src_a", "src_b").limit(20)
 
 
+def lift_deciles_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift / gains table (r9, operators/stats.py:lift_deciles) for a
+    real score→label pair: the English stopword ratio (the engine's
+    language-ID feature) scoring lang=='en' membership. Bucket cuts
+    are the pure integer ``((rank−1)·10) div N`` over the (score DESC,
+    doc_id) total order; counts exact; rate/capture/lift single
+    divisions. One global rank window (documented 10⁷-row ceiling,
+    grid recipe beyond) + bucket agg + cumulative window over 10
+    rows."""
+    from deltalake_spark.operators.stats import lift_deciles
+    from deltalake_spark.operators.text import stopword_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        stopword_ratio(F.col("text"), "en").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = lift_deciles(scored, score_col="s", label_col="y",
+                       id_col="doc_id")
+    return out.select(
+        "bucket", "n", "positives",
+        F.round("rate", 6).alias("rate"),
+        "cum_positives",
+        F.round("capture", 6).alias("capture"),
+        F.round("lift", 6).alias("lift"))
+
+
 def cmh_building_urgent(spark: SparkSession,
                         sf_dir: str) -> DataFrame:
     """Cochran–Mantel–Haenszel stratified association (r9,
@@ -7270,6 +7298,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_coverage_lineitem": conformal_coverage_lineitem,
     "bh_fdr_urgent_nations": bh_fdr_urgent_nations,
     "cmh_building_urgent": cmh_building_urgent,
+    "lift_deciles_en": lift_deciles_en,
     "robust_seasonal_events": robust_seasonal_events,
     "negative_sample_stats": negative_sample_stats,
     "mattr_diversity_langs": mattr_diversity_langs,
@@ -12937,6 +12966,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bootstrap_ci_totalprice": _bootstrap_ci_oracle(),
         "stream_mg_topk": _stream_mg_oracle(),
+        "lift_deciles_en": """
+            WITH sc AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t IN ('the','and','of','to','in','is',
+                                  'that','it'))) AS DOUBLE)
+                     / GREATEST(len(regexp_split_to_array(lower(text),
+                                                          '\\s+')), 1)
+                         AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+              FROM documents
+            ), ranked AS (
+              SELECT y,
+                     ROW_NUMBER() OVER (ORDER BY s DESC, doc_id)
+                         AS rn,
+                     COUNT(*) OVER () AS n
+              FROM sc
+            ), cells AS (
+              SELECT ((rn - 1) * 10) // n AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(y) AS BIGINT) AS positives
+              FROM ranked GROUP BY 1
+            ), agg AS (
+              SELECT bucket, n, positives,
+                     CAST(SUM(positives) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                       ROW) AS BIGINT) AS cum_positives,
+                     CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+                     CAST(SUM(positives) OVER () AS BIGINT) AS tot_k
+              FROM cells
+            )
+            SELECT bucket, n, positives,
+                   ROUND(CAST(positives AS DOUBLE) / n, 6) AS rate,
+                   cum_positives,
+                   ROUND(CAST(cum_positives AS DOUBLE) / tot_k, 6)
+                       AS capture,
+                   ROUND(CAST(positives * tot_n AS DOUBLE)
+                         / (n * tot_k), 6) AS lift
+            FROM agg ORDER BY bucket
+        """,
         "cmh_building_urgent": """
             WITH j AS (
               SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)

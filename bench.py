@@ -132,6 +132,7 @@ EXTRA = [
     "bh_fdr_urgent_nations",       # r9: BH-FDR multiple testing
     "robust_seasonal_events",      # r9: median-robust decomposition
     "cmh_building_urgent",         # r9: CMH stratified association
+    "lift_deciles_en",             # r9: lift/gains model eval
     "mannwhitney_doclen_langs",    # r9: rank-sum test, integer core
     "kruskal_doclen_langs",        # r9: k-sample ANOVA on ranks
 ]

@@ -66,6 +66,7 @@ __all__ = [
     "normal_sf_expr",
     "bh_fdr_ztests",
     "cmh_test",
+    "lift_deciles",
     "best_gini_split",
     "quantile_normalize",
     "cuped_lift",
@@ -1419,6 +1420,68 @@ def cmh_test(
         chi2.alias("chi2_cmh"),
         (fold("ad") / fold("bc")).alias("or_mh"),
     )
+
+
+def lift_deciles(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Lift / gains table — the standard business-facing classifier
+    eval (companion to :func:`roc_auc`): rank the population by score
+    descending, cut into ``n_buckets`` equal-count buckets, and report
+    each bucket's positive rate, cumulative capture ("the top 20% of
+    scores catches X% of all positives"), and lift over the base rate.
+
+    Exactness: bucket assignment is the pure integer
+    ``((rank−1)·n_buckets) div N`` over a total order (score DESC,
+    id ASC — the id tiebreak makes the cut deterministic under score
+    ties); per-bucket counts are exact integers; rate/capture/lift are
+    single IEEE divisions of those integers (lift as the exact
+    cross-ratio ``(k·N)/(n·K)``).
+
+    Scale note: the global rank is ONE single-partition window over
+    (score, id, label) triples — fine to ~10⁷ rows; beyond that,
+    quantize the score and rank the quantile cells instead (the
+    ks_two_sample grid recipe). Output per bucket:
+    ``(bucket, n, positives, rate, cum_positives, capture, lift)``.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    w = Window.orderBy(F.col("__sc").desc(), F.col("__id"))
+    wall = Window.partitionBy()
+    base = df.select(
+        F.col(score_col).cast("double").alias("__sc"),
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    ranked = base.withColumn("__rn", F.row_number().over(w)) \
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+    bucket = F.expr(f"((__rn - 1) * {int(n_buckets)}) div __n")
+    cells = (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__y").alias("positives"),
+        )
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0)
+    tot_n = F.sum("n").over(wall)
+    tot_k = F.sum("positives").over(wall)
+    cum_k = F.sum("positives").over(wcum)
+    return cells.select(
+        "bucket", "n", "positives",
+        (F.col("positives").cast("double") / F.col("n"))
+        .alias("rate"),
+        cum_k.alias("cum_positives"),
+        (cum_k.cast("double") / tot_k).alias("capture"),
+        ((F.col("positives") * tot_n).cast("double")
+         / (F.col("n") * tot_k)).alias("lift"),
+    ).orderBy("bucket")
 
 
 def best_gini_split(

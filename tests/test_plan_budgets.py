@@ -273,6 +273,9 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r9: map-only score + one global rank window (documented 1e7
+    # ceiling) + 10-cell bucket agg + cumulative window + sort
+    "lift_deciles_en": (3, False),
     # r9: orders-customer equi-join + per-year conditional cell agg
     # (the only detail pass) + scalar fold over the sorted strata array
     "cmh_building_urgent": (4, False),
