@@ -545,8 +545,13 @@ def lsh_candidate_quality(
 
     ``hash_mode='portable'`` (default) uses the md5-derived 28-bit
     shingle hashes so a SQL oracle replays truth AND candidates
-    value-for-value; ``'native'`` swaps both sides to Spark Murmur3
-    (faster, unreplayable outside the JVM — same estimator family).
+    value-for-value — in this mode truth and signatures hash the SAME
+    sets exactly. ``'native'`` swaps both sides to Spark Murmur3
+    (faster, unreplayable outside the JVM); note the native signature
+    path hashes arithmetic word-gram combines while the truth side
+    hashes shingle strings, so the two sets agree on the underlying
+    string-shingle Jaccard only up to (negligible) hash collisions —
+    fine for monitoring, use portable for exact evaluation.
     """
     if hash_mode not in ("native", "portable"):
         raise ValueError("hash_mode must be 'native' or 'portable'")
