@@ -903,7 +903,11 @@ def mannwhitney_u(
     Plan shape (T distinct values): one (value) hash aggregate with
     conditional counts over the detail rows — the ONLY pass over raw
     data; one cumulative window over the T-row value frame; one scalar
-    aggregate. No joins. Output one row:
+    aggregate. No joins. The value frame's cumulative window is a
+    single-partition sort of T rows, so for CONTINUOUS value domains
+    (T approaching N) quantize/bucket the value first — the
+    :func:`ks_two_sample` grid rule; ranks over the quantized grid
+    are the test on the coarsened data, still exact. Output one row:
     ``(n_a, n_b, u_a, u_mean, tie_term, z_stat)``.
     """
     in_a = F.col(group_col) == group_a
@@ -974,7 +978,10 @@ def kruskal_wallis(
     :func:`deltalake_spark.session.release_caches`); a value-frame
     cumulative window (T rows) derived from it by a second tiny
     aggregate, joined back on value (both sides value-frame scale);
-    one G-row aggregate, one scalar reduce. Output one row:
+    one G-row aggregate, one scalar reduce. As with
+    :func:`mannwhitney_u`, the rank window is a single-partition sort
+    of the T-row value frame — quantize continuous value domains
+    first. Output one row:
     ``(n_total, n_groups, tie_term, h_stat, h_corrected, dof)``.
     """
     cells = df.groupBy(
