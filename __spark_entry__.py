@@ -7642,7 +7642,8 @@ def _bootstrap_ci_oracle() -> str:
           FROM orders
         ), rep AS (
           SELECT id, c, b,
-                 ((id * 64 + b + 7) * 2654435761) % 4294967296 AS u
+                 CAST((CAST(id * 64 + b + 7 AS HUGEINT)
+                       * 2654435761) % 4294967296 AS BIGINT) AS u
           FROM raw, UNNEST(range(-1, 64)) AS t(b)
         ), wt AS (
           SELECT b, c,
@@ -13117,12 +13118,13 @@ def oracle_sql() -> dict[str, str]:
             ), zc AS (
               SELECT g, n, k, m,
                      CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+                     CASE WHEN kt = 0 OR kt = nt THEN 0.0 ELSE
                      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
                       - CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE))
                      / SQRT(CAST(kt AS DOUBLE) / CAST(nt AS DOUBLE)
                             * (1.0 - CAST(kt AS DOUBLE)
                                      / CAST(nt AS DOUBLE))
-                            / CAST(n AS DOUBLE)) AS z
+                            / CAST(n AS DOUBLE)) END AS z
               FROM cells CROSS JOIN tot
             ), pv AS (
               SELECT g, n, k, m, rate, z,
@@ -13168,8 +13170,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT u, j FROM users, UNNEST(range(0, 8)) AS t(j)
             ), cand AS (
               SELECT u, j,
-                     1 + (((u * 8 + j + 19) * 2654435761)
-                          % 4294967296) % pmax.p AS i
+                     1 + CAST(((CAST(u * 8 + j + 19 AS HUGEINT)
+                                * 2654435761) % 4294967296)
+                              AS BIGINT) % pmax.p AS i
               FROM draws CROSS JOIN pmax
             ), surv AS (
               SELECT c.u, c.j, c.i
@@ -13193,8 +13196,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey * 8 + l_linenumber AS id,
                      CAST(ROUND(l_quantity) AS BIGINT) AS x,
                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y,
-                     ((l_orderkey * 8 + l_linenumber + 11)
-                      * 2654435761) % 4294967296 AS u
+                     CAST((CAST(l_orderkey * 8 + l_linenumber + 11
+                                AS HUGEINT)
+                           * 2654435761) % 4294967296 AS BIGINT) AS u
               FROM lineitem
             ), s AS (
               SELECT id, x, y,
@@ -13310,7 +13314,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(SUM(ta) AS BIGINT) AS n_a,
                      CAST(SUM(t - ta) AS BIGINT) AS n_b,
                      CAST(SUM(ta * (2 * c + t + 1)) AS BIGINT) AS r2a,
-                     CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+                     SUM(CAST(t AS HUGEINT) * t * t - t) AS tie_term
               FROM ranked
             ), f AS (
               SELECT n_a, n_b, r2a, tie_term,
@@ -13320,7 +13324,8 @@ def oracle_sql() -> dict[str, str]:
               FROM agg
             )
             SELECT n_a, n_b, u_a,
-                   na * nb / 2.0 AS u_mean, tie_term,
+                   na * nb / 2.0 AS u_mean,
+                   CAST(tie_term AS DOUBLE) AS tie_term,
                    ROUND((u_a - na * nb / 2.0)
                      / SQRT(na * nb / 12.0
                        * ((n + 1) - CAST(tie_term AS DOUBLE)
@@ -13348,21 +13353,23 @@ def oracle_sql() -> dict[str, str]:
             ), groups AS (
               SELECT g, CAST(SUM(tg) AS BIGINT) AS ng,
                      CAST(SUM(tg * r2) AS BIGINT) AS r2g,
-                     CAST(SUM(tg * (t * t - 1)) AS BIGINT) AS tie_g
+                     SUM(CAST(tg AS HUGEINT) * (CAST(t AS HUGEINT)
+                         * t - 1)) AS tie_g
               FROM j GROUP BY 1
             ), agg AS (
               SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
                      CAST(COUNT(*) AS BIGINT) AS n_groups,
                      SUM(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
                          / (4.0 * CAST(ng AS DOUBLE))) AS s,
-                     CAST(SUM(tie_g) AS BIGINT) AS tie_term
+                     SUM(tie_g) AS tie_term
               FROM groups
             ), f AS (
               SELECT n_total, n_groups, s, tie_term,
                      CAST(n_total AS DOUBLE) AS n
               FROM agg
             )
-            SELECT n_total, n_groups, tie_term,
+            SELECT n_total, n_groups,
+                   CAST(tie_term AS DOUBLE) AS tie_term,
                    ROUND(12.0 / (n * (n + 1)) * s - 3 * (n + 1), 6)
                        AS h_stat,
                    ROUND((12.0 / (n * (n + 1)) * s - 3 * (n + 1))

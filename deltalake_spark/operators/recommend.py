@@ -101,7 +101,12 @@ def negative_sample_interactions(
 
     Deterministic and engine-replayable: draw ``j`` for a user is the
     portable Knuth hash ``((user·J + j + seed)·2654435761) mod 2³²``
-    mapped to ``1 + (u mod n_items)`` (J = k·oversample total draws).
+    mapped to ``1 + (u mod n_items)`` (J = k·oversample total draws);
+    the multiply is 16-bit-decomposed
+    (:func:`~deltalake_spark.operators.sketches._knuth32`) and the SQL
+    twin routes through HUGEINT, so it never overflows int64 — the
+    only contract is that ``user·J + J + seed`` itself fits int64
+    (user ids below ~2⁶⁰ at J = 8).
     Draws that collide with a TRUE positive of that user are removed
     by an anti-join; the first ``k`` survivors IN DRAW ORDER are kept,
     so the output is a pure function of (positives, n_items, k, seed).
@@ -132,10 +137,10 @@ def negative_sample_interactions(
         "__u",
         F.explode(F.sequence(F.lit(0), F.lit(total - 1))).alias("__j"),
     )
-    u_hash = (
-        (F.col("__u") * total + F.col("__j") + F.lit(int(seed)))
-        * F.lit(2654435761)
-    ) % F.lit(4294967296)
+    from deltalake_spark.operators.sketches import KMV_MULT, _knuth32
+
+    u_hash = _knuth32(
+        F.col("__u") * total + F.col("__j"), KMV_MULT, int(seed))
     cand = draws.select(
         "__u", "__j",
         (F.lit(1) + (u_hash % F.lit(int(n_items)))).alias("__i"),

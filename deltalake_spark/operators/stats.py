@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from deltalake_spark.operators.sketches import KMV_MULT, _knuth32
+
 __all__ = [
     "linear_regression",
     "chi_square",
@@ -895,10 +897,16 @@ def mannwhitney_u(
     so everything is carried as DOUBLED ranks — for a tied block of
     size ``t`` starting after ``c`` earlier rows the doubled average
     rank is ``2c + t + 1`` (an integer). The doubled rank sum ``R2_a``
-    and tie term ``Σ(t³−t)`` are exact BIGINTs on both engines; the
-    only floats are the final half-dozen flops assembling
-    ``z = (U − μ)/σ`` from those integers, which both engines perform
-    on identical operands.
+    is an exact BIGINT; the tie term ``Σ(t³−t)`` is carried in
+    decimal(38,0) — in BIGINT it overflows once one tied block passes
+    ~2.09M rows, exactly the regime coarse quantization creates at
+    large N; decimal is exact to t ≈ 4.6e12, and ``z_stat`` is
+    assembled from the decimal directly. The reported ``tie_term``
+    diagnostic is a double (exact to 2⁵³, approximate past it — the
+    test statistic never loses exactness). The only floats are the
+    final half-dozen flops
+    assembling ``z = (U − μ)/σ`` from those integers, which both
+    engines perform on identical operands.
 
     Plan shape (T distinct values): one (value) hash aggregate with
     conditional counts over the detail rows — the ONLY pass over raw
@@ -926,13 +934,17 @@ def mannwhitney_u(
         "__c", F.coalesce(F.sum("__t").over(wcum), F.lit(0)))
     # doubled average rank of the tied block: 2c + t + 1
     rank2 = 2 * F.col("__c") + F.col("__t") + F.lit(1)
+    # tie term in decimal(38,0): t³−t in BIGINT silently wraps (or
+    # raises under ANSI) once a single tied block exceeds ~2.09M rows
+    # — exactly the regime quantize-first creates at large N. Decimal
+    # is exact to t ≈ 4.6e12; only the final OUTPUT cast back to long
+    # can overflow, and that raises loudly instead of wrapping.
+    td = F.col("__t").cast("decimal(38,0)")
     agg = ranked.groupBy().agg(
         F.sum("__ta").alias("n_a"),
         F.sum(F.col("__t") - F.col("__ta")).alias("n_b"),
         F.sum(F.col("__ta") * rank2).alias("__r2a"),
-        F.sum(
-            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
-        ).alias("tie_term"),
+        F.sum(td * td * td - td).alias("__tie"),
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")
@@ -943,14 +955,14 @@ def mannwhitney_u(
     u_mean = n_a * n_b / F.lit(2.0)
     sigma2 = (
         n_a * n_b / F.lit(12.0)
-        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
+        * ((n + 1) - F.col("__tie").cast("double") / (n * (n - 1)))
     )
     return agg.select(
         "n_a",
         "n_b",
         u_a.alias("u_a"),
         u_mean.alias("u_mean"),
-        "tie_term",
+        F.col("__tie").cast("double").alias("tie_term"),
         ((u_a - u_mean) / F.sqrt(sigma2)).alias("z_stat"),
     )
 
@@ -967,8 +979,12 @@ def kruskal_wallis(
     ``C = 1 − Σ(t³−t)/(N³−N)``.
 
     Same doubled-rank integer core as :func:`mannwhitney_u`: per-group
-    doubled rank sums ``R2_g`` and the tie term are exact BIGINTs; H
-    is assembled from them in a handful of trailing flops
+    doubled rank sums ``R2_g`` are exact BIGINTs and the tie term is
+    exact decimal(38,0) (see :func:`mannwhitney_u` on why BIGINT
+    overflows at ~2.09M-row tie blocks; the reported ``tie_term``
+    diagnostic is a double, while ``h_corrected`` uses the exact
+    decimal); H is assembled from them in a handful of trailing
+    flops
     (``H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1)``, with ``R_g = R2_g/2``).
 
     Plan shape (T distinct values, G groups): one (value, group) hash
@@ -998,11 +1014,14 @@ def kruskal_wallis(
     joined = cells.join(
         ranked.select("__v", rank2.alias("__r2"), "__t"), "__v")
     # tie term folded into the same pass: Σ_v t(t²−1) = Σ_{(v,g)} t_g(t²−1)
+    # — in decimal(38,0), same overflow rationale as mannwhitney_u
+    tdec = F.col("__t").cast("decimal(38,0)")
     groups = joined.groupBy("__g").agg(
         F.sum("__tg").alias("__ng"),
         F.sum(F.col("__tg") * F.col("__r2")).alias("__r2g"),
         F.sum(
-            F.col("__tg") * (F.col("__t") * F.col("__t") - F.lit(1))
+            F.col("__tg").cast("decimal(38,0)")
+            * (tdec * tdec - F.lit(1))
         ).alias("__tie_g"),
     )
     # Σ R_g²/n_g with R_g = R2_g/2 → Σ R2_g²/(4·n_g)
@@ -1014,15 +1033,15 @@ def kruskal_wallis(
         F.sum("__ng").alias("n_total"),
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(term).alias("__s"),
-        F.sum("__tie_g").alias("tie_term"),
+        F.sum("__tie_g").alias("__tie"),
     )
     n = F.col("n_total").cast("double")
     h = F.lit(12.0) / (n * (n + 1)) * F.col("__s") - 3 * (n + 1)
-    c = F.lit(1.0) - F.col("tie_term").cast("double") / (n * n * n - n)
+    c = F.lit(1.0) - F.col("__tie").cast("double") / (n * n * n - n)
     return agg.select(
         "n_total",
         "n_groups",
-        "tie_term",
+        F.col("__tie").cast("double").alias("tie_term"),
         h.alias("h_stat"),
         (h / c).alias("h_corrected"),
         (F.col("n_groups") - 1).cast("long").alias("dof"),
@@ -1072,8 +1091,12 @@ def bootstrap_mean_ci(
     replicate mean is one IEEE division. CI bounds are nearest-rank
     order statistics of the B replicate means (rank ``⌈q·B⌉`` in pure
     integers, ties broken by replicate index) — no interpolation
-    ambiguity. Caller contract: ``id·B + seed`` must stay below 2³¹·B
-    (products then fit int64 on both engines).
+    ambiguity. Caller contract: ``id·B + B + seed`` must fit int64
+    (ids below ~2⁵⁷ at B = 64); the Knuth multiply itself is
+    overflow-proof on BOTH engines — Spark uses the 16-bit-decomposed
+    :func:`~deltalake_spark.operators.sketches._knuth32` (products
+    stay under 2⁴⁹) and the SQL twin routes the product through
+    HUGEINT, so no id ever silently wraps or raises mid-multiply.
 
     Plan shape: ONE pass over the detail rows — the replicate explode
     is pipelined into a hash aggregate keyed by replicate (map-side
@@ -1094,10 +1117,8 @@ def bootstrap_mean_ci(
         F.explode(
             F.sequence(F.lit(-1), F.lit(b_count - 1))).alias("__b"),
     )
-    u = (
-        (F.col("__id") * b_count + F.col("__b") + F.lit(int(seed)))
-        * F.lit(2654435761)
-    ) % F.lit(4294967296)
+    u = _knuth32(
+        F.col("__id") * b_count + F.col("__b"), KMV_MULT, int(seed))
     w = F.when(F.col("__b") == -1, F.lit(1))
     for k, t in enumerate(thresholds):
         w = w.when(u < t, F.lit(k))
@@ -1152,6 +1173,10 @@ def split_conformal_interval(
     interval half-width ``q_hat``, and the marginal coverage guarantee
     P(|y−ŷ| ≤ q_hat) ≥ 1−α holds with NO distributional assumptions.
     The held-out test split empirically checks that guarantee.
+    When ⌈(n_cal+1)(1−α)⌉ > n_cal (e.g. fewer than 9 calibration rows
+    at α = 0.1) the guarantee requires ``q_hat = +∞``, so this raises
+    instead of silently clamping to the largest residual — the same
+    loud-refusal contract as the per-split row checks below.
 
     Fully deterministic end to end: the 1/2–1/4–1/4
     train/calibration/test split is the portable Knuth hash; the OLS
@@ -1176,10 +1201,7 @@ def split_conformal_interval(
     a_num, a_den = int(alpha[0]), int(alpha[1])
     if not 0 < a_num < a_den:
         raise ValueError("alpha must be a fraction in (0, 1)")
-    u = (
-        (F.col(id_col).cast("long") + F.lit(int(seed)))
-        * F.lit(2654435761)
-    ) % F.lit(4294967296)
+    u = _knuth32(F.col(id_col), KMV_MULT, int(seed))
     x = F.round(F.col(x_col).cast("double")).cast("long")
     y_c = F.round(F.col(y_col).cast("double") * 100).cast("long")
     base = df.select(
@@ -1217,8 +1239,17 @@ def split_conformal_interval(
         F.col("__y").cast("double")
         - (F.lit(intercept) + F.lit(slope)
            * F.col("__x").cast("double")))
-    rank = min(((n_cal + 1) * (a_den - a_num) + a_den - 1) // a_den,
-               n_cal)
+    rank = ((n_cal + 1) * (a_den - a_num) + a_den - 1) // a_den
+    if rank > n_cal:
+        # ⌈(n_cal+1)(1−α)⌉ > n_cal means the guarantee needs
+        # q_hat = +inf; clamping to the max residual would silently
+        # drop the advertised marginal coverage — refuse instead.
+        raise ValueError(
+            "calibration split too small for alpha="
+            f"{a_num}/{a_den}: split conformal needs "
+            f"(n_cal+1)(1-alpha) <= n_cal (n_cal={n_cal}, so at "
+            f"least {a_den // a_num} calibration rows per the "
+            "ceil rule); lower alpha or provide more data")
     wr = Window.orderBy("__r", "__id")
     q_hat = (
         base.filter(F.col("__s") == "cal")
@@ -1289,7 +1320,11 @@ def bh_fdr_ztests(
     IEEE sequences on those integers; the BH rank is a window over the
     m-row group frame (ties broken by group key); the rejection
     cutoff propagates as a full-frame window max. Everything after
-    the one detail-row aggregate is m-row-frame work.
+    the one detail-row aggregate is m-row-frame work. A degenerate
+    pooled rate (zero successes or zero failures overall) pins
+    z = 0 / p ≈ 1 / no rejections explicitly — the engines' native
+    0/0 behaviors differ (NULL vs NaN), so the edge is defined, not
+    inherited.
 
     Output per group: ``(group, n, successes, rate, z, p_value,
     p_rank, bh_cutoff_rank, rejected)``.
@@ -1308,8 +1343,16 @@ def bh_fdr_ztests(
     ).withColumn("__kt", F.sum("k").over(wall))
     p0 = F.col("__kt").cast("double") / F.col("__nt").cast("double")
     rate = F.col("k").cast("double") / F.col("n").cast("double")
-    z = (rate - p0) / F.sqrt(
-        p0 * (F.lit(1.0) - p0) / F.col("n").cast("double"))
+    # degenerate pooled rate (all successes or all failures): every
+    # group's rate equals p0 exactly, so there is no evidence of
+    # deviation — but the raw expression is 0/0, where Spark yields
+    # NULL and DuckDB (ieee_floating_point_ops) yields NaN. Pin
+    # z = 0 / p = 1 / no rejections explicitly so both engines agree
+    # by construction; the SQL twin carries the same CASE.
+    degenerate = (F.col("__kt") == 0) | (F.col("__kt") == F.col("__nt"))
+    z = F.when(degenerate, F.lit(0.0)).otherwise(
+        (rate - p0) / F.sqrt(
+            p0 * (F.lit(1.0) - p0) / F.col("n").cast("double")))
     scored = cells.select(
         "g", "n", "k",
         rate.alias("__rate"),

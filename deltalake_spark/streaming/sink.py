@@ -226,7 +226,15 @@ def mg_stream_summary_sink(
         spark = batch_df.sparkSession
         counts = batch_df.groupBy(col).agg(
             F.count(F.lit(1)).alias(count_col))
-        schema = f"`{col}` string, `{count_col}` long"
+        # summary schema follows the stream's key type (long item ids
+        # stay long — a hardcoded string key would coerce or fail on
+        # the createDataFrame/write path)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([
+            StructField(col, batch_df.schema[col].dataType),
+            StructField(count_col, LongType()),
+        ])
         if summary.exists():
             prev = summary.to_df().select(col, count_col)
         else:
