@@ -880,6 +880,34 @@ def ks_two_sample(
     )
 
 
+def _guard_rank_frame(
+    expr: "F.Column", op: str, max_rank_frame: int | None,
+) -> "F.Column":
+    """Executor-side guard for the rank tests' single-partition value
+    window: the distinct-value count T is data-dependent (unknowable
+    at plan time), so — the ``rolling_quantile``/``max_frame``
+    precedent — a full-frame count rides the SAME single-partition
+    window the ranks already use, and the raise_error branch fires
+    before any downstream work when T exceeds the cap. An unquantized
+    continuous column at 100 TB has T ≈ N; this turns "one executor
+    sorts the corpus" into a loud, actionable error."""
+    if max_rank_frame is None:
+        return expr
+    wall = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return F.when(
+        F.count(F.lit(1)).over(wall) > int(max_rank_frame),
+        F.raise_error(F.lit(
+            f"{op}: the distinct-value frame exceeded "
+            f"max_rank_frame={max_rank_frame} rows — the rank window "
+            f"sorts it in ONE partition, so a continuous value domain "
+            f"must be quantized/bucketed first (the ks_two_sample "
+            f"grid rule: ranks over the coarsened grid are still the "
+            f"exact test on the coarsened data); or pass "
+            f"max_rank_frame=None/larger to accept the cost")),
+    ).otherwise(expr)
+
+
 def mannwhitney_u(
     df: DataFrame,
     *,
@@ -887,6 +915,7 @@ def mannwhitney_u(
     value_col: str,
     group_a: str,
     group_b: str,
+    max_rank_frame: int | None = 1_000_000,
 ) -> DataFrame:
     """Mann–Whitney U test (Wilcoxon rank-sum) between two levels of
     ``group_col``, with the normal approximation and the standard tie
@@ -915,7 +944,13 @@ def mannwhitney_u(
     single-partition sort of T rows, so for CONTINUOUS value domains
     (T approaching N) quantize/bucket the value first — the
     :func:`ks_two_sample` grid rule; ranks over the quantized grid
-    are the test on the coarsened data, still exact. Output one row:
+    are the test on the coarsened data, still exact. That rule is
+    ENFORCED, not advisory: ``max_rank_frame`` (default 1e6) is
+    checked per row ON THE EXECUTOR — T is data-dependent, so the
+    :func:`~deltalake_spark.operators.timeseries.rolling_quantile`
+    ``max_frame`` precedent applies — and an unquantized continuous
+    column raises with a pointer at quantization instead of silently
+    sorting N rows in one partition. Output one row:
     ``(n_a, n_b, u_a, u_mean, tie_term, z_stat)``.
     """
     in_a = F.col(group_col) == group_a
@@ -932,18 +967,23 @@ def mannwhitney_u(
         Window.unboundedPreceding, -1)
     ranked = vals.withColumn(
         "__c", F.coalesce(F.sum("__t").over(wcum), F.lit(0)))
-    # doubled average rank of the tied block: 2c + t + 1
-    rank2 = 2 * F.col("__c") + F.col("__t") + F.lit(1)
+    # doubled average rank of the tied block: 2c + t + 1 —
+    # materialized as a column so the guard's full-frame window sits
+    # in the projection, not inside the aggregate below
+    ranked = ranked.withColumn(
+        "__r2",
+        _guard_rank_frame(
+            2 * F.col("__c") + F.col("__t") + F.lit(1),
+            "mannwhitney_u", max_rank_frame))
     # tie term in decimal(38,0): t³−t in BIGINT silently wraps (or
     # raises under ANSI) once a single tied block exceeds ~2.09M rows
     # — exactly the regime quantize-first creates at large N. Decimal
-    # is exact to t ≈ 4.6e12; only the final OUTPUT cast back to long
-    # can overflow, and that raises loudly instead of wrapping.
+    # is exact to t ≈ 4.6e12.
     td = F.col("__t").cast("decimal(38,0)")
     agg = ranked.groupBy().agg(
         F.sum("__ta").alias("n_a"),
         F.sum(F.col("__t") - F.col("__ta")).alias("n_b"),
-        F.sum(F.col("__ta") * rank2).alias("__r2a"),
+        F.sum(F.col("__ta") * F.col("__r2")).alias("__r2a"),
         F.sum(td * td * td - td).alias("__tie"),
     )
     n_a = F.col("n_a").cast("double")
@@ -972,6 +1012,7 @@ def kruskal_wallis(
     *,
     group_col: str,
     value_col: str,
+    max_rank_frame: int | None = 1_000_000,
 ) -> DataFrame:
     """Kruskal–Wallis H test across ALL levels of ``group_col`` — the
     k-sample extension of :func:`mannwhitney_u` (one-way ANOVA on
@@ -997,7 +1038,8 @@ def kruskal_wallis(
     one G-row aggregate, one scalar reduce. As with
     :func:`mannwhitney_u`, the rank window is a single-partition sort
     of the T-row value frame — quantize continuous value domains
-    first. Output one row:
+    first, and ``max_rank_frame`` (default 1e6) enforces it with an
+    executor-side raise_error when T exceeds the cap. Output one row:
     ``(n_total, n_groups, tie_term, h_stat, h_corrected, dof)``.
     """
     cells = df.groupBy(
@@ -1010,7 +1052,9 @@ def kruskal_wallis(
         Window.unboundedPreceding, -1)
     ranked = vals.withColumn(
         "__c", F.coalesce(F.sum("__t").over(wcum), F.lit(0)))
-    rank2 = 2 * F.col("__c") + F.col("__t") + F.lit(1)
+    rank2 = _guard_rank_frame(
+        2 * F.col("__c") + F.col("__t") + F.lit(1),
+        "kruskal_wallis", max_rank_frame)
     joined = cells.join(
         ranked.select("__v", rank2.alias("__r2"), "__t"), "__v")
     # tie term folded into the same pass: Σ_v t(t²−1) = Σ_{(v,g)} t_g(t²−1)

@@ -119,3 +119,29 @@ def test_kruskal_two_groups_equals_mw_z_squared(rank_df):
         two, group_col="g", value_col="v", group_a="a", group_b="b"
     ).collect()[0]["z_stat"]
     assert h == pytest.approx(z * z, rel=1e-9)
+
+
+def test_max_rank_frame_guard_raises_on_continuous_domain(spark):
+    """r9 VERDICT #2: the single-partition rank window is now guarded
+    by an executor-side raise_error, not a docstring — T is
+    data-dependent, so the check rides the same full-frame window
+    (the rolling_quantile/max_frame precedent)."""
+    from pyspark.errors import PySparkException
+
+    rows = [("a" if i % 2 == 0 else "b", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    with pytest.raises(PySparkException, match="max_rank_frame"):
+        mannwhitney_u(
+            df, group_col="g", value_col="v", group_a="a",
+            group_b="b", max_rank_frame=10).collect()
+    with pytest.raises(PySparkException, match="max_rank_frame"):
+        kruskal_wallis(
+            df, group_col="g", value_col="v",
+            max_rank_frame=10).collect()
+    # at or under the cap (and with the cap off) both still run
+    assert mannwhitney_u(
+        df, group_col="g", value_col="v", group_a="a", group_b="b",
+        max_rank_frame=50).count() == 1
+    assert kruskal_wallis(
+        df, group_col="g", value_col="v",
+        max_rank_frame=None).count() == 1
