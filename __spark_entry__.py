@@ -48,8 +48,12 @@ def _cached_centroids(spark: SparkSession, sf_dir: str, *, k: int,
     key = (os.path.abspath(sf_dir), k, iters, sample)
     if key not in _CENTROID_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
+        # id_col pins the training sample by portable hash — the
+        # codebook is identical across partition layouts (r9 verdict
+        # #4); the one gate consuming this (ivf_exhaustive_topk)
+        # probes every bucket, so its VALUES are centroid-invariant
         _CENTROID_CACHE[key] = train_centroids(
-            emb, k=k, iters=iters, sample=sample)
+            emb, k=k, iters=iters, sample=sample, id_col="vec_id")
     return _CENTROID_CACHE[key]
 
 

@@ -193,6 +193,27 @@ def lsh_topk(
     )
 
 
+def _hash_sample(
+    df: DataFrame, *, id_col: str, vec_col: str, sample: int, seed: int,
+) -> DataFrame:
+    """Layout-independent bounded sample: the ``sample`` rows with the
+    smallest portable Knuth priorities of their ids (ties by id) — the
+    ``deterministic_split`` recipe from ``operators/mixing.py``. Plans
+    as a distributed TakeOrdered (no full sort, no driver hot spot),
+    and unlike a bare ``.limit(n)`` the selected SET does not depend
+    on partition layout, so two clusters train the same codebook."""
+    from deltalake_spark.operators.sketches import KMV_MULT, _knuth32
+
+    return (
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .withColumn("__pri", _knuth32(F.col("__id"), KMV_MULT, seed))
+        .orderBy("__pri", "__id")
+        .limit(sample)
+    )
+
+
 def train_centroids(
     df: DataFrame,
     *,
@@ -201,6 +222,7 @@ def train_centroids(
     sample: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Train IVF coarse-quantizer centroids: Lloyd's k-means on a driver-
     side sample. Centroids are k×dim floats — KB-scale metadata even for a
@@ -209,8 +231,22 @@ def train_centroids(
     distributed assignment pass). No ``checkpoint_dir`` option, unlike
     the other iterative ops: the Lloyd loop here is driver-local numpy
     with zero executor state, so there is nothing executor loss can
-    take from it."""
-    rows = df.select(vec_col).where(F.col(vec_col).isNotNull()).limit(sample)
+    take from it.
+
+    Pass ``id_col`` on a real cluster: the sample is then the
+    ``sample`` smallest portable-hash priorities of the ids
+    (:func:`_hash_sample`) in pinned (priority, id) order, so the
+    trained codebook is identical across partition layouts and reruns.
+    Without an id column the sample falls back to ``.limit(sample)``,
+    which is deterministic on a single local parquet file but NOT
+    across cluster layouts — two runs could train different codebooks
+    (index-quality drift, not correctness)."""
+    if id_col is not None:
+        rows = _hash_sample(df, id_col=id_col, vec_col=vec_col,
+                            sample=sample, seed=seed).select("__v")
+    else:
+        rows = (df.select(vec_col)
+                .where(F.col(vec_col).isNotNull()).limit(sample))
     X = np.array([list(r[0]) for r in rows.collect()], dtype=np.float64)
     if len(X) < k:
         raise ValueError(f"need >= {k} vectors to train, got {len(X)}")
@@ -718,23 +754,28 @@ def train_pq_codebooks(
     sample: int = 4096,
     iters: int = 8,
     seed: int = 42,
+    id_col: str | None = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector splits into ``m``
     contiguous subspaces, each with its own ``k``-centroid k-means
     (Jégou et al. 2011, the IVF-PQ layout every billion-scale ANN index
     uses). Same bounded-driver cost model as :func:`train_centroids` —
-    ``m·k`` subvectors of metadata regardless of corpus size."""
+    ``m·k`` subvectors of metadata regardless of corpus size. Pass
+    ``id_col`` for a layout-independent training sample (same contract
+    as :func:`train_centroids`)."""
     dim = df.select(F.size(F.col(vec_col))).first()[0]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     books = []
     for j in range(m):
-        sliced = df.select(
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias("__s"))
+        cols = [F.slice(F.col(vec_col), j * sub + 1, sub).alias("__s")]
+        if id_col is not None:
+            cols.insert(0, F.col(id_col))
+        sliced = df.select(*cols)
         books.append(
             train_centroids(sliced, vec_col="__s", k=k, sample=sample,
-                            iters=iters, seed=seed + j))
+                            iters=iters, seed=seed + j, id_col=id_col))
     return books
 
 

@@ -105,3 +105,30 @@ def test_large_codebook_pandas_path_matches_jvm(emb):
     n = ivf_assign(emb, centroids, nprobe=4).count()
     dt = time.perf_counter() - t0
     print(f"large-k(96) nprobe=4 assignment over {n} vectors: {dt:.2f}s")
+
+
+def test_hash_sample_is_layout_independent(spark):
+    """r9 VERDICT #4: with id_col the training sample is the `sample`
+    smallest portable-hash priorities (ties by id) — pinned here
+    against a Python re-derivation, and invariant to repartitioning."""
+    from deltalake_spark.operators.similarity import (
+        _hash_sample, train_centroids)
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vid long, embedding array<double>")
+
+    def pri(i, seed=42):
+        return ((i + seed) * 2654435761) % 2 ** 32
+
+    expect = sorted(range(50), key=lambda i: (pri(i), i))[:10]
+    got = [r["__id"] for r in _hash_sample(
+        df, id_col="vid", vec_col="embedding", sample=10, seed=42
+    ).collect()]
+    assert got == expect
+    # same sample (hence same codebook) under a hostile layout
+    shuffled = df.repartition(13)
+    c1 = train_centroids(df, vec_col="embedding", k=4, sample=10,
+                         iters=3, id_col="vid")
+    c2 = train_centroids(shuffled, vec_col="embedding", k=4, sample=10,
+                         iters=3, id_col="vid")
+    assert c1 == c2
