@@ -2495,6 +2495,48 @@ def bitext_margin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("margin_ppm"), "src_id").limit(25)
 
 
+def bitext_margin_ivf_topk(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Bitext mining on the IVF-PQ SCALE PATH (r10 verdict ask #3;
+    operators/similarity.py margin_bitext_pairs candidates=...): the
+    exhaustive |X|x|Y| pass is swapped for ivf_pq_topk_join candidates
+    (same index recipe as ivf_pq_ann_topk: seed centroids vec_id<8,
+    2x8 codebooks, nprobe=2) over-fetched to 20 per src, and the
+    margin machinery runs unchanged WITHIN the candidate pair set —
+    the retrieve-then-margin approximation published FAISS pipelines
+    make, now a call-site parameter instead of a rewrite. True cosines
+    are computed for only the candidate pairs (two id equi-joins);
+    the oracle replays routing, PQ encode, ADC ranks, and the integer
+    margin end to end."""
+    from deltalake_spark.operators.similarity import (
+        ivf_pq_topk_join, margin_bitext_pairs)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = {r[0]: list(r[1])
+            for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id").collect()}
+    seeds = [rows[i] for i in range(8)]
+    books = [[s[:32] for s in seeds], [s[32:] for s in seeds]]
+    intc = [list(r[0]) for r in emb.where(F.col("vec_id") < 8)
+            .orderBy("vec_id")
+            .select(F.expr(
+                "transform(cast(embedding as array<double>),"
+                " x -> cast(round(x * 1000000.0D) as bigint))"))
+            .collect()]
+    src = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "embedding")
+    tgt = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "embedding")
+    cand = ivf_pq_topk_join(
+        src, tgt, intc, books,
+        query_id="src_id", corpus_id="tgt_id", k=20, nprobe=2,
+    ).select("src_id", "tgt_id")
+    out = margin_bitext_pairs(
+        src, tgt, None, src_id="src_id", tgt_id="tgt_id", k=4,
+        candidates=cand)
+    return out.orderBy(F.desc("margin_ppm"), "src_id").limit(25)
+
+
 def hard_negative_triplets(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Hard-negative / triplet mining for embedding training data (r9;
@@ -7150,6 +7192,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_ivfpq": ann_recall_ivfpq,
     "ivf_pq_rerank_topk": ivf_pq_rerank_topk,
     "bitext_margin_topk": bitext_margin_topk,
+    "bitext_margin_ivf_topk": bitext_margin_ivf_topk,
     "hard_negative_triplets": hard_negative_triplets,
     "ivf_exhaustive_topk": ivf_exhaustive_topk,
     "language_id_dist": language_id_dist,
@@ -7999,11 +8042,17 @@ def _g2_oracle() -> str:
     """
 
 
-def _ivf_pq_ctes() -> str:
+def _ivf_pq_ctes(query_where: str = "vec_id % 50 = 0",
+                 corpus_where: str = "TRUE",
+                 nprobe: int = 2) -> str:
     """Shared CTE chain (through ``r`` = approx ranks) for the IVF-PQ
-    twin pair: _ivf_pq_oracle reads the ranks directly;
-    _ann_recall_oracle intersects them with exact ground truth."""
-    return """q AS (
+    twin family: _ivf_pq_oracle reads the ranks directly;
+    _ann_recall_oracle intersects them with exact ground truth; the
+    bitext-IVF twin over-fetches ``r`` as its candidate pair set.
+    ``query_where``/``corpus_where`` carve the query and corpus sides
+    out of the embeddings table (seed centroids stay vec_id < 8 of the
+    FULL table, matching the Spark gates)."""
+    return f"""q AS (
           SELECT vec_id,
                  generate_subscripts(embedding, 1) AS pos,
                  CAST(ROUND(unnest(CAST(embedding AS DOUBLE[]))
@@ -8020,10 +8069,11 @@ def _ivf_pq_ctes() -> str:
                      ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
                               c.cid) AS rn
             FROM q JOIN c USING (pos)
+            WHERE {corpus_where}
             GROUP BY q.vec_id, c.cid
           ) WHERE rn = 1
         ), qp AS (
-          -- queries: nprobe=2 nearest buckets
+          -- queries: nprobe nearest buckets
           SELECT vec_id, cid AS b FROM (
             SELECT q.vec_id, c.cid,
                    ROW_NUMBER() OVER (
@@ -8031,9 +8081,9 @@ def _ivf_pq_ctes() -> str:
                      ORDER BY SUM((q.qe - c.ce) * (q.qe - c.ce)),
                               c.cid) AS rn
             FROM q JOIN c USING (pos)
-            WHERE q.vec_id % 50 = 0
+            WHERE {query_where}
             GROUP BY q.vec_id, c.cid
-          ) WHERE rn <= 2
+          ) WHERE rn <= {nprobe}
         ), s0 AS (
           SELECT vec_id AS scid, (embedding[1:32])::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id < 8
@@ -8042,10 +8092,10 @@ def _ivf_pq_ctes() -> str:
           FROM embeddings WHERE vec_id < 8
         ), e0 AS (
           SELECT vec_id, (embedding[1:32])::DOUBLE[] AS v
-          FROM embeddings
+          FROM embeddings WHERE {corpus_where}
         ), e1 AS (
           SELECT vec_id, (embedding[33:64])::DOUBLE[] AS v
-          FROM embeddings
+          FROM embeddings WHERE {corpus_where}
         ), a0 AS (
           SELECT vec_id, scid AS c0 FROM (
             SELECT e0.vec_id, s0.scid,
@@ -8066,10 +8116,10 @@ def _ivf_pq_ctes() -> str:
           ) WHERE rn = 1
         ), qv0 AS (
           SELECT vec_id AS qid, (embedding[1:32])::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id % 50 = 0
+          FROM embeddings WHERE {query_where}
         ), qv1 AS (
           SELECT vec_id AS qid, (embedding[33:64])::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id % 50 = 0
+          FROM embeddings WHERE {query_where}
         ), t0 AS (
           SELECT qid, scid,
                  ROUND(list_dot_product(qv, qv)
@@ -11762,6 +11812,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src_id, tgt_id, cos_micro, margin_ppm, is_mutual
             FROM cand ORDER BY margin_ppm DESC, src_id LIMIT 25
+        """,
+        "bitext_margin_ivf_topk": f"""
+            WITH {_ivf_pq_ctes(query_where="vec_id % 2 = 0",
+                               corpus_where="vec_id % 2 = 1")},
+            bcand AS (
+              SELECT vec_id AS src_id, corpus_id AS tgt_id
+              FROM r WHERE rank <= 20
+            ), bx AS (
+              SELECT vec_id AS src_id,
+                     CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), a -> a * a))) AS nv
+              FROM embeddings WHERE vec_id % 2 = 0
+            ), by AS (
+              SELECT vec_id AS tgt_id,
+                     CAST(embedding AS DOUBLE[]) AS w,
+                     sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), a -> a * a))) AS nw
+              FROM embeddings WHERE vec_id % 2 = 1
+            ), bp AS (
+              SELECT b.src_id, b.tgt_id,
+                     CAST(ROUND(list_dot_product(v, w) / (nv * nw)
+                                * 1000000) AS BIGINT) AS c
+              FROM bcand b
+              JOIN bx USING (src_id) JOIN by USING (tgt_id)
+            ), br AS (
+              SELECT src_id, tgt_id, c,
+                     ROW_NUMBER() OVER (PARTITION BY src_id
+                       ORDER BY c DESC, tgt_id) AS rf,
+                     ROW_NUMBER() OVER (PARTITION BY tgt_id
+                       ORDER BY c DESC, src_id) AS rb
+              FROM bp
+            ), bsf AS (
+              SELECT src_id, CAST(SUM(c) AS BIGINT) AS sumf
+              FROM br WHERE rf <= 4 GROUP BY 1
+            ), bsb AS (
+              SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS sumb
+              FROM br WHERE rb <= 4 GROUP BY 1
+            ), bfin AS (
+              SELECT br.src_id, br.tgt_id, br.c AS cos_micro,
+                     CAST(br.c * 8000000 // (bsf.sumf + bsb.sumb)
+                          AS BIGINT) AS margin_ppm,
+                     br.rb = 1 AS is_mutual
+              FROM br
+              JOIN bsf USING (src_id)
+              JOIN bsb USING (tgt_id)
+              WHERE br.rf = 1 AND br.c > 0
+                AND bsf.sumf + bsb.sumb > 0
+            )
+            SELECT src_id, tgt_id, cos_micro, margin_ppm, is_mutual
+            FROM bfin ORDER BY margin_ppm DESC, src_id LIMIT 25
         """,
         "interval_overlap_attention": """
             WITH iv AS (

@@ -1210,13 +1210,14 @@ def ivf_pq_rerank_join(
 def margin_bitext_pairs(
     src: DataFrame,
     tgt: DataFrame,
-    int_centroids: list[list[int]],
+    int_centroids: "list[list[int]] | None",
     *,
     src_id: str,
     tgt_id: str,
     vec_col: str = "embedding",
     k: int = 4,
     scale: int = 1_000_000,
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     Parallel Corpus Mining with Multilingual Sentence Embeddings",
@@ -1244,9 +1245,22 @@ def margin_bitext_pairs(
     (src, tgt) pairs — |X|·|Y| work, the exact-mining cost; run it on
     bounded shards (the published pipelines mine per language-pair
     shard). Both directions' rankings and kNN sums derive from the
-    SAME pair frame via two windows — no second join pass. For
-    web-scale |Y|, swap the exhaustive pass for ivf_pq_topk_join
-    candidates and keep everything downstream unchanged.
+    SAME pair frame via two windows — no second join pass.
+
+    For web-scale |Y| pass ``candidates``: a DataFrame of UNIQUE
+    (``src_id``, ``tgt_id``) pairs (e.g. from
+    :func:`ivf_pq_topk_join` over-fetched to k' ≥ k per src) — the
+    scale path is then a call-site parameter, not a rewrite. True
+    cosines are computed for ONLY the candidate pairs (vectors
+    fetched by two id equi-joins, |candidates| work), and everything
+    downstream is unchanged: forward/backward NN ranks, kNN means,
+    and the mutual flag are all taken WITHIN the candidate pair set —
+    the standard retrieve-then-margin approximation the published
+    FAISS-based mining pipelines make. ``int_centroids`` may be None
+    in this mode (the coarse router is only used by the exhaustive
+    pass). Duplicate candidate pairs would double-count kNN sums —
+    the caller contract is uniqueness (every *_topk_join here emits
+    unique pairs by construction).
 
     Returns ``(src_id, tgt_id, cos_micro, margin_ppm, is_mutual)``,
     one row per src with a valid forward NN.
@@ -1262,24 +1276,39 @@ def margin_bitext_pairs(
         return (f"transform(cast(`{col}` as array<double>),"
                 f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
 
-    y = tgt.select(
-        F.col(tgt_id).alias("__tid"), F.col(vec_col).alias("__tv")
-    ).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__tv"), 1)[0])
-    x = (
-        src.select(F.col(src_id).alias("__sid"),
-                   F.col(vec_col).alias("__sv"))
-        .withColumn("__probes",
-                    _probe_expr_q(int_centroids, qv_sql("__sv"),
-                                  len(int_centroids)))
-        .withColumn("__b", F.explode("__probes"))
-        .drop("__probes")
-    )
-    pairs = x.join(y, "__b").select(
-        "__sid", "__tid",
-        F.round(cosine_expr(F.col("__sv"), F.col("__tv"))
-                * F.lit(float(scale)), 0)
-        .cast("long").alias("c"),
-    )
+    cos_micro = F.round(
+        cosine_expr(F.col("__sv"), F.col("__tv")) * F.lit(float(scale)),
+        0).cast("long").alias("c")
+    if candidates is not None:
+        xs = src.select(F.col(src_id).alias("__sid"),
+                        F.col(vec_col).alias("__sv"))
+        ys = tgt.select(F.col(tgt_id).alias("__tid"),
+                        F.col(vec_col).alias("__tv"))
+        pairs = (
+            candidates.select(F.col(src_id).alias("__sid"),
+                              F.col(tgt_id).alias("__tid"))
+            .join(xs, "__sid").join(ys, "__tid")
+            .select("__sid", "__tid", cos_micro)
+        )
+    else:
+        if int_centroids is None:
+            raise ValueError(
+                "int_centroids is required for the exhaustive pass "
+                "(pass candidates=... for the IVF scale path)")
+        y = tgt.select(
+            F.col(tgt_id).alias("__tid"), F.col(vec_col).alias("__tv")
+        ).withColumn(
+            "__b", _probe_expr_q(int_centroids, qv_sql("__tv"), 1)[0])
+        x = (
+            src.select(F.col(src_id).alias("__sid"),
+                       F.col(vec_col).alias("__sv"))
+            .withColumn("__probes",
+                        _probe_expr_q(int_centroids, qv_sql("__sv"),
+                                      len(int_centroids)))
+            .withColumn("__b", F.explode("__probes"))
+            .drop("__probes")
+        )
+        pairs = x.join(y, "__b").select("__sid", "__tid", cos_micro)
     wf = Window.partitionBy("__sid").orderBy(F.desc("c"), F.asc("__tid"))
     wb = Window.partitionBy("__tid").orderBy(F.desc("c"), F.asc("__sid"))
     ranked = pairs.select(

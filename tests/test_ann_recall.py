@@ -312,3 +312,83 @@ def test_rerank_pool_smaller_than_k_raises(spark, synth):
         ivf_pq_rerank_join(
             qdf, cdf, intc, books, query_id="vec_id",
             corpus_id="corpus_id", k=5, k_pool=3)
+
+
+def test_margin_bitext_candidates_path(spark):
+    """r10 verdict #3: candidates=... swaps the exhaustive pass for a
+    precomputed pair set with everything downstream unchanged.
+    (a) The FULL pair set as candidates reproduces the exhaustive
+    output exactly (int_centroids unused -> None).
+    (b) A restricted candidate set computes NN ranks / kNN means
+    WITHIN the candidates — pinned against the numpy reference
+    restricted to the same pairs."""
+    import numpy as np
+
+    from deltalake_spark.operators.similarity import margin_bitext_pairs
+
+    rng = np.random.RandomState(7)
+    xs = [(2 * i, rng.randn(8)) for i in range(12)]
+    ys = [(1, xs[0][1] + 0.01 * rng.randn(8))]
+    ys += [(2 * i + 1, rng.randn(8)) for i in range(1, 10)]
+    sdf = _vecs(spark, xs, "src_id")
+    tdf = _vecs(spark, ys, "tgt_id")
+    intc = _intc([v for _, v in xs[:4]])
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exhaustive = margin_bitext_pairs(
+        sdf, tdf, intc, src_id="src_id", tgt_id="tgt_id", k=4)
+    full = spark.createDataFrame(
+        [(s, t) for s, _ in xs for t, _ in ys],
+        "src_id long, tgt_id long")
+    via_full = margin_bitext_pairs(
+        sdf, tdf, None, src_id="src_id", tgt_id="tgt_id", k=4,
+        candidates=full)
+    assert rows_of(via_full) == rows_of(exhaustive)
+
+    # restricted candidates: drop ~1/4 of the pairs deterministically
+    cand_pairs = [(s, t) for s, _ in xs for t, _ in ys
+                  if (s * 7 + t) % 4 != 0]
+    cdf = spark.createDataFrame(cand_pairs, "src_id long, tgt_id long")
+    got = {r["src_id"]: (r["tgt_id"], r["cos_micro"], r["margin_ppm"],
+                         r["is_mutual"])
+           for r in margin_bitext_pairs(
+               sdf, tdf, None, src_id="src_id", tgt_id="tgt_id", k=4,
+               candidates=cdf).collect()}
+
+    def f64(v):
+        return np.array(v, dtype=np.float32).astype(np.float64)
+
+    cset = set(cand_pairs)
+    c = {}
+    for sid, xv in xs:
+        for tid, yv in ys:
+            if (sid, tid) not in cset:
+                continue
+            a, b = f64(xv), f64(yv)
+            c[(sid, tid)] = int(round(
+                float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+                * 1_000_000))
+    want = {}
+    for sid, _ in xs:
+        fwd = sorted((-v, t) for (s, t), v in c.items() if s == sid)
+        if not fwd:
+            continue
+        nn_c, nn_t = -fwd[0][0], fwd[0][1]
+        if nn_c <= 0:
+            continue
+        sumf = sum(-v for v, _ in fwd[:4])
+        bwd = sorted((-v, s) for (s, t), v in c.items() if t == nn_t)
+        sumb = sum(-v for v, _ in bwd[:4])
+        if sumf + sumb <= 0:
+            continue
+        want[sid] = (nn_t, nn_c,
+                     (nn_c * 8_000_000) // (sumf + sumb),
+                     bwd[0][1] == sid)
+    assert got == want
+
+    # exhaustive mode still requires the coarse router
+    with pytest.raises(ValueError, match="int_centroids"):
+        margin_bitext_pairs(
+            sdf, tdf, None, src_id="src_id", tgt_id="tgt_id", k=4)

@@ -245,6 +245,10 @@ BUDGETS = {
     # r9: one bucket-cover equi-join scores all pairs; two windows
     # (fwd/bwd ranks) + two kNN-sum aggs + candidate joins, TakeOrdered
     "bitext_margin_topk": (6, False),
+    # r10: IVF-PQ candidate pairs (bucket equi-join + per-src window)
+    # + two id equi-joins fetching true vectors + the same margin
+    # machinery — |candidates| work downstream, never |X|x|Y|
+    "bitext_margin_ivf_topk": (7, False),
     # r9: map-only flag expressions + one lang agg + sort
     "gopher_rule_stats": (2, False),
     # r9: one lang-keyed window (rank + count share the exchange) +
