@@ -585,6 +585,24 @@ def longest_dup_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("longest_tokens"), "id_a", "id_b").limit(50)
 
 
+def top_dup_spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-duplicated-spans report (r10 verdict ask #7;
+    operators/curation.py top_duplicated_spans): rank the 10-token
+    spans by distinct-document frequency — the boilerplate census a
+    curation run reads first, and exactly the stop-span set
+    longest_dup_span_pairs' max_bucket guard drops. Same stride-1
+    window + md5/60-bit machinery as the pair miner with no new
+    shuffle shape: map-only explode, one hash-keyed aggregate, global
+    top-25 as TakeOrderedAndProject over the total order
+    (n_docs desc, n_occurrences desc, span_hash)."""
+    from deltalake_spark.operators.curation import top_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", min_tokens=10,
+        top_n=25, hash_mode="portable")
+
+
 def simhash_incremental_dedup(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """Nightly-ingest dedup against a persisted SimHash index (r9) —
@@ -7263,6 +7281,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_incremental_dedup": simhash_incremental_dedup,
     "simhash_blocks": simhash_blocks,
     "longest_dup_span_topk": longest_dup_span_topk,
+    "top_dup_spans_corpus": top_dup_spans_corpus,
     "winnow_fingerprint_stats": winnow_fingerprint_stats,
     "gopher_rule_stats": gopher_rule_stats,
     "winnow_decontam_stats": winnow_decontam_stats,
@@ -14470,6 +14489,35 @@ def oracle_sql() -> dict[str, str]:
         "simhash_incremental_dedup": _simhash_incremental_oracle(),
         "stream_ingest_dedup": _stream_ingest_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
+        "top_dup_spans_corpus": """
+            WITH wt AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+            ), flt AS (
+              SELECT doc_id, w FROM wt
+              WHERE len(list_filter(w, t -> t <> '')) >= 10
+            ), occ AS (
+              SELECT doc_id,
+                     UNNEST(list_transform(range(1, len(w) - 8),
+                       i -> array_to_string(w[i:i+9], ' '))) AS wstr
+              FROM flt
+            ), hashed AS (
+              SELECT doc_id, wstr,
+                     CAST(('0x' || substr(md5(wstr), 1, 15))
+                          AS BIGINT) AS h
+              FROM occ
+            ), agg AS (
+              SELECT h AS span_hash, MIN(wstr) AS span_text,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_occurrences
+              FROM hashed GROUP BY 1
+            )
+            SELECT span_hash, span_text, n_docs, n_occurrences
+            FROM agg WHERE n_docs >= 2
+            ORDER BY n_docs DESC, n_occurrences DESC, span_hash
+            LIMIT 25
+        """,
         "winnow_decontam_stats": _winnow_decontam_oracle(),
         "gopher_rule_stats": """
             WITH w AS (

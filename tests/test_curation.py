@@ -348,3 +348,59 @@ def test_winnow_decontaminate_guarantee_and_miss(spark):
     assert out[3]["contaminated"] is False  # below the guarantee floor
     kept = winnow_decontaminate(corpus, ev).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in kept) == [2, 3]
+
+
+def test_top_duplicated_spans_matches_python(spark):
+    """r10 verdict #7: the corpus-level span census equals a direct
+    Python re-derivation (stride-1 windows, distinct-doc counts,
+    the >= 2 docs floor, and the total-order head), and the native
+    mode ranks identically with NULL span_text."""
+    from deltalake_spark.operators.curation import top_duplicated_spans
+
+    boiler = "all rights reserved by the example corpus project team"
+    docs = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, "intro words here " + boiler),
+        (3, boiler + " unrelated tail content words"),
+        (4, "completely different text with no shared spans at all ok"),
+        (5, "short text"),  # < min_tokens: emits nothing
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = top_duplicated_spans(
+        df, id_col="doc_id", text_col="text", min_tokens=5,
+        top_n=10).collect()
+
+    # python reference
+    from collections import defaultdict
+    occ = defaultdict(list)
+    for did, text in docs:
+        w = text.split()
+        for i in range(len(w) - 4):
+            occ[" ".join(w[i:i + 5])].append(did)
+    ref = [(s, len(set(ids)), len(ids)) for s, ids in occ.items()
+           if len(set(ids)) >= 2]
+    ref.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    # rows with n_docs >= 2 exist (the boilerplate) and match, in the
+    # same total order modulo the hash tiebreak (compare as sets per
+    # (n_docs, n_occ) level plus the top level's exact membership)
+    assert len(got) == min(10, len(ref))
+    got_set = {(r["span_text"], r["n_docs"], r["n_occurrences"])
+               for r in got}
+    ref_rank = {(s, nd, no) for s, nd, no in ref}
+    assert got_set <= ref_rank
+    top_docs = got[0]["n_docs"]
+    assert top_docs == max(nd for _, nd, _ in ref) == 3
+    # every 5-gram inside the shared boilerplate has n_docs = 3
+    bw = boiler.split()
+    for i in range(len(bw) - 4):
+        span = " ".join(bw[i:i + 5])
+        assert (span, 3, 3) in got_set
+
+    # native mode: same ranking by hash, no span strings materialized
+    nat = top_duplicated_spans(
+        df, id_col="doc_id", text_col="text", min_tokens=5,
+        top_n=10, hash_mode="native").collect()
+    assert len(nat) == len(got)
+    assert all(r["span_text"] is None for r in nat)
+    assert ([(r["n_docs"], r["n_occurrences"]) for r in nat]
+            == [(r["n_docs"], r["n_occurrences"]) for r in got])

@@ -249,6 +249,9 @@ BUDGETS = {
     # + two id equi-joins fetching true vectors + the same margin
     # machinery — |candidates| work downstream, never |X|x|Y|
     "bitext_margin_ivf_topk": (7, False),
+    # r10: map-only window explode + one hash agg (distinct-doc count
+    # rides the same exchange) + global TakeOrdered
+    "top_dup_spans_corpus": (2, False),
     # r9: map-only flag expressions + one lang agg + sort
     "gopher_rule_stats": (2, False),
     # r9: one lang-keyed window (rank + count share the exchange) +
