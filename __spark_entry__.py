@@ -564,6 +564,54 @@ def minhash_incremental_dedup(spark: SparkSession,
     ).orderBy("doc_id")
 
 
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END nightly curation pipeline as ONE gate (r10
+    verdict ask #6; operators/curation.py curate_corpus): gopher
+    quality flags → winnow decontamination against the eval suite
+    (doc_id % 100 = 0) → incremental MinHash dedup against a persisted
+    index of previously-ingested docs (doc_id % 10 < 7; tonight's
+    batch is doc_id % 10 >= 7) → integer-exact sqrt-temperature token
+    budgets + deterministic priority-prefix sampling → equal-token
+    contiguous shards. Every stage is an already-green operator; the
+    composition is what a real training-data run executes, and the
+    DuckDB twin replays the WHOLE chain (gopher rules, winnowing
+    selection, banded index probe with the hot-bucket cap, budgets,
+    prefix sums, shard cuts) value-for-value. Output: per-shard doc /
+    token / source rollup — every upstream stage moves these numbers.
+    Reference analog: tests/e2e/table-lifecycle.test.ts, the same
+    whole-chain move for the reference's own surface."""
+    from deltalake_spark.operators.curation import curate_corpus
+    from deltalake_spark.operators.dedup import minhash_index_write
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+    batch = docs.filter(
+        (F.col("doc_id") % 100 != 0) & (F.col("doc_id") % 10 >= 7)
+    ).select("doc_id", "text", "source")
+    t = _fresh_table(spark, "curidx")
+    minhash_index_write(
+        docs.filter(F.col("doc_id") % 10 < 7), t,
+        id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, hash_mode="portable")
+    # winnow_k=20: the fixture's ~30-word vocabulary saturates 8-char
+    # fingerprints (every doc would look contaminated); 20-char grams
+    # fire only on real multi-word verbatim overlap — 5/1/220 docs
+    # dropped at sf0.001/0.01/0.1, so the stage is exercised without
+    # emptying the funnel
+    out = curate_corpus(batch, ev, t, winnow_k=20)
+    return (
+        out.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("sum_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("cum_tokens").alias("last_cum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 def longest_dup_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT longest duplicated token span per doc pair (r9 verdict ask
     #6; Lee et al. 2022 exact-substring dedup, suffix-array-free):
@@ -7282,6 +7330,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_blocks": simhash_blocks,
     "longest_dup_span_topk": longest_dup_span_topk,
     "top_dup_spans_corpus": top_dup_spans_corpus,
+    "curation_pipeline_e2e": curation_pipeline_e2e,
     "winnow_fingerprint_stats": winnow_fingerprint_stats,
     "gopher_rule_stats": gopher_rule_stats,
     "winnow_decontam_stats": winnow_decontam_stats,
@@ -7947,21 +7996,23 @@ def _stream_ingest_oracle() -> str:
     return "".join(parts)
 
 
-def _winnow_sel_cte() -> str:
+def _winnow_sel_cte(k: int = 8, window: int = 16) -> str:
     """Shared winnowing-selection CTE chain (``sel`` = (doc_id, lang,
     fp, pos)) — replayed via a packed HUGEINT key:
-    min(h·2^21 + (2^20 − pos)) over each 16-gram window IS (min hash,
-    rightmost pos) because pos < 2^20 on the fixture. Used by the
-    fingerprint-stats twin and the winnow-decontam twin."""
-    return """d AS (
+    min(h·2^21 + (2^20 − pos)) over each ``window``-gram window IS
+    (min hash, rightmost pos) because pos < 2^20 on the fixture. Used
+    by the fingerprint-stats twin, the winnow-decontam twin, and the
+    curation-e2e twin (which passes k=20)."""
+    return f"""d AS (
               SELECT doc_id, lang, text FROM documents
-              WHERE length(text) >= 23
+              WHERE length(text) >= {k + window - 1}
             ), occ AS (
               SELECT doc_id, lang,
-                     UNNEST(range(1, length(text) - 6)) AS p,
-                     UNNEST(list_transform(range(1, length(text) - 6),
+                     UNNEST(range(1, length(text) - {k - 2})) AS p,
+                     UNNEST(list_transform(
+                       range(1, length(text) - {k - 2}),
                        i -> CAST(('0x' || substr(md5(
-                              substr(text, CAST(i AS INT), 8)),
+                              substr(text, CAST(i AS INT), {k})),
                               1, 15)) AS BIGINT))) AS h
               FROM d
             ), keyd AS (
@@ -7972,17 +8023,17 @@ def _winnow_sel_cte() -> str:
             ), wm AS (
               SELECT doc_id, lang,
                      MIN(kk) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
-                         AS mk,
+                       ROWS BETWEEN CURRENT ROW AND {window - 1}
+                       FOLLOWING) AS mk,
                      COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
-                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
-                         AS cnt
+                       ROWS BETWEEN CURRENT ROW AND {window - 1}
+                       FOLLOWING) AS cnt
               FROM keyd
             ), sel AS (
               SELECT DISTINCT doc_id, lang,
                      CAST(mk // 2097152 AS BIGINT) AS fp,
                      CAST(1048576 - (mk % 2097152) AS BIGINT) AS pos
-              FROM wm WHERE cnt = 16
+              FROM wm WHERE cnt = {window}
             )"""
 
 
@@ -8012,6 +8063,126 @@ def _winnow_decontam_oracle() -> str:
               WHERE doc_id % 100 <> 0) d
         LEFT JOIN hits h ON h.doc_id = d.doc_id
         GROUP BY 1 ORDER BY 1
+    """
+
+
+def _curation_e2e_oracle() -> str:
+    """DuckDB twin of curation_pipeline_e2e: the WHOLE chain replayed —
+    gopher rules (min_words=15, min_stopwords=1 variant) over the
+    batch (doc_id % 100 <> 0 AND doc_id % 10 >= 7), winnowing-selection
+    decontam against the eval half (doc_id % 100 = 0), the banded
+    incremental MinHash probe against the index half (doc_id % 10 < 7)
+    with the <=1000 hot-bucket cap, integer sqrt-temperature budgets
+    (2/5 of total tokens), per-source priority-prefix sampling
+    (seed 7), and equal-token 2000-token shard cuts over the global
+    priority order (seed 3). Combines the shared _winnow_sel_cte and
+    _minhash_keys_cte chains (disjoint CTE names)."""
+    return f"""
+        WITH {_winnow_sel_cte(k=20)}, {_minhash_keys_cte()}, b0 AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id % 100 <> 0 AND doc_id % 10 >= 7
+        ), gw AS (
+          SELECT doc_id, text, source,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t <> '') AS ws
+          FROM b0
+        ), gf AS (
+          SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   len(ws) AS n,
+                   ROUND(list_sum(list_transform(ws,
+                           x -> CAST(length(x) AS BIGINT)))
+                         / CAST(len(ws) AS DOUBLE), 6) AS mwl,
+                   ROUND((length(text)
+                          - length(replace(text, '#', ''))
+                          + (length(text)
+                             - length(replace(text, '...', ''))) / 3)
+                         / CAST(len(ws) AS DOUBLE), 6) AS sym,
+                   ROUND(len(list_filter(ws,
+                           x -> regexp_matches(x, '[a-zA-Z]')))
+                         / CAST(len(ws) AS DOUBLE), 6) AS alpha,
+                   len(list_filter(ws, x -> lower(x) IN
+                     ('the','be','to','of','and','that','have',
+                      'with'))) AS stops
+            FROM gw
+          ) WHERE COALESCE(n >= 15 AND n <= 100000, FALSE)
+            AND COALESCE(mwl >= 3.0 AND mwl <= 10.0, FALSE)
+            AND COALESCE(sym <= 0.1, FALSE)
+            AND COALESCE(alpha >= 0.80, FALSE)
+            AND COALESCE(stops >= 1, FALSE)
+        ), evf AS (
+          SELECT DISTINCT fp FROM sel WHERE doc_id % 100 = 0
+        ), hits AS (
+          SELECT s.doc_id FROM sel s
+          JOIN evf USING (fp)
+          JOIN gf USING (doc_id)
+          GROUP BY 1
+        ), dec AS (
+          SELECT gf.* FROM gf ANTI JOIN hits USING (doc_id)
+        ), idx AS (
+          SELECT doc_id, band, band_hash FROM keys
+          WHERE doc_id % 10 < 7
+        ), okb AS (
+          SELECT band, band_hash FROM idx
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+        ), idx2 AS (
+          SELECT idx.* FROM idx JOIN okb USING (band, band_hash)
+        ), bk AS (
+          SELECT k.doc_id, k.band, k.band_hash
+          FROM keys k JOIN dec USING (doc_id)
+        ), candd AS (
+          SELECT DISTINCT bk.doc_id
+          FROM bk JOIN idx2 USING (band, band_hash)
+        ), neww AS (
+          SELECT dec.* FROM dec ANTI JOIN candd USING (doc_id)
+        ), tokc AS (
+          SELECT n.doc_id, n.source,
+                 CAST(len(list_filter(
+                   regexp_split_to_array(trim(d2.text), '\\s+'),
+                   t -> t <> '')) AS BIGINT) AS tok
+          FROM neww n JOIN documents d2 ON d2.doc_id = n.doc_id
+        ), per AS (
+          SELECT source, CAST(SUM(tok) AS BIGINT) AS tokens
+          FROM tokc GROUP BY 1
+        ), tots AS (
+          SELECT CAST(SUM(tokens) * 2 // 5 AS BIGINT) AS total_budget,
+                 CAST(SUM(CAST(floor(sqrt(tokens)) AS BIGINT))
+                      AS BIGINT) AS sum_scale
+          FROM per
+        ), bud AS (
+          SELECT source,
+                 CAST(total_budget
+                      * CAST(floor(sqrt(tokens)) AS BIGINT)
+                      // sum_scale AS BIGINT) AS budget
+          FROM per CROSS JOIN tots
+        ), cums AS (
+          SELECT doc_id, source, tok,
+                 CAST(SUM(tok) OVER (PARTITION BY source
+                   ORDER BY ((doc_id + 7) * 2654435761) % 4294967296,
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM tokc
+        ), samp AS (
+          SELECT c.doc_id, c.source, c.tok
+          FROM cums c JOIN bud USING (source)
+          WHERE c.cum <= bud.budget
+        ), scums AS (
+          SELECT doc_id, source, tok,
+                 CAST(SUM(tok) OVER (
+                   ORDER BY ((doc_id + 3) * 2654435761) % 4294967296,
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM samp
+        )
+        SELECT (cum - tok) // 2000 AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(cum) AS BIGINT) AS last_cum
+        FROM scums GROUP BY 1 ORDER BY 1
     """
 
 
@@ -14489,6 +14660,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_incremental_dedup": _simhash_incremental_oracle(),
         "stream_ingest_dedup": _stream_ingest_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),
+        "curation_pipeline_e2e": _curation_e2e_oracle(),
         "top_dup_spans_corpus": """
             WITH wt AS (
               SELECT doc_id,

@@ -658,3 +658,21 @@ def test_rfm_gate_no_single_partition_exchange(spark):
     # the ranked frames are persisted (range layout pinned for the
     # offset collect) — the joins must read the cached layout back
     assert "InMemoryTableScan" in s.text
+
+
+def test_curation_e2e_plan(spark):
+    """r10 e2e composition: the static explain text re-embeds each
+    persisted stage's cached plan once per consumer, so the raw
+    shuffle count (~164) is an artifact of InMemoryRelation printing,
+    not executed exchanges (the persists exist precisely so gopher +
+    winnow + dedup each RUN once). Budget here: the hard anti-patterns
+    (cartesian/BNLJ) stay zero, every scan keeps pushdown, and the
+    static count stays under a tripwire ceiling so a new stage that
+    doubles the replay tree still fails loudly."""
+    spark.catalog.clearCache()
+    df = entry_mod.queries()["curation_pipeline_e2e"](spark, SF)
+    s = plan_summary(df)
+    assert s.cartesian_products == 0
+    assert s.nested_loop_joins == 0
+    assert s.scans == s.scans_with_pushdown
+    assert s.shuffles <= 180
