@@ -6111,6 +6111,56 @@ def lift_deciles_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lift", 6).alias("lift"))
 
 
+def pr_auc_purchase_value(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Average precision / PR-AUC (r10; operators/stats.py pr_auc —
+    the sklearn threshold-sum definition): how well does an event's
+    monetary value rank purchases over non-purchases? The imbalanced-
+    positive companion to roc_auc — same one-shuffle per-score class
+    histogram, prefix sums over the cell frame, and an AP fold in
+    SORTED threshold order (the cmh_test in-plan-fold recipe) the
+    oracle replays term for term via list_reduce. Scores quantize to
+    integer value units, so cell cardinality is bounded (the roc_auc
+    contract)."""
+    from deltalake_spark.operators.stats import pr_auc
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.round(F.col("value")).cast("long").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return pr_auc(d, score_col="score", label_col="y")
+
+
+def ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (r10; operators/stats.py ips_offpolicy —
+    IPS / SNIPS / ESS): treating the event log as logged bandit
+    feedback with the EMPIRICAL action frequencies as the logging
+    policy mu(a) = c_a/n, score a popularity-squared target policy
+    pi(a) = c_a²/Σc² without an A/B test. Weights quantize to integer
+    micros and rewards to cents, sums are exact decimal(38,0), and
+    the estimates are single divisions — the oracle replays the
+    policy derivation, quantization, and all three estimators."""
+    from deltalake_spark.operators.stats import ips_offpolicy
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wall = Window.partitionBy()
+    freq = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pol = freq.select(
+        "event_type",
+        ((F.col("c") * F.col("c")).cast("double")
+         / F.sum(F.col("c") * F.col("c")).over(wall).cast("double"))
+        .alias("pi"),
+        (F.col("c").cast("double")
+         / F.sum("c").over(wall).cast("double")).alias("mu"),
+    )
+    joined = ev.join(F.broadcast(pol), "event_type")
+    return ips_offpolicy(
+        joined, reward_col="value", logged_prop_col="mu",
+        target_prop_col="pi")
+
+
 def cmh_building_urgent(spark: SparkSession,
                         sf_dir: str) -> DataFrame:
     """Cochran–Mantel–Haenszel stratified association (r9,
@@ -7412,6 +7462,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bootstrap_ci_totalprice": bootstrap_ci_totalprice,
     "conformal_coverage_lineitem": conformal_coverage_lineitem,
     "bh_fdr_urgent_nations": bh_fdr_urgent_nations,
+    "pr_auc_purchase_value": pr_auc_purchase_value,
+    "ips_policy_value": ips_policy_value,
     "cmh_building_urgent": cmh_building_urgent,
     "lift_deciles_en": lift_deciles_en,
     "robust_seasonal_events": robust_seasonal_events,
@@ -13394,6 +13446,81 @@ def oracle_sql() -> dict[str, str]:
              AND seas.phase = det.phase
             GROUP BY 1, 2, seas.seasonal
             ORDER BY 1, 2
+        """,
+        "pr_auc_purchase_value": """
+            WITH d AS (
+              SELECT CAST(ROUND(value) AS BIGINT) AS s,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END AS y
+              FROM events
+            ), hist AS (
+              SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+                     CAST(COUNT(*) - SUM(y) AS BIGINT) AS q
+              FROM d GROUP BY 1
+            ), cum AS (
+              SELECT s, p, q,
+                     CAST(SUM(p) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS tp,
+                     CAST(SUM(q) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS fp
+              FROM hist
+            ), f AS (
+              SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+                     CAST(SUM(q) AS BIGINT) AS n_neg,
+                     CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+                     CAST(list_reduce(
+                       list(CAST(p * tp AS DOUBLE)
+                            / CAST(tp + fp AS DOUBLE) ORDER BY s DESC),
+                       (x, y) -> x + y) AS DOUBLE) AS apsum
+              FROM cum
+            )
+            SELECT n_pos, n_neg, n_thresholds,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN ROUND(apsum / CAST(n_pos AS DOUBLE), 6)
+                   END AS average_precision
+            FROM f
+        """,
+        "ips_policy_value": """
+            WITH f AS (
+              SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1
+            ), t AS (
+              SELECT CAST(SUM(c) AS BIGINT) AS n,
+                     CAST(SUM(c * c) AS BIGINT) AS s2
+              FROM f
+            ), pol AS (
+              SELECT event_type,
+                     CAST(c * c AS DOUBLE) / CAST(s2 AS DOUBLE) AS pi,
+                     CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+              FROM f CROSS JOIN t
+            ), q AS (
+              SELECT CAST(ROUND(pi / mu * 1000000) AS BIGINT) AS w6,
+                     CAST(ROUND(e.value * 100) AS BIGINT) AS rc,
+                     mu > 0 AS ok
+              FROM events e JOIN pol USING (event_type)
+            ), agg AS (
+              SELECT CAST(COUNT(*) FILTER (WHERE ok) AS BIGINT) AS n,
+                     CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT)
+                         AS n_unsupported,
+                     SUM(CAST(w6 AS HUGEINT)) FILTER (WHERE ok) AS sw,
+                     SUM(CAST(w6 AS HUGEINT) * rc)
+                         FILTER (WHERE ok) AS swr,
+                     SUM(CAST(w6 AS HUGEINT) * w6)
+                         FILTER (WHERE ok) AS sww
+              FROM q
+            )
+            SELECT n, n_unsupported,
+                   CAST(sw AS BIGINT) AS sum_w_micro,
+                   ROUND(CAST(swr AS DOUBLE)
+                         / (1e8 * CAST(n AS DOUBLE)), 6) AS ips_value,
+                   ROUND(CAST(swr AS DOUBLE)
+                         / (100.0 * CAST(sw AS DOUBLE)), 6)
+                       AS snips_value,
+                   ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                         / CAST(sww AS DOUBLE), 6) AS ess
+            FROM agg
         """,
         "bh_fdr_urgent_nations": """
             WITH j AS (

@@ -118,6 +118,8 @@ EXTRA = [
     "bitext_margin_ivf_topk",      # r10: bitext on IVF-PQ candidates
     "top_dup_spans_corpus",        # r10: corpus boilerplate census
     "curation_pipeline_e2e",       # r10: whole-chain curation run
+    "pr_auc_purchase_value",       # r10: PR-AUC / average precision
+    "ips_policy_value",            # r10: IPS/SNIPS off-policy eval
     "simhash_incremental_dedup",   # r9: Hamming-index nightly dedup
     "hard_negative_triplets",      # r9: triplet mining for embeddings
     "nb_margin_calibration",       # r9: confidence calibration bins

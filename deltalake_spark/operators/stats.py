@@ -54,6 +54,8 @@ __all__ = [
     "welch_ttest",
     "winsorized_stats",
     "roc_auc",
+    "pr_auc",
+    "ips_offpolicy",
     "cohens_kappa",
     "target_encode",
     "distribution_drift",
@@ -418,6 +420,133 @@ def roc_auc(
         / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
     )
     return out.withColumn("auc", auc)
+
+
+def pr_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact AVERAGE PRECISION (area under the precision-recall curve,
+    the sklearn ``average_precision_score`` threshold-sum definition)
+    per group — the companion to :func:`roc_auc` for IMBALANCED
+    positives, where ROC-AUC saturates but PR-AUC still separates
+    retrieval/quality rankers.
+
+    Tie-robust by construction: thresholds are the DISTINCT scores
+    descending, so within-tie ordering can never change the value
+    (the step-function AP over row ranks does depend on it) —
+    ``AP = Σ_k (R_k − R_{k−1})·P_k`` over score cells with
+    ``P_k = TP_k/(TP_k+FP_k)``, ``R_k = TP_k/n_pos``.
+
+    Same scale shape as :func:`roc_auc`: ONE detail-row shuffle to the
+    per-score class histogram; prefix sums and the AP fold run over
+    the T-row cell frame (quantize continuous scores first — the
+    :func:`roc_auc` bounded-cardinality contract). Each AP term is
+    ``ΔTP·TP`` (exact BIGINTs) over one double division, and the terms
+    fold in SORTED threshold order via an in-plan array fold (the
+    :func:`cmh_test` recipe), so any engine replays the float sequence
+    exactly. Single-class groups get NULL.
+
+    Returns per group: ``(n_pos, n_neg, n_thresholds,
+    average_precision)``.
+    """
+    group_cols = group_cols or []
+    y = F.col(label_col).cast("long")
+    hist = df.groupBy(*group_cols, F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(y).alias("__p"),
+    ).withColumn("__q", F.col("__c") - F.col("__p"))
+    w = (Window.partitionBy(*group_cols) if group_cols
+         else Window.partitionBy()).orderBy(F.desc("__s")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        *group_cols, "__s", "__p", "__q",
+        F.sum("__p").over(w).alias("__tp"),
+        F.sum("__q").over(w).alias("__fp"),
+    )
+    packed = cum.groupBy(*group_cols).agg(
+        F.sum("__p").alias("n_pos"),
+        F.sum("__q").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_thresholds"),
+        F.array_sort(F.collect_list(F.struct(
+            (-F.col("__tp")).alias("o"),  # ascending = thresholds desc
+            F.col("__p").alias("dtp"),
+            F.col("__tp").alias("tp"),
+            F.col("__fp").alias("fp"),
+        ))).alias("__cells"),
+    )
+    ap_sum = F.aggregate(
+        F.col("__cells"), F.lit(0.0),
+        lambda acc, r: acc + (
+            r["dtp"] * r["tp"]).cast("double")
+        / (r["tp"] + r["fp"]).cast("double"))
+    ap = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(ap_sum / F.col("n_pos").cast("double"), 6))
+    return packed.select(
+        *group_cols, "n_pos", "n_neg", "n_thresholds",
+        ap.alias("average_precision"))
+
+
+def ips_offpolicy(
+    df: DataFrame,
+    *,
+    reward_col: str,
+    logged_prop_col: str,
+    target_prop_col: str,
+) -> DataFrame:
+    """OFF-POLICY EVALUATION of a target policy from logged bandit
+    feedback: inverse-propensity scoring (Horvitz–Thompson), the
+    self-normalized variant (SNIPS, Swaminathan & Joachims 2015), and
+    the effective sample size — the standard "would the new
+    ranker/filter have done better?" readout computed WITHOUT an A/B
+    test, from logs alone.
+
+    ``w = π(a|x)/μ(a|x)`` per logged row; ``IPS = Σ w·r / n``;
+    ``SNIPS = Σ w·r / Σ w``; ``ESS = (Σ w)² / Σ w²`` (how many
+    uniform-weight samples the weighted estimate is worth — the
+    diagnostic that exposes propensity mismatch).
+
+    Determinism: weights quantize once to integer micros
+    (``round(w·1e6)``) and rewards to cents, so every sum is EXACT
+    integer arithmetic carried in decimal(38,0) (products reach
+    ~1e13/row — BIGINT would overflow beyond ~1e5 rows); the reported
+    estimates are single divisions of those exact sums. One
+    conditional-aggregate pass, no windows, no joins. Rows with
+    non-positive logged propensity raise upstream concerns — they are
+    EXCLUDED and counted (``n_unsupported``), the standard support
+    rule. Output one row: ``(n, n_unsupported, sum_w_micro,
+    ips_value, snips_value, ess)``.
+    """
+    w = F.col(target_prop_col).cast("double") \
+        / F.col(logged_prop_col).cast("double")
+    ok = F.col(logged_prop_col).cast("double") > 0
+    w6 = F.round(w * 1_000_000).cast("decimal(38,0)")
+    r_c = F.round(F.col(reward_col).cast("double") * 100).cast(
+        "decimal(38,0)")
+    agg = df.groupBy().agg(
+        F.count(F.when(ok, 1)).alias("n"),
+        F.count(F.when(~ok, 1)).alias("n_unsupported"),
+        F.sum(F.when(ok, w6)).alias("__sw"),
+        F.sum(F.when(ok, w6 * r_c)).alias("__swr"),
+        F.sum(F.when(ok, w6 * w6)).alias("__sww"),
+    )
+    n_d = F.col("n").cast("double")
+    sw = F.col("__sw").cast("double")
+    swr = F.col("__swr").cast("double")
+    sww = F.col("__sww").cast("double")
+    return agg.select(
+        "n",
+        "n_unsupported",
+        F.col("__sw").cast("long").alias("sum_w_micro"),
+        # /1e6 (micros) /100 (cents) /n
+        F.round(swr / (F.lit(1e8) * n_d), 6).alias("ips_value"),
+        F.round(swr / (F.lit(100.0) * sw), 6).alias("snips_value"),
+        F.round(sw * sw / sww, 6).alias("ess"),
+    )
 
 
 def cohens_kappa(

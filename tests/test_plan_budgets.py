@@ -252,6 +252,12 @@ BUDGETS = {
     # r10: map-only window explode + one hash agg (distinct-doc count
     # rides the same exchange) + global TakeOrdered
     "top_dup_spans_corpus": (2, False),
+    # r10: one score-histogram shuffle; prefix sums + the AP fold run
+    # on the cell frame (SinglePartition window over T score cells)
+    "pr_auc_purchase_value": (2, False),
+    # r10: one action-count shuffle + broadcast policy join + one
+    # scalar conditional aggregate
+    "ips_policy_value": (2, False),
     # r9: map-only flag expressions + one lang agg + sort
     "gopher_rule_stats": (2, False),
     # r9: one lang-keyed window (rank + count share the exchange) +
