@@ -14263,9 +14263,14 @@ def oracle_sql() -> dict[str, str]:
             FROM cells GROUP BY 1 ORDER BY 1
         """,
         "km_user_purchase_survival": """
-            -- ordered-window product() replays the engine's fixed
-            -- ascending-time IEEE multiply chain
-            WITH ev AS (
+            -- the survival product must replay Spark's SEQUENTIAL
+            -- ascending-time multiply chain. DuckDB's windowed
+            -- product() aggregates through a segment tree, so its
+            -- float MULTIPLY ORDER is tree-shaped — at sf1 (~90 steps
+            -- per segment) it diverged from the sequential fold by
+            -- ~1 ulp (caught by the r10 sf1 sweep); the recursive CTE
+            -- below is the explicit sequential fold (Holt precedent).
+            WITH RECURSIVE ev AS (
               SELECT user_id,
                      epoch_ns(ts) // 86400000000000 AS d, event_type
               FROM events
@@ -14294,17 +14299,26 @@ def oracle_sql() -> dict[str, str]:
               FROM cells
             ), steps AS (
               SELECT seg, t, d, c, n,
-                     product(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
-                       OVER (PARTITION BY seg ORDER BY t
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS survival
+                     ROW_NUMBER() OVER (PARTITION BY seg ORDER BY t)
+                         AS rn
               FROM risk WHERE d > 0
+            ), rec AS (
+              SELECT seg, rn, t, d, c, n,
+                     CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)
+                         AS survival
+              FROM steps WHERE rn = 1
+              UNION ALL
+              SELECT s.seg, s.rn, s.t, s.d, s.c, s.n,
+                     r.survival * (CAST(s.n - s.d AS DOUBLE)
+                                   / CAST(s.n AS DOUBLE))
+              FROM rec r
+              JOIN steps s ON s.seg = r.seg AND s.rn = r.rn + 1
             )
             SELECT seg, CAST(t AS BIGINT) AS t,
                    CAST(n AS BIGINT) AS n_risk,
                    CAST(d AS BIGINT) AS n_events,
                    CAST(c AS BIGINT) AS n_censored, survival
-            FROM steps ORDER BY 1, 2
+            FROM rec ORDER BY 1, 2
         """,
         "cuped_event_lift": """
             WITH ev AS (
