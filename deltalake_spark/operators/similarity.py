@@ -1343,13 +1343,14 @@ def margin_bitext_pairs(
 def hard_triplet_mine(
     anchors: DataFrame,
     corpus: DataFrame,
-    int_centroids: list[list[int]],
+    int_centroids: "list[list[int]] | None",
     *,
     anchor_id: str,
     corpus_id: str,
     label_col: str = "label",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    candidates: "DataFrame | None" = None,
 ) -> DataFrame:
     """Hard-negative / triplet mining for embedding-model training
     data (the FaceNet/SBERT curation step): per anchor, the most
@@ -1367,11 +1368,19 @@ def hard_triplet_mine(
 
     Scale shape: one exhaustive bucket-cover equi-join scores anchor
     x corpus (run on a bounded anchor sample — mining batches, not
-    the full corpus; swap in ivf_pq_topk_join candidates for web-scale
-    corpora); two (anchor, same-label?) windows rank positives and
-    negatives from the SAME pair frame; the active-negative count is
-    one join of pairs against the KB-scale positives frame. Anchors
+    the full corpus); two (anchor, same-label?) windows rank positives
+    and negatives from the SAME pair frame; the active-negative count
+    is one join of pairs against the KB-scale positives frame. Anchors
     score against every OTHER row (self-pairs excluded by id).
+
+    For web-scale corpora pass ``candidates``: UNIQUE
+    (``anchor_id``, ``corpus_id``) pairs (e.g. :func:`ivf_pq_topk_join`
+    over-fetched per anchor) — the same call-site swap as
+    :func:`margin_bitext_pairs`. True cosines and labels are fetched
+    for ONLY the candidate pairs by two id equi-joins; hardest
+    positive/negative, the margin, and the active-negative count are
+    all taken WITHIN the candidate set (the retrieve-then-mine
+    approximation). ``int_centroids`` may be None in this mode.
 
     Returns ``(anchor_id, pos_id, pos_cos, neg_id, neg_cos,
     margin_micro, n_active_negatives)`` — anchors lacking a positive
@@ -1386,31 +1395,55 @@ def hard_triplet_mine(
         return (f"transform(cast(`{col}` as array<double>),"
                 f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
 
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(label_col).alias("__clb"),
-        F.col(vec_col).alias("__cv"),
-    ).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__cv"), 1)[0])
-    a = (
-        anchors.select(
+    pair_cols = [
+        "__aid", "__alb", "__cid",
+        (F.col("__clb") == F.col("__alb")).alias("__same"),
+        F.round(cosine_expr(F.col("__av"), F.col("__cv"))
+                * F.lit(float(scale)), 0).cast("long").alias("c"),
+    ]
+    if candidates is not None:
+        av = anchors.select(
             F.col(anchor_id).alias("__aid"),
             F.col(label_col).alias("__alb"),
             F.col(vec_col).alias("__av"))
-        .withColumn("__probes",
-                    _probe_expr_q(int_centroids, qv_sql("__av"),
-                                  len(int_centroids)))
-        .withColumn("__b", F.explode("__probes"))
-        .drop("__probes")
-    )
-    pairs = (
-        a.join(c, "__b")
-        .filter(F.col("__aid") != F.col("__cid"))
-        .select(
-            "__aid", "__alb", "__cid",
-            (F.col("__clb") == F.col("__alb")).alias("__same"),
-            F.round(cosine_expr(F.col("__av"), F.col("__cv"))
-                    * F.lit(float(scale)), 0).cast("long").alias("c"),
+        cv = corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(label_col).alias("__clb"),
+            F.col(vec_col).alias("__cv"))
+        pairs = (
+            candidates.select(F.col(anchor_id).alias("__aid"),
+                              F.col(corpus_id).alias("__cid"))
+            .join(av, "__aid").join(cv, "__cid")
+            .filter(F.col("__aid") != F.col("__cid"))
+            .select(*pair_cols)
         )
-    )
+    else:
+        if int_centroids is None:
+            raise ValueError(
+                "int_centroids is required for the exhaustive pass "
+                "(pass candidates=... for the IVF scale path)")
+        c = corpus.select(
+            F.col(corpus_id).alias("__cid"),
+            F.col(label_col).alias("__clb"),
+            F.col(vec_col).alias("__cv"),
+        ).withColumn(
+            "__b", _probe_expr_q(int_centroids, qv_sql("__cv"), 1)[0])
+        a = (
+            anchors.select(
+                F.col(anchor_id).alias("__aid"),
+                F.col(label_col).alias("__alb"),
+                F.col(vec_col).alias("__av"))
+            .withColumn("__probes",
+                        _probe_expr_q(int_centroids, qv_sql("__av"),
+                                      len(int_centroids)))
+            .withColumn("__b", F.explode("__probes"))
+            .drop("__probes")
+        )
+        pairs = (
+            a.join(c, "__b")
+            .filter(F.col("__aid") != F.col("__cid"))
+            .select(*pair_cols)
+        )
     w = Window.partitionBy("__aid", "__same").orderBy(
         F.desc("c"), F.asc("__cid"))
     ranked = pairs.withColumn("__rn", F.row_number().over(w))

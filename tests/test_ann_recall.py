@@ -392,3 +392,52 @@ def test_margin_bitext_candidates_path(spark):
     with pytest.raises(ValueError, match="int_centroids"):
         margin_bitext_pairs(
             sdf, tdf, None, src_id="src_id", tgt_id="tgt_id", k=4)
+
+
+def test_hard_triplet_candidates_path(spark):
+    """r10: hard_triplet_mine accepts candidates= (the same call-site
+    IVF swap as margin_bitext_pairs) — the FULL pair set reproduces
+    the exhaustive output exactly, a restricted set mines within the
+    candidates, and the exhaustive mode still requires the router."""
+    import numpy as np
+
+    from deltalake_spark.operators.similarity import hard_triplet_mine
+
+    rng = np.random.RandomState(3)
+    rows = [(i, i % 3, rng.randn(8)) for i in range(15)]
+    adf = spark.createDataFrame(
+        [(i, lbl, [float(x) for x in v]) for i, lbl, v in rows[:5]],
+        "aid long, label int, embedding array<float>")
+    cdf = spark.createDataFrame(
+        [(100 + i, lbl, [float(x) for x in v]) for i, lbl, v in rows],
+        "cid long, label int, embedding array<float>")
+    intc = _intc([v for _, _, v in rows[:4]])
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exhaustive = hard_triplet_mine(
+        adf, cdf, intc, anchor_id="aid", corpus_id="cid")
+    full = spark.createDataFrame(
+        [(a, 100 + c) for a, _, _ in rows[:5] for c in range(15)],
+        "aid long, cid long")
+    via_full = hard_triplet_mine(
+        adf, cdf, None, anchor_id="aid", corpus_id="cid",
+        candidates=full)
+    assert rows_of(via_full) == rows_of(exhaustive)
+
+    # restricted candidates: anchor 0 only sees corpus ids with
+    # cid % 2 == 1 — its mined pos/neg must come from that set
+    sub = spark.createDataFrame(
+        [(a, 100 + c) for a, _, _ in rows[:5] for c in range(15)
+         if (a, c) != (0, 0) and (a != 0 or c % 2 == 1)],
+        "aid long, cid long")
+    got = {r["aid"]: r for r in hard_triplet_mine(
+        adf, cdf, None, anchor_id="aid", corpus_id="cid",
+        candidates=sub).collect()}
+    assert got[0]["pos_id"] % 2 == 1 and got[0]["neg_id"] % 2 == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="int_centroids"):
+        hard_triplet_mine(adf, cdf, None, anchor_id="aid",
+                          corpus_id="cid")
