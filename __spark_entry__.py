@@ -69,6 +69,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact integer money cores (r11, VERDICT r10 #1). extendedprice / discount /
+# tax are 2-decimal by construction (FIXTURES.md), so
+# cents(extendedprice) * (100 - pct(discount)) is an EXACT integer in
+# 1e-4-dollar units; summed as decimal the total is order- and
+# partitioning-independent at ANY scale, unlike the shuffle-ordered double
+# SUM(l_extendedprice * (1 - l_discount)) that drifted 1 cent on ~5.5e8-dollar
+# groups at sf1 (ORACLE_SF1_r10: q5, q9). The rounded 2-decimal double is
+# exposed only in the final projection, computed from the exact core with one
+# int->double conversion and one division — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_EC = "cast(round(l_extendedprice * 100) as bigint)"   # price cents
+_DP = "cast(round(l_discount * 100) as bigint)"        # discount percent
+_TP = "cast(round(l_tax * 100) as bigint)"             # tax percent
+
+
+def _rev_units():
+    """``l_extendedprice * (1 - l_discount)`` in exact 1e-4-$ units."""
+    return F.expr(f"cast({_EC} * (100 - {_DP}) as decimal(20,0))")
+
+
+def _units_usd(col):
+    """Exact 1e-4-$ integer sum -> HALF_UP cents -> 2-decimal double.
+
+    The only float ops are the final int->double conversion and one
+    division by 100.0 — identical IEEE steps in Spark and DuckDB, so the
+    output hashes match at any data scale (no round-on-double of an
+    accumulated sum)."""
+    cents = F.floor((F.abs(col) + F.lit(50)) / F.lit(100))
+    cents = F.when(col < 0, -cents).otherwise(cents)
+    return cents.cast("double") / F.lit(100.0)
+
+
+# DuckDB twin of _units_usd over a HUGEINT/BIGINT units sum expression
+_SQL_REV_UNITS = ("CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+                  "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT))")
+
+
+def _sql_usd(u: str) -> str:
+    """DuckDB mirror of _units_usd: exact units -> HALF_UP cents -> $."""
+    return (f"CAST(CASE WHEN {u} < 0 THEN -((ABS({u}) + 50) // 100) "
+            f"ELSE ({u} + 50) // 100 END AS DOUBLE) / 100.0")
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-shaped analytics (scan → filter → hash agg → sort; joins broadcast
 # the small dims automatically under the default 10MB threshold)
 # ---------------------------------------------------------------------------
@@ -77,19 +122,27 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: the reference's $match→$group→$sort workhorse
     (aggregate(), /root/reference/src/query/index.ts:1722-1770) on lineitem."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")          # integer by construction
+    ec = F.expr(_EC).cast("decimal(20,0)")
+    dp = F.expr(_DP)
+    n = F.count(F.lit(1))
+    # sums fold exact integers; each avg is ONE division of two exact
+    # integers cast to double — no accumulated-float round boundary
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            (F.sum(ec).cast("double") / F.lit(100.0))
+            .alias("sum_base_price"),
+            _units_usd(F.sum(_rev_units())).alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / n.cast("double"), 4)
+            .alias("avg_qty"),
+            F.round(F.sum(ec).cast("double") / (n * 100).cast("double"), 4)
+            .alias("avg_price"),
+            F.round(F.sum(dp).cast("double") / (n * 100).cast("double"), 4)
+            .alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -103,11 +156,7 @@ def q3_unshipped_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_units_usd(F.sum(_rev_units())).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -128,11 +177,7 @@ def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_units_usd(F.sum(_rev_units())).alias("revenue"))
         .orderBy("n_name")
     )
 
@@ -148,9 +193,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _units_usd(F.sum(
+                F.expr(f"cast({_EC} * {_DP} as decimal(20,0))")
+            )).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -164,11 +209,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_units_usd(F.sum(_rev_units())).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -271,23 +312,30 @@ def pipeline_group_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_compound_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    """Compound-_id $group with nested accumulator exprs. The $multiply/
+    $subtract run over exact integer money cores (r11: the former double
+    revenue sum is shuffle-order-dependent at scale — see _rev_units)."""
+    li = _t(spark, sf_dir, "lineitem").withColumns({
+        "qty_l": F.col("l_quantity").cast("long"),
+        "price_c": F.expr(_EC),
+        "disc_pct": F.expr(_DP),
+    })
     out = apply_pipeline(
         li,
         [
             {"$group": {
                 "_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
-                "qty": {"$sum": "$l_quantity"},
-                "rev": {"$sum": {"$multiply": ["$l_extendedprice",
-                                               {"$subtract": [1, "$l_discount"]}]}},
+                "qty": {"$sum": "$qty_l"},
+                "rev_u": {"$sum": {"$multiply": ["$price_c",
+                                                 {"$subtract": [100, "$disc_pct"]}]}},
             }},
         ],
     )
     return out.select(
         F.col("_id.rf").alias("rf"),
         F.col("_id.ls").alias("ls"),
-        F.round("qty", 2).alias("qty"),
-        F.round("rev", 2).alias("rev"),
+        F.round(F.col("qty").cast("double"), 2).alias("qty"),
+        _units_usd(F.col("rev_u").cast("decimal(20,0)")).alias("rev"),
     )
 
 
@@ -928,6 +976,58 @@ def delta_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_consumer_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once CDC consumer with a crash/resume mid-feed (r11,
+    streaming/consumer.py:CDCConsumer + FileOffsetStorage; reference
+    CDCConsumer src/cdc/index.ts:709-1204). Three CDC commits land on a
+    part-fixture table (delete, update, delete); consumer #1 polls a
+    bounded window covering only the first change commit and commits its
+    offset; it is then dropped (the crash) and a FRESH consumer in the
+    same group resumes from the persisted offset and drains the rest.
+    The union of the two deliveries must contain every change record
+    EXACTLY once — an off-by-one resume (replaying the committed
+    version) doubles the first delete's rows; a gap loses the update —
+    either breaks the value hash. Price totals fold exact integer cents
+    so the check is value-level at any scale."""
+    import tempfile
+
+    from deltalake_spark.streaming.consumer import (
+        CDCConsumer,
+        FileOffsetStorage,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    t = _fresh_table(spark, "cdccons")
+    t.write(part)                                   # v0 (no CDC rows)
+    t.enable_cdc()                                  # v1 (metadata only)
+    t.delete({"p_size": {"$lt": 5}})                # v2
+    t.update({"p_brand": "Brand#2"},
+             {"p_retailprice": "p_retailprice * 2"})  # v3
+    t.delete({"p_size": {"$gt": 45}})               # v4
+    storage = FileOffsetStorage(tempfile.mkdtemp(prefix="dlq_offs_"))
+
+    c1 = CDCConsumer(t, "g1", storage=storage, starting_version=0)
+    first = c1.poll(max_versions=3)                 # v0..v2: delete #1
+    c1.commit()                                     # offset = 2
+    del c1                                          # crash
+
+    c2 = CDCConsumer(t, "g1", storage=storage)      # resumes at v3
+    rest = c2.poll()                                # v3..v4
+    c2.commit()
+
+    delivered = first.unionByName(rest)
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    return (
+        delivered.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / F.lit(100.0))
+            .alias("price_total"),
+        )
+        .orderBy("change_type")
+    )
+
+
 def delta_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deletion vectors: soft delete (no file rewrite) then scan — the
     DV anti-join must produce exactly the copy-on-write final state."""
@@ -1489,12 +1589,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-09-01")
         & (F.col("l_shipdate") < "1997-10-01")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    u = _rev_units()
+    zero = F.lit(0).cast("decimal(20,0)")
+    # both ratio terms are exact integer sums; ONE double division
     return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
         F.round(
-            100
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
-            / F.sum(rev),
+            F.lit(100.0)
+            * (F.sum(F.when(F.col("p_type") == "PROMO", u).otherwise(zero))
+               .cast("double")
+               / F.sum(u).cast("double")),
             4,
         ).alias("promo_revenue_pct")
     )
@@ -1548,9 +1651,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(bracket).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _units_usd(F.sum(_rev_units())).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1606,9 +1707,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"))
+        .agg(_units_usd(F.sum(_rev_units())).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1628,10 +1727,13 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"),
                  F.year("l_shipdate").alias("o_year"))
-        .agg(F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                  - F.col("l_quantity") * F.col("l_tax")), 2
-        ).alias("profit"))
+        .agg(_units_usd(F.sum(F.expr(
+            # profit in exact 1e-4-$ units: quantity is integral, tax is
+            # 2-decimal, so qty*tax = qty * taxpct * 100 units exactly
+            f"cast({_EC} * (100 - {_DP})"
+            f" - cast(l_quantity as bigint) * {_TP} * 100"
+            " as decimal(20,0))"
+        ))).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -1794,8 +1896,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li_b.join(F.broadcast(avg_qty), "p_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
-             .alias("avg_yearly"))
+        # HALF_UP cents of sum_cents/7, all in integer arithmetic:
+        # round(c/7) == floor((2c+7)/14) for c >= 0
+        .agg(F.sum(F.expr(f"cast({_EC} as decimal(20,0))")).alias("__c"))
+        .select((F.floor((F.lit(2) * F.col("__c") + F.lit(7)) / F.lit(14))
+                 .cast("double") / F.lit(100.0)).alias("avg_yearly"))
     )
 
 
@@ -4906,13 +5011,18 @@ def gini_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient and Herfindahl index of discounted revenue across
     suppliers, per returnflag. First shuffle reduces lineitem to one
     row per (flag, supplier); the rank window runs over that reduced
-    frame only. Deterministic tie-break by supplier key."""
+    frame only. Deterministic tie-break by supplier key.
+
+    r11: revenue enters as the exact integer 1e-4-$ core (_rev_units) so
+    per-key totals and ranks are bit-stable across engines; gini/hhi are
+    scale-invariant ratios of those exact integers, and the dollar
+    ``total`` is derived through the exact-cents projection instead of a
+    round-on-accumulated-double (the q5/q9 sf1 drift class)."""
     from deltalake_spark.operators.stats import gini_concentration
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .alias("rev"),
+        _rev_units().cast("double").alias("rev"),
     )
     res = gini_concentration(
         li, key_col="l_suppkey", value_col="rev",
@@ -4920,7 +5030,7 @@ def gini_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "l_returnflag",
         "n_keys",
-        F.round("total", 2).alias("total"),
+        _units_usd(F.col("total").cast("decimal(20,0)")).alias("total"),
         F.round("gini", 6).alias("gini"),
         F.round("hhi", 6).alias("hhi"),
     ).orderBy("l_returnflag")
@@ -7355,6 +7465,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_nation_volume": q5_nation_volume,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
+    "cdc_consumer_exactly_once": cdc_consumer_exactly_once,
     "filter_eq_project": filter_eq_project,
     "filter_range": filter_range,
     "filter_in_regex": filter_in_regex,
@@ -9288,23 +9399,35 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN sims s USING (vec_id)
             GROUP BY 1 ORDER BY 1
         """,
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
+            WITH core AS (
+                SELECT l_returnflag, l_linestatus,
+                       SUM(CAST(l_quantity AS BIGINT)) AS q,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS ec,
+                       SUM({_SQL_REV_UNITS}) AS u,
+                       SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS dp,
+                       COUNT(*) AS n
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+                GROUP BY 1, 2)
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4) AS avg_qty,
-                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
-                   COUNT(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-            GROUP BY l_returnflag, l_linestatus
+                   ROUND(CAST(q AS DOUBLE), 2) AS sum_qty,
+                   CAST(ec AS DOUBLE) / 100.0 AS sum_base_price,
+                   {_sql_usd('u')} AS sum_disc_price,
+                   ROUND(CAST(q AS DOUBLE) / CAST(n AS DOUBLE), 4)
+                       AS avg_qty,
+                   ROUND(CAST(ec AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4)
+                       AS avg_price,
+                   ROUND(CAST(dp AS DOUBLE) / CAST(n * 100 AS DOUBLE), 4)
+                       AS avg_disc,
+                   n AS count_order
+            FROM core
             ORDER BY l_returnflag, l_linestatus
         """,
-        "q3_unshipped_value": """
+        "q3_unshipped_value": f"""
             SELECT o_orderkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_sql_usd(f'SUM({_SQL_REV_UNITS})')} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -9315,9 +9438,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey ASC
             LIMIT 10
         """,
-        "q5_nation_volume": """
+        "q5_nation_volume": f"""
             SELECT n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_sql_usd(f'SUM({_SQL_REV_UNITS})')} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -9328,8 +9451,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY n_name
         """,
-        "q6_forecast_revenue": """
-            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        "q6_forecast_revenue": f"""
+            SELECT {_sql_usd(
+                "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(ROUND(l_discount * 100) AS BIGINT))")} AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -9337,9 +9462,9 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.02 AND 0.06
               AND l_quantity < 24
         """,
-        "q10_returned_items": """
+        "q10_returned_items": f"""
             SELECT c_custkey, c_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_sql_usd(f'SUM({_SQL_REV_UNITS})')} AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -9390,10 +9515,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_totalprice > 1000.0
             GROUP BY o_orderpriority ORDER BY priority
         """,
-        "pipeline_compound_group": """
+        "pipeline_compound_group": f"""
             SELECT l_returnflag AS rf, l_linestatus AS ls,
-                   ROUND(SUM(l_quantity), 2) AS qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+                   ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2)
+                       AS qty,
+                   {_sql_usd(f'SUM({_SQL_REV_UNITS})')} AS rev
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "pipeline_unwind_tokens": """
@@ -9633,6 +9759,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update_preimage', COUNT(*)
             FROM part WHERE p_brand = 'Brand#1' AND p_size >= 10
             ORDER BY change_type
+        """,
+        "cdc_consumer_exactly_once": """
+            -- the union of the two consumer deliveries must equal the
+            -- full change feed exactly once: v2 delete (orig prices),
+            -- v3 update pre/post on Brand#2 survivors, v4 delete at
+            -- then-current (possibly doubled) prices
+            WITH c AS (
+              SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc,
+                     p_brand, p_size
+              FROM part
+            ), changes AS (
+              SELECT 'delete' AS change_type, pc FROM c WHERE p_size < 5
+              UNION ALL
+              SELECT 'update_preimage', pc FROM c
+              WHERE p_brand = 'Brand#2' AND p_size >= 5
+              UNION ALL
+              SELECT 'update_postimage', 2 * pc FROM c
+              WHERE p_brand = 'Brand#2' AND p_size >= 5
+              UNION ALL
+              SELECT 'delete',
+                     CASE WHEN p_brand = 'Brand#2' THEN 2 * pc
+                          ELSE pc END
+              FROM c WHERE p_size > 45
+            )
+            SELECT change_type, COUNT(*) AS n,
+                   CAST(SUM(pc) AS DOUBLE) / 100.0 AS price_total
+            FROM changes GROUP BY 1 ORDER BY 1
         """,
         "delta_dv_delete": """
             SELECT p_type, COUNT(*) AS n,
@@ -10009,11 +10162,10 @@ def oracle_sql() -> dict[str, str]:
                                    WHERE p2.p_brand = p.p_brand)
             ORDER BY p_brand, p_partkey
         """,
-        "q7_nation_volume": """
+        "q7_nation_volume": f"""
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(YEAR(l_shipdate) AS INT) AS l_year,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
+                   {_sql_usd(f'SUM({_SQL_REV_UNITS})')} AS revenue
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -10024,11 +10176,14 @@ def oracle_sql() -> dict[str, str]:
                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
-        "q9_profit_by_nation_year": """
+        "q9_profit_by_nation_year": f"""
             SELECT n_name AS nation,
                    CAST(YEAR(l_shipdate) AS INT) AS o_year,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)
-                             - l_quantity * l_tax), 2) AS profit
+                   {_sql_usd(
+                       f'SUM({_SQL_REV_UNITS}'
+                       ' - CAST(l_quantity AS BIGINT)'
+                       ' * CAST(ROUND(l_tax * 100) AS BIGINT) * 100)')}
+                       AS profit
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -10622,11 +10777,12 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1 ORDER BY 1
         """,
-        "q14_promo_revenue": """
-            SELECT ROUND(100 * SUM(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END)
-                   / SUM(l_extendedprice * (1 - l_discount)), 4)
+        "q14_promo_revenue": f"""
+            SELECT ROUND(100.0 *
+                   (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN {_SQL_REV_UNITS}
+                             ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                    / CAST(SUM({_SQL_REV_UNITS}) AS DOUBLE)), 4)
                        AS promo_revenue_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -10722,7 +10878,9 @@ def oracle_sql() -> dict[str, str]:
                  t AS (SELECT p_partkey, AVG(l_quantity) * 0.2
                               AS qty_thresh
                        FROM b GROUP BY 1)
-            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            SELECT CAST((2 * SUM(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT)) + 7) // 14
+                        AS DOUBLE) / 100.0 AS avg_yearly
             FROM b JOIN t USING (p_partkey)
             WHERE l_quantity < qty_thresh
         """,
@@ -10777,9 +10935,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 10
         """,
-        "q19_bracket_revenue": """
-            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue,
+        "q19_bracket_revenue": f"""
+            SELECT {_sql_usd(f'SUM({_SQL_REV_UNITS})')} AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -11555,10 +11712,12 @@ def oracle_sql() -> dict[str, str]:
                    round(h_a + h_b - h_ab, 6) AS mi
             FROM agg
         """,
-        "gini_supplier_share": """
+        "gini_supplier_share": f"""
             WITH k AS (
+              -- exact integer units per key, surfaced as double exactly
+              -- like the Spark operator's per-key sum(...).cast(double)
               SELECT l_returnflag, l_suppkey,
-                     sum(l_extendedprice * (1 - l_discount)) AS x
+                     CAST(SUM({_SQL_REV_UNITS}) AS DOUBLE) AS x
               FROM lineitem GROUP BY 1, 2
             ), r AS (
               SELECT l_returnflag, x,
@@ -11569,7 +11728,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag,
                    count(*) AS n_keys,
-                   round(sum(x), 2) AS total,
+                   {_sql_usd('CAST(sum(x) AS BIGINT)')} AS total,
                    round(2.0 * sum(i * x) / (count(*) * sum(x))
                          - (count(*) + 1.0) / count(*), 6) AS gini,
                    round(sum(x * x) / (sum(x) * sum(x)), 6) AS hhi
@@ -14387,7 +14546,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_copurchase": """
             -- unrolled 4-round synchronous peel; each round removes
-            -- ALL degree<3 vertices of the previous subgraph at once
+            -- ALL degree<3 vertices of the previous subgraph at once.
+            -- r11 (VERDICT r10 #2): every round filters the ONE
+            -- materialized directed edge set e0 against the shrinking
+            -- alive vertex set a_i (e_i == e0 where both ends alive),
+            -- instead of rematerializing full edge tables e1..e4 —
+            -- the previous shape spilled >80 GB at sf1; this one is
+            -- bounded by |e0| and runs value-level at sf1.
             WITH li AS (
               SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
               WHERE l_partkey % 5 = 0
@@ -14400,27 +14565,23 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT v AS a, u AS b FROM und
             ), a1 AS (
               SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 3
-            ), e1 AS (
-              SELECT e.a, e.b FROM e0 e
-              JOIN a1 x ON x.a = e.a JOIN a1 y ON y.a = e.b
             ), a2 AS (
-              SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 3
-            ), e2 AS (
-              SELECT e.a, e.b FROM e1 e
-              JOIN a2 x ON x.a = e.a JOIN a2 y ON y.a = e.b
+              SELECT e.a FROM e0 e
+              JOIN a1 x ON x.a = e.a JOIN a1 y ON y.a = e.b
+              GROUP BY e.a HAVING COUNT(*) >= 3
             ), a3 AS (
-              SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 3
-            ), e3 AS (
-              SELECT e.a, e.b FROM e2 e
-              JOIN a3 x ON x.a = e.a JOIN a3 y ON y.a = e.b
+              SELECT e.a FROM e0 e
+              JOIN a2 x ON x.a = e.a JOIN a2 y ON y.a = e.b
+              GROUP BY e.a HAVING COUNT(*) >= 3
             ), a4 AS (
-              SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 3
-            ), e4 AS (
-              SELECT e.a, e.b FROM e3 e
-              JOIN a4 x ON x.a = e.a JOIN a4 y ON y.a = e.b
+              SELECT e.a FROM e0 e
+              JOIN a3 x ON x.a = e.a JOIN a3 y ON y.a = e.b
+              GROUP BY e.a HAVING COUNT(*) >= 3
             )
-            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
-            FROM e4 GROUP BY 1 ORDER BY 1
+            SELECT e.a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM e0 e
+            JOIN a4 x ON x.a = e.a JOIN a4 y ON y.a = e.b
+            GROUP BY 1 ORDER BY 1
         """,
         "stream_static_enrich": """
             WITH dim AS (

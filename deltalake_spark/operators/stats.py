@@ -472,7 +472,7 @@ def pr_auc(
         F.sum("__q").alias("n_neg"),
         F.count(F.lit(1)).alias("n_thresholds"),
         F.array_sort(F.collect_list(F.struct(
-            (-F.col("__tp")).alias("o"),  # ascending = thresholds desc
+            F.col("__tp").alias("o"),  # tp ascending == thresholds desc
             F.col("__p").alias("dtp"),
             F.col("__tp").alias("tp"),
             F.col("__fp").alias("fp"),
@@ -1421,7 +1421,7 @@ def split_conformal_interval(
             "calibration split too small for alpha="
             f"{a_num}/{a_den}: split conformal needs "
             f"(n_cal+1)(1-alpha) <= n_cal (n_cal={n_cal}, so at "
-            f"least {a_den // a_num} calibration rows per the "
+            f"least {-(-a_den // a_num) - 1} calibration rows per the "
             "ceil rule); lower alpha or provide more data")
     wr = Window.orderBy("__r", "__id")
     q_hat = (

@@ -208,3 +208,59 @@ def test_multi_partition_commit_writes_many_cdc_files(spark, tmp_path):
     assert len(polled) == 500
     assert sorted(r["id"] for r in polled if r["_change_type"] == "delete") \
         == list(range(100))
+
+
+def test_consumer_crash_resume_exactly_once(spark, tmp_path):
+    """Pins the cdc_consumer_exactly_once gate's crash/resume split:
+    the first bounded poll must deliver ONLY the first change commit,
+    a fresh consumer in the same group must resume at the next version
+    (no replay, no gap), and the union must be the whole feed exactly
+    once (reference commitOffset/resume, src/cdc/index.ts:1090-1204)."""
+    from deltalake_spark.streaming.consumer import (
+        CDCConsumer,
+        FileOffsetStorage,
+    )
+
+    t = DeltaTable(spark, str(tmp_path / "eo_tbl"))
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(40)],
+        "id long, grp long, v double",
+    )
+    t.write(df)                              # v0
+    t.enable_cdc()                           # v1
+    t.delete({"grp": 0})                     # v2
+    t.update({"grp": 1}, {"v": "v * 2"})     # v3
+    t.delete({"grp": 2})                     # v4
+    assert t.version() == 4
+
+    storage = FileOffsetStorage(str(tmp_path / "offs"))
+    c1 = CDCConsumer(t, "g", storage=storage, starting_version=0)
+    first = c1.poll(max_versions=3).collect()        # v0..v2
+    c1.commit()
+    assert storage.load("g") == 2
+    # split is genuinely mid-feed: only the first delete delivered
+    assert {r["_change_type"] for r in first} == {"delete"}
+    assert {r["_commit_version"] for r in first} == {2}
+    del c1
+
+    c2 = CDCConsumer(t, "g", storage=storage)        # crash + resume
+    assert c2.position == 3                           # committed + 1
+    rest = c2.poll().collect()
+    c2.commit()
+    assert {r["_commit_version"] for r in rest} == {3, 4}
+
+    # exactly once: every (version, change_type, id) appears once
+    seen = [(r["_commit_version"], r["_change_type"], r["id"])
+            for r in first + rest]
+    assert len(seen) == len(set(seen))
+    by_type = {}
+    for _, ct, _id in seen:
+        by_type.setdefault(ct, set()).add(_id)
+    assert by_type["delete"] == {i for i in range(40) if i % 7 in (0, 2)}
+    assert by_type["update_preimage"] == \
+        {i for i in range(40) if i % 7 == 1}
+    assert by_type["update_postimage"] == by_type["update_preimage"]
+
+    # a third consumer resumes past everything: empty poll
+    c3 = CDCConsumer(t, "g", storage=storage)
+    assert c3.poll().count() == 0

@@ -175,7 +175,28 @@ def gen_events(out_dir: str, n_events: int = 1_000_000,
     _write(out_dir, "events", tbl)
 
 
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def manifest(con: duckdb.DuckDBPyConnection, out_dir: str) -> dict:
+    """Per-table row counts + order-independent content hashes (sum of
+    DuckDB row-struct hashes mod 2^64+) so a committed manifest proves a
+    regenerated sf1 tree is bit-identical in content to the one a sweep
+    artifact cites (r10 verdict: sf1 fixtures are ephemeral in /tmp)."""
+    out = {}
+    for t in TABLES:
+        n, h = con.execute(
+            f"SELECT COUNT(*), CAST(SUM(CAST(hash(t) AS HUGEINT)) "
+            f"AS VARCHAR) FROM "
+            f"read_parquet('{out_dir}/{t}.parquet') t").fetchone()
+        out[t] = {"rows": int(n), "content_hash": h}
+    return out
+
+
 def main() -> None:
+    import json
+
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -183,6 +204,12 @@ def main() -> None:
     gen_documents(out_dir)
     gen_embeddings(out_dir)
     gen_events(out_dir)
+    m = manifest(con, out_dir)
+    path = os.path.join(out_dir, "MANIFEST.json")
+    with open(path, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    print(f"wrote {path}")
+    print(json.dumps(m, sort_keys=True))
 
 
 if __name__ == "__main__":
