@@ -612,6 +612,50 @@ def minhash_incremental_dedup(spark: SparkSession,
     ).orderBy("doc_id")
 
 
+def dedup_index_retention_probe(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Dedup-index retention/expiry (r11, VERDICT r10 ask #8;
+    operators/dedup.py:dedup_index_retention): the persisted MinHash
+    index grows monotonically under streaming ingest, so a nightly
+    retention pass must expire deleted docs' bands and re-optimize the
+    file layout in ONE commit — and the probe must reflect EXACTLY the
+    expiry, nothing else. Corpus docs (doc_id % 10 != 7) are indexed;
+    the batch (doc_id % 10 = 7) probes BEFORE, then every corpus doc
+    from source 'src3' is expired (simulating corpus deletes), and the
+    same batch probes AFTER. Output is the per-doc join of both probes:
+    candidates/matches that pointed at src3 docs vanish or shift to the
+    next-best candidate, everything else is bit-identical. The DuckDB
+    twin replays both probes (band keys, hot-bucket cap recomputed over
+    the reduced index, deterministic argmax) value-for-value."""
+    from deltalake_spark.operators.dedup import (
+        dedup_index_retention,
+        minhash_dedup_incremental,
+        minhash_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kw = dict(id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+              hash_mode="portable")
+    t = _fresh_table(spark, "retidx")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    minhash_index_write(corpus, t, **kw)
+    before = minhash_dedup_incremental(batch, t, **kw).select(
+        "doc_id",
+        F.col("n_candidates").alias("cand_before"),
+        F.col("match_id").alias("match_before"),
+    )
+    drop = corpus.filter(F.col("source") == "src3").select("doc_id")
+    dedup_index_retention(t, drop, id_col="doc_id")
+    after = minhash_dedup_incremental(batch, t, **kw).select(
+        "doc_id",
+        F.col("n_candidates").alias("cand_after"),
+        F.col("match_id").alias("match_after"),
+        F.col("is_new").alias("is_new_after"),
+    )
+    return before.join(after, "doc_id").orderBy("doc_id")
+
+
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END nightly curation pipeline as ONE gate (r10
     verdict ask #6; operators/curation.py curate_corpus): gopher
@@ -7487,6 +7531,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_norm_stats": embedding_norm_stats,
     "minhash_neardup_groups": minhash_neardup_groups,
     "minhash_incremental_dedup": minhash_incremental_dedup,
+    "dedup_index_retention_probe": dedup_index_retention_probe,
     "simhash_incremental_dedup": simhash_incremental_dedup,
     "simhash_blocks": simhash_blocks,
     "longest_dup_span_topk": longest_dup_span_topk,
@@ -8046,6 +8091,56 @@ def _minhash_incremental_oracle() -> str:
                b.bid IS NULL AS is_new
         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
         LEFT JOIN best b ON b.bid = d.doc_id
+        ORDER BY doc_id
+    """
+
+
+def _minhash_retention_oracle() -> str:
+    """DuckDB twin of dedup_index_retention_probe: the incremental
+    probe replayed TWICE — once against the full corpus key set, once
+    against the keys minus source-'src3' docs (the expired set), with
+    the boilerplate-bucket cap recomputed over the reduced index
+    exactly as the live probe recomputes it."""
+
+    def probe(ck: str, suffix: str) -> str:
+        return f"""ok{suffix} AS (
+          SELECT band, band_hash FROM {ck}
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+        ), ckf{suffix} AS (
+          SELECT c.* FROM {ck} c JOIN ok{suffix} USING (band, band_hash)
+        ), pairs{suffix} AS (
+          SELECT bk.doc_id AS bid, ckf{suffix}.doc_id AS cand,
+                 COUNT(*) AS shared
+          FROM bk JOIN ckf{suffix} USING (band, band_hash)
+          GROUP BY 1, 2
+        ), best{suffix} AS (
+          SELECT bid,
+                 CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                 (list(cand ORDER BY shared DESC, cand ASC))[1]
+                     AS match_id
+          FROM pairs{suffix} GROUP BY 1
+        )"""
+
+    return f"""
+        WITH {_minhash_keys_cte()}, ck AS (
+          SELECT * FROM keys WHERE doc_id % 10 <> 7
+        ), bk AS (
+          SELECT * FROM keys WHERE doc_id % 10 = 7
+        ), ck2 AS (
+          SELECT ck.* FROM ck
+          ANTI JOIN (SELECT doc_id FROM documents
+                     WHERE doc_id % 10 <> 7 AND source = 'src3') x
+          USING (doc_id)
+        ), {probe('ck', '')}, {probe('ck2', '2')}
+        SELECT d.doc_id,
+               COALESCE(b.n_candidates, 0) AS cand_before,
+               b.match_id AS match_before,
+               COALESCE(a.n_candidates, 0) AS cand_after,
+               a.match_id AS match_after,
+               a.bid IS NULL AS is_new_after
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) d
+        LEFT JOIN best b ON b.bid = d.doc_id
+        LEFT JOIN best2 a ON a.bid = d.doc_id
         ORDER BY doc_id
     """
 
@@ -14959,6 +15054,7 @@ def oracle_sql() -> dict[str, str]:
         # Spark expressions):
         "minhash_neardup_groups": _minhash_oracle(),
         "minhash_incremental_dedup": _minhash_incremental_oracle(),
+        "dedup_index_retention_probe": _minhash_retention_oracle(),
         "simhash_incremental_dedup": _simhash_incremental_oracle(),
         "stream_ingest_dedup": _stream_ingest_oracle(),
         "longest_dup_span_topk": _longest_dup_span_oracle(),

@@ -121,6 +121,7 @@ EXTRA = [
     "pr_auc_purchase_value",       # r10: PR-AUC / average precision
     "ips_policy_value",            # r10: IPS/SNIPS off-policy eval
     "cdc_consumer_exactly_once",   # r11: crash/resume CDC consumer
+    "dedup_index_retention_probe", # r11: index expiry + layout rewrite
     "simhash_incremental_dedup",   # r9: Hamming-index nightly dedup
     "hard_negative_triplets",      # r9: triplet mining for embeddings
     "nb_margin_calibration",       # r9: confidence calibration bins

@@ -505,6 +505,82 @@ def minhash_dedup_incremental(
     )
 
 
+def dedup_index_retention(
+    index,
+    drop_ids: DataFrame | None,
+    *,
+    id_col: str,
+    dry_run: bool = False,
+) -> dict:
+    """Nightly retention for a persisted dedup fingerprint index (the
+    minhash/simhash tables of :func:`minhash_index_write` /
+    :func:`simhash_index_write`, r10 verdict ask #8): under streaming
+    ingest (streaming/sink.py:minhash_stream_dedup_sink) the index only
+    ever grows — docs deleted or expired from the corpus keep matching
+    new batches forever, and every micro-batch append leaves another
+    small file per band partition. This drops the expired ids' key rows
+    AND re-optimizes the file layout in ONE overwrite commit, so readers
+    see either the old index or the fully-retained one, never a half
+    state.
+
+    ``drop_ids``: one-column DataFrame of ``id_col`` values to expire
+    (e.g. the corpus table's deleted keys); ``None`` or empty means a
+    layout-only pass — probe results are then IDENTICAL before/after
+    (pinned in tests/test_minhash_index.py).
+
+    100 TB design: the index is bands x docs rows of three longs — the
+    ONLY thing this job touches (never corpus text). Expiry is one
+    left-anti equi-join on ``id_col`` (AQE picks broadcast when the
+    nightly drop set is small); the rewrite repartitions by the index's
+    own partition column, so each band directory lands as one coherent
+    file per shuffle partition and the band-pruned probe join reads
+    compact files again. Pinned index params (the comparability
+    contract) survive the overwrite unchanged — asserted and re-pinned
+    if the engine ever drops them.
+
+    Returns ``{"dropped_ids": n, "removed_rows": n, "kept_rows": n,
+    "version": v}`` (``version`` is the pre-retention version when
+    ``dry_run`` or nothing to do).
+    """
+    snap = index.snapshot()
+    part_cols = list(snap.partition_columns or [])
+    conf_before = dict(snap.configuration or {})
+    keys = index.to_df()
+    if drop_ids is not None:
+        drop = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col)) \
+            .distinct()
+        hit = keys.join(drop, id_col, "left_semi")
+        removed_rows = hit.count()
+        dropped = hit.select(id_col).distinct().count()
+    else:
+        removed_rows = dropped = 0
+    kept_rows = None
+    version = snap.version
+    if not dry_run:
+        kept = keys
+        if dropped:
+            kept = keys.join(
+                drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
+                .distinct(),
+                id_col, "left_anti")
+        if part_cols:
+            kept = kept.repartition(*[F.col(c) for c in part_cols])
+        kept_rows = kept.count()
+        version = index.write(kept, mode="overwrite",
+                              partition_by=part_cols or None)
+        conf_after = dict(index.snapshot().configuration or {})
+        if conf_after != conf_before:
+            # the pinned signature params ARE the index's comparability
+            # contract — restore them if the overwrite lost any
+            version = index.update_metadata(conf_before)
+    return {
+        "dropped_ids": int(dropped),
+        "removed_rows": int(removed_rows),
+        "kept_rows": int(kept_rows) if kept_rows is not None else None,
+        "version": int(version),
+    }
+
+
 def lsh_candidate_quality(
     df: DataFrame,
     *,

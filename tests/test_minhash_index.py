@@ -236,3 +236,69 @@ def test_simhash_index_guarantee_and_nightly_loop(spark):
                           "warehouses and scale")])
     got2 = simhash_dedup_incremental(day2, t, **kw).collect()[0]
     assert got2["match_id"] == 101 and got2["match_hamming"] == 0
+
+
+def test_retention_expires_ids_and_preserves_probe(spark, corpus):
+    """dedup_index_retention (r11): expiry removes exactly the dropped
+    ids' bands, a layout-only pass (empty drop set) leaves probe
+    results IDENTICAL, and the pinned params survive the rewrite."""
+    from deltalake_spark.operators.dedup import (
+        _MINHASH_INDEX_CONF,
+        dedup_index_retention,
+        minhash_dedup_incremental,
+        minhash_index_write,
+    )
+
+    t = _fresh(spark, "ret")
+    minhash_index_write(corpus, t, **PARAMS)
+    conf0 = dict(t.snapshot().configuration)
+    assert _MINHASH_INDEX_CONF in conf0
+    n_keys = t.to_df().count()          # 30 docs x 8 bands
+    assert n_keys == 240
+
+    batch = _docs(spark, [(100, _family_text(3)), (101, _family_text(7)),
+                          (102, "entirely novel words only here")])
+    before = {r["doc_id"]: (r["n_candidates"], r["match_id"], r["is_new"])
+              for r in minhash_dedup_incremental(batch, t, **PARAMS)
+              .collect()}
+    assert before[100][1] is not None and before[102][2]
+
+    # layout-only pass: no expiry, probe identical, params survive
+    stats = dedup_index_retention(t, None, id_col="doc_id")
+    assert stats["dropped_ids"] == 0 and stats["kept_rows"] == n_keys
+    assert dict(t.snapshot().configuration) == conf0
+    assert list(t.snapshot().partition_columns) == ["band"]
+    mid = {r["doc_id"]: (r["n_candidates"], r["match_id"], r["is_new"])
+           for r in minhash_dedup_incremental(batch, t, **PARAMS)
+           .collect()}
+    assert mid == before
+
+    # expire every family-3 doc (ids 3, 13, 23): batch doc 100 goes new
+    drop = spark.createDataFrame([(3,), (13,), (23,)], "doc_id long")
+    stats = dedup_index_retention(t, drop, id_col="doc_id")
+    assert stats["dropped_ids"] == 3
+    assert stats["removed_rows"] == 3 * 8
+    assert stats["kept_rows"] == n_keys - 24
+    assert t.to_df().count() == n_keys - 24
+    assert t.to_df().filter(F.col("doc_id").isin(3, 13, 23)).count() == 0
+    assert dict(t.snapshot().configuration) == conf0
+
+    after = {r["doc_id"]: (r["n_candidates"], r["match_id"], r["is_new"])
+             for r in minhash_dedup_incremental(batch, t, **PARAMS)
+             .collect()}
+    assert after[100] == (0, None, True)      # its only matches expired
+    assert after[101] == before[101]          # untouched family
+    assert after[102] == before[102]
+
+    # dry_run reports without mutating
+    v = t.version()
+    stats = dedup_index_retention(
+        t, spark.createDataFrame([(7,)], "doc_id long"),
+        id_col="doc_id", dry_run=True)
+    assert stats["removed_rows"] == 8 and stats["version"] == v
+    assert t.version() == v and t.to_df().count() == n_keys - 24
+
+    # probe params stay enforceable after retention: mismatch is loud
+    with pytest.raises(ValueError, match="not comparable"):
+        minhash_dedup_incremental(batch, t, id_col="doc_id",
+                                  text_col="text", num_hashes=16, bands=8)

@@ -286,6 +286,8 @@ BUDGETS = {
     # argmax window + left join + sort; the INDEX side is scan+join
     # only (pinned harder in tests/test_minhash_index.py)
     "minhash_incremental_dedup": (14, False),
+    # r11: two banded probes (before/after retention) joined per doc
+    "dedup_index_retention_probe": (15, False),
     # r9: map-only score + one global rank window (documented 1e7
     # ceiling) + 10-cell bucket agg + cumulative window + sort
     "lift_deciles_en": (3, False),
