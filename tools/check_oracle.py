@@ -13,6 +13,8 @@ Env:   ORACLE_JOBS=N  — run N queries concurrently (default 4; Spark
        the committed per-round gate record (ORACLE_SF01_rN.json; the
        r7 CC bug was caught only by a full sf0.1 value-level sweep,
        so the sweep is now a standing artifact, not builder memory).
+       ORACLE_EXCLUDE=a,b — skip named gates (the sf1 sweep runs the
+       few spill-monster twins serially in a second pass).
 """
 
 from __future__ import annotations
@@ -135,7 +137,10 @@ def main() -> None:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+    excl = set(filter(None, os.environ.get(
+        "ORACLE_EXCLUDE", "").split(",")))
+    todo = [(n, f) for n, f in qs.items()
+            if (not only or n in only) and n not in excl]
 
     # streaming / stateful queries mutate session-level state (memory
     # sinks, temp tables); run them serially after the parallel batch
