@@ -422,13 +422,19 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic $first/$last analog: min_by/max_by over an explicit
-    key order (SURVEY §7 order-sensitivity trap)."""
+    key order (SURVEY §7 order-sensitivity trap). r11: the key packs
+    (price cents, orderkey) into one bigint — raw o_totalprice keys TIE
+    at sf1 (the 10-replica fixture repeats every price), and min_by over
+    a tied key is engine-arbitrary; the packed key is a total order, so
+    the pick is deterministic at any scale."""
     orders = _t(spark, sf_dir, "orders")
+    key = ("cast(round(o_totalprice * 100) as bigint) * 1000000000"
+           " + o_orderkey")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.expr("min_by(o_orderkey, o_totalprice)").alias("cheapest_order"),
-            F.expr("max_by(o_orderkey, o_totalprice)").alias("priciest_order"),
+            F.expr(f"min_by(o_orderkey, {key})").alias("cheapest_order"),
+            F.expr(f"max_by(o_orderkey, {key})").alias("priciest_order"),
         )
         .orderBy("o_orderpriority")
     )
@@ -9666,8 +9672,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_minmax_by": """
             SELECT o_orderpriority,
-                   arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-                   arg_max(o_orderkey, o_totalprice) AS priciest_order
+                   arg_min(o_orderkey,
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           * 1000000000 + o_orderkey) AS cheapest_order,
+                   arg_max(o_orderkey,
+                           CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           * 1000000000 + o_orderkey) AS priciest_order
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "text_token_stats": """

@@ -199,8 +199,12 @@ def main() -> None:
     # round-3 flagship additions, measured OUTSIDE the headline total so
     # "value"/"warm_total" stay comparable round-over-round (warm pass:
     # each runs twice, second timing reported)
+    # SPARK_GRAFT_SKIP_EXTRAS=1 → headline-only run (the sf1 bench
+    # anchors time the 21 headline queries at 10x volume; the EXTRA
+    # list's scale evidence lives in the ORACLE_SF1 sweep timings)
     extra: dict[str, float] = {}
-    for name in EXTRA:
+    skip_extras = os.environ.get("SPARK_GRAFT_SKIP_EXTRAS") == "1"
+    for name in [] if skip_extras else EXTRA:
         run_once(name)
         extra[name], _ = run_once(name)
         print(f"# extra(warm) {name}: {extra[name]}s", file=sys.stderr)
