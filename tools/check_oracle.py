@@ -127,6 +127,14 @@ def main() -> None:
     jobs = int(os.environ.get("ORACLE_JOBS", "4"))
 
     base = duckdb.connect()
+    # ORACLE_DUCKDB_MEM caps the oracle's memory so huge twins SPILL to
+    # temp disk instead of tripping the machine OOM killer (a 66 GB
+    # twin RSS killed an sf1 patch pass mid-round-11; DuckDB's default
+    # limit is a fraction of total RAM, which overcommits when several
+    # engines share the box)
+    mem = os.environ.get("ORACLE_DUCKDB_MEM")
+    if mem:
+        base.sql(f"SET memory_limit='{mem}'")
     for t in TABLES:
         base.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

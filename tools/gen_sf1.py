@@ -158,10 +158,16 @@ def gen_events(out_dir: str, n_events: int = 1_000_000,
     ts = np.sort(base_ns
                  + (rng.random_sample(n_events) * span_ns).astype(
                      np.int64))
+    # the driver fixtures store ts as parquet timestamp[us] — mirror
+    # that EXACTLY. Full-ns values here made the two engines read
+    # different data: Spark surfaces ns longs, DuckDB's TIMESTAMP is
+    # µs and silently truncates, which broke the interval/as-of twins
+    # at sf1 (r11 finding). Floor to µs and write timestamp[us].
+    ts = (ts // 1000).astype(np.int64)
     types = np.array(["view", "click", "purchase", "signup", "error"])
     tbl = pa.table({
         "event_id": pa.array(np.arange(n_events), pa.int64()),
-        "ts": pa.array(ts, pa.timestamp("ns")),
+        "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(
             rng.randint(0, n_users, n_events), pa.int64()),
         "event_type": pa.array(
