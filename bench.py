@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
-from deltalake_spark.session import get_spark
+from deltalake_spark.session import get_spark, release_caches
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -185,12 +185,24 @@ def main() -> None:
     # a phantom +13% across the board; a single sample can't tell load
     # from regression, the median of 3 mostly can (and `loadavg` in the
     # compact line makes contaminated runs self-identifying).
+    # r12 measurement fix: release persisted frames BETWEEN queries.
+    # session.release_caches's contract says the bench owns cleanup,
+    # but no call was ever wired in — ~100 gates' persist() pins
+    # accumulated in the 8g driver across the session and the tail of
+    # the extras list paid for it in GC/eviction churn (r12 baseline:
+    # dedup_index_retention_probe 94 s inside the full bench vs 12-14 s
+    # isolated in a fresh session). Releasing only at query BOUNDARIES
+    # keeps each query's own timed region — including any same-query
+    # cache reuse across its warm passes — exactly as previous rounds
+    # measured it; only cross-query pollution is removed.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
+        release_caches(spark)
         cold[name], n = run_once(name)
         print(f"# cold {name}: {cold[name]}s ({n} rows)", file=sys.stderr)
     for name in HEADLINE:
+        release_caches(spark)
         samples = sorted(run_once(name)[0] for _ in range(3))
         warm[name] = samples[1]
         print(f"# warm {name}: {warm[name]}s (3 passes: {samples})",
@@ -205,6 +217,7 @@ def main() -> None:
     extra: dict[str, float] = {}
     skip_extras = os.environ.get("SPARK_GRAFT_SKIP_EXTRAS") == "1"
     for name in [] if skip_extras else EXTRA:
+        release_caches(spark)
         run_once(name)
         extra[name], _ = run_once(name)
         print(f"# extra(warm) {name}: {extra[name]}s", file=sys.stderr)

@@ -288,6 +288,53 @@ _JVM_MAX_K = 64
 _PROBE_CACHE: "dict[tuple, Column]" = {}
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow input up to the default parallelism.
+
+    The fixture tables are single-row-group parquet files, so every
+    scan is ONE task and the map-heavy stages of this module (literal-
+    codebook probe assignment, per-pair cosine folds) run
+    single-threaded until the first exchange — measured 17.6 s → 2.2 s
+    on the sf0.1 bitext gate. At warehouse scale the input already has
+    more partitions than cores and this is a NO-OP (same rule as
+    ``operators.dedup.spread_narrow_input``; only narrow id+vector
+    projections are ever spread, never joined/scored pair frames)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
+def _salted_bucket_join(
+    q: DataFrame, c: DataFrame, *, n_buckets: int, c_id: str,
+    key: str = "__b",
+) -> DataFrame:
+    """Bucket equi-join that survives a LOW-CARDINALITY bucket key.
+
+    A coarse codebook of k buckets hash-partitions a shuffled join
+    onto ≤ k tasks — the r11 sf1 finding: ivf_ann_topk's k=8 join ran
+    its 4M-pair scoring on ≤ 8 of 32 cores. Standard salting with the
+    guide's orientation (big side keeps its cardinality, small side
+    explodes): the CORPUS side gets a deterministic salt
+    ``pmod(xxhash64(id), S)`` (no row duplication of the big side);
+    the QUERY side — a bounded probe batch by contract — explodes
+    ×S so every (bucket, salt) cell is covered. The joined PAIR SET is
+    identical, so results are bit-identical; only the partitioning of
+    the pair-scoring stage changes. S is derived from the session's
+    parallelism at ~2 keys/core and collapses to S=1 (plain join) once
+    the codebook itself provides enough keys — at production bucket
+    counts (k ≈ √N) this is a no-op."""
+    sc = q.sparkSession.sparkContext
+    s = max(1, -(-2 * sc.defaultParallelism // max(1, int(n_buckets))))
+    if s <= 1:
+        return q.join(c, key)
+    cs = c.withColumn(
+        "__bsalt", F.pmod(F.xxhash64(F.col(c_id)), F.lit(s)).cast("int"))
+    qs = q.withColumn(
+        "__bsalt", F.explode(F.sequence(F.lit(0), F.lit(int(s) - 1))))
+    return qs.join(cs, [key, "__bsalt"]).drop("__bsalt")
+
+
 def _probe_expr(centroids: list[list[float]], vec_sql: str,
                 nprobe: int) -> Column:
     """JVM-side nearest-centroid probe: per-centroid scores
@@ -379,18 +426,20 @@ def ivf_topk_join(
             "alias one side before joining so output columns are unique"
         )
     c = ivf_assign(
-        corpus.select(F.col(corpus_id).alias("__rid"),
-                      F.col(vec_col).alias("__rv")),
+        _spread(corpus.select(F.col(corpus_id).alias("__rid"),
+                              F.col(vec_col).alias("__rv"))),
         centroids, vec_col="__rv", nprobe=1, bucket_col="__b",
     )
     q = ivf_assign(
-        queries.select(F.col(query_id).alias("__lid"),
-                       F.col(vec_col).alias("__lv")),
+        _spread(queries.select(F.col(query_id).alias("__lid"),
+                               F.col(vec_col).alias("__lv"))),
         centroids, vec_col="__lv", nprobe=nprobe, bucket_col="__probes",
     ).withColumn("__b", F.explode("__probes")).drop("__probes")
-    joined = q.join(c, "__b").withColumn(
+    joined = _salted_bucket_join(
+        q, c, n_buckets=len(centroids), c_id="__rid",
+    ).withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
-    )
+    ).select("__lid", "__rid", "score")  # vectors never cross the window
     w = Window.partitionBy("__lid").orderBy(F.desc("score"), F.asc("__rid"))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
@@ -485,22 +534,24 @@ def ivf_topk_join_q(
         return (f"transform(cast(`{col}` as array<double>),"
                 f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
 
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(corpus_id).alias("__rid"), F.col(vec_col).alias("__rv")
-    ).withColumn(
+    )).withColumn(
         "__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0])
     q = (
-        queries.select(
+        _spread(queries.select(
             F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")
-        )
+        ))
         .withColumn("__probes",
                     _probe_expr_q(int_centroids, qv_sql("__lv"), nprobe))
         .withColumn("__b", F.explode("__probes"))
         .drop("__probes")
     )
-    joined = q.join(c, "__b").withColumn(
+    joined = _salted_bucket_join(
+        q, c, n_buckets=len(int_centroids), c_id="__rid",
+    ).withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
-    )
+    ).select("__lid", "__rid", "score")  # vectors never cross the window
     w = Window.partitionBy("__lid").orderBy(F.desc("score"), F.asc("__rid"))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
@@ -550,15 +601,15 @@ def pairwise_topk_join(
                              num_planes=num_planes, seed=seed)
         rsk_expr = rh_sketch(F.col("__rv"), dim=dim,
                              num_planes=num_planes, seed=seed)
-    lsk = left.select(
+    lsk = _spread(left.select(
         F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lv")
-    ).withColumn("__sk", lsk_expr)
-    rsk = right.select(
+    )).withColumn("__sk", lsk_expr)
+    rsk = _spread(right.select(
         F.col(right_id).alias("__rid"), F.col(vec_col).alias("__rv")
-    ).withColumn("__sk", rsk_expr)
+    )).withColumn("__sk", rsk_expr)
     joined = lsk.join(rsk, "__sk").withColumn(
         "score", F.round(cosine_expr(F.col("__lv"), F.col("__rv")), 6)
-    )
+    ).select("__lid", "__rid", "score")  # vectors never cross the window
     # __rid tiebreak: equal-score neighbors rank deterministically
     w = Window.partitionBy("__lid").orderBy(F.desc("score"), F.asc("__rid"))
     return (
@@ -974,25 +1025,27 @@ def ivf_pq_topk_join(
                 f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
 
     c = pq_encode(
-        corpus.select(F.col(corpus_id).alias("__rid"),
-                      F.col(vec_col).alias("__rv")),
+        _spread(corpus.select(F.col(corpus_id).alias("__rid"),
+                              F.col(vec_col).alias("__rv"))),
         codebooks, vec_col="__rv", code_col="__code",
     ).withColumn(
         "__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0]
     ).select("__rid", "__code", "__b")
     q = (
-        queries.select(
+        _spread(queries.select(
             F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")
-        )
+        ))
         .withColumn("__probes",
                     _probe_expr_q(int_centroids, qv_sql("__lv"), nprobe))
         .withColumn("__b", F.explode("__probes"))
         .drop("__probes")
     )
-    joined = q.join(c, "__b").withColumn(
+    joined = _salted_bucket_join(
+        q, c, n_buckets=len(int_centroids), c_id="__rid",
+    ).withColumn(
         "adc",
         _adc_expr(codebooks, "cast(`__lv` as array<double>)", "__code"),
-    )
+    ).select("__lid", "__rid", "adc")  # codes/vectors stay pre-window
     w = Window.partitionBy("__lid").orderBy(F.asc("adc"), F.asc("__rid"))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
@@ -1044,12 +1097,12 @@ def exact_sqdist_topk_join(
         return (f"transform(cast(`{col}` as array<double>),"
                 f" x -> cast(round(x * {float(scale)!r}D) as bigint))")
 
-    c = corpus.select(
+    c = _spread(corpus.select(
         F.col(corpus_id).alias("__rid"), F.col(vec_col).alias("__rv")
-    ).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0])
+    )).withColumn("__b", _probe_expr_q(int_centroids, qv_sql("__rv"), 1)[0])
     q = (
-        queries.select(
-            F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv"))
+        _spread(queries.select(
+            F.col(query_id).alias("__lid"), F.col(vec_col).alias("__lv")))
         .withColumn(
             "__probes",
             _probe_expr_q(int_centroids, qv_sql("__lv"),
@@ -1060,7 +1113,9 @@ def exact_sqdist_topk_join(
     lv, rv = F.col("__lv"), F.col("__rv")
     sqd = F.round(
         dot_expr(lv, lv) - 2.0 * dot_expr(lv, rv) + dot_expr(rv, rv), 6)
-    joined = q.join(c, "__b").withColumn("sqdist", sqd)
+    joined = _salted_bucket_join(
+        q, c, n_buckets=len(int_centroids), c_id="__rid",
+    ).withColumn("sqdist", sqd).select("__lid", "__rid", "sqdist")
     w = Window.partitionBy("__lid").orderBy(F.asc("sqdist"), F.asc("__rid"))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
@@ -1196,6 +1251,7 @@ def ivf_pq_rerank_join(
         pool.join(qv, query_id)
         .join(cv, corpus_id)
         .withColumn("sqdist", sqd)
+        .select(query_id, corpus_id, "sqdist")  # vectors stay pre-window
     )
     w = Window.partitionBy(query_id).orderBy(
         F.asc("sqdist"), F.asc(corpus_id))
@@ -1285,8 +1341,8 @@ def margin_bitext_pairs(
         ys = tgt.select(F.col(tgt_id).alias("__tid"),
                         F.col(vec_col).alias("__tv"))
         pairs = (
-            candidates.select(F.col(src_id).alias("__sid"),
-                              F.col(tgt_id).alias("__tid"))
+            _spread(candidates.select(F.col(src_id).alias("__sid"),
+                                      F.col(tgt_id).alias("__tid")))
             .join(xs, "__sid").join(ys, "__tid")
             .select("__sid", "__tid", cos_micro)
         )
@@ -1295,27 +1351,36 @@ def margin_bitext_pairs(
             raise ValueError(
                 "int_centroids is required for the exhaustive pass "
                 "(pass candidates=... for the IVF scale path)")
-        y = tgt.select(
+        y = _spread(tgt.select(
             F.col(tgt_id).alias("__tid"), F.col(vec_col).alias("__tv")
-        ).withColumn(
+        )).withColumn(
             "__b", _probe_expr_q(int_centroids, qv_sql("__tv"), 1)[0])
         x = (
-            src.select(F.col(src_id).alias("__sid"),
-                       F.col(vec_col).alias("__sv"))
+            _spread(src.select(F.col(src_id).alias("__sid"),
+                               F.col(vec_col).alias("__sv")))
             .withColumn("__probes",
                         _probe_expr_q(int_centroids, qv_sql("__sv"),
                                       len(int_centroids)))
             .withColumn("__b", F.explode("__probes"))
             .drop("__probes")
         )
-        pairs = x.join(y, "__b").select("__sid", "__tid", cos_micro)
+        pairs = _salted_bucket_join(
+            x, y, n_buckets=len(int_centroids), c_id="__tid",
+        ).select("__sid", "__tid", cos_micro)
     wf = Window.partitionBy("__sid").orderBy(F.desc("c"), F.asc("__tid"))
     wb = Window.partitionBy("__tid").orderBy(F.desc("c"), F.asc("__sid"))
+    # THREE consumers read this frame (forward kNN sums, backward kNN
+    # sums, the rank-1 candidates) — unpersisted, each consumer branch
+    # replayed the full pair-scoring join + both windows (measured 3x
+    # the gate's wall at sf0.1, 22 s → 7 s). The pinned frame is the
+    # SMALL (sid, tid, c, rf, rb) pair frame — vectors were projected
+    # out before the windows. Caller releases via release_caches after
+    # materializing (the prefix_jaccard_join cache contract).
     ranked = pairs.select(
         "__sid", "__tid", "c",
         F.row_number().over(wf).alias("__rf"),
         F.row_number().over(wb).alias("__rb"),
-    )
+    ).persist()
     sum_f = (
         ranked.filter(F.col("__rf") <= k)
         .groupBy("__sid").agg(F.sum("c").alias("__sumf"))
@@ -1411,8 +1476,8 @@ def hard_triplet_mine(
             F.col(label_col).alias("__clb"),
             F.col(vec_col).alias("__cv"))
         pairs = (
-            candidates.select(F.col(anchor_id).alias("__aid"),
-                              F.col(corpus_id).alias("__cid"))
+            _spread(candidates.select(F.col(anchor_id).alias("__aid"),
+                                      F.col(corpus_id).alias("__cid")))
             .join(av, "__aid").join(cv, "__cid")
             .filter(F.col("__aid") != F.col("__cid"))
             .select(*pair_cols)
@@ -1422,17 +1487,17 @@ def hard_triplet_mine(
             raise ValueError(
                 "int_centroids is required for the exhaustive pass "
                 "(pass candidates=... for the IVF scale path)")
-        c = corpus.select(
+        c = _spread(corpus.select(
             F.col(corpus_id).alias("__cid"),
             F.col(label_col).alias("__clb"),
             F.col(vec_col).alias("__cv"),
-        ).withColumn(
+        )).withColumn(
             "__b", _probe_expr_q(int_centroids, qv_sql("__cv"), 1)[0])
         a = (
-            anchors.select(
+            _spread(anchors.select(
                 F.col(anchor_id).alias("__aid"),
                 F.col(label_col).alias("__alb"),
-                F.col(vec_col).alias("__av"))
+                F.col(vec_col).alias("__av")))
             .withColumn("__probes",
                         _probe_expr_q(int_centroids, qv_sql("__av"),
                                       len(int_centroids)))
@@ -1440,13 +1505,19 @@ def hard_triplet_mine(
             .drop("__probes")
         )
         pairs = (
-            a.join(c, "__b")
+            _salted_bucket_join(
+                a, c, n_buckets=len(int_centroids), c_id="__cid")
             .filter(F.col("__aid") != F.col("__cid"))
             .select(*pair_cols)
         )
     w = Window.partitionBy("__aid", "__same").orderBy(
         F.desc("c"), F.asc("__cid"))
-    ranked = pairs.withColumn("__rn", F.row_number().over(w))
+    # pos / neg / active all read the scored pair frame — unpersisted,
+    # each branch replayed the bucket-cover join + cosine fold (3x the
+    # gate's wall). The pinned frame is (aid, alb, cid, same, c, rn) —
+    # vectors already projected out. Caller releases via
+    # release_caches after materializing (the cache contract).
+    ranked = pairs.withColumn("__rn", F.row_number().over(w)).persist()
     pos = ranked.filter(F.col("__same") & (F.col("__rn") == 1)).select(
         "__aid", F.col("__cid").alias("pos_id"),
         F.col("c").alias("pos_cos"))
@@ -1454,7 +1525,7 @@ def hard_triplet_mine(
         "__aid", F.col("__cid").alias("neg_id"),
         F.col("c").alias("neg_cos"))
     active = (
-        pairs.filter(~F.col("__same"))
+        ranked.filter(~F.col("__same"))
         .join(pos.select("__aid", "pos_cos"), "__aid")
         .filter(F.col("c") >= F.col("pos_cos"))
         .groupBy("__aid")

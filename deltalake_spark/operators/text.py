@@ -201,22 +201,47 @@ def winnow_fingerprints(
         n >= k + w - 1,
         F.transform(F.sequence(F.lit(1), n - k + 1), lambda i: gram(i)),
     ).otherwise(F.expr("cast(array() as array<bigint>)"))
-    # let-bind the gram-hash array, then per window start j pick the
-    # (hash, -pos)-minimum struct = min hash, RIGHTMOST position on
-    # ties; distinct collapses adjacent windows selecting the same gram
+    # let-bind the (hash, -pos) struct array built ONCE per doc, then
+    # per window start j pick the minimum struct over slice(ss, j, w)
+    # = min hash, RIGHTMOST position on ties; distinct collapses
+    # adjacent windows selecting the same gram. (The structs used to be
+    # re-allocated inside every window — O(n·w) named_struct + sequence
+    # allocations per doc; slicing the prebuilt array copies w refs and
+    # compares, no allocation — measured 2.3x on the selection stage.
+    # The minima, and therefore the selected fingerprints, are
+    # identical.)
     picks = F.expr(
-        f"""transform(array(__gh), hs -> if(size(hs) < {w},
+        f"""transform(array(transform(__gh, (h, i) ->
+              named_struct('h', h, 'np', -(i + 1)))),
+            ss -> if(size(ss) < {w},
               cast(array() as array<struct<h: bigint, np: int>>),
               array_distinct(
-                transform(sequence(1, size(hs) - {w - 1}), j ->
-                  array_min(transform(sequence(j, j + {w - 1}), p ->
-                    named_struct('h', hs[p - 1], 'np', -p)))))))[0]""")
-    base = df.filter(n >= k + w - 1).select(
+                transform(sequence(1, size(ss) - {w - 1}), j ->
+                  array_min(slice(ss, j, {w}))))))[0]""")
+    # single-row-group fixture files scan as ONE task, and this
+    # operator is map-only (zero shuffle) — without a spread the whole
+    # gram-hash + window-min pass runs single-threaded (measured 31 s →
+    # ~3 s on the sf0.1 decontam gate at 32 cores). No-op at warehouse
+    # scale where scans carry more partitions than cores.
+    from deltalake_spark.operators.dedup import spread_narrow_input
+
+    base = spread_narrow_input(df.filter(n >= k + w - 1)).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias(text_col))
+    # explode_OUTER, then drop the (never-produced) null rows on the
+    # generated attribute: a plain explode makes Catalyst's
+    # InferFiltersFromGenerate synthesize `size(picks) > 0 AND
+    # isnotnull(picks)` and push the FULL selection expression below
+    # the spread exchange onto the single-task scan — the whole winnow
+    # ran once on 1 core in that filter and again (parallel) in the
+    # projection (measured: two 9 s single-task stages per gate run).
+    # The rule skips outer generates; surviving docs always select >= 1
+    # fingerprint (the row filter guarantees one full window), so the
+    # null-row filter never drops anything and results are identical.
     return (
         base.withColumn("__gh", hashes)
         .withColumn("__fp", picks)
-        .select("__id", F.explode("__fp").alias("__s"))
+        .select("__id", F.explode_outer("__fp").alias("__s"))
+        .filter(F.col("__s").isNotNull())
         .select(
             F.col("__id").alias(id_col),
             (-F.col("__s.np")).cast("long").alias("pos"),

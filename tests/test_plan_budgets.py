@@ -236,19 +236,30 @@ BUDGETS = {
     # agg + sort; prior is a 2-scalar collect folded as a literal
     "loo_encode_priority": (2, False),
     # r9: bucket-cover pair scoring + one (anchor, same?) window +
-    # pos/neg splits + active-negative join/agg + final joins + sort
-    "hard_negative_triplets": (8, False),
+    # pos/neg splits + active-negative join/agg + final joins + sort.
+    # r12: the scored pair frame is PERSISTED (pos/neg/active branches
+    # replayed the whole cosine join 3x before) and the anchor side is
+    # spread off the single-file scan — the static text now embeds the
+    # cached subtree (with its spread exchange) once per consumer, so
+    # the textual count rises while the executed exchanges drop
+    "hard_negative_triplets": (12, False),
     # r9: batch-only fingerprint (explode + 60-bit-sum agg) + bucket
     # cap agg + band equi-join + pair-dedup agg + argmin window +
     # left join + sort; index side is scan+join only
     "simhash_incremental_dedup": (7, False),
     # r9: one bucket-cover equi-join scores all pairs; two windows
-    # (fwd/bwd ranks) + two kNN-sum aggs + candidate joins, TakeOrdered
-    "bitext_margin_topk": (6, False),
+    # (fwd/bwd ranks) + two kNN-sum aggs + candidate joins, TakeOrdered.
+    # r12: the ranked pair frame is PERSISTED (sum_f/sum_b/candidate
+    # branches replayed the full pair-scoring join 3x before — measured
+    # 22 s → 6 s at sf0.1) and both sides spread off single-file scans;
+    # the static text embeds the cached subtree per consumer
+    "bitext_margin_topk": (13, False),
     # r10: IVF-PQ candidate pairs (bucket equi-join + per-src window)
     # + two id equi-joins fetching true vectors + the same margin
-    # machinery — |candidates| work downstream, never |X|x|Y|
-    "bitext_margin_ivf_topk": (7, False),
+    # machinery — |candidates| work downstream, never |X|x|Y|.
+    # r12: + the persisted ranked frame and candidate/corpus spreads
+    # (see bitext_margin_topk) — textual count, not executed exchanges
+    "bitext_margin_ivf_topk": (16, False),
     # r10: map-only window explode + one hash agg (distinct-doc count
     # rides the same exchange) + global TakeOrdered
     "top_dup_spans_corpus": (2, False),
